@@ -1,38 +1,1059 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` the matching DuckDB
+SQL.  Column names and aggregate semantics are mirrored exactly; additive
+float aggregates go through exact decimal sums on BOTH sides (see
+``btc_usdt_etl_pipeline_spark.functions``) so value hashes are
+bit-reproducible regardless of execution order.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.functions import (
+    cosine_similarity,
+    exact_avg,
+    exact_sum,
+    oracle_avg_sql,
+    oracle_sum_sql,
+)
+from btc_usdt_etl_pipeline_spark.ml.features import (
+    min_max_scale,
+    regression_metrics,
+    sliding_sequences,
+)
+from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
+from btc_usdt_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+)
+from btc_usdt_etl_pipeline_spark.operators.relational import (
+    anti_join,
+    broadcast_join,
+    global_top_k,
+    semi_join,
+    top_k_per_group,
+)
+from btc_usdt_etl_pipeline_spark.operators.resample import (
+    resample_by_count,
+    resample_by_time,
+)
+from btc_usdt_etl_pipeline_spark.operators.similarity import brute_force_top_k
+from btc_usdt_etl_pipeline_spark.operators.text import STOPWORDS, language_id
+from btc_usdt_etl_pipeline_spark.operators.windows import correlation_matrix
+from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+    run_available_now,
+    streaming_ohlcv,
+)
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+#: events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+#: rejects; read the physical INT64 via an explicit schema (works on any
+#: session, no legacy conf) and truncate nanos→micros exactly like DuckDB
+#: does.  ``div`` (integer division) — a double division would lose µs
+#: precision at 1.7e18.
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return (
+            spark.read.schema(_EVENTS_SCHEMA)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2B: filters, joins, aggs, sorts, set ops)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_sum_sql('l_quantity')} AS sum_qty,
+           {oracle_sum_sql('l_extendedprice')} AS sum_base_price,
+           {oracle_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_avg_sql('l_quantity')} AS avg_qty,
+           {oracle_avg_sql('l_extendedprice')} AS avg_price,
+           {oracle_avg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan→filter→hash agg, the flagship.
+
+    Parity note: generalizes the reference's single groupBy aggregation
+    (components/process_data.py:50-58) to multi-measure grouped aggs.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        exact_sum(disc_price).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        exact_avg("l_quantity").alias("avg_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        exact_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "q02_revenue_filter",
+    f"""
+    SELECT {oracle_sum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: range+BETWEEN+comparison predicates pushed to scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q03_customer_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           {oracle_sum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + grouped agg (fact side never broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "q04_region_stats",
+    f"""
+    SELECT r.r_name, COUNT(*) AS n_customers,
+           {oracle_avg_sql('c.c_acctbal')} AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dim joins with explicit broadcast hints (SURVEY §2B joins)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.transform(
+            broadcast_join(n, c["c_nationkey"] == n["n_nationkey"])
+        )
+        .transform(broadcast_join(r, F.col("n_regionkey") == r["r_regionkey"]))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_avg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+@_q(
+    "q05_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — no row explosion."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.transform(semi_join(o, c["c_custkey"] == o["o_custkey"]))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "q06_anti_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.transform(
+        anti_join(o, c["c_custkey"] == o["o_custkey"])
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@_q(
+    "q07_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — one shuffle by group key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.transform(
+        top_k_per_group(
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            k=3,
+        )
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+@_q(
+    "q08_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — plans as TakeOrderedAndProject, never a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.transform(
+        global_top_k([F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "q09_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {oracle_sum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "q10_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {oracle_sum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("total")
+    )
+
+
+@_q(
+    "q11_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q("q12_approx_distinct")  # no oracle: HLL++ estimate is Spark-specific
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path for cardinality;
+    rows-only check (estimates are engine-specific by design)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "q13_setops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics."""
+    o = _t(spark, sf_dir, "orders")
+
+    def custkeys(status: str) -> DataFrame:
+        return o.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    return custkeys("O").intersect(custkeys("F")).exceptAll(
+        custkeys("P").distinct()
+    ).distinct()
+
+
+@_q(
+    "q14_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           p_brand || '#' || p_type AS brand_type,
+           substring(p_name, 1, 12) AS name_prefix
+    FROM part WHERE p_name LIKE '%a%'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: upper/length/regexp/concat/substring/LIKE."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+    )
+
+
+@_q(
+    "q15_date_agg",
+    f"""
+    SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n, {oracle_sum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction + grouped agg (date_trunc/extract surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("total"))
+
+
+@_q(
+    "q16_json_extract",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {oracle_sum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+           {oracle_avg_sql('value')} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(k).alias("sum_k"),
+        exact_avg("value").alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2A W1-W6 generalized, §2B)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q17_window_rank",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC) AS drnk
+      FROM customer) WHERE rnk <= 5
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + dense_rank per partition."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wd = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .withColumn("drnk", F.dense_rank().over(wd))
+        .filter(F.col("rnk") <= 5)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk", "drnk")
+    )
+
+
+@_q(
+    "q18_lag_returns",
+    """
+    SELECT event_id, user_id, value, prev_value,
+           (value - prev_value) / prev_value AS return
+    FROM (SELECT event_id, user_id, value,
+                 LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+          FROM events)
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based 1-step returns per user series (W3 generalized)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        ((F.col("value") - prev) / prev).alias("return"),
+    )
+
+
+@_q(
+    "q19_rolling_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+           AS roll_avg
+    FROM events
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row mean per user (W2 generalized; exact-sum form)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-9, 0)
+    )
+    roll = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast(
+        "double"
+    ) / F.count("value").over(w)
+    return e.select("event_id", "user_id", roll.alias("roll_avg"))
+
+
+@_q(
+    "q20_cumulative_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_value
+    FROM events
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user series (W5-adjacent running aggregate)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    return e.select("event_id", "user_id", cum.alias("cum_value"))
+
+
+@_q(
+    "q21_ntile",
+    """
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: resample (§2A A1/W1/P2), as-of join, correlation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q22_resample_count",
+    """
+    WITH idx AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ts) - 1 AS i FROM events),
+    g AS (SELECT *, CAST(FLOOR(i / 500) AS BIGINT) AS gid FROM idx)
+    SELECT MIN(ts) AS open_time,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*) AS n_rows
+    FROM g GROUP BY gid
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count OHLCV resample — the reference's core transform
+    (process_data.py:44-59) on the events series, scalable two-pass index
+    instead of a single-partition window; min_by/max_by determinism."""
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        resample_by_count(
+            500,
+            time_col="ts",
+            value_cols={
+                "open": "value",
+                "high": "value",
+                "low": "value",
+                "close": "value",
+                "count": "value",
+            },
+        )
+    )
+
+
+@_q(
+    "q23_resample_time",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           MIN(ts) AS open_time,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock OHLCV resample (1-day tumbling window) — the scale path."""
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        resample_by_time(
+            "1 day",
+            time_col="ts",
+            value_cols={
+                "open": "value",
+                "high": "value",
+                "low": "value",
+                "close": "value",
+                "count": "value",
+            },
+        )
+    )
+
+
+@_q(
+    "q24_asof_join",
+    """
+    SELECT a.event_id, a.user_id, a.ts, a.value, b.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior purchase."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        time_col="ts",
+        by=["user_id"],
+        right_value_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "value", "purchase_value")
+
+
+@_q(
+    "q25_correlation",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ss_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS ss_p,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS ss_d,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp_qp,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sp_qd,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sp_pd
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           (sp_qp - s_q * s_p / n) /
+           SQRT((ss_q - s_q * s_q / n) * (ss_p - s_p * s_p / n)) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           (sp_qd - s_q * s_d / n) /
+           SQRT((ss_q - s_q * s_q / n) * (ss_d - s_d * s_d / n)) FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           (sp_pd - s_p * s_d / n) /
+           SQRT((ss_p - s_p * s_p / n) * (ss_d - s_d * s_d / n)) FROM s
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE aggregation pass (A2)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        l, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators (north star): dedup, text, similarity, ML features
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q26_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic winner (min id) per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), t -> t != '')"
+)
+
+_EN_SW_SQL = "['the','a','and','of','to','in','is','for','on','with']"
+
+
+@_q(
+    "q27_text_stats",
+    f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           {oracle_avg_sql('n_chars')} AS avg_chars,
+           {oracle_avg_sql(f'len({_TOKS_SQL})')} AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) text statistics with normalized token counts."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        exact_avg("n_chars").alias("avg_chars"),
+        exact_avg(ntok).alias("avg_tokens"),
+    )
+
+
+@_q(
+    "q28_quality_features",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) AS alpha_ratio,
+           len(list_filter({_TOKS_SQL}, t -> list_contains({_EN_SW_SQL}, t)))::DOUBLE
+             / greatest(len({_TOKS_SQL}), 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: token count, alpha ratio, stopword ratio."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    tok = tokens("text")
+    n_tokens = F.size(tok)
+    n_alpha = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_alpha.cast("double") / F.greatest(F.length(c), F.lit(1))).alias(
+            "alpha_ratio"
+        ),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter({_TOKS_SQL}, t -> list_contains({words}, t)))"
+
+
+@_q(
+    "q29_language_id",
+    f"""
+    WITH h AS (
+      SELECT lang,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('es')} AS h_es
+      FROM documents)
+    SELECT CASE
+             WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+             WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_pred,
+           lang AS lang_true, COUNT(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID vs the labeled lang column.
+
+    Tie rule: highest hit count, ties broken toward the lexicographically
+    larger code (mirrors array_max over (hits, lang) structs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        language_id("text").alias("lang_pred"), F.col("lang").alias("lang_true")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "q30_minhash_near_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM tok),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified on candidates.
+
+    The oracle computes ALL-pairs exact Jaccard; at 128 hashes / 64 bands
+    the LSH miss probability at j>=0.8 is ~1e-15 per pair, so the outputs
+    coincide.  At scale only the LSH side is feasible — that asymmetry is
+    the point of the operator."""
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        minhash_near_dedup(
+            text_col="text",
+            id_col="doc_id",
+            shingle_n=3,
+            num_hashes=128,
+            bands=64,
+            jaccard_threshold=0.8,
+        )
+    )
+
+
+@_q(
+    "q31_simsearch_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT qid AS query_id, vec_id,
+                 round(list_cosine_similarity(v, qv), 4) AS cosine_r
+          FROM c, q WHERE vec_id != qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_r DESC, vec_id) AS rnk
+          FROM s)
+    SELECT query_id, vec_id, cosine_r, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors (ANN correctness baseline).
+
+    Cosines are rounded to 4dp on both sides before ranking so the
+    float-accumulation order inside each engine cannot flip the hash."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qvec")), 4
+            ).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@_q(
+    "q32_embedding_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           {oracle_sum_sql('CAST(embedding[1] AS DOUBLE)')} AS sum_first,
+           round(MAX(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 4)
+             AS max_self_cos
+    FROM embeddings GROUP BY label
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation per label (vector hygiene check)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("embedding")[0].cast("double")).alias("sum_first"),
+        F.round(
+            F.max(
+                cosine_similarity(F.col("embedding"), F.col("embedding"))
+            ),
+            4,
+        ).alias("max_self_cos"),
+    )
+
+
+@_q(
+    "q33_sliding_sequences",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+             LAG(value, 4) OVER (PARTITION BY user_id ORDER BY ts) AS first_val,
+             LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS target
+      FROM events)
+    SELECT event_id, user_id, first_val, value AS last_val, target
+    FROM t WHERE cnt = 5 AND target IS NOT NULL
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ML sequences (W6): 5-step windows + next-value target."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.transform(
+        sliding_sequences(
+            "value", "ts", seq_length=5, partition_by=["user_id"]
+        )
+    )
+    return seq.select(
+        "event_id",
+        "user_id",
+        F.col("features")[0].alias("first_val"),
+        F.col("features")[4].alias("last_val"),
+        "target",
+    )
+
+
+@_q(
+    "q34_minmax_scale",
+    """
+    SELECT event_id, value,
+           (value - (SELECT MIN(value) FROM events))
+           / ((SELECT MAX(value) FROM events) - (SELECT MIN(value) FROM events))
+           AS value_scaled
+    FROM events
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min-max scaling (A5: the reference's MinMaxScaler fit)."""
+    e = _t(spark, sf_dir, "events")
+    return e.transform(min_max_scale(["value"])).select(
+        "event_id", "value", F.col("value_scaled")
+    )
+
+
+@_q(
+    "q35_regression_metrics",
+    """
+    WITH p AS (SELECT value AS y,
+                      LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS yhat
+               FROM events)
+    SELECT SQRT(CAST(SUM(CAST((y - yhat) * (y - yhat) AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*)) AS rmse,
+           CAST(SUM(CAST(ABS(y - yhat) AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS mae,
+           COUNT(*) AS n
+    FROM p WHERE yhat IS NOT NULL
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE/MAE scalar aggregation (A4) on a naive last-value predictor."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pred = e.select(
+        F.col("value").alias("y"), F.lag("value").over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    return regression_metrics(pred, "y", "yhat")
+
+
+# ---------------------------------------------------------------------------
+# Streaming (M5): availableNow backfill == batch equivalence
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q36_streaming_ohlcv",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           MIN(ts) AS open_time,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming OHLCV drained with availableNow — must equal
+    the batch resample over the same files (M5 equivalence contract)."""
+    # File-source streams need a directory base path; a glob that matches
+    # exactly the events file keeps the other tables out of the stream.
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumnRenamed("value", "close")
+    )
+    result = streaming_ohlcv(
+        stream, interval="1 day", time_col="ts", value_col="close",
+        watermark="100 days",
+    )
+    name = "q36_streaming_ohlcv_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, name, ckpt)
+        return spark.table(name).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,131 @@
+"""ML feature ops re-expressed as DataFrame transforms (SURVEY.md M6).
+
+Parity targets in the reference's ML stack:
+
+- min-max scaling    — ``components/model/training.py:92-97`` (sklearn
+  MinMaxScaler on the driver) → global ``agg(min,max)`` + projection.
+- sliding sequences  — ``components/model/model_utils.py:52-66`` (numpy
+  loop building (60-window, next) pairs) → ``collect_list`` over a row
+  frame + ``lead``; the tensorization hand-off is ``mapInPandas``.
+- positional splits  — ``components/model/training.py:121-132`` (take/skip
+  on a generator) → ``row_number`` range predicates.  NOT ``randomSplit``:
+  time-series splits must be positional (SURVEY.md §2A A6).
+- RMSE / MAE         — ``components/model/evaluation.py:50-76`` → scalar
+  aggregates.
+
+Training itself stays out-of-engine (as in the reference); batch inference
+is a ``mapInPandas`` kernel over these features.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.functions import exact_avg, oracle_avg_sql  # noqa: F401
+
+
+def min_max_scale(
+    cols: Sequence[str], suffix: str = "_scaled"
+) -> Callable[[DataFrame], DataFrame]:
+    """Global min-max normalization: ``(x - min) / (max - min)``.
+
+    Two-job shape by design: a tiny agg (one row to the driver) then a
+    pure projection — same as fitting sklearn's scaler then transforming,
+    but distributed.  Constant columns map to 0.0 (sklearn maps to 0 too).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        stats = df.agg(*aggs).first()
+        out = df
+        for c in cols:
+            lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+            rng = (hi - lo) if hi is not None and lo is not None else None
+            scaled = (
+                (F.col(c) - F.lit(lo)) / F.lit(rng)
+                if rng
+                else F.lit(0.0)
+            )
+            out = out.withColumn(f"{c}{suffix}", scaled)
+        return out
+
+    return _t
+
+
+def sliding_sequences(
+    value_col: str,
+    order_col: str,
+    seq_length: int = 60,
+    partition_by: Sequence[str] | None = None,
+    feature_col: str = "features",
+    target_col: str = "target",
+) -> Callable[[DataFrame], DataFrame]:
+    """Every contiguous window of ``seq_length`` values + the next value as
+    target (reference model_utils.py:52-57): output rows = n - seq_length
+    per series.  Window+``collect_list`` keeps it JVM-side; rows with
+    incomplete history or no next value are dropped.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition_by)
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(order_col)
+        frame = w.rowsBetween(-(seq_length - 1), 0)
+        return (
+            df.withColumn(feature_col, F.collect_list(value_col).over(frame))
+            .withColumn(target_col, F.lead(value_col, 1).over(w))
+            .filter(
+                (F.size(feature_col) == seq_length)
+                & F.col(target_col).isNotNull()
+            )
+        )
+
+    return _t
+
+
+def positional_split(
+    order_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    out: str = "split",
+) -> Callable[[DataFrame], DataFrame]:
+    """Order-preserving train/val/test labels by position (A6 semantics).
+
+    Positions come from the scalable global index when available; for
+    simplicity here a single row_number window keyed by nothing — callers
+    at scale pass data already bucketed (see resample.with_global_index).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        n = df.count()
+        w = Window.orderBy(order_col)
+        pos = F.row_number().over(w)
+        n_train = int(n * train)
+        n_val = int(n * val)
+        return df.withColumn(
+            out,
+            F.when(pos <= n_train, "train")
+            .when(pos <= n_train + n_val, "val")
+            .otherwise("test"),
+        )
+
+    return _t
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """RMSE + MAE as one scalar aggregation (evaluation.py:75-76)."""
+    err = F.col(y_col) - F.col(yhat_col)
+    return df.agg(
+        F.sqrt(exact_avg(err * err)).alias("rmse"),
+        exact_avg(F.abs(err)).alias("mae"),
+        F.count(F.lit(1)).alias("n"),
+    )

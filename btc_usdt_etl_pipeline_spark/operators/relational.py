@@ -1,0 +1,86 @@
+"""Relational operator library (SURVEY.md §2B: joins, top-k, set ops).
+
+The reference has zero joins (single-table pipeline, SURVEY.md §2A); these
+are the declared extensions, each a thin composition over native DataFrame
+ops so Catalyst keeps full optimization freedom (join selection, AQE,
+pushdown).  Helpers exist to encode the *scale-correct idiom* once:
+broadcast the dim side, top-k per group without a global sort, etc.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    dim: DataFrame, on: str | Sequence[str] | Column, how: str = "inner"
+) -> Callable[[DataFrame], DataFrame]:
+    """Join against a small dimension table with an explicit broadcast hint.
+
+    At 100 TB the fact side never shuffles for a dim join — the dim table
+    ships to every executor.  AQE would usually pick this anyway below the
+    threshold; the hint makes it deterministic for known-small dims
+    (region/nation/part/supplier)."""
+
+    def _t(fact: DataFrame) -> DataFrame:
+        return fact.join(F.broadcast(dim), on, how)
+
+    return _t
+
+
+def semi_join(
+    other: DataFrame, on: str | Sequence[str] | Column
+) -> Callable[[DataFrame], DataFrame]:
+    """EXISTS-style filter: keep left rows with a match (no row explosion)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.join(other, on, "left_semi")
+
+    return _t
+
+
+def anti_join(
+    other: DataFrame, on: str | Sequence[str] | Column
+) -> Callable[[DataFrame], DataFrame]:
+    """NOT EXISTS-style filter: keep left rows without a match."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.join(other, on, "left_anti")
+
+    return _t
+
+
+def top_k_per_group(
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rnk",
+    keep_rank: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Top-k rows per key via ``row_number`` — shuffles once by the group
+    key; no global sort.  Deterministic iff ``order_by`` is a total order
+    within each group (append a unique tiebreaker column)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k
+        )
+        return out if keep_rank else out.drop(rank_col)
+
+    return _t
+
+
+def global_top_k(
+    order_by: Sequence[Column | str], k: int
+) -> Callable[[DataFrame], DataFrame]:
+    """Global ORDER BY ... LIMIT k.  Spark plans this as TakeOrderedAndProject
+    (per-partition top-k + driver merge) — no full sort, safe at any scale."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.orderBy(*order_by).limit(k)
+
+    return _t

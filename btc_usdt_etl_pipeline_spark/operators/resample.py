@@ -1,0 +1,189 @@
+"""OHLCV resampling — the reference's one real Spark job, re-architected.
+
+Reference semantics (``/root/reference/components/process_data.py:44-59``):
+every 3600 *consecutive rows* (ordered by ``Open time``) collapse to one bar
+via ``groupBy(group_id).agg(first, first, max, min, last, sum)`` where
+``group_id = floor((row_number()-1)/3600)`` over a **global, single-partition
+window** (anti-pattern §4.2-1) and ``first``/``last`` are order-dependent
+(anti-pattern §4.2-2).
+
+This module provides both declared semantics (SURVEY.md §2 semantics note):
+
+- :func:`resample_by_count` — reference-faithful row-count bars, computed
+  *without* a single-partition sort: a two-pass bucket-offset global index
+  (per-bucket counts → cumulative offsets on the driver → broadcast join →
+  dense index).  Aggregation uses ``min_by``/``max_by`` keyed on the order
+  column, deterministic under any parallelism.
+- :func:`resample_by_time` — idiomatic wall-clock bars: a pure arithmetic
+  bucket key, embarrassingly shuffle-parallel, the form you actually run at
+  100 TB.
+
+The two agree exactly iff the input is gap-free and duplicate-free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Aggregation spec shared by both resamplers: (output_name, agg builder).
+# ``min_by(open, t)`` / ``max_by(close, t)`` replace the reference's
+# non-deterministic first/last (process_data.py:51-55).
+
+
+def _ohlcv_aggs(time_col: str, value_cols: dict[str, str]) -> list:
+    o, h, lo, c = (
+        value_cols["open"],
+        value_cols["high"],
+        value_cols["low"],
+        value_cols["close"],
+    )
+    aggs = [
+        F.min(time_col).alias("open_time"),
+        F.min_by(o, time_col).alias("open"),
+        F.max(h).alias("high"),
+        F.min(lo).alias("low"),
+        F.max_by(c, time_col).alias("close"),
+    ]
+    if "trades" in value_cols:
+        aggs.append(F.sum(value_cols["trades"]).alias("number_of_trades"))
+    if "count" in value_cols:
+        aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return aggs
+
+
+def with_global_index(
+    df: DataFrame,
+    order_col: str,
+    bucket: F.Column | None = None,
+    num_buckets: int = 512,
+    index_col: str = "_idx",
+) -> DataFrame:
+    """Dense 0-based global index by ``order_col`` — no global sort.
+
+    Strategy (SURVEY.md §4.3 "row-count bucketing"):
+
+    1. Assign each row a coarse *bucket* derived arithmetically from the
+       order column (monotone in it) — range-balanced for time-series data.
+    2. One small aggregation job: per-bucket row counts → cumulative
+       offsets, collected to the driver (#buckets rows, tiny).
+    3. Broadcast-join the offsets back; dense index =
+       ``offset + row_number() over (partition by bucket order by order_col) - 1``.
+
+    Every stage shuffles at most by ``bucket`` — parallel across buckets.
+    Correctness does not depend on physical partitioning (the bucket key is
+    a pure function of the data), so no caching is required between the two
+    passes.
+
+    ``order_col`` values must be unique within a bucket for a deterministic
+    index (the kline contract: unique ``open_time``; dedup first otherwise).
+    """
+    if bucket is None:
+        # Numeric proxy of the order column for bucket arithmetic
+        # (timestamps → epoch micros; tz-shift cancels in the subtraction).
+        dtype = dict(df.dtypes)[order_col]
+        numeric = (
+            F.unix_micros(F.col(order_col))
+            if dtype.startswith("timestamp")
+            else F.col(order_col)
+        )
+        lo_hi = df.select(
+            F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
+        ).first()
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:
+            return df.withColumn(index_col, F.lit(None).cast("long"))
+        span = max(int(hi) - int(lo), 0) + 1
+        width = max(span // num_buckets, 1)
+        bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
+    dfb = df.withColumn("_bucket", bucket.cast("long"))
+
+    counts = (
+        dfb.groupBy("_bucket").count().orderBy("_bucket").collect()
+    )
+    offsets, running = {}, 0
+    for row in counts:
+        offsets[row["_bucket"]] = running
+        running += row["count"]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "_bucket long, _offset long"
+    )
+
+    w = Window.partitionBy("_bucket").orderBy(order_col)
+    return (
+        dfb.join(F.broadcast(offsets_df), "_bucket")
+        .withColumn(
+            index_col, F.col("_offset") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("_bucket", "_offset")
+    )
+
+
+def resample_by_count(
+    n: int = 3600,
+    time_col: str = "open_time",
+    value_cols: dict[str, str] | None = None,
+    sort_output: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Reference-faithful row-count resample: every ``n`` consecutive rows
+    (by ``time_col``) → one OHLCV bar.
+
+    Parity: ``/root/reference/components/process_data.py:44-59`` (W1+P2+A1),
+    minus anti-patterns §4.2-1/2 — scalable index, deterministic aggs.
+    """
+    vc = value_cols or {
+        "open": "open",
+        "high": "high",
+        "low": "low",
+        "close": "close",
+        "trades": "number_of_trades",
+    }
+
+    def _transform(df: DataFrame) -> DataFrame:
+        indexed = with_global_index(df, time_col)
+        out = (
+            indexed.withColumn("group_id", F.floor(F.col("_idx") / F.lit(n)))
+            .groupBy("group_id")
+            .agg(*_ohlcv_aggs(time_col, vc))
+            .drop("group_id")
+        )
+        return out.orderBy("open_time") if sort_output else out
+
+    return _transform
+
+
+def resample_by_time(
+    interval: str = "1 hour",
+    time_col: str = "event_time",
+    value_cols: dict[str, str] | None = None,
+    sort_output: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Wall-clock resample: tumbling ``interval`` windows over a timestamp.
+
+    The scale path — the bucket key is pure arithmetic on the timestamp, so
+    the only shuffle is the aggregation exchange itself, AQE-coalesced.
+    Emits ``window_start`` plus OHLCV keyed like the reference output.
+    """
+    vc = value_cols or {
+        "open": "open",
+        "high": "high",
+        "low": "low",
+        "close": "close",
+        "trades": "number_of_trades",
+    }
+
+    def _transform(df: DataFrame) -> DataFrame:
+        out = (
+            df.groupBy(F.window(time_col, interval).alias("w"))
+            .agg(*_ohlcv_aggs(time_col, vc))
+            .withColumn("window_start", F.col("w.start"))
+            .drop("w")
+        )
+        cols = ["window_start"] + [c for c in out.columns if c != "window_start"]
+        out = out.select(*cols)
+        return out.orderBy("window_start") if sort_output else out
+
+    return _transform

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (north star §2B).
+
+- :func:`brute_force_top_k` — exact top-k cosine neighbors for a set of
+  query vectors: broadcast the (small) query side, JVM-side
+  ``zip_with``/``aggregate`` dot products, per-query top-k via window.
+  The correctness baseline; O(|corpus| × |queries|) but fully parallel
+  and shuffle-light (one shuffle keyed by query id for the top-k).
+- :func:`lsh_top_k` — approximate scale path: sign-random-projection
+  buckets (deterministic hyperplanes derived from xxhash64, no RNG state),
+  candidates = bucket collisions under any of ``tables`` independent
+  hash tables, exact re-rank of candidates only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.functions import cosine_similarity
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (must be driver-small — the ANN regime);
+    returns ``(query_id, vec_id, cosine)`` with deterministic tie-break
+    (cosine desc, vec_id asc).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("_qid"))
+    scored = joined.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine", "rnk")
+    )
+
+
+def _srp_bucket(vec: F.Column, table: int, planes: int, dim: int) -> F.Column:
+    """Sign-random-projection bucket id for one hash table.
+
+    Hyperplane component (t, p, j) is a deterministic pseudo-random value
+    in [-1, 1) derived from xxhash64 — reproducible across runs/executors
+    with zero RNG state shipping.
+    """
+
+    def component(p: F.Column, j: F.Column) -> F.Column:
+        h = F.xxhash64(F.lit(table), p, j)
+        return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
+
+    def sign_bit(p: F.Column) -> F.Column:
+        dot_p = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double") * component(p, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    packed = F.aggregate(
+        F.zip_with(
+            F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sign_bit),
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda bit, pos: F.shiftleft(bit.cast("long"), pos),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return packed
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via SRP-LSH bucketing.
+
+    Corpus and queries are hashed into ``tables`` independent bucket ids;
+    candidates are equi-join bucket collisions (shuffle keyed by bucket —
+    no cross join), deduped, then exactly re-ranked.  Recall grows with
+    ``tables``; bucket selectivity with ``planes``.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    _srp_bucket(F.col(vec_col), t, planes, dim).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc), F.col(vec_col), F.explode(buckets).alias("_bk")
+        )
+
+    c = with_buckets(corpus, id_col)
+    q = with_buckets(queries, query_id_col).select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_bk").alias("_qbk"),
+    )
+    cand = (
+        c.join(q, (c["_bk"] == q["_qbk"]))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_qvec"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine", "rnk")
+    )

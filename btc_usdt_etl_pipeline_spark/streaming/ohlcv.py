@@ -1,0 +1,100 @@
+"""Streaming OHLCV — the reference's batch resample as a live pipeline.
+
+The reference is batch-only (``@monthly`` Airflow DAGs,
+``/root/reference/airflow/dags/new6.py:33-39``); the declared streaming
+surface (SURVEY.md §2B) re-expresses the monthly file drop as a file-source
+stream: tumbling/sliding/session windows with watermarked late-data
+handling, ``availableNow`` backfill for batch-equivalence, and a
+``foreachBatch`` warehouse upsert.
+
+Aggregation functions mirror the batch resampler (``min_by``/``max_by``
+for open/close — deterministic), so ``availableNow`` over a directory of
+files must equal ``resample_by_time`` over the same files read as batch —
+the M5 equivalence test.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_ohlcv(
+    stream: DataFrame,
+    interval: str = "1 hour",
+    time_col: str = "event_time",
+    value_col: str = "close",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV over a streaming DataFrame.
+
+    State per open window is O(1) (min/max/min_by/max_by/sum are
+    incremental) — no collect_list; watermark bounds total state.
+    """
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, interval).alias("w"))
+        .agg(
+            F.min(time_col).alias("open_time"),
+            F.min_by(value_col, time_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, time_col).alias("close"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.col("w.start").alias("window_start"), "open_time",
+                "open", "high", "low", "close", "n_rows")
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per key with watermarked state expiry."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(time_col, gap).alias("s"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    upsert: Callable[[DataFrame, int], None] | None = None,
+) -> None:
+    """Drain all available input (backfill semantics) into an in-memory
+    table, or through a ``foreachBatch`` upsert, then stop.
+
+    ``availableNow`` processes the full backlog in bounded batches and
+    terminates — the streaming/batch equivalence harness.
+    """
+    writer = (
+        result.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if upsert is not None:
+        q = writer.foreachBatch(upsert).start()
+    else:
+        q = (
+            writer.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .start()
+        )
+    q.awaitTermination()

@@ -1,0 +1,115 @@
+"""Local simulation of the driver's t2 correctness gate.
+
+For every ``queries()`` entry: run the Spark query and the DuckDB oracle on
+the same sf dir, canonicalize (columns sorted by name, rows sorted, floats
+via repr), and compare row count + column names + a value hash.  Run me
+before every commit that touches the query surface:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    mat = sorted(
+        "\x01".join(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(mat).encode()).hexdigest()[:16]
+    return len(mat), [columns[i] for i in order], h, mat
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from btc_usdt_etl_pipeline_spark.session import build_session
+
+    spark = build_session("correctness-check")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            srows = df.collect()
+            scols = df.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(
+                f"weak {name}: rows={len(srows)} (no oracle) "
+                f"[{time.time()-t0:.1f}s]"
+            )
+            n_weak += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            orows, ocols = rel.fetchall(), [d[0] for d in rel.description]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sn, sc, sh, smat = canon(srows, scols)
+        on, oc, oh, omat = canon(orows, ocols)
+        ok = sn == on and sc == oc and sh == oh
+        if ok:
+            print(f"PASS {name}: rows={sn} hash={sh} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL {name}: rows {sn} vs {on}; cols {sc} vs {oc}; "
+                f"hash {sh} vs {oh}"
+            )
+            for i, (a, b) in enumerate(zip(smat, omat)):
+                if a != b:
+                    print(f"  first diff row {i}:\n   spark : {a}\n   oracle: {b}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
