@@ -853,7 +853,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="doc_id",
             shingle_n=3,
             num_hashes=128,
-            bands=64,
+            bands=32,
             jaccard_threshold=0.8,
         )
     )

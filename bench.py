@@ -1,0 +1,84 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Queries execute fully (noop sink — no driver collect) after one warm-up
+job that absorbs JVM/executor startup.  Per-query wall time is the best
+of two runs (steady-state number; first run pays one-off plan/codegen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_filter",
+    "q03_customer_revenue",
+    "q04_region_stats",
+    "q07_topk_per_group",
+    "q11_distinct_agg",
+    "q16_json_extract",
+    "q19_rolling_avg",
+    "q22_resample_count",
+    "q23_resample_time",
+    "q24_asof_join",
+    "q25_correlation",
+    "q30_minhash_near_dedup",
+    "q31_simsearch_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry
+    from btc_usdt_etl_pipeline_spark.session import build_session
+
+    spark = build_session("bench", extra_conf={
+        "spark.ui.showConsoleProgress": "false",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # Warm-up: touch every input table once (JVM, codegen, FS caches).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        first = run_once(name)
+        second = run_once(name)
+        timings[name] = round(min(first, second), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

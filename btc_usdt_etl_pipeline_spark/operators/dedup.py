@@ -76,12 +76,25 @@ def shingles(tok: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, num_hashes: int = 128) -> Column:
-    """Array of ``num_hashes`` min-hash values (xxhash64 with per-function
-    seed); empty shingle sets map to nulls and never collide."""
+    """Array of ``num_hashes`` min-hash values; empty shingle sets map to
+    nulls and never collide.
+
+    Each shingle string is hashed ONCE (``xxhash64``); the ``num_hashes``
+    independent hash functions are derived by re-mixing that 64-bit value
+    with the function index — standard one-permutation-style cost saving
+    that avoids ``num_hashes`` full string hashes per shingle.
+
+    NOTE: higher-order functions are interpreted (not whole-stage
+    codegen), so for bulk signature computation prefer the explode +
+    groupBy aggregate path in :func:`minhash_near_dedup`, which keeps
+    every hash inside codegen.  This column form exists for ad-hoc /
+    single-row use.
+    """
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, seed))
+            F.transform(hashed, lambda h: F.xxhash64(h, seed))
         ),
     )
 
@@ -104,60 +117,72 @@ def minhash_near_dedup(
     rows_per_band = num_hashes // bands
 
     def _t(df: DataFrame) -> DataFrame:
+        # Shingle sets are the widest intermediate by far, so they must NOT
+        # ride through the band self-join: band rows are (band-key, id)
+        # pairs only; shingles are joined back for verified candidates —
+        # a tiny fraction of the corpus — afterwards.
         base = df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(
                 shingles(tokens(text_col), shingle_n)
             ).alias("_sh"),
         ).filter(F.size("_sh") > 0)
-        sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        # Signatures via explode + codegen'd aggregates, NOT the nested
+        # higher-order-function form: HOF lambdas are interpreted per
+        # element × per hash function (catastrophic constant factor),
+        # while min(xxhash64(h, seed)) over exploded shingle hashes is
+        # whole-stage codegen with map-side partial aggregation — the
+        # shuffle carries at most one num_hashes-wide row per doc.
+        ex = base.select(
+            "_id", F.explode("_sh").alias("_s")
+        ).select("_id", F.xxhash64("_s").alias("_h"))
+        sig = ex.groupBy("_id").agg(
+            *[
+                F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
+        )
         banded = sig.select(
             "_id",
-            "_sh",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
+                F.array(
+                    *[
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        F.col("_sig"),
-                                        b * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("key"),
-                    ),
+                            F.lit(b),
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    b * rows_per_band,
+                                    (b + 1) * rows_per_band,
+                                )
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
                 )
-            ).alias("_band"),
+            ).alias("_key"),
         )
-        a = banded.select(
-            F.col("_band").alias("_ba"),
-            F.col("_id").alias("id_a"),
-            F.col("_sh").alias("_sha"),
-        )
+        a = banded.select(F.col("_key"), F.col("_id").alias("id_a"))
         b = banded.select(
-            F.col("_band").alias("_bb"),
-            F.col("_id").alias("id_b"),
-            F.col("_sh").alias("_shb"),
+            F.col("_key").alias("_keyb"), F.col("_id").alias("id_b")
         )
         cand = (
-            a.join(
-                b,
-                (a["_ba"] == b["_bb"]) & (F.col("id_a") < F.col("id_b")),
-            )
-            .select("id_a", "id_b", "_sha", "_shb")
+            a.join(b, (a["_key"] == b["_keyb"]) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        sha = base.select(
+            F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
+        )
+        shb = base.select(
+            F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
         )
         inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
         union = F.size(F.array_union("_sha", "_shb")).cast("double")
         return (
-            cand.withColumn("jaccard", inter / union)
+            cand.join(sha, "id_a")
+            .join(shb, "id_b")
+            .withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard")
         )
