@@ -36,7 +36,12 @@ from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
 from btc_usdt_etl_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dedup,
+    ngram_jaccard_pairs,
+    portable_hash60,
+    simhash,
+    tokens,
 )
+from btc_usdt_etl_pipeline_spark.operators.multimodal import extract_features
 from btc_usdt_etl_pipeline_spark.operators.relational import (
     anti_join,
     broadcast_join,
@@ -48,8 +53,17 @@ from btc_usdt_etl_pipeline_spark.operators.resample import (
     resample_by_count,
     resample_by_time,
 )
-from btc_usdt_etl_pipeline_spark.operators.similarity import brute_force_top_k
-from btc_usdt_etl_pipeline_spark.operators.text import STOPWORDS, language_id
+from btc_usdt_etl_pipeline_spark.operators.similarity import (
+    brute_force_top_k,
+    cosine_pairs_within,
+    ivf_top_k,
+)
+from btc_usdt_etl_pipeline_spark.operators.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    language_id,
+    whitespace_token_count,
+)
 from btc_usdt_etl_pipeline_spark.operators.windows import correlation_matrix
 from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
     run_available_now,
@@ -1038,6 +1052,376 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "q36_streaming_ohlcv_result"
     with tempfile.TemporaryDirectory() as ckpt:
         run_available_now(result, name, ckpt)
+        return spark.table(name).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators round 2 (north star §2B): simhash, n-gram jaccard,
+# embedding near-dup, IVF ANN, token counts, fingerprints, TF-IDF,
+# multimodal plumbing, session windows, streaming dedup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS s
+           FROM tok WHERE len(toks) >= 2),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv
+          FROM ex),
+    v AS (SELECT doc_id,
+          {", ".join(
+              f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+              for b in range(_SIMHASH_BITS))}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           {" + ".join(
+               f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+               for b in range(_SIMHASH_BITS))} AS simhash
+    FROM v
+    """
+
+
+@_q("q37_simhash", _SIMHASH_SQL)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with a portable (md5-derived) feature hash so
+    the oracle can replay every bit.  Production default is xxhash64 —
+    same plan, cheaper hash.  Explode + 60 codegen'd vote-sum aggregates;
+    one shuffle keyed by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        simhash(
+            text_col="text",
+            id_col="doc_id",
+            ngram=2,
+            bits=_SIMHASH_BITS,
+            portable=True,
+        )
+    )
+
+
+@_q(
+    "q38_ngram_jaccard",
+    """
+    WITH g AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(length(text) - 4, 0) + 1),
+                        i -> text[i:i+4])) AS s
+               FROM documents WHERE length(text) >= 5),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+          FROM g a, g b WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs ≥ 0.6 — the scalable
+    explode/equi-join/count algorithm; the oracle brute-forces all pairs.
+    Both sides compute |∩|/|∪| as exact int arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=5, threshold=0.6
+        )
+    )
+
+
+@_q(
+    "q39_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cosine_r
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                     ORDER BY cosine_r DESC, id_a, id_b) AS rnk
+          FROM p)
+    SELECT label, id_a, id_b, cosine_r, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup discovery: top-3 most-similar pairs per label
+    block.  Blocking keys the quadratic self-join to sum(|block|²) and
+    shuffles by the block column — the standard embedding-dedup shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.transform(cosine_pairs_within("label", k=3))
+
+
+@_q(
+    "q40_simsearch_ivf",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    sc AS (SELECT e.vec_id, e.v, cent.cid,
+                  round(list_cosine_similarity(e.v, cent.cv), 4) AS csim
+           FROM e, cent),
+    ca AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk
+           FROM sc),
+    corp AS (SELECT vec_id, v, cid FROM ca WHERE crnk = 1),
+    qa AS (SELECT vec_id AS qid, v AS qv, cid
+           FROM ca WHERE vec_id < 5 AND crnk <= 4),
+    cand AS (SELECT qa.qid AS query_id, corp.vec_id,
+                    round(list_cosine_similarity(corp.v, qa.qv), 4) AS cosine_r
+             FROM corp JOIN qa ON corp.cid = qa.cid
+             WHERE corp.vec_id != qa.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine_r DESC, vec_id) AS rnk
+          FROM cand)
+    SELECT query_id, vec_id, cosine_r, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (vec_id < 16), each corpus
+    vector assigned to its best cell, queries probe their 4 best cells,
+    exact re-rank on candidates only.  Index build is one broadcast pass +
+    argmax; candidate generation is an equi-join on cell id — no cross
+    join anywhere.  Deterministic assignment (round 4dp, centroid-id
+    tie-break) lets the oracle replay the exact cells."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_top_k(e, q, cent, k=10, nprobe=4)
+
+
+@_q(
+    "q41_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(regexp_replace(text,
+                 '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), t -> t != ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]'))
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace-normalized and a BPE-ish
+    pre-tokenizer regex) — single projection pass, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@_q(
+    "q42_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      array_to_string({_TOKS_SQL}, ' ') AS norm
+               FROM documents),
+    g AS (SELECT doc_id, norm,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(norm) - 4, 0) + 1),
+                   i -> norm[i:i+4])) AS gs
+          FROM t)
+    SELECT doc_id, md5(norm) AS fp,
+           len(list_filter(gs,
+                 g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 = 0))
+             AS n_selected
+    FROM g
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized token stream
+    (exact-dup key) + mod-p selection of rolling 5-gram hashes (the
+    winnowing-style sparse signature; selected-count emitted here).
+    Portable md5 hashes so the oracle replays them; production swaps
+    xxhash64 into the same plan."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.array_join(tokens("text"), " ")
+    k = F.length("_norm") - F.lit(4)
+    grams = F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.col("_norm").substr(i, F.lit(5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.withColumn("_norm", norm)
+        .select(
+            "doc_id",
+            F.md5("_norm").alias("fp"),
+            F.size(
+                F.filter(grams, lambda g: portable_hash60(g) % 64 == 0)
+            ).cast("long").alias("n_selected"),
+        )
+    )
+
+
+@_q(
+    "q43_tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    idf AS (SELECT term, COUNT(*) AS n_src FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT source) AS ns FROM documents),
+    s AS (SELECT tf.source, tf.term,
+                 round(tf.tf * ln(n.ns::DOUBLE / idf.n_src), 4) AS tfidf_r
+          FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY tfidf_r DESC, term) AS rnk
+          FROM s)
+    SELECT source, term, tfidf_r, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per source corpus: explode → two hash aggs →
+    broadcast idf join → per-source top-k window.  The idf side is
+    term-cardinality-sized, hence broadcast; the only wide shuffle keys
+    on (source, term)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_src"))
+    ns = d.select("source").distinct().count()
+    s = tf.join(F.broadcast(idf), "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(ns)) / F.col("n_src")), 4
+        ).alias("tfidf_r"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf_r").desc(), F.col("term")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    )
+
+
+_FAKE_DIM = 8
+
+_MM_HV_SQL = " + ".join(
+    f"ascii(s7[{k + 1}:{k + 1}]) * {256 ** k}" for k in range(7)
+)
+
+_MM_FEAT_SQL = ", ".join(
+    f"round(((hv >> {i}) % 997) / 997.0, 4)" for i in range(_FAKE_DIM)
+)
+
+
+@_q(
+    "q44_multimodal_features",
+    f"""
+    WITH p AS (SELECT doc_id AS asset_id, 'image' AS media_type,
+                      substr(text, 1, 7) AS s7
+               FROM documents),
+    h AS (SELECT asset_id, media_type, length(s7)::BIGINT AS n_bytes,
+                 {_MM_HV_SQL} AS hv
+          FROM p)
+    SELECT asset_id, media_type, [{_MM_FEAT_SQL}] AS feature_r, n_bytes
+    FROM h
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: binary payloads through the
+    Arrow-batched mapInPandas feature-extract kernel (decode stubbed with
+    a deterministic fake per the container's no-codec constraint).  The
+    payload here is the first 7 utf-8 bytes of each doc so the oracle can
+    replay the fake kernel byte-for-byte; schema, batching, and the
+    float32 feature contract are the real production path."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.substring("text", 1, 7), "utf-8").alias("payload"),
+    )
+    feats = media.transform(extract_features(dim=_FAKE_DIM))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.transform(
+            "feature", lambda x: F.round(x.cast("double"), 4)
+        ).alias("feature_r"),
+        "n_bytes",
+    )
+
+
+@_q(
+    "q45_session_windows",
+    f"""
+    WITH s AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           {oracle_sum_sql('value')} AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (batch `session_window`) per user: the
+    oracle rebuilds sessions with the lag/cumsum idiom.  Shuffles once on
+    user_id; session merging is state inside the agg, not a sort-join."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "6 hours").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "q46_streaming_dedup",
+    """
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the same file glob read twice and unioned
+    (guaranteed duplicates), then watermarked `dropDuplicates` on the
+    key, drained with availableNow.  State is keyed by event_id; the
+    watermark bounds how long a key lingers once event time advances.
+    Must equal batch DISTINCT over the single copy."""
+
+    def stream() -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .parquet(os.path.join(sf_dir, "events.parquet*"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = stream().union(stream())
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    name = "q46_streaming_dedup_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(deduped, name, ckpt, output_mode="append")
         return spark.table(name).localCheckpoint()
 
 

@@ -190,42 +190,125 @@ def minhash_near_dedup(
     return _t
 
 
-def simhash(
-    text_col: str = "text", out: str = "simhash", ngram: int = 2
-) -> Callable[[DataFrame], DataFrame]:
-    """64-bit SimHash fingerprint: per-feature xxhash64, bit-majority vote.
+def portable_hash60(c: Column) -> Column:
+    """60-bit string hash reproducible in any engine with ``md5``: the
+    first 15 hex chars of the md5 digest, parsed as an integer.  Slower
+    than ``xxhash64`` (md5 + string slice + radix parse) — use it where a
+    differential oracle must recompute the hash, ``xxhash64`` in
+    production paths."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
-    Pure expression pipeline: feature hashes → for each bit position the
-    vote sum → packed long.  Near-dup pairs are then Hamming-close
+
+def simhash(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+    ngram: int = 2,
+    bits: int = 60,
+    portable: bool = False,
+) -> Callable[[DataFrame], DataFrame]:
+    """SimHash fingerprint: per-feature hash, bit-majority vote, packed
+    into a single long.  Near-dup pairs are then Hamming-close
     fingerprints (compare via ``bit_count(a ^ b)``).
+
+    Signature computation is explode + ``bits`` codegen'd vote-sum
+    aggregates (map-side partial agg; one shuffle keyed by ``id_col``) —
+    the same whole-stage-codegen discipline as :func:`minhash_near_dedup`;
+    interpreted higher-order functions never touch the hot path.
+
+    ``portable=True`` uses :func:`portable_hash60` so a SQL oracle can
+    recompute the fingerprint bit-for-bit; default is ``xxhash64``.
+    Rows whose shingle set is empty are dropped (no fingerprint exists).
+    """
+    if bits > 60:
+        raise ValueError("bits > 60 would overflow the packed long")
+
+    def _t(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col),
+            shingles(tokens(text_col), ngram).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+        ex = base.select(id_col, F.explode(F.array_distinct("_sh")).alias("_s"))
+        h = portable_hash60(F.col("_s")) if portable else F.xxhash64("_s")
+        ex = ex.select(id_col, h.alias("_h"))
+        votes = ex.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.expr(f"(shiftright(_h, {b}) & 1) = 1"), 1
+                    ).otherwise(-1)
+                ).alias(f"_v{b}")
+                for b in range(bits)
+            ]
+        )
+        packed = F.expr(
+            " + ".join(
+                f"(CASE WHEN _v{b} > 0 THEN {1 << b}L ELSE 0L END)"
+                for b in range(bits)
+            )
+        )
+        return votes.select(id_col, packed.alias(out))
+
+    return _t
+
+
+def ngram_jaccard_pairs(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact character-n-gram Jaccard similar pairs ≥ ``threshold``.
+
+    The scalable exact algorithm — NO all-pairs cross join: distinct
+    grams are hashed to longs and exploded, pairs materialize only for
+    documents sharing at least one gram (equi-join keyed by gram hash),
+    and ``|A ∩ B|`` falls out of a count per pair.  Shuffle volume is
+    bounded by corpus gram mass + the co-occurrence pair list; hot grams
+    (boilerplate) are the skew risk — AQE skew-join splits them, and a
+    stopgram filter can cap fan-out if needed.
+
+    Returns ``(id_a, id_b, jaccard)``; jaccard = |∩| / (|A|+|B|-|∩|) is
+    an exact int/int division — bit-reproducible against a SQL oracle.
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        feats = F.transform(
-            shingles(tokens(text_col), ngram), lambda s: F.xxhash64(s)
+        c = F.col(text_col)
+        k = F.length(c) - F.lit(n - 1)
+        grams = F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n))
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        base = df.select(
+            F.col(id_col).alias("_id"), grams.alias("_g")
+        ).filter(F.size("_g") > 0)
+        sizes = base.select("_id", F.size("_g").alias("_n"))
+        ex = base.select(
+            "_id", F.explode("_g").alias("_gram")
+        ).select("_id", F.xxhash64("_gram").alias("_h"))
+        a = ex.select(F.col("_h"), F.col("_id").alias("id_a"))
+        b = ex.select(F.col("_h").alias("_hb"), F.col("_id").alias("id_b"))
+        inter = (
+            a.join(b, (a["_h"] == b["_hb"]) & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
         )
-        # The Python shiftleft/shiftright wrappers only take int literals,
-        # so the bit arithmetic lives in a SQL expression (shiftleft is
-        # bitwise — no ANSI overflow check on the sign bit).
-        packed = F.expr(
-            """
-            aggregate(
-              zip_with(
-                transform(sequence(0, 63), b ->
-                  if(aggregate(_simhash_feats, 0L,
-                       (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)
-                     ) > 0, 1L, 0L)),
-                sequence(0, 63),
-                (bit, pos) -> struct(bit AS b, pos AS p)),
-              0L,
-              (outacc, x) -> outacc | shiftleft(x.b, x.p)
-            )
-            """
-        )
+        na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+        nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
         return (
-            df.withColumn("_simhash_feats", feats)
-            .withColumn(out, packed)
-            .drop("_simhash_feats")
+            inter.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
 
     return _t

@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -54,6 +54,127 @@ def brute_force_top_k(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine", "rnk")
+    )
+
+
+def cosine_pairs_within(
+    group_col: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> "Callable[[DataFrame], DataFrame]":
+    """Top-k most-similar vector pairs *within each group* (embedding
+    near-dup discovery, blocked by a partition key).
+
+    The group key turns the quadratic all-pairs join into
+    ``sum(|group|²)`` — the standard blocking trick; at 100 TB the group
+    is a shard/bucket key and each block self-joins shuffle-locally.
+    Cosines are rounded before ranking so the float-accumulation order
+    cannot flip the hash; ties break on (id_a, id_b).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        a = df.select(
+            F.col(group_col).alias("_grp"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+        )
+        b = df.select(
+            F.col(group_col).alias("_grpb"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+        )
+        pairs = a.join(
+            b,
+            (a["_grp"] == b["_grpb"]) & (F.col("id_a") < F.col("id_b")),
+        ).select(
+            F.col("_grp").alias(group_col),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_dp).alias(
+                "cosine_r"
+            ),
+        )
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("cosine_r").desc(), F.col("id_a"), F.col("id_b")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+
+    return _t
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    round_dp: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors with caller-supplied
+    centroids (e.g. a deterministic sample — no RNG state, reproducible).
+
+    Plan shape, and why it scales: (1) corpus×centroids is a broadcast
+    nested loop (centroids are small by construction) followed by a
+    ``min_by``-style struct-min argmax — each corpus vector lands in
+    exactly ONE cell, so the index build is a single map-side pass plus
+    one groupBy; (2) each query probes its ``nprobe`` closest cells;
+    (3) candidates = equi-join on cell id (shuffle keyed by cell, NOT a
+    cross join) and only candidates get exact re-ranking.  Recall is
+    tunable with ``nprobe``; assignment determinism comes from rounding +
+    centroid-id tie-break so a SQL oracle can replay the exact cells.
+    """
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+
+    def assign(df: DataFrame, idc: str, n_cells: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(idc),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_cvec")), round_dp
+            ).alias("_csim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("_csim").desc(), F.col("_cid"))
+        return (
+            scored.withColumn("_crnk", F.row_number().over(w))
+            .filter(F.col("_crnk") <= n_cells)
+            .select(idc, vec_col, "_cid")
+        )
+
+    c = assign(corpus, id_col, 1)
+    q = assign(queries, query_id_col, nprobe).select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_cid").alias("_qcid"),
+    )
+    cand = c.join(q, c["_cid"] == q["_qcid"]).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), round_dp).alias(
+            "cosine_r"
+        ),
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine_r", "rnk")
     )
 
 

@@ -77,6 +77,7 @@ def run_available_now(
     table_name: str,
     checkpoint_dir: str,
     upsert: Callable[[DataFrame, int], None] | None = None,
+    output_mode: str = "complete",
 ) -> None:
     """Drain all available input (backfill semantics) into an in-memory
     table, or through a ``foreachBatch`` upsert, then stop.
@@ -94,7 +95,7 @@ def run_available_now(
         q = (
             writer.format("memory")
             .queryName(table_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .start()
         )
     q.awaitTermination()
