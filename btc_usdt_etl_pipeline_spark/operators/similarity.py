@@ -202,14 +202,13 @@ def _srp_bucket(vec: F.Column, table: int, planes: int, dim: int) -> F.Column:
         )
         return F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0))
 
+    # Pack the sign bits as a base-2 fold (acc*2 + bit): the pyspark
+    # shiftleft wrapper only accepts int-literal shift amounts, and an
+    # ordered fold is equivalent for bucketing purposes.
     packed = F.aggregate(
-        F.zip_with(
-            F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sign_bit),
-            F.sequence(F.lit(0), F.lit(planes - 1)),
-            lambda bit, pos: F.shiftleft(bit.cast("long"), pos),
-        ),
+        F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sign_bit),
         F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
+        lambda acc, v: acc * F.lit(2) + v.cast("long"),
     )
     return packed
 

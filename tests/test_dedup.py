@@ -1,0 +1,113 @@
+"""Dedup operator tests: planted near-duplicates must be found, distant
+documents must not be, and portable hashes must be engine-reproducible."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    portable_hash60,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+NEAR = BASE.replace("lazy dog", "lazy cat")  # one shingle neighborhood changed
+FAR = (
+    "completely different content about databases query engines shuffles "
+    "partitions aggregations joins windows and whole stage code generation"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_planted_pair(spark):
+    pairs = (
+        _docs(spark)
+        .transform(
+            minhash_near_dedup(
+                num_hashes=64, bands=16, jaccard_threshold=0.5
+            )
+        )
+        .collect()
+    )
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 4) in found  # exact copy, jaccard 1.0
+    assert (1, 2) in found  # near copy
+    assert all(3 not in p for p in found)  # FAR never pairs
+    j = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 <= j[(1, 2)] < 1.0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    # 5-grams of 10 chars: 6 grams; docs 1/2 share the first 5 grams.
+    pairs = df.transform(
+        ngram_jaccard_pairs(n=5, threshold=0.1)
+    ).collect()
+    got = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    assert got == {(1, 2): 5 / 7}
+
+
+def test_exact_dedup_min_id_winner(spark):
+    df = spark.createDataFrame(
+        [(5, "a", 1.0), (2, "a", 1.0), (9, "b", 2.0)],
+        "id long, k string, v double",
+    )
+    out = df.transform(exact_dedup(["k", "v"], "id")).collect()
+    assert sorted((r.id, r.k) for r in out) == [(2, "a"), (9, "b")]
+
+
+def test_simhash_portable_matches_reference_impl(spark):
+    # Recompute the portable fingerprint in pure Python (md5 60-bit
+    # feature hash, bit-majority vote) — must match the Spark plan bit
+    # for bit.
+    rows = (
+        _docs(spark)
+        .transform(simhash(portable=True, bits=60, ngram=2))
+        .collect()
+    )
+    got = {r.doc_id: r.simhash for r in rows}
+
+    def py_simhash(text: str) -> int:
+        toks = "".join(
+            ch if ch.isalnum() or ch.isspace() else " " for ch in text.lower()
+        ).split()
+        sh = {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+        votes = [0] * 60
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    for doc_id, text in [(1, BASE), (2, NEAR), (3, FAR)]:
+        assert got[doc_id] == py_simhash(text)
+
+    # near-dup pair is Hamming-close; far pair is not
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert got[1] == got[4]
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+
+
+def test_portable_hash60_matches_python(spark):
+    val = spark.range(1).select(
+        portable_hash60(F.lit("hello world")).alias("h")
+    ).first()["h"]
+    assert val == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)

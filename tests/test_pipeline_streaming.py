@@ -1,0 +1,87 @@
+"""End-to-end pipeline smoke (t1 shape) + streaming/batch equivalence.
+
+Re-probes the verify-skill checklist: ragged tail, rerun idempotence,
+empty-ish input, and availableNow backfill == batch.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.resample import resample_by_time
+from btc_usdt_etl_pipeline_spark.pipeline.runner import EtlConfig, run_etl
+from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+    run_available_now,
+    streaming_ohlcv,
+)
+from tests.conftest import make_klines
+
+
+def test_etl_end_to_end_with_ragged_tail_and_rerun(spark):
+    n, track = 10_000, 3600
+    with tempfile.TemporaryDirectory() as d:
+        make_klines(spark, n).write.mode("overwrite").parquet(f"{d}/in")
+        cfg = EtlConfig(
+            input_path=f"{d}/in",
+            input_format="parquet",
+            track_each=track,
+            table="t_test_bars",
+            export_path=f"{d}/out_csv",
+        )
+        run_etl(spark, cfg)
+        bars = spark.table("t_test_bars")
+        assert bars.count() == math.ceil(n / track)  # ragged tail kept
+        total = bars.agg(F.sum("number_of_trades")).first()[0]
+
+        # rerun MUST converge, not double (reference append bug §4.2-5)
+        run_etl(spark, cfg)
+        assert spark.table("t_test_bars").count() == math.ceil(n / track)
+        assert (
+            spark.table("t_test_bars").agg(F.sum("number_of_trades")).first()[0]
+            == total
+        )
+
+        exported = spark.read.option("header", "true").csv(f"{d}/out_csv")
+        assert exported.count() == math.ceil(n / track)
+
+
+def test_streaming_ohlcv_equals_batch(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
+            "event_time", F.timestamp_millis("open_time")
+        )
+        df.write.mode("overwrite").parquet(f"{d}/in")
+        # streaming_ohlcv derives all of OHLC from one value column, so
+        # the batch comparison must aggregate the same column.
+        vc = {"open": "close", "high": "close", "low": "close",
+              "close": "close"}
+        batch = (
+            spark.read.parquet(f"{d}/in")
+            .transform(
+                resample_by_time(
+                    "1 hour", time_col="event_time", value_cols=vc
+                )
+            )
+            .collect()
+        )
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{d}/in").schema
+        ).parquet(f"{d}/in")
+        result = streaming_ohlcv(
+            stream,
+            interval="1 hour",
+            time_col="event_time",
+            value_col="close",
+            watermark="2 hours",
+        )
+        run_available_now(result, "t_stream_bars", f"{d}/ckpt")
+        streamed = spark.table("t_stream_bars").orderBy("window_start").collect()
+
+        assert len(streamed) == len(batch) == 2
+        for s, b in zip(streamed, batch):
+            assert s.window_start == b.window_start
+            assert s.high == b.high and s.low == b.low

@@ -1,0 +1,104 @@
+"""Golden + property tests for the resample operators (SURVEY.md §5.2-2/3).
+
+Semantics under test (reference parity, process_data.py:44-59): every n
+consecutive rows ordered by open_time → one bar; open/close are the first/
+last rows *by time* in the bucket; trades sum is preserved globally.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.resample import (
+    resample_by_count,
+    resample_by_time,
+    with_global_index,
+)
+from tests.conftest import make_klines
+
+
+def test_gap_free_golden(spark):
+    df = make_klines(spark, 10)
+    bars = df.transform(resample_by_count(4)).collect()
+    assert len(bars) == 3  # ceil(10/4)
+    b0 = bars[0]
+    src = sorted(df.collect(), key=lambda r: r.open_time)[:4]
+    assert b0.open_time == src[0].open_time
+    assert b0.open == src[0].open
+    assert b0.close == src[3].close
+    assert b0.high == max(r.high for r in src)
+    assert b0.low == min(r.low for r in src)
+    assert b0.number_of_trades == sum(r.number_of_trades for r in src)
+
+
+def test_ragged_tail(spark):
+    # 10 rows, n=3 → final bar holds exactly one row (10 = 3*3 + 1)
+    df = make_klines(spark, 10)
+    bars = df.transform(resample_by_count(3)).collect()
+    assert len(bars) == 4
+    last = bars[-1]
+    tail = max(df.collect(), key=lambda r: r.open_time)
+    assert last.open_time == tail.open_time
+    assert last.open == tail.open
+    assert last.close == tail.close
+    assert last.high == tail.high and last.low == tail.low
+    assert last.number_of_trades == tail.number_of_trades
+
+
+def test_gappy_buckets_are_row_count_not_wall_clock(spark):
+    # Remove a block of seconds: row-count bars keep exactly n rows per
+    # bar regardless of the time gap (the load-bearing semantics note).
+    df = make_klines(spark, 20).filter(
+        ~F.col("open_time").between(
+            1_700_000_000_000 + 5_000, 1_700_000_000_000 + 9_000
+        )
+    )  # drops 5 rows → 15 remain
+    n_in = df.count()
+    assert n_in == 15
+    vc = {"open": "open", "high": "high", "low": "low", "close": "close",
+          "count": "n"}
+    bars = df.transform(resample_by_count(4, value_cols=vc)).collect()
+    assert len(bars) == math.ceil(15 / 4)
+    assert [b.n_rows for b in bars] == [4, 4, 4, 3]
+
+
+def test_invariants_random_order_input(spark):
+    # Shuffled input partitions must not change the result (determinism
+    # fix vs the reference's order-dependent first/last).
+    df = make_klines(spark, 101).repartition(7)
+    bars = df.transform(resample_by_count(25))
+    rows = bars.collect()
+    assert len(rows) == math.ceil(101 / 25)
+    assert [r.open_time for r in rows] == sorted(r.open_time for r in rows)
+    total = df.agg(F.sum("number_of_trades")).first()[0]
+    assert sum(r.number_of_trades for r in rows) == total
+    glob_hi = df.agg(F.max("high")).first()[0]
+    assert max(r.high for r in rows) == glob_hi
+
+
+def test_count_equals_time_when_gap_free(spark):
+    # 7200 one-second rows: 3600-row bars == 1-hour bars exactly.
+    df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
+        "event_time", F.timestamp_millis("open_time")
+    )
+    by_count = df.transform(resample_by_count(3600)).collect()
+    by_time = df.transform(resample_by_time("1 hour")).collect()
+    assert len(by_count) == len(by_time) == 2
+    for c, t in zip(by_count, by_time):
+        assert (c.open, c.high, c.low, c.close) == (
+            t.open, t.high, t.low, t.close
+        )
+
+
+def test_empty_input(spark):
+    df = make_klines(spark, 5).filter(F.col("open_time") < 0)
+    assert df.transform(resample_by_count(10)).count() == 0
+
+
+def test_global_index_dense_and_ordered(spark):
+    df = make_klines(spark, 500, step_ms=137).repartition(13)
+    idx = with_global_index(df, "open_time")
+    rows = idx.orderBy("open_time").select("_idx").collect()
+    assert [r._idx for r in rows] == list(range(500))

@@ -1,0 +1,120 @@
+"""Similarity-search tests: brute force against numpy ground truth; IVF
+and LSH against brute force (recall semantics)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.similarity import (
+    brute_force_top_k,
+    cosine_pairs_within,
+    ivf_top_k,
+    lsh_top_k,
+)
+
+DIM = 8
+
+
+def _vectors(spark, n=60, clusters=4, seed=7):
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % clusters]
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in c], i % clusters)
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def _py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_matches_python(spark):
+    vecs = _vectors(spark)
+    data = {r.vec_id: r.embedding for r in vecs.collect()}
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_top_k(vecs, q, k=5).collect()
+    for qid in (0, 1):
+        expect = sorted(
+            ((_py_cosine(data[qid], v), i) for i, v in data.items() if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(
+            [(r.cosine, r.vec_id) for r in got if r.query_id == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [i for _, i in mine] == [i for _, i in expect]
+        for (c1, _), (c2, _) in zip(mine, expect):
+            assert abs(c1 - c2) < 1e-9
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # Probing every cell makes IVF exhaustive — must equal brute force.
+    vecs = _vectors(spark)
+    cent = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # round_dp=9: effectively no rounding, so ordering ties cannot differ
+    # from the raw-cosine brute force.
+    ivf = ivf_top_k(vecs, q, cent, k=5, nprobe=4, round_dp=9).collect()
+    bf = brute_force_top_k(vecs, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+    assert sorted((r.query_id, r.rnk, r.vec_id) for r in ivf) == sorted(
+        (r.query_id, r.rnk, r.vec_id) for r in bf
+    )
+
+
+def test_ivf_narrow_probe_high_recall_on_clustered_data(spark):
+    # Clustered data: the query's own cluster centroid dominates, so even
+    # nprobe=2 of 4 cells keeps most of the true top-5.
+    vecs = _vectors(spark)
+    cent = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = {(r.query_id, r.vec_id) for r in ivf_top_k(vecs, q, k=5, nprobe=2,
+                                                     centroids=cent).collect()}
+    bf = {(r.query_id, r.vec_id) for r in brute_force_top_k(vecs, q, k=5).collect()}
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.8
+
+
+def test_lsh_results_subset_of_exact_scores(spark):
+    vecs = _vectors(spark)
+    data = {r.vec_id: r.embedding for r in vecs.collect()}
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_top_k(vecs, q, k=5, dim=DIM, planes=4, tables=4).collect()
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.cosine - _py_cosine(data[r.query_id], data[r.vec_id])) < 1e-9
+
+
+def test_cosine_pairs_within_blocks(spark):
+    vecs = _vectors(spark)
+    pairs = vecs.transform(cosine_pairs_within("label", k=2)).collect()
+    labels = {r.vec_id: r.label for r in vecs.collect()}
+    assert len(pairs) == 8  # 4 labels × top-2
+    for p in pairs:
+        assert labels[p.id_a] == labels[p.id_b] == p.label
+        assert p.rnk in (1, 2)

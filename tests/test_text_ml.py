@@ -1,0 +1,126 @@
+"""Text-analysis and ML-feature operator tests against hand-computed or
+numpy-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.ml.features import (
+    min_max_scale,
+    positional_split,
+    regression_metrics,
+    sliding_sequences,
+)
+from btc_usdt_etl_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    whitespace_token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times."), (2, "  "), (3, "a-b c")],
+        "id long, text string",
+    )
+    rows = df.select(
+        "id",
+        whitespace_token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    got = {r.id: (r.ws, r.bpe) for r in rows}
+    # ws: punctuation stripped → [Hello world 42 times] / [] / [a b c]
+    assert got[1][0] == 4 and got[2][0] == 0 and got[3][0] == 3
+    # bpe: Hello , world ! 42 times . → 7 ; a - b c → 4
+    assert got[1][1] == 7 and got[2][1] == 0 and got[3][1] == 4
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is in the house"),
+            (2, "der Hund ist nicht ein Problem und die Katze"),
+            (3, "le chat est dans la maison et les chiens pour"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.lang
+        for r in df.select("id", language_id("text").alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")],
+        "id long, text string",
+    )
+    rows = df.transform(fingerprint()).collect()
+    fp = {r.id: r.fingerprint for r in rows}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_min_max_scale(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 15, 30])],
+        "id long, v double",
+    )
+    rows = df.transform(min_max_scale(["v"])).collect()
+    got = {r.id: r.v_scaled for r in rows}
+    assert got == {0: 0.0, 1: 0.5, 2: 0.25, 3: 1.0}
+
+
+def test_sliding_sequences_shape_and_target(spark):
+    df = spark.createDataFrame(
+        [(i, 1, float(i * i)) for i in range(10)],
+        "ts long, k int, v double",
+    )
+    rows = (
+        df.transform(
+            sliding_sequences("v", "ts", seq_length=3, partition_by=["k"])
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    # windows end at ts=2..8 (need 3 rows back AND a next-value target)
+    assert len(rows) == 7
+    first = rows[0]
+    assert first.features == [0.0, 1.0, 4.0]
+    assert first.target == 9.0
+
+
+def test_positional_split_is_ordered_not_random(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "ts long, v double"
+    )
+    out = df.transform(positional_split("ts", train=0.8, val=0.1))
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"train": 80, "val": 10, "test": 10}
+    # positional: every train ts < every val ts < every test ts
+    bounds = {
+        r.split: (r.lo, r.hi)
+        for r in out.groupBy("split")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    }
+    assert bounds["train"][1] < bounds["val"][0] <= bounds["val"][1] < bounds["test"][0]
+
+
+def test_regression_metrics_vs_python(spark):
+    pairs = [(1.0, 1.5), (2.0, 1.0), (3.0, 3.0), (4.0, 2.0)]
+    df = spark.createDataFrame(pairs, "y double, yhat double")
+    row = regression_metrics(df, "y", "yhat").first()
+    rmse = math.sqrt(sum((a - b) ** 2 for a, b in pairs) / len(pairs))
+    mae = sum(abs(a - b) for a, b in pairs) / len(pairs)
+    assert abs(row.rmse - rmse) < 1e-9
+    assert abs(row.mae - mae) < 1e-9
+    assert row.n == 4
