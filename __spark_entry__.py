@@ -57,6 +57,7 @@ from btc_usdt_etl_pipeline_spark.operators.similarity import (
     brute_force_top_k,
     cosine_pairs_within,
     ivf_top_k,
+    lsh_top_k,
 )
 from btc_usdt_etl_pipeline_spark.operators.text import (
     STOPWORDS,
@@ -1391,6 +1392,22 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@_q("q47_simsearch_lsh")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k cosine neighbors — the bucket-join scale
+    path (no cross join; shuffle keyed by bucket id).
+
+    No oracle on purpose: which candidates fall in a bucket depends on
+    the xxhash64-derived hyperplanes, so recall (not the result set) is
+    the contract — the unit suite asserts candidate scores are exact and
+    q31 is the exact baseline the driver hash-checks."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_top_k(e, q, k=10, dim=64, planes=6, tables=8)
 
 
 @_q(

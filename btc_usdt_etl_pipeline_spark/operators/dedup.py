@@ -25,6 +25,10 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+    ensure_parallelism,
+)
+
 
 def exact_dedup(
     keys: Sequence[str], id_col: str
@@ -118,15 +122,25 @@ def minhash_near_dedup(
 
     def _t(df: DataFrame) -> DataFrame:
         # Shingle sets are the widest intermediate by far, so they must NOT
-        # ride through the band self-join: band rows are (band-key, id)
+        # ride through the band grouping: band rows are (band-key, id)
         # pairs only; shingles are joined back for verified candidates —
         # a tiny fraction of the corpus — afterwards.
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(
-                shingles(tokens(text_col), shingle_n)
-            ).alias("_sh"),
-        ).filter(F.size("_sh") > 0)
+        #
+        # ``base`` is persisted because three downstream branches consume
+        # it (signatures + both sides of the verify join) and Catalyst
+        # does not reuse a subtree across differently-aliased branches —
+        # without the persist the tokenize/shingle work runs 3x.
+        base = (
+            ensure_parallelism(df, id_col)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(
+                    shingles(tokens(text_col), shingle_n)
+                ).alias("_sh"),
+            )
+            .filter(F.size("_sh") > 0)
+            .persist()
+        )
         # Signatures via explode + codegen'd aggregates, NOT the nested
         # higher-order-function form: HOF lambdas are interpreted per
         # element × per hash function (catastrophic constant factor),
@@ -162,14 +176,38 @@ def minhash_near_dedup(
                 )
             ).alias("_key"),
         )
-        a = banded.select(F.col("_key"), F.col("_id").alias("id_a"))
-        b = banded.select(
-            F.col("_key").alias("_keyb"), F.col("_id").alias("id_b")
+        # Same-bucket pairs from ONE pass (groupBy + in-bucket pair
+        # expansion) instead of a banded⋈banded self-join — halves the
+        # signature computation and drops a whole shuffle.  Bucket sizes
+        # are small by LSH construction; a degenerate bucket (mass-
+        # duplicated boilerplate) inflates any candidate generator
+        # equally, and should be cut upstream by exact-dedup first.
+        buckets = (
+            banded.groupBy("_key")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") > 1)
         )
-        cand = (
-            a.join(b, (a["_key"] == b["_keyb"]) & (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ids"),
+                                i + F.lit(2),
+                                F.size("_ids") - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        cand = pairs.select("_p.id_a", "_p.id_b").dropDuplicates(
+            ["id_a", "id_b"]
         )
         sha = base.select(
             F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
@@ -224,7 +262,7 @@ def simhash(
         raise ValueError("bits > 60 would overflow the packed long")
 
     def _t(df: DataFrame) -> DataFrame:
-        base = df.select(
+        base = ensure_parallelism(df, id_col).select(
             F.col(id_col),
             shingles(tokens(text_col), ngram).alias("_sh"),
         ).filter(F.size("_sh") > 0)
@@ -263,10 +301,8 @@ def ngram_jaccard_pairs(
     The scalable exact algorithm — NO all-pairs cross join: distinct
     grams are hashed to longs and exploded, pairs materialize only for
     documents sharing at least one gram (equi-join keyed by gram hash),
-    and ``|A ∩ B|`` falls out of a count per pair.  Shuffle volume is
-    bounded by corpus gram mass + the co-occurrence pair list; hot grams
-    (boilerplate) are the skew risk — AQE skew-join splits them, and a
-    stopgram filter can cap fan-out if needed.
+    and |A∩B| falls out of a count per pair, so no per-pair array ops
+    exist anywhere.
 
     Returns ``(id_a, id_b, jaccard)``; jaccard = |∩| / (|A|+|B|-|∩|) is
     an exact int/int division — bit-reproducible against a SQL oracle.
@@ -283,9 +319,26 @@ def ngram_jaccard_pairs(
                 )
             ),
         ).otherwise(F.array().cast("array<string>"))
-        base = df.select(
-            F.col(id_col).alias("_id"), grams.alias("_g")
-        ).filter(F.size("_g") > 0)
+        # Persisted: the gram arrays feed the exploded self-join (twice)
+        # plus both size lookups — recomputing the gram expression per
+        # branch would quadruple the scan.
+        base = (
+            ensure_parallelism(df, id_col)
+            .select(F.col(id_col).alias("_id"), grams.alias("_g"))
+            .filter(F.size("_g") > 0)
+            .persist()
+        )
+        # Candidate+count in ONE pass: explode distinct grams (hashed to
+        # longs), self-join on gram, count matches per pair = |A∩B|.
+        # Cost is sum over grams of df(gram)^2 — cheap codegen rows, no
+        # array materialization per pair.  A PPJoin-style prefix filter
+        # was measured here and LOST: with a small effective vocabulary
+        # (synthetic corpora, heavy boilerplate) even "rare" grams pair
+        # most of the corpus, so candidates stay near all-pairs while
+        # each one pays an interpreted array_intersect.  On natural
+        # Zipfian text at scale, add a prefix filter in front of this
+        # same count-join; AQE skew-join splits the hot-gram partitions
+        # either way.
         sizes = base.select("_id", F.size("_g").alias("_n"))
         ex = base.select(
             "_id", F.explode("_g").alias("_gram")

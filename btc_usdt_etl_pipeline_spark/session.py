@@ -48,6 +48,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Sketch-style operators (minhash signatures, simhash votes) carry
+        # 100+ agg columns per row; the default codegen.maxFields=100
+        # silently drops whole-stage codegen for exactly those plans —
+        # a 10-30x slowdown on the hottest path.
+        .config("spark.sql.codegen.maxFields", "1024")
         # Broadcast anything under 32 MB — every dim table in the star
         # schema (region/nation/customer/supplier/part) qualifies.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
