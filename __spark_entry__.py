@@ -42,6 +42,9 @@ from btc_usdt_etl_pipeline_spark.operators.dedup import (
     tokens,
 )
 from btc_usdt_etl_pipeline_spark.operators.multimodal import extract_features
+from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+    ensure_parallelism,
+)
 from btc_usdt_etl_pipeline_spark.operators.relational import (
     anti_join,
     broadcast_join,
@@ -97,14 +100,18 @@ _EVENTS_SCHEMA = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's testdata tables are single-row-group parquet files, so
+    # the scan is one unsplittable partition and every scan-stage
+    # expression (filters, projections, partial aggregation) runs on one
+    # core.  ensure_parallelism round-robins them out once; on properly
+    # split inputs (the at-scale case) it is a no-op, and Catalyst still
+    # pushes filters and column pruning below the repartition.
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return (
-            spark.read.schema(_EVENTS_SCHEMA)
-            .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    return spark.read.parquet(path)
+        return ensure_parallelism(
+            spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ensure_parallelism(spark.read.parquet(path))
 
 
 # ---------------------------------------------------------------------------

@@ -98,7 +98,10 @@ def with_global_index(
         span = max(int(hi) - int(lo), 0) + 1
         width = max(span // num_buckets, 1)
         bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
-    dfb = df.withColumn("_bucket", bucket.cast("long"))
+    # Persisted: the bucketed rows feed two actions (the count/offset
+    # pass and the final indexed plan) — without it the whole upstream
+    # subtree (scan, repartition, filters) executes twice.
+    dfb = df.withColumn("_bucket", bucket.cast("long")).persist()
 
     counts = (
         dfb.groupBy("_bucket").count().orderBy("_bucket").collect()
