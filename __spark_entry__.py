@@ -72,6 +72,7 @@ from btc_usdt_etl_pipeline_spark.operators.windows import correlation_matrix
 from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
     run_available_now,
     streaming_ohlcv,
+    streaming_sessionize,
 )
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1446,6 +1447,107 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "q46_streaming_dedup_result"
     with tempfile.TemporaryDirectory() as ckpt:
         run_available_now(deduped, name, ckpt, output_mode="append")
+        return spark.table(name).localCheckpoint()
+
+
+@_q(
+    "q48_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {oracle_sum_sql('l_extendedprice')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint slices + grand total) — the
+    general form rollup/cube specialize."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_extendedprice").alias("revenue"),
+    )
+
+
+@_q(
+    "q49_streaming_sliding",
+    f"""
+    WITH w AS (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 43200) * 43200)
+                  AS TIMESTAMP) AS ws, value
+      FROM events
+      UNION ALL
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 43200) * 43200)
+                  AS TIMESTAMP) - INTERVAL 12 HOUR, value
+      FROM events)
+    SELECT ws AS window_start, COUNT(*) AS n_events,
+           {oracle_sum_sql('value')} AS sum_value
+    FROM w GROUP BY 1
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING windows (1 day / 12 h hop) drained with
+    availableNow.  Each event feeds two overlapping windows; the oracle
+    rebuilds that as two epoch-aligned tumbling grids (Spark windows are
+    1970-epoch-aligned, matching the floor arithmetic)."""
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+    name = "q49_streaming_sliding_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(agg, name, ckpt)
+        return spark.table(name).localCheckpoint()
+
+
+@_q(
+    "q50_streaming_sessions",
+    """
+    WITH s AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (6 h gap, per user) via the stateful
+    session_window aggregation, drained with availableNow — must equal
+    the batch lag/cumsum sessionization (q45's oracle family)."""
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = streaming_sessionize(
+        stream, gap="6 hours", time_col="ts", key_col="user_id",
+        watermark="100 days",
+    )
+    name = "q50_streaming_sessions_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(sess, name, ckpt)
         return spark.table(name).localCheckpoint()
 
 
