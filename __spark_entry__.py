@@ -1551,6 +1551,65 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint()
 
 
+@_q(
+    "q51_crossover_backtest",
+    """
+    WITH r AS (SELECT user_id, ts, value,
+                      value / lag(value) OVER w - 1 AS ret,
+                      avg(value) OVER (w ROWS BETWEEN 4 PRECEDING
+                                       AND CURRENT ROW) AS ma5,
+                      avg(value) OVER (w ROWS BETWEEN 19 PRECEDING
+                                       AND CURRENT ROW) AS ma20
+               FROM events WHERE value > 0
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *,
+                 lag(CASE WHEN ma5 > ma20 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts) AS sigs
+          FROM r)
+    SELECT user_id,
+           round(exp(sum(ln(1 + ret))), 6) AS buyhold_r,
+           round(exp(sum(ln(1 + sigs * ret))), 6) AS strategy_r,
+           COUNT(*) AS n
+    FROM s WHERE ret IS NOT NULL AND sigs IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA(5/20)-crossover backtest per user series: returns (W3), rolling
+    means (W2), shifted signal (W4/F3), log-sum equity compression (W5) —
+    the reference notebook's cell-16 strategy as one declarative plan.
+    6dp rounding absorbs libm 1-ulp drift between engines."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        crossover_signal,
+        pct_change,
+        rolling_mean_std,
+    )
+
+    # Positive prices only: keeps ANSI division and the log-equity
+    # identity well-defined (a 0 price would mean ret = -1, equity 0).
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    r = (
+        e.transform(pct_change("value", "ts", ["user_id"], out="ret"))
+        .transform(rolling_mean_std("value", "ts", 5, ["user_id"]))
+        .transform(rolling_mean_std("value", "ts", 20, ["user_id"]))
+        .transform(
+            crossover_signal(
+                "value_5_mean", "value_20_mean", "ts", ["user_id"]
+            )
+        )
+        .filter(
+            F.col("ret").isNotNull() & F.col("signal_shifted").isNotNull()
+        )
+    )
+    return r.groupBy("user_id").agg(
+        F.round(F.exp(F.sum(F.log1p("ret"))), 6).alias("buyhold_r"),
+        F.round(
+            F.exp(F.sum(F.log1p(F.col("signal_shifted") * F.col("ret")))), 6
+        ).alias("strategy_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -33,6 +33,14 @@ HEADLINE = [
     "q25_correlation",
     "q30_minhash_near_dedup",
     "q31_simsearch_bruteforce",
+    "q37_simhash",
+    "q38_ngram_jaccard",
+    "q39_embedding_neardup",
+    "q40_simsearch_ivf",
+    "q43_tfidf_top_terms",
+    "q45_session_windows",
+    "q48_grouping_sets",
+    "q51_crossover_backtest",
 ]
 
 

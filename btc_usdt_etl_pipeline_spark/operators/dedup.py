@@ -66,17 +66,28 @@ def tokens(col: Column | str, lowercase: bool = True) -> Column:
 def shingles(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingle strings from a token array (empty-safe).
 
-    Guarded: Spark ``sequence(1, 0)`` is a *descending* sequence, so short
-    token arrays must map to an explicit empty array.
+    Construction note (load-bearing for performance): the obvious form —
+    ``transform(sequence(1, k), i -> array_join(slice(tok, i, n)))`` —
+    embeds ``tok`` INSIDE the per-element lambda, so when ``tok`` is a
+    computed expression (the usual ``shingles(tokens(text))`` call) the
+    entire tokenization re-evaluates once per shingle: ~|tok| full
+    regex tokenizations per row (measured 86 ms/doc at sf0.1).  The
+    ``zip_with`` chain below references ``tok`` only at per-ROW
+    positions — n slice heads — so tokenization cost stays O(1) per row
+    regardless of document length.
+
+    Short inputs (|tok| < n) produce all-null zips → filtered → empty
+    array, replacing the explicit descending-``sequence`` guard.
     """
-    k = F.size(tok) - F.lit(n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(tok, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    out = tok
+    for i in range(1, n):
+        shifted = F.slice(
+            tok, i + 1, F.greatest(F.size(tok) - F.lit(i), F.lit(0))
+        )
+        out = F.zip_with(
+            out, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def minhash_signature(sh: Column, num_hashes: int = 128) -> Column:

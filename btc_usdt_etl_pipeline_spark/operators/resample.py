@@ -81,23 +81,27 @@ def with_global_index(
     index (the kline contract: unique ``open_time``; dedup first otherwise).
     """
     if bucket is None:
-        # Numeric proxy of the order column for bucket arithmetic
-        # (timestamps → epoch micros; tz-shift cancels in the subtraction).
         dtype = dict(df.dtypes)[order_col]
-        numeric = (
-            F.unix_micros(F.col(order_col))
-            if dtype.startswith("timestamp")
-            else F.col(order_col)
-        )
-        lo_hi = df.select(
-            F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
-        ).first()
-        lo, hi = lo_hi["lo"], lo_hi["hi"]
-        if lo is None:
-            return df.withColumn(index_col, F.lit(None).cast("long"))
-        span = max(int(hi) - int(lo), 0) + 1
-        width = max(span // num_buckets, 1)
-        bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
+        if dtype.startswith("timestamp"):
+            # Fixed one-day buckets: monotone in the order column with NO
+            # min/max pre-pass (one whole action saved).  Day buckets are
+            # balanced for any steady time series; a pathological burst
+            # day is still bounded by seconds-per-day × event rate.
+            bucket = F.floor(
+                F.unix_micros(F.col(order_col)) / F.lit(86_400_000_000)
+            )
+        else:
+            # Generic longs: range-balance via one min/max pass.
+            numeric = F.col(order_col)
+            lo_hi = df.select(
+                F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
+            ).first()
+            lo, hi = lo_hi["lo"], lo_hi["hi"]
+            if lo is None:
+                return df.withColumn(index_col, F.lit(None).cast("long"))
+            span = max(int(hi) - int(lo), 0) + 1
+            width = max(span // num_buckets, 1)
+            bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
     # Persisted: the bucketed rows feed two actions (the count/offset
     # pass and the final indexed plan) — without it the whole upstream
     # subtree (scan, repartition, filters) executes twice.
