@@ -1366,6 +1366,37 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q52_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+           unnest(list_transform(
+             range(0, greatest((n_chars * 37) // 1000, 1)),
+             i -> i * 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp —
+    the explode-then-decode layout that keeps per-task decode memory
+    bounded (the decode itself is the stubbed kernel, q44).  Media
+    metadata synthesized from documents (duration = n_chars × 37 ms)."""
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.struct(
+            (F.col("n_chars") * 37).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return media.transform(frame_sample_plan(every_ms=1000)).select(
+        "asset_id", "frame_ts_ms"
+    )
+
+
+@_q(
     "q45_session_windows",
     f"""
     WITH s AS (SELECT user_id, ts, value,

@@ -1,0 +1,81 @@
+"""Cross-cutting engine tests: module import sanity, approximate
+aggregates within tolerance, and hypothesis property tests for the
+resample invariants (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.resample import resample_by_count
+from tests.conftest import make_klines
+
+MODULES = [
+    "btc_usdt_etl_pipeline_spark.schema",
+    "btc_usdt_etl_pipeline_spark.session",
+    "btc_usdt_etl_pipeline_spark.functions",
+    "btc_usdt_etl_pipeline_spark.operators.asof",
+    "btc_usdt_etl_pipeline_spark.operators.dedup",
+    "btc_usdt_etl_pipeline_spark.operators.multimodal",
+    "btc_usdt_etl_pipeline_spark.operators.partitioning",
+    "btc_usdt_etl_pipeline_spark.operators.relational",
+    "btc_usdt_etl_pipeline_spark.operators.resample",
+    "btc_usdt_etl_pipeline_spark.operators.similarity",
+    "btc_usdt_etl_pipeline_spark.operators.text",
+    "btc_usdt_etl_pipeline_spark.operators.windows",
+    "btc_usdt_etl_pipeline_spark.sources.ingest",
+    "btc_usdt_etl_pipeline_spark.sources.lake",
+    "btc_usdt_etl_pipeline_spark.sources.warehouse",
+    "btc_usdt_etl_pipeline_spark.streaming.ohlcv",
+    "btc_usdt_etl_pipeline_spark.ml.features",
+    "btc_usdt_etl_pipeline_spark.pipeline.runner",
+]
+
+
+@pytest.mark.parametrize("mod", MODULES)
+def test_imports(mod):
+    importlib.import_module(mod)
+
+
+def test_approx_count_distinct_tolerance(spark):
+    df = spark.range(10_000).select((F.col("id") % 1237).alias("k"))
+    exact = df.select(F.countDistinct("k")).first()[0]
+    approx = df.select(F.approx_count_distinct("k", rsd=0.02)).first()[0]
+    assert exact == 1237
+    assert abs(approx - exact) / exact < 0.05
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_rows=st.integers(min_value=1, max_value=400),
+    bucket=st.integers(min_value=1, max_value=97),
+    drop_mod=st.integers(min_value=0, max_value=5),
+)
+def test_resample_invariants_property(spark, n_rows, bucket, drop_mod):
+    """For ANY input size, bucket size, and gap pattern: bar count is
+    ceil(n/bucket), trades are conserved, high/low bound the source,
+    and open times are strictly increasing."""
+    df = make_klines(spark, n_rows)
+    if drop_mod:
+        # punch deterministic gaps into the series
+        df = df.filter((F.col("open_time") / 1000 % 7) != drop_mod)
+    n = df.count()
+    bars = df.transform(resample_by_count(bucket)).collect()
+    assert len(bars) == (n + bucket - 1) // bucket
+    if n == 0:
+        return
+    assert sum(b.number_of_trades for b in bars) == (
+        df.agg(F.sum("number_of_trades")).first()[0]
+    )
+    assert max(b.high for b in bars) == df.agg(F.max("high")).first()[0]
+    assert min(b.low for b in bars) == df.agg(F.min("low")).first()[0]
+    times = [b.open_time for b in bars]
+    assert times == sorted(times) and len(set(times)) == len(times)
