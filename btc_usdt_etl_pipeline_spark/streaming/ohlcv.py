@@ -85,17 +85,16 @@ def run_available_now(
     ``availableNow`` processes the full backlog in bounded batches and
     terminates — the streaming/batch equivalence harness.
     """
+    # output_mode applies to BOTH sinks: a watermarked aggregate in the
+    # default append mode emits nothing until the watermark passes the
+    # window end, which never happens inside a single availableNow drain.
     writer = (
         result.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
     )
     if upsert is not None:
         q = writer.foreachBatch(upsert).start()
     else:
-        q = (
-            writer.format("memory")
-            .queryName(table_name)
-            .outputMode(output_mode)
-            .start()
-        )
+        q = writer.format("memory").queryName(table_name).start()
     q.awaitTermination()

@@ -48,6 +48,33 @@ def test_etl_end_to_end_with_ragged_tail_and_rerun(spark):
         assert exported.count() == math.ceil(n / track)
 
 
+def test_streaming_foreach_batch_upsert(spark):
+    # M5: streaming OHLCV upsert through foreachBatch into a warehouse
+    # table — the sink pattern for real deployments (memory sink is the
+    # test harness).  availableNow + complete mode re-emits the full
+    # aggregate per batch; the upsert overwrites, so reruns converge.
+    with tempfile.TemporaryDirectory() as d:
+        df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
+            "event_time", F.timestamp_millis("open_time")
+        )
+        df.write.mode("overwrite").parquet(f"{d}/in")
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{d}/in").schema
+        ).parquet(f"{d}/in")
+        result = streaming_ohlcv(
+            stream, interval="1 hour", time_col="event_time",
+            value_col="close", watermark="2 hours",
+        )
+
+        def upsert(batch_df, batch_id):
+            batch_df.write.mode("overwrite").saveAsTable("t_upsert_bars")
+
+        run_available_now(result, "unused", f"{d}/ckpt", upsert=upsert)
+        bars = spark.table("t_upsert_bars").orderBy("window_start").collect()
+        assert len(bars) == 2
+        assert all(b.n_rows == 3600 for b in bars)
+
+
 def test_streaming_ohlcv_equals_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
