@@ -1641,6 +1641,47 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q53_batch_inference",
+    """
+    WITH t AS (
+      SELECT event_id,
+             COUNT(*) OVER w AS cnt,
+             0.1 * lag(value, 4) OVER (PARTITION BY user_id ORDER BY ts)
+               + 0.15 * lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts)
+               + 0.2 * lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts)
+               + 0.25 * lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+               + 0.3 * value + 0.05 AS yhat,
+             LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, round(yhat, 6) AS yhat_r
+    FROM t WHERE cnt = 5 AND nxt IS NOT NULL
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over sliding feature windows through the
+    Arrow mapInPandas path (M6: training out-of-engine, inference
+    distributed).  Fixed linear AR(5) weights; the kernel accumulates
+    sequentially so the oracle's left-to-right SQL fold matches exactly."""
+    from btc_usdt_etl_pipeline_spark.ml.inference import (
+        linear_model_inference,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    seqs = e.transform(
+        sliding_sequences("value", "ts", seq_length=5, partition_by=["user_id"])
+    )
+    scored = seqs.transform(
+        linear_model_inference(
+            weights=[0.1, 0.15, 0.2, 0.25, 0.3], bias=0.05,
+            id_cols=("event_id",),
+        )
+    )
+    return scored.select("event_id", F.round("yhat", 6).alias("yhat_r"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
