@@ -369,13 +369,34 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q12_approx_distinct")  # no oracle: HLL++ estimate is Spark-specific
+@_q(
+    "q12_approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — the 100 TB path for cardinality;
-    rows-only check (estimates are engine-specific by design)."""
+    """approx_count_distinct (HLL++) — the 100 TB cardinality path.
+
+    The raw estimate is engine-specific by design, so the checked
+    contract is (a) the exact distinct count and (b) the assertion that
+    the sketch lands within 5% of it — the oracle pins (b) to TRUE, so
+    a sketch regression fails the hash check."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("approx_within_5pct"),
         F.count(F.lit(1)).alias("n"),
     )
 
