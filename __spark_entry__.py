@@ -1703,6 +1703,53 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("event_id", F.round("yhat", 6).alias("yhat_r"))
 
 
+@_q(
+    "q54_salted_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           {oracle_sum_sql('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level (salted) aggregation — spreads any hot key
+    over 16 reducers, then finalizes.  Decimal partials keep it
+    bit-identical to the direct groupBy the oracle runs."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = e.transform(
+        salted_agg(["event_type"], salt_buckets=16, sum_cols=["value"])
+    )
+    return out.withColumnRenamed("sum_value", "sum_value")
+
+
+@_q(
+    "q55_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A3 summary statistics,
+    pinned exactly — `summary()`'s approximate quantiles are not
+    oracle-comparable).  Both engines use the standard linear
+    interpolation (type-7) quantile."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.95]))
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.element_at(pct, i + 1), 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -74,6 +74,47 @@ def top_k_per_group(
     return _t
 
 
+def salted_agg(
+    key_cols: "Sequence[str]",
+    salt_buckets: int = 16,
+    sum_cols: "Sequence[str]" = (),
+    count_alias: str = "n",
+) -> "Callable[[DataFrame], DataFrame]":
+    """Two-level aggregation for skewed group keys: partial-aggregate on
+    ``(key, salt)`` — spreading one hot key over ``salt_buckets``
+    reducers — then finalize on ``key``.
+
+    Decimal partial sums keep the result bit-identical to a direct
+    groupBy (decimal addition is associative), so the salted plan is a
+    drop-in for any additive aggregate when AQE's skew handling isn't
+    enough (e.g. a single key holding >1 executor's worth of rows).
+    """
+    from btc_usdt_etl_pipeline_spark.functions import DEC as DECIMAL_SUM_TYPE
+
+    def _t(df: DataFrame) -> DataFrame:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+        partial = (
+            df.withColumn("_salt", salt)
+            .groupBy(*key_cols, "_salt")
+            .agg(
+                F.count(F.lit(1)).alias("_pn"),
+                *[
+                    F.sum(F.col(c).cast(DECIMAL_SUM_TYPE)).alias(f"_ps_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        return partial.groupBy(*key_cols).agg(
+            F.sum("_pn").alias(count_alias),
+            *[
+                F.sum(f"_ps_{c}").cast("double").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    return _t
+
+
 def global_top_k(
     order_by: Sequence[Column | str], k: int
 ) -> Callable[[DataFrame], DataFrame]:

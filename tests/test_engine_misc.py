@@ -41,6 +41,38 @@ def test_imports(mod):
     importlib.import_module(mod)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located joins (SCALE.md §3): two tables bucketed+sorted on the
+    join key sort-merge-join with NO shuffle exchange on either side —
+    the at-scale recipe for repeated fact-to-fact joins."""
+    import contextlib
+    import io
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    for name, df in [("t_bk_left", left), ("t_bk_right", right)]:
+        df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(
+            name
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bk_left").join(spark.table("t_bk_right"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_approx_count_distinct_tolerance(spark):
     df = spark.range(10_000).select((F.col("id") % 1237).alias("k"))
     exact = df.select(F.countDistinct("k")).first()[0]
