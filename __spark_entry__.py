@@ -1750,6 +1750,63 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q56_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with from_json (full-struct schema, not the
+    per-path get_json_object of q16) — one parse per row feeding many
+    typed fields, the right shape when several props are consumed."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select("event_id", F.from_json("props", "k bigint").alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    ).filter(F.col("k").isNotNull())
+
+
+@_q(
+    "q57_grouped_map_rank",
+    """
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group Arrow kernel surface):
+    each user's events ranked by value inside a pandas kernel.  Integer
+    output keeps the oracle comparison float-free; the SQL twin is a
+    plain window row_number."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        )
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "user_id", "value_rank"]]
+
+    return (
+        e.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            rank_group, "event_id long, user_id long, value_rank long"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

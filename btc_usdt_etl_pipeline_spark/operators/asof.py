@@ -37,8 +37,9 @@ def asof_join(
 
     Returns all left columns plus ``right_value_cols``.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
     rt = right_time_col or time_col
     value_cols = list(
         right_value_cols
@@ -46,38 +47,49 @@ def asof_join(
         else [c for c in right.columns if c != rt and c not in by]
     )
 
-    lhs = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(time_col))
-    rhs = right.select(
-        *by, F.col(rt).alias("_t"), *[F.col(c) for c in value_cols]
-    ).withColumn("_side", F.lit(0))
+    # Tie ordering makes the inclusive bound work in both directions: a
+    # right row at exactly left.time must fall INSIDE the left row's
+    # frame — before it (backward frame ends at current) or after it
+    # (forward frame starts at current).
+    left_ord, right_ord = (1, 0) if backward else (0, 1)
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_t", F.col(time_col)
+    ).withColumn("_ord", F.lit(left_ord))
+    rhs = (
+        right.select(
+            *by, F.col(rt).alias("_t"), *[F.col(c) for c in value_cols]
+        )
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ord", F.lit(right_ord))
+    )
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
-    # Right rows sort before left rows at equal time → a right row at
-    # exactly left.time is visible to that left row (<= semantics).
-    w = Window.orderBy("_t", "_side").rowsBetween(
-        Window.unboundedPreceding, 0
+    base_w = (
+        Window.partitionBy(*by).orderBy("_t", "_ord")
+        if by
+        else Window.orderBy("_t", "_ord")
     )
-    if by:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy("_t", "_side")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    if backward:
+        w = base_w.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base_w.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     carried = unioned
     for c in value_cols:
         src = F.when(F.col("_side") == 0, F.col(c))
-        carried = carried.withColumn(c, F.last(src, ignorenulls=True).over(w))
+        carried = carried.withColumn(c, pick(src).over(w))
     if tolerance is not None:
-        rt_carried = F.last(
-            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        rt_carried = pick(
+            F.when(F.col("_side") == 0, F.col("_t"))
         ).over(w)
         carried = carried.withColumn("_rt", rt_carried)
+        in_tol = (
+            F.col("_rt") >= F.col("_t") - F.lit(tolerance)
+            if backward
+            else F.col("_rt") <= F.col("_t") + F.lit(tolerance)
+        )
         for c in value_cols:
-            carried = carried.withColumn(
-                c,
-                F.when(
-                    F.col("_rt") >= F.col("_t") - F.lit(tolerance), F.col(c)
-                ),
-            )
+            carried = carried.withColumn(c, F.when(in_tol, F.col(c)))
         carried = carried.drop("_rt")
-    return carried.filter(F.col("_side") == 1).drop("_side", "_t")
+    return carried.filter(F.col("_side") == 1).drop("_side", "_t", "_ord")

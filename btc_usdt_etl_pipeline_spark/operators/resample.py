@@ -134,12 +134,19 @@ def resample_by_count(
     time_col: str = "open_time",
     value_cols: dict[str, str] | None = None,
     sort_output: bool = True,
+    partition_by: Sequence[str] = (),
 ) -> Callable[[DataFrame], DataFrame]:
     """Reference-faithful row-count resample: every ``n`` consecutive rows
     (by ``time_col``) → one OHLCV bar.
 
     Parity: ``/root/reference/components/process_data.py:44-59`` (W1+P2+A1),
     minus anti-patterns §4.2-1/2 — scalable index, deterministic aggs.
+
+    ``partition_by`` resamples each key's series independently (e.g. one
+    OHLCV stream per symbol): the dense index is then just a per-key
+    ``row_number`` window — parallel across keys, no global-index
+    machinery needed.  The unkeyed form is the reference's single-series
+    semantics and uses the two-pass bucket-offset index.
     """
     vc = value_cols or {
         "open": "open",
@@ -150,14 +157,23 @@ def resample_by_count(
     }
 
     def _transform(df: DataFrame) -> DataFrame:
-        indexed = with_global_index(df, time_col)
+        keys = list(partition_by)
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(time_col)
+            indexed = df.withColumn(
+                "_idx", F.row_number().over(w) - F.lit(1)
+            )
+        else:
+            indexed = with_global_index(df, time_col)
         out = (
             indexed.withColumn("group_id", F.floor(F.col("_idx") / F.lit(n)))
-            .groupBy("group_id")
+            .groupBy(*keys, "group_id")
             .agg(*_ohlcv_aggs(time_col, vc))
             .drop("group_id")
         )
-        return out.orderBy("open_time") if sort_output else out
+        if not sort_output:
+            return out
+        return out.orderBy(*keys, "open_time")
 
     return _transform
 

@@ -1,0 +1,99 @@
+"""Tests for as-of join directions/tolerance, keyed resample, and
+partition-pruned reads."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import tempfile
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
+from btc_usdt_etl_pipeline_spark.operators.resample import resample_by_count
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 10)], "sym int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 25, 200.0), (1, 30, 300.0), (2, 50, 400.0)],
+        "sym int, t long, px double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _sides(spark)
+    got = {
+        (r.sym, r.t): r.px
+        for r in asof_join(left, right, "t", by=["sym"]).collect()
+    }
+    # t=25 matches the right row AT 25 (inclusive); t=10 carries t=5
+    assert got == {(1, 10): 100.0, (1, 25): 200.0, (1, 40): 300.0,
+                   (2, 10): None}
+
+
+def test_asof_forward(spark):
+    left, right = _sides(spark)
+    got = {
+        (r.sym, r.t): r.px
+        for r in asof_join(
+            left, right, "t", by=["sym"], direction="forward"
+        ).collect()
+    }
+    # earliest right row at-or-after each left time
+    assert got == {(1, 10): 200.0, (1, 25): 200.0, (1, 40): None,
+                   (2, 10): 400.0}
+
+
+def test_asof_tolerance(spark):
+    left, right = _sides(spark)
+    got = {
+        (r.sym, r.t): r.px
+        for r in asof_join(
+            left, right, "t", by=["sym"], tolerance=5
+        ).collect()
+    }
+    # t=10 would carry t=5 (age 5, within); t=40 would carry t=30
+    # (age 10, dropped)
+    assert got == {(1, 10): 100.0, (1, 25): 200.0, (1, 40): None,
+                   (2, 10): None}
+
+
+def test_keyed_resample(spark):
+    rows = [(s, 1000 * i, float(10 * s + i)) for s in (1, 2) for i in range(7)]
+    df = spark.createDataFrame(rows, "sym int, open_time long, close double")
+    vc = {"open": "close", "high": "close", "low": "close",
+          "close": "close", "count": "x"}
+    bars = df.transform(
+        resample_by_count(3, value_cols=vc, partition_by=["sym"])
+    ).collect()
+    # per symbol: 7 rows / 3 → 3 bars each
+    per_sym = {}
+    for b in bars:
+        per_sym.setdefault(b.sym, []).append(b)
+    assert {k: len(v) for k, v in per_sym.items()} == {1: 3, 2: 3}
+    assert [b.n_rows for b in per_sym[1]] == [3, 3, 1]
+    # first bar of sym 2 opens at its own first row, not sym 1's
+    assert per_sym[2][0].open == 20.0
+
+
+def test_partition_pruning(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(1000).select(
+            (F.col("id") % 12).alias("month"), F.col("id").alias("v")
+        )
+        df.write.mode("overwrite").partitionBy("month").parquet(f"{d}/t")
+        q = spark.read.parquet(f"{d}/t").filter(F.col("month") == 3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        # the month filter must prune at planning time (PartitionFilters
+        # on the scan), and only month=3 files may be read
+        # (inputFiles() reflects the unpruned relation, so the plan's
+        # PartitionFilters entry is the authoritative pruning signal)
+        assert "PartitionFilters" in plan and "month" in plan
+        assert q.count() == sum(1 for i in range(1000) if i % 12 == 3)
