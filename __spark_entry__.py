@@ -1807,6 +1807,45 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q58_stateful_extrema",
+    """
+    SELECT user_id, MIN(value) AS running_min, MAX(value) AS running_max,
+           COUNT(*) AS running_count
+    FROM events GROUP BY user_id
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running extrema ratchet.  After the availableNow drain the
+    final emission per key equals the batch aggregate — the oracle; the
+    unit suite additionally proves state survives micro-batch
+    boundaries (multi-file trigger)."""
+    from btc_usdt_etl_pipeline_spark.streaming.stateful import (
+        stateful_running_extrema,
+    )
+
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .select("user_id", "value")
+    )
+    result = stateful_running_extrema(stream)
+    name = "q58_stateful_extrema_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, name, ckpt, output_mode="update")
+        t = spark.table(name)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("running_count").desc()
+        )
+        return (
+            t.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -41,6 +41,27 @@ def test_imports(mod):
     importlib.import_module(mod)
 
 
+def test_build_urls_reference_config_parity():
+    # S1/S2: URL formula {url}{name}-{period}.zip from the reference's
+    # data_sources.yml / data_limit.yml schema (no network involved).
+    from btc_usdt_etl_pipeline_spark.sources.ingest import build_urls
+
+    sources = [
+        {
+            "name": "BTCUSDT-1s",
+            "url": "https://data.binance.vision/data/spot/monthly/klines/"
+            "BTCUSDT/1s/",
+        }
+    ]
+    urls = build_urls(sources, ["2025-08", "2025-09"])
+    assert urls == [
+        "https://data.binance.vision/data/spot/monthly/klines/BTCUSDT/1s/"
+        "BTCUSDT-1s-2025-08.zip",
+        "https://data.binance.vision/data/spot/monthly/klines/BTCUSDT/1s/"
+        "BTCUSDT-1s-2025-09.zip",
+    ]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Co-located joins (SCALE.md §3): two tables bucketed+sorted on the
     join key sort-merge-join with NO shuffle exchange on either side —

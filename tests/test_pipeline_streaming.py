@@ -75,6 +75,49 @@ def test_streaming_foreach_batch_upsert(spark):
         assert all(b.n_rows == 3600 for b in bars)
 
 
+def test_stateful_custom_operator_carries_state_across_batches(spark):
+    # applyInPandasWithState: per-key running extrema.  Two input files +
+    # maxFilesPerTrigger=1 forces TWO micro-batches, so the final
+    # emission per key proves state survived the batch boundary.
+    from btc_usdt_etl_pipeline_spark.streaming.stateful import (
+        stateful_running_extrema,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows1 = [(1, 10.0), (1, 5.0), (2, 7.0)]
+        rows2 = [(1, 20.0), (2, 1.0), (2, 9.0)]
+        spark.createDataFrame(rows1, "user_id long, value double").write.parquet(
+            f"{d}/in/f1.parquet"
+        )
+        spark.createDataFrame(rows2, "user_id long, value double").write.parquet(
+            f"{d}/in/f2.parquet"
+        )
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in/*")
+        )
+        result = stateful_running_extrema(stream)
+        run_available_now(
+            result, "t_stateful", f"{d}/ckpt", output_mode="update"
+        )
+        rows = spark.table("t_stateful").collect()
+        # take the final (highest-count) emission per key
+        final = {}
+        for r in rows:
+            cur = final.get(r.user_id)
+            if cur is None or r.running_count > cur.running_count:
+                final[r.user_id] = r
+        assert final[1].running_min == 5.0
+        assert final[1].running_max == 20.0
+        assert final[1].running_count == 3
+        assert final[2].running_min == 1.0
+        assert final[2].running_max == 9.0
+        assert final[2].running_count == 3
+        # and two distinct emissions for a key proves >1 micro-batch
+        assert len([r for r in rows if r.user_id == 1]) >= 2
+
+
 def test_streaming_ohlcv_equals_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
