@@ -1137,28 +1137,32 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q38_ngram_jaccard",
-    """
-    WITH g AS (SELECT doc_id,
-                      list_distinct(list_transform(
-                        range(1, greatest(length(text) - 4, 0) + 1),
-                        i -> text[i:i+4])) AS s
-               FROM documents WHERE length(text) >= 5),
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+          FROM tok WHERE len(toks) >= 3),
     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  len(list_intersect(a.s, b.s))::DOUBLE
                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                    AS jaccard
           FROM g a, g b WHERE a.doc_id < b.doc_id)
-    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
     """,
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-5-gram Jaccard pairs ≥ 0.6 — the scalable
-    explode/equi-join/count algorithm; the oracle brute-forces all pairs.
-    Both sides compute |∩|/|∪| as exact int arithmetic."""
+    """Exact token-3-gram Jaccard pairs ≥ 0.8 via the explode/equi-join/
+    count algorithm; the oracle brute-forces all pairs.  Deliberately the
+    SAME gram definition and threshold as q30's MinHash+LSH path: two
+    independent algorithms whose agreement with one oracle also
+    validates the LSH recall empirically."""
     d = _t(spark, sf_dir, "documents")
     return d.transform(
         ngram_jaccard_pairs(
-            text_col="text", id_col="doc_id", n=5, threshold=0.6
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token",
         )
     )
 

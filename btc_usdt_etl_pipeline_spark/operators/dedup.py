@@ -306,30 +306,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.6,
+    unit: str = "char",
 ) -> Callable[[DataFrame], DataFrame]:
-    """Exact character-n-gram Jaccard similar pairs ≥ ``threshold``.
+    """Exact n-gram Jaccard similar pairs ≥ ``threshold`` — ``unit`` is
+    ``'char'`` (substring grams) or ``'token'`` (word-shingle grams,
+    identical gram definition to :func:`minhash_near_dedup`, making the
+    two operators independent algorithms over the same semantics).
 
     The scalable exact algorithm — NO all-pairs cross join: distinct
     grams are hashed to longs and exploded, pairs materialize only for
     documents sharing at least one gram (equi-join keyed by gram hash),
     and |A∩B| falls out of a count per pair, so no per-pair array ops
-    exist anywhere.
+    exist anywhere.  Join mass is Σ df(gram)², so token grams (sparser)
+    are strongly preferred at scale; char grams suit short/CJK text.
 
     Returns ``(id_a, id_b, jaccard)``; jaccard = |∩| / (|A|+|B|-|∩|) is
     an exact int/int division — bit-reproducible against a SQL oracle.
     """
+    if unit not in ("char", "token"):
+        raise ValueError("unit must be 'char' or 'token'")
 
     def _t(df: DataFrame) -> DataFrame:
         c = F.col(text_col)
-        k = F.length(c) - F.lit(n - 1)
-        grams = F.when(
-            k >= 1,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n))
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        if unit == "token":
+            grams = F.array_distinct(shingles(tokens(text_col), n))
+        else:
+            k = F.length(c) - F.lit(n - 1)
+            grams = F.when(
+                k >= 1,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), k),
+                        lambda i: c.substr(i, F.lit(n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         # Persisted: the gram arrays feed the exploded self-join (twice)
         # plus both size lookups — recomputing the gram expression per
         # branch would quadruple the scan.
