@@ -100,6 +100,28 @@ _EVENTS_SCHEMA = (
 )
 
 
+#: Runtime-settable confs the engine depends on; applied per table load
+#: because the DRIVER runs these queries in its own plain SparkSession
+#: (see .claude/skills/verify) where none of build_session's tuning
+#: exists.  UTC keeps timestamp collection oracle-comparable; maxFields
+#: keeps whole-stage codegen alive on the 128-column sketch plans.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.codegen.maxFields": "1024",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+
+def _tune(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is non-fatal
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver's testdata tables are single-row-group parquet files, so
     # the scan is one unsplittable partition and every scan-stage
@@ -107,6 +129,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # core.  ensure_parallelism round-robins them out once; on properly
     # split inputs (the at-scale case) it is a no-op, and Catalyst still
     # pushes filters and column pruning below the repartition.
+    _tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return ensure_parallelism(
@@ -1069,6 +1092,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch resample over the same files (M5 equivalence contract)."""
     # File-source streams need a directory base path; a glob that matches
     # exactly the events file keeps the other tables out of the stream.
+    _tune(spark)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .parquet(os.path.join(sf_dir, "events.parquet*"))
@@ -1487,6 +1511,8 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark bounds how long a key lingers once event time advances.
     Must equal batch DISTINCT over the single copy."""
 
+    _tune(spark)
+
     def stream() -> DataFrame:
         return (
             spark.readStream.schema(_EVENTS_SCHEMA)
@@ -1548,6 +1574,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow.  Each event feeds two overlapping windows; the oracle
     rebuilds that as two epoch-aligned tumbling grids (Spark windows are
     1970-epoch-aligned, matching the floor arithmetic)."""
+    _tune(spark)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .parquet(os.path.join(sf_dir, "events.parquet*"))
@@ -1592,6 +1619,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (6 h gap, per user) via the stateful
     session_window aggregation, drained with availableNow — must equal
     the batch lag/cumsum sessionization (q45's oracle family)."""
+    _tune(spark)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .parquet(os.path.join(sf_dir, "events.parquet*"))
@@ -1829,6 +1857,7 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_running_extrema,
     )
 
+    _tune(spark)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .parquet(os.path.join(sf_dir, "events.parquet*"))
