@@ -1482,20 +1482,55 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q47_simsearch_lsh")
+@_q(
+    "q47_simsearch_lsh",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    bk AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+               AS bucket
+      FROM (
+        SELECT e.vec_id, t.range AS t, p.range AS p,
+               list_reduce(list_transform(range(1, 65),
+                 j -> e.v[j] *
+                   ((('0x' || substr(md5(t.range || ':' || p.range || ':'
+                                         || (j - 1)), 1, 15))::BIGINT
+                     % 2000003) / 1000001.5 - 1.0)),
+                 (x, y) -> x + y) AS dot
+        FROM e, range(0, 8) t, range(0, 6) p) s
+      GROUP BY vec_id, t),
+    qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.qid AS query_id, bk.vec_id
+             FROM bk JOIN qb ON bk.t = qb.t AND bk.bucket = qb.bucket
+             WHERE bk.vec_id != qb.qid),
+    sc AS (SELECT c.query_id, c.vec_id,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+           FROM cand c JOIN e a ON a.vec_id = c.vec_id
+                       JOIN e b ON b.vec_id = c.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rnk
+          FROM sc)
+    SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+    """,
+)
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k cosine neighbors — the bucket-join scale
     path (no cross join; shuffle keyed by bucket id).
 
-    No oracle on purpose: which candidates fall in a bucket depends on
-    the xxhash64-derived hyperplanes, so recall (not the result set) is
-    the contract — the unit suite asserts candidate scores are exact and
-    q31 is the exact baseline the driver hash-checks."""
+    Portable mode: hyperplane components derive from md5 and dot
+    products accumulate strictly left-to-right, so the oracle replays
+    the EXACT buckets — the full approximate result set is
+    hash-checked, not just its shape.  Production uses the xxhash64
+    hyperplanes (same plan, cheaper)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_top_k(e, q, k=10, dim=64, planes=6, tables=8)
+    return lsh_top_k(
+        e, q, k=10, dim=64, planes=6, tables=8, portable=True, round_dp=4
+    )
 
 
 @_q(

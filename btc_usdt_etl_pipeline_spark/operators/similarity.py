@@ -178,38 +178,60 @@ def ivf_top_k(
     )
 
 
-def _srp_bucket(vec: F.Column, table: int, planes: int, dim: int) -> F.Column:
+def _srp_bucket(
+    vec: F.Column,
+    table: int,
+    planes: int,
+    dim: int,
+    portable: bool = False,
+) -> F.Column:
     """Sign-random-projection bucket id for one hash table.
 
     Hyperplane component (t, p, j) is a deterministic pseudo-random value
-    in [-1, 1) derived from xxhash64 — reproducible across runs/executors
-    with zero RNG state shipping.
+    derived from a hash — reproducible across runs/executors with zero
+    RNG state shipping.  ``portable=True`` derives it from md5
+    (:func:`portable_hash60` semantics) so a SQL oracle can replay the
+    exact buckets; default is xxhash64 (cheaper).
+
+    The dot product accumulates strictly left-to-right over j (Spark's
+    ``aggregate`` fold), matching an ordered ``list_sum`` on the oracle
+    side — a different summation order could flip a sign at the
+    boundary.
     """
 
     def component(p: F.Column, j: F.Column) -> F.Column:
+        if portable:
+            from btc_usdt_etl_pipeline_spark.operators.dedup import (
+                portable_hash60,
+            )
+
+            key = F.concat_ws(
+                ":", F.lit(table), p.cast("string"), j.cast("string")
+            )
+            h = portable_hash60(key)
+            return (h % 2_000_003).cast("double") / F.lit(
+                1_000_001.5
+            ) - F.lit(1.0)
         h = F.xxhash64(F.lit(table), p, j)
         return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
 
-    def sign_bit(p: F.Column) -> F.Column:
+    def sign_bit(p: int) -> F.Column:
         dot_p = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double") * component(p, j),
+                lambda x, j: x.cast("double") * component(F.lit(p), j),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0))
+        return F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
 
-    # Pack the sign bits as a base-2 fold (acc*2 + bit): the pyspark
-    # shiftleft wrapper only accepts int-literal shift amounts, and an
-    # ordered fold is equivalent for bucketing purposes.
-    packed = F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sign_bit),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc * F.lit(2) + v.cast("long"),
-    )
+    # Order-independent packing (Σ bit_p·2^p with literal shifts) so a
+    # SQL oracle can reproduce bucket ids with a plain SUM.
+    packed = sign_bit(0).cast("long")
+    for p in range(1, planes):
+        packed = packed + sign_bit(p).cast("long")
     return packed
 
 
@@ -224,13 +246,18 @@ def lsh_top_k(
     planes: int = 8,
     tables: int = 4,
     exclude_self: bool = True,
+    portable: bool = False,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via SRP-LSH bucketing.
 
     Corpus and queries are hashed into ``tables`` independent bucket ids;
     candidates are equi-join bucket collisions (shuffle keyed by bucket —
     no cross join), deduped, then exactly re-ranked.  Recall grows with
-    ``tables``; bucket selectivity with ``planes``.
+    ``tables``; bucket selectivity with ``planes``.  ``portable=True``
+    derives hyperplanes from md5 so a SQL oracle replays the exact
+    buckets; ``round_dp`` rounds cosines before ranking for
+    cross-engine tie stability.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -240,7 +267,9 @@ def lsh_top_k(
             *[
                 F.struct(
                     F.lit(t).alias("t"),
-                    _srp_bucket(F.col(vec_col), t, planes, dim).alias("b"),
+                    _srp_bucket(
+                        F.col(vec_col), t, planes, dim, portable
+                    ).alias("b"),
                 )
                 for t in range(tables)
             ]
@@ -267,11 +296,10 @@ def lsh_top_k(
     )
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
-    )
+    cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = cand.select(query_id_col, id_col, cos.alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
