@@ -81,19 +81,38 @@ def test_keyed_resample(spark):
 
 
 def test_partition_pruning(spark):
+    from btc_usdt_etl_pipeline_spark.plans import has_partition_pruning
+
     with tempfile.TemporaryDirectory() as d:
         df = spark.range(1000).select(
             (F.col("id") % 12).alias("month"), F.col("id").alias("v")
         )
         df.write.mode("overwrite").partitionBy("month").parquet(f"{d}/t")
         q = spark.read.parquet(f"{d}/t").filter(F.col("month") == 3)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            q.explain("formatted")
-        plan = buf.getvalue()
-        # the month filter must prune at planning time (PartitionFilters
-        # on the scan), and only month=3 files may be read
         # (inputFiles() reflects the unpruned relation, so the plan's
         # PartitionFilters entry is the authoritative pruning signal)
-        assert "PartitionFilters" in plan and "month" in plan
+        assert has_partition_pruning(q)
         assert q.count() == sum(1 for i in range(1000) if i % 12 == 3)
+
+
+def test_plans_api(spark):
+    from btc_usdt_etl_pipeline_spark.plans import (
+        join_kinds,
+        pushed_filters,
+        read_columns,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit("pad").alias("unused")
+        ).write.parquet(f"{d}/t")
+        q = (
+            spark.read.parquet(f"{d}/t")
+            .filter(F.col("k") > 10)
+            .select("k", "v")
+        )
+        assert any("GreaterThan(k" in f for f in pushed_filters(q))
+        assert read_columns(q) == [["k", "v"]]
+        small = spark.range(10).select(F.col("id").alias("k"))
+        assert "BroadcastHashJoin" in join_kinds(q.join(small, "k"))

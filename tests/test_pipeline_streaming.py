@@ -7,6 +7,7 @@ empty-ish input, and availableNow backfill == batch.
 from __future__ import annotations
 
 import math
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -71,6 +72,36 @@ def test_streaming_foreach_batch_upsert(spark):
 
         run_available_now(result, "unused", f"{d}/ckpt", upsert=upsert)
         bars = spark.table("t_upsert_bars").orderBy("window_start").collect()
+        assert len(bars) == 2
+        assert all(b.n_rows == 3600 for b in bars)
+
+
+def test_streaming_csv_landing_dir_ingestion(spark):
+    # M5: file-source readStream over a landing dir of headerless
+    # Binance-format kline CSVs (the reference's monthly drop shape),
+    # through the tumbling OHLCV aggregation, drained with availableNow.
+    import csv
+
+    from btc_usdt_etl_pipeline_spark.schema import KLINE_SCHEMA
+    from tests.conftest import kline_rows
+
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(f"{d}/landing")
+        rows = kline_rows(7200, start_ms=1_700_002_800_000)
+        for name, chunk in [("m1.csv", rows[:3600]), ("m2.csv", rows[3600:])]:
+            with open(f"{d}/landing/{name}", "w", newline="") as fh:
+                csv.writer(fh).writerows(chunk)
+        stream = (
+            spark.readStream.schema(KLINE_SCHEMA)
+            .csv(f"{d}/landing", header=False)
+            .withColumn("event_time", F.timestamp_millis(F.col("open_time")))
+        )
+        result = streaming_ohlcv(
+            stream, interval="1 hour", time_col="event_time",
+            value_col="close", watermark="2 hours",
+        )
+        run_available_now(result, "t_csv_stream", f"{d}/ckpt")
+        bars = spark.table("t_csv_stream").orderBy("window_start").collect()
         assert len(bars) == 2
         assert all(b.n_rows == 3600 for b in bars)
 
