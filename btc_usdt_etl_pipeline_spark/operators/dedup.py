@@ -33,22 +33,28 @@ from btc_usdt_etl_pipeline_spark.operators.partitioning import (
 def exact_dedup(
     keys: Sequence[str], id_col: str
 ) -> Callable[[DataFrame], DataFrame]:
-    """Keep one deterministic winner (min ``id_col``) per distinct key.
+    """Keep one deterministic winner per distinct key: min ``id_col``,
+    remaining columns breaking any id tie lexicographically.
 
     ``dropDuplicates`` keeps an arbitrary row under parallelism; the
-    min-id contract is reproducible and oracle-checkable.
+    min-struct contract is reproducible and oracle-checkable in every
+    branch (including duplicate ids), and needs ONE aggregation — no
+    winner-join back against the input.
     """
 
     def _t(df: DataFrame) -> DataFrame:
         others = [c for c in df.columns if c not in keys]
-        winner = (
-            df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
-            if id_col in others or id_col in keys
-            else df
-        )
-        if id_col in keys:
+        if not others:
             return df.dropDuplicates(list(keys))
-        return winner.join(df, [*keys, id_col], "inner").select(df.columns)
+        ordered = (
+            [id_col] + [c for c in others if c != id_col]
+            if id_col in others
+            else others
+        )
+        agg = df.groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("_w"))
+        return agg.select(
+            *keys, *[F.col(f"_w.{c}").alias(c) for c in ordered]
+        ).select(df.columns)
 
     return _t
 
