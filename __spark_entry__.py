@@ -546,14 +546,18 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_lag_returns",
     """
     SELECT event_id, user_id, value, prev_value,
-           (value - prev_value) / prev_value AS return
+           (value - prev_value) / nullif(prev_value, 0) AS return
     FROM (SELECT event_id, user_id, value,
                  LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
           FROM events)
     """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-based 1-step returns per user series (W3 generalized)."""
+    """Lag-based 1-step returns per user series (W3 generalized).
+
+    Null-safe division: a zero previous value yields a null return
+    (ANSI mode would otherwise error; pandas pct_change yields inf —
+    null is the SQL-sane contract and oracle-stable)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag("value").over(w)
@@ -562,7 +566,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         prev.alias("prev_value"),
-        ((F.col("value") - prev) / prev).alias("return"),
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0))).alias("return"),
     )
 
 
@@ -1674,15 +1678,19 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_crossover_backtest",
     """
     WITH r AS (SELECT user_id, ts, value,
-                      value / lag(value) OVER w - 1 AS ret,
-                      avg(value) OVER (w ROWS BETWEEN 4 PRECEDING
-                                       AND CURRENT ROW) AS ma5,
-                      avg(value) OVER (w ROWS BETWEEN 19 PRECEDING
-                                       AND CURRENT ROW) AS ma20
+                      (value - lag(value) OVER w) / lag(value) OVER w AS ret,
+                      SUM(CAST(value AS DECIMAL(38,6))) OVER
+                        (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+                      COUNT(*) OVER
+                        (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c5,
+                      SUM(CAST(value AS DECIMAL(38,6))) OVER
+                        (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+                      COUNT(*) OVER
+                        (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c20
                FROM events WHERE value > 0
                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     s AS (SELECT *,
-                 lag(CASE WHEN ma5 > ma20 THEN 1 ELSE 0 END)
+                 lag(CASE WHEN s5 * c20 > s20 * c5 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts) AS sigs
           FROM r)
     SELECT user_id,
@@ -1697,33 +1705,49 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MA(5/20)-crossover backtest per user series: returns (W3), rolling
     means (W2), shifted signal (W4/F3), log-sum equity compression (W5) —
     the reference notebook's cell-16 strategy as one declarative plan.
-    6dp rounding absorbs libm 1-ulp drift between engines."""
-    from btc_usdt_etl_pipeline_spark.operators.windows import (
-        crossover_signal,
-        pct_change,
-        rolling_mean_std,
-    )
+
+    The crossover test is decimal-exact (s5·c20 > s20·c5, no float
+    comparison): Spark's retracting window-avg and DuckDB's segment-tree
+    avg can differ by 1 ulp, and a single flipped signal breaks the
+    value hash (observed at sf0.1).  6dp rounding absorbs libm drift in
+    the log-sum equity itself."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import pct_change
 
     # Positive prices only: keeps ANSI division and the log-equity
     # identity well-defined (a 0 price would mean ret = -1, equity 0).
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wb = Window.partitionBy("user_id").orderBy("ts")
+    w5 = wb.rowsBetween(-4, 0)
+    w20 = wb.rowsBetween(-19, 0)
+    dec = F.col("value").cast("decimal(38,6)")
+    sig = F.when(
+        F.sum(dec).over(w5) * F.count(F.lit(1)).over(w20)
+        > F.sum(dec).over(w20) * F.count(F.lit(1)).over(w5),
+        1,
+    ).otherwise(0)
     r = (
         e.transform(pct_change("value", "ts", ["user_id"], out="ret"))
-        .transform(rolling_mean_std("value", "ts", 5, ["user_id"]))
-        .transform(rolling_mean_std("value", "ts", 20, ["user_id"]))
-        .transform(
-            crossover_signal(
-                "value_5_mean", "value_20_mean", "ts", ["user_id"]
-            )
-        )
+        .withColumn("signal_shifted", F.lag(sig, 1).over(wb))
         .filter(
             F.col("ret").isNotNull() & F.col("signal_shifted").isNotNull()
         )
     )
+    # F.log(1 + x), not log1p: the oracle computes ln(1 + ret) and the
+    # two functions round differently in the last ulp.
     return r.groupBy("user_id").agg(
-        F.round(F.exp(F.sum(F.log1p("ret"))), 6).alias("buyhold_r"),
+        F.round(F.exp(F.sum(F.log(F.lit(1.0) + F.col("ret")))), 6).alias(
+            "buyhold_r"
+        ),
         F.round(
-            F.exp(F.sum(F.log1p(F.col("signal_shifted") * F.col("ret")))), 6
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + F.col("signal_shifted") * F.col("ret")
+                    )
+                )
+            ),
+            6,
         ).alias("strategy_r"),
         F.count(F.lit(1)).alias("n"),
     )

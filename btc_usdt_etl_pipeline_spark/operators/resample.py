@@ -135,19 +135,28 @@ def resample_by_count(
     value_cols: dict[str, str] | None = None,
     sort_output: bool = True,
     partition_by: Sequence[str] = (),
+    strategy: str = "auto",
+    sort_threshold_rows: int = 50_000_000,
 ) -> Callable[[DataFrame], DataFrame]:
     """Reference-faithful row-count resample: every ``n`` consecutive rows
     (by ``time_col``) → one OHLCV bar.
 
     Parity: ``/root/reference/components/process_data.py:44-59`` (W1+P2+A1),
-    minus anti-patterns §4.2-1/2 — scalable index, deterministic aggs.
+    minus anti-pattern §4.2-2 — deterministic ``min_by``/``max_by`` aggs
+    in every mode.
 
     ``partition_by`` resamples each key's series independently (e.g. one
     OHLCV stream per symbol): the dense index is then just a per-key
-    ``row_number`` window — parallel across keys, no global-index
-    machinery needed.  The unkeyed form is the reference's single-series
-    semantics and uses the two-pass bucket-offset index.
+    ``row_number`` window — parallel across keys.
+
+    Unkeyed ``strategy``: ``'sort'`` = one global-window sort (the
+    reference's plan shape; fastest while a single task can sort the
+    series — measured 3.5× faster at month scale), ``'bucket'`` = the
+    two-pass bucket-offset index (parallel everywhere; the only option
+    beyond single-task scale), ``'auto'`` = count once and pick.
     """
+    if strategy not in ("auto", "sort", "bucket"):
+        raise ValueError("strategy must be auto | sort | bucket")
     vc = value_cols or {
         "open": "open",
         "high": "high",
@@ -164,7 +173,21 @@ def resample_by_count(
                 "_idx", F.row_number().over(w) - F.lit(1)
             )
         else:
-            indexed = with_global_index(df, time_col)
+            use_bucket = strategy == "bucket"
+            if strategy == "auto":
+                # Measured (SCALE.md §4.8): at reference month scale
+                # (2.7M rows) one in-memory sort beats the two-pass
+                # bucket index ~3.5x; the bucket path wins only once a
+                # single task can't hold/sort the data.  One count is
+                # cheaper than the bucket path's own pre-pass.
+                use_bucket = df.count() > sort_threshold_rows
+            if use_bucket:
+                indexed = with_global_index(df, time_col)
+            else:
+                w = Window.orderBy(time_col)
+                indexed = df.withColumn(
+                    "_idx", F.row_number().over(w) - F.lit(1)
+                )
         out = (
             indexed.withColumn("group_id", F.floor(F.col("_idx") / F.lit(n)))
             .groupBy(*keys, "group_id")
