@@ -66,16 +66,24 @@ def test_gappy_buckets_are_row_count_not_wall_clock(spark):
 
 def test_invariants_random_order_input(spark):
     # Shuffled input partitions must not change the result (determinism
-    # fix vs the reference's order-dependent first/last).
+    # fix vs the reference's order-dependent first/last), and the sort
+    # and bucket strategies must agree exactly.
     df = make_klines(spark, 101).repartition(7)
-    bars = df.transform(resample_by_count(25))
-    rows = bars.collect()
-    assert len(rows) == math.ceil(101 / 25)
-    assert [r.open_time for r in rows] == sorted(r.open_time for r in rows)
-    total = df.agg(F.sum("number_of_trades")).first()[0]
-    assert sum(r.number_of_trades for r in rows) == total
-    glob_hi = df.agg(F.max("high")).first()[0]
-    assert max(r.high for r in rows) == glob_hi
+    by_strategy = {}
+    for strategy in ("sort", "bucket"):
+        rows = df.transform(
+            resample_by_count(25, strategy=strategy)
+        ).collect()
+        by_strategy[strategy] = rows
+        assert len(rows) == math.ceil(101 / 25)
+        assert [r.open_time for r in rows] == sorted(
+            r.open_time for r in rows
+        )
+        total = df.agg(F.sum("number_of_trades")).first()[0]
+        assert sum(r.number_of_trades for r in rows) == total
+        glob_hi = df.agg(F.max("high")).first()[0]
+        assert max(r.high for r in rows) == glob_hi
+    assert by_strategy["sort"] == by_strategy["bucket"]
 
 
 def test_count_equals_time_when_gap_free(spark):
