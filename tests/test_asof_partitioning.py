@@ -62,6 +62,50 @@ def test_asof_tolerance(spark):
                    (2, 10): None}
 
 
+def test_asof_property_vs_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lts=st.lists(
+            st.integers(min_value=0, max_value=100),
+            min_size=1, max_size=25, unique=True,
+        ),
+        rts=st.lists(
+            st.integers(min_value=0, max_value=100),
+            min_size=1, max_size=25, unique=True,
+        ),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    def run(lts, rts, direction):
+        left = spark.createDataFrame([(t,) for t in lts], "t long")
+        right = spark.createDataFrame(
+            [(t, float(t * 10)) for t in rts], "t long, px double"
+        )
+        got = {
+            r.t: r.px
+            for r in asof_join(
+                left, right, "t", direction=direction
+            ).collect()
+        }
+
+        def py_asof(t):
+            if direction == "backward":
+                cands = [rt for rt in rts if rt <= t]
+                return float(max(cands) * 10) if cands else None
+            cands = [rt for rt in rts if rt >= t]
+            return float(min(cands) * 10) if cands else None
+
+        assert got == {t: py_asof(t) for t in lts}
+
+    run()
+
+
 def test_keyed_resample(spark):
     rows = [(s, 1000 * i, float(10 * s + i)) for s in (1, 2) for i in range(7)]
     df = spark.createDataFrame(rows, "sym int, open_time long, close double")
