@@ -1376,11 +1376,6 @@ _MM_HV_SQL = " + ".join(
     f"ascii(s7[{k + 1}:{k + 1}]) * {256 ** k}" for k in range(7)
 )
 
-_MM_FEAT_SQL = ", ".join(
-    f"round(((hv >> {i}) % 997) / 997.0, 4)" for i in range(_FAKE_DIM)
-)
-
-
 @_q(
     "q44_multimodal_features",
     f"""
@@ -1390,8 +1385,9 @@ _MM_FEAT_SQL = ", ".join(
     h AS (SELECT asset_id, media_type, length(s7)::BIGINT AS n_bytes,
                  {_MM_HV_SQL} AS hv
           FROM p)
-    SELECT asset_id, media_type, [{_MM_FEAT_SQL}] AS feature_r, n_bytes
-    FROM h
+    SELECT asset_id, media_type, n_bytes, t.i AS dim_idx,
+           round(((hv >> t.i) % 997) / 997.0, 4) AS value_r
+    FROM h, range(0, {_FAKE_DIM}) AS t(i)
     """,
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,7 +1396,14 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic fake per the container's no-codec constraint).  The
     payload here is the first 7 utf-8 bytes of each doc so the oracle can
     replay the fake kernel byte-for-byte; schema, batching, and the
-    float32 feature contract are the real production path."""
+    float32 feature contract are the real production path.
+
+    The feature vector is emitted EXPLODED — one (asset_id, dim_idx,
+    value_r) row per dimension — because array columns are not
+    canonicalizable by the external driver's pandas-based row sort
+    (``sort_values`` raises ``unhashable type: 'list'``).  The long
+    layout is also the scale-friendly shape: fixed-width rows, codegen
+    comparisons, and per-dimension pruning at the parquet scan."""
     d = _t(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("asset_id"),
@@ -1411,11 +1414,11 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "asset_id",
         "media_type",
-        F.transform(
-            "feature", lambda x: F.round(x.cast("double"), 4)
-        ).alias("feature_r"),
         "n_bytes",
-    )
+        F.posexplode(
+            F.transform("feature", lambda x: F.round(x.cast("double"), 4))
+        ).alias("dim_idx", "value_r"),
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
 
 
 @_q(

@@ -73,6 +73,9 @@ def main() -> None:
         first = run_once(name)
         second = run_once(name)
         timings[name] = round(min(first, second), 3)
+        # Operators that persist() intermediates (minhash, ngram, asof)
+        # would otherwise accumulate cached blocks across the loop.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -5,11 +5,24 @@ joins row, §4.3 "library op") is the union + last-observation-carried-forward
 window: tag both sides, union by time, and for each left row take the last
 right value at-or-before its timestamp via an ignore-nulls ``last`` window.
 
-Shuffles once by (keys, time) — parallel across keys.  With no keys the
-window is global; for a single giant series, pre-bucket by coarse time and
-carry the last value per bucket (same offsets technique as
-``resample.with_global_index``) — not needed for keyed data, which is the
-100 TB case (one series per symbol/user).
+Keyed (``by`` non-empty): shuffles once by (keys, time) — parallel across
+keys, the 100 TB case (one series per symbol/user).
+
+Unkeyed: a global row-ordered window would serialize the whole series onto
+one task, so the unkeyed path instead runs a two-level bucket carry:
+
+1. Bucket both sides by a coarse key monotone in time (calendar day for
+   timestamps; range-balanced fixed width for numerics).
+2. One aggregation: per bucket, the last (first, for forward) non-null
+   right value per column.  #buckets rows — metadata scale.
+3. A bucket-level carry window (global, but over #buckets rows only)
+   computes each bucket's carry-in: the last value from any PRIOR bucket.
+4. Broadcast the carry-ins back; the per-row window is then partitioned by
+   bucket — parallel across buckets — and falls back to the carry-in when
+   the bucket has no prior right row.
+
+Same output as the single-window plan (property-tested both directions);
+no data-sized single-partition stage anywhere.
 """
 
 from __future__ import annotations
@@ -18,6 +31,32 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucket_col(df: DataFrame, col: str, num_buckets: int = 512) -> F.Column:
+    """Coarse bucket key, monotone in ``col``.
+
+    Timestamps: fixed one-day buckets (no pre-pass).  Numerics: one
+    min/max aggregation to range-balance ``num_buckets`` fixed-width
+    buckets — a metadata-cheap pass compared to the join itself.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype.startswith("timestamp"):
+        return F.floor(
+            F.unix_micros(F.col(col)) / F.lit(86_400_000_000)
+        ).cast("long")
+    if dtype == "date":
+        return F.floor(
+            F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
+            / F.lit(32)
+        ).cast("long")
+    row = df.select(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return F.lit(0).cast("long")
+    span = max(int(hi) - int(lo), 0) + 1
+    width = max(span // num_buckets, 1)
+    return F.floor((F.col(col) - F.lit(int(lo))) / F.lit(width)).cast("long")
 
 
 def asof_join(
@@ -35,7 +74,10 @@ def asof_join(
     semantics).  ``tolerance`` (same unit as the time column) drops matches
     older than ``left.time - tolerance``.
 
-    Returns all left columns plus ``right_value_cols``.
+    Returns all left columns plus ``right_value_cols``.  Raises
+    ``ValueError`` if a right value column collides with a left column (the
+    silent-overwrite alternative corrupts output) or if reserved temporary
+    names (``_side``/``_t``/``_ord``/``_bkt``/``_cin_*``) are taken.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -46,6 +88,21 @@ def asof_join(
         if right_value_cols is not None
         else [c for c in right.columns if c != rt and c not in by]
     )
+
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right value columns {sorted(clash)} collide with left "
+            "columns; rename them or pass right_value_cols explicitly"
+        )
+    reserved = {"_side", "_t", "_ord", "_bkt", "_cin_rt"} | {
+        f"_cin_{c}" for c in value_cols
+    }
+    taken = reserved & (set(left.columns) | set(value_cols) | set(by))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} collide with asof_join temporaries"
+        )
 
     # Tie ordering makes the inclusive bound work in both directions: a
     # right row at exactly left.time must fall INSIDE the left row's
@@ -62,27 +119,81 @@ def asof_join(
         .withColumn("_side", F.lit(0))
         .withColumn("_ord", F.lit(right_ord))
     )
-
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
-    base_w = (
-        Window.partitionBy(*by).orderBy("_t", "_ord")
-        if by
-        else Window.orderBy("_t", "_ord")
-    )
+
     if backward:
-        w = base_w.rowsBetween(Window.unboundedPreceding, 0)
+        frame = (Window.unboundedPreceding, 0)
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     else:
-        w = base_w.rowsBetween(0, Window.unboundedFollowing)
+        frame = (0, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    carried = unioned
-    for c in value_cols:
-        src = F.when(F.col("_side") == 0, F.col(c))
-        carried = carried.withColumn(c, pick(src).over(w))
+
+    def _right(c: F.Column) -> F.Column:
+        return F.when(F.col("_side") == 0, c)
+
+    if by:
+        w = Window.partitionBy(*by).orderBy("_t", "_ord").rowsBetween(*frame)
+        carried = unioned
+        for c in value_cols:
+            carried = carried.withColumn(c, pick(_right(F.col(c))).over(w))
+        rt_carried = pick(_right(F.col("_t"))).over(w)
+    else:
+        # Unkeyed: bucketed carry (module docstring).  Persisted because
+        # the unioned subtree feeds three branches (bucket stats, distinct
+        # buckets, main); tools clear the cache between queries.
+        u = unioned.withColumn(
+            "_bkt", _bucket_col(unioned, "_t")
+        ).persist()
+        # Per bucket: last (first) non-null right value per column.  A
+        # null ordering key makes max_by/min_by skip the row, giving
+        # per-column ignore-null semantics that mirror the window path.
+        pickb = F.max_by if backward else F.min_by
+        aggs = [
+            pickb(
+                F.col(c), _right(F.when(F.col(c).isNotNull(), F.col("_t")))
+            ).alias(f"_cin_{c}")
+            for c in value_cols
+        ]
+        last_rt = F.max if backward else F.min
+        aggs.append(last_rt(_right(F.col("_t"))).alias("_cin_rt"))
+        bstats = u.groupBy("_bkt").agg(*aggs)
+        # Bucket-level carry-in: value from any prior (later, for forward)
+        # bucket.  Global window, but over #buckets rows — metadata scale.
+        if backward:
+            cw = Window.orderBy("_bkt").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        else:
+            cw = Window.orderBy("_bkt").rowsBetween(
+                1, Window.unboundedFollowing
+            )
+        carry = bstats.select(
+            "_bkt",
+            *[
+                pick(F.col(f"_cin_{c}")).over(cw).alias(f"_cin_{c}")
+                for c in value_cols
+            ],
+            pick(F.col("_cin_rt")).over(cw).alias("_cin_rt"),
+        )
+        u = u.join(F.broadcast(carry), "_bkt")
+        w = (
+            Window.partitionBy("_bkt")
+            .orderBy("_t", "_ord")
+            .rowsBetween(*frame)
+        )
+        carried = u
+        for c in value_cols:
+            carried = carried.withColumn(
+                c,
+                F.coalesce(
+                    pick(_right(F.col(c))).over(w), F.col(f"_cin_{c}")
+                ),
+            )
+        rt_carried = F.coalesce(
+            pick(_right(F.col("_t"))).over(w), F.col("_cin_rt")
+        )
+
     if tolerance is not None:
-        rt_carried = pick(
-            F.when(F.col("_side") == 0, F.col("_t"))
-        ).over(w)
         carried = carried.withColumn("_rt", rt_carried)
         in_tol = (
             F.col("_rt") >= F.col("_t") - F.lit(tolerance)
@@ -92,4 +203,7 @@ def asof_join(
         for c in value_cols:
             carried = carried.withColumn(c, F.when(in_tol, F.col(c)))
         carried = carried.drop("_rt")
-    return carried.filter(F.col("_side") == 1).drop("_side", "_t", "_ord")
+    drop_cols = ["_side", "_t", "_ord"]
+    if not by:
+        drop_cols += ["_bkt", "_cin_rt"] + [f"_cin_{c}" for c in value_cols]
+    return carried.filter(F.col("_side") == 1).drop(*drop_cols)

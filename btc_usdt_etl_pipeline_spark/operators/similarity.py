@@ -260,7 +260,19 @@ def lsh_top_k(
     cross-engine tie stability.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # Eager metadata probe (one row).  Guard the empty/all-null corpus:
+        # subscripting the missing row would raise TypeError mid-plan-build
+        # instead of returning the natural empty result.
+        probe = corpus.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            qt = queries.schema[query_id_col].dataType.simpleString()
+            it = corpus.schema[id_col].dataType.simpleString()
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"{query_id_col} {qt}, {id_col} {it}, "
+                "cosine double, rnk int",
+            )
+        dim = len(probe[0])
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         buckets = F.array(

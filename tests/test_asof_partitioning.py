@@ -106,6 +106,64 @@ def test_asof_property_vs_python_reference(spark):
     run()
 
 
+def test_asof_unkeyed_tolerance(spark):
+    left = spark.createDataFrame([(10,), (25,), (40,)], "t long")
+    right = spark.createDataFrame(
+        [(5, 100.0), (25, 200.0), (30, 300.0)], "t long, px double"
+    )
+    got = {
+        r.t: r.px
+        for r in asof_join(left, right, "t", tolerance=5).collect()
+    }
+    # t=40 would carry t=30 (age 10) — dropped by tolerance 5
+    assert got == {10: 100.0, 25: 200.0, 40: None}
+
+
+def test_asof_unkeyed_null_values_locf_across_buckets(spark):
+    # The numeric bucket path uses width-1 buckets on a 0..100 span, so
+    # t=5 and t=6 land in different buckets: the carry-in must skip the
+    # null px at t=6 and surface 100.0 from the earlier bucket — the same
+    # ignore-nulls semantics as the keyed window path.
+    left = spark.createDataFrame([(10,), (100,)], "t long")
+    right = spark.createDataFrame(
+        [(5, 100.0), (6, None), (50, 500.0)], "t long, px double"
+    )
+    got = {r.t: r.px for r in asof_join(left, right, "t").collect()}
+    assert got == {10: 100.0, 100: 500.0}
+
+
+def test_asof_unkeyed_timestamp_day_buckets(spark):
+    # Timestamp series cross day boundaries → day-bucket carry path.
+    left = spark.createDataFrame(
+        [("2024-01-01 06:00:00",), ("2024-01-03 00:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [("2024-01-01 05:00:00", 1.0), ("2024-01-02 12:00:00", 2.0)],
+        "ts string, px double",
+    ).select(F.col("ts").cast("timestamp").alias("t"), "px")
+    got = sorted(
+        (r.t.isoformat(), r.px)
+        for r in asof_join(left, right, "t").collect()
+    )
+    assert [px for _, px in got] == [1.0, 2.0]
+
+
+def test_asof_column_collision_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame([(10, 1.0)], "t long, px double")
+    right = spark.createDataFrame([(5, 2.0)], "t long, px double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "t")
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame([(10,), (20,)], "t long")
+    right = spark.createDataFrame([], "t long, px double")
+    got = {r.t: r.px for r in asof_join(left, right, "t").collect()}
+    assert got == {10: None, 20: None}
+
+
 def test_keyed_resample(spark):
     rows = [(s, 1000 * i, float(10 * s + i)) for s in (1, 2) for i in range(7)]
     df = spark.createDataFrame(rows, "sym int, open_time long, close double")

@@ -5,7 +5,11 @@ the same sf dir, canonicalize (columns sorted by name, rows sorted, floats
 via repr), and compare row count + column names + a value hash.  Run me
 before every commit that touches the query surface:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--plain] [sf_dir] [query ...]
+
+``--plain`` builds a bare ``local[32]`` SparkSession (no build_session
+tuning) to simulate the external driver's environment — queries must
+self-apply any conf they depend on (see ``__spark_entry__._tune``).
 """
 
 from __future__ import annotations
@@ -45,15 +49,27 @@ def canon(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
     import __spark_entry__ as entry
-    from btc_usdt_etl_pipeline_spark.session import build_session
 
-    spark = build_session("correctness-check")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("correctness-check-plain")
+            .getOrCreate()
+        )
+    else:
+        from btc_usdt_etl_pipeline_spark.session import build_session
+
+        spark = build_session("correctness-check")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -68,6 +84,9 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        # Drop blocks persisted by the previous query's operators so the
+        # 58-query loop doesn't accumulate cache pressure.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -75,6 +94,22 @@ def main() -> int:
             scols = df.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        # The EXTERNAL driver canonicalizes via pandas sort_values, which
+        # raises "unhashable type: 'list'" on array/map columns (the exact
+        # q44 r01 failure).  Catch that class of regression here even
+        # though this tool's own canon() handles lists fine.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad and name in oracles:
+            print(
+                f"FAIL {name}: driver-incompatible complex-typed output "
+                f"columns {bad} (pandas canonicalizer cannot sort them)"
+            )
             n_fail += 1
             continue
         if name not in oracles:
