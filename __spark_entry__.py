@@ -1410,7 +1410,10 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode(F.substring("text", 1, 7), "utf-8").alias("payload"),
     )
-    feats = media.transform(extract_features(dim=_FAKE_DIM))
+    # decode="stub" pinned (not "auto"): the oracle replays the fake
+    # kernel arithmetically, so q44 must produce it even on a cluster
+    # that happens to have real codecs installed.
+    feats = media.transform(extract_features(dim=_FAKE_DIM, decode="stub"))
     return feats.select(
         "asset_id",
         "media_type",
@@ -1826,15 +1829,18 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(value, 0.50), 6) AS p50,
            round(quantile_cont(value, 0.75), 6) AS p75,
            round(quantile_cont(value, 0.95), 6) AS p95
-    FROM events GROUP BY event_type
+    FROM events WHERE NOT isnan(value) GROUP BY event_type
     """,
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (A3 summary statistics,
     pinned exactly — `summary()`'s approximate quantiles are not
     oracle-comparable).  Both engines use the standard linear
-    interpolation (type-7) quantile."""
-    e = _t(spark, sf_dir, "events")
+    interpolation (type-7) quantile.  NaNs are filtered on BOTH sides:
+    the engines disagree on them (Spark sorts NaN as the largest value;
+    DuckDB's quantile_cont returns NaN for every quantile) — probed and
+    pinned in tests/test_percentile_parity.py."""
+    e = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
     pct = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.95]))
     return e.groupBy("event_type").agg(
         *[
@@ -1868,35 +1874,89 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q57_grouped_map_rank",
+    "q57_grouped_map_ols",
     """
-    SELECT event_id, user_id,
-           ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY value DESC, event_id) AS value_rank
-    FROM events
+    WITH r AS (SELECT user_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) - 1 AS x
+               FROM events WHERE value IS NOT NULL),
+    a AS (SELECT user_id, COUNT(*) AS n_events,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST((CAST(x AS DOUBLE) * value)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM r GROUP BY user_id)
+    SELECT user_id, n_events,
+           CASE WHEN CAST(n_events AS DOUBLE) * sxx - sx * sx = 0
+                THEN NULL
+                ELSE (CAST(n_events AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_events AS DOUBLE) * sxx - sx * sx)
+           END AS slope,
+           CASE WHEN CAST(n_events AS DOUBLE) * sxx - sx * sx = 0
+                THEN NULL
+                ELSE (sy - (CAST(n_events AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n_events AS DOUBLE) * sxx - sx * sx)
+                           * sx) / CAST(n_events AS DOUBLE)
+           END AS intercept
+    FROM a
     """,
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (the per-group Arrow kernel surface):
-    each user's events ranked by value inside a pandas kernel.  Integer
-    output keeps the oracle comparison float-free; the SQL twin is a
-    plain window row_number."""
+    a closed-form OLS fit of each user's value series against its event
+    order — a per-group MODEL FIT, not something a single window
+    function expresses.  Parity with the SQL oracle is exact, not
+    approximate: the kernel mirrors the engine's decimal-sum idiom
+    (Decimal-quantize each term at 6 dp — associative, order-insensitive
+    — then a fixed sequence of IEEE double ops), so both engines emit
+    bit-identical slopes with no rounding fudge."""
     import pandas as pd
 
     e = _t(spark, sf_dir, "events")
 
-    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(
-            ["value", "event_id"], ascending=[False, True]
+    def ols_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def dec6(v: float) -> Decimal:
+            return Decimal(v).quantize(q6, rounding=ROUND_HALF_UP)
+
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
+        vals = [float(v) for v in pdf["value"]]
+        n = len(vals)
+        sx = float(n * (n - 1) // 2)
+        sxx = float(sum(x * x for x in range(n)))
+        sy = float(sum((dec6(v) for v in vals), Decimal(0)))
+        sxy = float(
+            sum((dec6(float(x) * v) for x, v in enumerate(vals)), Decimal(0))
         )
-        pdf["value_rank"] = range(1, len(pdf) + 1)
-        return pdf[["event_id", "user_id", "value_rank"]]
+        nf = float(n)
+        den = nf * sxx - sx * sx
+        if den == 0.0:
+            slope = intercept = None
+        else:
+            slope = (nf * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / nf
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": n,
+                    "slope": slope,
+                    "intercept": intercept,
+                }
+            ]
+        )
 
     return (
-        e.select("event_id", "user_id", "value")
+        e.filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "value")
         .groupBy("user_id")
         .applyInPandas(
-            rank_group, "event_id long, user_id long, value_rank long"
+            ols_group,
+            "user_id long, n_events long, slope double, intercept double",
         )
     )
 

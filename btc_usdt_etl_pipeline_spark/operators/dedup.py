@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.operators.partitioning import (
@@ -313,6 +313,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.6,
     unit: str = "char",
+    prefix_filter: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact n-gram Jaccard similar pairs ≥ ``threshold`` — ``unit`` is
     ``'char'`` (substring grams) or ``'token'`` (word-shingle grams,
@@ -328,6 +329,17 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)``; jaccard = |∩| / (|A|+|B|-|∩|) is
     an exact int/int division — bit-reproducible against a SQL oracle.
+
+    ``prefix_filter=True`` (PPJoin-style) generates candidates from each
+    document's PREFIX only — its rarest ``|g| - floor(t·|g|) + 1`` grams
+    under a global (df, hash) order — then computes the exact
+    intersection for candidates alone.  Identical output (the prefix
+    theorem guarantees no false negatives at threshold t; ``floor``
+    rather than ``ceil`` sidesteps float-product edge cases by
+    lengthening the prefix, never shortening it).  Join mass drops from
+    Σ df(gram)² over ALL grams to Σ df(prefix-gram)² — the win on
+    Zipfian text where hot boilerplate grams dominate the tail; see
+    SCALE.md §4 for the measured crossover.
     """
     if unit not in ("char", "token"):
         raise ValueError("unit must be 'char' or 'token'")
@@ -373,11 +385,56 @@ def ngram_jaccard_pairs(
         ).select("_id", F.xxhash64("_gram").alias("_h"))
         a = ex.select(F.col("_h"), F.col("_id").alias("id_a"))
         b = ex.select(F.col("_h").alias("_hb"), F.col("_id").alias("id_b"))
-        inter = (
-            a.join(b, (a["_h"] == b["_hb"]) & (F.col("id_a") < F.col("id_b")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_inter"))
-        )
+        if prefix_filter:
+            # Rarest-first global order: document frequency, hash as the
+            # tiebreak.  One cheap agg over the exploded grams; the join
+            # with it is keyed by gram hash (vocabulary-sized side).
+            exp = ex.persist()
+            dfreq = exp.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+            wp = Window.partitionBy("_id").orderBy("_df", "_h")
+            plen = F.col("_n") - F.floor(
+                F.lit(threshold) * F.col("_n")
+            ) + F.lit(1)
+            pre = (
+                exp.join(dfreq, "_h")
+                .join(sizes, "_id")
+                .withColumn("_rn", F.row_number().over(wp))
+                .filter(F.col("_rn") <= plen)
+                .select("_id", "_h")
+            )
+            pa = pre.select(F.col("_h"), F.col("_id").alias("id_a"))
+            pb = pre.select(
+                F.col("_h").alias("_hb"), F.col("_id").alias("id_b")
+            )
+            cand = (
+                pa.join(
+                    pb,
+                    (pa["_h"] == pb["_hb"])
+                    & (F.col("id_a") < F.col("id_b")),
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            # Exact |A∩B| for CANDIDATES only: fan the pair list out to
+            # each side's grams (equi-joins keyed by id), count matches.
+            ca = cand.join(a, "id_a")
+            inter = (
+                ca.join(
+                    b,
+                    (ca["id_b"] == b["id_b"]) & (ca["_h"] == b["_hb"]),
+                )
+                .groupBy(ca["id_a"], ca["id_b"])
+                .agg(F.count(F.lit(1)).alias("_inter"))
+            )
+        else:
+            inter = (
+                a.join(
+                    b,
+                    (a["_h"] == b["_hb"]) & (F.col("id_a") < F.col("id_b")),
+                )
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_inter"))
+            )
         na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
         nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
         return (

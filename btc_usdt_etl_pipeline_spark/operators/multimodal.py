@@ -2,11 +2,23 @@
 
 Media payloads are opaque ``binary`` columns plus a typed metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.  The
-actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the decode
-kernels are stubbed: ``decode_stub=True`` produces deterministic fake
-features (hash-seeded), ``False`` raises ``NotImplementedError`` at the
-point a real codec would run.  Everything Spark-side — schema, batch
-iteration, partitioning, output contract — is real and tested.
+decode step is gated on codec IMPORTABILITY, checked inside the kernel
+(i.e. on the executor, where it actually matters):
+
+- ``decode="auto"`` (default): real decode where the codec imports
+  (PIL for images), deterministic hash-seeded fake features otherwise —
+  the same plan runs unchanged in a codec-less sandbox and a production
+  image with Pillow installed.
+- ``decode="stub"``: always the deterministic fake — the
+  oracle-replayable mode (q44 pins this so the DuckDB twin can recompute
+  features byte-for-byte).
+- ``decode="real"``: require the codec; raise ``NotImplementedError``
+  with the missing-dependency message if absent.
+
+This container ships no media codecs, so ``auto`` == ``stub`` here; the
+real branch is covered in tests via an injected fake ``PIL`` module.
+Everything Spark-side — schema, batch iteration, partitioning, output
+contract — is identical across the three modes.
 """
 
 from __future__ import annotations
@@ -65,30 +77,78 @@ def _fake_feature(payload: bytes | None, dim: int) -> list[float]:
     return [((h >> (i % 56)) % 997) / 997.0 for i in range(dim)]
 
 
+def _image_codec():
+    """The image codec module if importable on THIS process, else None.
+
+    Called inside the mapInPandas kernel so the check runs on the
+    executor (a heterogeneous cluster may have codecs on some images and
+    not others; the driver's site-packages prove nothing)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_image_feature(payload, dim: int, image_mod) -> list[float]:
+    """Decode → grayscale → mean-pool to ``dim`` floats in [0, 1]."""
+    import io  # noqa: PLC0415
+
+    if payload is None:
+        return [0.0] * dim
+    img = image_mod.open(io.BytesIO(bytes(payload))).convert("L")
+    side = max(int(dim**0.5), 1)
+    px = list(img.resize((side, side)).getdata())
+    n = len(px)
+    feats = []
+    for i in range(dim):
+        lo, hi = i * n // dim, max((i + 1) * n // dim, i * n // dim + 1)
+        cell = px[lo:hi] or [0]
+        feats.append(sum(cell) / (255.0 * len(cell)))
+    return feats
+
+
 def extract_features(
-    dim: int = 16, decode_stub: bool = True
+    dim: int = 16, decode: str = "auto"
 ) -> Callable[[DataFrame], DataFrame]:
     """Binary payload → float feature vector via Arrow-batched mapInPandas.
 
-    Batch shape: the iterator sees pandas DataFrames of
+    ``decode``: ``auto`` | ``stub`` | ``real`` (module docstring).  Batch
+    shape: the iterator sees pandas DataFrames of
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows; the kernel is
     pure per-row so partitioning is irrelevant to correctness — size
     partitions for memory (payload bytes × batch rows).
     """
+    if decode not in ("auto", "stub", "real"):
+        raise ValueError("decode must be auto | stub | real")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not decode_stub:
+        image_mod = None if decode == "stub" else _image_codec()
+        if decode == "real" and image_mod is None:
+            raise NotImplementedError(
+                "decode='real' requires an image codec (Pillow) on the "
+                "executors; pip install Pillow or use decode='auto'"
+            )
+
+        def feat(media_type: str, payload) -> list[float]:
+            if image_mod is not None and media_type == "image":
+                return _real_image_feature(payload, dim, image_mod)
+            if decode == "real":
                 raise NotImplementedError(
-                    "real media codecs (PIL/librosa/ffmpeg) are not "
-                    "available in this container"
+                    f"no codec for media_type={media_type!r} "
+                    "(audio/video codecs are not wired yet)"
                 )
+            return _fake_feature(payload, dim)
+
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "feature": [
-                        _fake_feature(p, dim) for p in pdf["payload"]
+                        feat(m, p)
+                        for m, p in zip(pdf["media_type"], pdf["payload"])
                     ],
                     "n_bytes": [
                         len(p) if p is not None else 0 for p in pdf["payload"]

@@ -111,3 +111,48 @@ def test_portable_hash60_matches_python(spark):
         portable_hash60(F.lit("hello world")).alias("h")
     ).first()["h"]
     assert val == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+
+
+def test_ngram_prefix_filter_identical_output(spark):
+    # PPJoin prefix filtering must be a pure optimization: identical
+    # (id_a, id_b, jaccard) rows as the full count-join, on corpora with
+    # shared boilerplate, near-dups, and disjoint texts.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=8),
+            min_size=2,
+            max_size=12,
+        ),
+        threshold=st.sampled_from([0.3, 0.5, 0.6, 0.8]),
+        unit=st.sampled_from(["char", "token"]),
+    )
+    def run(docs, threshold, unit):
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        n = 3 if unit == "char" else 2
+        plain = df.transform(
+            ngram_jaccard_pairs(n=n, threshold=threshold, unit=unit)
+        ).collect()
+        pref = df.transform(
+            ngram_jaccard_pairs(
+                n=n, threshold=threshold, unit=unit, prefix_filter=True
+            )
+        ).collect()
+        key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+        assert sorted(map(tuple, plain), key=lambda t: t[:2]) == sorted(
+            map(tuple, pref), key=lambda t: t[:2]
+        )
+
+    run()

@@ -1,0 +1,95 @@
+"""Bench regression gate: fail if any query regressed >1.5x vs baseline.
+
+Usage:
+    python tools/check_bench.py CURRENT.json [BASELINE.json]
+
+CURRENT is a bench.py output line saved to a file (or a file containing
+one JSON object).  BASELINE defaults to the highest-numbered
+``BENCH_r*.json`` in the repo root — i.e. the previous round's record.
+Queries present on only one side are reported but don't fail the gate
+(coverage moves between rounds); a total-time regression >1.5x fails
+regardless.  Sub-0.3 s queries are exempt from the per-query gate
+(scheduler noise dominates at that scale).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+MIN_SEC = 0.3
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read().strip()
+    # Accept either raw bench.py output (one JSON line, possibly amid
+    # log noise) or the driver's BENCH_r{N}.json wrapper ({"parsed": ...}).
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict):
+            return obj.get("parsed", obj)
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise ValueError(f"no bench JSON found in {path}")
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    cur = _load(sys.argv[1])
+    if len(sys.argv) > 2:
+        base_path = sys.argv[2]
+    else:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+        if not cands:
+            print("no BENCH_r*.json baseline found; nothing to compare")
+            return 0
+        base_path = cands[-1]
+    base = _load(base_path)
+    if cur.get("sf") != base.get("sf"):
+        print(
+            f"sf mismatch (current {cur.get('sf')} vs baseline "
+            f"{base.get('sf')}): ratios not comparable"
+        )
+        return 2
+
+    bq, cq = base.get("queries", {}), cur.get("queries", {})
+    failures = []
+    for name in sorted(set(bq) & set(cq)):
+        b, c = bq[name], cq[name]
+        ratio = c / b if b else float("inf")
+        flag = ""
+        if max(b, c) >= MIN_SEC and ratio > THRESHOLD:
+            failures.append(name)
+            flag = "  << REGRESSED"
+        print(f"{name:35s} {b:7.3f}s -> {c:7.3f}s  ({ratio:4.2f}x){flag}")
+    for name in sorted(set(bq) - set(cq)):
+        print(f"{name:35s} dropped from headline set (was {bq[name]:.3f}s)")
+    for name in sorted(set(cq) - set(bq)):
+        print(f"{name:35s} new this round ({cq[name]:.3f}s)")
+
+    bt, ct = base.get("value"), cur.get("value")
+    tratio = ct / bt if bt else float("inf")
+    print(f"{'TOTAL':35s} {bt:7.3f}s -> {ct:7.3f}s  ({tratio:4.2f}x)")
+    if tratio > THRESHOLD:
+        failures.append("TOTAL")
+    if failures:
+        print(f"\nFAIL: {len(failures)} regression(s) >{THRESHOLD}x: "
+              + ", ".join(failures))
+        return 1
+    print(f"\nOK: no query regressed >{THRESHOLD}x vs {base_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
