@@ -2002,6 +2002,378 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 widening: pivot, range join, vector centroids, dedup clusters,
+# deterministic sampling, rolling median
+# ---------------------------------------------------------------------------
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "q59_pivot",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+               f"CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): one column per event type, exact decimal sums.
+    The pivot values are PINNED — an unpinned ``pivot(col)`` runs an
+    extra distinct-collect job to discover them, and at 100 TB column
+    discovery must not cost a scan.  One shuffle (the groupBy); the
+    per-type conditional sums are map-side partials."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(exact_sum("value"))
+    )
+
+
+_RJ_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00 UTC, µs
+_RJ_STEP_US = 25 * 3600 * 1_000_000  # interval start spacing: 25 h
+_RJ_SPAN_US = 50 * 3600 * 1_000_000  # interval length: 50 h (overlapping)
+
+
+@_q(
+    "q60_range_join",
+    f"""
+    WITH iv AS (SELECT n_nationkey,
+                       {_RJ_BASE_US} + n_nationkey * {_RJ_STEP_US}::BIGINT AS lo,
+                       {_RJ_BASE_US} + n_nationkey * {_RJ_STEP_US}::BIGINT
+                         + {_RJ_SPAN_US} AS hi
+                FROM nation),
+    p AS (SELECT epoch_us(ts) AS pt, value FROM events)
+    SELECT n_nationkey, COUNT(*) AS n_events,
+           {oracle_sum_sql('value')} AS sum_value
+    FROM p JOIN iv ON p.pt BETWEEN iv.lo AND iv.hi
+    GROUP BY n_nationkey
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed range_join operator (a
+    bare BETWEEN join condition would plan as BroadcastNestedLoopJoin —
+    quadratic past broadcast scale).  Synthetic overlapping maintenance
+    windows derive from nation keys; events land in every window
+    covering their timestamp; day-wide buckets keep the equi-join
+    selective at ~2 cells per 50 h interval."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import range_join
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (
+            F.lit(_RJ_BASE_US)
+            + F.col("n_nationkey").cast("long") * F.lit(_RJ_STEP_US)
+        ).alias("lo"),
+        (
+            F.lit(_RJ_BASE_US)
+            + F.col("n_nationkey").cast("long") * F.lit(_RJ_STEP_US)
+            + F.lit(_RJ_SPAN_US)
+        ).alias("hi"),
+    )
+    p = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("pt"), "value"
+    )
+    joined = p.transform(
+        range_join(
+            n, point_col="pt", lo_col="lo", hi_col="hi",
+            bucket_width=86_400 * 1_000_000,
+        )
+    )
+    return joined.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
+@_q(
+    "q61_embedding_centroids",
+    f"""
+    SELECT label, t.i AS dim_idx,
+           round({oracle_avg_sql('CAST(embedding[t.i + 1] AS DOUBLE)')}, 6)
+             AS centroid_r
+    FROM embeddings, range(0, 64) AS t(i)
+    GROUP BY label, t.i
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in the EXPLODED layout: one
+    (label, dim) row per partial — the shape that scales (fixed-width
+    rows, decimal-exact partial sums shuffled by (label, dim), no
+    array-typed agg state, driver-canonicalizable output).  The wide
+    alternative (aggregate(zip_with...)) keeps a dim-length array in
+    every agg buffer and re-serializes it per row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "val")
+    )
+    return (
+        ex.groupBy("label", F.col("dim_idx").cast("long").alias("dim_idx"))
+        .agg(
+            F.round(exact_avg(F.col("val").cast("double")), 6).alias(
+                "centroid_r"
+            )
+        )
+    )
+
+
+@_q(
+    "q62_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+          FROM tok WHERE len(toks) >= 3),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a, g b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.8),
+    bi AS (SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+    walk(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+        UNION
+        SELECT b.v, w.label FROM walk w JOIN bi b ON w.node = b.u
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS: min-label-propagation connected
+    components over the exact token-3-gram Jaccard ≥ 0.8 edge set (the
+    q38 pairs).  This is the step a dedup pipeline actually needs —
+    elect one representative per transitive duplicate group.  The
+    oracle walks the same graph with a recursive CTE; both sides assign
+    each node the min doc_id reachable from it."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token",
+        )
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@_q(
+    "q63_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)),
+                          1, 15))::BIGINT % 10000
+          < CASE WHEN lang = 'en' THEN 1000 ELSE 3000 END
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (downsample the over-represented
+    stratum): keep 10% of English docs, 30% of everything else, chosen by
+    a portable keyed hash — reproducible under any partitioning, engine,
+    or rerun, and append-stable for incremental pipelines.  Pure
+    map-side filter: no shuffle, no RNG state, oracle replays the exact
+    kept set."""
+    from btc_usdt_etl_pipeline_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        hash_sample(
+            "doc_id",
+            rate_bp=3000,
+            stratum_col="lang",
+            stratum_rates_bp={"en": 1000},
+        )
+    ).select("doc_id", "lang", "source")
+
+
+@_q(
+    "q64_rolling_median",
+    """
+    WITH a AS (
+      SELECT event_id, user_id,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+      FROM events)
+    SELECT event_id, user_id,
+           round((arr[CAST((len(arr) - 1) // 2 AS INT) + 1]
+                  + arr[CAST(len(arr) // 2 AS INT) + 1]) * 0.5, 6)
+             AS roll_med
+    FROM a
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row median per user — an order statistic over a moving
+    frame, which no built-in Spark window aggregate computes exactly.
+    Implemented as sort-the-frame (collect_list over the frame +
+    array_sort + midpoint formula) — O(k log k) per row for frame k,
+    entirely codegen.  The midpoint is written as
+    (arr[(n-1)/2] + arr[n/2]) * 0.5 on BOTH engines (one formula, odd
+    and even n) so the doubles match bit-for-bit; DuckDB's
+    quantile_cont-over-window would interpolate as lo + (hi-lo)*q —
+    up to 1 ulp apart, enough to flake a value-hash gate."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr_df = e.select(
+        "event_id",
+        "user_id",
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+    )
+    n = F.size("arr")
+    lo = F.element_at("arr", (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at("arr", (F.floor(n / 2) + 1).cast("int"))
+    return arr_df.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) * F.lit(0.5), 6).alias("roll_med"),
+    )
+
+
+@_q(
+    "q65_stream_interval_join",
+    """
+    SELECT s.event_id AS signup_id, s.user_id,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 h of a signup by
+    the same user, drained with availableNow.  The event-time range in
+    the join condition is what bounds the state store (buffered rows
+    expire as the watermark passes signup_ts + 1 h); the batch SQL join
+    is the exact oracle because inner stream joins emit in append
+    mode."""
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        streaming_interval_join,
+    )
+
+    _tune(spark)
+
+    def _stream() -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .parquet(os.path.join(sf_dir, "events.parquet*"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    signups = (
+        _stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = streaming_interval_join(
+        signups, purchases, key_col="user_id", left_time="s_ts",
+        right_time="p_ts", upper="1 hour", watermark="100 days",
+    ).select("signup_id", "user_id", "purchase_id", "purchase_value")
+    name = "q65_stream_interval_join_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(joined, name, ckpt, output_mode="append")
+        return spark.table(name).localCheckpoint()
+
+
+_Q66_SAMPLE_SQL = (
+    "('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 10000 < 5000"
+)
+
+
+@_q(
+    "q66_corpus_pipeline",
+    f"""
+    WITH RECURSIVE
+    base AS (SELECT * FROM documents WHERE n_chars >= 200),
+    tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+          FROM tok WHERE len(toks) >= 3),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a, g b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.s, b.s))::DOUBLE
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.8),
+    bi AS (SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+    walk(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+        UNION
+        SELECT b.v, w.label FROM walk w JOIN bi b ON w.node = b.u
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    drops AS (SELECT node FROM comp WHERE node != component)
+    SELECT doc_id, lang, source, n_chars
+    FROM base
+    WHERE doc_id NOT IN (SELECT node FROM drops)
+      AND {_Q66_SAMPLE_SQL}
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus pipeline, composed from the
+    library: length filter → exact-Jaccard near-dup clustering → keep
+    one representative (min doc_id) per cluster → deterministic 50%
+    hash sample.  One query, four operators, every stage
+    shuffle-bounded; the oracle replays the whole chain including the
+    graph walk and the portable sample hash."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    pairs = d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token",
+        )
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("component")).select("node")
+    kept = d.join(
+        drops, d["doc_id"] == drops["node"], "left_anti"
+    )
+    return kept.transform(hash_sample("doc_id", rate_bp=5000)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 

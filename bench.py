@@ -41,6 +41,12 @@ HEADLINE = [
     "q45_session_windows",
     "q48_grouping_sets",
     "q51_crossover_backtest",
+    "q59_pivot",
+    "q60_range_join",
+    "q61_embedding_centroids",
+    "q62_dedup_clusters",
+    "q63_stratified_sample",
+    "q64_rolling_median",
 ]
 
 

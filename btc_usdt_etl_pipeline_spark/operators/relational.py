@@ -125,3 +125,59 @@ def global_top_k(
         return df.orderBy(*order_by).limit(k)
 
     return _t
+
+
+def range_join(
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> Callable[[DataFrame], DataFrame]:
+    """Point-in-interval join WITHOUT a nested-loop plan.
+
+    Spark turns a bare ``p BETWEEN lo AND hi`` join condition into
+    BroadcastNestedLoopJoin (or worse, a cartesian product) — quadratic
+    work the moment the interval side outgrows broadcast.  The scale
+    idiom is bucketing: chop the number line into fixed ``bucket_width``
+    cells, explode each interval onto every cell it covers, and
+    equi-join on the point's single cell, refining with the exact
+    BETWEEN predicate.  Each (point, interval) pair meets in exactly one
+    bucket — the point's — so no post-join dedup is needed.
+
+    Shuffle is keyed by bucket (hash join); cost is
+    Σ points(bucket)·intervals_covering(bucket).  Pick ``bucket_width``
+    near the TYPICAL interval length: much smaller multiplies the
+    interval explode fan-out (≈ len/width cells per interval), much
+    larger piles unrelated points and intervals into the same cell.
+    Columns must be numeric/epoch (cast timestamps first).  Intervals
+    are treated as closed on both ends, mirroring SQL BETWEEN.
+    """
+    if how != "inner":
+        raise ValueError("only how='inner' is implemented")
+
+    def _t(points: DataFrame) -> DataFrame:
+        w = F.lit(bucket_width)
+        pb = points.withColumn(
+            "_rb", F.floor(F.col(point_col) / w).cast("long")
+        )
+        ib = intervals.withColumn(
+            "_rb",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / w).cast("long"),
+                    F.floor(F.col(hi_col) / w).cast("long"),
+                )
+            ),
+        )
+        return (
+            pb.join(ib, "_rb")
+            .filter(
+                (F.col(point_col) >= F.col(lo_col))
+                & (F.col(point_col) <= F.col(hi_col))
+            )
+            .drop("_rb")
+        )
+
+    return _t

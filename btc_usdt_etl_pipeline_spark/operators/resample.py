@@ -136,7 +136,7 @@ def resample_by_count(
     sort_output: bool = True,
     partition_by: Sequence[str] = (),
     strategy: str = "auto",
-    sort_threshold_rows: int = 50_000_000,
+    sort_threshold_bytes: int = 1_500_000_000,
 ) -> Callable[[DataFrame], DataFrame]:
     """Reference-faithful row-count resample: every ``n`` consecutive rows
     (by ``time_col``) → one OHLCV bar.
@@ -153,7 +153,12 @@ def resample_by_count(
     reference's plan shape; fastest while a single task can sort the
     series — measured 3.5× faster at month scale), ``'bucket'`` = the
     two-pass bucket-offset index (parallel everywhere; the only option
-    beyond single-task scale), ``'auto'`` = count once and pick.
+    beyond single-task scale), ``'auto'`` = pick from Catalyst's plan
+    statistics (``sizeInBytes`` — derived from file sizes, zero extra
+    actions; the previous ``df.count()`` gate cost a full scan before
+    the real job, which at 100 TB is an hour of cluster time spent
+    deciding how to spend the next hour).  ``sort_threshold_bytes``
+    approximates the 50 M-row crossover at ~30 B/row scan size.
     """
     if strategy not in ("auto", "sort", "bucket"):
         raise ValueError("strategy must be auto | sort | bucket")
@@ -178,9 +183,16 @@ def resample_by_count(
                 # Measured (SCALE.md §4.8): at reference month scale
                 # (2.7M rows) one in-memory sort beats the two-pass
                 # bucket index ~3.5x; the bucket path wins only once a
-                # single task can't hold/sort the data.  One count is
-                # cheaper than the bucket path's own pre-pass.
-                use_bucket = df.count() > sort_threshold_rows
+                # single task can't hold/sort the data.  Decided from
+                # Catalyst's size estimate — a plan-metadata lookup, no
+                # job, no scan.
+                size = (
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                use_bucket = int(size) > sort_threshold_bytes
             if use_bucket:
                 indexed = with_global_index(df, time_col)
             else:

@@ -72,6 +72,37 @@ def streaming_sessionize(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within
+    ``[left.time, left.time + upper]`` for the same key.
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time range — that is what lets Spark BOUND the join
+    state (a key's buffered rows expire once the watermark passes
+    ``left.time + upper``); an equality-only stream-stream join would
+    buffer both streams forever.  Inner joins emit in append mode, so
+    an ``availableNow`` drain equals the equivalent batch join — the
+    oracle contract.  Callers must pre-rename columns so the two sides
+    share only ``key_col``.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key_col])
+
+
 def run_available_now(
     result: DataFrame,
     table_name: str,

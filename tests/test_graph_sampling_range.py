@@ -1,0 +1,173 @@
+"""Unit/property tests for the round-2 operators: connected components,
+deterministic hash sampling, and the bucketed range join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.graph import connected_components
+from btc_usdt_etl_pipeline_spark.operators.relational import range_join
+from btc_usdt_etl_pipeline_spark.operators.sampling import hash_sample
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_property_vs_union_find(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        assert got == _py_components(edges)
+
+    run()
+
+
+def test_cc_chain_worst_case(spark):
+    # A 12-node path is the diameter worst case for min-label
+    # propagation: every label must travel the full chain.
+    edges = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    t = hash_sample(
+        "doc_id", rate_bp=5000, stratum_col="lang",
+        stratum_rates_bp={"en": 500},
+    )
+    kept1 = sorted(r.doc_id for r in df.transform(t).collect())
+    kept2 = sorted(
+        r.doc_id for r in df.repartition(17).transform(t).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent
+    en = sum(1 for i in kept1 if i % 2 == 0)
+    de = len(kept1) - en
+    # 1000 docs per stratum at 5% / 50%: generous binomial bounds
+    assert 20 <= en <= 90
+    assert 380 <= de <= 620
+    # boundary rates
+    assert df.transform(hash_sample("doc_id", rate_bp=0)).count() == 0
+    assert df.transform(hash_sample("doc_id", rate_bp=10_000)).count() == 2000
+    # a different salt draws a different sample
+    kept3 = sorted(
+        r.doc_id
+        for r in df.transform(
+            hash_sample("doc_id", rate_bp=5000, salt="s2")
+        ).collect()
+    )
+    assert kept3 != sorted(
+        r.doc_id
+        for r in df.transform(hash_sample("doc_id", rate_bp=5000)).collect()
+    )
+
+
+def test_hash_sample_validation(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="rate_bp"):
+        hash_sample("doc_id", rate_bp=10_001)
+    with pytest.raises(ValueError, match="stratum_col"):
+        df.transform(
+            hash_sample("doc_id", stratum_rates_bp={"en": 10})
+        ).collect()
+
+
+def test_range_join_property_vs_naive(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(
+            st.integers(min_value=-100, max_value=100),
+            min_size=1, max_size=20, unique=True,
+        ),
+        ivs=st.lists(
+            st.tuples(
+                st.integers(min_value=-100, max_value=100),
+                st.integers(min_value=0, max_value=60),
+            ),
+            min_size=1, max_size=10,
+        ),
+        width=st.sampled_from([1, 7, 64, 1000]),
+    )
+    def run(pts, ivs, width):
+        points = spark.createDataFrame([(p,) for p in pts], "pt long")
+        intervals = spark.createDataFrame(
+            [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)],
+            "iv_id long, lo long, hi long",
+        )
+        got = sorted(
+            (r.pt, r.iv_id)
+            for r in points.transform(
+                range_join(
+                    intervals, "pt", "lo", "hi", bucket_width=width
+                )
+            ).collect()
+        )
+        want = sorted(
+            (p, i)
+            for p in pts
+            for i, (lo, ln) in enumerate(ivs)
+            if lo <= p <= lo + ln
+        )
+        assert got == want
+
+    run()
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    points = spark.range(1000).select(F.col("id").alias("pt"))
+    intervals = spark.range(100).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 7).alias("lo"),
+        (F.col("id") * 7 + 20).alias("hi"),
+    )
+    plan = points.transform(
+        range_join(intervals, "pt", "lo", "hi", bucket_width=16)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
