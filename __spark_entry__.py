@@ -2373,6 +2373,257 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q67_unpivot",
+    f"""
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem)
+    SELECT measure, COUNT(*) AS n, {oracle_sum_sql('val')} AS total
+    FROM m GROUP BY measure
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) + aggregate: the inverse of q59.  Spark's
+    native ``unpivot`` is a zero-shuffle generator (each input row emits
+    one row per measure inside the scan stage); the only exchange is the
+    final 3-group aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("val").alias("total")
+    )
+
+
+@_q(
+    "q68_gap_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events)
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling (LOCF): every event carries the value of the user's
+    most recent purchase — the sparse→dense feature the reference's
+    pandas notebooks do with ``ffill``, here as a single per-key window
+    (parallel across users, incremental frame state)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import fill_forward
+
+    e = _t(spark, sf_dir, "events")
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "last_purchase_value"
+        ),
+    )
+    return sparse.transform(
+        fill_forward(
+            ["last_purchase_value"],
+            order_cols=["ts", "event_id"],
+            partition_by=["user_id"],
+        )
+    ).select("event_id", "user_id", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Financial indicator pack (reference notebooks' pandas TA re-expressed as
+# per-key window plans: parallel across users, incremental frame state)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q69_vwap",
+    f"""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {oracle_sum_sql("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")}
+             / nullif(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS vwap,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume
+    FROM events GROUP BY user_id, day
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP per user: Σ(price·volume)/Σ(volume) with the JSON
+    ``props.k`` payload as volume — composes typed JSON extraction (F4)
+    with the decimal-exact sum idiom.  One hash aggregation keyed by
+    (user, day): partial aggregation map-side, no window, no skew
+    (every user trades every day in this data; at scale a hot symbol
+    is AQE-split).  Price·volume is a double product on BOTH engines
+    before the decimal cast, so the sums are bit-identical."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    pv = F.col("value") * k
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (exact_sum(pv) / F.nullif(F.sum(k), F.lit(0))).alias("vwap"),
+        F.sum(k).alias("volume"),
+    )
+
+
+@_q(
+    "q70_drawdown",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events WHERE value > 0)
+    SELECT user_id,
+           MIN(value / peak - 1.0) AS max_drawdown,
+           MAX(peak) AS peak_value,
+           COUNT(*) AS n
+    FROM r GROUP BY user_id
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: running peak (incremental
+    unbounded-preceding MAX — order-insensitive inside the frame, so no
+    float drift possible) then the worst peak-relative dip.  ``event_id``
+    tiebreaks equal timestamps so the frame boundary is total-ordered.
+    value/peak − 1 is a single IEEE division+subtraction, identical on
+    both engines — no rounding needed."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return (
+        e.select("user_id", "value", peak.alias("peak"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("value") / F.col("peak") - 1.0).alias(
+                "max_drawdown"
+            ),
+            F.max("peak").alias("peak_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q71_atr",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             MAX(value) AS high, MIN(value) AS low,
+             ARG_MAX(value, ts) AS close
+      FROM events GROUP BY user_id, day),
+    tr AS (
+      SELECT user_id, day, high, low,
+             GREATEST(high - low,
+                      ABS(high - lag(close) OVER w),
+                      ABS(low - lag(close) OVER w)) AS true_range
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day))
+    SELECT user_id, day, true_range,
+           CAST(SUM(CAST(true_range AS DECIMAL(38,6))) OVER w14 AS DOUBLE)
+             / COUNT(true_range) OVER w14 AS atr14
+    FROM tr
+    WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) per user: daily OHLC bars (A1) → Wilder true range
+    (GREATEST over gap-aware candidates; both engines skip the NULL
+    lag on day 1, Postgres-style) → decimal-exact rolling mean.  The
+    agg shrinks events to per-user daily bars FIRST, so the window
+    stage runs on metadata-sized series — the 100 TB shape: one shuffle
+    keyed (user, day), one keyed (user)."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("day")
+    prev_close = F.lag("close").over(wb)
+    tr = bars.select(
+        "user_id",
+        "day",
+        "high",
+        "low",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        ).alias("true_range"),
+    )
+    w14 = wb.rowsBetween(-13, 0)
+    atr = F.sum(F.col("true_range").cast("decimal(38,6)")).over(w14).cast(
+        "double"
+    ) / F.count("true_range").over(w14)
+    return tr.select(
+        "user_id", "day", "true_range", atr.alias("atr14")
+    )
+
+
+@_q(
+    "q72_ewma",
+    """
+    SELECT event_id, user_id,
+           (value
+            + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * l1 END
+            + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * l2 END
+            + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * l3 END
+            + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 * l4 END)
+           /
+           (1.0
+            + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+            + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+            + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+            + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END) AS ewma
+    FROM (SELECT event_id, user_id, value,
+                 lag(value, 1) OVER w AS l1,
+                 lag(value, 2) OVER w AS l2,
+                 lag(value, 3) OVER w AS l3,
+                 lag(value, 4) OVER w AS l4
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (decay ½, 5 taps) per user series.  The infinite
+    recursion y_t = αx_t + (1−α)y_{t−1} is sequential by construction;
+    truncating at 5 taps (weight 1/16, <7% tail mass) turns it into a
+    bounded window of lags — fully parallel, incremental frame state,
+    and bit-reproducible because both engines evaluate the SAME
+    left-associated chain of IEEE adds.  (The exact recursive form is
+    the grouped-map surface's job — see q57 — but a declarative
+    truncation is what you'd actually run at 100 TB.)"""
+    e = _t(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num: Column = F.col("value")
+    den: Column = F.lit(1.0)
+    for i, wgt in ((1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625)):
+        lagc = F.lag("value", i).over(wb)
+        num = num + F.when(lagc.isNull(), 0.0).otherwise(F.lit(wgt) * lagc)
+        den = den + F.when(lagc.isNull(), 0.0).otherwise(F.lit(wgt))
+    return e.select(
+        "event_id", "user_id", (num / den).alias("ewma")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -47,6 +47,11 @@ HEADLINE = [
     "q62_dedup_clusters",
     "q63_stratified_sample",
     "q64_rolling_median",
+    "q66_corpus_pipeline",
+    "q67_unpivot",
+    "q68_gap_fill",
+    "q70_drawdown",
+    "q71_atr",
 ]
 
 

@@ -138,3 +138,39 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                 )
             )
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def fill_forward(
+    value_cols: Sequence[str],
+    order_cols: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> "Callable[[DataFrame], DataFrame]":
+    """Last-observation-carried-forward gap filling: each null takes the
+    most recent non-null value in its key's series.  ``order_cols``
+    should be a total order (append a unique tiebreaker) or fills at
+    tied timestamps are nondeterministic.
+
+    One window per partition key (shuffle keyed by ``partition_by`` —
+    parallel across keys; for a single giant unkeyed series use the
+    bucketed carry in ``operators/asof.py``, same technique).  ``last``
+    with ``ignorenulls`` over an unbounded-preceding frame is
+    incremental state in the window exec — no per-row rescans.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        w = w.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = df
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w)
+            )
+        return out
+
+    return _t

@@ -1,0 +1,98 @@
+"""Empty-input robustness: every operator family must return an empty
+(but correctly-typed) result on zero rows, not raise mid-plan-build.
+
+At 100 TB a partition-pruned read, a dry landing directory, or an
+upstream filter that matches nothing all produce empty DataFrames; an
+operator that crashes on them takes the whole pipeline down."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
+from btc_usdt_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from btc_usdt_etl_pipeline_spark.operators.graph import connected_components
+from btc_usdt_etl_pipeline_spark.operators.relational import range_join
+from btc_usdt_etl_pipeline_spark.operators.resample import (
+    resample_by_count,
+    resample_by_time,
+)
+from btc_usdt_etl_pipeline_spark.operators.sampling import hash_sample
+from btc_usdt_etl_pipeline_spark.operators.similarity import lsh_top_k
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_family_empty(spark):
+    d = _empty_docs(spark)
+    assert d.transform(exact_dedup(["text"], "doc_id")).count() == 0
+    assert (
+        d.transform(
+            minhash_near_dedup(text_col="text", id_col="doc_id")
+        ).count()
+        == 0
+    )
+    assert (
+        d.transform(ngram_jaccard_pairs(n=3, unit="token")).count() == 0
+    )
+    assert (
+        d.transform(
+            ngram_jaccard_pairs(n=3, unit="token", prefix_filter=True)
+        ).count()
+        == 0
+    )
+    assert d.transform(simhash()).count() == 0
+
+
+def test_asof_empty_left_and_both(spark):
+    left = spark.createDataFrame([], "t long")
+    right = spark.createDataFrame([], "t long, px double")
+    assert asof_join(left, right, "t").count() == 0
+    some_right = spark.createDataFrame([(1, 2.0)], "t long, px double")
+    assert asof_join(left, some_right, "t").count() == 0
+
+
+def test_resample_empty(spark):
+    df = spark.createDataFrame(
+        [], "open_time long, open double, high double, low double, "
+        "close double, number_of_trades long",
+    )
+    assert df.transform(resample_by_count(strategy="bucket")).count() == 0
+    assert df.transform(resample_by_count(strategy="sort")).count() == 0
+    assert df.transform(resample_by_count(strategy="auto")).count() == 0
+    tdf = spark.createDataFrame([], "event_time timestamp, open double, "
+                                    "high double, low double, close double, "
+                                    "number_of_trades long")
+    assert tdf.transform(resample_by_time()).count() == 0
+
+
+def test_graph_sampling_range_empty(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+    docs = _empty_docs(spark)
+    assert docs.transform(hash_sample("doc_id", rate_bp=5000)).count() == 0
+    points = spark.createDataFrame([], "pt long")
+    ivs = spark.createDataFrame([], "iv_id long, lo long, hi long")
+    assert (
+        points.transform(
+            range_join(ivs, "pt", "lo", "hi", bucket_width=10)
+        ).count()
+        == 0
+    )
+
+
+def test_lsh_empty_corpus_typed_result(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "query_id long, embedding array<float>"
+    )
+    out = lsh_top_k(corpus, queries)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rnk"]

@@ -132,3 +132,33 @@ def test_resample_invariants_property(spark, n_rows, bucket, drop_mod):
     assert min(b.low for b in bars) == df.agg(F.min("low")).first()[0]
     times = [b.open_time for b in bars]
     assert times == sorted(times) and len(set(times)) == len(times)
+
+
+def test_fill_forward_multi_column_and_unkeyed(spark):
+    from btc_usdt_etl_pipeline_spark.operators.windows import fill_forward
+
+    rows = [
+        (1, 1, None, 10.0),
+        (1, 2, 5.0, None),
+        (1, 3, None, None),
+        (2, 1, None, None),
+        (2, 2, 7.0, 70.0),
+        (2, 3, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, a double, b double")
+    keyed = {
+        (r.k, r.t): (r.a, r.b)
+        for r in df.transform(
+            fill_forward(["a", "b"], ["t"], partition_by=["k"])
+        ).collect()
+    }
+    assert keyed == {
+        (1, 1): (None, 10.0), (1, 2): (5.0, 10.0), (1, 3): (5.0, 10.0),
+        (2, 1): (None, None), (2, 2): (7.0, 70.0), (2, 3): (7.0, 70.0),
+    }
+    unkeyed = {
+        (r.k, r.t): r.a
+        for r in df.transform(fill_forward(["a"], ["k", "t"])).collect()
+    }
+    # global series ordered by (k, t): the 5.0 at (1,2) carries into k=2
+    assert unkeyed[(2, 1)] == 5.0

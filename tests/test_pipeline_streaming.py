@@ -186,3 +186,61 @@ def test_streaming_ohlcv_equals_batch(spark):
         for s, b in zip(streamed, batch):
             assert s.window_start == b.window_start
             assert s.high == b.high and s.low == b.low
+
+
+def test_stream_interval_join_buffers_state_across_batches(spark):
+    # Stream-stream join: the left row arrives in batch 1, its matching
+    # right rows in batch 2 (maxFilesPerTrigger=1) — emitting the match
+    # proves the join state store buffered across the batch boundary.
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        run_available_now,
+        streaming_interval_join,
+    )
+
+    base = 1_700_000_000_000
+    with tempfile.TemporaryDirectory() as d:
+        f1 = [(101, 1, base, "L")]  # one left row
+        f2 = [
+            (201, 1, base + 60_000, "R"),        # +1 min: in range
+            (202, 1, base + 7_200_000, "R"),     # +2 h: out of range
+            (203, 2, base + 60_000, "R"),        # other key
+            (102, 2, base + 120_000, "L"),       # left in batch 2
+            (204, 2, base + 180_000, "R"),       # matches 102
+        ]
+        schema = "event_id long, user_id long, ts_ms long, side string"
+        spark.createDataFrame(f1, schema).write.parquet(f"{d}/in/f1.parquet")
+        spark.createDataFrame(f2, schema).write.parquet(f"{d}/in/f2.parquet")
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/in/*")
+                .withColumn("ts", F.timestamp_millis("ts_ms"))
+            )
+
+        left = (
+            _stream()
+            .filter(F.col("side") == "L")
+            .select(
+                F.col("event_id").alias("l_id"), "user_id",
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        right = (
+            _stream()
+            .filter(F.col("side") == "R")
+            .select(
+                F.col("event_id").alias("r_id"), "user_id",
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        joined = streaming_interval_join(
+            left, right, key_col="user_id", left_time="l_ts",
+            right_time="r_ts", upper="1 hour", watermark="10 days",
+        ).select("l_id", "r_id")
+        run_available_now(
+            joined, "t_ivjoin", f"{d}/ckpt", output_mode="append"
+        )
+        got = sorted((r.l_id, r.r_id) for r in spark.table("t_ivjoin").collect())
+        assert got == [(101, 201), (102, 204)]

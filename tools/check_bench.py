@@ -78,9 +78,19 @@ def main() -> int:
     for name in sorted(set(cq) - set(bq)):
         print(f"{name:35s} new this round ({cq[name]:.3f}s)")
 
-    bt, ct = base.get("value"), cur.get("value")
+    # Gate the total over SHARED queries only — the raw totals diverge
+    # whenever coverage grows, which is progress, not regression.
+    shared = set(bq) & set(cq)
+    bt = sum(bq[n] for n in shared)
+    ct = sum(cq[n] for n in shared)
     tratio = ct / bt if bt else float("inf")
-    print(f"{'TOTAL':35s} {bt:7.3f}s -> {ct:7.3f}s  ({tratio:4.2f}x)")
+    print(
+        f"{'TOTAL (shared)':35s} {bt:7.3f}s -> {ct:7.3f}s  ({tratio:4.2f}x)"
+    )
+    print(
+        f"{'TOTAL (all)':35s} {base.get('value'):7.3f}s -> "
+        f"{cur.get('value'):7.3f}s"
+    )
     if tratio > THRESHOLD:
         failures.append("TOTAL")
     if failures:
