@@ -2624,6 +2624,176 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q73_batch_sessionize",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM g)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {oracle_sum_sql('value')} AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) — the batch twin of
+    q50's streaming session windows: flag session starts with a lag on
+    epoch-µs (integer subtraction, no interval semantics to diverge),
+    number sessions with a running sum, then aggregate per session.
+    Two window passes + one agg, all keyed by user — fully parallel
+    across users, no iteration, no state store."""
+    e = _t(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(wb)
+    new_s = F.when(
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select("user_id", "event_id", "ts", "value", new_s.alias("new_s"))
+        .withColumn("session_id", F.sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "q74_length_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+           CAST(FLOOR(n_chars / 50) AS BIGINT) * 50 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY bucket
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling histogram: fixed-width doc-length binning — the
+    distribution check every training-data pipeline runs before setting
+    quality-filter thresholds.  Pure arithmetic bucketing (no
+    width_bucket UDF divergence), one hash agg over ~n_buckets groups:
+    partial aggregation collapses each scan partition to bucket counts
+    map-side, so the shuffle is a few hundred rows regardless of corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 50).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * 50)
+    )
+
+
+@_q(
+    "q75_quota_sample",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents) WHERE rnk <= 20
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: exactly N docs per stratum, chosen by
+    portable keyed-hash order so the pick is deterministic, uniform, and
+    append-stable (a new doc displaces at most one pick).  Complements
+    q63's rate-based stratified sample — quotas are what you use when
+    the downstream mix must be balanced (e.g. per-language eval sets).
+    Per-stratum top-k via rank-and-filter; at scale swap in the
+    partial-top-k pattern from operators/relational.py (each partition
+    keeps its local k before the shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+
+
+@_q(
+    "q76_kmeans",
+    """
+    WITH ex AS (
+      SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+      FROM embeddings, range(0, 64) AS t(i)),
+    seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+    c0 AS (SELECT s.cid, e.i, e.x AS c FROM seed s JOIN ex e USING (vec_id)),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(20,12))) AS dist
+      FROM ex e JOIN c0 c ON e.i = c.i
+      GROUP BY e.vec_id, c.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+        FROM d1) WHERE r = 1),
+    c1m AS (
+      SELECT a.cid, e.i,
+             CAST(SUM(CAST(e.x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM a1 a JOIN ex e USING (vec_id)
+      GROUP BY a.cid, e.i),
+    c1 AS (
+      SELECT c0.cid, c0.i, COALESCE(c1m.c, c0.c) AS c
+      FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid AND c0.i = c1m.i),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(20,12))) AS dist
+      FROM ex e JOIN c1 c ON e.i = c.i
+      GROUP BY e.vec_id, c.cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+        FROM d2) WHERE r = 1)
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a2
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 assignment rounds), fully hash-checked:
+    per-term decimal casts make every distance and coordinate reduction
+    order-insensitive, so the ITERATIVE algorithm is bit-reproducible
+    and the oracle replays it as chained CTEs — see
+    ml/clustering.py for the broadcast-literal / partial-agg scale
+    shape.  Deterministic init (k lowest ids), lowest-cid tie-breaks."""
+    from btc_usdt_etl_pipeline_spark.ml.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -52,6 +52,8 @@ HEADLINE = [
     "q68_gap_fill",
     "q70_drawdown",
     "q71_atr",
+    "q73_batch_sessionize",
+    "q76_kmeans",
 ]
 
 

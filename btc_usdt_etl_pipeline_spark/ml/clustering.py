@@ -1,0 +1,132 @@
+"""Lloyd's k-means as an iterative DataFrame algorithm.
+
+The reference has no clustering (its ML stack is an LSTM regression,
+``components/model/training.py``); this is north-star surface for the
+training-data pipeline: cluster embeddings to balance a corpus, pick
+diverse samples, or seed IVF cells (``operators/similarity.py``).
+
+Design for 100 TB:
+
+- **Centroids are broadcast as plan literals.**  k·dim doubles embedded
+  in the assignment expression — the per-iteration "model" rides the
+  closure, so assignment is a map-only stage: one pass over the vectors,
+  no join, no shuffle.
+- **The update is one partial-aggregated shuffle per iteration.**
+  ``posexplode`` → ``groupBy(cluster, dim)`` collapses each scan
+  partition to ≤ k·dim rows map-side (same exploded-layout argument as
+  the q61 centroids), so the exchange is KBs regardless of input size.
+- **The driver sync per iteration is k·dim values** — the irreducible
+  Lloyd barrier (Spark MLlib's KMeans does the same via collect); it is
+  metadata-scale, not data-scale.
+- **Every float reduction is order-insensitive.**  Squared-distance
+  terms and coordinate sums are cast to decimal per element before
+  summation, so results are bit-identical under any partitioning/merge
+  order — which is also what makes the whole iterative algorithm
+  DuckDB-oracle-replayable (q76), rare for distributed k-means.
+
+Determinism: init = the vectors of the k lowest ids (no RNG state to
+replay); distance ties pick the lowest cluster id; empty clusters keep
+their previous centroid (standard Lloyd fallback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 12dp keeps discrimination between near-equal squared distances; the
+#: coordinate sums reuse the engine-wide 6dp idiom (functions.DEC).
+#: Term (20,12) + accumulator (30,12): every fold addition widens to
+#: (31,12) — NO precision loss, no rounding — then recasts to (30,12),
+#: which is exact while |sum| < 10^18.  (A (38,12) accumulator would
+#: make Spark shrink the merge result to scale 11, silently rounding
+#: each step — the type checker rejects it, and rightly so.)
+DEC_TERM = "decimal(20,12)"
+DEC_ACC = "decimal(30,12)"
+DEC6 = "decimal(38,6)"
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Exact-decimal squared L2 distance between an array<double> column
+    and a literal centroid.  Each (x-c)^2 term is an IEEE double product
+    (identical on any engine) cast to decimal BEFORE the fold, so the
+    sum is exact and order-free."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    terms = F.zip_with(
+        vec, lit, lambda x, c: ((x - c) * (x - c)).cast(DEC_TERM)
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(DEC_ACC),
+        lambda acc, t: (acc + t).cast(DEC_ACC),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations and return the final assignment
+    ``(id_col, cluster)``.  See module docstring for the scale shape."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_v"
+        ),
+    ).persist()
+    try:
+        seeds = base.orderBy("_id").limit(k).collect()
+        if not seeds:
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, cluster int"
+            )
+        centroids: dict[int, list[float]] = {
+            cid: list(r._v) for cid, r in enumerate(seeds)
+        }
+        assigned = None
+        for it in range(iters):
+            dists = F.array(
+                *[_sqdist(F.col("_v"), centroids[c]) for c in sorted(centroids)]
+            )
+            cluster = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+            assigned = base.select(
+                "_id", "_v", cluster.alias("cluster")
+            )
+            if it == iters - 1:
+                break  # final assignment needs no further update
+            # Update: exploded layout, decimal-exact partial sums; the
+            # mean is CAST(sum AS DOUBLE)/n — double division, never
+            # decimal division (engines round decimal quotients
+            # differently).
+            rows = (
+                assigned.select(
+                    "cluster", F.posexplode("_v").alias("i", "x")
+                )
+                .groupBy("cluster", "i")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast(DEC6)).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("c")
+                )
+                .collect()
+            )
+            fresh: dict[int, dict[int, float]] = {}
+            for r in rows:
+                fresh.setdefault(r.cluster, {})[r.i] = r.c
+            for cid, by_dim in fresh.items():
+                centroids[cid] = [
+                    by_dim[i] for i in range(len(by_dim))
+                ]
+            # clusters absent from `fresh` (emptied out) keep their
+            # previous centroid
+        return assigned.select(
+            F.col("_id").alias(id_col), "cluster"
+        )
+    finally:
+        base.unpersist()
