@@ -2794,6 +2794,127 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=4, iters=2)
 
 
+@_q(
+    "q77_calendar_densify",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ARG_MAX(value, ts) AS close
+      FROM events GROUP BY user_id, day),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             FROM bars GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span),
+    j AS (SELECT s.user_id, s.day, b.close
+          FROM spine s LEFT JOIN bars b
+            ON s.user_id = b.user_id AND s.day = b.day)
+    SELECT user_id, day,
+           last_value(close IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+           close IS NULL AS imputed
+    FROM j
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: emit a row for EVERY day in each user's
+    span (sequence-explode spine), left-join the real bars, LOCF-fill
+    the gaps — the dense, gap-free series the reference's resample
+    notebooks assume.  The spine is generated per key from min/max (two
+    cheap aggs), so no driver-side date loop and no cross join; the
+    fill is the q68 operator.  ``imputed`` marks carried rows."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import fill_forward
+
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    span = bars.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    dense = spine.join(bars, ["user_id", "day"], "left").withColumn(
+        "imputed", F.col("close").isNull()
+    )
+    return dense.transform(
+        fill_forward(["close"], order_cols=["day"], partition_by=["user_id"])
+    ).select("user_id", "day", "close", "imputed")
+
+
+@_q(
+    "q78_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS sxx,
+             COUNT(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    v AS (
+      SELECT event_id, user_id, value, n,
+             sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM s WHERE n >= 2)
+    SELECT event_id, user_id,
+           CASE WHEN var > 0 THEN (value - mean) / sqrt(var) END AS z,
+           CASE WHEN var > 0 THEN abs((value - mean) / sqrt(var)) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM v
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (20-row window per user): decimal-
+    exact Σx/Σx² make mean/variance order-insensitive, and the remaining
+    float chain (subtract, divide, correctly-rounded IEEE sqrt) is the
+    SAME expression on both engines, so z is bit-identical with no
+    rounding.  Degenerate windows (n<2 or zero variance — cancellation
+    can leave var ≤ 0) yield null z / false flag on both sides."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    sx = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("value").over(w)
+    s = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        n.alias("n"),
+    ).filter(F.col("n") >= 2)
+    mean = F.col("sx") / F.col("n")
+    var = (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return s.select(
+        "event_id",
+        "user_id",
+        F.when(var > 0, z).alias("z"),
+        F.when(var > 0, F.abs(z) > 3.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
