@@ -2915,6 +2915,128 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q79_rolling_beta",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ARG_MAX(value, ts) AS close
+      FROM events GROUP BY user_id, day),
+    mkt AS (
+      SELECT day,
+             CAST(SUM(CAST(close AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(close) AS m
+      FROM bars GROUP BY day),
+    r AS (
+      SELECT b.user_id, b.day,
+             b.close / lag(b.close) OVER w - 1.0 AS ru,
+             m.m / lag(m.m) OVER w - 1.0 AS rm
+      FROM bars b JOIN mkt m USING (day)
+      WINDOW w AS (PARTITION BY b.user_id ORDER BY b.day)),
+    s AS (
+      SELECT user_id, day,
+             CAST(SUM(CAST(ru * rm AS DECIMAL(38,12))) OVER w20 AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ru AS DECIMAL(38,12))) OVER w20 AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rm AS DECIMAL(38,12))) OVER w20 AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rm * rm AS DECIMAL(38,12))) OVER w20 AS DOUBLE)
+               AS syy,
+             COUNT(*) OVER w20 AS n
+      FROM r WHERE ru IS NOT NULL AND rm IS NOT NULL
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           CASE WHEN n >= 2 AND (syy - sy * sy / n) > 0
+                THEN (sxy - sx * sy / n) / (syy - sy * sy / n) END AS beta20
+    FROM s
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day beta of each user's daily returns against the
+    cross-sectional "market" mean: two-level aggregation (events→bars→
+    market), a join of bar series to the market series (market is
+    day-count sized — Spark broadcasts it), then one windowed
+    covariance/variance ratio with decimal-exact moments and an
+    engine-identical float tail.  The (n−1) factors cancel in the
+    ratio, keeping the expression short and exactly mirrored."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    mkt = bars.groupBy("day").agg(
+        (
+            F.sum(F.col("close").cast("decimal(38,6)")).cast("double")
+            / F.count("close")
+        ).alias("m")
+    )
+    wb = Window.partitionBy("user_id").orderBy("day")
+    joined = bars.join(F.broadcast(mkt), "day")
+    r = joined.select(
+        "user_id",
+        "day",
+        (F.col("close") / F.lag("close").over(wb) - 1.0).alias("ru"),
+        (F.col("m") / F.lag("m").over(wb) - 1.0).alias("rm"),
+    ).filter(F.col("ru").isNotNull() & F.col("rm").isNotNull())
+    w20 = wb.rowsBetween(-19, 0)
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(38,12)")).over(w20).cast("double")
+
+    s = r.select(
+        "user_id",
+        "day",
+        dsum(F.col("ru") * F.col("rm")).alias("sxy"),
+        dsum(F.col("ru")).alias("sx"),
+        dsum(F.col("rm")).alias("sy"),
+        dsum(F.col("rm") * F.col("rm")).alias("syy"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    var = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    return s.select(
+        "user_id",
+        "day",
+        F.when((F.col("n") >= 2) & (var > 0), cov / var).alias("beta20"),
+    )
+
+
+@_q(
+    "q80_repetition_ratio",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
+          FROM tok WHERE len(toks) >= 3),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_count,
+           MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal: the share of a document's token
+    trigrams taken by its single most repeated trigram — the standard
+    boilerplate/spam detector (high share = TOS pages, keyword stuffing,
+    degenerate generations).  Same gram definition as q30/q38 dedup, so
+    one tokenize feeds the whole quality stack.  explode → two-level
+    count is all partial-aggregated; no per-doc map state."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import shingles, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tri = shingles(tokens("text"), 3)
+    ex = d.select("doc_id", F.explode(tri).alias("gram"))
+    counts = ex.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_count"),
+        (F.max("cnt") / F.sum("cnt").cast("double")).alias("top_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
