@@ -54,6 +54,10 @@ HEADLINE = [
     "q71_atr",
     "q73_batch_sessionize",
     "q76_kmeans",
+    "q77_calendar_densify",
+    "q78_anomaly_zscore",
+    "q79_rolling_beta",
+    "q80_repetition_ratio",
 ]
 
 

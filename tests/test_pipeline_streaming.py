@@ -188,6 +188,35 @@ def test_streaming_ohlcv_equals_batch(spark):
             assert s.high == b.high and s.low == b.low
 
 
+def test_stream_static_broadcast_enrichment(spark):
+    # Stream-static join: the static dimension side is re-resolved per
+    # micro-batch and broadcast (no state store, no watermark needed) —
+    # the standard enrichment shape for reference-data joins at scale.
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import run_available_now
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, i % 3, float(i)) for i in range(30)]
+        spark.createDataFrame(
+            rows, "event_id long, dim_id long, value double"
+        ).write.parquet(f"{d}/in/f0.parquet")
+        dim = spark.createDataFrame(
+            [(0, "bronze"), (1, "silver"), (2, "gold")],
+            "dim_id long, tier string",
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, dim_id long, value double"
+            )
+            .parquet(f"{d}/in/*")
+            .join(F.broadcast(dim), "dim_id")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        run_available_now(stream, "t_enriched", f"{d}/ckpt")
+        got = {r.tier: r.n for r in spark.table("t_enriched").collect()}
+        assert got == {"bronze": 10, "silver": 10, "gold": 10}
+
+
 def test_stream_interval_join_buffers_state_across_batches(spark):
     # Stream-stream join: the left row arrives in batch 1, its matching
     # right rows in batch 2 (maxFilesPerTrigger=1) — emitting the match

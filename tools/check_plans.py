@@ -73,6 +73,27 @@ def main() -> int:
         check(name, "BroadcastHashJoin" in kinds, "dim join broadcasts")
         check(name, "SortMergeJoin" not in kinds, "no sort-merge on dim join")
 
+    # q74: profiling histogram must prune to the single needed column
+    df = qs["q74_length_histogram"](spark, SF_DIR)
+    check(
+        "q74",
+        all(len(cols) <= 1 for cols in read_columns(df)),
+        "histogram reads only n_chars",
+    )
+
+    # q69: VWAP needs 4 of events' 6 columns — pruning through the
+    # explicit-schema read and the parallelism repartition
+    df = qs["q69_vwap"](spark, SF_DIR)
+    check(
+        "q69",
+        all(len(cols) <= 4 for cols in read_columns(df)),
+        "vwap reads <=4 event columns",
+    )
+
+    # q79: the market series join must broadcast (day-count sized)
+    kinds = join_kinds(qs["q79_rolling_beta"](spark, SF_DIR))
+    check("q79", "BroadcastHashJoin" in kinds, "market join broadcasts")
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
