@@ -3037,6 +3037,109 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q81_twap",
+    f"""
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT user_id, day,
+           CAST(SUM(CAST(value * CAST(dt_us AS DOUBLE) AS DECIMAL(38,2)))
+                AS DOUBLE)
+             / nullif(SUM(dt_us), 0) AS twap,
+           COUNT(dt_us) AS n_intervals
+    FROM t WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TWAP per user: each tick's price weighted by its holding
+    time (µs to the next tick in the same day; the day's last tick has
+    no interval and drops on both sides).  Integer epoch-µs lead keeps
+    the weights exact.  The weighted sum uses DECIMAL(38,2), and the
+    choice is load-bearing twice over: prices have exactly 2 decimals,
+    so price·µs products carry exactly 2dp and the cast never rounds
+    (scale 6 hit exact midpoints → HALF_UP vs half-even divergence,
+    observed); and Σdt per (user, day) ≤ one day, so the scaled group
+    sum stays under 2^53 for any SF and the int128→double conversion
+    is exact on both engines (µs at scale 6 overflowed that, making
+    DuckDB double-round where Java BigDecimal rounds once — observed
+    1-ulp drift).  One window (lead — single-row lookahead state) +
+    one hash agg, both keyed by (user, day)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    t = e.select(
+        "user_id", day.alias("day"), "value", dt.alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return t.groupBy("user_id", "day").agg(
+        (
+            F.sum(
+                (F.col("value") * F.col("dt_us").cast("double")).cast(
+                    "decimal(38,2)"
+                )
+            ).cast("double")
+            / F.nullif(F.sum("dt_us"), F.lit(0))
+        ).alias("twap"),
+        F.count("dt_us").alias("n_intervals"),
+    )
+
+
+@_q(
+    "q82_profile",
+    f"""
+    WITH m AS (
+      SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(l_quantity) AS n_null,
+             COUNT(DISTINCT l_quantity) AS n_distinct,
+             MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+             {oracle_avg_sql('l_quantity')} AS mean_v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+             COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount),
+             {oracle_avg_sql('l_discount')}
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+             COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax),
+             {oracle_avg_sql('l_tax')}
+      FROM lineitem)
+    SELECT * FROM m
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pre-training data-quality pass): null
+    counts, exact distinct cardinality, range, mean — per column, in a
+    single scan.  The unpivot-then-aggregate shape computes all columns'
+    profiles from ONE pass over the table (the scan is shared; each
+    measure's aggs are partial-merged), where per-column queries would
+    scan N times.  Exact distincts expand each measure group; at 100 TB
+    swap COUNT(DISTINCT) for approx_count_distinct and the plan
+    collapses to a single stage (q12 shows the HLL path)."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=[],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="col",
+        valueColumnName="v",
+    )
+    return long.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        exact_avg("v").alias("mean_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -58,6 +58,8 @@ HEADLINE = [
     "q78_anomaly_zscore",
     "q79_rolling_beta",
     "q80_repetition_ratio",
+    "q81_twap",
+    "q82_profile",
 ]
 
 
