@@ -3140,6 +3140,53 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q83_star_join",
+    f"""
+    SELECT n_name,
+           {oracle_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (TPC-H Q5 shape): region→nation→customer
+    dims reduce to a key set Catalyst broadcasts down the fact chain,
+    the date predicate pushes into the orders scan, and the one real
+    shuffle left is lineitem⋈orders — which AQE can also convert to
+    broadcast once the filtered orders side proves small.  Declared as
+    plain joins: reordering/broadcast choice is the optimizer's job,
+    and the plan audit asserts the outcome, not the hand-scheduling."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    joined = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+    )
+    return joined.groupBy("n_name").agg(
+        exact_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ HEADLINE = [
     "q80_repetition_ratio",
     "q81_twap",
     "q82_profile",
+    "q83_star_join",
 ]
 
 

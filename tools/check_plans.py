@@ -66,9 +66,11 @@ def main() -> int:
         "reads only the 4 needed columns",
     )
 
-    # Dim-table joins must broadcast, never sort-merge
+    # Dim-table joins must broadcast, never sort-merge; q83's whole
+    # star (4 joins) must resolve to broadcasts with lineitem never
+    # shuffling for a join
     for name in ("q03_customer_revenue", "q04_region_stats",
-                 "q05_semi_join", "q06_anti_join"):
+                 "q05_semi_join", "q06_anti_join", "q83_star_join"):
         kinds = join_kinds(qs[name](spark, SF_DIR))
         check(name, "BroadcastHashJoin" in kinds, "dim join broadcasts")
         check(name, "SortMergeJoin" not in kinds, "no sort-merge on dim join")
