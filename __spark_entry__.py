@@ -2921,7 +2921,7 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              ARG_MAX(value, ts) AS close
-      FROM events GROUP BY user_id, day),
+      FROM events WHERE value > 0 GROUP BY user_id, day),
     mkt AS (
       SELECT day,
              CAST(SUM(CAST(close AS DECIMAL(38,6))) AS DOUBLE)
@@ -2958,8 +2958,10 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-count sized — Spark broadcasts it), then one windowed
     covariance/variance ratio with decimal-exact moments and an
     engine-identical float tail.  The (n−1) factors cancel in the
-    ratio, keeping the expression short and exactly mirrored."""
-    e = _t(spark, sf_dir, "events")
+    ratio, keeping the expression short and exactly mirrored.  Positive
+    prices only (as q51/q70): a 0 close is an ANSI divide-by-zero in
+    the return, and a return from 0 is meaningless anyway."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     bars = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.max_by("value", "ts").alias("close"))
