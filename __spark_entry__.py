@@ -3189,6 +3189,75 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q84_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS trailing_1h_avg,
+           COUNT(value) OVER w AS n_in_hour
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS t_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour average over an IRREGULAR tick series — a RANGE
+    frame keyed on epoch-µs, not a ROWS frame: each row's window is
+    defined by wall-clock distance, so tick density doesn't change the
+    semantics.  RANGE frames include all peers of the boundary value,
+    which makes the decimal-exact sum order-insensitive even on tied
+    timestamps — no tiebreaker column needed (contrast every ROWS-frame
+    query here).  The frame advances incrementally (two pointers per
+    partition), so cost is O(rows), not O(rows × span)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    avg = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast(
+        "double"
+    ) / F.count("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        avg.alias("trailing_1h_avg"),
+        F.count("value").over(w).alias("n_in_hour"),
+    )
+
+
+@_q(
+    "q85_distribution_ranks",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(10) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per nation: percent_rank and cume_dist are
+    rank-arithmetic (exact integer ratios evaluated identically on both
+    engines — no float drift possible); the decile ntile gets the
+    unique-key tiebreaker because its assignment IS row-order-dependent.
+    One shuffle, one sort, all three functions share the window."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wt = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(wt).alias("decile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ HEADLINE = [
     "q81_twap",
     "q82_profile",
     "q83_star_join",
+    "q84_time_range_frame",
 ]
 
 

@@ -9,7 +9,51 @@ is control-plane and intentionally out of scope of the query engine.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str = "ts",
+    sort_cols: Sequence[str] = (),
+    files_per_partition: int = 1,
+    salt_col: str | None = None,
+) -> None:
+    """Time-series lake layout: hive-partition by day, cluster within.
+
+    The layout IS the index at 100 TB:
+
+    - ``dt=YYYY-MM-DD/`` directories give the reader free partition
+      pruning — a one-day query plans a one-day scan, no file listing
+      of the other 36,499 days' data.
+    - ``repartition(day[, hash(salt) % k])`` bounds files per
+      partition (the classic dynamic-partition failure mode is
+      reducers × days tiny files; one shuffle fixes it), with an
+      optional salt to split a hot day across ``files_per_partition``
+      writers; ``sortWithinPartitions`` clusters rows (e.g. by user,
+      time) so parquet row-group min/max stats prune WITHIN files too.
+    - Dynamic partition overwrite makes a day's backfill idempotent:
+      rerunning replaces exactly that day, never duplicates (same
+      contract as warehouse.save_as_table).
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.withColumn(
+        "dt", F.date_format(F.col(time_col), "yyyy-MM-dd")
+    )
+    parts = [F.col("dt")]
+    if files_per_partition > 1 and salt_col is not None:
+        parts.append(
+            F.pmod(F.xxhash64(F.col(salt_col)), F.lit(files_per_partition))
+        )
+    out = out.repartition(*parts)
+    if sort_cols:
+        out = out.sortWithinPartitions("dt", *sort_cols)
+    out.write.mode("overwrite").partitionBy("dt").parquet(path)
 
 
 def configure_s3a(

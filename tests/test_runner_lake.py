@@ -3,6 +3,7 @@ s3a conf plumbing, multi-file export, quality_features operator."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -71,3 +72,83 @@ def test_quality_features_operator(spark):
     assert r1.punct_ratio > 0
     assert r1.stopword_ratio == 0.25  # "the" of 4 tokens
     assert rows[2].n_tokens == 0
+
+
+def test_write_time_partitioned_layout_pruning_and_idempotence(spark):
+    from btc_usdt_etl_pipeline_spark.sources.lake import (
+        write_time_partitioned,
+    )
+
+    base = 1_700_000_000_000  # 2023-11-14 22:13:20 UTC
+    day_ms = 86_400_000
+    rows = [
+        (i, i % 5, base + (i % 3) * day_ms + i, float(i)) for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    ).withColumn("ts", F.timestamp_millis("ts_ms"))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/lake"
+        write_time_partitioned(
+            df, path, time_col="ts", sort_cols=["user_id", "ts"]
+        )
+        # hive layout: one dt=... dir per day
+        dirs = sorted(
+            p for p in os.listdir(path) if p.startswith("dt=")
+        )
+        assert len(dirs) == 3
+
+        # partition pruning: the one-day filter must become a
+        # PartitionFilters entry on the scan (inputFiles() reflects the
+        # pre-pruning relation, so inspect the physical plan)
+        from btc_usdt_etl_pipeline_spark.plans import has_partition_pruning
+
+        back = spark.read.parquet(path)
+        one_day = back.filter(F.col("dt") == dirs[0].split("=")[1])
+        assert one_day.count() == 100
+        assert has_partition_pruning(one_day)
+
+        # within-file clustering: rows are sorted by (user_id, ts)
+        day_files = [
+            f"{path}/{dirs[0]}/{f}"
+            for f in os.listdir(f"{path}/{dirs[0]}")
+            if f.endswith(".parquet")
+        ]
+        first_file = spark.read.parquet(day_files[0])
+        got = [(r.user_id, r.ts_ms) for r in first_file.collect()]
+        assert got == sorted(got)
+
+        # single-day rewrite replaces ONLY that day (dynamic overwrite)
+        total_before = back.count()
+        one_day_df = df.filter(
+            F.date_format("ts", "yyyy-MM-dd") == dirs[0].split("=")[1]
+        )
+        write_time_partitioned(
+            one_day_df, path, time_col="ts", sort_cols=["user_id", "ts"]
+        )
+        back2 = spark.read.parquet(path)
+        assert back2.count() == total_before  # no duplication, no loss
+
+        # salted split: a hot day fans out across up to k writer tasks.
+        # AQE rightly coalesces this at toy scale (small days SHOULD
+        # produce few files) — disable coalescing to observe the
+        # mechanism itself.
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        try:
+            write_time_partitioned(
+                one_day_df, f"{d}/hot", time_col="ts",
+                files_per_partition=4, salt_col="user_id",
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        hot_dir = [p for p in os.listdir(f"{d}/hot") if p.startswith("dt=")]
+        files = [
+            f for f in os.listdir(f"{d}/hot/{hot_dir[0]}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) > 1
