@@ -3258,6 +3258,149 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q86_rolling_actives",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    ex AS (
+      SELECT user_id, day + t.o * INTERVAL 1 DAY AS target_day
+      FROM du, range(0, 7) AS t(o)),
+    real_days AS (SELECT DISTINCT day FROM du)
+    SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
+    FROM ex SEMI JOIN real_days ON ex.target_day = real_days.day
+    GROUP BY target_day
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day): sliding DISTINCT counts
+    can't use window frames (distinct state doesn't retract), so invert
+    the window — pre-distinct to (user, day) pairs (the big shrink,
+    done FIRST), explode each pair onto the 7 target days it supports,
+    semi-join real days, count distinct per day.  Work is
+    7·|user-days|, independent of raw event volume — the 100 TB shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    ex = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    real_days = du.select("day").distinct()
+    return (
+        ex.join(F.broadcast(real_days), "day", "semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@_q(
+    "q87_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): each stage
+    is one conditional aggregation joined to the previous stage's
+    per-user timestamps — user-keyed shuffles all the way down, no
+    window over raw events, no sequential scan per user.  Stage tables
+    only ever shrink, so at scale the later joins broadcast."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        e.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+        )
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+        )
+    )
+
+
+@_q(
+    "q88_cohort_retention",
+    """
+    WITH fu AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort
+      FROM events GROUP BY user_id),
+    du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events)
+    SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+           COUNT(DISTINCT du.user_id) AS n_active
+    FROM du JOIN fu ON du.user_id = fu.user_id
+    GROUP BY cohort, day_offset
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-seen day per user (the cohort),
+    then distinct actives per (cohort, day-offset).  Two user-keyed
+    aggregations and one user-keyed join — co-partitioned, so at scale
+    the join adds no extra shuffle beyond the aggs that feed it."""
+    e = _t(spark, sf_dir, "events")
+    fu = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort")
+    )
+    du = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        du.join(fu, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff("day", "cohort").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
