@@ -3401,6 +3401,38 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q89_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY -ln((('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)),
+                                             1, 15))::BIGINT + 0.5)
+                            / 1152921504606846976.0) / n_chars,
+                        doc_id) AS rnk
+      FROM documents) WHERE rnk <= 15
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): 15 docs per language, inclusion probability ∝ n_chars —
+    importance sampling by length/quality score, the knob a corpus
+    mixer actually needs.  The exponential key −ln(u)/w comes from the
+    portable keyed hash, so the draw is deterministic, append-stable,
+    and exactly replayed by the oracle — a reproducible 'random'
+    sample, which df.sample() fundamentally cannot give you."""
+    from btc_usdt_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        weighted_sample("doc_id", "n_chars", 15, partition_by=["lang"])
+    ).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

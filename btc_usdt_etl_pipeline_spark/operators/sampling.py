@@ -21,9 +21,9 @@ replay stops mattering; the contract is the same.
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Callable, Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.operators.dedup import portable_hash60
@@ -59,5 +59,55 @@ def hash_sample(
                 ).otherwise(expr)
             rate = expr
         return df.filter(h < rate)
+
+    return _t
+
+
+def weighted_sample(
+    key_col: str,
+    weight_col: str,
+    k: int,
+    partition_by: Sequence[str] = (),
+    salt: str = "w1",
+) -> Callable[[DataFrame], DataFrame]:
+    """Weighted top-k sampling without replacement (Efraimidis-Spirakis
+    A-Res), deterministic and engine-portable.
+
+    Each row draws a reproducible uniform u from the portable keyed
+    hash and sorts by the exponential key ``-ln(u) / w`` (ascending) —
+    the classic result that taking the k smallest such keys samples k
+    rows with probability proportional to ``weight_col``, without
+    replacement.  No RNG state, append-stable under a fixed salt, and
+    an oracle can replay the exact kept set (q89).
+
+    With ``partition_by`` the top-k is per stratum (rank-and-filter —
+    parallel across strata).  For a global k over a huge table, rank
+    inside each partition first and keep local top-k before the global
+    sort (the ``relational.global_topk`` pattern).
+
+    Weights must be > 0; nonpositive weights raise at runtime under
+    ANSI (division toward -ln(u)/0) rather than silently winning.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(key_col).cast("string")
+            )
+        )
+        # map the 60-bit hash into (0, 1): +0.5 keeps u strictly inside
+        # the open interval, so ln(u) is finite on both engines
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+        ekey = -F.log(u) / F.col(weight_col)
+        w = (
+            Window.partitionBy(*partition_by)
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(ekey.asc(), F.col(key_col))
+        return (
+            df.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= k)
+            .drop("_rnk")
+        )
 
     return _t

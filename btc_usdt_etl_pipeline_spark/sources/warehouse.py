@@ -34,6 +34,33 @@ def save_as_table(
     writer.saveAsTable(table)
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) warehouse table: the shuffle you pay
+    ONCE at write time instead of on every join/aggregation.
+
+    Two tables bucketed by the same key into the same bucket count
+    join with NO Exchange on either side — at 100 TB that deletes the
+    dominant cost of every fact-to-fact join on the bucket key (see
+    tests/test_runner_lake.py for the plan-level proof).  ``sort_cols``
+    additionally pre-sorts within buckets, removing the join's Sort.
+    Only metastore tables can be bucketed (path-written parquet loses
+    the bucket spec) — this is the reason save_bucketed targets the
+    catalog, not a path."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def export_csv(
     spark: SparkSession, table: str, path: str, single_file: bool = True
 ) -> None:

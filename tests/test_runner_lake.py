@@ -152,3 +152,29 @@ def test_write_time_partitioned_layout_pruning_and_idempotence(spark):
             if f.endswith(".parquet")
         ]
         assert len(files) > 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    from btc_usdt_etl_pipeline_spark.plans import plan_string
+    from btc_usdt_etl_pipeline_spark.sources.warehouse import save_bucketed
+
+    facts = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    dims = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    save_bucketed(facts, "t_bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+    save_bucketed(dims, "t_bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        plan = plan_string(j, mode="simple")
+        # co-located buckets: a sort-merge join with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
