@@ -3433,6 +3433,40 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+@_q(
+    "q90_correlated_subquery",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(c2.c_acctbal)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point: customers
+    above their nation's mean balance.  Registered as a temp view and
+    written in SQL verbatim — Catalyst de-correlates the subquery into
+    an aggregate + join (no per-row re-execution; the naive reading is
+    O(n·groups), the planned query is two scans and one join).  The
+    threshold uses the decimal-exact mean on BOTH engines so the float
+    comparison at the boundary can't flip rows."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q90_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM q90_customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(c2.c_acctbal)
+          FROM q90_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
