@@ -3319,10 +3319,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
       GROUP BY e.user_id)
-    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
-           (SELECT COUNT(*) FROM v) AS n_viewed,
-           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
-           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    SELECT 'n_users' AS stage, COUNT(DISTINCT user_id) AS n FROM events
+    UNION ALL SELECT 'n_viewed', COUNT(*) FROM v
+    UNION ALL SELECT 'n_clicked_after_view', COUNT(*) FROM c
+    UNION ALL SELECT 'n_purchased_after_click', COUNT(*) FROM p
     """,
 )
 def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3330,7 +3330,10 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one conditional aggregation joined to the previous stage's
     per-user timestamps — user-keyed shuffles all the way down, no
     window over raw events, no sequential scan per user.  Stage tables
-    only ever shrink, so at scale the later joins broadcast."""
+    only ever shrink, so at scale the later joins broadcast.  The
+    stage counts come back in LONG format (a union of scalar aggs):
+    joining four single-row aggregates would plan as nested-loop
+    joins, which the plan audit rightly bans."""
     e = _t(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")
@@ -3351,14 +3354,19 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    return (
-        e.agg(F.count_distinct("user_id").alias("n_users"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
-        .crossJoin(
-            c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    def stage(df: DataFrame, name: str, col: Column) -> DataFrame:
+        return df.agg(col.alias("n")).select(
+            F.lit(name).alias("stage"), "n"
         )
-        .crossJoin(
-            p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+
+    return (
+        stage(e, "n_users", F.count_distinct("user_id"))
+        .unionAll(stage(v, "n_viewed", F.count(F.lit(1))))
+        .unionAll(
+            stage(c, "n_clicked_after_view", F.count(F.lit(1)))
+        )
+        .unionAll(
+            stage(p, "n_purchased_after_click", F.count(F.lit(1)))
         )
     )
 
