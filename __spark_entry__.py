@@ -3475,6 +3475,85 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q91_native_session_window",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM g)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {oracle_sum_sql('value')} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH (the same operator q50 uses in
+    streaming): one groupBy call replaces q73's two window passes — the
+    exec merges overlapping [ts, ts+gap) ranges per key in one pass
+    after a single (user)-keyed sort.  The oracle replays it with the
+    manual lag/cumsum construction, pinning the semantics equivalence:
+    a session closes when the NEXT event is ≥ gap away, and
+    session_end = last_event + gap.  (Spark merges events strictly
+    inside the gap; an exactly-gap-distant event starts a new session —
+    hence >= in the oracle where q73's manual split uses >.)"""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "q92_variant_json",
+    f"""
+    SELECT event_type,
+           {oracle_sum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")}
+             AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VariantType: ``parse_json`` once
+    into a binary variant (parsed representation, not a string), then
+    typed ``variant_get`` paths — on repeated extraction this beats
+    per-path ``get_json_object`` re-parsing (q16 shows the classic
+    path; same oracle family pins equivalence).  At 100 TB you'd
+    materialize the variant column in the lake and every downstream
+    path-read skips the parse entirely."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.try_variant_get("pv", "$.k", "long")
+    return v.groupBy("event_type").agg(
+        exact_sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
