@@ -162,3 +162,27 @@ def test_fill_forward_multi_column_and_unkeyed(spark):
     }
     # global series ordered by (k, t): the 5.0 at (1,2) carries into k=2
     assert unkeyed[(2, 1)] == 5.0
+
+
+def test_observation_metrics_no_extra_pass(spark):
+    # Observation API: data-quality metrics ride the SAME action as the
+    # real output — no second scan.  The at-scale pattern for "row
+    # counts + null rates on every pipeline stage, for free".
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)],
+        "id long, v double",
+    )
+    obs = Observation("dq")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.min("v").alias("min_v"),
+    )
+    out = observed.filter(F.col("v").isNotNull()).count()  # one action
+    assert out == 2
+    got = obs.get
+    assert got["n_rows"] == 4 and got["n_nonnull"] == 2
+    assert got["min_v"] == 10.0

@@ -273,3 +273,38 @@ def test_stream_interval_join_buffers_state_across_batches(spark):
         )
         got = sorted((r.l_id, r.r_id) for r in spark.table("t_ivjoin").collect())
         assert got == [(101, 201), (102, 204)]
+
+
+def test_streaming_checkpoint_resume_processes_only_new_files(spark):
+    # Exactly-once across restarts: drain, add a file, drain again with
+    # the SAME checkpoint — the second run must pick up only the new
+    # file (offsets come from the checkpoint, not from scratch).
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import run_available_now
+
+    schema = "event_id long, value double"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], schema
+        ).write.parquet(f"{d}/in/f1.parquet")
+
+        def drain():
+            agg = (
+                spark.readStream.schema(schema)
+                .parquet(f"{d}/in/*")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("total"),
+                )
+            )
+            run_available_now(agg, "t_resume", f"{d}/ckpt")
+
+        drain()
+        r1 = spark.table("t_resume").collect()[0]
+        assert (r1.n, r1.total) == (2, 3.0)
+
+        spark.createDataFrame(
+            [(3, 10.0)], schema
+        ).write.parquet(f"{d}/in/f2.parquet")
+        drain()  # same checkpoint: incremental, stateful continuation
+        r2 = spark.table("t_resume").collect()[0]
+        assert (r2.n, r2.total) == (3, 13.0)
