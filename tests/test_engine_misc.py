@@ -186,3 +186,66 @@ def test_observation_metrics_no_extra_pass(spark):
     got = obs.get
     assert got["n_rows"] == 4 and got["n_nonnull"] == 2
     assert got["min_v"] == 10.0
+
+
+def test_fill_forward_idempotent_property(spark):
+    # LOCF is a closure: applying it twice must equal applying it once,
+    # for any series shape (gaps at head, tail, everywhere).
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import fill_forward
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.floats(-100, 100)),
+            min_size=1, max_size=30,
+        ),
+    )
+    def run(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "t int, v double"
+        )
+        f = fill_forward(["v"], ["t"])
+        once = {(r.t, r.v) for r in df.transform(f).collect()}
+        twice = {(r.t, r.v) for r in df.transform(f).transform(f).collect()}
+        assert once == twice
+        # and a Python reference agrees
+        last, expect = None, set()
+        for i, v in enumerate(vals):
+            last = v if v is not None else last
+            expect.add((i, last))
+        assert once == expect
+
+    run()
+
+
+def test_weighted_sample_equal_weights_matches_uniform_order(spark):
+    # With all weights equal, ascending -ln(u)/w is exactly DESCENDING
+    # u — the weighted sampler must degrade to the uniform pick of the
+    # largest hash draws.
+    from btc_usdt_etl_pipeline_spark.operators.dedup import portable_hash60
+    from btc_usdt_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(200)], "id long, w double"
+    )
+    got = {
+        r.id for r in df.transform(weighted_sample("id", "w", 25)).collect()
+    }
+    h = portable_hash60(
+        F.concat(F.lit("w1:"), F.col("id").cast("string"))
+    )
+    expect = {
+        r.id
+        for r in df.select("id", h.alias("h"))
+        .orderBy(F.col("h").desc(), "id")
+        .limit(25)
+        .collect()
+    }
+    assert got == expect
