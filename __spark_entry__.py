@@ -3554,6 +3554,141 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q93_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): distinct segments per
+    nation, concatenated in SORTED order — collect_list alone is
+    partition-order-nondeterministic, so the deterministic recipe is
+    collect → array_sort → array_join, which is also exactly what makes
+    it oracle-comparable.  Distinct-first keeps agg state bounded by
+    cardinality, not row count."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q94_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev_e
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             CASE WHEN max_prev_e IS NULL OR s > max_prev_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM m),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM g)
+    SELECT user_id,
+           COUNT(DISTINCT island) AS n_islands,
+           SUM(island_len) / 1000000 AS covered_seconds
+    FROM (SELECT user_id, island, MAX(e) - MIN(s) AS island_len
+          FROM isl GROUP BY user_id, island)
+    GROUP BY user_id
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length (sweep-line as windows): pad each event to
+    a 5-minute activity interval, merge overlaps per user, report
+    distinct activity islands and total covered wall-clock.  The classic
+    algorithm — sort by start, an interval starts a new island iff its
+    start exceeds the running max of PRIOR ends — maps onto one
+    unbounded-MAX frame (ending at 1 PRECEDING), one running sum, two
+    aggs; integer µs arithmetic end to end, no floats until the final
+    seconds division."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("s", "e")
+    max_prev_e = F.max("e").over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        max_prev_e.isNull() | (F.col("s") > max_prev_e), 1
+    ).otherwise(0)
+    isl = iv.withColumn(
+        "island",
+        F.sum(new_island).over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("island_len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count_distinct("island").alias("n_islands"),
+        (F.sum("island_len") / F.lit(1_000_000)).alias(
+            "covered_seconds"
+        ),
+    )
+
+
+@_q(
+    "q95_mode",
+    """
+    SELECT event_type, user_id AS modal_user, cnt AS n_events FROM (
+      SELECT event_type, user_id, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id) AS r
+      FROM events GROUP BY event_type, user_id) WHERE r = 1
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group (most frequent value, deterministic lowest-value
+    tie-break): two-level count-then-rank — the exact heavy-hitter
+    shape whose partial aggregation keeps the shuffle at
+    |group × value| not |rows|.  (Spark's ``mode()`` aggregate is
+    tie-nondeterministic; rank-over-counts is the reproducible form.)"""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), "user_id"
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("cnt").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
