@@ -3689,6 +3689,297 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q96_equidepth_histogram",
+    """
+    SELECT event_type, dec, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (SELECT event_type, value,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS dec
+          FROM events)
+    GROUP BY event_type, dec
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (decile edges) per event type: ntile over
+    the value order hands each row its bucket, one agg reads off the
+    edges — the quantile summary a cost optimizer or drift monitor
+    wants, with q74's equi-WIDTH histogram as the fixed-bin
+    counterpart.  The unique-key tiebreaker makes ntile's row
+    assignment total-ordered, hence reproducible."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).alias("dec"),
+        )
+        .groupBy("event_type", "dec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@_q(
+    "q97_mad",
+    """
+    WITH m AS (
+      SELECT event_type, list_sort(list(value)) AS arr
+      FROM events GROUP BY event_type),
+    med AS (
+      SELECT event_type,
+             (arr[CAST((len(arr) - 1) // 2 AS INT) + 1]
+              + arr[CAST(len(arr) // 2 AS INT) + 1]) * 0.5 AS med
+      FROM m),
+    d AS (
+      SELECT e.event_type, abs(e.value - med.med) AS dev
+      FROM events e JOIN med ON e.event_type = med.event_type),
+    m2 AS (
+      SELECT event_type, list_sort(list(dev)) AS arr
+      FROM d GROUP BY event_type)
+    SELECT m2.event_type,
+           round(med.med, 6) AS median,
+           round((m2.arr[CAST((len(m2.arr) - 1) // 2 AS INT) + 1]
+                  + m2.arr[CAST(len(m2.arr) // 2 AS INT) + 1]) * 0.5, 6)
+             AS mad
+    FROM m2 JOIN med ON m2.event_type = med.event_type
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    spread/outlier statistic (q78's z-score breaks on heavy tails; MAD
+    doesn't).  Two exact-median passes with q64's engine-identical
+    midpoint formula; the 5-row median table broadcasts back onto the
+    events for the deviation pass.  Exact medians collect a sorted
+    array per GROUP (bounded by group size, fine at |type| scale); for
+    billions-per-group swap pass 1 for approx_percentile and keep the
+    structure."""
+    e = _t(spark, sf_dir, "events")
+
+    def midpoint(arr: Column) -> Column:
+        n = F.size(arr)
+        lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+        hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+        return (lo + hi) * F.lit(0.5)
+
+    med = e.groupBy("event_type").agg(
+        midpoint(F.array_sort(F.collect_list("value"))).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        midpoint(F.array_sort(F.collect_list("dev"))).alias("mad")
+    )
+    return mad.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round("med", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+@_q(
+    "q98_recency_features",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_us
+      FROM events),
+    r AS (
+      SELECT event_id, user_id, ts,
+             SUM(is_p) OVER w AS n_purchases_so_far,
+             last_value(p_us IGNORE NULLS) OVER w AS last_p_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             MAX(CASE WHEN is_p = 1 THEN rn0 END) OVER w AS last_p_rn
+      FROM (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS rn0
+            FROM b)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           n_purchases_so_far,
+           rn - last_p_rn AS events_since_purchase,
+           (epoch_us(ts) - last_p_us) / 1000000 AS secs_since_purchase
+    FROM r
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency feature engineering: for EVERY event, how many purchases
+    so far, how many events since the last one, and seconds elapsed —
+    the standard recency/frequency feature block for a ranking or churn
+    model, as three incremental expressions over ONE shared window
+    (running sum, LOCF of purchase time, running max of purchase row
+    number).  Integer division at the end keeps seconds exact."""
+    e = _t(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wb.rowsBetween(Window.unboundedPreceding, 0)
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    p_us = F.when(
+        F.col("event_type") == "purchase", F.unix_micros("ts")
+    )
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        is_p.alias("is_p"),
+        p_us.alias("p_us"),
+        F.row_number().over(wb).alias("rn0"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("is_p").over(w).alias("n_purchases_so_far"),
+        (
+            F.col("rn0")
+            - F.max(
+                F.when(F.col("is_p") == 1, F.col("rn0"))
+            ).over(w)
+        ).alias("events_since_purchase"),
+        (
+            (
+                F.unix_micros("ts")
+                - F.last("p_us", ignorenulls=True).over(w)
+            )
+            / F.lit(1_000_000)
+        ).alias("secs_since_purchase"),
+    )
+
+
+@_q(
+    "q99_dca_backtest",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, value,
+             10000.0 / value AS units_bought
+      FROM events WHERE event_type = 'purchase' AND value > 0),
+    c AS (
+      SELECT user_id, ts, value,
+             SUM(CAST(units_bought AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS units_held,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_buys
+      FROM p)
+    SELECT user_id,
+           MAX(n_buys) AS n_buys,
+           round(CAST(MAX_BY(units_held, ts) AS DOUBLE), 6) AS final_units,
+           round(CAST(MAX_BY(units_held, ts) AS DOUBLE)
+                 * MAX_BY(value, ts), 6) AS final_value,
+           10000.0 * MAX(n_buys) AS invested
+    FROM c GROUP BY user_id
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar-cost-averaging backtest: fixed spend on every purchase
+    event, cumulative units (decimal-exact running sum of spend/price),
+    marked to the user's last observed price — the reference
+    notebooks' investment-analysis family as one window + one agg.
+    units_bought is a double division identical on both engines; the
+    running sum is decimal so partial-order can't drift; the final
+    mark is min_by/max_by determinism (ts unique per user-purchase)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
+        "user_id",
+        "ts",
+        "value",
+        (F.lit(10000.0) / F.col("value")).alias("units_bought"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = p.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("units_bought").cast("decimal(38,6)"))
+        .over(w)
+        .alias("units_held"),
+        F.count(F.lit(1)).over(w).alias("n_buys"),
+    )
+    return c.groupBy("user_id").agg(
+        F.max("n_buys").alias("n_buys"),
+        F.round(
+            F.max_by("units_held", "ts").cast("double"), 6
+        ).alias("final_units"),
+        F.round(
+            F.max_by("units_held", "ts").cast("double")
+            * F.max_by("value", "ts"),
+            6,
+        ).alias("final_value"),
+        (F.lit(10000.0) * F.max("n_buys")).alias("invested"),
+    )
+
+
+@_q(
+    "q100_dashboard",
+    f"""
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ARG_MIN(value, ts) AS open, MAX(value) AS high,
+             MIN(value) AS low, ARG_MAX(value, ts) AS close,
+             COUNT(*) AS n_trades,
+             {oracle_sum_sql('value')} AS turnover
+      FROM events WHERE value > 0 GROUP BY user_id, day)
+    SELECT user_id, day, open, high, low, close, n_trades, turnover,
+           (close - lag(close) OVER w) / lag(close) OVER w AS day_return,
+           CAST(SUM(CAST(close AS DECIMAL(38,6)))
+                OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS ma5
+    FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard export query — the reference pipeline's terminal
+    artifact (daily aggregated_financial_data CSV) with its derived
+    analytics in the SAME plan: per-key daily OHLCV + turnover, 1-day
+    return, 5-day moving average.  One agg + one window pass; this is
+    the DataFrame handed to warehouse.save_as_table / export_csv in the
+    batch pipeline (pipeline/runner.py)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        exact_sum("value").alias("turnover"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("day")
+    w5 = wb.rowsBetween(-4, 0)
+    prev = F.lag("close").over(wb)
+    ma5 = F.sum(F.col("close").cast("decimal(38,6)")).over(w5).cast(
+        "double"
+    ) / F.count("close").over(w5)
+    return bars.select(
+        "user_id",
+        "day",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+        "turnover",
+        ((F.col("close") - prev) / prev).alias("day_return"),
+        ma5.alias("ma5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

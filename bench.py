@@ -62,6 +62,8 @@ HEADLINE = [
     "q82_profile",
     "q83_star_join",
     "q84_time_range_frame",
+    "q94_interval_union",
+    "q100_dashboard",
 ]
 
 
