@@ -3707,7 +3707,10 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges — the quantile summary a cost optimizer or drift monitor
     wants, with q74's equi-WIDTH histogram as the fixed-bin
     counterpart.  The unique-key tiebreaker makes ntile's row
-    assignment total-ordered, hence reproducible."""
+    assignment total-ordered, hence reproducible.  Parallelism is
+    bounded by |groups| (each group is one sorted partition) — the
+    exact-edges tradeoff; at billions of rows per group swap ntile for
+    approx_percentile edges (one pass, no sort) and keep the agg."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
@@ -3977,6 +3980,163 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turnover",
         ((F.col("close") - prev) / prev).alias("day_return"),
         ma5.alias("ma5"),
+    )
+
+
+@_q(
+    "q101_spearman",
+    """
+    WITH r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(json_extract_string(props, '$.k')
+                                              AS BIGINT), event_id) AS ry
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(rx * ry) AS sxy, SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman
+    FROM s
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs JSON volume per event type:
+    rank both variables (deterministic event_id tie-break), then Pearson
+    ON THE RANKS — and because ranks are integers, every sum in the
+    formula is EXACT bigint arithmetic; floats appear only in the final
+    divide/sqrt, which is the same expression on both engines.  A
+    correlation you can hash-check with no decimal idiom at all."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    wx = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wy = Window.partitionBy("event_type").orderBy(k, "event_id")
+    r = e.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select("event_type", "n", (num / den).alias("spearman"))
+
+
+@_q(
+    "q102_donchian",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             MAX(value) AS high, MIN(value) AS low,
+             ARG_MAX(value, ts) AS close
+      FROM events GROUP BY user_id, day)
+    SELECT user_id, day, close,
+           MAX(high) OVER w20 AS channel_high,
+           MIN(low) OVER w20 AS channel_low,
+           CASE WHEN MAX(high) OVER w20 > MIN(low) OVER w20
+                THEN (close - MIN(low) OVER w20)
+                     / (MAX(high) OVER w20 - MIN(low) OVER w20) END
+             AS channel_pos
+    FROM bars
+    WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20-day rolling high/low band) + position of
+    close within it — the breakout indicator and the %K-style
+    normalization in one window.  Rolling MIN/MAX are order-insensitive
+    (no float accumulation at all), so the only float work is one
+    subtract/divide, identical on both engines; flat channels yield
+    null position via the shared CASE."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w20 = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
+    )
+    ch, cl = F.max("high").over(w20), F.min("low").over(w20)
+    return bars.select(
+        "user_id",
+        "day",
+        "close",
+        ch.alias("channel_high"),
+        cl.alias("channel_low"),
+        F.when(ch > cl, (F.col("close") - cl) / (ch - cl)).alias(
+            "channel_pos"
+        ),
+    )
+
+
+@_q(
+    "q103_obv",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, event_id,
+           SUM(CASE WHEN prev IS NULL THEN 0
+                    WHEN value > prev THEN vol
+                    WHEN value < prev THEN -vol
+                    ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+    FROM t
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per user series: cumulative signed volume,
+    where the sign is the price direction tick-over-tick.  Volume is
+    the integer JSON payload, so the running sum is exact bigint
+    arithmetic — zero float anywhere, hash-stable by construction.
+    Two stacked incremental windows (lag, then running sum), one
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(wb)
+    signed = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("value") > prev, vol)
+        .when(F.col("value") < prev, -vol)
+        .otherwise(0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(signed)
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("obv"),
     )
 
 

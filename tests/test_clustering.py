@@ -43,3 +43,12 @@ def test_kmeans_empty_input(spark):
     out = kmeans_assign(df, k=4, iters=2)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster"]
+
+
+def test_kmeans_k_exceeds_rows(spark):
+    # 3 vectors, k=5: seeding truncates to the available vectors and
+    # the loop still converges with 3 effective clusters.
+    df = _points(spark, [(0.0, 0.0), (10.0, 10.0), (20.0, 20.0)])
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=5, iters=2).collect()}
+    assert set(got) == {0, 1, 2}
+    assert len(set(got.values())) == 3  # each point keeps its own seed

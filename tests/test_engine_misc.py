@@ -249,3 +249,19 @@ def test_weighted_sample_equal_weights_matches_uniform_order(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_weighted_sample_k_exceeds_group(spark):
+    from btc_usdt_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 1.0)],
+        "id long, g string, w double",
+    )
+    out = df.transform(
+        weighted_sample("id", "w", 10, partition_by=["g"])
+    ).collect()
+    assert len(out) == 3  # k larger than every stratum: keep all
+    assert "_rnk" not in df.transform(
+        weighted_sample("id", "w", 10, partition_by=["g"])
+    ).columns
