@@ -4140,6 +4140,119 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q104_autocorrelation",
+    """
+    WITH r0 AS (
+      SELECT user_id, ts, event_id,
+             (value - lag(value) OVER w) / lag(value) OVER w AS ret
+      FROM events WHERE value > 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, ret,
+             lag(ret) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ret_1
+      FROM r0),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(ret * ret_1 AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ret AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ret_1 AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ret * ret AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ret_1 * ret_1 AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM r WHERE ret IS NOT NULL AND ret_1 IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS autocorr_1
+    FROM s WHERE n >= 3
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's tick returns — THE
+    mean-reversion/momentum diagnostic (negative: reverting, positive:
+    trending).  Pearson between the return series and itself shifted
+    one tick: two stacked lags build the pair, decimal-exact sums feed
+    an engine-identical correlation tail, 6dp rounding absorbs the
+    nothing that's left."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(wb)
+    ret = (F.col("value") - prev) / prev
+    paired = (
+        e.select("user_id", "ts", "event_id", ret.alias("ret"))
+        .withColumn("ret_1", F.lag("ret").over(wb))
+        .filter(F.col("ret").isNotNull() & F.col("ret_1").isNotNull())
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    s = paired.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("ret") * F.col("ret_1")).alias("sxy"),
+        dsum(F.col("ret")).alias("sx"),
+        dsum(F.col("ret_1")).alias("sy"),
+        dsum(F.col("ret") * F.col("ret")).alias("sxx"),
+        dsum(F.col("ret_1") * F.col("ret_1")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.filter(n >= 3).select(
+        "user_id", "n", F.round(num / den, 6).alias("autocorr_1")
+    )
+
+
+@_q(
+    "q105_null_semantics",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
+      FROM events)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(m) AS n_m_nonnull,
+           SUM(CASE WHEN m IS NOT DISTINCT FROM k THEN 1 ELSE 0 END)
+             AS n_nullsafe_eq,
+           SUM(COALESCE(m, k, 0)) AS sum_coalesced,
+           SUM(CASE WHEN nullif(k, 50) IS NULL THEN 1 ELSE 0 END)
+             AS n_k50_or_null,
+           MIN(m) AS min_m
+    FROM t
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery in one scan: null-safe equality (<=> /
+    IS NOT DISTINCT FROM), COALESCE chains, NULLIF inversion, and the
+    COUNT(col) vs COUNT(*) distinction — the SQL corner where engines
+    classically diverge, pinned by the oracle on an all-null column
+    (``$.missing`` never exists) against a never-null one."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.get_json_object("props", "$.missing").cast("long")
+    t = e.select("event_id", k.alias("k"), m.alias("m"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("m").alias("n_m_nonnull"),
+        F.sum(
+            F.when(F.col("m").eqNullSafe(F.col("k")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq"),
+        F.sum(F.coalesce("m", "k", F.lit(0))).alias("sum_coalesced"),
+        F.sum(
+            F.when(F.nullif(F.col("k"), F.lit(50)).isNull(), 1).otherwise(
+                0
+            )
+        ).alias("n_k50_or_null"),
+        F.min("m").alias("min_m"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
