@@ -4253,6 +4253,126 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q106_herfindahl",
+    """
+    WITH uv AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS v
+      FROM events GROUP BY day, user_id)
+    SELECT day,
+           COUNT(*) AS n_users,
+           CAST(SUM(v * v) AS DOUBLE)
+             / (CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS hhi
+    FROM uv GROUP BY day
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of daily volume across users:
+    HHI = Σshareᵢ² — but summing squared float SHARES is order-
+    dependent, so use the algebraic identity Σ(vᵢ/V)² = Σvᵢ²/V²: both
+    sums are exact integer arithmetic (volume is the integer JSON
+    payload) and the only float op is one final divide.  Two stacked
+    aggs, both partial-merged."""
+    e = _t(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    uv = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("user_id")
+    ).agg(F.sum(vol).alias("v"))
+    return uv.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.sum(F.col("v") * F.col("v")).cast("double")
+            / (
+                F.sum("v").cast("double") * F.sum("v").cast("double")
+            )
+        ).alias("hhi"),
+    )
+
+
+@_q(
+    "q107_gini",
+    """
+    WITH uv AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS v
+      FROM events GROUP BY day, user_id),
+    rk AS (
+      SELECT day, v,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY v, user_id) AS i
+      FROM uv)
+    SELECT day, COUNT(*) AS n,
+           CAST(2 * SUM(i * v) - (COUNT(*) + 1) * SUM(v) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(v) AS DOUBLE)) AS gini
+    FROM rk GROUP BY day
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of daily volume inequality: the rank formula
+    G = (2Σi·vᵢ − (n+1)Σv) / (nΣv) over volumes sorted ascending —
+    with integer volumes and integer ranks, EVERYTHING up to the final
+    divide is exact bigint arithmetic.  (The mean-absolute-difference
+    form is a self-join; the rank form is one window + one agg.)"""
+    e = _t(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    uv = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("user_id")
+    ).agg(F.sum(vol).alias("v"))
+    w = Window.partitionBy("day").orderBy("v", "user_id")
+    rk = uv.select(
+        "day", "v", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return rk.groupBy("day").agg(
+        n.alias("n"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("v"))
+                - (n + 1) * F.sum("v")
+            ).cast("double")
+            / (n * F.sum("v").cast("double"))
+        ).alias("gini"),
+    )
+
+
+@_q(
+    "q108_lang_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS cnt FROM documents
+      GROUP BY source, lang),
+    t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY source)
+    SELECT c.source,
+           COUNT(*) AS n_langs,
+           -CAST(SUM(CAST((cnt / CAST(total AS DOUBLE))
+                          * ln(cnt / CAST(total AS DOUBLE))
+                          AS DECIMAL(38,12))) AS DOUBLE) AS entropy
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source — the corpus diversity monitor
+    (a collapsing language distribution is the classic silent data-
+    pipeline failure).  H = −Σ p·ln p: each p·ln p term is an
+    identical double on both engines (count ratios + libm ln), and the
+    per-term decimal cast makes the cross-language sum order-free.
+    The totals join is tiny (|source| rows) and broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total").cast("double")
+    term = (p * F.log(p)).cast("decimal(38,12)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            (-F.sum(term).cast("double")).alias("entropy"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
