@@ -96,6 +96,10 @@ def main() -> int:
     kinds = join_kinds(qs["q79_rolling_beta"](spark, SF_DIR))
     check("q79", "BroadcastHashJoin" in kinds, "market join broadcasts")
 
+    # q108: the per-source totals join is |source|-sized — broadcast
+    kinds = join_kinds(qs["q108_lang_entropy"](spark, SF_DIR))
+    check("q108", "BroadcastHashJoin" in kinds, "totals join broadcasts")
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
