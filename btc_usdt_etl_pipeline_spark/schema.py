@@ -18,10 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ByteType,
     DoubleType,
+    IntegerType,
     LongType,
+    ShortType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 #: Canonical 1-second kline table (reference schema, snake_case dialect).
@@ -65,21 +70,56 @@ BAR_COLUMNS = ["open_time", "open", "high", "low", "close", "number_of_trades"]
 
 # Epoch-unit detection thresholds.  A millisecond epoch for any plausible
 # market data date (1973..5138) lies in [1e11, 1e14); microseconds in
-# [1e14, 1e17); seconds below 1e11.
+# [1e14, 1e17); nanoseconds at/above 1e17; seconds below 1e11.
 _MS_LOW = 100_000_000_000  # 1e11
 _US_LOW = 100_000_000_000_000  # 1e14
+_NS_LOW = 100_000_000_000_000_000  # 1e17
 
 
 def normalize_epoch(col: Column) -> Column:
-    """Epoch long of unknown unit (s / ms / µs) → TimestampType (UTC).
+    """Epoch long of unknown unit (s / ms / µs / ns) → TimestampType (UTC).
 
     Magnitude-based unit detection; a pure column expression so it stays in
-    whole-stage codegen — no UDF.
+    whole-stage codegen — no UDF.  The ns→µs truncation goes through exact
+    decimal division: a double ``/ 1000`` would lose µs precision at 1.7e18
+    (beyond the 53-bit double mantissa).
     """
+    ns_to_us = F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
     return (
-        F.when(col >= F.lit(_US_LOW), F.timestamp_micros(col))
+        F.when(col >= F.lit(_NS_LOW), F.timestamp_micros(ns_to_us))
+        .when(col >= F.lit(_US_LOW), F.timestamp_micros(col))
         .when(col >= F.lit(_MS_LOW), F.timestamp_millis(col))
         .otherwise(F.timestamp_seconds(col))
+    )
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-driven event-time normalization: make ``col`` TimestampType.
+
+    The driver's ``events.parquet`` has shipped ``ts`` both as an epoch
+    int64 (nanoseconds) and as a genuine parquet ``timestamp[us]`` across
+    regenerations, so the loader must not assume either.  Dispatch on the
+    column's actual type:
+
+    - ``TimestampType`` — already correct, pass through.
+    - ``TimestampNTZType`` — cast to ``timestamp``; under the engine's UTC
+      session timezone this is value-identical (oracle-comparable).
+    - integral — magnitude-based unit detection via :func:`normalize_epoch`
+      (the reference's own unhandled ms/µs hazard,
+      /root/reference/components/btcusdt_ingest_data.py:66-73).
+
+    Works on batch and streaming DataFrames alike (pure column expression,
+    no action, no UDF).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return df.withColumn(col, normalize_epoch(F.col(col)))
+    raise TypeError(
+        f"column {col!r} has unsupported event-time type {dt.simpleString()}"
     )
 
 
