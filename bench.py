@@ -5,14 +5,23 @@ Prints ONE JSON line:
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
 
 Queries execute fully (noop sink — no driver collect) after one warm-up
-job that absorbs JVM/executor startup.  Per-query wall time is the best
-of two runs (steady-state number; first run pays one-off plan/codegen).
+job that absorbs JVM/executor startup.
+
+Methodology: N_RUNS (≥4) INTERLEAVED rounds — round 1 runs every query
+once, then round 2, … — and the reported per-query number is the MEDIAN
+across rounds.  Interleaving spreads slow environment drift (page cache,
+JIT, GC ramp) evenly across queries instead of attributing it to whoever
+ran last; the median discards the one cold first-round outlier
+(plan/codegen) without needing a separate warm-up pass.  Round-over-round
+best-of-two proved unjudgeable: identical code drifted 1.7-2.4× on
+seconds-scale queries between rounds 2 and 3.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -87,19 +96,22 @@ def main() -> None:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        return time.time() - t0
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        first = run_once(name)
-        second = run_once(name)
-        timings[name] = round(min(first, second), 3)
         # Operators that persist() intermediates (minhash, ngram, asof)
         # would otherwise accumulate cached blocks across the loop.
         spark.catalog.clearCache()
+        return time.time() - t0
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    names = [n for n in HEADLINE if n in qs]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
+            samples[name].append(run_once(name))
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +121,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "aggregation": "median",
+                "spread": spread,
             }
         )
     )

@@ -33,12 +33,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket_col(df: DataFrame, col: str, num_buckets: int = 512) -> F.Column:
+def _bucket_col(
+    df: DataFrame,
+    col: str,
+    num_buckets: int = 512,
+    bucket_width: int | None = None,
+) -> F.Column:
     """Coarse bucket key, monotone in ``col``.
 
-    Timestamps: fixed one-day buckets (no pre-pass).  Numerics: one
-    min/max aggregation to range-balance ``num_buckets`` fixed-width
-    buckets — a metadata-cheap pass compared to the join itself.
+    Timestamps: fixed one-day buckets (no pre-pass).  Numerics with an
+    explicit ``bucket_width``: pure arithmetic, no pre-pass.  Numerics
+    without: one min/max aggregation to range-balance ``num_buckets``
+    fixed-width buckets — an EAGER job fired at plan-construction time,
+    so callers who know their time-axis density should pass the width
+    (at 100 TB the probe is a full-column scan spent deciding how to
+    spend the real job).
     """
     dtype = dict(df.dtypes)[col]
     if dtype.startswith("timestamp"):
@@ -50,6 +59,10 @@ def _bucket_col(df: DataFrame, col: str, num_buckets: int = 512) -> F.Column:
             F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
             / F.lit(32)
         ).cast("long")
+    if bucket_width is not None:
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be positive")
+        return F.floor(F.col(col) / F.lit(int(bucket_width))).cast("long")
     row = df.select(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     lo, hi = row["lo"], row["hi"]
     if lo is None:
@@ -68,11 +81,15 @@ def asof_join(
     right_value_cols: Sequence[str] | None = None,
     tolerance: int | None = None,
     direction: str = "backward",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.time <= left.time`` (direction='backward'; DuckDB ``ASOF JOIN``
     semantics).  ``tolerance`` (same unit as the time column) drops matches
-    older than ``left.time - tolerance``.
+    older than ``left.time - tolerance``.  ``bucket_width`` (unkeyed
+    numeric time axes only): bucket span for the two-level carry — passing
+    it keeps plan construction job-free; when absent the operator
+    range-balances via an eager min/max probe.
 
     Returns all left columns plus ``right_value_cols``.  Raises
     ``ValueError`` if a right value column collides with a left column (the
@@ -138,12 +155,15 @@ def asof_join(
             carried = carried.withColumn(c, pick(_right(F.col(c))).over(w))
         rt_carried = pick(_right(F.col("_t"))).over(w)
     else:
-        # Unkeyed: bucketed carry (module docstring).  Persisted because
-        # the unioned subtree feeds three branches (bucket stats, distinct
-        # buckets, main); tools clear the cache between queries.
+        # Unkeyed: bucketed carry (module docstring).  The unioned
+        # subtree feeds two branches (bucket stats + main); the stats
+        # branch recomputes it column-pruned rather than persisting —
+        # a persist here could never be released (the returned plan
+        # stays lazy), and the bucket-stats recompute prunes to the
+        # time/value columns anyway.
         u = unioned.withColumn(
-            "_bkt", _bucket_col(unioned, "_t")
-        ).persist()
+            "_bkt", _bucket_col(unioned, "_t", bucket_width=bucket_width)
+        )
         # Per bucket: last (first) non-null right value per column.  A
         # null ordering key makes max_by/min_by skip the row, giving
         # per-column ignore-null semantics that mirror the window path.

@@ -143,10 +143,15 @@ def minhash_near_dedup(
         # pairs only; shingles are joined back for verified candidates —
         # a tiny fraction of the corpus — afterwards.
         #
-        # ``base`` is persisted because three downstream branches consume
-        # it (signatures + both sides of the verify join) and Catalyst
-        # does not reuse a subtree across differently-aliased branches —
-        # without the persist the tokenize/shingle work runs 3x.
+        # ``base`` feeds three branches (signatures + both sides of the
+        # verify join) and Catalyst does not reuse a subtree across
+        # differently-aliased branches, so tokenize/shingle runs 3x.
+        # That is deliberate: each recompute is a column-pruned scan
+        # (id + text only) with codegen expressions — scan-bound work —
+        # whereas persisting the shingle arrays pins a LARGER-than-corpus
+        # intermediate in the block manager (spill at scale) that the
+        # operator can never safely unpersist (the returned lazy plan
+        # still references it).  No cached blocks outlive the call.
         base = (
             ensure_parallelism(df, id_col)
             .select(
@@ -156,7 +161,6 @@ def minhash_near_dedup(
                 ).alias("_sh"),
             )
             .filter(F.size("_sh") > 0)
-            .persist()
         )
         # Signatures via explode + codegen'd aggregates, NOT the nested
         # higher-order-function form: HOF lambdas are interpreted per
@@ -359,14 +363,17 @@ def ngram_jaccard_pairs(
                     )
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        # Persisted: the gram arrays feed the exploded self-join (twice)
-        # plus both size lookups — recomputing the gram expression per
-        # branch would quadruple the scan.
+        # The gram arrays feed the exploded self-join (twice) plus both
+        # size lookups; each branch recomputes the gram expression over a
+        # column-pruned (id + text) scan instead of caching.  Four pruned
+        # scans beat one cache-write + four cache-reads of a
+        # larger-than-corpus gram-array intermediate at scale, and the
+        # operator leaves no persisted blocks behind (nothing here could
+        # ever unpersist them — the returned plan stays lazy).
         base = (
             ensure_parallelism(df, id_col)
             .select(F.col(id_col).alias("_id"), grams.alias("_g"))
             .filter(F.size("_g") > 0)
-            .persist()
         )
         # Candidate+count in ONE pass: explode distinct grams (hashed to
         # longs), self-join on gram, count matches per pair = |A∩B|.
@@ -389,7 +396,7 @@ def ngram_jaccard_pairs(
             # Rarest-first global order: document frequency, hash as the
             # tiebreak.  One cheap agg over the exploded grams; the join
             # with it is keyed by gram hash (vocabulary-sized side).
-            exp = ex.persist()
+            exp = ex
             dfreq = exp.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
             wp = Window.partitionBy("_id").orderBy("_df", "_h")
             plen = F.col("_n") - F.floor(

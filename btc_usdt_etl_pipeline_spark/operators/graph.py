@@ -12,10 +12,13 @@ connected components, computed here by min-label propagation:
 
 Rounds = graph diameter.  Near-dup graphs are short-diameter by nature
 (clusters are quasi-cliques — duplicates of a document are duplicates of
-each other), so a handful of rounds closes them; the alternating
-large-star/small-star contraction (Kiveris et al., "Connected Components
-in MapReduce and Beyond") is the O(log n)-round upgrade if a pathological
-chain graph ever shows up — same per-round shuffle shape, so it drops in.
+each other), so a handful of rounds closes them.  For pathological
+long-diameter graphs (chains), ``algorithm="star"`` switches to the
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", 2014): each round is the
+same shuffle shape (a per-node min aggregation + an equi-join) but the
+component minimum hops exponentially, so a D-diameter chain closes in
+O(log² D) rounds instead of D.
 
 Each round issues one metadata-sized driver action (the converged?
 count); lineage is truncated per round with ``localCheckpoint`` so the
@@ -36,10 +39,24 @@ def connected_components(
     node_col: str = "node",
     comp_col: str = "component",
     max_iter: int = 64,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     min node id reachable from the node.  Nodes with no edges don't
-    appear (callers union isolated ids back if they need singletons)."""
+    appear (callers union isolated ids back if they need singletons).
+
+    ``algorithm="label"`` — min-label propagation, rounds = diameter;
+    the right default for quasi-clique near-dup graphs.
+    ``algorithm="star"`` — large-star/small-star contraction, rounds =
+    O(log² diameter); use when the edge graph may contain long chains
+    (e.g. transitive similarity at a loose threshold).
+    """
+    if algorithm not in ("label", "star"):
+        raise ValueError("algorithm must be 'label' or 'star'")
+    if algorithm == "star":
+        return _star_components(
+            edges, src, dst, node_col, comp_col, max_iter
+        )
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialized once: every round joins against bi, and the upstream
     # edge computation (e.g. an n-gram similarity join) would otherwise
@@ -74,4 +91,100 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the node's
+    minimum neighborhood label: for each u, m = min(N(u) ∪ {u}); emit
+    (v, m) for v ∈ N(u), v > u.  One min-agg + one equi-join on u."""
+    bi = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bi.groupBy("u").agg(F.min("v").alias("_mv"))
+    m = F.least(F.col("u"), F.col("_mv"))
+    return (
+        bi.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient every edge large→small, then connect each node's
+    smaller-or-equal neighbors (and the node itself) to the minimum:
+    for each u over N(u) = {v ≤ u}, m = min(N(u)); emit (v, m) ∀v and
+    (u, m).  Same shuffle shape as large-star."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("_mv"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_mv").alias("v"))
+        .unionByName(
+            mins.select(F.col("u").alias("u"), F.col("_mv").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    node_col: str,
+    comp_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star until the edge set is stable —
+    at fixpoint the edges ARE the component map (every node points at
+    its component's min id).  Each round: two min-aggs, two joins, one
+    metadata-sized fingerprint action; lineage truncated per round."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # All nodes, kept aside so label-less roots/isolates-in-pairs still
+    # appear in the output after contraction collapses their edges.
+    nodes = (
+        e.select(F.col("u").alias(node_col))
+        .unionByName(e.select(F.col("v").alias(node_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame):
+        # (count, xor-of-hashes): order-insensitive, overflow-free (a sum
+        # of xxhash64 longs trips ANSI ARITHMETIC_OVERFLOW), collision-
+        # safe enough for a convergence check over a distinct edge set.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_fp = fingerprint(e)
+        if new_fp == fp:
+            # Fixpoint: e is (node → component-min) for every non-root.
+            labels = e.select(
+                F.col("u").alias(node_col), F.col("v").alias(comp_col)
+            )
+            return nodes.join(labels, node_col, "left").select(
+                F.col(node_col),
+                F.coalesce(F.col(comp_col), F.col(node_col)).alias(
+                    comp_col
+                ),
+            )
+        fp = new_fp
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds"
     )

@@ -102,10 +102,13 @@ def with_global_index(
             span = max(int(hi) - int(lo), 0) + 1
             width = max(span // num_buckets, 1)
             bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
-    # Persisted: the bucketed rows feed two actions (the count/offset
-    # pass and the final indexed plan) — without it the whole upstream
-    # subtree (scan, repartition, filters) executes twice.
-    dfb = df.withColumn("_bucket", bucket.cast("long")).persist()
+    # No persist between the two passes: the count/offset pass needs ONLY
+    # the bucket key (a pure function of ``order_col``), so Catalyst
+    # prunes its recompute down to a single-column scan + partial-agg —
+    # far cheaper at scale than pinning the full-width rows in the block
+    # manager (and it leaves no cached blocks behind for the caller to
+    # clean up).  The main pass re-reads the source with full pushdown.
+    dfb = df.withColumn("_bucket", bucket.cast("long"))
 
     counts = (
         dfb.groupBy("_bucket").count().orderBy("_bucket").collect()

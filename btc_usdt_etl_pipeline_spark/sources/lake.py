@@ -38,10 +38,12 @@ def write_time_partitioned(
       time) so parquet row-group min/max stats prune WITHIN files too.
     - Dynamic partition overwrite makes a day's backfill idempotent:
       rerunning replaces exactly that day, never duplicates (same
-      contract as warehouse.save_as_table).
+      contract as warehouse.save_as_table).  It is requested as a
+      per-WRITE option (which takes precedence over the session conf),
+      so the caller's session-wide overwrite mode is never mutated —
+      a leaked "dynamic" would silently change the semantics of every
+      subsequent unrelated ``mode("overwrite")`` write in the session.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.withColumn(
         "dt", F.date_format(F.col(time_col), "yyyy-MM-dd")
     )
@@ -53,7 +55,12 @@ def write_time_partitioned(
     out = out.repartition(*parts)
     if sort_cols:
         out = out.sortWithinPartitions("dt", *sort_cols)
-    out.write.mode("overwrite").partitionBy("dt").parquet(path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .parquet(path)
+    )
 
 
 def configure_s3a(

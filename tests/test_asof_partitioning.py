@@ -218,3 +218,42 @@ def test_plans_api(spark):
         assert read_columns(q) == [["k", "v"]]
         small = spark.range(10).select(F.col("id").alias("k"))
         assert "BroadcastHashJoin" in join_kinds(q.join(small, "k"))
+
+
+def test_asof_numeric_bucket_width_skips_probe_job(spark):
+    """With an explicit bucket_width, building the unkeyed numeric as-of
+    plan must fire NO Spark job (the min/max range probe is the fallback,
+    not the default cost); without it, the probe job is expected."""
+    from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.range(200).select(
+        F.col("id").alias("t"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(40).select(
+        (F.col("id") * 5).alias("t"), F.col("id").cast("double").alias("rv")
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    spark.sparkContext.setJobGroup("asof-width", "plan-only")
+    try:
+        planned = asof_join(
+            left, right, time_col="t", right_value_cols=["rv"],
+            bucket_width=16,
+        )
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert tracker.getJobIdsForGroup("asof-width") == []
+
+    spark.sparkContext.setJobGroup("asof-probe", "probe-expected")
+    try:
+        probed = asof_join(
+            left, right, time_col="t", right_value_cols=["rv"]
+        )
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert tracker.getJobIdsForGroup("asof-probe") != []
+
+    # same answer either way
+    a = sorted(map(tuple, planned.collect()))
+    b = sorted(map(tuple, probed.collect()))
+    assert a == b and len(a) == 200

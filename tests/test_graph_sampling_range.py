@@ -171,3 +171,64 @@ def test_range_join_no_nested_loop_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cc_star_property_vs_union_find(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.component
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got == _py_components(edges)
+
+    run()
+
+
+def test_cc_star_handles_1000_node_path(spark):
+    # The chain worst case label propagation CANNOT close within
+    # max_iter: a 1000-diameter path needs ~1000 label rounds, but only
+    # ~log2(1000)^2 star rounds.  Same output contract.
+    edges = [(i, i + 1) for i in range(999)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            df, algorithm="star", max_iter=40
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(1000)}
+
+
+def test_cc_label_raises_rather_than_hangs_on_long_chain(spark):
+    # Documents WHY algorithm="star" exists: the default raises once
+    # max_iter rounds pass without convergence instead of running a
+    # diameter's worth of shuffles.
+    edges = [(i, i + 1) for i in range(99)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=5).collect()
+
+
+def test_cc_algorithm_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="label.*star|star.*label"):
+        connected_components(df, algorithm="bfs")

@@ -88,11 +88,18 @@ def test_write_time_partitioned_layout_pruning_and_idempotence(spark):
         rows, "event_id long, user_id long, ts_ms long, value double"
     ).withColumn("ts", F.timestamp_millis("ts_ms"))
 
+    overwrite_conf = "spark.sql.sources.partitionOverwriteMode"
+    conf_before = spark.conf.get(overwrite_conf)
+
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/lake"
         write_time_partitioned(
             df, path, time_col="ts", sort_cols=["user_id", "ts"]
         )
+        # dynamic overwrite is requested per-write; the SESSION conf must
+        # not be mutated (a leaked "dynamic" changes the semantics of
+        # every later overwrite write in the session)
+        assert spark.conf.get(overwrite_conf) == conf_before
         # hive layout: one dt=... dir per day
         dirs = sorted(
             p for p in os.listdir(path) if p.startswith("dt=")
