@@ -5,20 +5,24 @@ decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.  The
 decode step is gated on codec IMPORTABILITY, checked inside the kernel
 (i.e. on the executor, where it actually matters):
 
-- ``decode="auto"`` (default): real decode where the codec imports
-  (PIL for images), deterministic hash-seeded fake features otherwise —
+- ``decode="auto"`` (default): real decode where a codec applies
+  (PIL for any format it handles, else the built-in PPM/PGM/BMP
+  decoder below), deterministic hash-seeded fake features otherwise —
   the same plan runs unchanged in a codec-less sandbox and a production
   image with Pillow installed.
 - ``decode="stub"``: always the deterministic fake — the
   oracle-replayable mode (q44 pins this so the DuckDB twin can recompute
   features byte-for-byte).
-- ``decode="real"``: require the codec; raise ``NotImplementedError``
-  with the missing-dependency message if absent.
+- ``decode="real"``: require a working decode; raise
+  ``NotImplementedError`` if no codec applies to the payload.
 
-This container ships no media codecs, so ``auto`` == ``stub`` here; the
-real branch is covered in tests via an injected fake ``PIL`` module.
+A dependency-free decoder for binary PPM (P6), PGM (P5), and
+uncompressed 24-bit BMP ships in-module, so ``decode="real"`` has a real
+end-to-end path even where Pillow is not installed (these three formats
+are trivially parseable headers + raw samples — no compression).  PIL,
+when importable, takes precedence and widens format coverage.
 Everything Spark-side — schema, batch iteration, partitioning, output
-contract — is identical across the three modes.
+contract — is identical across the modes.
 """
 
 from __future__ import annotations
@@ -91,15 +95,9 @@ def _image_codec():
         return None
 
 
-def _real_image_feature(payload, dim: int, image_mod) -> list[float]:
-    """Decode → grayscale → mean-pool to ``dim`` floats in [0, 1]."""
-    import io  # noqa: PLC0415
-
-    if payload is None:
-        return [0.0] * dim
-    img = image_mod.open(io.BytesIO(bytes(payload))).convert("L")
-    side = max(int(dim**0.5), 1)
-    px = list(img.resize((side, side)).getdata())
+def _pool_to_feature(px: list[int], dim: int) -> list[float]:
+    """Mean-pool a flat grayscale pixel list into ``dim`` floats in
+    [0, 1] (shared by the PIL and built-in decode paths)."""
     n = len(px)
     feats = []
     for i in range(dim):
@@ -107,6 +105,129 @@ def _real_image_feature(payload, dim: int, image_mod) -> list[float]:
         cell = px[lo:hi] or [0]
         feats.append(sum(cell) / (255.0 * len(cell)))
     return feats
+
+
+def _real_image_feature(payload, dim: int, image_mod) -> list[float]:
+    """PIL decode → grayscale → resize → mean-pool to ``dim`` floats."""
+    import io  # noqa: PLC0415
+
+    if payload is None:
+        return [0.0] * dim
+    img = image_mod.open(io.BytesIO(bytes(payload))).convert("L")
+    side = max(int(dim**0.5), 1)
+    return _pool_to_feature(list(img.resize((side, side)).getdata()), dim)
+
+
+def _decode_builtin(data: bytes):
+    """Dependency-free image decode: binary PPM (P6) / PGM (P5) /
+    uncompressed 24-bit BMP → (width, height, flat grayscale rows).
+
+    Returns ``None`` when the payload is not one of these formats (the
+    caller then falls back or raises per its decode mode).  These are
+    header + raw-sample formats, so a correct reader is a page of code —
+    no codec dependency, which is what makes ``decode="real"`` testable
+    end-to-end in a bare container.
+    """
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_pnm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp24(data)
+    return None
+
+
+def _decode_pnm(data: bytes):
+    """Binary PPM/PGM: ``P6|P5 <w> <h> <maxval>`` header tokens (with
+    ``#`` comments), then raw big-endian samples row-major."""
+    channels = 3 if data[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            return None
+        ch = data[pos : pos + 1]
+        if ch == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(data[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    bps = 1 if maxval < 256 else 2
+    need = w * h * channels * bps
+    raw = data[pos : pos + need]
+    if len(raw) < need:
+        return None
+    px = []
+    for i in range(w * h):
+        acc = 0
+        for c in range(channels):
+            off = (i * channels + c) * bps
+            v = (
+                raw[off]
+                if bps == 1
+                else (raw[off] << 8) | raw[off + 1]
+            )
+            acc += v
+        px.append(acc * 255 // (channels * maxval))
+    return w, h, px
+
+
+def _decode_bmp24(data: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): little-endian header
+    fields, BGR samples, 4-byte-padded rows, bottom-up unless height<0."""
+    import struct  # noqa: PLC0415
+
+    if len(data) < 54:
+        return None
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < pixel_off + stride * h:
+        return None
+    px = [0] * (w * h)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pixel_off + src_row * stride
+        for x in range(w):
+            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            px[row * w + x] = (r + g + b) // 3
+    return w, h, px
+
+
+def _builtin_image_feature(payload, dim: int) -> list[float] | None:
+    """Built-in decode → nearest-neighbor resample to side² → mean-pool.
+
+    Mirrors the PIL path's shape exactly (grayscale, side=floor(√dim),
+    pool to ``dim``); returns None when the format is unrecognized.
+    """
+    if payload is None:
+        return [0.0] * dim
+    decoded = _decode_builtin(bytes(payload))
+    if decoded is None:
+        return None
+    w, h, px = decoded
+    side = max(int(dim**0.5), 1)
+    resized = [
+        px[(r * h // side) * w + (c * w // side)]
+        for r in range(side)
+        for c in range(side)
+    ]
+    return _pool_to_feature(resized, dim)
 
 
 def extract_features(
@@ -125,19 +246,19 @@ def extract_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = None if decode == "stub" else _image_codec()
-        if decode == "real" and image_mod is None:
-            raise NotImplementedError(
-                "decode='real' requires an image codec (Pillow) on the "
-                "executors; pip install Pillow or use decode='auto'"
-            )
 
         def feat(media_type: str, payload) -> list[float]:
-            if image_mod is not None and media_type == "image":
-                return _real_image_feature(payload, dim, image_mod)
+            if media_type == "image" and decode != "stub":
+                if image_mod is not None:
+                    return _real_image_feature(payload, dim, image_mod)
+                built = _builtin_image_feature(payload, dim)
+                if built is not None:
+                    return built
             if decode == "real":
                 raise NotImplementedError(
-                    f"no codec for media_type={media_type!r} "
-                    "(audio/video codecs are not wired yet)"
+                    f"no codec applies to media_type={media_type!r} "
+                    "payload (PIL absent and not PPM/PGM/24-bit BMP; "
+                    "audio/video codecs are not wired yet)"
                 )
             return _fake_feature(payload, dim)
 

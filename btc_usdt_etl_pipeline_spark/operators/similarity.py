@@ -182,14 +182,15 @@ def _srp_bucket(
     vec: F.Column,
     table: int,
     planes: int,
-    dim: int,
     portable: bool = False,
 ) -> F.Column:
     """Sign-random-projection bucket id for one hash table.
 
     Hyperplane component (t, p, j) is a deterministic pseudo-random value
     derived from a hash — reproducible across runs/executors with zero
-    RNG state shipping.  ``portable=True`` derives it from md5
+    RNG state shipping, and generated for ``j`` up to ``size(vec)`` at
+    RUNTIME, so no dimensionality probe (an eager job) is ever needed at
+    plan-build time.  ``portable=True`` derives it from md5
     (:func:`portable_hash60` semantics) so a SQL oracle can replay the
     exact buckets; default is xxhash64 (cheaper).
 
@@ -219,7 +220,7 @@ def _srp_bucket(
         dot_p = F.aggregate(
             F.zip_with(
                 vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, j: x.cast("double") * component(F.lit(p), j),
             ),
             F.lit(0.0),
@@ -258,21 +259,13 @@ def lsh_top_k(
     derives hyperplanes from md5 so a SQL oracle replays the exact
     buckets; ``round_dp`` rounds cosines before ranking for
     cross-engine tie stability.
+
+    ``dim`` is accepted for API compatibility but unused: hyperplane
+    components are generated up to each row's ``size(vec)`` at runtime,
+    so plan construction fires no job and an empty corpus flows through
+    as a naturally-empty (correctly-typed) result.
     """
-    if dim is None:
-        # Eager metadata probe (one row).  Guard the empty/all-null corpus:
-        # subscripting the missing row would raise TypeError mid-plan-build
-        # instead of returning the natural empty result.
-        probe = corpus.select(vec_col).first()
-        if probe is None or probe[0] is None:
-            qt = queries.schema[query_id_col].dataType.simpleString()
-            it = corpus.schema[id_col].dataType.simpleString()
-            return corpus.sparkSession.createDataFrame(
-                [],
-                f"{query_id_col} {qt}, {id_col} {it}, "
-                "cosine double, rnk int",
-            )
-        dim = len(probe[0])
+    del dim  # hyperplanes are sized per-row; no eager probe
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         buckets = F.array(
@@ -280,7 +273,7 @@ def lsh_top_k(
                 F.struct(
                     F.lit(t).alias("t"),
                     _srp_bucket(
-                        F.col(vec_col), t, planes, dim, portable
+                        F.col(vec_col), t, planes, portable
                     ).alias("b"),
                 )
                 for t in range(tables)

@@ -96,3 +96,24 @@ def test_lsh_empty_corpus_typed_result(spark):
     out = lsh_top_k(corpus, queries)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cosine", "rnk"]
+
+
+def test_lsh_plan_construction_fires_no_job(spark):
+    """Hyperplanes are sized per-row at runtime: building the LSH plan
+    must not trigger a dimensionality probe job."""
+    corpus = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [0.1, 0.2])], "query_id long, embedding array<float>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("lsh-plan", "plan-only")
+    try:
+        planned = lsh_top_k(corpus, queries, k=1)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert tracker.getJobIdsForGroup("lsh-plan") == []
+    rows = planned.collect()
+    assert rows and rows[0].vec_id == 1

@@ -1,26 +1,59 @@
 """Multimodal decode gating: stub vs auto vs real, and the import guard.
 
-The container has no media codecs, so ``auto`` must silently equal
-``stub`` here, ``real`` must raise the missing-dependency error through
-the Spark job, and the real decode kernel itself is unit-tested
-in-process with an injected fake PIL (executors re-import the module, so
-a sys.modules patch cannot reach a Spark worker — the in-process test is
-the honest way to cover that branch in this sandbox).
+The container has no Pillow, so for undecodable payloads ``auto`` must
+equal ``stub`` and ``real`` must raise through the Spark job.  The
+dependency-free built-in decoder (binary PPM/PGM + uncompressed 24-bit
+BMP) gives ``decode="real"`` a true end-to-end path here: generated
+images go through the same Arrow-batched mapInPandas kernel on real
+executors.  The PIL branch itself is unit-tested in-process with an
+injected fake PIL (executors re-import the module, so a sys.modules
+patch cannot reach a Spark worker).
 """
 
 from __future__ import annotations
 
+import struct
 import sys
 import types
 
 import pytest
 
 from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+    _decode_builtin,
     _fake_feature,
     _image_codec,
     _real_image_feature,
     extract_features,
 )
+
+
+def _ppm(pixels, w, h, maxval=255, comment=False):
+    """Binary P6 bytes from [(r,g,b), ...] row-major."""
+    head = b"P6\n" + (b"# gen\n" if comment else b"")
+    head += f"{w} {h}\n{maxval}\n".encode()
+    bps = 1 if maxval < 256 else 2
+    raw = b"".join(
+        v.to_bytes(bps, "big") for px in pixels for v in px
+    )
+    return head + raw
+
+
+def _bmp24(pixels, w, h):
+    """Uncompressed bottom-up 24-bit BMP from [(r,g,b), ...] row-major."""
+    stride = (w * 3 + 3) & ~3
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + stride * h, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                    2835, 2835, 0, 0)
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        row = b"".join(
+            bytes([pixels[r * w + c][2], pixels[r * w + c][1],
+                   pixels[r * w + c][0]])
+            for c in range(w)
+        )
+        rows.append(row.ljust(stride, b"\0"))
+    return header + b"".join(rows)
 
 
 def _media_df(spark):
@@ -51,10 +84,61 @@ def test_auto_falls_back_to_stub_without_codec(spark):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, stub))
 
 
-def test_real_mode_raises_without_codec(spark):
+def test_real_mode_raises_on_undecodable_payload(spark):
+    # No PIL and not a PPM/PGM/BMP payload: real must refuse, not fake.
     df = _media_df(spark)
-    with pytest.raises(Exception, match="Pillow"):
+    with pytest.raises(Exception, match="no codec applies"):
         df.transform(extract_features(dim=4, decode="real")).collect()
+
+
+def test_real_mode_decodes_ppm_end_to_end(spark):
+    # 2x2 gradient: grayscale [0, 255, 102, 51] -> dim=4 pooling is the
+    # identity -> exact features.  Runs through the REAL mapInPandas
+    # kernel on executors — no codec dependency involved.
+    img = _ppm(
+        [(0, 0, 0), (255, 255, 255), (102, 102, 102), (51, 51, 51)],
+        2, 2, comment=True,
+    )
+    df = spark.createDataFrame(
+        [(1, "image", img)],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = df.transform(extract_features(dim=4, decode="real")).collect()
+    assert rows[0].feature == pytest.approx(
+        [0.0, 1.0, 102 / 255, 51 / 255]
+    )
+    assert rows[0].n_bytes == len(img)
+
+
+def test_real_mode_decodes_bmp_end_to_end(spark):
+    img = _bmp24(
+        [(0, 0, 0), (255, 255, 255), (102, 102, 102), (51, 51, 51)],
+        2, 2,
+    )
+    df = spark.createDataFrame(
+        [(7, "image", img)],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = df.transform(extract_features(dim=4, decode="real")).collect()
+    assert rows[0].feature == pytest.approx(
+        [0.0, 1.0, 102 / 255, 51 / 255]
+    )
+
+
+def test_builtin_decoder_formats():
+    # 16-bit-per-sample PPM scales back to 0..255
+    wide = _ppm([(65535, 65535, 65535)], 1, 1, maxval=65535)
+    assert _decode_builtin(wide) == (1, 1, [255])
+    # PGM (single channel)
+    pgm = b"P5\n2 1\n255\n" + bytes([10, 200])
+    assert _decode_builtin(pgm) == (2, 1, [10, 200])
+    # BMP grayscale conversion is (r+g+b)//3
+    bmp = _bmp24([(30, 60, 90)], 1, 1)
+    assert _decode_builtin(bmp) == (1, 1, [60])
+    # unknown format
+    assert _decode_builtin(b"GIF89a....") is None
+    # truncated raster
+    assert _decode_builtin(b"P6\n2 2\n255\n\x00\x00") is None
 
 
 def test_invalid_mode_rejected():
