@@ -4364,6 +4364,103 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q109_segment_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM tok),
+    sg AS (SELECT doc_id, pos // 8 AS seg_no,
+                  string_agg(tok, ' ' ORDER BY pos) AS seg
+           FROM tr GROUP BY doc_id, pos // 8),
+    cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM sg GROUP BY seg),
+    kept AS (SELECT sg.doc_id, sg.seg_no, sg.seg
+             FROM sg JOIN cnt USING (seg) WHERE nd = 1),
+    pk AS (SELECT doc_id,
+                  string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM sg GROUP BY doc_id)
+    SELECT tot.doc_id,
+           COALESCE(pk.clean_text, '') AS clean_text,
+           COALESCE(pk.n_kept, 0) AS n_kept,
+           tot.n_segments - COALESCE(pk.n_kept, 0) AS n_dropped
+    FROM tot LEFT JOIN pk USING (doc_id)
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document segment dedup: 8-token segments occurring
+    in more than one document are boilerplate and get stripped; survivors
+    reassemble in order.  The oracle replays the full chunk → frequency →
+    filter → reassemble chain relationally."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import segment_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(segment_dedup(segment_tokens=8))
+
+
+@_q(
+    "q110_embedding_quantize",
+    """
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings),
+    sc AS (SELECT dim, MAX(ABS(v)) AS scale FROM ex GROUP BY dim),
+    qx AS (SELECT vec_id, ex.dim, v, scale,
+                  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(FLOOR((v * 127) / scale + 0.5) AS BIGINT)
+                  END AS q
+           FROM ex JOIN sc ON ex.dim = sc.dim)
+    SELECT vec_id,
+           to_json(list(q ORDER BY dim)) AS quantized,
+           MAX(ABS(v - (q * scale) / 127)) AS max_abs_err
+    FROM qx GROUP BY vec_id
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 embedding quantization with
+    per-vector max reconstruction error.  floor(x + 0.5) instead of
+    round() — the two engines' tie rules differ, the floor form doesn't;
+    every arithmetic step is an identical double expression on both
+    sides, so the error column hash-matches bit-for-bit.  The quantized
+    array is serialized to JSON for the comparator (q44's trick: the
+    row canonicalizer cannot sort list cells)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.transform(quantize_embeddings()).withColumn(
+        "quantized", F.to_json("quantized")
+    )
+
+
+@_q(
+    "q111_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+          FROM tok WHERE len(toks) >= 8),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id, COUNT(*) AS n_shared_shingles
+    FROM g JOIN ev USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token shingle with the eval subset (source='src0').  Same shingle
+    definition as the dedup stack (q30/q38), so one gram vocabulary
+    serves dedup AND contamination checks in a real pipeline."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(decontaminate(F.col("source") == "src0"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

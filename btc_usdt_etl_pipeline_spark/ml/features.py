@@ -129,3 +129,50 @@ def regression_metrics(
         exact_avg(F.abs(err)).alias("mae"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def quantize_embeddings(
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits_max: int = 127,
+) -> Callable[[DataFrame], DataFrame]:
+    """Symmetric per-dimension int8 quantization of an embedding column —
+    the storage/serving compression step of an embedding pipeline.
+
+    scale_d = max(|v_d|) over the corpus per dimension;
+    q = floor(v·bits_max/scale + 0.5) (explicit half-up — engines
+    disagree on round()'s tie rule, floor(x+0.5) is identical
+    everywhere); the output keeps the per-vector max absolute
+    reconstruction error so a quality gate can reject lossy dims.
+
+    Output: ``(id_col, quantized array<long>, max_abs_err double)``.
+
+    Shape at scale: posexplode → per-dimension max (dim-sized result,
+    broadcast back) → per-vector re-aggregation.  Two shuffles, the
+    second keyed by ``id_col``; no driver actions, no UDFs.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        ex = df.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+        scales = ex.groupBy("dim").agg(F.max(F.abs("v")).alias("scale"))
+        q = (
+            F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor((F.col("v") * bits_max) / F.col("scale") + 0.5)
+            )
+        )
+        qx = ex.join(F.broadcast(scales), "dim").withColumn("q", q)
+        err = F.abs(
+            F.col("v") - (F.col("q") * F.col("scale")) / F.lit(bits_max)
+        )
+        return qx.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                lambda s: s["q"],
+            ).alias("quantized"),
+            F.max(err).alias("max_abs_err"),
+        )
+
+    return _t

@@ -457,3 +457,115 @@ def ngram_jaccard_pairs(
         )
 
     return _t
+
+
+def segment_dedup(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 8,
+) -> Callable[[DataFrame], DataFrame]:
+    """C4-style cross-document SEGMENT dedup: chunk each document into
+    fixed ``segment_tokens``-token segments, drop every segment whose
+    exact text occurs in more than one document, reassemble the rest in
+    order.  (C4 removes any three-sentence span occurring twice in the
+    corpus; the fixed-token chunk is the sentence-free analogue for
+    corpora without sentence structure.)
+
+    Output: ``(id_col, clean_text, n_kept, n_dropped)`` — one row per
+    document that produced at least one token; ``clean_text`` is ''
+    when every segment was boilerplate.
+
+    Shape at scale: one tokenize+explode, a (doc, segment) aggregation,
+    a segment-frequency aggregation, one equi-join keyed by segment
+    text, and a per-doc reassembly — all AQE-managed hash shuffles, no
+    windows over the corpus, no driver actions.  Hot boilerplate
+    segments skew the frequency agg's key space exactly like hot grams
+    in ngram_jaccard_pairs; the same AQE skew-join handling applies.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        tok_rows = ensure_parallelism(df, id_col).select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+        )
+        segs = (
+            tok_rows.withColumn(
+                "seg_no", F.expr(f"pos div {int(segment_tokens)}")
+            )
+            .groupBy(id_col, "seg_no")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).alias("seg")
+            )
+        )
+        counts = segs.groupBy("seg").agg(
+            F.count_distinct(id_col).alias("_nd")
+        )
+        kept = segs.join(counts, "seg").filter(F.col("_nd") == 1)
+        per_doc = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_nk"),
+        )
+        totals = segs.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_nt")
+        )
+        return totals.join(per_doc, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+            (
+                F.col("_nt") - F.coalesce(F.col("_nk"), F.lit(0).cast("long"))
+            ).alias("n_dropped"),
+        )
+
+    return _t
+
+
+def decontaminate(
+    eval_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> Callable[[DataFrame], DataFrame]:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    one ``shingle_n``-token shingle with the held-out/eval subset
+    (``eval_filter`` selects the eval rows INSIDE the same DataFrame).
+
+    Returns ``(id_col, n_shared_shingles)`` for contaminated non-eval
+    documents only — the standard n-gram-overlap test used before
+    training-set release.
+
+    Shape at scale: both sides reduce to distinct shingle sets before
+    the equi-join keyed by shingle text; the eval side is typically
+    benchmark-sized, so Catalyst broadcasts it and the corpus side
+    never shuffles its full text — only matched (doc, shingle) pairs
+    reach the final count.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        g = ensure_parallelism(df, id_col).select(
+            F.col(id_col),
+            eval_filter.alias("_is_eval"),
+            F.explode(
+                F.array_distinct(shingles(tokens(text_col), shingle_n))
+            ).alias("gram"),
+        )
+        eval_grams = g.filter(F.col("_is_eval")).select("gram").distinct()
+        return (
+            g.filter(~F.col("_is_eval"))
+            .join(eval_grams, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        )
+
+    return _t

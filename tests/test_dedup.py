@@ -156,3 +156,56 @@ def test_ngram_prefix_filter_identical_output(spark):
         )
 
     run()
+
+
+def test_segment_dedup_strips_cross_doc_segments(spark):
+    from btc_usdt_etl_pipeline_spark.operators.dedup import segment_dedup
+
+    shared = "a b c d e f g h"          # one full 8-token segment
+    rows = [
+        (1, shared + " " + "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (2, shared + " " + "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (3, shared),                     # nothing unique -> empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in df.transform(segment_dedup(segment_tokens=8)).collect()
+    }
+    assert out[1] == ("u1 u2 u3 u4 u5 u6 u7 u8", 1, 1)
+    assert out[2] == ("w1 w2 w3 w4 w5 w6 w7 w8", 1, 1)
+    assert out[3] == ("", 0, 1)
+
+
+def test_segment_dedup_keeps_within_doc_repeats(spark):
+    # The rule is CROSS-document frequency: a segment repeated inside
+    # one document is not boilerplate and survives (both copies).
+    from btc_usdt_etl_pipeline_spark.operators.dedup import segment_dedup
+
+    seg = "x1 x2 x3 x4 x5 x6 x7 x8"
+    df = spark.createDataFrame(
+        [(1, seg + " " + seg)], "doc_id long, text string"
+    )
+    row = df.transform(segment_dedup(segment_tokens=8)).first()
+    assert row.clean_text == seg + " " + seg
+    assert (row.n_kept, row.n_dropped) == (2, 0)
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    from btc_usdt_etl_pipeline_spark.operators.dedup import decontaminate
+    from pyspark.sql import functions as F
+
+    leak = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, "eval", leak + " extra tail tokens here now ok fine yes"),
+        (2, "train", "prefix words then " + leak),   # contaminated
+        (3, "train", "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r.n_shared_shingles
+        for r in df.transform(
+            decontaminate(F.col("source") == "eval")
+        ).collect()
+    }
+    assert out == {2: 1}

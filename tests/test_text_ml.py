@@ -145,3 +145,22 @@ def test_map_in_arrow_inference_matches_pandas_path(spark):
     }
     assert pandas_out == arrow_out  # bit-identical, not just close
     assert pandas_out[2] == 2 * 0.25 + 4 * -0.5 + 1.5 * 2.0 + 0.125
+
+
+def test_quantize_embeddings_exact_values(spark):
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.ml.features import quantize_embeddings
+
+    rows = [(1, [1.0, -0.5, 0.0]), (2, [0.5, 0.25, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.quantized, r.max_abs_err)
+        for r in df.transform(quantize_embeddings()).collect()
+    }
+    # scales: dim0 -> 1.0, dim1 -> 0.5, dim2 -> 0 (all-zero dim)
+    assert out[1][0] == [127, -127, 0]
+    assert out[2][0] == [64, 64, 0]   # floor(63.5+0.5), floor(63.5+0.5)
+    assert out[1][1] == pytest.approx(0.0)
+    # vec 2 dim0: 0.5 vs 64/127 -> |0.5 - 0.50393...| ≈ 0.003937
+    assert out[2][1] == pytest.approx(64 / 127 - 0.5)
