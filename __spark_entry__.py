@@ -305,13 +305,24 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
     """,
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no large order.
+
+    The previous every-order form matched a 0-row result against a
+    0-row oracle — vacuously green (the r3 q60 lesson: an empty match
+    proves nothing).  The filtered right side keeps the result
+    non-empty at every SF, so the anti-join semantics are actually
+    exercised by the hash comparison.
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 250000
+    )
     return c.transform(
         anti_join(o, c["c_custkey"] == o["o_custkey"])
     ).select("c_custkey", "c_name", "c_acctbal")

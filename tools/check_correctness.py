@@ -130,7 +130,15 @@ def main() -> int:
         on, oc, oh, omat = canon(orows, ocols)
         ok = sn == on and sc == oc and sh == oh
         if ok:
-            print(f"PASS {name}: rows={sn} hash={sh} [{time.time()-t0:.1f}s]")
+            # Round-3 lesson (q60): a both-sides-empty match can hide a
+            # query whose predicates silently select nothing (e.g. a
+            # constant time anchor drifting away from the data's epoch).
+            # Still a PASS, but loudly marked so a human re-reads it.
+            empty_note = " [EMPTY RESULT — verify non-vacuous]" if sn == 0 else ""
+            print(
+                f"PASS {name}: rows={sn} hash={sh} "
+                f"[{time.time()-t0:.1f}s]{empty_note}"
+            )
             n_pass += 1
         else:
             print(
