@@ -4446,6 +4446,43 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q112_latest_snapshot",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot compaction (the lakehouse upsert-view pattern):
+    one deterministic latest row per key, ordered by (ts, event_id).
+
+    Implemented as a single ``max_by`` aggregation, NOT the window-rank
+    form the oracle uses: the agg gets map-side partial aggregation
+    (each input partition pre-reduces to ≤ |keys| rows before the
+    shuffle), while a window must shuffle and sort EVERY row — at
+    changelog scale that's the difference between a metadata-sized
+    exchange and a full-data sort."""
+    ev = _t(spark, sf_dir, "events")
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, ordering).alias("_w"))
+        .select(
+            "user_id",
+            F.col("_w.ts").alias("last_ts"),
+            F.col("_w.event_id").alias("last_event_id"),
+            F.col("_w.event_type").alias("last_event_type"),
+            F.col("_w.value").alias("last_value"),
+        )
+    )
+
+
+@_q(
     "q111_decontaminate",
     f"""
     WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
