@@ -70,25 +70,30 @@ def connected_components(
         .withColumn(comp_col, F.col(node_col))
         .localCheckpoint()
     )
+    def fingerprint(lbl: DataFrame):
+        # One metadata-sized agg replaces the old join-against-previous
+        # changed-count (which shuffled the label table twice per round).
+        # bit_xor, not sum — a long sum of xxhash64 values trips ANSI
+        # ARITHMETIC_OVERFLOW (SCALE.md lesson 18).
+        return lbl.agg(
+            F.expr(f"bit_xor(xxhash64({node_col}, {comp_col}))")
+        ).first()[0]
+
+    fp = fingerprint(labels)
     for _ in range(max_iter):
         msgs = bi.join(
             labels, bi["u"] == labels[node_col]
         ).select(F.col("v").alias(node_col), F.col(comp_col))
-        new_labels = (
+        labels = (
             msgs.unionByName(labels)
             .groupBy(node_col)
             .agg(F.min(comp_col).alias(comp_col))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node_col)
-            .filter(F.col(f"n.{comp_col}") != F.col(f"o.{comp_col}"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_fp = fingerprint(labels)
+        if new_fp == fp:
             return labels
+        fp = new_fp
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
