@@ -4483,6 +4483,50 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q113_salted_join",
+    f"""
+    WITH dim(event_type, weight) AS (VALUES
+      ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+      ('signup', 5.0), ('error', 0.0))
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           {oracle_sum_sql('e.value * d.weight')} AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted JOIN (q54 covers salted aggregation): events are
+    pathologically skewed on event_type (5 values for the whole fact
+    table), so the dim join is salted — left rows spread over 16 salt
+    buckets, dim replicated 16x — and the join runs shuffle-hash (hint)
+    to demonstrate the non-broadcast regime where salting matters.
+    Result must equal the plain join row-for-row; the oracle is the
+    plain join."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    ).hint("shuffle_hash")
+    joined = ev.transform(
+        salted_join(dim, on=["event_type"], salt_buckets=16,
+                    salt_source="event_id")
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+
+
+@_q(
     "q111_decontaminate",
     f"""
     WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),

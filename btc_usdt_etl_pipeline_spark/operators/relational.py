@@ -181,3 +181,48 @@ def range_join(
         )
 
     return _t
+
+
+def salted_join(
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    salt_source: Column | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Skew-safe inner equi-join: salt the big (left) side, replicate the
+    small (right) side ``salt_buckets``×, join on ``(keys..., salt)``.
+
+    The sort-merge/shuffle-hash alternative sends every row of a hot key
+    to ONE reducer; salting spreads it over ``salt_buckets`` reducers at
+    the cost of replicating the right side — the standard move when one
+    key holds more rows than an executor can hold and the right side is
+    too big to broadcast outright but small enough to replicate.
+    (AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological single-key case AQE can't split —
+    e.g. a hot key inside one unsplittable shuffle block.)
+
+    ``salt_source``: column whose hash spreads the left rows (default: a
+    per-row id via ``monotonically_increasing_id`` — uniform but plan-
+    internal).  Result equals the plain inner join row-for-row.
+    """
+
+    def _t(left: DataFrame) -> DataFrame:
+        src = (
+            F.monotonically_increasing_id()
+            if salt_source is None
+            else (
+                F.col(salt_source)
+                if isinstance(salt_source, str)
+                else salt_source
+            )
+        )
+        lhs = left.withColumn(
+            "_salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets))
+        )
+        rhs = right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        ).withColumn("_salt", F.col("_salt").cast("long"))
+        return lhs.join(rhs, [*on, "_salt"]).drop("_salt")
+
+    return _t

@@ -83,3 +83,49 @@ def configure_s3a(
     hconf.set("fs.s3a.secret.key", secret_key)
     hconf.set("fs.s3a.path.style.access", str(path_style).lower())
     hconf.set("fs.s3a.connection.ssl.enabled", str(ssl).lower())
+
+
+def z_value(
+    cols: Sequence,
+    ranges: Sequence[tuple[float, float]],
+    bits: int = 16,
+):
+    """Morton (Z-order) interleave of N columns → one clustering key.
+
+    ``sortWithinPartitions(z_value(...))`` clusters rows so parquet
+    row-group min/max stats stay narrow on EVERY participating column
+    simultaneously — single-column sort clusters perfectly on one
+    column and not at all on the others; Z-order trades a little of
+    each for pruning on all (the standard lakehouse multi-dimension
+    clustering move).
+
+    ``ranges``: (lo, hi) per column — explicit metadata, NOT probed
+    (an eager min/max scan at plan time is the anti-pattern this
+    module avoids; callers know their domains).  Values are scaled to
+    ``bits``-bit integer ranks, clamped at the edges, then
+    bit-interleaved with pure integer expressions (whole-stage
+    codegen; ``N * bits`` shift/mask terms).
+    """
+    if len(cols) != len(ranges):
+        raise ValueError("cols and ranges must align")
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("interleaved width must fit a signed long")
+    n = len(cols)
+    scale = (1 << bits) - 1
+    ranks = []
+    for c, (lo, hi) in zip(cols, ranges):
+        c = F.col(c) if isinstance(c, str) else c
+        if hi <= lo:
+            raise ValueError("range hi must exceed lo")
+        r = F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi) - float(lo))
+            * F.lit(scale)
+        ).cast("long")
+        ranks.append(F.greatest(F.lit(0), F.least(F.lit(scale), r)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z

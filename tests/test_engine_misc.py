@@ -265,3 +265,33 @@ def test_weighted_sample_k_exceeds_group(spark):
     assert "_rnk" not in df.transform(
         weighted_sample("id", "w", 10, partition_by=["g"])
     ).columns
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.relational import salted_join
+
+    left = spark.range(2000).select(
+        F.col("id").alias("k_id"),
+        # pathological skew: 90% of rows share one key
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 7).cast("string"))
+        ).alias("key"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 2.0)] + [(f"cold{i}", float(i)) for i in range(7)],
+        "key string, w double",
+    )
+    salted = left.transform(
+        salted_join(dim.hint("shuffle_hash"), on=["key"],
+                    salt_buckets=8, salt_source="k_id")
+    )
+    plain = left.join(dim, "key")
+    a = sorted(map(tuple, salted.select("key", "k_id", "v", "w").collect()))
+    b = sorted(map(tuple, plain.select("key", "k_id", "v", "w").collect()))
+    assert a == b and len(a) == 2000
+    # the physical join must carry the salt in its keys (8-way spread)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.operators.text import quality_features
@@ -185,3 +186,40 @@ def test_bucketed_tables_join_without_shuffle(spark):
         assert j.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_z_value_morton_tiles_cluster_both_dimensions(spark):
+    """Sorting a 64x64 grid by z_value and cutting it into 16 equal
+    chunks must yield exact 16x16 Morton tiles: every chunk spans at
+    most 1/4 of the domain in BOTH dimensions — the property that keeps
+    parquet row-group min/max narrow on every clustered column."""
+    from btc_usdt_etl_pipeline_spark.sources.lake import z_value
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rows = (
+        grid.withColumn("z", z_value(["x", "y"], [(0, 63), (0, 63)], bits=6))
+        .orderBy("z")
+        .collect()
+    )
+    assert len(rows) == 4096
+    # z must be a permutation of 0..4095 (bijective interleave)
+    assert sorted(r.z for r in rows) == list(range(4096))
+    for c in range(16):
+        chunk = rows[c * 256 : (c + 1) * 256]
+        xs = [r.x for r in chunk]
+        ys = [r.y for r in chunk]
+        assert max(xs) - min(xs) == 15
+        assert max(ys) - min(ys) == 15
+
+
+def test_z_value_validation(spark):
+    from btc_usdt_etl_pipeline_spark.sources.lake import z_value
+
+    with pytest.raises(ValueError, match="align"):
+        z_value(["x"], [(0, 1), (0, 1)])
+    with pytest.raises(ValueError, match="signed long"):
+        z_value(["x", "y"], [(0, 1), (0, 1)], bits=32)
+    with pytest.raises(ValueError, match="hi must exceed"):
+        z_value(["x"], [(5, 5)])
