@@ -209,3 +209,54 @@ def test_decontaminate_flags_shingle_overlap(spark):
         ).collect()
     }
     assert out == {2: 1}
+
+
+def test_segment_dedup_property_vs_python_reference(spark):
+    """Differential test: the Spark chunk→count→strip→reassemble chain
+    must equal a direct Python implementation for arbitrary corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from btc_usdt_etl_pipeline_spark.operators.dedup import segment_dedup
+
+    words = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(
+        st.sampled_from(words), min_size=1, max_size=10
+    ).map(" ".join)
+
+    def py_segment_dedup(texts, n=3):
+        segs = {
+            i: [
+                " ".join(toks[k : k + n])
+                for k in range(0, len(toks), n)
+            ]
+            for i, t in enumerate(texts)
+            for toks in [t.split()]
+        }
+        freq = {}
+        for i, ss in segs.items():
+            for s in set(ss):
+                freq[s] = freq.get(s, 0) + 1
+        out = {}
+        for i, ss in segs.items():
+            kept = [s for s in ss if freq[s] == 1]
+            out[i] = (" ".join(kept), len(kept), len(ss) - len(kept))
+        return out
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+            for r in df.transform(segment_dedup(segment_tokens=3)).collect()
+        }
+        assert got == py_segment_dedup(texts)
+
+    run()
