@@ -230,6 +230,61 @@ def _builtin_image_feature(payload, dim: int) -> list[float] | None:
     return _pool_to_feature(resized, dim)
 
 
+def _decode_wav_pcm(data: bytes):
+    """Dependency-free WAV decode: RIFF/WAVE container, PCM (format 1)
+    at 8 or 16 bits per sample → flat list of samples in [-1, 1]
+    (channels averaged).  Returns ``None`` for anything else."""
+    import struct  # noqa: PLC0415
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        return None
+    audio_format, channels, _rate, _bps_total, _align, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(raw) // 2
+        ints = struct.unpack(f"<{n}h", raw[: n * 2])
+        norm = [s / 32768.0 for s in ints]
+    else:  # 8-bit WAV is unsigned
+        norm = [(s - 128) / 128.0 for s in raw]
+    if channels > 1:
+        frames = len(norm) // channels
+        norm = [
+            sum(norm[f * channels : (f + 1) * channels]) / channels
+            for f in range(frames)
+        ]
+    return norm
+
+
+def _builtin_audio_feature(payload, dim: int) -> list[float] | None:
+    """WAV decode → per-cell mean absolute amplitude (a crude energy
+    envelope), ``dim`` floats in [0, 1].  None if not PCM WAV."""
+    if payload is None:
+        return [0.0] * dim
+    samples = _decode_wav_pcm(bytes(payload))
+    if samples is None or not samples:
+        return None
+    n = len(samples)
+    feats = []
+    for i in range(dim):
+        lo, hi = i * n // dim, max((i + 1) * n // dim, i * n // dim + 1)
+        cell = samples[lo:hi] or [0.0]
+        feats.append(sum(abs(s) for s in cell) / len(cell))
+    return feats
+
+
 def extract_features(
     dim: int = 16, decode: str = "auto"
 ) -> Callable[[DataFrame], DataFrame]:
@@ -254,11 +309,16 @@ def extract_features(
                 built = _builtin_image_feature(payload, dim)
                 if built is not None:
                     return built
+            if media_type == "audio" and decode != "stub":
+                built = _builtin_audio_feature(payload, dim)
+                if built is not None:
+                    return built
             if decode == "real":
                 raise NotImplementedError(
                     f"no codec applies to media_type={media_type!r} "
-                    "payload (PIL absent and not PPM/PGM/24-bit BMP; "
-                    "audio/video codecs are not wired yet)"
+                    "payload (images: PIL absent and not PPM/PGM/24-bit "
+                    "BMP; audio: not PCM WAV; video codecs are not "
+                    "wired yet)"
                 )
             return _fake_feature(payload, dim)
 

@@ -181,3 +181,46 @@ def test_import_guard_picks_up_installed_codec(monkeypatch):
     fake_pil.Image = _FakeImageModule
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     assert _image_codec() is _FakeImageModule
+
+
+def _wav16(samples, channels=1, rate=8000):
+    """16-bit PCM WAV bytes from float samples in [-1, 1]."""
+    import struct
+
+    ints = [max(-32768, min(32767, int(s * 32768))) for s in samples]
+    raw = struct.pack(f"<{len(ints)}h", *ints)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_mode_decodes_wav_end_to_end(spark):
+    # 4 constant-amplitude blocks -> dim=4 energy envelope is exact.
+    samples = [0.0] * 100 + [0.5] * 100 + [-1.0] * 100 + [0.25] * 100
+    wav = _wav16(samples)
+    df = spark.createDataFrame(
+        [(11, "audio", wav)],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = df.transform(extract_features(dim=4, decode="real")).collect()
+    got = rows[0].feature
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(0.5, abs=1e-4)
+    assert got[2] == pytest.approx(1.0, abs=1e-4)
+    assert got[3] == pytest.approx(0.25, abs=1e-4)
+
+
+def test_wav_decoder_stereo_and_rejects_nonpcm():
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        _decode_wav_pcm,
+    )
+
+    # stereo averages channels
+    stereo = _wav16([1.0, 0.0, 1.0, 0.0], channels=2)
+    out = _decode_wav_pcm(stereo)
+    assert len(out) == 2
+    assert out[0] == pytest.approx(0.5, abs=1e-3)
+    # non-RIFF rejected
+    assert _decode_wav_pcm(b"OggS....") is None

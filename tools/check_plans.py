@@ -100,6 +100,22 @@ def main() -> int:
     kinds = join_kinds(qs["q108_lang_entropy"](spark, SF_DIR))
     check("q108", "BroadcastHashJoin" in kinds, "totals join broadcasts")
 
+    # q113: the salted join must stay in the shuffle regime (the hint
+    # models the can't-broadcast case) and carry the salt in its keys —
+    # a broadcast here would mean the skew demo silently tests nothing.
+    df = qs["q113_salted_join"](spark, SF_DIR)
+    k113 = join_kinds(df)
+    check(
+        "q113",
+        "ShuffledHashJoin" in k113 or "SortMergeJoin" in k113,
+        "salted join stays in shuffle regime (hint honored)",
+    )
+    check(
+        "q113",
+        "_salt" in df._jdf.queryExecution().executedPlan().toString(),
+        "salt participates in the join keys",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
