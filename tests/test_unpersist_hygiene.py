@@ -79,7 +79,11 @@ def test_back_to_back_operators_leave_no_cached_state(spark):
         right_value_cols=["bid"],
     ).collect()
 
-    assert _persistent_rdd_count(spark) == base_rdds == 0
+    # No NEW persisted state from the operators under test.  (Absolute
+    # zero would be order-dependent in the full suite: other tests
+    # legitimately localCheckpoint — e.g. the star-contraction rounds —
+    # and those blocks live until their DataFrames are GC'd.)
+    assert _persistent_rdd_count(spark) == base_rdds
     assert not [
         t for t in spark.catalog.listTables() if spark.catalog.isCached(t.name)
     ]
