@@ -4553,6 +4553,81 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.transform(decontaminate(F.col("source") == "src0"))
 
 
+@_q(
+    "q114_keyed_resample",
+    """
+    WITH r AS (SELECT user_id, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts) - 1 AS rn
+               FROM events)
+    SELECT user_id, MIN(ts) AS open_time,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n_rows
+    FROM r GROUP BY user_id, rn // 100
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed (per-user) row-count resample: each key's series resamples
+    independently — the dense index is a per-key row_number, parallel
+    across keys (the 100 TB shape: one OHLCV stream per symbol).
+    (user_id, ts) is unique in the data, so min_by/max_by on ts are
+    deterministic."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    vc = {
+        "open": "value",
+        "high": "value",
+        "low": "value",
+        "close": "value",
+        "count": "count",
+    }
+    return ev.transform(
+        resample_by_count(
+            n=100, time_col="ts", value_cols=vc,
+            partition_by=["user_id"], sort_output=False,
+        )
+    )
+
+
+@_q(
+    "q115_positional_split",
+    """
+    WITH r AS (SELECT event_id,
+                      ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM events)
+    SELECT CASE
+             WHEN rn <= CAST(FLOOR(n * 0.8) AS BIGINT) THEN 'train'
+             WHEN rn <= CAST(FLOOR(n * 0.8) AS BIGINT)
+                      + CAST(FLOOR(n * 0.1) AS BIGINT) THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS min_event,
+           MAX(event_id) AS max_event
+    FROM r GROUP BY 1
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 positional train/val/test split, summarized per label.  The
+    contiguous-by-position contract (no shuffle leakage between splits)
+    is exactly what the min/max event ranges verify: train's max <
+    val's min < test's min."""
+    from btc_usdt_etl_pipeline_spark.ml.features import positional_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return (
+        ev.transform(positional_split(order_col="event_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
