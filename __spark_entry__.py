@@ -4659,6 +4659,91 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q117_user_growth",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts + running cumulative total — the growth
+    dashboard primitive.  Running DISTINCT over time is not window-able
+    (distinct state doesn't retract); the first-seen reduction makes it
+    one: min(day) per user (one shuffle keyed by user), then a daily
+    count and a cumulative sum over |days| rows — the same
+    shrink-first move as q86's rolling actives."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_users", F.sum("new_users").over(w)
+    )
+
+
+@_q(
+    "q118_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events WHERE NOT isnan(value) GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           {sum_raw} AS sum_raw,
+           {sum_capped} AS sum_capped,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE NOT isnan(e.value)
+    GROUP BY e.event_type
+    """.format(
+        sum_raw=oracle_sum_sql("e.value"),
+        sum_capped=oracle_sum_sql(
+            "GREATEST(b.lo, LEAST(b.hi, e.value))"
+        ),
+    ),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile capping, the outlier-robust feature-eng
+    step): exact type-7 p05/p95 bounds per group (|groups| rows,
+    broadcast back), values clamped into [lo, hi], decimal-exact sums
+    before/after plus the clip count."""
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    bounds = ev.groupBy("event_type").agg(
+        F.element_at(F.percentile("value", F.lit([0.05])), 1).alias("lo"),
+        F.element_at(F.percentile("value", F.lit([0.95])), 1).alias("hi"),
+    )
+    capped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    clipped = (F.col("value") < F.col("lo")) | (
+        F.col("value") > F.col("hi")
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").alias("sum_raw"),
+            exact_sum(capped).alias("sum_capped"),
+            F.sum(clipped.cast("long")).alias("n_clipped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
