@@ -2129,9 +2129,9 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q62_dedup_clusters",
-    f"""
+#: Shared by q62 (label propagation) and q119 (star contraction): two
+#: independent CC algorithms checked against ONE recursive-CTE oracle.
+_CC_ORACLE_SQL = f"""
     WITH RECURSIVE
     tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     g AS (SELECT doc_id,
@@ -2153,8 +2153,10 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(label) AS component
     FROM walk GROUP BY node
-    """,
-)
+    """
+
+
+@_q("q62_dedup_clusters", _CC_ORACLE_SQL)
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → CLUSTERS: min-label-propagation connected
     components over the exact token-3-gram Jaccard ≥ 0.8 edge set (the
@@ -4742,6 +4744,28 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped.cast("long")).alias("n_clipped"),
         )
     )
+
+
+@_q("q119_dedup_clusters_star", _CC_ORACLE_SQL)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as q62 via the OTHER algorithm: large-star/
+    small-star contraction (O(log² diameter) rounds, the long-chain-
+    safe path).  Both algorithms hash-matching one recursive-CTE oracle
+    is a three-way differential — a bug in either Spark implementation
+    or in the oracle graph walk breaks at least one comparison."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token",
+        )
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, algorithm="star")
+    return comp.select(F.col("node").alias("doc_id"), "component")
 
 
 # ---------------------------------------------------------------------------
