@@ -4768,6 +4768,58 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@_q(
+    "q120_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT (epoch_us(fp) - epoch_us(fv)) // 1000000 AS delta_s
+      FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+    SELECT COUNT(*) AS n_converted,
+           round(quantile_cont(delta_s, 0.50), 6) AS p50_s,
+           round(quantile_cont(delta_s, 0.90), 6) AS p90_s
+    FROM d
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first view → first purchase per
+    user): conditional-min firsts in ONE pass over the fact table, then
+    exact interpolated percentiles over the user-sized delta set.
+    Deltas are integer SECONDS (identical integer division on both
+    engines): at second magnitude round-to-6dp absorbs the engines'
+    last-ULP interpolation difference, which µs-magnitude values
+    exposed (type-7's lo+(hi-lo)·f vs lo·(1−f)+hi·f differ in the
+    final bit at 1e11)."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    d = f.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        F.expr(
+            "(unix_micros(fp) - unix_micros(fv)) div 1000000"
+        ).alias("delta_s")
+    )
+    pct = F.percentile("delta_s", F.lit([0.5, 0.9]))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_s"),
+        F.round(F.element_at(pct, 2), 6).alias("p90_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
