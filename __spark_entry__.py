@@ -4820,6 +4820,51 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q121_hierarchical_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (the hypertable continuous-aggregate
+    correctness property): daily OHLCV bars computed FROM hourly bars
+    must equal daily bars computed directly from raw events — which is
+    exactly what the oracle computes.  Re-aggregation rules: open =
+    open of the earliest hour (min_by on the hour's min ts), high/low
+    = max/min over hours, close = close of the latest hour, counts
+    sum.  At scale this is the two-level pattern that lets a 1-minute
+    materialization serve hour/day/week queries without rescanning
+    raw data; the equality proves the recomposition loses nothing."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        hourly.groupBy(F.col("w.start").cast("date").alias("day"))
+        .agg(
+            F.min_by("open", "first_ts").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "last_ts").alias("close"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
