@@ -4865,6 +4865,73 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q122_rsi",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ARG_MAX(value, ts) AS close
+      FROM events GROUP BY user_id, day),
+    diffs AS (
+      SELECT user_id, day, close,
+             close - lag(close) OVER w AS d
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    gl AS (
+      SELECT user_id, day, close,
+             GREATEST(d, 0) AS gain, GREATEST(-d, 0) AS loss
+      FROM diffs),
+    ma AS (
+      SELECT user_id, day, close,
+             CAST(SUM(CAST(gain AS DECIMAL(38,6))) OVER w14 AS DOUBLE)
+               / COUNT(gain) OVER w14 AS avg_gain,
+             CAST(SUM(CAST(loss AS DECIMAL(38,6))) OVER w14 AS DOUBLE)
+               / COUNT(loss) OVER w14 AS avg_loss
+      FROM gl
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day, close,
+           CASE WHEN avg_loss = 0 THEN 100.0
+                WHEN avg_gain IS NULL THEN NULL
+                ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+           END AS rsi14
+    FROM ma
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) per user (simple-MA variant): daily closes → signed
+    diffs split into gain/loss legs → decimal-exact 14-bar rolling
+    means → RSI.  Zero average loss maps to RSI=100 explicitly (the
+    convention) rather than via x/0=inf, whose IEEE treatment the two
+    engines don't share.  Same shrink-first shape as q71: events
+    collapse to per-user daily bars before any window runs."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wb = Window.partitionBy("user_id").orderBy("day")
+    d = F.col("close") - F.lag("close").over(wb)
+    gl = bars.select(
+        "user_id", "day", "close",
+        F.greatest(d, F.lit(0)).alias("gain"),
+        F.greatest(-d, F.lit(0)).alias("loss"),
+    )
+    w14 = wb.rowsBetween(-13, 0)
+    avg_gain = (
+        F.sum(F.col("gain").cast("decimal(38,6)")).over(w14).cast("double")
+        / F.count("gain").over(w14)
+    )
+    avg_loss = (
+        F.sum(F.col("loss").cast("decimal(38,6)")).over(w14).cast("double")
+        / F.count("loss").over(w14)
+    )
+    rsi = (
+        F.when(avg_loss == 0, F.lit(100.0))
+        .when(avg_gain.isNull(), F.lit(None).cast("double"))
+        .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    )
+    return gl.select("user_id", "day", "close", rsi.alias("rsi14"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
