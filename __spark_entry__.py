@@ -4932,6 +4932,60 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gl.select("user_id", "day", "close", rsi.alias("rsi14"))
 
 
+@_q(
+    "q123_contamination_report",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 7, 0) + 1),
+                   i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+          FROM tok WHERE len(toks) >= 8),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    flagged AS (SELECT DISTINCT g.doc_id, g.source
+                FROM g JOIN ev USING (gram)
+                WHERE g.source <> 'src0'),
+    totals AS (SELECT source, COUNT(*) AS n_docs FROM documents
+               WHERE source <> 'src0' GROUP BY source)
+    SELECT t.source, t.n_docs,
+           COALESCE(f.n_flagged, 0) AS n_flagged,
+           COALESCE(f.n_flagged, 0) / CAST(t.n_docs AS DOUBLE)
+             AS contamination_rate
+    FROM totals t
+    LEFT JOIN (SELECT source, COUNT(*) AS n_flagged
+               FROM flagged GROUP BY source) f
+      ON t.source = f.source
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination report — the release-gate dashboard on
+    top of q111's flags: share of each source's documents that leak an
+    eval shingle.  Source-level rates are what decides whether a
+    source is dropped wholesale or filtered row-by-row."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    flagged = d.transform(
+        decontaminate(F.col("source") == "src0")
+    ).select("doc_id")
+    train = d.filter(F.col("source") != "src0").select("doc_id", "source")
+    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_source = (
+        train.join(flagged, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    return totals.join(per_source, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_flagged", F.lit(0).cast("long")).alias("n_flagged"),
+        (
+            F.coalesce("n_flagged", F.lit(0).cast("long"))
+            / F.col("n_docs").cast("double")
+        ).alias("contamination_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
