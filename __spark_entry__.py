@@ -5007,44 +5007,13 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass is Σ df(variant)² instead of n² — the scale path for fuzzy
     matching; the oracle brute-forces all pairs, so a candidate miss
     breaks the hash."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        fuzzy_self_join_ed1,
+    )
+
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-
-    def deletions(col):
-        return F.transform(
-            F.sequence(F.lit(1), F.length(col)),
-            lambda i: F.concat(
-                col.substr(F.lit(1), i - 1),
-                col.substr(i + 1, F.length(col) - i),
-            ),
-        )
-
-    ex = s.select(
-        "s_suppkey",
-        F.explode(
-            F.array_distinct(
-                F.array_union(
-                    F.array(F.col("s_name")), deletions(F.col("s_name"))
-                )
-            )
-        ).alias("_v"),
-    )
-    a = ex.select(F.col("s_suppkey").alias("id_a"), "_v")
-    b = ex.select(F.col("s_suppkey").alias("id_b"), F.col("_v").alias("_vb"))
-    cand = (
-        a.join(b, (a["_v"] == b["_vb"]) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    na = s.select(F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("_na"))
-    nb = s.select(F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("_nb"))
-    return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "edit_distance", F.levenshtein("_na", "_nb").cast("long")
-        )
-        .filter(F.col("edit_distance") <= 1)
-        .select("id_a", "id_b", "edit_distance")
+    return s.transform(
+        fuzzy_self_join_ed1(text_col="s_name", id_col="s_suppkey")
     )
 
 

@@ -121,3 +121,71 @@ def fingerprint(
         )
 
     return _t
+
+
+def fuzzy_self_join_ed1(
+    text_col: str,
+    id_col: str,
+) -> "Callable[[DataFrame], DataFrame]":
+    """Exact edit-distance-≤1 self-join via SymSpell deletion
+    neighborhoods — no all-pairs comparison.
+
+    Each string generates itself plus its |s| single-character
+    deletions; any two strings within edit distance 1 (substitution,
+    insertion, deletion) share at least one variant, so the variant
+    equi-join is a COMPLETE candidate generator and ``levenshtein``
+    verifies collisions only.  Join mass is Σ df(variant)² — the scale
+    shape for fuzzy matching (hot variants skew like hot grams; AQE
+    skew-join applies).
+
+    Returns ``(id_a, id_b, edit_distance)`` with ``id_a < id_b``.
+    """
+
+    def deletions(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - 1),
+                col.substr(i + 1, F.length(col) - i),
+            ),
+        )
+
+    def _t(df: DataFrame) -> DataFrame:
+        s = df.select(F.col(id_col), F.col(text_col))
+        ex = s.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.array_union(
+                        F.array(F.col(text_col)),
+                        deletions(F.col(text_col)),
+                    )
+                )
+            ).alias("_v"),
+        )
+        a = ex.select(F.col(id_col).alias("id_a"), "_v")
+        b = ex.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        cand = (
+            a.join(
+                b, (a["_v"] == b["_vb"]) & (F.col("id_a") < F.col("id_b"))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        na = s.select(
+            F.col(id_col).alias("id_a"), F.col(text_col).alias("_na")
+        )
+        nb = s.select(
+            F.col(id_col).alias("id_b"), F.col(text_col).alias("_nb")
+        )
+        return (
+            cand.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "edit_distance", F.levenshtein("_na", "_nb").cast("long")
+            )
+            .filter(F.col("edit_distance") <= 1)
+            .select("id_a", "id_b", "edit_distance")
+        )
+
+    return _t

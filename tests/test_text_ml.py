@@ -164,3 +164,48 @@ def test_quantize_embeddings_exact_values(spark):
     assert out[1][1] == pytest.approx(0.0)
     # vec 2 dim0: 0.5 vs 64/127 -> |0.5 - 0.50393...| ≈ 0.003937
     assert out[2][1] == pytest.approx(64 / 127 - 0.5)
+
+
+def test_fuzzy_self_join_ed1_exhaustive_small(spark):
+    """Deletion-neighborhood candidates must find EVERY distance-≤1
+    pair kind (substitution, insertion, deletion) and nothing at
+    distance 2 — verified against brute force."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        fuzzy_self_join_ed1,
+    )
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),    # substitution of 1
+        (3, "sparks"),   # insertion vs 1
+        (4, "spak"),     # deletion vs 1
+        (5, "plasma"),   # unrelated
+        (6, "sporks"),   # dist 1 of 3 and of 2
+    ]
+    df = spark.createDataFrame(rows, "sid long, name string")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in df.transform(
+            fuzzy_self_join_ed1(text_col="name", id_col="sid")
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b): lev(na, nb)
+        for (a, na) in rows
+        for (b, nb) in rows
+        if a < b and lev(na, nb) <= 1
+    }
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (1, 4) in got
+    assert all(k[0] != 5 and k[1] != 5 for k in got)
