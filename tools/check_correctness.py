@@ -85,7 +85,7 @@ def main() -> int:
         if only and name not in only:
             continue
         # Drop blocks persisted by the previous query's operators so the
-        # 58-query loop doesn't accumulate cache pressure.
+        # full query loop doesn't accumulate cache pressure.
         spark.catalog.clearCache()
         t0 = time.time()
         try:
