@@ -5017,6 +5017,50 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q125_ngram_jaccard_capped",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+          FROM tok WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+    dfq AS (SELECT gram, COUNT(*) AS gram_df FROM ex GROUP BY gram),
+    kept AS (SELECT ex.doc_id, ex.gram
+             FROM ex JOIN dfq USING (gram) WHERE dfq.gram_df <= 50),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kept a JOIN kept b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    p AS (SELECT cand.id_a, cand.id_b,
+                 len(list_intersect(ga.s, gb.s))::DOUBLE
+                   / (len(ga.s) + len(gb.s)
+                      - len(list_intersect(ga.s, gb.s))) AS jaccard
+          FROM cand
+          JOIN g ga ON ga.doc_id = cand.id_a
+          JOIN g gb ON gb.doc_id = cand.id_b)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38's exact token-3-gram Jaccard with the ``max_df`` gram cap:
+    grams in more than 50 documents are excluded from candidate
+    generation (the boilerplate-gram defense — a gram in half the corpus
+    alone contributes df² ≈ n²/4 join mass at 100 TB), while the
+    emitted Jaccard is still computed exactly over the FULL gram sets.
+    The oracle replays the identical semantics (df-capped candidates,
+    full-set verify), so both the candidate filter and the exact verify
+    are hash-checked."""
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token", max_df=50,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5033,30 +5077,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: component rows (and every LLM-data-pipeline operator family) have at
 #: least one representative inside the first 50; remaining queries are
 #: redundant family members (second cube variant, third text metric, …)
-#: and still run under the judge's full 108-query gate.
+#: and still run under the judge's full 124-query gate.  Round 5 rotated
+#: q109/q110/q111/q114/q119/q124 (the round-4 LLM-pipeline operators) in
+#: and demoted q13/q20/q29/q35/q55/q56, whose families keep another
+#: representative (q01 exact aggs, q17-q19 windows, q27 text, q33/q34
+#: ML, q92 semi-structured JSON).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
     "q05_semi_join",          # semi/anti join family
     "q07_topk_per_group",     # sorts / top-k
     "q11_distinct_agg",       # distinct aggs
-    "q13_setops",             # set operations
     "q14_string_funcs",       # scalar string fns + filters
     "q17_window_rank",        # ranking windows
     "q18_lag_returns",        # W3 pct-change
     "q19_rolling_avg",        # W2 rolling MA/σ
-    "q20_cumulative_sum",     # W5 cumulative
     "q22_resample_count",     # W1 count-based resample (F4 events ts)
     "q23_resample_time",      # A1 time-based OHLCV resample
     "q24_asof_join",          # as-of join
     "q25_correlation",        # A2 correlation matrix
     "q26_dedup_exact",        # exact dedup
     "q27_text_stats",         # text stats
-    "q29_language_id",        # language-ID
     "q30_minhash_near_dedup", # MinHash+LSH
     "q33_sliding_sequences",  # W6 ML sequences
     "q34_minmax_scale",       # A5 scaler
-    "q35_regression_metrics", # A4 RMSE/MAE
     "q36_streaming_ohlcv",    # streaming tumbling
     "q37_simhash",            # SimHash
     "q38_ngram_jaccard",      # n-gram Jaccard
@@ -5069,8 +5113,6 @@ _PRIORITY_WINDOW = [
     "q51_crossover_backtest", # W4 crossover
     "q53_batch_inference",    # mapInPandas UDF surface
     "q54_salted_agg",         # skew-salted aggregation
-    "q55_percentiles",        # exact percentiles (A3)
-    "q56_json_struct",        # JSON struct scalar fns
     "q57_grouped_map_ols",    # applyInPandas grouped-map
     "q58_stateful_extrema",   # applyInPandasWithState
     "q60_range_join",         # range join
@@ -5085,6 +5127,12 @@ _PRIORITY_WINDOW = [
     "q100_dashboard",         # financial composite dashboard
     "q106_herfindahl",        # HHI concentration agg
     "q107_gini",              # Gini inequality agg
+    "q109_segment_dedup",     # C4-style segment-level dedup
+    "q110_embedding_quantize",# int8 embedding quantization
+    "q111_decontaminate",     # benchmark decontamination
+    "q114_keyed_resample",    # per-key OHLCV resample
+    "q119_dedup_clusters_star",  # large-star/small-star CC
+    "q124_fuzzy_join",        # edit-distance-1 fuzzy join
 ]
 
 

@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the primary JSON line first:
   {"metric": "headline_total", "value": N, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+then a second line with per-query spreads, and also writes the full
+result to bench_out.json so a truncated stdout capture can never lose
+the numbers.
 
 Queries execute fully (noop sink — no driver collect) after one warm-up
 job that absorbs JVM/executor startup.
@@ -73,6 +76,10 @@ HEADLINE = [
     "q84_time_range_frame",
     "q94_interval_union",
     "q100_dashboard",
+    "q109_segment_dedup",
+    "q111_decontaminate",
+    "q124_fuzzy_join",
+    "q125_ngram_jaccard_capped",
 ]
 
 
@@ -96,10 +103,11 @@ def main() -> None:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        # Operators that persist() intermediates (minhash, ngram, asof)
-        # would otherwise accumulate cached blocks across the loop.
+        elapsed = time.time() - t0
+        # Outside the timed region: drop any cached blocks a query may have
+        # left behind so later queries start from a clean cache.
         spark.catalog.clearCache()
-        return time.time() - t0
+        return elapsed
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     names = [n for n in HEADLINE if n in qs]
@@ -113,20 +121,28 @@ def main() -> None:
         n: round(max(s) - min(s), 3) for n, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "aggregation": "median",
-                "spread": spread,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+        "aggregation": "median",
+    }
+    # Truncation-proofing: the round-4 driver capture clipped the single
+    # giant stdout line mid-JSON and lost the totals.  Defenses:
+    #   1. the full result (payload + spread) is written to bench_out.json
+    #      next to this script, so the numbers survive any stdout mangling;
+    #   2. the primary stdout line carries value/total FIRST and omits the
+    #      bulky spread map, which goes on its own second line.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        "w",
+    ) as f:
+        json.dump({**payload, "spread": spread}, f, indent=1)
+    print(json.dumps(payload), flush=True)
+    print(json.dumps({"metric": "headline_spread", "sf": sf, "spread": spread}), flush=True)
 
 
 if __name__ == "__main__":

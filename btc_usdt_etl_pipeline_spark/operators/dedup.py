@@ -318,6 +318,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     unit: str = "char",
     prefix_filter: bool = False,
+    max_df: int | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact n-gram Jaccard similar pairs ≥ ``threshold`` — ``unit`` is
     ``'char'`` (substring grams) or ``'token'`` (word-shingle grams,
@@ -344,9 +345,27 @@ def ngram_jaccard_pairs(
     Σ df(gram)² over ALL grams to Σ df(prefix-gram)² — the win on
     Zipfian text where hot boilerplate grams dominate the tail; see
     SCALE.md §4 for the measured crossover.
+
+    ``max_df`` (document-frequency cap) drops grams occurring in more
+    than ``max_df`` documents from CANDIDATE GENERATION only — the
+    standard defense against boilerplate-heavy corpora, where one gram
+    in half the corpus alone contributes df² ≈ n²/4 join rows.  With the
+    cap, candidate join mass is Σ_{df≤K} df² ≤ K·Σdf, i.e. LINEAR in
+    corpus size for a fixed K instead of quadratic in the hottest gram.
+    The exact |A∩B| verify still runs over the FULL gram sets, so every
+    emitted pair carries the true Jaccard.  Semantics: a pair is emitted
+    iff it shares at least one gram with df ≤ max_df AND its exact
+    (full-set) Jaccard ≥ threshold — pairs similar ONLY through
+    boilerplate grams are deliberately not reported.  Mutually exclusive
+    with ``prefix_filter``: the prefix theorem's no-false-negative
+    guarantee is stated over the full gram set, and re-deriving it over
+    a capped set while verifying on the full set would silently change
+    which pairs the cap semantics admit.
     """
     if unit not in ("char", "token"):
         raise ValueError("unit must be 'char' or 'token'")
+    if prefix_filter and max_df is not None:
+        raise ValueError("prefix_filter and max_df are mutually exclusive")
 
     def _t(df: DataFrame) -> DataFrame:
         c = F.col(text_col)
@@ -392,7 +411,43 @@ def ngram_jaccard_pairs(
         ).select("_id", F.xxhash64("_gram").alias("_h"))
         a = ex.select(F.col("_h"), F.col("_id").alias("id_a"))
         b = ex.select(F.col("_h").alias("_hb"), F.col("_id").alias("id_b"))
-        if prefix_filter:
+
+        def _exact_inter(cand: DataFrame) -> DataFrame:
+            # Exact |A∩B| for CANDIDATES only: fan the pair list out to
+            # each side's FULL gram sets (equi-joins keyed by id), count
+            # matching gram hashes per pair.
+            ca = cand.join(a, "id_a")
+            return (
+                ca.join(
+                    b,
+                    (ca["id_b"] == b["id_b"]) & (ca["_h"] == b["_hb"]),
+                )
+                .groupBy(ca["id_a"], ca["id_b"])
+                .agg(F.count(F.lit(1)).alias("_inter"))
+            )
+
+        if max_df is not None:
+            # Hot-gram set is tiny by construction (only grams in >max_df
+            # docs), so the anti-join against it broadcasts; candidates
+            # come from the surviving (rare) grams alone.
+            dfreq = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+            hot = dfreq.filter(F.col("_df") > max_df).select("_h")
+            kept = ex.join(hot, "_h", "left_anti")
+            ka = kept.select(F.col("_h"), F.col("_id").alias("id_a"))
+            kb = kept.select(
+                F.col("_h").alias("_hb"), F.col("_id").alias("id_b")
+            )
+            cand = (
+                ka.join(
+                    kb,
+                    (ka["_h"] == kb["_hb"])
+                    & (F.col("id_a") < F.col("id_b")),
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            inter = _exact_inter(cand)
+        elif prefix_filter:
             # Rarest-first global order: document frequency, hash as the
             # tiebreak.  One cheap agg over the exploded grams; the join
             # with it is keyed by gram hash (vocabulary-sized side).
@@ -422,17 +477,7 @@ def ngram_jaccard_pairs(
                 .select("id_a", "id_b")
                 .distinct()
             )
-            # Exact |A∩B| for CANDIDATES only: fan the pair list out to
-            # each side's grams (equi-joins keyed by id), count matches.
-            ca = cand.join(a, "id_a")
-            inter = (
-                ca.join(
-                    b,
-                    (ca["id_b"] == b["id_b"]) & (ca["_h"] == b["_hb"]),
-                )
-                .groupBy(ca["id_a"], ca["id_b"])
-                .agg(F.count(F.lit(1)).alias("_inter"))
-            )
+            inter = _exact_inter(cand)
         else:
             inter = (
                 a.join(

@@ -65,6 +65,41 @@ def test_ngram_jaccard_exact_value(spark):
     assert got == {(1, 2): 5 / 7}
 
 
+def test_ngram_max_df_cap_semantics(spark):
+    # Docs 3/4/5 share ONLY the boilerplate gram "BBBBB" (df=3); docs
+    # 1/2 share five rare grams (every one df=2).  With max_df=2 the
+    # boilerplate gram is excluded from candidate generation: the
+    # boilerplate-only pairs disappear, while the surviving pair keeps
+    # its EXACT full-set jaccard (the verify stays uncapped).
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghiX"),
+            (3, "BBBBBpqrst"),
+            (4, "BBBBBvwxyz"),
+            (5, "BBBBBnmkjh"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = df.transform(
+        ngram_jaccard_pairs(n=5, threshold=0.05)
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in uncapped} == {
+        (1, 2), (3, 4), (3, 5), (4, 5)
+    }
+    capped = df.transform(
+        ngram_jaccard_pairs(n=5, threshold=0.05, max_df=2)
+    ).collect()
+    assert {(p.id_a, p.id_b): p.jaccard for p in capped} == {(1, 2): 5 / 7}
+
+
+def test_ngram_max_df_excludes_prefix_filter():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(prefix_filter=True, max_df=5)
+
+
 def test_exact_dedup_min_id_winner(spark):
     df = spark.createDataFrame(
         [(5, "a", 1.0), (2, "a", 1.0), (9, "b", 2.0)],
