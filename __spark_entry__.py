@@ -1371,18 +1371,35 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-5 terms per source corpus: explode → two hash aggs →
     broadcast idf join → per-source top-k window.  The idf side is
     term-cardinality-sized, hence broadcast; the only wide shuffle keys
-    on (source, term)."""
+    on (source, term).  The corpus-wide source count enters the idf
+    expression IN-PLAN — not as a driver-side ``distinct().count()``
+    action costing an extra job — carried on a broadcast source
+    dimension: distinct sources (source cardinality ≈ 10, metadata
+    scale) each annotated with the total via an unpartitioned window
+    over those few rows, then a plain BroadcastHashJoin back on the
+    real ``source`` column.  A literal-key join would constant-fold
+    into a BroadcastNestedLoopJoin and trip the no-BNLJ plan audit."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_src"))
-    ns = d.select("source").distinct().count()
-    s = tf.join(F.broadcast(idf), "term").select(
-        "source",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(ns)) / F.col("n_src")), 4
-        ).alias("tfidf_r"),
+    ns_tbl = (
+        d.select("source")
+        .distinct()
+        .withColumn("_ns", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    s = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(ns_tbl), "source")
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_ns").cast("double") / F.col("n_src")),
+                4,
+            ).alias("tfidf_r"),
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.col("tfidf_r").desc(), F.col("term")
@@ -4646,17 +4663,19 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXACT interpolated median plus the assertion that the sketch
     lands within 1% of it (accuracy=10000 → ~0.01% rank error, so the
     1% value bound has huge margin on any non-degenerate distribution);
-    the raw estimate itself is engine-specific by design."""
+    the raw estimate itself is engine-specific by design.  The bound is
+    relative-with-floor — 0.01·greatest(|exact|, 1e-9) — so an exact
+    median of 0 (where |Δ|/|exact| is NaN/Inf) degrades to a tight
+    absolute check instead of failing spuriously on a correct sketch."""
     e = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
     exact = F.element_at(F.percentile("value", F.lit([0.5])), 1)
     approx = F.element_at(
         F.approx_percentile("value", F.lit([0.5]), F.lit(10000)), 1
     )
+    tol = F.lit(0.01) * F.greatest(F.abs(exact), F.lit(1e-9))
     return e.groupBy("event_type").agg(
         F.round(exact, 6).alias("exact_p50"),
-        (F.abs(approx - exact) / F.abs(exact) < 0.01).alias(
-            "approx_within_1pct"
-        ),
+        (F.abs(approx - exact) <= tol).alias("approx_within_1pct"),
         F.count(F.lit(1)).alias("n"),
     )
 

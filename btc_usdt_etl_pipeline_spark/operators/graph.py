@@ -74,10 +74,17 @@ def connected_components(
         # One metadata-sized agg replaces the old join-against-previous
         # changed-count (which shuffled the label table twice per round).
         # bit_xor, not sum — a long sum of xxhash64 values trips ANSI
-        # ARITHMETIC_OVERFLOW (SCALE.md lesson 18).
-        return lbl.agg(
-            F.expr(f"bit_xor(xxhash64({node_col}, {comp_col}))")
-        ).first()[0]
+        # ARITHMETIC_OVERFLOW (SCALE.md lesson 18).  Two independent
+        # 64-bit digests (field order swapped → different hash stream)
+        # plus the row count: a single-hash collision between successive
+        # non-identical label tables would end propagation early with
+        # wrong components, so shrink that surface to ~2^-128.
+        row = lbl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({node_col}, {comp_col}))").alias("h1"),
+            F.expr(f"bit_xor(xxhash64({comp_col}, {node_col}))").alias("h2"),
+        ).first()
+        return (row["n"], row["h1"], row["h2"])
 
     fp = fingerprint(labels)
     for _ in range(max_iter):

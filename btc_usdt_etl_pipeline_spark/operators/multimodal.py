@@ -6,10 +6,10 @@ decode step is gated on codec IMPORTABILITY, checked inside the kernel
 (i.e. on the executor, where it actually matters):
 
 - ``decode="auto"`` (default): real decode where a codec applies
-  (PIL for any format it handles, else the built-in PPM/PGM/BMP
-  decoder below), deterministic hash-seeded fake features otherwise —
-  the same plan runs unchanged in a codec-less sandbox and a production
-  image with Pillow installed.
+  (the built-in PPM/PGM/BMP decoder below for the formats it parses,
+  PIL for anything else it handles), deterministic hash-seeded fake
+  features otherwise — the same plan runs unchanged in a codec-less
+  sandbox and a production image with Pillow installed.
 - ``decode="stub"``: always the deterministic fake — the
   oracle-replayable mode (q44 pins this so the DuckDB twin can recompute
   features byte-for-byte).
@@ -19,10 +19,14 @@ decode step is gated on codec IMPORTABILITY, checked inside the kernel
 A dependency-free decoder for binary PPM (P6), PGM (P5), and
 uncompressed 24-bit BMP ships in-module, so ``decode="real"`` has a real
 end-to-end path even where Pillow is not installed (these three formats
-are trivially parseable headers + raw samples — no compression).  PIL,
-when importable, takes precedence and widens format coverage.
-Everything Spark-side — schema, batch iteration, partitioning, output
-contract — is identical across the modes.
+are trivially parseable headers + raw samples — no compression).  The
+builtin ALWAYS handles the formats it can parse — being dependency-free
+it yields identical features on every executor — and PIL, when
+importable, only widens coverage to formats the builtin can't parse
+(JPEG/PNG/…).  Note the consequence: PIL-decoded features ARE
+codec-environment-dependent (Pillow version, availability), builtin
+ones are not.  Everything Spark-side — schema, batch iteration,
+partitioning, output contract — is identical across the modes.
 """
 
 from __future__ import annotations
@@ -303,12 +307,19 @@ def extract_features(
         image_mod = None if decode == "stub" else _image_codec()
 
         def feat(media_type: str, payload) -> list[float]:
+            # Builtin decoders take precedence over PIL: they are
+            # dependency-free and therefore DETERMINISTIC across every
+            # executor, whereas PIL's luma/bicubic resize differs from
+            # the builtin mean/nearest-neighbor — on a cluster with
+            # inconsistent Pillow installs a PIL-first policy would mix
+            # algorithms across partitions.  PIL is reserved for formats
+            # the builtin can't parse (JPEG/PNG/…).
             if media_type == "image" and decode != "stub":
-                if image_mod is not None:
-                    return _real_image_feature(payload, dim, image_mod)
                 built = _builtin_image_feature(payload, dim)
                 if built is not None:
                     return built
+                if image_mod is not None:
+                    return _real_image_feature(payload, dim, image_mod)
             if media_type == "audio" and decode != "stub":
                 built = _builtin_audio_feature(payload, dim)
                 if built is not None:
@@ -316,9 +327,9 @@ def extract_features(
             if decode == "real":
                 raise NotImplementedError(
                     f"no codec applies to media_type={media_type!r} "
-                    "payload (images: PIL absent and not PPM/PGM/24-bit "
-                    "BMP; audio: not PCM WAV; video codecs are not "
-                    "wired yet)"
+                    "payload (images: not PPM/PGM/24-bit BMP and PIL "
+                    "absent or unable to parse; audio: not PCM WAV; "
+                    "video codecs are not wired yet)"
                 )
             return _fake_feature(payload, dim)
 

@@ -15,6 +15,7 @@ the M5 equivalence test.
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -129,3 +130,53 @@ def run_available_now(
     else:
         q = writer.format("memory").queryName(table_name).start()
     q.awaitTermination()
+
+
+def run_processing_time(
+    result: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    interval: str = "500 milliseconds",
+    min_data_batches: int = 2,
+    timeout_sec: float = 120.0,
+    output_mode: str = "complete",
+) -> int:
+    """Run a query under a continuous ``processingTime`` trigger —
+    micro-batches fire on a clock instead of draining a backlog once —
+    until at least ``min_data_batches`` micro-batches that actually
+    carried input rows have committed, then stop.
+
+    This is the smoke harness for the continuous path
+    (:func:`run_available_now` covers backfill): pair it with a
+    rate-limited source (e.g. ``maxFilesPerTrigger=1`` over several
+    files) so consuming everything REQUIRES the trigger to keep firing.
+    Returns the number of data-carrying micro-batches observed; raises
+    ``TimeoutError`` if they don't arrive within ``timeout_sec``.
+    """
+    q = (
+        result.writeStream.trigger(processingTime=interval)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_sec
+        while True:
+            got = sum(
+                1
+                for p in q.recentProgress
+                if p and p.get("numInputRows", 0) > 0
+            )
+            if got >= min_data_batches:
+                return got
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"only {got}/{min_data_batches} data micro-batches "
+                    f"committed within {timeout_sec}s"
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()

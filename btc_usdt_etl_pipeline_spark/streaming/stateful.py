@@ -59,8 +59,11 @@ def stateful_running_extrema(
             }
         )
 
+    # The key field keeps the stream's own type — a hardcoded `long`
+    # would break (or silently miscast) string/other grouping keys.
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, running_min double, running_max double, "
+        f"{key_col} {key_type}, running_min double, running_max double, "
         "running_count long"
     )
     state_schema = "mn double, mx double, cnt long"
@@ -134,8 +137,11 @@ def transform_with_state_extrema(
         def close(self) -> None:
             pass
 
+    # The key field keeps the stream's own type — a hardcoded `long`
+    # would break (or silently miscast) string/other grouping keys.
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, running_min double, running_max double, "
+        f"{key_col} {key_type}, running_min double, running_max double, "
         "running_count long"
     )
     return stream.groupBy(key_col).transformWithStateInPandas(

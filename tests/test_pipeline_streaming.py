@@ -149,6 +149,77 @@ def test_stateful_custom_operator_carries_state_across_batches(spark):
         assert len([r for r in rows if r.user_id == 1]) >= 2
 
 
+def test_streaming_processing_time_trigger_commits_multiple_batches(spark):
+    # Continuous-trigger smoke: everything else in the suite drains under
+    # availableNow; this pins the clock-driven path.  Two files behind
+    # maxFilesPerTrigger=1 mean consuming both REQUIRES the
+    # processingTime trigger to fire at least twice — run_processing_time
+    # returns the committed data-batch count and we assert both files'
+    # rows reached the sink.
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        run_processing_time,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
+            "event_time", F.timestamp_millis("open_time")
+        )
+        cut = 1_700_002_800_000 + 3600 * 1000
+        # coalesce(1): exactly ONE part file per directory, so
+        # maxFilesPerTrigger=1 means one HOUR per micro-batch.
+        df.filter(F.col("open_time") < cut).coalesce(1).write.parquet(
+            f"{d}/in/f1.parquet"
+        )
+        df.filter(F.col("open_time") >= cut).coalesce(1).write.parquet(
+            f"{d}/in/f2.parquet"
+        )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in/*")
+        )
+        result = streaming_ohlcv(
+            stream, interval="1 hour", time_col="event_time",
+            value_col="close", watermark="2 hours",
+        )
+        n_batches = run_processing_time(
+            result, "t_pt_stream", f"{d}/ckpt",
+            interval="200 milliseconds", min_data_batches=2,
+        )
+        assert n_batches >= 2
+        bars = spark.table("t_pt_stream").collect()
+        assert len(bars) == 2
+        assert sum(b.n_rows for b in bars) == 7200
+
+
+def test_stateful_extrema_string_key(spark):
+    # The output schema derives the key field's type from the stream — a
+    # string grouping key must round-trip unchanged (regression for a
+    # hardcoded `long` key field that broke non-long keys).
+    from btc_usdt_etl_pipeline_spark.streaming.stateful import (
+        stateful_running_extrema,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [("alice", 3.0), ("alice", 9.0), ("bob", 4.0)]
+        spark.createDataFrame(
+            rows, "user_id string, value double"
+        ).write.parquet(f"{d}/in")
+        stream = spark.readStream.schema(
+            "user_id string, value double"
+        ).parquet(f"{d}/in")
+        result = stateful_running_extrema(stream)
+        assert dict(result.dtypes)["user_id"] == "string"
+        run_available_now(
+            result, "t_stateful_str", f"{d}/ckpt", output_mode="update"
+        )
+        final = {r.user_id: r for r in spark.table("t_stateful_str").collect()}
+        assert final["alice"].running_min == 3.0
+        assert final["alice"].running_max == 9.0
+        assert final["alice"].running_count == 2
+        assert final["bob"].running_count == 1
+
+
 def test_streaming_ohlcv_equals_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         df = make_klines(spark, 7200, start_ms=1_700_002_800_000).withColumn(
