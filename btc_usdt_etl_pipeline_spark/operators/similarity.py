@@ -178,6 +178,46 @@ def ivf_top_k(
     )
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    top-k over the same queries/corpus: ``|approx ∩ exact| / |exact|``.
+
+    The first question a user asks of an ANN index — the oracle-replay
+    checks prove the IVF/LSH plans compute their DEFINED approximation
+    deterministically, this measures how good that approximation is.
+    Pure plan: one semi-join keyed by (query, id) + two metadata-sized
+    aggregates; no collect, so it runs at any corpus scale.  Queries
+    with no exact neighbors (empty corpus edge) are absent from ``exact``
+    and therefore from the output.  Returns ``(query_id, n_exact,
+    n_hit, recall)``; mean recall is one further tiny agg away.
+    """
+    ex = exact.select(query_id_col, id_col)
+    hits = approx.select(query_id_col, id_col).join(
+        ex, [query_id_col, id_col], "left_semi"
+    )
+    n_exact = ex.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
 def _srp_bucket(
     vec: F.Column,
     table: int,

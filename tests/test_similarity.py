@@ -13,6 +13,7 @@ from btc_usdt_etl_pipeline_spark.operators.similarity import (
     cosine_pairs_within,
     ivf_top_k,
     lsh_top_k,
+    recall_at_k,
 )
 
 DIM = 8
@@ -118,3 +119,59 @@ def test_cosine_pairs_within_blocks(spark):
     for p in pairs:
         assert labels[p.id_a] == labels[p.id_b] == p.label
         assert p.rnk in (1, 2)
+
+
+def test_recall_at_k_arithmetic(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, vec_id long"
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in recall_at_k(approx, exact).collect()
+    }
+    # query 1: one of two exact neighbors found; query 2: absent from the
+    # approx result entirely -> 0 hits, not a missing row.
+    assert got == {1: (2, 1, 0.5), 2: (2, 0, 0.0)}
+
+
+def test_ivf_lsh_recall_floor_testdata(spark):
+    # Recall@10 floors on the driver-generated embeddings (sf0.001,
+    # 500x64).  Every input and both index constructions are fully
+    # deterministic (no RNG), so the measured recalls are exact
+    # reproducible values -- floors sit ~0.05 under the measurement
+    # (tools/ann_recall.py; table in SCALE.md).  Guards against a
+    # bucketing/probe regression silently gutting ANN quality while the
+    # oracle replay (which pins the DEFINED approximation) stays green.
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .cache()
+    )
+    queries = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = brute_force_top_k(e, queries, k=10).cache()
+
+    def mean_recall(approx):
+        return recall_at_k(approx, exact).agg(
+            F.avg("recall").alias("m")
+        ).first()["m"]
+
+    ivf4 = mean_recall(ivf_top_k(e, queries, centroids, k=10, nprobe=4))
+    ivf8 = mean_recall(ivf_top_k(e, queries, centroids, k=10, nprobe=8))
+    lsh = mean_recall(lsh_top_k(e, queries, k=10, planes=4, tables=4))
+    assert ivf4 >= 0.55  # measured 0.620
+    assert ivf8 >= 0.70  # measured 0.782
+    assert ivf8 > ivf4  # more probes must not hurt recall
+    assert lsh >= 0.35  # measured 0.436
+    e.unpersist()
+    exact.unpersist()
