@@ -2156,10 +2156,20 @@ _CC_ORACLE_SQL = f"""
                    range(1, greatest(len(toks) - 2, 0) + 1),
                    i -> array_to_string(toks[i:i+2], ' '))) AS s
           FROM tok WHERE len(toks) >= 3),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a, g b WHERE a.doc_id < b.doc_id
-            AND len(list_intersect(a.s, b.s))::DOUBLE
-                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+    dfq AS (SELECT gram, COUNT(*) AS gram_df FROM ex GROUP BY gram),
+    kept AS (SELECT ex.doc_id, ex.gram
+             FROM ex JOIN dfq USING (gram) WHERE dfq.gram_df <= 50),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kept a JOIN kept b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    p AS (SELECT cand.id_a, cand.id_b
+          FROM cand
+          JOIN g ga ON ga.doc_id = cand.id_a
+          JOIN g gb ON gb.doc_id = cand.id_b
+          WHERE len(list_intersect(ga.s, gb.s))::DOUBLE
+                / (len(ga.s) + len(gb.s)
+                   - len(list_intersect(ga.s, gb.s)))
                 >= 0.8),
     bi AS (SELECT id_a AS u, id_b AS v FROM p
            UNION SELECT id_b, id_a FROM p),
@@ -2176,11 +2186,15 @@ _CC_ORACLE_SQL = f"""
 @_q("q62_dedup_clusters", _CC_ORACLE_SQL)
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → CLUSTERS: min-label-propagation connected
-    components over the exact token-3-gram Jaccard ≥ 0.8 edge set (the
-    q38 pairs).  This is the step a dedup pipeline actually needs —
-    elect one representative per transitive duplicate group.  The
-    oracle walks the same graph with a recursive CTE; both sides assign
-    each node the min doc_id reachable from it."""
+    components over the exact token-3-gram Jaccard ≥ 0.8 edge set with
+    ``max_df=50``-capped candidate generation (the q125 pairs).  The
+    cap is what lets this run on boilerplate-heavy corpora — the 10×
+    scale smoke OOM'd the uncapped variant when 8 shared grams with
+    df≈24k put ~4.6G rows through the candidate join (SCALE.md §8) —
+    and the oracle replicates the cap exactly, so the comparison stays
+    hash-exact at every SF.  The oracle walks the same graph with a
+    recursive CTE; both sides assign each node the min doc_id reachable
+    from it."""
     from btc_usdt_etl_pipeline_spark.operators.graph import (
         connected_components,
     )
@@ -2189,7 +2203,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.transform(
         ngram_jaccard_pairs(
             text_col="text", id_col="doc_id", n=3, threshold=0.8,
-            unit="token",
+            unit="token", max_df=50,
         )
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
@@ -4780,7 +4794,7 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.transform(
         ngram_jaccard_pairs(
             text_col="text", id_col="doc_id", n=3, threshold=0.8,
-            unit="token",
+            unit="token", max_df=50,
         )
     ).select("id_a", "id_b")
     comp = connected_components(pairs, algorithm="star")
@@ -5077,6 +5091,36 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_col="text", id_col="doc_id", n=3, threshold=0.8,
             unit="token", max_df=50,
         )
+    )
+
+
+@_q(
+    "q126_cosine_pairs_blas",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cosine_r
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                     ORDER BY cosine_r DESC, id_a, id_b) AS rnk
+          FROM p)
+    SELECT label, id_a, id_b, cosine_r, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39's blocked cosine near-dup via the GEMM kernel
+    (``cosine_pairs_within(method="blas")``): one Arrow batch and one
+    numpy ``V @ V.T`` per label block instead of 20M interpreted
+    higher-order folds.  Same oracle as q39 — the 10× scale smoke
+    measured expr at 177.6 s vs seconds for the GEMM on 20k×64
+    vectors, and both agree after 4-dp rounding (double precision on
+    both paths, only the accumulation order differs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = e.transform(cosine_pairs_within("label", k=3, method="blas"))
+    return out.select(
+        "label", "id_a", "id_b", "cosine_r", F.col("rnk").cast("long")
+        .alias("rnk"),
     )
 
 

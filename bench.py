@@ -80,6 +80,7 @@ HEADLINE = [
     "q111_decontaminate",
     "q124_fuzzy_join",
     "q125_ngram_jaccard_capped",
+    "q126_cosine_pairs_blas",
 ]
 
 
