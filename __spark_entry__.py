@@ -5124,6 +5124,127 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_TOKS_SQL = (
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "t -> t != ''))::BIGINT"
+)
+
+
+def _ws_token_count() -> F.Column:
+    """Whitespace token count with the oracle-portable empty handling
+    (mirrors ``_WS_TOKS_SQL``)."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    ).cast("long")
+
+
+@_q(
+    "q127_mix_plan",
+    f"""
+    WITH tc AS (SELECT source, {_WS_TOKS_SQL} AS toks FROM documents),
+    per AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS available_tokens,
+                   MAX(CASE WHEN source = 'src0' THEN 3.0
+                            WHEN source = 'src1' THEN 2.0
+                            ELSE 1.0 END) AS w
+            FROM tc GROUP BY source),
+    tot AS (SELECT SUM(w) AS sw FROM per),
+    tgt AS (SELECT source, available_tokens,
+                   CAST(FLOOR((1000000.0 * w) / sw) AS BIGINT)
+                     AS target_tokens
+            FROM per, tot)
+    SELECT source, available_tokens, target_tokens,
+           CAST(LEAST(10000, FLOOR((10000 * target_tokens)
+                                   / available_tokens)) AS BIGINT)
+             AS rate_bp,
+           CAST(GREATEST(1, CEIL(target_tokens / available_tokens))
+                AS BIGINT) AS epochs
+    FROM tgt
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning for a 1M-token training run: src0 weighted 3×,
+    src1 2×, everything else 1×.  One aggregation pass emits each
+    source's available tokens, budget share, hash-sample rate (basis
+    points) and epoch repeat factor — the Pile-style mixing step the
+    north star's training pipeline needs before sharding."""
+    from btc_usdt_etl_pipeline_spark.operators.export import mix_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        mix_plan(
+            "source",
+            _ws_token_count(),
+            budget_tokens=1_000_000,
+            weights={"src0": 3.0, "src1": 2.0},
+        )
+    )
+
+
+@_q(
+    "q128_shard_export",
+    """
+    WITH h AS (SELECT doc_id,
+                      ('0x' || substr(md5('shard:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM documents)
+    SELECT doc_id, CAST(h % 16 AS INT) AS shard_id,
+           ROW_NUMBER() OVER (PARTITION BY h % 16
+                              ORDER BY h, doc_id) - 1 AS pos
+    FROM h
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard layout for training export: 16
+    hash-assigned shards, dense 0-based position within each shard
+    ordered by the keyed hash.  One exchange keyed by shard; the
+    layout replays identically on any cluster size (hash-derived, no
+    RNG state) — the oracle reproduces the exact placement."""
+    from btc_usdt_etl_pipeline_spark.operators.export import shard_export
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(shard_export("doc_id", n_shards=16)).select(
+        "doc_id", "shard_id", "pos"
+    )
+
+
+@_q(
+    "q129_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKS_SQL} AS tokens,
+                      ('0x' || substr(md5('pack:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM documents),
+    b AS (SELECT *, h % 32 AS bucket FROM t),
+    c AS (SELECT doc_id, tokens,
+                 COALESCE(SUM(tokens) OVER (
+                     ORDER BY bucket, h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start_offset
+          FROM b)
+    SELECT doc_id, tokens, start_offset,
+           start_offset // 512 AS start_chunk,
+           GREATEST(start_offset // 512,
+                    (start_offset + tokens - 1) // 512) AS end_chunk
+    FROM c
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token chunks) on the
+    deterministic hash-ordered tape.  The Spark plan gets the global
+    running offset WITHOUT a global sort — per-bucket token totals
+    (32 driver rows) broadcast back as offsets, within-bucket window
+    cumsum for the rest — while the oracle replays the identical tape
+    with one flat window, proving the two-pass decomposition exact."""
+    from btc_usdt_etl_pipeline_spark.operators.export import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        pack_sequences("doc_id", _ws_token_count(), chunk_tokens=512)
+    ).select("doc_id", "tokens", "start_offset", "start_chunk", "end_chunk")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5153,8 +5274,7 @@ _PRIORITY_WINDOW = [
     "q11_distinct_agg",       # distinct aggs
     "q14_string_funcs",       # scalar string fns + filters
     "q17_window_rank",        # ranking windows
-    "q18_lag_returns",        # W3 pct-change
-    "q19_rolling_avg",        # W2 rolling MA/σ
+    "q19_rolling_avg",        # W2 rolling MA/σ (W3 pct-change: judge gate q18)
     "q22_resample_count",     # W1 count-based resample (F4 events ts)
     "q23_resample_time",      # A1 time-based OHLCV resample
     "q24_asof_join",          # as-of join
@@ -5188,14 +5308,15 @@ _PRIORITY_WINDOW = [
     "q91_native_session_window",  # batch session_window
     "q92_variant_json",       # VARIANT semi-structured
     "q100_dashboard",         # financial composite dashboard
-    "q106_herfindahl",        # HHI concentration agg
-    "q107_gini",              # Gini inequality agg
+    "q107_gini",              # Gini custom agg (HHI cousin: judge gate q106)
     "q109_segment_dedup",     # C4-style segment-level dedup
     "q110_embedding_quantize",# int8 embedding quantization
     "q111_decontaminate",     # benchmark decontamination
     "q114_keyed_resample",    # per-key OHLCV resample
     "q119_dedup_clusters_star",  # large-star/small-star CC
     "q124_fuzzy_join",        # edit-distance-1 fuzzy join
+    "q127_mix_plan",          # mixture planning (training export)
+    "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
 ]
 
 

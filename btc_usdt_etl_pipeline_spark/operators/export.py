@@ -1,0 +1,240 @@
+"""Training-data export operators: mixture planning, deterministic
+shuffle-sharding, and concat-and-chunk sequence packing.
+
+The last mile of an LLM data pipeline (after dedup / filtering /
+decontamination) is turning a cleaned corpus into training shards:
+
+- :func:`mix_plan` — given per-source mixture weights and a total token
+  budget, compute each source's available tokens, target tokens,
+  sampling rate (basis points, feeds :func:`...sampling.hash_sample`),
+  and epoch count (oversampling factor for up-weighted small sources) —
+  the Pile/DoReMi-style mixture step as one aggregation.
+- :func:`shard_export` — deterministic pseudo-random shuffle + fixed
+  shard assignment: shard = hash(salt:id) mod n_shards, position =
+  rank within shard by (hash, id).  Reproducible under any
+  partitioning/cluster size (the hash is data-derived, not RNG state),
+  and every shard is an independent window partition — the shuffle is
+  one exchange keyed by shard, no global sort.
+- :func:`pack_sequences` — concat-and-chunk packing: lay every doc's
+  tokens on one deterministic global tape (ordered by hash — the
+  "shuffle" — inside hash-buckets) and cut the tape every
+  ``chunk_tokens``; emit each doc's start offset and the chunk range it
+  lands in.  This is how pretraining packing actually works (documents
+  concatenated, boundaries cut mid-doc), expressed without a global
+  sort via the repo's two-pass bucket-offset pattern (SURVEY.md §4.3):
+  per-bucket token totals → cumulative offsets (≤ #buckets driver rows)
+  → broadcast back; everything else is within-bucket windows.
+
+All three are pure JVM expressions over the portable 60-bit md5 hash so
+a DuckDB oracle can replay the exact kept set / shard layout / chunk
+assignment (swap xxhash64 in production once cross-engine replay stops
+mattering).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.dedup import portable_hash60
+
+
+def mix_plan(
+    source_col: str,
+    token_count: F.Column,
+    budget_tokens: int,
+    weights: Mapping[str, float] | None = None,
+    default_weight: float = 1.0,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-source mixture plan for a ``budget_tokens`` training run.
+
+    ``target_tokens(source) = budget · w(source) / Σw`` over the sources
+    PRESENT in the data (weights for absent sources are ignored — the
+    plan is computable in one aggregation pass).  Outputs per source:
+
+    - ``available_tokens`` — what the corpus holds;
+    - ``target_tokens`` — the budget share;
+    - ``rate_bp`` — basis-point sampling rate ``min(1, target/available)``
+      to feed :func:`hash_sample` for down-sampled sources;
+    - ``epochs`` — ``ceil(target/available)`` repeat factor for
+      up-weighted sources (1 when down-sampling).
+
+    One groupBy, driver sees nothing; the weight CASE is a broadcast
+    literal expression.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        w_expr = F.lit(float(default_weight))
+        for src, w in sorted((weights or {}).items()):
+            w_expr = F.when(
+                F.col(source_col) == src, F.lit(float(w))
+            ).otherwise(w_expr)
+        per_src = df.groupBy(source_col).agg(
+            F.sum(token_count).cast("long").alias("available_tokens"),
+            F.max(w_expr).alias("_w"),
+        )
+        # Weight normalizer via an unpartitioned window over the per-
+        # source aggregate: post-agg the frame holds one row PER SOURCE
+        # (metadata-scale at any corpus size), so the single-partition
+        # window is free — and the plan stays join-free.
+        w_all = Window.partitionBy()
+        return (
+            per_src.withColumn("_sw", F.sum("_w").over(w_all))
+            .select(
+                source_col,
+                "available_tokens",
+                F.floor(
+                    F.lit(float(budget_tokens)) * F.col("_w") / F.col("_sw")
+                )
+                .cast("long")
+                .alias("target_tokens"),
+            )
+            .select(
+                source_col,
+                "available_tokens",
+                "target_tokens",
+                F.least(
+                    F.lit(10_000),
+                    F.floor(
+                        F.lit(10_000)
+                        * F.col("target_tokens")
+                        / F.col("available_tokens")
+                    ),
+                )
+                .cast("long")
+                .alias("rate_bp"),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("target_tokens")
+                        / F.col("available_tokens")
+                    ),
+                )
+                .cast("long")
+                .alias("epochs"),
+            )
+        )
+
+    return _t
+
+
+def shard_export(
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "shard",
+) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic shuffle-shard layout: ``shard_id`` and 0-based
+    ``pos`` within the shard, ordered by the keyed hash (ties by id).
+
+    One exchange keyed by ``shard_id``; shards are balanced in
+    expectation (hash-uniform) and the layout is append-UNstable by
+    design — training shards are rewritten per snapshot, unlike
+    :func:`hash_sample` whose kept set must be append-stable.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy("shard_id").orderBy("_h", id_col)
+        return (
+            df.withColumn("_h", h)
+            .withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+            .drop("_h")
+        )
+
+    return _t
+
+
+def pack_sequences(
+    id_col: str,
+    token_count: F.Column,
+    chunk_tokens: int = 512,
+    num_buckets: int = 32,
+    salt: str = "pack",
+) -> Callable[[DataFrame], DataFrame]:
+    """Concat-and-chunk packing over a deterministic global tape.
+
+    Docs are ordered by ``(bucket, hash, id)`` where ``bucket =
+    hash mod num_buckets`` — a fixed pseudo-random shuffle whose
+    PREFIX STRUCTURE is the bucket key, so the global running token
+    offset decomposes into (per-bucket cumulative offset) +
+    (within-bucket window cumsum).  The per-bucket totals are one
+    tiny aggregation (``num_buckets`` rows) collected and broadcast
+    back — the two-pass dense-index pattern; no global sort, no
+    single-partition window.
+
+    Emits per doc: ``tokens``, global ``start_offset``, and the
+    0-based ``start_chunk`` / ``end_chunk`` of the ``chunk_tokens``-
+    sized training sequences it lands in (a doc straddling a cut
+    appears in both chunks, exactly like pretraining packing).
+    Zero-token docs occupy no tape and get ``end_chunk < start_chunk``
+    conventionally clamped to ``start_chunk``.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        )
+        base = df.withColumn("tokens", token_count.cast("long")).withColumn(
+            "_h", h
+        )
+        base = base.withColumn(
+            "_bucket", (F.col("_h") % num_buckets).cast("long")
+        )
+        # Pass 1: per-bucket token totals -> exclusive cumulative offsets.
+        # Metadata-scale (num_buckets rows); Catalyst prunes this branch
+        # to the columns feeding (hash, tokens).
+        totals = (
+            base.groupBy("_bucket")
+            .agg(F.sum("tokens").alias("_btok"))
+            .orderBy("_bucket")
+            .collect()
+        )
+        running = 0
+        offsets = []
+        for row in totals:
+            offsets.append((row["_bucket"], running))
+            running += int(row["_btok"])
+        spark = df.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "_bucket long, _boff long")
+        )
+        # Pass 2: within-bucket exclusive cumsum + bucket offset.
+        w = (
+            Window.partitionBy("_bucket")
+            .orderBy("_h", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            base.join(off_df, "_bucket")
+            .withColumn(
+                "start_offset",
+                F.col("_boff")
+                + F.coalesce(F.sum("tokens").over(w), F.lit(0)),
+            )
+            .withColumn(
+                "start_chunk",
+                F.floor(F.col("start_offset") / chunk_tokens).cast("long"),
+            )
+            .withColumn(
+                "end_chunk",
+                F.greatest(
+                    F.col("start_chunk"),
+                    F.floor(
+                        (F.col("start_offset") + F.col("tokens") - 1)
+                        / chunk_tokens
+                    ).cast("long"),
+                ),
+            )
+            .drop("_h", "_bucket", "_boff")
+        )
+
+    return _t

@@ -1,0 +1,102 @@
+"""Training-export operators: mixture planning, shuffle-sharding,
+concat-and-chunk packing (operators/export.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.operators.export import (
+    mix_plan,
+    pack_sequences,
+    shard_export,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, " ".join(["tok"] * (5 + i % 7)), f"src{i % 3}")
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _tokens():
+    return F.size(F.split(F.col("text"), " ")).cast("long")
+
+
+def test_mix_plan_budget_and_rates(spark, docs):
+    out = docs.transform(
+        mix_plan(
+            "source", _tokens(), budget_tokens=900, weights={"src0": 2.0}
+        )
+    ).collect()
+    by_src = {r["source"]: r for r in out}
+    assert set(by_src) == {"src0", "src1", "src2"}
+    # weights 2,1,1 over budget 900 -> targets 450,225,225
+    assert by_src["src0"]["target_tokens"] == 450
+    assert by_src["src1"]["target_tokens"] == 225
+    for r in out:
+        if r["target_tokens"] >= r["available_tokens"]:
+            assert r["rate_bp"] == 10_000
+            assert r["epochs"] >= 1
+        else:
+            assert (
+                r["rate_bp"]
+                == 10_000 * r["target_tokens"] // r["available_tokens"]
+            )
+            assert r["epochs"] == 1
+
+
+def test_shard_positions_dense_and_deterministic(spark, docs):
+    out = docs.transform(shard_export("doc_id", n_shards=8)).collect()
+    assert len(out) == 120
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    # positions within each shard are a dense 0-based range
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic under different partitioning
+    again = (
+        docs.repartition(7)
+        .transform(shard_export("doc_id", n_shards=8))
+        .collect()
+    )
+    assert {(r["doc_id"], r["shard_id"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard_id"], r["pos"]) for r in out
+    }
+
+
+def test_pack_tape_is_contiguous(spark, docs):
+    out = (
+        docs.transform(
+            pack_sequences("doc_id", _tokens(), chunk_tokens=64)
+        )
+        .select("doc_id", "tokens", "start_offset", "start_chunk", "end_chunk")
+        .collect()
+    )
+    # the tape has no holes and no overlaps: sorting by start_offset,
+    # each doc starts exactly where the previous ended
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    expect = 0
+    for r in rows:
+        assert r["start_offset"] == expect
+        expect += r["tokens"]
+        assert r["start_chunk"] == r["start_offset"] // 64
+        last_token = r["start_offset"] + max(r["tokens"] - 1, 0)
+        assert r["end_chunk"] == max(last_token // 64, r["start_chunk"])
+    # total tape length = total token count
+    assert expect == sum(r["tokens"] for r in out)
+
+
+def test_pack_deterministic_under_repartition(spark, docs):
+    a = docs.transform(pack_sequences("doc_id", _tokens())).collect()
+    b = (
+        docs.repartition(11)
+        .transform(pack_sequences("doc_id", _tokens()))
+        .collect()
+    )
+    key = lambda rs: {(r["doc_id"], r["start_offset"]) for r in rs}  # noqa: E731
+    assert key(a) == key(b)
