@@ -2359,10 +2359,20 @@ _Q66_SAMPLE_SQL = (
                    range(1, greatest(len(toks) - 2, 0) + 1),
                    i -> array_to_string(toks[i:i+2], ' '))) AS s
           FROM tok WHERE len(toks) >= 3),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a, g b WHERE a.doc_id < b.doc_id
-            AND len(list_intersect(a.s, b.s))::DOUBLE
-                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+    dfq AS (SELECT gram, COUNT(*) AS gram_df FROM ex GROUP BY gram),
+    kept AS (SELECT ex.doc_id, ex.gram
+             FROM ex JOIN dfq USING (gram) WHERE dfq.gram_df <= 50),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kept a JOIN kept b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    p AS (SELECT cand.id_a, cand.id_b
+          FROM cand
+          JOIN g ga ON ga.doc_id = cand.id_a
+          JOIN g gb ON gb.doc_id = cand.id_b
+          WHERE len(list_intersect(ga.s, gb.s))::DOUBLE
+                / (len(ga.s) + len(gb.s)
+                   - len(list_intersect(ga.s, gb.s)))
                 >= 0.8),
     bi AS (SELECT id_a AS u, id_b AS v FROM p
            UNION SELECT id_b, id_a FROM p),
@@ -2381,11 +2391,12 @@ _Q66_SAMPLE_SQL = (
 )
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus pipeline, composed from the
-    library: length filter → exact-Jaccard near-dup clustering → keep
-    one representative (min doc_id) per cluster → deterministic 50%
-    hash sample.  One query, four operators, every stage
-    shuffle-bounded; the oracle replays the whole chain including the
-    graph walk and the portable sample hash."""
+    library: length filter → exact-Jaccard near-dup clustering
+    (``max_df=50``-capped candidate generation, boilerplate-robust —
+    SCALE.md §8) → keep one representative (min doc_id) per cluster →
+    deterministic 50% hash sample.  One query, four operators, every
+    stage shuffle-bounded; the oracle replays the whole chain including
+    the df cap, the graph walk, and the portable sample hash."""
     from btc_usdt_etl_pipeline_spark.operators.graph import (
         connected_components,
     )
@@ -2395,7 +2406,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.transform(
         ngram_jaccard_pairs(
             text_col="text", id_col="doc_id", n=3, threshold=0.8,
-            unit="token",
+            unit="token", max_df=50,
         )
     ).select("id_a", "id_b")
     comp = connected_components(pairs)

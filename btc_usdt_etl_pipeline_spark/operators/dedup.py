@@ -427,9 +427,23 @@ def ngram_jaccard_pairs(
             )
 
         if max_df is not None:
-            # Hot-gram set is tiny by construction (only grams in >max_df
-            # docs), so the anti-join against it broadcasts; candidates
-            # come from the surviving (rare) grams alone.
+            # Decomposed exact verify — NO candidate-distinct shuffle and
+            # NO full-gram-set fanout per candidate (the naive
+            # "candidates → re-join both full posting lists" shape
+            # measured 3-4× the uncapped operator at sf0.1):
+            #
+            #   |A∩B| = |A∩B over KEPT grams| + |A∩B over HOT grams|
+            #
+            # inter_kept is the uncapped count-join restricted to kept
+            # grams — join mass Σ_{df≤K} df² ≤ K·Σdf, linear in corpus
+            # size; its keys ARE the candidate set (pairs sharing ≥1
+            # rare gram).  inter_hot corrects with the shared-hot-gram
+            # count per candidate: fanout = hot grams per doc (≤ a
+            # handful by construction), never the full gram set.  The
+            # lazy localCheckpoint shares the one exploded-gram
+            # evaluation across the df-count / kept / hot branches
+            # without making the operator eager.
+            ex = ex.localCheckpoint(eager=False)
             dfreq = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
             hot = dfreq.filter(F.col("_df") > max_df).select("_h")
             kept = ex.join(hot, "_h", "left_anti")
@@ -437,16 +451,77 @@ def ngram_jaccard_pairs(
             kb = kept.select(
                 F.col("_h").alias("_hb"), F.col("_id").alias("id_b")
             )
-            cand = (
+            inter_kept = (
                 ka.join(
                     kb,
                     (ka["_h"] == kb["_hb"])
                     & (F.col("id_a") < F.col("id_b")),
                 )
-                .select("id_a", "id_b")
-                .distinct()
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_ik"))
             )
-            inter = _exact_inter(cand)
+            # Upper-bound prune BEFORE the hot correction: jaccard is
+            # monotone in |A∩B| and |A∩B| ≤ ik + min(#hot(a), #hot(b)),
+            # so any pair whose bound misses the threshold is dead — on
+            # a 10× boilerplate corpus this cuts the hot-correction
+            # input from every-rare-gram-sharing pair (~millions) to the
+            # actual near-dup candidates (~thousands).  The bound joins
+            # against per-doc counts are linear (doc-count-scale sides;
+            # AQE broadcasts them at small SF, shuffles at corpus scale).
+            hot_ex = ex.join(hot, "_h", "left_semi")
+            hot_cnt = hot_ex.groupBy("_id").agg(
+                F.count(F.lit(1)).alias("_hc")
+            )
+            hca = hot_cnt.select(
+                F.col("_id").alias("id_a"), F.col("_hc").alias("_hca")
+            )
+            hcb = hot_cnt.select(
+                F.col("_id").alias("id_b"), F.col("_hc").alias("_hcb")
+            )
+            saa = sizes.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("_bna")
+            )
+            sbb = sizes.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("_bnb")
+            )
+            ub = F.col("_ik") + F.least(
+                F.coalesce(F.col("_hca"), F.lit(0)),
+                F.coalesce(F.col("_hcb"), F.lit(0)),
+            )
+            cand = (
+                inter_kept.join(hca, "id_a", "left")
+                .join(hcb, "id_b", "left")
+                .join(saa, "id_a")
+                .join(sbb, "id_b")
+                .filter(
+                    ub.cast("double")
+                    / (F.col("_bna") + F.col("_bnb") - ub)
+                    >= threshold
+                )
+                .select("id_a", "id_b", "_ik")
+            )
+            ha = hot_ex.select(F.col("_h"), F.col("_id").alias("id_a"))
+            hb = hot_ex.select(
+                F.col("_h").alias("_hb"), F.col("_id").alias("id_b")
+            )
+            pairs_a = cand.select("id_a", "id_b").join(ha, "id_a")
+            inter_hot = (
+                pairs_a.join(
+                    hb,
+                    (pairs_a["id_b"] == hb["id_b"])
+                    & (pairs_a["_h"] == hb["_hb"]),
+                )
+                .groupBy(pairs_a["id_a"], pairs_a["id_b"])
+                .agg(F.count(F.lit(1)).alias("_ih"))
+            )
+            inter = (
+                cand.join(inter_hot, ["id_a", "id_b"], "left")
+                .withColumn(
+                    "_inter",
+                    F.col("_ik") + F.coalesce(F.col("_ih"), F.lit(0)),
+                )
+                .select("id_a", "id_b", "_inter")
+            )
         elif prefix_filter:
             # Rarest-first global order: document frequency, hash as the
             # tiebreak.  One cheap agg over the exploded grams; the join
