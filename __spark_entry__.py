@@ -109,6 +109,13 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # The driver runs a bare session (shuffle.partitions=200).  AQE
+    # coalesces batch exchanges either way, but STREAMING state stores
+    # are fixed at the shuffle partition count (no AQE in streaming):
+    # 200 state-store instances per stateful operator per micro-batch
+    # put q65's availableNow drain at ~30 s on 10k rows.  32 matches
+    # local[32]; on a real cluster set ≈ 2-3× total cores.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -2335,6 +2342,10 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = streaming_interval_join(
         signups, purchases, key_col="user_id", left_time="s_ts",
         right_time="p_ts", upper="1 hour", watermark="100 days",
+        # Composite (user, hour-bucket) join key: splits a zipf-hot
+        # user's join state across time buckets (SCALE.md §8) —
+        # result-identical, oracle unchanged.
+        bucket_width_s=3600,
     ).select("signup_id", "user_id", "purchase_id", "purchase_value")
     name = "q65_stream_interval_join_result"
     with tempfile.TemporaryDirectory() as ckpt:
@@ -4063,31 +4074,40 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     wx = Window.partitionBy("event_type").orderBy("value", "event_id")
     wy = Window.partitionBy("event_type").orderBy(k, "event_id")
+    # Ranks as decimal(38,0): int ranks overflow at rx·ry ≈ n² for
+    # n > ~46k rows per group (caught by the 10× scale smoke under
+    # ANSI), and even bigint dies at n·Σrxry ≈ n⁴.  Exact decimal
+    # arithmetic holds to n ≈ 10⁹ per group; DuckDB's HUGEINT sums are
+    # exact the same way, so the hash contract is unchanged.
     r = e.select(
         "event_type",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+        F.row_number().over(wx).cast("decimal(38,0)").alias("rx"),
+        F.row_number().over(wy).cast("decimal(38,0)").alias("ry"),
     )
     s = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
         F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+    num = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
             "double"
         )
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        * (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
             "double"
         )
     )
-    return s.select("event_type", "n", (num / den).alias("spearman"))
+    return s.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n"),
+        (num / den).alias("spearman"),
+    )
 
 
 @_q(

@@ -81,6 +81,7 @@ def streaming_interval_join(
     right_time: str,
     upper: str = "1 hour",
     watermark: str = "2 hours",
+    bucket_width_s: int | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: right events within
     ``[left.time, left.time + upper]`` for the same key.
@@ -93,9 +94,46 @@ def streaming_interval_join(
     an ``availableNow`` drain equals the equivalent batch join — the
     oracle contract.  Callers must pre-rename columns so the two sides
     share only ``key_col``.
+
+    ``bucket_width_s`` — zipf-hot-key defense.  With plain key-equality
+    the state join for ONE hot key is one task; a key holding 25% of a
+    10× stream ground a single core for >10 min in the scale smoke
+    (SCALE.md §8).  When set (normally the ``upper`` interval in
+    seconds), both sides join on the COMPOSITE key
+    ``(key, floor(event_time / W))``: the right row keeps its one
+    bucket, the left row is exploded to buckets ``{b, b+1}`` — exactly
+    the buckets a match in ``[t, t+W]`` can occupy, so results are
+    identical (each matching pair shares exactly ONE bucket: the
+    right event's).  The hot key's state and join work now split
+    across time buckets — parallel over the stream's whole span — at
+    the cost of one stateless 2× explode of the left side.
     """
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
+    if bucket_width_s is not None:
+        w = int(bucket_width_s)
+        lb = F.floor(F.col(left_time).cast("long") / w)
+        lw = lw.withColumn(
+            "_jb", F.explode(F.array(lb, lb + F.lit(1)))
+        )
+        rw = rw.withColumn(
+            "_jb", F.floor(F.col(right_time).cast("long") / w)
+        )
+        cond = (
+            (lw[key_col] == rw[key_col])
+            & (lw["_jb"] == rw["_jb"])
+            & (rw[right_time] >= lw[left_time])
+            & (
+                rw[right_time]
+                <= lw[left_time] + F.expr(f"INTERVAL {upper}")
+            )
+        )
+        return (
+            lw.join(rw, cond, "inner")
+            .drop(rw[key_col])
+            .drop(lw["_jb"])
+            .drop(rw["_jb"])
+        )
     cond = (
         (lw[key_col] == rw[key_col])
         & (rw[right_time] >= lw[left_time])

@@ -345,6 +345,25 @@ def test_stream_interval_join_buffers_state_across_batches(spark):
         got = sorted((r.l_id, r.r_id) for r in spark.table("t_ivjoin").collect())
         assert got == [(101, 201), (102, 204)]
 
+        # The time-bucketed composite-key variant (zipf-hot-key state
+        # splitting) must emit the IDENTICAL pair set: each matching
+        # pair shares exactly one right-side bucket, so no misses and
+        # no duplicates — including the boundary match at exactly
+        # left_ts (same bucket) and a +1 min match crossing into the
+        # next hour bucket.
+        joined_b = streaming_interval_join(
+            left, right, key_col="user_id", left_time="l_ts",
+            right_time="r_ts", upper="1 hour", watermark="10 days",
+            bucket_width_s=3600,
+        ).select("l_id", "r_id")
+        run_available_now(
+            joined_b, "t_ivjoin_b", f"{d}/ckpt_b", output_mode="append"
+        )
+        got_b = sorted(
+            (r.l_id, r.r_id) for r in spark.table("t_ivjoin_b").collect()
+        )
+        assert got_b == got
+
 
 def test_streaming_checkpoint_resume_processes_only_new_files(spark):
     # Exactly-once across restarts: drain, add a file, drain again with
