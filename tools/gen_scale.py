@@ -204,6 +204,157 @@ def gen_supplier(spark, n: int, n_parts: int):
     return spark.range(0, n, 1, n_parts).mapInPandas(make, schema)
 
 
+def gen_customer(spark, n: int, n_parts: int):
+    import pandas as pd
+
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    )
+    segs = ["FURNITURE", "MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD"]
+
+    def make(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(11000 + int(ids[0]) if len(ids) else 0)
+            yield pd.DataFrame(
+                {
+                    "c_custkey": ids,
+                    "c_name": [f"Customer#{int(i):09d}" for i in ids],
+                    "c_nationkey": (ids % 25).astype("int32"),
+                    "c_acctbal": np.round(
+                        rng.uniform(-999.99, 9999.99, size=len(ids)), 2
+                    ),
+                    "c_mktsegment": [segs[int(i) % 5] for i in ids],
+                }
+            )
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(make, schema)
+
+
+def gen_orders(spark, n: int, n_parts: int, n_cust: int):
+    import pandas as pd
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+    def make(batches):
+        import numpy as np
+
+        base = np.datetime64("1995-01-01")
+        span_d = 7 * 365
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(12000 + int(ids[0]) if len(ids) else 0)
+            # zipf-hot customers: the head customer carries ~20% of orders
+            u = rng.zipf(1.25, size=len(ids))
+            cust = np.minimum(u - 1, n_cust - 1).astype("int64")
+            dates = base + (ids * 2654435761 % span_d).astype(
+                "timedelta64[D]"
+            )
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": ids,
+                    "o_custkey": cust,
+                    "o_orderstatus": [
+                        "OFP"[int(i) % 3] for i in ids
+                    ],
+                    "o_totalprice": np.round(
+                        np.exp(rng.normal(11.5, 0.8, size=len(ids))), 2
+                    ),
+                    "o_orderdate": pd.Series(dates),
+                    "o_orderpriority": [prios[int(i) % 5] for i in ids],
+                }
+            )
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(make, schema)
+
+
+def gen_lineitem(
+    spark, n: int, n_parts: int, n_orders: int, n_part: int, n_supp: int
+):
+    import pandas as pd
+
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+
+    def make(batches):
+        import numpy as np
+
+        base = np.datetime64("1995-01-01")
+        span_d = 7 * 365
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(13000 + int(ids[0]) if len(ids) else 0)
+            # hot part: partkey 0 on ~10% of lines (skewed join key)
+            part = rng.integers(0, n_part, size=len(ids))
+            part[ids % 10 == 3] = 0
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": ids % n_orders,
+                    "l_partkey": part.astype("int64"),
+                    "l_suppkey": (ids * 7919 % n_supp).astype("int64"),
+                    "l_linenumber": (ids % 7 + 1).astype("int32"),
+                    "l_quantity": (ids % 50 + 1).astype("float64"),
+                    "l_extendedprice": np.round(
+                        rng.uniform(900.0, 105000.0, size=len(ids)), 2
+                    ),
+                    "l_discount": np.round(
+                        (ids % 11) * 0.01, 2
+                    ),
+                    "l_tax": np.round((ids % 9) * 0.01, 2),
+                    "l_returnflag": ["RAN"[int(i) % 3] for i in ids],
+                    "l_linestatus": ["OF"[int(i) % 2] for i in ids],
+                    "l_shipdate": pd.Series(
+                        base
+                        + (ids * 1299709 % span_d).astype("timedelta64[D]")
+                    ),
+                }
+            )
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(make, schema)
+
+
+def gen_part(spark, n: int, n_parts: int):
+    import pandas as pd
+
+    schema = (
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    )
+    adjs = ["large", "hot", "small", "cold", "shiny", "matte", "deep", "pale"]
+    nouns = ["ring", "bolt", "gear", "pin", "rod", "cap", "nut", "plate"]
+    types = ["LARGE", "ECONOMY", "STANDARD", "SMALL", "MEDIUM", "PROMO"]
+
+    def make(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "p_partkey": ids,
+                    "p_name": [
+                        f"{adjs[int(i) % 8]} {nouns[(int(i) // 8) % 8]}"
+                        for i in ids
+                    ],
+                    "p_brand": [f"Brand#{int(i) % 25 + 1}" for i in ids],
+                    "p_type": [types[int(i) % 6] for i in ids],
+                    "p_size": (ids % 50 + 1).astype("int32"),
+                    "p_retailprice": (900.0 + (ids % 1000) / 10.0),
+                }
+            )
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(make, schema)
+
+
 def main() -> int:
     import os
 
@@ -224,16 +375,37 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     parts = 32
+    n_orders = 150_000 * mult
     jobs = [
         ("documents", gen_documents(spark, 5_000 * mult, parts)),
         ("embeddings", gen_embeddings(spark, 2_000 * mult, parts)),
         ("events", gen_events(spark, 100_000 * mult, parts, 1_500 * mult)),
         ("supplier", gen_supplier(spark, 1_000 * mult, parts)),
+        ("customer", gen_customer(spark, 15_000 * mult, parts)),
+        ("orders", gen_orders(spark, n_orders, parts, 15_000 * mult)),
+        (
+            "lineitem",
+            gen_lineitem(
+                spark,
+                600_000 * mult,
+                parts,
+                n_orders,
+                20_000 * mult,
+                1_000 * mult,
+            ),
+        ),
+        ("part", gen_part(spark, 20_000 * mult, parts)),
     ]
     for name, df in jobs:
         path = os.path.join(out, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         print(f"wrote {path}")
+    # nation/region are fixed-size dims — mirror the driver tables.
+    for name in ("nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{name}.parquet"))
+        print(f"copied {name}")
     return 0
 
 
