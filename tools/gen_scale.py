@@ -24,9 +24,10 @@ Generation is mapInPandas over spark.range slices — executor-side,
 partition-parallel, deterministic per row id (numpy seeded by block),
 no driver materialization.  Usage:
 
-    python tools/gen_scale.py [mult] [out_dir]
+    python tools/gen_scale.py [mult] [out_dir] [tables]
 
-defaults: mult=10, out_dir=/root/repo/.scale{mult}x
+defaults: mult=10, out_dir=/root/repo/.scale{mult}x, tables=all
+(``tables`` is a comma list, e.g. ``documents,embeddings,supplier``).
 """
 
 from __future__ import annotations
@@ -366,6 +367,7 @@ def main() -> int:
         if len(sys.argv) > 2
         else f"/root/repo/.scale{mult}x"
     )
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("gen-scale")
@@ -397,11 +399,15 @@ def main() -> int:
         ("part", gen_part(spark, 20_000 * mult, parts)),
     ]
     for name, df in jobs:
+        if only is not None and name not in only:
+            continue
         path = os.path.join(out, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         print(f"wrote {path}")
     # nation/region are fixed-size dims — mirror the driver tables.
     for name in ("nation", "region"):
+        if only is not None and name not in only:
+            continue
         spark.read.parquet(f"/root/testdata/sf0.1/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{name}.parquet"))
