@@ -15,6 +15,7 @@ the M5 equivalence test.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable
 
@@ -154,6 +155,15 @@ def run_available_now(
 
     ``availableNow`` processes the full backlog in bounded batches and
     terminates — the streaming/batch equivalence harness.
+
+    Sink choice is a SCALE decision: the memory sink collects every
+    output row onto the driver, which is fine for complete/update-mode
+    aggregates (output is aggregate-scale by construction) but blew
+    ``spark.driver.maxResultSize`` on an append-mode stream-stream join
+    at 30× (SCALE.md §8.3).  Append-mode queries therefore spill
+    through a parquet sink next to the checkpoint and come back as a
+    temp view of that directory — executor-side end to end; callers
+    still read ``spark.table(table_name)``.
     """
     # output_mode applies to BOTH sinks: a watermarked aggregate in the
     # default append mode emits nothing until the watermark passes the
@@ -165,6 +175,14 @@ def run_available_now(
     )
     if upsert is not None:
         q = writer.foreachBatch(upsert).start()
+    elif output_mode == "append":
+        out_dir = os.path.join(checkpoint_dir, "_append_out")
+        q = writer.format("parquet").option("path", out_dir).start()
+        q.awaitTermination()
+        result.sparkSession.read.schema(result.schema).parquet(
+            out_dir
+        ).createOrReplaceTempView(table_name)
+        return
     else:
         q = writer.format("memory").queryName(table_name).start()
     q.awaitTermination()
