@@ -5126,6 +5126,107 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q130_pattern_match",
+    """
+    WITH w AS (
+      SELECT event_type, event_id,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events),
+    f AS (SELECT * FROM w WHERE len(vals) = 8),
+    s AS (SELECT event_type, event_id,
+                 list_sum(vals) AS sx,
+                 list_dot_product(vals, vals) AS sxx,
+                 list_dot_product(vals,
+                   [1.0, 1.0, 1.0, 2.0, 4.0, 2.0, 1.0, 1.0]) AS sxy
+          FROM f),
+    r AS (SELECT event_type, event_id,
+                 (8.0 * sxy - sx * 13.0)
+                 / (sqrt(8.0 * sxx - sx * sx)
+                    * sqrt(8.0 * 29.0 - 13.0 * 13.0)) AS corr
+          FROM s WHERE (8.0 * sxx - sx * sx) > 0),
+    k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY corr DESC, event_id) AS rnk
+          FROM r)
+    SELECT event_type, event_id, corr, rnk FROM k WHERE rnk <= 5
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern similarity search (EDBT'19-shaped): rolling
+    8-point windows of each event_type's value series scored by Pearson
+    correlation against a literal spike pattern [1,1,1,2,4,2,1,1];
+    top-5 windows per series.  Float parity holds with NO decimal
+    idiom: both engines fold the SAME ordered window array
+    sequentially (``F.aggregate`` left fold vs ``list_sum`` /
+    ``list_dot_product``) and the closed-form correlation uses the
+    identical operation order, so every double is bit-equal.  Plan
+    shape: one window per series partition, pure codegen folds over
+    8-element arrays (HOFs are fine at fixed small width), one top-k
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    pat = [1.0, 1.0, 1.0, 2.0, 4.0, 2.0, 1.0, 1.0]
+    sy = sum(pat)            # 13.0
+    syy = sum(v * v for v in pat)  # 29.0
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    f = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.collect_list("value").over(w).alias("vals"),
+        )
+        .filter(F.size("vals") == 8)
+    )
+    plit = F.array(*[F.lit(v) for v in pat])
+    sx = F.aggregate("vals", F.lit(0.0), lambda a, x: a + x)
+    sxx = F.aggregate(
+        F.zip_with("vals", F.col("vals"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sxy = F.aggregate(
+        F.zip_with("vals", plit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    s = f.select(
+        "event_type",
+        "event_id",
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        sxy.alias("sxy"),
+    )
+    r = s.filter(
+        (F.lit(8.0) * F.col("sxx") - F.col("sx") * F.col("sx")) > 0
+    ).select(
+        "event_type",
+        "event_id",
+        (
+            (F.lit(8.0) * F.col("sxy") - F.col("sx") * F.lit(sy))
+            / (
+                F.sqrt(
+                    F.lit(8.0) * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+                * F.sqrt(F.lit(8.0) * F.lit(syy) - F.lit(sy) * F.lit(sy))
+            )
+        ).alias("corr"),
+    )
+    wk = Window.partitionBy("event_type").orderBy(
+        F.col("corr").desc(), "event_id"
+    )
+    return (
+        r.withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@_q(
     "q126_cosine_pairs_blas",
     """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -81,6 +81,7 @@ HEADLINE = [
     "q124_fuzzy_join",
     "q125_ngram_jaccard_capped",
     "q126_cosine_pairs_blas",
+    "q130_pattern_match",
 ]
 
 
