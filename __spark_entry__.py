@@ -5377,6 +5377,122 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "tokens", "start_offset", "start_chunk", "end_chunk")
 
 
+from btc_usdt_etl_pipeline_spark.operators.text import PII_PATTERNS
+
+_PII_EMAIL = PII_PATTERNS[0][1]
+_PII_PHONE = PII_PATTERNS[1][1]
+_PII_IPV4 = PII_PATTERNS[2][1]
+
+#: The synthetic corpus contains no digits at all, so a PII pass over raw
+#: ``text`` would be vacuously all-zero (SCALE.md lesson 19).  Both engines
+#: therefore build the SAME deterministic PII-bearing view first: docs get
+#: an email (doc_id % 3), a phone (% 4), and an IPv4 (% 5) synthesized
+#: from doc_id — non-empty, mixed, and exactly replayable.
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                THEN ' call +1 555-'
+                     || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                     || '.' || CAST(doc_id % 250 AS VARCHAR)
+                     || '.' || CAST(doc_id % 97 AS VARCHAR)
+                ELSE '' END AS t
+    FROM documents
+"""
+
+
+@_q(
+    "q131_pii_redact",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    r1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+                  regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+    r2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+                  regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+           FROM r1),
+    r3 AS (SELECT doc_id, n_email, n_phone,
+                  len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ipv4,
+                  regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
+           FROM r2)
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           md5(t3) AS redacted_md5,
+           CAST(length(t3) AS BIGINT) AS redacted_len
+    FROM r3
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (Dolma/RedPajama-style rule pass) over a
+    deterministic PII-bearing view of the corpus: per-doc counts of
+    emails / phones / IPv4s and an md5 of the fully-masked text, so the
+    oracle checks BOTH the counts and the exact redacted bytes.  Classes
+    apply in a fixed order (emails first) so earlier redactions can't be
+    re-matched by looser later patterns.  One projection pass — JVM
+    regexp expressions, no shuffle, no UDF (`operators/text.py:
+    pii_redact`); at 100 TB this pipelines with the scan."""
+    from btc_usdt_etl_pipeline_spark.operators.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@mail-"),
+                    (did % 7).cast("string"),
+                    F.lit(".org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit("."),
+                    (did % 250).cast("string"),
+                    F.lit("."),
+                    (did % 97).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        aug.transform(pii_redact("text"))
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            F.md5("redacted").alias("redacted_md5"),
+            F.length("redacted").cast("long").alias("redacted_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -123,6 +123,60 @@ def fingerprint(
     return _t
 
 
+#: PII classes as (name, regex, placeholder), applied IN ORDER — emails
+#: first so their digit runs can't be re-matched as phones/IPs.  Patterns
+#: use only syntax with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): ASCII classes, bounded repetition, word boundaries.
+PII_PATTERNS: Sequence[tuple[str, str, str]] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+)
+
+
+def pii_redact(
+    text_col: str = "text",
+    out: str = "redacted",
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+) -> Callable[[DataFrame], DataFrame]:
+    """PII scrubbing (Dolma/RedPajama-style rule pass): count and mask
+    emails / phone numbers / IPv4 addresses with typed placeholders.
+
+    Adds one ``n_<class>`` count column per class plus ``out`` — the
+    text with every match replaced by its placeholder, classes applied
+    in :data:`PII_PATTERNS` order so earlier redactions can't be
+    re-matched by later, looser patterns.
+
+    Scale shape: a single projection pass — JVM ``regexp_count`` /
+    ``regexp_replace`` expressions, no shuffle, no UDF; column pruning
+    and predicate pushdown pass straight through.  At 100 TB this
+    pipelines with the scan.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        red = F.col(text_col)
+        for name, pat, placeholder in patterns:
+            df = df.withColumn(
+                f"n_{name}", F.regexp_count(red, F.lit(pat)).cast("long")
+            )
+            red = F.regexp_replace(red, pat, placeholder)
+        return df.withColumn(out, red)
+
+    return _t
+
+
 def fuzzy_self_join_ed1(
     text_col: str,
     id_col: str,

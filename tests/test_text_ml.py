@@ -209,3 +209,36 @@ def test_fuzzy_self_join_ed1_exhaustive_small(spark):
     assert got == want
     assert (1, 2) in got and (1, 3) in got and (1, 4) in got
     assert all(k[0] != 5 and k[1] != 5 for k in got)
+
+
+def test_pii_redact_counts_and_masking(spark):
+    from btc_usdt_etl_pipeline_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-corp.co.uk and ann@a.io today"),
+            (2, "call +1 555-867-5309 or (555) 123-4567 now"),
+            (3, "host 192.168.0.1 and 10.0.255.254 up"),
+            (4, "mixed a@b.io at 8.8.8.8 call 555-123-0042"),
+            (5, "clean text with no pii at all"),
+            (6, "not an ip 1.2.3 nor a phone 12-34-56"),
+        ],
+        "id long, text string",
+    )
+    rows = df.transform(pii_redact("text")).collect()
+    got = {r.id: r for r in rows}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (2, 0, 0)
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> today"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 2, 0)
+    assert got[2].redacted == "call <PHONE> or <PHONE> now"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 2)
+    assert got[3].redacted == "host <IP> and <IP> up"
+    # One of each class in one doc; email digits must not leak into the
+    # phone pass, and the phone must be consumed before the IP pass.
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (1, 1, 1)
+    assert got[4].redacted == "mixed <EMAIL> at <IP> call <PHONE>"
+    assert (got[5].n_email, got[5].n_phone, got[5].n_ipv4) == (0, 0, 0)
+    assert got[5].redacted == got[5].text
+    # Near-miss shapes stay untouched.
+    assert (got[6].n_email, got[6].n_phone, got[6].n_ipv4) == (0, 0, 0)
+    assert got[6].redacted == got[6].text
