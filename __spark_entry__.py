@@ -5493,6 +5493,50 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q132_semdedup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    sc AS (SELECT e.vec_id, e.v, cent.cid,
+                  round(list_cosine_similarity(e.v, cent.cv), 4) AS csim
+           FROM e, cent),
+    ca AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk
+           FROM sc),
+    corp AS (SELECT vec_id, v, cid FROM ca WHERE crnk = 1),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM corp a JOIN corp b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35)
+    SELECT corp.vec_id, corp.cid AS centroid_id,
+           dropped.vec_id IS NULL AS kept
+    FROM corp LEFT JOIN dropped ON corp.vec_id = dropped.vec_id
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — semantic dedup of the embedding table: deterministic
+    centroids (vec_id < 16, q40's IVF index build), within-cell cosine
+    pairs only, and the greedy smallest-id-representative keep rule
+    (dropped iff a smaller-id cell-mate has rounded cosine ≥ τ).  The
+    fixture's embeddings carry no planted high-cosine twins (within-cell
+    max ≈ 0.49), so τ = 0.35 is calibrated to the fixture to keep the
+    drop set non-vacuous (~12% at sf0.01; SCALE.md lesson 19) — the
+    operator (`operators/similarity.py:semdedup`) takes τ as a
+    parameter.  One row per vector with its cell and kept flag, so the
+    oracle checks the full partition, not just the survivors."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return e.transform(
+        lambda df: semdedup(df, cent, threshold=0.35)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -275,6 +275,94 @@ def ivf_top_k(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space, then drop near-duplicates *within each
+    cluster only* — the cluster key turns the quadratic all-pairs cosine
+    into ``sum(|cell|²)``, the same blocking economics as LSH bands.
+
+    Caller supplies deterministic centroids (no RNG state); each vector
+    is assigned to its single best cell (rounded cosine, centroid-id
+    tie-break — exactly :func:`ivf_top_k`'s index build, SQL-replayable).
+    The keep rule is the deterministic greedy variant: a vector is
+    DROPPED iff some smaller-id vector in the same cell has rounded
+    cosine ≥ ``threshold`` — one representative (the smallest id)
+    survives per duplicate neighborhood, and the rule is a pure
+    EXISTS-join, no iteration.
+
+    Returns one row per corpus vector: ``(id, cell id, kept flag)``.
+
+    Plan shape: broadcast centroids → argmax assignment (one map pass +
+    one per-id window shuffle), then a within-cell self-join (shuffle
+    keyed by cell) and a left-semi “has smaller similar neighbor”
+    probe.  No cross join; candidate volume is bounded by the cell-size
+    distribution, which the centroid count controls at scale.
+    """
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("_cvec")), round_dp
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("_cid")
+    )
+    assigned = (
+        scored.withColumn("_crnk", F.row_number().over(w))
+        .filter(F.col("_crnk") == 1)
+        .select(id_col, vec_col, "_cid")
+    )
+    a = assigned.select(
+        F.col("_cid"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("_cid").alias("_cidb"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (a["_cid"] == b["_cidb"]) & (F.col("_ida") < F.col("_idb")),
+        )
+        .filter(
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_dp)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped,
+            assigned[id_col] == dropped["_dropped_id"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("_cid").alias(centroid_id_col),
+            F.col("_dropped_id").isNull().alias("kept"),
+        )
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -175,3 +175,43 @@ def test_ivf_lsh_recall_floor_testdata(spark):
     assert lsh >= 0.35  # measured 0.436
     e.unpersist()
     exact.unpersist()
+
+
+def test_semdedup_greedy_keep_rule(spark):
+    """Chain a~b, b~c with a!~c: the EXISTS-based greedy rule keeps only
+    the smallest id per similar-neighborhood (b and c both have a
+    smaller similar neighbor), and cross-cell twins are never compared."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+
+    # 2-d embeddings: cell 0 centroid points +x, cell 1 points +y.
+    import math
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = spark.createDataFrame(
+        [
+            (10, rot(0.0)),    # cell 0
+            (11, rot(10.0)),   # cell 0, cos(10,11)=cos10° ≈ .9848 ≥ τ=.98
+            (12, rot(20.0)),   # cell 0, cos(11,12) ≥ τ but cos(10,12) < τ
+            (13, rot(44.0)),   # cell 0 (x wins tie), far from all
+            (20, rot(90.0)),   # cell 1 — same direction as 21
+            (21, rot(90.0)),   # cell 1 exact twin of 20
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    rows = semdedup(corpus, cent, threshold=0.98).collect()
+    got = {r.vec_id: (r.centroid_id, r.kept) for r in rows}
+    assert got == {
+        10: (0, True),   # smallest in its neighborhood
+        11: (0, False),  # 10 ~ 11
+        12: (0, False),  # 11 ~ 12 (greedy: smaller SIMILAR id exists)
+        13: (0, True),   # nobody within τ
+        20: (1, True),   # cell-1 representative
+        21: (1, False),  # exact twin of 20
+    }
