@@ -5537,6 +5537,51 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q133_lm_quality",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bgl AS (SELECT doc_id,
+                   list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]) AS bgs
+            FROM tok WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+           FROM c2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(toks) AS t FROM tok)),
+    j AS (SELECT b.doc_id,
+                 CAST(ln((c2.c2 + 1.0)
+                         / CAST(c1.c1 + v.v AS DOUBLE))
+                      AS DECIMAL(38,12)) AS term
+          FROM b JOIN c2 USING (bg)
+          JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+          CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(term) AS DOUBLE) / COUNT(*) AS avg_lp
+    FROM j GROUP BY doc_id
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality scoring (the CCNet/KenLM
+    perplexity-filter shape, LM trained on the corpus itself): per-doc
+    mean add-one-smoothed bigram log-prob + perplexity proxy.  Float
+    parity is the q108 idiom — integer-count ratios are identical
+    doubles, ``ln`` is identical libm, and the per-term decimal cast
+    makes the per-doc sum order-free; the final ``/n`` divides identical
+    doubles.  The operator's ``ppl = exp(−avg_lp)`` column is excluded
+    here: JVM ``exp`` and libm ``exp`` disagree by 1 ulp on this data
+    (measured), and ppl is a monotone transform of the checked avg_lp.  See `operators/text.py:
+    bigram_lm_score` for the one-explode count-table plan shape."""
+    from btc_usdt_etl_pipeline_spark.operators.text import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(bigram_lm_score("text", "doc_id")).select(
+        "doc_id", "n_bigrams", "avg_lp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

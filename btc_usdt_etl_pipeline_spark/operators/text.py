@@ -14,7 +14,7 @@ from typing import Callable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+from btc_usdt_etl_pipeline_spark.operators.dedup import shingles, tokens
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 #: (Real deployments swap in a fastText-style model — not in this container.)
@@ -118,6 +118,69 @@ def fingerprint(
     def _t(df: DataFrame) -> DataFrame:
         return df.withColumn(
             out, F.xxhash64(F.array_join(tokens(text_col), " "))
+        )
+
+    return _t
+
+
+def bigram_lm_score(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """Corpus-trained bigram language-model scoring — the CCNet/KenLM
+    perplexity-filter shape with the LM trained ON the corpus itself
+    (no external model): per document, the mean add-one-smoothed bigram
+    log-probability ``avg_lp = mean ln((C₂(w₁w₂)+1)/(C₁(w₁)+V))`` and
+    its perplexity proxy ``ppl = exp(−avg_lp)``.  Boilerplate-like
+    documents made of corpus-frequent bigrams score high (low ppl);
+    rare/garbled ones score low — the standard quality-filter signal.
+
+    Count tables come from ONE bigram explode: ``C₂`` is the bigram
+    groupBy and ``C₁`` (context counts) aggregates ``C₂`` by first
+    word — vocabulary-sized, never corpus-sized.  ``V`` is an in-plan
+    1-row distinct-token count cross-joined in (no driver action).
+    Cross-engine float parity: every per-bigram term is a ratio of
+    exact integer counts (identical doubles) through ``ln`` (identical
+    libm values), summed order-free via the per-term decimal cast.
+
+    Scale shape: two shuffles over bigram-keyed data (explode-groupBy
+    and the score join), one vocabulary-sized aggregate, one
+    countDistinct pass; no UDFs, no driver loops.  Docs with fewer
+    than 2 tokens have no bigrams and drop out (inner semantics).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        tok = tokens(text_col)
+        b = df.select(
+            F.col(id_col), F.explode(shingles(tok, 2)).alias("_bg")
+        ).withColumn("_w1", F.split("_bg", " ")[0])
+        c2 = b.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+        c1 = c2.groupBy(
+            F.split("_bg", " ")[0].alias("_w1c")
+        ).agg(F.sum("_c2").alias("_c1"))
+        v = df.select(F.explode(tok).alias("_tk")).agg(
+            F.countDistinct("_tk").alias("_v")
+        )
+        term = F.log(
+            (F.col("_c2") + F.lit(1)).cast("double")
+            / (F.col("_c1") + F.col("_v")).cast("double")
+        ).cast("decimal(38,12)")
+        n = F.count(F.lit(1)).alias("n_bigrams")
+        return (
+            b.join(c2, "_bg")
+            .join(c1, F.col("_w1") == F.col("_w1c"))
+            .crossJoin(F.broadcast(v))
+            .groupBy(id_col)
+            .agg(n, F.sum(term).alias("_slp"))
+            .select(
+                id_col,
+                "n_bigrams",
+                (
+                    F.col("_slp").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                ).alias("avg_lp"),
+            )
+            .withColumn("ppl", F.exp(-F.col("avg_lp")))
         )
 
     return _t

@@ -242,3 +242,37 @@ def test_pii_redact_counts_and_masking(spark):
     # Near-miss shapes stay untouched.
     assert (got[6].n_email, got[6].n_phone, got[6].n_ipv4) == (0, 0, 0)
     assert got[6].redacted == got[6].text
+
+
+def test_bigram_lm_score_vs_python(spark):
+    from btc_usdt_etl_pipeline_spark.operators.text import bigram_lm_score
+
+    docs = {1: "a b a b", 2: "a b c", 3: "zz"}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    # Python reference: add-one-smoothed corpus bigram LM.
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs.items()}
+    bgs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    c2 = Counter(b for l in bgs.values() for b in l)
+    c1 = Counter(b[0] for l in bgs.values() for b in l)
+    vocab = len({w for t in toks.values() for w in t})
+    exp = {
+        i: (
+            len(l),
+            sum(math.log((c2[b] + 1) / (c1[b[0]] + vocab)) for b in l)
+            / len(l),
+        )
+        for i, l in bgs.items()
+        if l
+    }
+    rows = df.transform(bigram_lm_score("text", "doc_id")).collect()
+    got = {r.doc_id: (r.n_bigrams, r.avg_lp, r.ppl) for r in rows}
+    # doc 3 has a single token — no bigrams, drops out.
+    assert set(got) == {1, 2}
+    for i, (n, lp) in exp.items():
+        assert got[i][0] == n
+        assert math.isclose(got[i][1], lp, rel_tol=1e-12)
+        assert math.isclose(got[i][2], math.exp(-lp), rel_tol=1e-12)
