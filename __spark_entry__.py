@@ -5582,6 +5582,48 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q134_cms_heavy_hitters",
+    f"""
+    WITH tokd AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT unnest(toks) AS tok FROM tokd),
+    keys AS (SELECT tok, COUNT(*) AS exact FROM t GROUP BY tok),
+    probes AS (SELECT tok, exact, r.row,
+                      CAST(('0x' || substr(md5('cms'
+                             || CAST(r.row AS VARCHAR) || ':' || tok),
+                           1, 15))::BIGINT % 32 AS INT) AS bucket
+               FROM keys CROSS JOIN (VALUES (0),(1),(2),(3)) AS r(row)),
+    cells AS (SELECT row, bucket, SUM(exact) AS cnt
+              FROM probes GROUP BY row, bucket),
+    est AS (SELECT tok, exact, CAST(MIN(cnt) AS BIGINT) AS est
+            FROM probes JOIN cells USING (row, bucket)
+            GROUP BY tok, exact),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY est DESC, tok) AS rnk
+           FROM est)
+    SELECT tok, exact, est, rnk FROM rk WHERE rnk <= 20
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (depth 4 × width 32, portable md5 buckets — width deliberately
+    smaller than the vocabulary so hash collisions occur and the
+    row-min estimator is actually exercised, ``est ≥ exact`` strict
+    somewhere).  The grid is the 100 TB path for hot-token tracking:
+    fixed-size, mergeable counters instead of a corpus-wide exact
+    key shuffle.  Exact counts ride along so the oracle checks the
+    overestimate cell-for-cell (`operators/sketch.py`)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return toks.transform(
+        cms_heavy_hitters("tok", depth=4, width=32, k=20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
