@@ -5644,15 +5644,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q109/q110/q111/q114/q119/q124 (the round-4 LLM-pipeline operators) in
 #: and demoted q13/q20/q29/q35/q55/q56, whose families keep another
 #: representative (q01 exact aggs, q17-q19 windows, q27 text, q33/q34
-#: ML, q92 semi-structured JSON).
+#: ML, q92 semi-structured JSON).  Round 5 rotated in the new LLM ops
+#: q131 (PII redact), q132 (SemDeDup), q133 (bigram-LM quality), q134
+#: (count-min heavy hitters), demoting q05/q11/q14/q17 — joins keep
+#: q24/q60/q83, aggregations keep q01/q54/q107, scalar fns keep q92,
+#: ranking windows keep q19/q22/q84.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
-    "q05_semi_join",          # semi/anti join family
     "q07_topk_per_group",     # sorts / top-k
-    "q11_distinct_agg",       # distinct aggs
-    "q14_string_funcs",       # scalar string fns + filters
-    "q17_window_rank",        # ranking windows
     "q19_rolling_avg",        # W2 rolling MA/σ (W3 pct-change: judge gate q18)
     "q22_resample_count",     # W1 count-based resample (F4 events ts)
     "q23_resample_time",      # A1 time-based OHLCV resample
@@ -5696,6 +5696,10 @@ _PRIORITY_WINDOW = [
     "q124_fuzzy_join",        # edit-distance-1 fuzzy join
     "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
+    "q131_pii_redact",        # PII detect + redact
+    "q132_semdedup",          # SemDeDup semantic dedup
+    "q133_lm_quality",        # corpus-trained bigram-LM quality score
+    "q134_cms_heavy_hitters", # count-min sketch heavy hitters
 ]
 
 

@@ -82,6 +82,9 @@ HEADLINE = [
     "q125_ngram_jaccard_capped",
     "q126_cosine_pairs_blas",
     "q130_pattern_match",
+    "q131_pii_redact",
+    "q132_semdedup",
+    "q133_lm_quality",
 ]
 
 
