@@ -138,7 +138,8 @@ def bigram_lm_score(
     Count tables come from ONE bigram explode: ``C₂`` is the bigram
     groupBy and ``C₁`` (context counts) aggregates ``C₂`` by first
     word — vocabulary-sized, never corpus-sized.  ``V`` is an in-plan
-    1-row distinct-token count cross-joined in (no driver action).
+    1-row distinct-token count attached via a constant-key broadcast
+    hash join (no driver action, no nested-loop cross join).
     Cross-engine float parity: every per-bigram term is a ratio of
     exact integer counts (identical doubles) through ``ln`` (identical
     libm values), summed order-free via the per-term decimal cast.
@@ -158,8 +159,17 @@ def bigram_lm_score(
         c1 = c2.groupBy(
             F.split("_bg", " ")[0].alias("_w1c")
         ).agg(F.sum("_c2").alias("_c1"))
+        # 1-row vocabulary count, attached via an equi-join whose keys
+        # on BOTH sides are derived from data (pmod(x,1)+1 — always 1,
+        # never a literal): a lit(1)=lit(1) condition constant-folds to
+        # `true` and a literal-vs-attribute condition becomes a filter
+        # plus a condition-less cross join; either way Catalyst degrades
+        # the join to a nested loop.  Attribute-derived keys keep it a
+        # BroadcastHashJoin.
         v = df.select(F.explode(tok).alias("_tk")).agg(
             F.countDistinct("_tk").alias("_v")
+        ).withColumn(
+            "_one", (F.pmod(F.col("_v"), F.lit(1)) + F.lit(1)).cast("int")
         )
         term = F.log(
             (F.col("_c2") + F.lit(1)).cast("double")
@@ -169,7 +179,11 @@ def bigram_lm_score(
         return (
             b.join(c2, "_bg")
             .join(c1, F.col("_w1") == F.col("_w1c"))
-            .crossJoin(F.broadcast(v))
+            .withColumn(
+                "_one",
+                (F.pmod(F.col("_c2"), F.lit(1)) + F.lit(1)).cast("int"),
+            )
+            .join(F.broadcast(v), "_one")
             .groupBy(id_col)
             .agg(n, F.sum(term).alias("_slp"))
             .select(

@@ -215,3 +215,23 @@ def test_semdedup_greedy_keep_rule(spark):
         20: (1, True),   # cell-1 representative
         21: (1, False),  # exact twin of 20
     }
+
+
+def test_semdedup_blas_matches_expr(spark):
+    """The GEMM scale path and the JVM expr path agree row-for-row on
+    the driver embeddings fixture (same 4dp-rounded arithmetic)."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter("vec_id < 16").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    expr = {
+        (r.vec_id, r.centroid_id, r.kept)
+        for r in semdedup(e, cent, threshold=0.35).collect()
+    }
+    blas = {
+        (r.vec_id, r.centroid_id, r.kept)
+        for r in semdedup(e, cent, threshold=0.35, method="blas").collect()
+    }
+    assert expr == blas and len(expr) > 0

@@ -118,8 +118,11 @@ def main() -> int:
 
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
+    # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
+    # centroid set against the corpus — the same index-build cross join
+    # as q40's IVF; the nested loop IS the algorithm.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
-                  "q47_simsearch_lsh"}
+                  "q47_simsearch_lsh", "q132_semdedup"}
     for name, fn in sorted(qs.items()):
         if name.startswith("q36") or name.startswith("q46") or \
                 name.startswith("q49") or name.startswith("q50") or \
