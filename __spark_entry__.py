@@ -5624,6 +5624,59 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Static enrichment dimension for the stream-static join (q135) —
+#: literal in BOTH engines so the oracle replays it exactly.
+_ENRICH_DIM = [
+    ("purchase", 5, "commerce"),
+    ("click", 1, "engagement"),
+    ("view", 1, "engagement"),
+    ("signup", 3, "growth"),
+    ("error", 2, "ops"),
+]
+
+
+@_q(
+    "q135_stream_enrich",
+    f"""
+    WITH dim(event_type, weight, category) AS (VALUES
+      {", ".join(f"('{t}', {w}, '{c}')" for t, w, c in _ENRICH_DIM)})
+    SELECT e.event_type, d.category,
+           COUNT(*) AS n_events,
+           {oracle_sum_sql('e.value * d.weight')} AS wsum
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.category
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the one streaming join pattern the
+    engine hadn't registered): the events stream is broadcast-joined
+    against a static dimension per micro-batch — stateless, stream side
+    never shuffles for the join — then aggregated; the availableNow
+    drain must equal the batch join+agg (M5 equivalence).  Weighted
+    sums are the exact-decimal idiom so the micro-batch accumulation
+    order can't flip the hash (`streaming/ohlcv.py:streaming_enrich`).
+    """
+    _tune(spark)
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        run_available_now,
+        streaming_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        _ENRICH_DIM, "event_type string, weight int, category string"
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = streaming_enrich(stream, dim, "event_type")
+    result = enriched.groupBy("event_type", "category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value") * F.col("weight")).alias("wsum"),
+    )
+    name = "q135_stream_enrich_result"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, name, ckpt)
+        return spark.table(name).localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -143,6 +143,25 @@ def streaming_interval_join(
     return lw.join(rw, cond, "inner").drop(rw[key_col])
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small) static dimension
+    to every micro-batch.
+
+    Stream-static joins are stateless — Spark re-plans the static side
+    per micro-batch, so the dim may even be a view over slowly-changing
+    files.  The explicit ``broadcast`` keeps the plan a per-batch
+    BroadcastHashJoin: the stream side never shuffles, which is the
+    whole point at 100 TB ingest rates.  Left/inner only (right/outer
+    against a stream is unsupported by Spark's semantics).
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_available_now(
     result: DataFrame,
     table_name: str,
