@@ -5677,6 +5677,62 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint()
 
 
+_Z_INTERLEAVE = " | ".join(
+    f"(((q{j} >> {b}) & 1) << {b * 2 + j})"
+    for b in range(8)
+    for j in range(2)
+)
+
+
+@_q(
+    "q136_zorder_layout",
+    f"""
+    WITH bnd AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS lo0,
+                        CAST(MAX(user_id) AS DOUBLE) AS hi0,
+                        MIN(value) AS lo1, MAX(value) AS hi1
+                 FROM events),
+    q AS (SELECT e.event_id,
+                 LEAST(CAST(FLOOR(
+                   (CASE WHEN hi0 - lo0 > 0
+                         THEN (e.user_id - lo0) / (hi0 - lo0)
+                         ELSE 0.0 END) * 256.0) AS BIGINT), 255) AS q0,
+                 LEAST(CAST(FLOOR(
+                   (CASE WHEN hi1 - lo1 > 0
+                         THEN (e.value - lo1) / (hi1 - lo1)
+                         ELSE 0.0 END) * 256.0) AS BIGINT), 255) AS q1
+          FROM events e CROSS JOIN bnd),
+    z AS (SELECT event_id, {_Z_INTERLEAVE} AS zkey FROM q)
+    SELECT zkey >> 10 AS bucket, COUNT(*) AS n,
+           MIN(zkey) AS zmin, MAX(zkey) AS zmax
+    FROM z GROUP BY 1
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, value) — the
+    Delta/Iceberg OPTIMIZE ZORDER clustering shape: 8-bit min-max
+    quantization per dimension, bit interleave, then the file-bucket
+    histogram a layout optimizer would range-partition on (bucket =
+    zkey >> 10 ≈ 64 target files).  Bounds come from an in-plan 1-row
+    min/max aggregate (broadcast hash join on a data-derived key — no
+    driver action); at 100 TB they come from table statistics via the
+    ``bounds`` parameter and the aggregate pass disappears.  Pure
+    integer/double arithmetic → the oracle replays the exact keys
+    (`operators/partitioning.py:zorder_key`)."""
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z = e.transform(zorder_key(["user_id", "value"], bits=8))
+    return z.groupBy(
+        F.shiftright("zkey", 10).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

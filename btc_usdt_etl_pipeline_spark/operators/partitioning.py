@@ -9,7 +9,97 @@ parallelism for one extra (cheap, row-count-bounded) shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    cols: Sequence[str],
+    bits: int = 8,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    out: str = "zkey",
+) -> Callable[[DataFrame], DataFrame]:
+    """Morton (Z-order) interleave key over quantized columns — the
+    data-layout lever behind multi-dimensional file clustering (Delta /
+    Iceberg ``OPTIMIZE ZORDER`` shape): sorting/range-partitioning by
+    ``zkey`` before the write co-locates rows that are close in EVERY
+    listed dimension, so min/max file statistics prune scans on any of
+    them, not just the leading sort column.
+
+    Each column is min-max quantized to ``bits`` bits and the bit
+    strings are interleaved (column j owns bit positions ``b·n + j``).
+    ``bounds`` pins the quantization range per column; when omitted the
+    global min/max come from an IN-PLAN 1-row aggregate attached via a
+    data-derived constant-key broadcast hash join (no driver action —
+    and a literal key would constant-fold the join into a nested loop,
+    see ``text.py:bigram_lm_score``).  At 100 TB pass ``bounds`` from
+    table statistics to skip that aggregate pass entirely.
+
+    Everything is integer/double arithmetic with identical semantics in
+    any engine — a SQL oracle replays the exact key.
+    """
+    ncols = len(cols)
+    if ncols < 2:
+        raise ValueError("zorder needs at least 2 columns")
+
+    def _q(x: Column, lo: Column, hi: Column) -> Column:
+        # Quantize to [0, 2^bits - 1]; degenerate (hi == lo) → 0.
+        span = hi - lo
+        scaled = F.when(span > 0, (x - lo) / span).otherwise(F.lit(0.0))
+        return F.least(
+            F.floor(scaled * F.lit(float(2 ** bits))).cast("long"),
+            F.lit(2 ** bits - 1),
+        )
+
+    def _t(df: DataFrame) -> DataFrame:
+        if bounds is None:
+            aggs = []
+            for c in cols:
+                aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo_{c}"))
+                aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi_{c}"))
+            b = df.agg(*aggs).withColumn(
+                "_one",
+                (F.pmod(F.col(f"_lo_{cols[0]}").cast("long"), F.lit(1))
+                 * F.lit(0) + F.lit(1)).cast("int"),
+            )
+            left_one = (
+                F.pmod(
+                    F.coalesce(F.col(cols[0]).cast("long"), F.lit(0)),
+                    F.lit(1),
+                )
+                + F.lit(1)
+            ).cast("int")
+            df = df.withColumn("_one", left_one).join(
+                F.broadcast(b), "_one"
+            ).drop("_one")
+            lohi = {
+                c: (F.col(f"_lo_{c}"), F.col(f"_hi_{c}")) for c in cols
+            }
+        else:
+            lohi = {
+                c: (F.lit(float(bounds[c][0])), F.lit(float(bounds[c][1])))
+                for c in cols
+            }
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            q = _q(F.col(c).cast("double"), *lohi[c])
+            for bpos in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(q, bpos).bitwiseAND(F.lit(1)),
+                        bpos * ncols + j,
+                    )
+                )
+        df = df.withColumn(out, z)
+        if bounds is None:
+            df = df.drop(
+                *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
+            )
+        return df
+
+    return _t
 
 
 def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:

@@ -232,3 +232,40 @@ def test_cc_algorithm_validation(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="label.*star|star.*label"):
         connected_components(df, algorithm="bfs")
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    rows = [(1, 0.0, 0.0), (2, 255.0, 255.0), (3, 0.0, 255.0),
+            (4, 255.0, 0.0), (5, 128.0, 64.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    def py_z(qx, qy):
+        z = 0
+        for b in range(8):
+            z |= ((qx >> b) & 1) << (2 * b)
+            z |= ((qy >> b) & 1) << (2 * b + 1)
+        return z
+
+    # Fixed bounds [0, 256): quantization is the identity on ints <= 255.
+    got = {
+        r.id: r.zkey
+        for r in df.transform(
+            zorder_key(["x", "y"], bits=8,
+                       bounds={"x": (0, 256), "y": (0, 256)})
+        ).collect()
+    }
+    exp = {i: py_z(int(x), int(y)) for i, x, y in rows}
+    assert got == exp
+    # Extremes: (0,0) → 0; (255,255) → 2^16-1.
+    assert got[1] == 0 and got[2] == 65535
+
+    # Derived-bounds path: no driver action, same keys as explicit
+    # bounds [min, max] — and the in-plan bounds join must stay a hash
+    # join (a constant-folded key degrades it to a nested loop).
+    z2 = df.transform(zorder_key(["x", "y"], bits=8))
+    assert "NestedLoop" not in z2._jdf.queryExecution().executedPlan().toString()
+    assert z2.count() == len(rows)
