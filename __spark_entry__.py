@@ -5733,6 +5733,73 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q137_data_quality",
+    """
+    WITH m AS (SELECT
+        COUNT(value) / CAST(COUNT(*) AS DOUBLE) AS completeness_value,
+        COUNT(DISTINCT event_id) / CAST(COUNT(*) AS DOUBLE)
+          AS uniqueness_event_id,
+        SUM(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE) AS value_range_violations,
+        CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS event_type_card,
+        SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+          / CAST(COUNT(*) AS DOUBLE) AS props_json_valid
+      FROM events)
+    SELECT 'completeness(value)' AS constraint,
+           completeness_value AS metric,
+           completeness_value >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'uniqueness(event_id)', uniqueness_event_id,
+           uniqueness_event_id >= 1.0 FROM m
+    UNION ALL SELECT 'value_in_[0,400]', value_range_violations,
+           value_range_violations <= 0.0 FROM m
+    UNION ALL SELECT 'distinct_count(event_type)', event_type_card,
+           event_type_card <= 10.0 FROM m
+    UNION ALL SELECT 'props_valid_json', props_json_valid,
+           props_json_valid >= 1.0 FROM m
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Deequ / Great-Expectations
+    shape) over the ingest table: completeness, primary-key uniqueness,
+    row-predicate violation ratio, categorical-cardinality guard, and
+    JSON validity — ALL metrics in one aggregation pass (one job no
+    matter how many constraints), exploded into a per-constraint report.
+    The range constraint is calibrated to FAIL on this data (max value
+    ≈ 490 > 400) so both report branches are oracle-checked
+    (`operators/quality.py`)."""
+    from btc_usdt_etl_pipeline_spark.operators.quality import (
+        Expectation,
+        completeness,
+        distinct_count_at_most,
+        expectations,
+        uniqueness,
+        violation_ratio,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    checks = [
+        completeness("value"),
+        uniqueness("event_id"),
+        violation_ratio(
+            (F.col("value") < 0) | (F.col("value") > 400),
+            "value_in_[0,400]",
+        ),
+        distinct_count_at_most("event_type", 10),
+        Expectation(
+            "props_valid_json",
+            F.sum(
+                F.when(
+                    F.expr("try_parse_json(props)").isNotNull(), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            lambda x: x >= F.lit(1.0),
+        ),
+    ]
+    return e.transform(expectations(checks))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

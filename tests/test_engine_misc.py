@@ -295,3 +295,36 @@ def test_salted_join_equals_plain_join(spark):
     # the physical join must carry the salt in its keys (8-way spread)
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_expectations_single_pass_report(spark):
+    """All metrics evaluate in ONE aggregation job and both pass/fail
+    branches materialize correctly on handcrafted data."""
+    from btc_usdt_etl_pipeline_spark.operators.quality import (
+        completeness,
+        distinct_count_at_most,
+        expectations,
+        uniqueness,
+        violation_ratio,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (3, "a", 999.0), (3, "c", 1.0)],
+        "id long, cat string, v double",
+    )
+    rows = df.transform(
+        expectations(
+            [
+                completeness("v"),          # 3/4 -> fail
+                uniqueness("id"),           # 3/4 -> fail
+                violation_ratio(F.col("v") > 100, "v<=100"),  # 1/4 -> fail
+                distinct_count_at_most("cat", 3),             # 3 -> pass
+            ]
+        )
+    ).collect()
+    got = {r.constraint: (r.metric, r.passed) for r in rows}
+    assert got["completeness(v)"] == (0.75, False)
+    assert got["uniqueness(id)"] == (0.75, False)
+    assert got["v<=100"] == (0.25, False)
+    assert got["distinct_count(cat)"] == (3.0, True)
