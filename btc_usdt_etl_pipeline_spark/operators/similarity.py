@@ -378,15 +378,24 @@ def semdedup(
 
         return assigned.groupBy("_cid").applyInPandas(kernel, out_schema)
 
-    a = assigned.select(
+    # Norms are computed ONCE per vector map-side (same folds either
+    # way, so dot/(na·nb) is bit-identical to cosine_similarity) —
+    # the pair scan then pays a single dot fold per pair instead of
+    # three, the same trick as cosine_pairs_within.
+    from btc_usdt_etl_pipeline_spark.functions import dot, l2_norm
+
+    normed = assigned.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    a = normed.select(
         F.col("_cid"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    b = assigned.select(
+    b = normed.select(
         F.col("_cid").alias("_cidb"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     dropped = (
         a.join(
@@ -394,7 +403,11 @@ def semdedup(
             (a["_cid"] == b["_cidb"]) & (F.col("_ida") < F.col("_idb")),
         )
         .filter(
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_dp)
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                round_dp,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("_idb").alias("_dropped_id"))
