@@ -276,3 +276,33 @@ def test_bigram_lm_score_vs_python(spark):
         assert got[i][0] == n
         assert math.isclose(got[i][1], lp, rel_tol=1e-12)
         assert math.isclose(got[i][2], math.exp(-lp), rel_tol=1e-12)
+
+
+def test_pii_redact_is_idempotent_on_fixture(spark):
+    """Redacted output contains no residual matches for ANY class —
+    re-applying the operator is the identity (the property that makes
+    the masking auditable)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import pii_redact
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" a@b.io 10.1.2.3 call 555-123-4567 end"),
+            ),
+        )
+    )
+    once = d.transform(pii_redact("text")).select(
+        F.col("redacted").alias("text")
+    )
+    again = once.transform(pii_redact("text"))
+    residual = again.agg(
+        F.sum("n_email").alias("e"),
+        F.sum("n_phone").alias("p"),
+        F.sum("n_ipv4").alias("i"),
+    ).first()
+    assert (residual.e, residual.p, residual.i) == (0, 0, 0)
+    same = again.filter(F.col("redacted") != F.col("text")).count()
+    assert same == 0
