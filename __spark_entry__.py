@@ -5800,6 +5800,40 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.transform(expectations(checks))
 
 
+def _srp_oracle_sql() -> str:
+    from btc_usdt_etl_pipeline_spark.ml.features import srp_signs
+
+    signs = srp_signs("srp", 8, 64)
+    cols = ",\n           ".join(
+        "list_dot_product(v, ["
+        + ", ".join(f"{s:.1f}" for s in signs[j])
+        + f"]) AS p{j}"
+        for j in range(8)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@_q("q138_random_projection", _srp_oracle_sql())
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection dimensionality reduction 64→8 (the JL
+    shrink step in front of ANN/clustering at corpus scale).  The ±1
+    matrix is md5-derived at plan time and inlined as literals in BOTH
+    engines, so each output dim is one fixed dot fold — single
+    projection pass, no shuffle, no UDF — and the doubles are
+    bit-equal across engines (identical literals, identical left-fold
+    order; q130 precedent).  `ml/features.py:srp_project`."""
+    from btc_usdt_etl_pipeline_spark.ml.features import srp_project
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.transform(srp_project("embedding", 64, 8)).drop("embedding")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -131,6 +131,64 @@ def regression_metrics(
     )
 
 
+def srp_signs(seed: str, out_dims: int, in_dims: int) -> list[list[float]]:
+    """Deterministic ±1 sign-random-projection matrix derived from md5
+    of ``seed:j:i`` — no RNG state, identical on every build/cluster, and
+    reproducible by any engine (or generated once and inlined as
+    literals, which is what :func:`srp_project` does)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:2], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def srp_project(
+    vec_col: str = "embedding",
+    in_dims: int = 64,
+    out_dims: int = 8,
+    seed: str = "srp",
+    prefix: str = "p",
+) -> Callable[[DataFrame], DataFrame]:
+    """Sign-random-projection dimensionality reduction (Achlioptas-style
+    ±1 matrix): project ``in_dims``-dim embeddings to ``out_dims``
+    columns ``p0..p{k-1}`` — the standard shrink step in front of ANN /
+    clustering at corpus scale (distances preserved within the JL
+    bound; the ±1 matrix needs no float random state).
+
+    The matrix is generated AT PLAN TIME from md5 (:func:`srp_signs`)
+    and inlined as literal arrays, so the projection is a fixed
+    JVM-side dot fold per output dim — one projection pass, no shuffle,
+    no UDF, and a SQL oracle replays it bit-for-bit (same literals,
+    same left-fold order; the q130 ``list_dot_product`` precedent).
+    """
+    signs = srp_signs(seed, out_dims, in_dims)
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import dot
+
+        out = df
+        for j in range(out_dims):
+            lit_row = F.array(*[F.lit(s) for s in signs[j]])
+            out = out.withColumn(
+                f"{prefix}{j}",
+                dot(F.col(vec_col), lit_row),
+            )
+        return out
+
+    return _t
+
+
 def quantize_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -306,3 +306,29 @@ def test_pii_redact_is_idempotent_on_fixture(spark):
     assert (residual.e, residual.p, residual.i) == (0, 0, 0)
     same = again.filter(F.col("redacted") != F.col("text")).count()
     assert same == 0
+
+
+def test_srp_project_matches_numpy(spark):
+    import numpy as np
+
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        srp_project,
+        srp_signs,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    rows = e.transform(srp_project("embedding", 64, 8)).collect()
+    signs = np.array(srp_signs("srp", 8, 64))
+    assert signs.shape == (8, 64) and set(np.unique(signs)) == {-1.0, 1.0}
+    # Matrix is deterministic: same seed → same signs on every call.
+    assert (signs == np.array(srp_signs("srp", 8, 64))).all()
+    src = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in e.collect()
+    }
+    for r in rows:
+        want = signs @ src[r.vec_id]
+        got = np.array([getattr(r, f"p{j}") for j in range(8)])
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
