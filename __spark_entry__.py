@@ -5834,6 +5834,42 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.transform(srp_project("embedding", 64, 8)).drop("embedding")
 
 
+@_q(
+    "q139_chunk_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM tok),
+    fan AS (SELECT doc_id, pos, tok,
+                   unnest(range(
+                     GREATEST(0, CAST(floor((pos - 8.0) / 24) AS BIGINT)),
+                     CAST(floor(pos / 24.0) AS BIGINT) + 1)) AS chunk_no
+            FROM t)
+    SELECT doc_id, chunk_no,
+           chunk_no * 24 AS start_tok,
+           COUNT(*) AS n_tok,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM fan GROUP BY doc_id, chunk_no
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking, 32-token chunks on a 24-token
+    stride (8-token overlap) — the RAG/context-window prep step.  One
+    posexplode + one groupBy regardless of document length; each token
+    fans out only to the ≤2 chunks that cover it (arithmetic on the
+    position — the lesson-9-safe shape, no computed array captured in
+    a lambda).  The oracle rebuilds every chunk string with an ordered
+    ``string_agg``, so chunk boundaries, overlap, and token order are
+    all hash-checked (`operators/text.py:chunk_documents`)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        chunk_documents("text", "doc_id", chunk_tokens=32, stride=24)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -200,6 +200,76 @@ def bigram_lm_score(
     return _t
 
 
+def chunk_documents(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> Callable[[DataFrame], DataFrame]:
+    """Overlapping token-window chunking (the RAG / context-window prep
+    step): chunk ``k`` covers token positions ``[k·stride,
+    k·stride + chunk_tokens)``, so consecutive chunks overlap by
+    ``chunk_tokens − stride`` tokens.
+
+    Plan shape (the lesson-9-safe construction): tokens explode ONCE
+    with their position, each token fans out to the ≤⌈chunk/stride⌉
+    chunks that cover it via a tiny ``sequence`` (arithmetic on the
+    position — no captured computed arrays), and chunks reassemble with
+    one groupBy over (id, chunk) using an order-insensitive
+    ``sort_array(collect_list(struct(pos, tok)))``.  One explode + one
+    shuffle regardless of document length; fan-out is bounded by the
+    overlap factor, not the chunk size.
+
+    Emits ``(id, chunk_no, start_tok, n_tok, chunk_text)``; the final
+    partial chunk is kept (standard practice — it still carries
+    ``stride`` fresh tokens).
+    """
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+
+    def _t(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+        )
+        # Chunk ids covering position p: ceil((p-chunk+1)/stride) ≤ k
+        # ≤ floor(p/stride), clamped at 0.  ≤2 values at the default
+        # 32/24 geometry.
+        k_lo = F.greatest(
+            F.lit(0),
+            -F.floor(
+                (F.lit(chunk_tokens - 1) - F.col("_pos")) / F.lit(stride)
+            ).cast("long"),
+        )
+        k_hi = F.floor(F.col("_pos") / F.lit(stride)).cast("long")
+        fan = tok.select(
+            id_col,
+            "_pos",
+            "_tok",
+            F.explode(F.sequence(k_lo, k_hi)).alias("chunk_no"),
+        )
+        return (
+            fan.groupBy(id_col, "chunk_no")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_tok"))
+                ).alias("_ordered")
+            )
+            .select(
+                id_col,
+                "chunk_no",
+                (F.col("chunk_no") * F.lit(stride)).alias("start_tok"),
+                F.size("_ordered").cast("long").alias("n_tok"),
+                F.array_join(
+                    F.transform(F.col("_ordered"), lambda s: s["_tok"]),
+                    " ",
+                ).alias("chunk_text"),
+            )
+        )
+
+    return _t
+
+
 #: PII classes as (name, regex, placeholder), applied IN ORDER — emails
 #: first so their digit runs can't be re-matched as phones/IPs.  Patterns
 #: use only syntax with identical semantics in Java regex (Spark) and RE2

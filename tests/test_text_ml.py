@@ -332,3 +332,28 @@ def test_srp_project_matches_numpy(spark):
         want = signs @ src[r.vec_id]
         got = np.array([getattr(r, f"p{j}") for j in range(8)])
         assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from btc_usdt_etl_pipeline_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = df.transform(
+        chunk_documents("text", "doc_id", chunk_tokens=4, stride=3)
+    ).collect()
+    got = {
+        (r.doc_id, r.chunk_no): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in rows
+    }
+    # 10 tokens, chunk 4 / stride 3: starts 0,3,6,9 (last partial).
+    assert got[(1, 0)] == (0, 4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (3, 4, "w3 w4 w5 w6")   # 1-token overlap
+    assert got[(1, 2)] == (6, 4, "w6 w7 w8 w9")
+    assert got[(1, 3)] == (9, 1, "w9")            # partial tail kept
+    assert got[(2, 0)] == (0, 2, "a b")           # short doc: one chunk
+    assert got[(3, 0)] == (0, 1, "solo")
+    assert len(got) == 6
