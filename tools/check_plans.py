@@ -116,6 +116,49 @@ def main() -> int:
         "salt participates in the join keys",
     )
 
+    # q131: PII redaction must stay a pure projection pass — no
+    # Exchange in the plan means it pipelines with the scan at 100 TB.
+    # (the only allowed Exchange is ensure_parallelism's round-robin
+    # fan-out — a no-op at scale, SCALE.md lesson 6; a hashpartitioning
+    # exchange would mean an accidental keyed shuffle.)
+    df = qs["q131_pii_redact"](spark, SF_DIR)
+    p131 = df._jdf.queryExecution().executedPlan().toString()
+    check(
+        "q131",
+        "hashpartitioning" not in p131 and "rangepartitioning" not in p131,
+        "scan-side projection, no keyed shuffle",
+    )
+    check(
+        "q131",
+        all(len(cols) <= 2 for cols in read_columns(df)),
+        "reads only (doc_id, text)",
+    )
+
+    # q133/q134: vocabulary-sized lookup sides must broadcast (the
+    # corpus-keyed side must never shuffle to meet a tiny grid/count).
+    for name in ("q133_lm_quality", "q134_cms_heavy_hitters"):
+        kinds = join_kinds(qs[name](spark, SF_DIR))
+        check(name, "BroadcastHashJoin" in kinds, "small side broadcasts")
+        check(name, "SortMergeJoin" not in kinds, "no sort-merge")
+
+    # q136: the in-plan bounds row must attach via a broadcast hash
+    # join — a constant-folded key would degrade it to a nested loop.
+    kinds = join_kinds(qs["q136_zorder_layout"](spark, SF_DIR))
+    check("q136", "BroadcastHashJoin" in kinds, "bounds row broadcasts")
+    check(
+        "q136", "BroadcastNestedLoopJoin" not in kinds, "no nested loop"
+    )
+
+    # q138: the projection is literal dot folds — single pass, no
+    # Exchange below the collect boundary, embedding+id pruned read.
+    df = qs["q138_random_projection"](spark, SF_DIR)
+    p138 = df._jdf.queryExecution().executedPlan().toString()
+    check(
+        "q138",
+        "hashpartitioning" not in p138 and "rangepartitioning" not in p138,
+        "projection pass, no keyed shuffle",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
