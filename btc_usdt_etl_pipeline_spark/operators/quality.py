@@ -26,9 +26,18 @@ class Expectation(NamedTuple):
     passed: "Callable[[Column], Column]"
 
 
+def _ratio(num: Column) -> Column:
+    # ANSI mode turns x/0 into an error, and an EMPTY table is a normal
+    # input (pruned partition, dry landing dir): ratios are NULL there,
+    # and the pass predicate then yields NULL too — the report row still
+    # materializes instead of crashing the job.
+    n = F.count(F.lit(1))
+    return F.when(n > 0, num / n.cast("double"))
+
+
 def completeness(col: str, name: str | None = None) -> Expectation:
     """Fraction of rows with ``col`` non-null; passes at 1.0."""
-    m = F.count(F.col(col)) / F.count(F.lit(1)).cast("double")
+    m = _ratio(F.count(F.col(col)))
     return Expectation(
         name or f"completeness({col})", m, lambda x: x >= F.lit(1.0)
     )
@@ -36,7 +45,7 @@ def completeness(col: str, name: str | None = None) -> Expectation:
 
 def uniqueness(col: str, name: str | None = None) -> Expectation:
     """Distinct ratio of ``col``; passes at 1.0 (a primary-key check)."""
-    m = F.countDistinct(F.col(col)) / F.count(F.lit(1)).cast("double")
+    m = _ratio(F.countDistinct(F.col(col)))
     return Expectation(
         name or f"uniqueness({col})", m, lambda x: x >= F.lit(1.0)
     )
@@ -47,9 +56,7 @@ def violation_ratio(
 ) -> Expectation:
     """Fraction of rows violating a row predicate; passes when the
     ratio is ≤ ``max_ratio``."""
-    m = F.sum(F.when(pred, 1).otherwise(0)) / F.count(F.lit(1)).cast(
-        "double"
-    )
+    m = _ratio(F.sum(F.when(pred, 1).otherwise(0)))
     return Expectation(name, m, lambda x: x <= F.lit(float(max_ratio)))
 
 

@@ -117,3 +117,51 @@ def test_lsh_plan_construction_fires_no_job(spark):
     assert tracker.getJobIdsForGroup("lsh-plan") == []
     rows = planned.collect()
     assert rows and rows[0].vec_id == 1
+
+
+def test_round5_operators_empty(spark):
+    from btc_usdt_etl_pipeline_spark.ml.features import srp_project
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.quality import (
+        completeness,
+        expectations,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        bigram_lm_score,
+        chunk_documents,
+        pii_redact,
+    )
+
+    d = _empty_docs(spark)
+    assert d.transform(pii_redact("text")).count() == 0
+    assert d.transform(bigram_lm_score("text", "doc_id")).count() == 0
+    assert d.transform(chunk_documents("text", "doc_id")).count() == 0
+
+    toks = spark.createDataFrame([], "tok string")
+    assert toks.transform(cms_heavy_hitters("tok", 3, 8, 5)).count() == 0
+
+    vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, embedding array<double>"
+    )
+    for method in ("expr", "blas"):
+        assert semdedup(vecs, cent, 0.9, method=method).count() == 0
+
+    xy = spark.createDataFrame([], "id long, x double, y double")
+    # Derived-bounds path: the 1-row min/max agg is all-null on empty
+    # input; the join must not invent rows.
+    assert xy.transform(zorder_key(["x", "y"], bits=4)).count() == 0
+
+    # Expectations on an empty table: metrics divide by COUNT(*) = 0 —
+    # the report must still come back (one row per constraint), with
+    # null/NaN metrics rather than a crash.
+    rep = xy.transform(expectations([completeness("x")])).collect()
+    assert len(rep) == 1
