@@ -472,27 +472,26 @@ def ngram_jaccard_pairs(
             hot_cnt = hot_ex.groupBy("_id").agg(
                 F.count(F.lit(1)).alias("_hc")
             )
-            hca = hot_cnt.select(
-                F.col("_id").alias("id_a"), F.col("_hc").alias("_hca")
+            # One per-doc stats table (size + hot-gram count) joined
+            # once per pair side — two doc-keyed joins instead of four;
+            # at corpus scale each saved join is a doc-count shuffle.
+            stats = sizes.join(hot_cnt, "_id", "left").select(
+                "_id", "_n", F.coalesce(F.col("_hc"), F.lit(0)).alias("_hc")
             )
-            hcb = hot_cnt.select(
-                F.col("_id").alias("id_b"), F.col("_hc").alias("_hcb")
+            sta = stats.select(
+                F.col("_id").alias("id_a"),
+                F.col("_n").alias("_bna"),
+                F.col("_hc").alias("_hca"),
             )
-            saa = sizes.select(
-                F.col("_id").alias("id_a"), F.col("_n").alias("_bna")
+            stb = stats.select(
+                F.col("_id").alias("id_b"),
+                F.col("_n").alias("_bnb"),
+                F.col("_hc").alias("_hcb"),
             )
-            sbb = sizes.select(
-                F.col("_id").alias("id_b"), F.col("_n").alias("_bnb")
-            )
-            ub = F.col("_ik") + F.least(
-                F.coalesce(F.col("_hca"), F.lit(0)),
-                F.coalesce(F.col("_hcb"), F.lit(0)),
-            )
+            ub = F.col("_ik") + F.least(F.col("_hca"), F.col("_hcb"))
             cand = (
-                inter_kept.join(hca, "id_a", "left")
-                .join(hcb, "id_b", "left")
-                .join(saa, "id_a")
-                .join(sbb, "id_b")
+                inter_kept.join(sta, "id_a")
+                .join(stb, "id_b")
                 .filter(
                     ub.cast("double")
                     / (F.col("_bna") + F.col("_bnb") - ub)
