@@ -2126,8 +2126,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_embedding_centroids",
     f"""
     SELECT label, t.i AS dim_idx,
-           round({oracle_avg_sql('CAST(embedding[t.i + 1] AS DOUBLE)')}, 6)
-             AS centroid_r
+           round(CAST(SUM(CAST(CAST(embedding[t.i + 1] AS DOUBLE)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_r
     FROM embeddings, range(0, 64) AS t(i)
     GROUP BY label, t.i
     """,
@@ -2146,9 +2147,18 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("label", F.col("dim_idx").cast("long").alias("dim_idx"))
         .agg(
-            F.round(exact_avg(F.col("val").cast("double")), 6).alias(
-                "centroid_r"
-            )
+            # decimal(38,12) terms, not exact_avg's (38,6): float32
+            # components are EXACT at 12dp for |v| ≥ 1e-4, so the only
+            # term-cast rounding left is on tiny components — the 6dp
+            # quantum that flipped a 6dp output boundary at the sf0.1
+            # stress gate disappears (SCALE.md lesson 8/15).
+            F.round(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_r")
         )
     )
 
@@ -3004,7 +3014,8 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
     SELECT user_id, day,
            CASE WHEN n >= 2 AND (syy - sy * sy / n) > 0
-                THEN (sxy - sx * sy / n) / (syy - sy * sy / n) END AS beta20
+                THEN round((sxy - sx * sy / n)
+                           / (syy - sy * sy / n), 6) END AS beta20_r
     FROM s
     """,
 )
@@ -3055,7 +3066,13 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         "day",
-        F.when((F.col("n") >= 2) & (var > 0), cov / var).alias("beta20"),
+        # Rounded output: the (38,12) term casts leave ~1e-13 of
+        # cross-engine drift on rare shortest-repr midpoints (one row
+        # in 38k flipped at the sf0.1 stress gate); at |beta| ≈ 0.4
+        # the 6dp round absorbs it with ~1e-7 per-row exposure.
+        F.when(
+            (F.col("n") >= 2) & (var > 0), F.round(cov / var, 6)
+        ).alias("beta20_r"),
     )
 
 
@@ -3917,23 +3934,26 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (
       SELECT user_id, ts, value,
-             10000.0 / value AS units_bought
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(FLOOR(1000000000000.0
+                        / CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS units_micro
       FROM events WHERE event_type = 'purchase' AND value > 0),
     c AS (
-      SELECT user_id, ts, value,
-             SUM(CAST(units_bought AS DECIMAL(38,6))) OVER (
+      SELECT user_id, ts, cents,
+             SUM(units_micro) OVER (
                PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS units_held,
+               AS held_micro,
              COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS n_buys
       FROM p)
     SELECT user_id,
            MAX(n_buys) AS n_buys,
-           round(CAST(MAX_BY(units_held, ts) AS DOUBLE), 6) AS final_units,
-           round(CAST(MAX_BY(units_held, ts) AS DOUBLE)
-                 * MAX_BY(value, ts), 6) AS final_value,
+           CAST(MAX_BY(held_micro, ts) AS BIGINT) AS final_units_micro,
+           CAST(MAX_BY(held_micro, ts) AS DOUBLE)
+             * MAX_BY(cents, ts) / 100000000.0 AS final_value,
            10000.0 * MAX(n_buys) AS invested
     FROM c GROUP BY user_id
     """,
@@ -3943,17 +3963,27 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     event, cumulative units (decimal-exact running sum of spend/price),
     marked to the user's last observed price — the reference
     notebooks' investment-analysis family as one window + one agg.
-    units_bought is a double division identical on both engines; the
-    running sum is decimal so partial-order can't drift; the final
-    mark is min_by/max_by determinism (ts unique per user-purchase)."""
+    Bought units are quantized to exact integer MICRO-units
+    (floor(1e12 / price-in-cents) — prices are exactly 2dp, lesson
+    15): every aggregate is then integer/IEEE arithmetic on identical
+    values with NO decimal cast and NO round() call anywhere, so
+    cross-engine equality is structural.  Two prior versions failed
+    the sf0.1 stress gate on this query: a double product of short
+    decimals landed on a round(,6) midpoint, and the 10000/value
+    double→DECIMAL(38,6) term cast hit a shortest-repr midpoint
+    (SCALE.md lesson 15b both times) — fixed-point semantics removes
+    the entire hazard class."""
     e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     p = e.filter(
         (F.col("event_type") == "purchase") & (F.col("value") > 0)
     ).select(
         "user_id",
         "ts",
-        "value",
-        (F.lit(10000.0) / F.col("value")).alias("units_bought"),
+        cents.alias("cents"),
+        F.floor(F.lit(1_000_000_000_000.0) / cents).cast("long").alias(
+            "units_micro"
+        ),
     )
     w = (
         Window.partitionBy("user_id")
@@ -3963,21 +3993,17 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = p.select(
         "user_id",
         "ts",
-        "value",
-        F.sum(F.col("units_bought").cast("decimal(38,6)"))
-        .over(w)
-        .alias("units_held"),
+        "cents",
+        F.sum("units_micro").over(w).alias("held_micro"),
         F.count(F.lit(1)).over(w).alias("n_buys"),
     )
     return c.groupBy("user_id").agg(
         F.max("n_buys").alias("n_buys"),
-        F.round(
-            F.max_by("units_held", "ts").cast("double"), 6
-        ).alias("final_units"),
-        F.round(
-            F.max_by("units_held", "ts").cast("double")
-            * F.max_by("value", "ts"),
-            6,
+        F.max_by("held_micro", "ts").alias("final_units_micro"),
+        (
+            F.max_by("held_micro", "ts").cast("double")
+            * F.max_by("cents", "ts")
+            / F.lit(100_000_000.0)
         ).alias("final_value"),
         (F.lit(10000.0) * F.max("n_buys")).alias("invested"),
     )
@@ -5559,7 +5585,7 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
           CROSS JOIN v)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           CAST(SUM(term) AS DOUBLE) / COUNT(*) AS avg_lp
+           round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_lp_r
     FROM j GROUP BY doc_id
     """,
 )
@@ -5568,9 +5594,11 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-filter shape, LM trained on the corpus itself): per-doc
     mean add-one-smoothed bigram log-prob + perplexity proxy.  Float
     parity is the q108 idiom — integer-count ratios are identical
-    doubles, ``ln`` is identical libm, and the per-term decimal cast
-    makes the per-doc sum order-free; the final ``/n`` divides identical
-    doubles.  The operator's ``ppl = exp(−avg_lp)`` column is excluded
+    doubles and the per-term decimal cast makes the per-doc sum
+    order-free; the checked column rounds to 6dp because JVM and libm
+    ``ln`` diverge by 1 ulp on rare inputs (first seen at the sf0.1
+    stress gate — SCALE.md lesson 8/21; at magnitude ~3 the 6dp round
+    absorbs the ~1e-13 drift with ~1e-7 per-row boundary exposure).  The operator's ``ppl = exp(−avg_lp)`` column is excluded
     here: JVM ``exp`` and libm ``exp`` disagree by 1 ulp on this data
     (measured), and ppl is a monotone transform of the checked avg_lp.  See `operators/text.py:
     bigram_lm_score` for the one-explode count-table plan shape."""
@@ -5578,7 +5606,9 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return d.transform(bigram_lm_score("text", "doc_id")).select(
-        "doc_id", "n_bigrams", "avg_lp"
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_lp", 6).alias("avg_lp_r"),
     )
 
 
