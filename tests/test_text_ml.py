@@ -357,3 +357,51 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(2, 0)] == (0, 2, "a b")           # short doc: one chunk
     assert got[(3, 0)] == (0, 1, "solo")
     assert len(got) == 6
+
+
+def test_chunk_documents_property_vs_python(spark):
+    """Property test: chunk starts/sizes/contents match a Python sliding
+    window for arbitrary token counts and (chunk, stride) geometry."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from btc_usdt_etl_pipeline_spark.operators.text import chunk_documents
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_tokens=st.lists(
+            st.integers(min_value=1, max_value=23), min_size=1, max_size=5
+        ),
+        geometry=st.sampled_from([(4, 3), (5, 5), (6, 2), (3, 1)]),
+    )
+    def run(n_tokens, geometry):
+        chunk, stride = geometry
+        docs = {
+            i: [f"t{i}x{j}" for j in range(n)]
+            for i, n in enumerate(n_tokens)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        rows = df.transform(
+            chunk_documents("text", "doc_id", chunk, stride)
+        ).collect()
+        got = {
+            (r.doc_id, r.chunk_no): (r.start_tok, r.n_tok, r.chunk_text)
+            for r in rows
+        }
+        exp = {}
+        for i, toks in docs.items():
+            k = 0
+            while k * stride < len(toks):
+                part = toks[k * stride : k * stride + chunk]
+                exp[(i, k)] = (k * stride, len(part), " ".join(part))
+                k += 1
+        assert got == exp
+
+    run()
