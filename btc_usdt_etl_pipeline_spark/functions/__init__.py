@@ -46,6 +46,31 @@ def exact_stddev_samp(col: Column | str) -> Column:
     return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
 
 
+def attach_scalar(df, one_row, left_probe, right_probe):
+    """Attach a 1-row aggregate to every row of ``df`` as a
+    BroadcastHashJoin — the in-plan scalar pattern (no driver action).
+
+    The join keys are DERIVED from data on BOTH sides
+    (``pmod(probe, 1) + 1`` — always 1, never a literal): a
+    ``lit(1) = lit(1)`` condition constant-folds to ``true`` and a
+    literal-vs-attribute condition becomes a filter plus a
+    condition-less cross join; either way Catalyst degrades the join
+    to a BroadcastNestedLoopJoin.  Attribute-derived keys keep it a
+    hash join.  ``left_probe``/``right_probe`` are any columns of the
+    respective side (nulls tolerated).
+    """
+
+    def _key(c: Column) -> Column:
+        return (
+            F.pmod(F.coalesce(c.cast("long"), F.lit(0)), F.lit(1))
+            + F.lit(1)
+        ).cast("int")
+
+    left = df.withColumn("_one", _key(left_probe))
+    right = one_row.withColumn("_one", _key(right_probe))
+    return left.join(F.broadcast(right), "_one").drop("_one")
+
+
 def oracle_sum_sql(expr: str) -> str:
     """DuckDB-side mirror of :func:`exact_sum`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

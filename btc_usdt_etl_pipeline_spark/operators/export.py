@@ -95,23 +95,33 @@ def mix_plan(
                 source_col,
                 "available_tokens",
                 "target_tokens",
-                F.least(
-                    F.lit(10_000),
-                    F.floor(
-                        F.lit(10_000)
-                        * F.col("target_tokens")
-                        / F.col("available_tokens")
-                    ),
+                # A source whose docs all tokenize to zero has
+                # available_tokens = 0 — under ANSI that division is a
+                # job-aborting DIVIDE_BY_ZERO, so guard it: nothing to
+                # sample → rate 0, epochs 1.
+                F.when(F.col("available_tokens") > 0,
+                    F.least(
+                        F.lit(10_000),
+                        F.floor(
+                            F.lit(10_000)
+                            * F.col("target_tokens")
+                            / F.col("available_tokens")
+                        ),
+                    )
                 )
+                .otherwise(F.lit(0))
                 .cast("long")
                 .alias("rate_bp"),
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(
-                        F.col("target_tokens")
-                        / F.col("available_tokens")
-                    ),
+                F.when(F.col("available_tokens") > 0,
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            F.col("target_tokens")
+                            / F.col("available_tokens")
+                        ),
+                    )
                 )
+                .otherwise(F.lit(1))
                 .cast("long")
                 .alias("epochs"),
             )

@@ -31,10 +31,9 @@ def zorder_key(
     Each column is min-max quantized to ``bits`` bits and the bit
     strings are interleaved (column j owns bit positions ``b·n + j``).
     ``bounds`` pins the quantization range per column; when omitted the
-    global min/max come from an IN-PLAN 1-row aggregate attached via a
-    data-derived constant-key broadcast hash join (no driver action —
-    and a literal key would constant-fold the join into a nested loop,
-    see ``text.py:bigram_lm_score``).  At 100 TB pass ``bounds`` from
+    global min/max come from an IN-PLAN 1-row aggregate attached via
+    ``functions.attach_scalar`` (broadcast hash join, no driver
+    action).  At 100 TB pass ``bounds`` from
     table statistics to skip that aggregate pass entirely.
 
     Everything is integer/double arithmetic with identical semantics in
@@ -43,6 +42,13 @@ def zorder_key(
     ncols = len(cols)
     if ncols < 2:
         raise ValueError("zorder needs at least 2 columns")
+    if bits * ncols > 64:
+        # JVM shiftleft wraps the shift amount mod 64, so an oversized
+        # interleave would SILENTLY fold high bits onto low positions
+        # and cluster rows on the wrong dimensions.
+        raise ValueError(
+            f"bits*ncols = {bits * ncols} exceeds the 64-bit key"
+        )
 
     def _q(x: Column, lo: Column, hi: Column) -> Column:
         # Quantize to [0, 2^bits - 1]; degenerate (hi == lo) → 0.
@@ -59,21 +65,16 @@ def zorder_key(
             for c in cols:
                 aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo_{c}"))
                 aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi_{c}"))
-            b = df.agg(*aggs).withColumn(
-                "_one",
-                (F.pmod(F.col(f"_lo_{cols[0]}").cast("long"), F.lit(1))
-                 * F.lit(0) + F.lit(1)).cast("int"),
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
             )
-            left_one = (
-                F.pmod(
-                    F.coalesce(F.col(cols[0]).cast("long"), F.lit(0)),
-                    F.lit(1),
-                )
-                + F.lit(1)
-            ).cast("int")
-            df = df.withColumn("_one", left_one).join(
-                F.broadcast(b), "_one"
-            ).drop("_one")
+
+            df = attach_scalar(
+                df,
+                df.agg(*aggs),
+                F.col(cols[0]),
+                F.col(f"_lo_{cols[0]}"),
+            )
             lohi = {
                 c: (F.col(f"_lo_{c}"), F.col(f"_hi_{c}")) for c in cols
             }

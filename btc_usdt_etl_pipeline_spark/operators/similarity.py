@@ -142,6 +142,37 @@ def cosine_pairs_within(
     return _t
 
 
+def _round_half_up(arr, dp: int):
+    """HALF_UP rounding for the GEMM kernels, matching Spark's
+    ``F.round`` (BigDecimal HALF_UP) instead of numpy's ``np.round``
+    (half-even): a cosine whose scaled value sits on a .5 boundary
+    rounds AWAY FROM ZERO in both the expr and blas paths, so the two
+    methods can't diverge on midpoint cosines (the lesson-15b hazard
+    class)."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+
+
+def _rounded_cosine_gram(pdf, id_col: str, vec_col: str, round_dp: int):
+    """Shared per-block kernel prep for the GEMM paths: ids sorted
+    stable, normalized rows (zero-norm guard), ``S = V̂ V̂ᵀ`` rounded
+    HALF_UP.  One implementation so the rounding mode and zero-norm
+    convention cannot drift between ``cosine_pairs_within`` and
+    :func:`semdedup`."""
+    import numpy as np
+
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order]
+    v = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+    norms = np.sqrt((v * v).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    s = _round_half_up((v / norms[:, None]) @ (v / norms[:, None]).T,
+                       round_dp)
+    return ids, s
+
+
 def _cosine_pairs_within_blas(
     group_col: str,
     k: int,
@@ -171,13 +202,7 @@ def _cosine_pairs_within_blas(
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-            ids = pdf[id_col].to_numpy()[order]
-            v = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
-            norms = np.sqrt((v * v).sum(axis=1))
-            norms[norms == 0.0] = 1.0
-            s = (v / norms[:, None]) @ (v / norms[:, None]).T
-            s = np.round(s, round_dp)
+            ids, s = _rounded_cosine_gram(pdf, id_col, vec_col, round_dp)
             iu, ju = np.triu_indices(len(ids), k=1)
             if len(iu) == 0:
                 return pd.DataFrame(
@@ -354,13 +379,7 @@ def semdedup(
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
-            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-            ids = pdf[id_col].to_numpy()[order]
-            v = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
-            norms = np.sqrt((v * v).sum(axis=1))
-            norms[norms == 0.0] = 1.0
-            s = np.round((v / norms[:, None]) @ (v / norms[:, None]).T,
-                         round_dp)
+            ids, s = _rounded_cosine_gram(pdf, id_col, vec_col, round_dp)
             n = len(ids)
             # kept[j] ⇔ no i<j with s[i,j] ≥ τ: column-max over the
             # strict upper triangle.

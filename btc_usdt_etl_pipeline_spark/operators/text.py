@@ -159,32 +159,24 @@ def bigram_lm_score(
         c1 = c2.groupBy(
             F.split("_bg", " ")[0].alias("_w1c")
         ).agg(F.sum("_c2").alias("_c1"))
-        # 1-row vocabulary count, attached via an equi-join whose keys
-        # on BOTH sides are derived from data (pmod(x,1)+1 — always 1,
-        # never a literal): a lit(1)=lit(1) condition constant-folds to
-        # `true` and a literal-vs-attribute condition becomes a filter
-        # plus a condition-less cross join; either way Catalyst degrades
-        # the join to a nested loop.  Attribute-derived keys keep it a
-        # BroadcastHashJoin.
         v = df.select(F.explode(tok).alias("_tk")).agg(
             F.countDistinct("_tk").alias("_v")
-        ).withColumn(
-            "_one", (F.pmod(F.col("_v"), F.lit(1)) + F.lit(1)).cast("int")
         )
         term = F.log(
             (F.col("_c2") + F.lit(1)).cast("double")
             / (F.col("_c1") + F.col("_v")).cast("double")
         ).cast("decimal(38,12)")
         n = F.count(F.lit(1)).alias("n_bigrams")
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        scored = attach_scalar(
+            b.join(c2, "_bg").join(c1, F.col("_w1") == F.col("_w1c")),
+            v,
+            F.col("_c2"),
+            F.col("_v"),
+        )
         return (
-            b.join(c2, "_bg")
-            .join(c1, F.col("_w1") == F.col("_w1c"))
-            .withColumn(
-                "_one",
-                (F.pmod(F.col("_c2"), F.lit(1)) + F.lit(1)).cast("int"),
-            )
-            .join(F.broadcast(v), "_one")
-            .groupBy(id_col)
+            scored.groupBy(id_col)
             .agg(n, F.sum(term).alias("_slp"))
             .select(
                 id_col,

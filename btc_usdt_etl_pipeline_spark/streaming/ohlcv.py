@@ -74,6 +74,18 @@ def streaming_sessionize(
     )
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Seconds in a simple ``'<n> <unit>'`` SQL interval string."""
+    value, unit = interval.strip().split()
+    return int(value) * _INTERVAL_UNIT_S[unit.lower()]
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -113,6 +125,16 @@ def streaming_interval_join(
     rw = right.withWatermark(right_time, watermark)
     if bucket_width_s is not None:
         w = int(bucket_width_s)
+        # The {b, b+1} explode is complete ONLY when one bucket spans
+        # the whole match window: W < upper puts a right event at
+        # left_ts + Δ (W < Δ ≤ upper) in bucket b+2 or beyond and the
+        # pair silently never joins.  Fail loudly instead.
+        if w < _interval_seconds(upper):
+            raise ValueError(
+                f"bucket_width_s={w} is narrower than upper={upper!r} "
+                f"({_interval_seconds(upper)} s): matches beyond one "
+                "bucket would be silently dropped"
+            )
         lb = F.floor(F.col(left_time).cast("long") / w)
         lw = lw.withColumn(
             "_jb", F.explode(F.array(lb, lb + F.lit(1)))

@@ -100,3 +100,23 @@ def test_pack_deterministic_under_repartition(spark, docs):
     )
     key = lambda rs: {(r["doc_id"], r["start_offset"]) for r in rs}  # noqa: E731
     assert key(a) == key(b)
+
+
+def test_mix_plan_zero_token_source(spark):
+    """A source whose docs all tokenize to zero tokens must yield a
+    (rate_bp=0, epochs=1) row, not an ANSI DIVIDE_BY_ZERO abort."""
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.export import mix_plan
+
+    df = spark.createDataFrame(
+        [("web", 100), ("empty", 0), ("empty", 0)],
+        "source string, n_tok long",
+    )
+    rows = df.transform(
+        mix_plan("source", F.col("n_tok"), budget_tokens=50)
+    ).collect()
+    got = {r.source: r for r in rows}
+    assert got["empty"].available_tokens == 0
+    assert got["empty"].rate_bp == 0 and got["empty"].epochs == 1
+    assert got["web"].rate_bp > 0

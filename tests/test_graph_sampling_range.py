@@ -269,3 +269,18 @@ def test_zorder_key_matches_python_interleave(spark):
     z2 = df.transform(zorder_key(["x", "y"], bits=8))
     assert "NestedLoop" not in z2._jdf.queryExecution().executedPlan().toString()
     assert z2.count() == len(rows)
+
+
+def test_zorder_key_rejects_oversized_interleave(spark):
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key([f"c{i}" for i in range(9)], bits=8)(
+            spark.range(1).selectExpr(
+                *[f"id AS c{i}" for i in range(9)]
+            )
+        )

@@ -427,3 +427,23 @@ def test_transform_with_state_gated_on_protobuf(spark):
     else:
         with pytest.raises(NotImplementedError, match="protobuf"):
             transform_with_state_extrema(stream)
+
+
+def test_interval_join_rejects_narrow_bucket(spark):
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        streaming_interval_join,
+    )
+
+    left = spark.readStream.format("rate").load().selectExpr(
+        "value AS k", "timestamp AS lt"
+    )
+    right = spark.readStream.format("rate").load().selectExpr(
+        "value AS k", "timestamp AS rt"
+    )
+    with pytest.raises(ValueError, match="narrower than upper"):
+        streaming_interval_join(
+            left, right, "k", "lt", "rt", upper="1 hour",
+            bucket_width_s=600,
+        )

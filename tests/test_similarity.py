@@ -235,3 +235,24 @@ def test_semdedup_blas_matches_expr(spark):
         for r in semdedup(e, cent, threshold=0.35, method="blas").collect()
     }
     assert expr == blas and len(expr) > 0
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The GEMM kernels' rounding must match F.round (BigDecimal
+    HALF_UP) on exact midpoints — np.round's half-even would diverge
+    on half the midpoint cases."""
+    import numpy as np
+
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    # 4dp midpoints (exactly representable scaled halves) + regulars.
+    vals = [0.56785, 0.56775, -0.56785, -0.56775, 0.12345, 0.9999,
+            -0.00005, 0.00005, 1.0, -1.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_rounded = [
+        r.r for r in df.select(F.round("x", 4).alias("r")).collect()
+    ]
+    ours = _round_half_up(np.array(vals), 4).tolist()
+    assert ours == spark_rounded
