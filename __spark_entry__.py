@@ -5900,6 +5900,141 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q140_cohort_retention",
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+               FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY user_id),
+    sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM c GROUP BY cohort),
+    act AS (SELECT c.cohort,
+                   date_diff('day', c.cohort, a.day) AS offset_days,
+                   COUNT(DISTINCT a.user_id) AS n_active
+            FROM a JOIN c USING (user_id)
+            GROUP BY c.cohort, offset_days)
+    SELECT act.cohort, act.offset_days, act.n_active, sz.cohort_size,
+           act.n_active / CAST(sz.cohort_size AS DOUBLE) AS retention
+    FROM act JOIN sz USING (cohort)
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple): users
+    cohorted by first-activity day, per-(cohort, day-offset) distinct
+    active users and retention ratio.  Plan shape: one distinct over
+    (user, day) — the big shrink, first — then a user-keyed join to the
+    per-user cohort (shuffle by user id, unavoidable and linear), a
+    cohort-grained aggregate, and a broadcast join to cohort sizes
+    (cohort-count-sized).  Ratios are exact integer divisions — no
+    float idiom needed."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    c = a.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sz = c.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        a.join(c, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        F.col("offset_days").cast("long").alias("offset_days"),
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+@_q(
+    "q141_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    ck AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1
+           GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN ck ON e.user_id = ck.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > ck.t2
+          GROUP BY e.user_id),
+    f AS (SELECT v.user_id,
+                 CAST(date_trunc('day', v.t1) AS TIMESTAMP) AS entry_day,
+                 ck.user_id IS NOT NULL AS reached_click,
+                 p.user_id IS NOT NULL AS reached_purchase
+          FROM v LEFT JOIN ck ON v.user_id = ck.user_id
+          LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT entry_day,
+           COUNT(*) AS n_entered,
+           SUM(CASE WHEN reached_click THEN 1 ELSE 0 END) AS n_clicked,
+           SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END) AS n_purchased,
+           SUM(CASE WHEN reached_click THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS click_rate,
+           SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
+    FROM f GROUP BY entry_day
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click), grouped by funnel-entry day: strictly
+    ordered stage timestamps (each stage's MIN is constrained to fall
+    after the previous stage's), per-day stage counts and conversion
+    rates.  Three user-keyed aggregation passes — the declarative
+    funnel shape that shuffles by user id and never sorts a user's
+    whole history; rates are exact integer divisions."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    ck = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(ck, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        v.join(ck.select("user_id", F.lit(True).alias("_c")), "user_id",
+               "left")
+        .join(p.select("user_id", F.lit(True).alias("_p")), "user_id",
+              "left")
+        .select(
+            F.date_trunc("day", "t1").alias("entry_day"),
+            F.coalesce(F.col("_c"), F.lit(False)).alias("reached_click"),
+            F.coalesce(F.col("_p"), F.lit(False)).alias(
+                "reached_purchase"
+            ),
+        )
+    )
+    clicked = F.sum(F.when(F.col("reached_click"), 1).otherwise(0))
+    purchased = F.sum(F.when(F.col("reached_purchase"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return f.groupBy("entry_day").agg(
+        n.alias("n_entered"),
+        clicked.alias("n_clicked"),
+        purchased.alias("n_purchased"),
+        (clicked / n.cast("double")).alias("click_rate"),
+        (purchased / n.cast("double")).alias("purchase_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
