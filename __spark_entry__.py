@@ -5383,8 +5383,11 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b)
     SELECT doc_id, tokens, start_offset,
            start_offset // 512 AS start_chunk,
-           GREATEST(start_offset // 512,
-                    (start_offset + tokens - 1) // 512) AS end_chunk
+           -- edge-free: // only ever sees non-negative operands (the
+           -- tokens = 0 case is fenced by CASE, not clamped after the
+           -- fact), so floor-vs-truncate // conventions cannot diverge
+           CASE WHEN tokens <= 0 THEN start_offset // 512
+                ELSE (start_offset + tokens - 1) // 512 END AS end_chunk
     FROM c
     """,
 )
@@ -6063,14 +6066,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (Z-order layout) and q137 (data-quality expectations), demoting
 #: q46/q91 — the streaming family keeps four driver rows (q36 tumbling,
 #: q50 sessions, q58 stateful, q65 interval join); streaming dedup and
-#: the batch session_window fall to the judge's full gate.
+#: the batch session_window fall to the judge's full gate.  Round 6
+#: promoted the remaining un-windowed round-5 operators — q128 (shuffle-
+#: shard export), q135 (stream-static enrichment), q138 (SRP dim
+#: reduction), q139 (token-window chunking), q140 (cohort retention),
+#: q141 (ordered funnel) — demoting q23/q37/q39/q50/q111/q119, each of
+#: whose families keeps at least one driver row: OHLCV resample keeps
+#: q22 + q114 (keyed), dedup keeps q26/q30/q38/q109/q132, similarity
+#: keeps q40 (IVF) + q132, streaming keeps q36/q58/q65 + the new q135,
+#: connected components keeps q62.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
     "q07_topk_per_group",     # sorts / top-k
     "q19_rolling_avg",        # W2 rolling MA/σ (W3 pct-change: judge gate q18)
     "q22_resample_count",     # W1 count-based resample (F4 events ts)
-    "q23_resample_time",      # A1 time-based OHLCV resample
     "q24_asof_join",          # as-of join
     "q25_correlation",        # A2 correlation matrix
     "q26_dedup_exact",        # exact dedup
@@ -6079,13 +6089,10 @@ _PRIORITY_WINDOW = [
     "q33_sliding_sequences",  # W6 ML sequences
     "q34_minmax_scale",       # A5 scaler
     "q36_streaming_ohlcv",    # streaming tumbling
-    "q37_simhash",            # SimHash
     "q38_ngram_jaccard",      # n-gram Jaccard
-    "q39_embedding_neardup",  # blocked cosine near-dup
     "q40_simsearch_ivf",      # IVF ANN (scale path)
     "q44_multimodal_features",# multimodal kernel
     "q48_grouping_sets",      # rollup/cube/grouping sets family
-    "q50_streaming_sessions", # streaming session windows
     "q51_crossover_backtest", # W4 crossover
     "q53_batch_inference",    # mapInPandas UDF surface
     "q54_salted_agg",         # skew-salted aggregation
@@ -6103,9 +6110,7 @@ _PRIORITY_WINDOW = [
     "q107_gini",              # Gini custom agg (HHI cousin: judge gate q106)
     "q109_segment_dedup",     # C4-style segment-level dedup
     "q110_embedding_quantize",# int8 embedding quantization
-    "q111_decontaminate",     # benchmark decontamination
     "q114_keyed_resample",    # per-key OHLCV resample
-    "q119_dedup_clusters_star",  # large-star/small-star CC
     "q124_fuzzy_join",        # edit-distance-1 fuzzy join
     "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
@@ -6115,6 +6120,12 @@ _PRIORITY_WINDOW = [
     "q134_cms_heavy_hitters", # count-min sketch heavy hitters
     "q136_zorder_layout",     # Z-order layout key
     "q137_data_quality",      # data-quality expectations
+    "q128_shard_export",      # deterministic shuffle-shard layout
+    "q135_stream_enrich",     # stream-static broadcast enrichment
+    "q138_random_projection", # SRP dimensionality reduction
+    "q139_chunk_documents",   # token-window document chunking
+    "q140_cohort_retention",  # cohort retention matrix
+    "q141_funnel",            # ordered conversion funnel
 ]
 
 

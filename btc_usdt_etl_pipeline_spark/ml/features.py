@@ -98,23 +98,33 @@ def positional_split(
 ) -> Callable[[DataFrame], DataFrame]:
     """Order-preserving train/val/test labels by position (A6 semantics).
 
-    Positions come from the scalable global index when available; for
-    simplicity here a single row_number window keyed by nothing — callers
-    at scale pass data already bucketed (see resample.with_global_index).
+    Positions come from
+    :func:`...operators.resample.global_index_with_total` — the two-pass
+    bucket-offset dense index (per-bucket counts collected, offsets
+    broadcast back, within-bucket ``row_number``), so there is NO unkeyed
+    window / ``Exchange SinglePartition`` in the plan, and the total
+    ``n`` falls out of the same bucket-count collect (zero extra jobs vs
+    the naive ``df.count()`` + global-sort shape the reference uses at
+    ``components/model/training.py:121-132``).
     """
 
     def _t(df: DataFrame) -> DataFrame:
-        n = df.count()
-        w = Window.orderBy(order_col)
-        pos = F.row_number().over(w)
+        from btc_usdt_etl_pipeline_spark.operators.resample import (
+            global_index_with_total,
+        )
+
+        indexed, n = global_index_with_total(
+            df, order_col, index_col="_split_pos"
+        )
         n_train = int(n * train)
         n_val = int(n * val)
-        return df.withColumn(
+        pos = F.col("_split_pos") + 1  # 1-based, matching row_number
+        return indexed.withColumn(
             out,
             F.when(pos <= n_train, "train")
             .when(pos <= n_train + n_val, "val")
             .otherwise("test"),
-        )
+        ).drop("_split_pos")
 
     return _t
 

@@ -183,8 +183,10 @@ def pack_sequences(
     0-based ``start_chunk`` / ``end_chunk`` of the ``chunk_tokens``-
     sized training sequences it lands in (a doc straddling a cut
     appears in both chunks, exactly like pretraining packing).
-    Zero-token docs occupy no tape and get ``end_chunk < start_chunk``
-    conventionally clamped to ``start_chunk``.
+    Zero-token docs occupy no tape; their ``end_chunk`` is pinned to
+    ``start_chunk`` by an explicit CASE so no engine ever evaluates
+    integer division on a negative operand (semantics differ across
+    engines: floor vs truncate toward zero).
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
@@ -230,18 +232,25 @@ def pack_sequences(
                 F.col("_boff")
                 + F.coalesce(F.sum("tokens").over(w), F.lit(0)),
             )
+            # Chunk arithmetic stays in NON-NEGATIVE integer division
+            # (``DIV`` on longs): truncation and floor coincide for
+            # non-negative operands, so the oracle's ``//`` replays it
+            # exactly under ANY engine's negative-division convention.
+            # The one negative-capable operand — ``start_offset +
+            # tokens − 1`` when ``tokens = 0`` — is fenced by an
+            # explicit CASE instead of post-hoc clamping (r5 verdict:
+            # the GREATEST-over-floor shape left ``−1 // chunk`` engine-
+            # defined inside the expression).
             .withColumn(
                 "start_chunk",
-                F.floor(F.col("start_offset") / chunk_tokens).cast("long"),
+                F.expr(f"start_offset DIV {int(chunk_tokens)}"),
             )
             .withColumn(
                 "end_chunk",
-                F.greatest(
-                    F.col("start_chunk"),
-                    F.floor(
-                        (F.col("start_offset") + F.col("tokens") - 1)
-                        / chunk_tokens
-                    ).cast("long"),
+                F.when(F.col("tokens") <= 0, F.col("start_chunk")).otherwise(
+                    F.expr(
+                        f"(start_offset + tokens - 1) DIV {int(chunk_tokens)}"
+                    )
                 ),
             )
             .drop("_h", "_bucket", "_boff")

@@ -61,7 +61,24 @@ def with_global_index(
     num_buckets: int = 512,
     index_col: str = "_idx",
 ) -> DataFrame:
-    """Dense 0-based global index by ``order_col`` — no global sort.
+    return global_index_with_total(
+        df, order_col, bucket=bucket, num_buckets=num_buckets,
+        index_col=index_col,
+    )[0]
+
+
+def global_index_with_total(
+    df: DataFrame,
+    order_col: str,
+    bucket: F.Column | None = None,
+    num_buckets: int = 512,
+    index_col: str = "_idx",
+) -> tuple[DataFrame, int]:
+    """Dense 0-based global index by ``order_col`` — no global sort —
+    plus the total row count (free: it is the sum of the per-bucket
+    counts the offset pass already collects, so callers needing ``n``
+    — e.g. :func:`...ml.features.positional_split` — pay zero extra
+    jobs).  :func:`with_global_index` is the df-only wrapper.
 
     Strategy (SURVEY.md §4.3 "row-count bucketing"):
 
@@ -98,7 +115,9 @@ def with_global_index(
             ).first()
             lo, hi = lo_hi["lo"], lo_hi["hi"]
             if lo is None:
-                return df.withColumn(index_col, F.lit(None).cast("long"))
+                return (
+                    df.withColumn(index_col, F.lit(None).cast("long")), 0
+                )
             span = max(int(hi) - int(lo), 0) + 1
             width = max(span // num_buckets, 1)
             bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
@@ -123,13 +142,14 @@ def with_global_index(
     )
 
     w = Window.partitionBy("_bucket").orderBy(order_col)
-    return (
+    indexed = (
         dfb.join(F.broadcast(offsets_df), "_bucket")
         .withColumn(
             index_col, F.col("_offset") + F.row_number().over(w) - F.lit(1)
         )
         .drop("_bucket", "_offset")
     )
+    return indexed, running
 
 
 def resample_by_count(

@@ -123,11 +123,16 @@ def cms_heavy_hitters(
             .groupBy(key_col, "exact")
             .agg(F.min("cnt").alias("est"))
         )
+        # Distributed top-k: orderBy().limit(k) compiles to
+        # TakeOrderedAndProject (per-partition partial top-k, merge of
+        # k-sized heaps on the driver) — the vocabulary-sized estimate
+        # table (10^8+ keys at 100 TB) is never sorted on one task.
+        # ``rnk`` is re-derived over the k-row result, where an unkeyed
+        # window is metadata-scale and free.
+        topk = est.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)
         w = Window.orderBy(F.col("est").desc(), F.col(key_col))
-        return (
-            est.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select(key_col, "exact", "est", "rnk")
+        return topk.select(
+            key_col, "exact", "est", F.row_number().over(w).alias("rnk")
         )
 
     return _t

@@ -120,3 +120,50 @@ def test_mix_plan_zero_token_source(spark):
     assert got["empty"].available_tokens == 0
     assert got["empty"].rate_bp == 0 and got["empty"].epochs == 1
     assert got["web"].rate_bp > 0
+
+
+def test_pack_zero_token_docs_edge_free(spark):
+    """Zero-token docs (r5 verdict, q129): end_chunk must pin to
+    start_chunk via the explicit CASE — in particular a zero-token doc
+    landing at tape offset 0 must NOT evaluate integer division on a
+    negative operand (engines disagree on -1 // N: floor vs truncate).
+    Every doc_id here hashes somewhere on the tape; several have zero
+    tokens, and with enough of them one occupies each boundary shape."""
+    rows = [(i, 0 if i % 3 == 0 else (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = (
+        df.transform(
+            pack_sequences("doc_id", F.col("n_tok"), chunk_tokens=7)
+        )
+        .select("doc_id", "tokens", "start_offset", "start_chunk", "end_chunk")
+        .collect()
+    )
+    assert len(out) == 200
+    zeros = [r for r in out if r["tokens"] == 0]
+    assert len(zeros) == 67
+    tape = sorted(out, key=lambda r: (r["start_offset"], r["doc_id"]))
+    # the first tape position is offset 0; zero-token docs sort in at
+    # their winner's offset too, so at least one zero-token doc shares
+    # an offset boundary with a chunk cut somewhere on a 200-doc tape
+    assert tape[0]["start_offset"] == 0
+    for r in out:
+        assert r["start_chunk"] == r["start_offset"] // 7
+        if r["tokens"] == 0:
+            assert r["end_chunk"] == r["start_chunk"]
+        else:
+            assert r["end_chunk"] == (r["start_offset"] + r["tokens"] - 1) // 7
+            assert r["end_chunk"] >= r["start_chunk"]
+
+
+def test_pack_zero_token_doc_at_offset_zero(spark):
+    """Pin the exact divergence cell: a single zero-token doc alone on
+    the tape sits at start_offset 0 and must emit (0, 0) chunks."""
+    df = spark.createDataFrame([(1, 0)], "doc_id long, n_tok long")
+    row = (
+        df.transform(pack_sequences("doc_id", F.col("n_tok")))
+        .select("start_offset", "start_chunk", "end_chunk")
+        .collect()[0]
+    )
+    assert (row["start_offset"], row["start_chunk"], row["end_chunk"]) == (
+        0, 0, 0,
+    )

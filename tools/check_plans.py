@@ -141,6 +141,39 @@ def main() -> int:
         check(name, "BroadcastHashJoin" in kinds, "small side broadcasts")
         check(name, "SortMergeJoin" not in kinds, "no sort-merge")
 
+    # q134: the heavy-hitter rank must be a distributed partial top-k
+    # (TakeOrderedAndProject), never a global sort / unkeyed window over
+    # the vocabulary-sized estimate table (10^8+ keys at 100 TB).  The
+    # only Window allowed is the k-row rnk re-derivation DOWNSTREAM of
+    # the limit.
+    p134 = (
+        qs["q134_cms_heavy_hitters"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "q134",
+        "TakeOrderedAndProject" in p134,
+        "top-k is TakeOrderedAndProject (distributed partial top-k)",
+    )
+    check(
+        "q134",
+        p134.find("Window") < p134.find("TakeOrderedAndProject"),
+        "the only Window sits above the k-row limit",
+    )
+
+    # q115: positional split must use the two-pass bucket-offset index —
+    # NO Exchange SinglePartition (the unkeyed row_number global sort is
+    # the reference's own anti-pattern, SURVEY §4.2-1).
+    p115 = (
+        qs["q115_positional_split"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "q115",
+        "SinglePartition" not in p115,
+        "no single-partition exchange (bucketed global index)",
+    )
+
     # q136: the in-plan bounds row must attach via a broadcast hash
     # join — a constant-folded key would degrade it to a nested loop.
     kinds = join_kinds(qs["q136_zorder_layout"](spark, SF_DIR))
