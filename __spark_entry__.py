@@ -3938,7 +3938,11 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(1000000000000.0
                         / CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS units_micro
-      FROM events WHERE event_type = 'purchase' AND value > 0),
+      -- cents >= 1, not value > 0: a sub-cent price (0 < value < 0.005)
+      -- rounds to cents = 0, and 1e12/0 under ANSI aborts the Spark job
+      -- (and errors differently here) — exclude by construction
+      FROM events WHERE event_type = 'purchase'
+        AND CAST(round(value * 100) AS BIGINT) >= 1),
     c AS (
       SELECT user_id, ts, cents,
              SUM(units_micro) OVER (
@@ -3975,8 +3979,11 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire hazard class."""
     e = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # cents >= 1, not value > 0: a sub-cent price rounds to cents = 0
+    # and 1e12/0 is an ANSI job abort — excluded by construction in
+    # both engines (oracle mirrors the predicate).
     p = e.filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+        (F.col("event_type") == "purchase") & (cents >= 1)
     ).select(
         "user_id",
         "ts",

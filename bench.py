@@ -1,11 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints the primary JSON line first:
+Prints exactly ONE JSON line (last on stdout, so head OR tail captures
+both end on it):
   {"metric": "headline_total", "value": N, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
-then a second line with per-query spreads, and also writes the full
-result to bench_out.json so a truncated stdout capture can never lose
-the numbers.
+and also writes the full result (plus per-query spreads) to
+bench_out.json so a truncated stdout capture can never lose the numbers.
 
 Queries execute fully (noop sink — no driver collect) after one warm-up
 job that absorbs JVM/executor startup.
@@ -136,18 +136,19 @@ def main() -> None:
         "aggregation": "median",
     }
     # Truncation-proofing: the round-4 driver capture clipped the single
-    # giant stdout line mid-JSON and lost the totals.  Defenses:
+    # giant stdout line mid-JSON; the round-5 capture kept only the TAIL,
+    # so the trailing spread line displaced the totals.  Defenses:
     #   1. the full result (payload + spread) is written to bench_out.json
     #      next to this script, so the numbers survive any stdout mangling;
-    #   2. the primary stdout line carries value/total FIRST and omits the
-    #      bulky spread map, which goes on its own second line.
+    #   2. the primary payload (value first, then the queries map) is the
+    #      LAST stdout line — a tail capture always ends on it — and the
+    #      spread map stays off stdout entirely (bench_out.json only).
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
         "w",
     ) as f:
         json.dump({**payload, "spread": spread}, f, indent=1)
     print(json.dumps(payload), flush=True)
-    print(json.dumps({"metric": "headline_spread", "sf": sf, "spread": spread}), flush=True)
 
 
 if __name__ == "__main__":

@@ -61,8 +61,12 @@ def attach_scalar(df, one_row, left_probe, right_probe):
     """
 
     def _key(c: Column) -> Column:
+        # try_cast, not cast: under ANSI mode a NaN / out-of-long-range
+        # double probe (e.g. a stats column containing 1e20) would abort
+        # the whole job inside the key derivation; try_cast degrades it
+        # to null, which the coalesce absorbs — any probe column works.
         return (
-            F.pmod(F.coalesce(c.cast("long"), F.lit(0)), F.lit(1))
+            F.pmod(F.coalesce(c.try_cast("long"), F.lit(0)), F.lit(1))
             + F.lit(1)
         ).cast("int")
 

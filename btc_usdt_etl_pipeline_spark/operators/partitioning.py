@@ -52,11 +52,18 @@ def zorder_key(
 
     def _q(x: Column, lo: Column, hi: Column) -> Column:
         # Quantize to [0, 2^bits - 1]; degenerate (hi == lo) → 0.
+        # Clamp BOTH ends: caller-supplied ``bounds`` may come from
+        # stale table stats, and a value outside [lo, hi] must pin to
+        # the edge bucket — an unclamped negative code would wrap under
+        # the &1 interleave and scatter rows to wrong Z-key regions.
         span = hi - lo
         scaled = F.when(span > 0, (x - lo) / span).otherwise(F.lit(0.0))
-        return F.least(
-            F.floor(scaled * F.lit(float(2 ** bits))).cast("long"),
-            F.lit(2 ** bits - 1),
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.floor(scaled * F.lit(float(2 ** bits))).cast("long"),
+                F.lit(2 ** bits - 1),
+            ),
         )
 
     def _t(df: DataFrame) -> DataFrame:

@@ -83,6 +83,15 @@ def configure_s3a(
     hconf.set("fs.s3a.secret.key", secret_key)
     hconf.set("fs.s3a.path.style.access", str(path_style).lower())
     hconf.set("fs.s3a.connection.ssl.enabled", str(ssl).lower())
+    # Pin the provider chain to the static keys just set: without this,
+    # s3a walks the full default chain (env vars, instance profile, …)
+    # on every filesystem init — slow against MinIO and a source of
+    # confusing partial-credential errors when the host has ambient AWS
+    # config lying around.
+    hconf.set(
+        "fs.s3a.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
+    )
 
 
 def z_value(

@@ -45,9 +45,19 @@ def test_configure_s3a_sets_hadoop_conf(spark):
         spark, "http://localhost:9000", "ak", "sk", path_style=True
     )
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    # the exact keys a MinIO-backed deployment needs (reference
+    # minio_api/client.py:34-80 equivalents): endpoint, both static
+    # credentials, path-style addressing, SSL toggle, and a provider
+    # chain pinned to the static keys (no ambient-AWS fallthrough)
     assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
     assert hconf.get("fs.s3a.access.key") == "ak"
+    assert hconf.get("fs.s3a.secret.key") == "sk"
     assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"
+    assert (
+        hconf.get("fs.s3a.aws.credentials.provider")
+        == "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+    )
 
 
 def test_export_csv_multi_file(spark):
