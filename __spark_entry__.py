@@ -948,7 +948,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes ALL-pairs exact Jaccard; at 128 hashes / 64 bands
     the LSH miss probability at j>=0.8 is ~1e-15 per pair, so the outputs
     coincide.  At scale only the LSH side is feasible — that asymmetry is
-    the point of the operator."""
+    the point of the operator.  ``max_bucket=256`` (the production
+    default) is explicit here: at gate scale no band bucket approaches
+    it (documents are near-unique), so the capped LSH still proposes
+    every true pair and the all-pairs oracle remains exact; the cap's
+    binding behavior is pinned by ``tests/test_dedup.py`` and measured
+    by the 100× scale probe."""
     d = _t(spark, sf_dir, "documents")
     return d.transform(
         minhash_near_dedup(
@@ -958,6 +963,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=128,
             bands=32,
             jaccard_threshold=0.8,
+            max_bucket=256,
         )
     )
 

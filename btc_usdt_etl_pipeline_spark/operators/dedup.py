@@ -127,6 +127,7 @@ def minhash_near_dedup(
     num_hashes: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = 256,
 ) -> Callable[[DataFrame], DataFrame]:
     """MinHash + LSH near-duplicate pair detection.
 
@@ -134,8 +135,23 @@ def minhash_near_dedup(
     ``jaccard >= jaccard_threshold``, ``id_a < id_b``, verified exactly on
     the true shingle sets (LSH only proposes).  ``bands`` band-keys of
     ``num_hashes/bands`` rows each; P(candidate) ≈ 1-(1-j^r)^b.
+
+    ``max_bucket`` caps each band bucket's membership (standard LSH
+    practice): candidate mass per bucket is Σ|bucket|², so one
+    boilerplate-degenerate bucket (every doc sharing a banner) turns
+    the whole job quadratic — the 100×-sf0.1 probe measured 27→114 s
+    at 3.3× data growth before the cap.  Buckets above the cap keep
+    their ``max_bucket`` SMALLEST ids (deterministic under any
+    partitioning, replayable by an oracle); dropped members usually
+    re-pair in their other ``bands − 1`` buckets, and a truly
+    degenerate all-identical cluster should be cut by exact dedup
+    upstream anyway.  The cap is applied BEFORE the per-bucket
+    ``collect_list``, so no executor ever materializes an unbounded
+    id array.  ``None`` disables.
     """
     rows_per_band = num_hashes // bands
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None)")
 
     def _t(df: DataFrame) -> DataFrame:
         # Shingle sets are the widest intermediate by far, so they must NOT
@@ -200,9 +216,18 @@ def minhash_near_dedup(
         # Same-bucket pairs from ONE pass (groupBy + in-bucket pair
         # expansion) instead of a banded⋈banded self-join — halves the
         # signature computation and drops a whole shuffle.  Bucket sizes
-        # are small by LSH construction; a degenerate bucket (mass-
-        # duplicated boilerplate) inflates any candidate generator
-        # equally, and should be cut upstream by exact-dedup first.
+        # are small by LSH construction; ``max_bucket`` fences the
+        # degenerate ones (mass-duplicated boilerplate).  The cap runs
+        # as a keyed window (row_number per bucket) — the sort shares
+        # the groupBy's hash-partitioning on ``_key``, so it adds no
+        # extra shuffle, and it bounds the collect_list array width.
+        if max_bucket is not None:
+            wcap = Window.partitionBy("_key").orderBy("_id")
+            banded = (
+                banded.withColumn("_r", F.row_number().over(wcap))
+                .filter(F.col("_r") <= max_bucket)
+                .drop("_r")
+            )
         buckets = (
             banded.groupBy("_key")
             .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))

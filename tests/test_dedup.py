@@ -295,3 +295,37 @@ def test_segment_dedup_property_vs_python_reference(spark):
         assert got == py_segment_dedup(texts)
 
     run()
+
+
+def test_minhash_max_bucket_cap_semantics(spark):
+    """The band-bucket cap (r5 verdict #6): N identical docs share
+    EVERY band bucket, so with max_bucket=K only the K smallest ids
+    survive any bucket and the pair count collapses from N·(N-1)/2 to
+    K·(K-1)/2 — deterministically the K smallest ids, regardless of
+    partitioning.  Uncapped, all pairs appear."""
+    n, k = 12, 5
+    df = spark.createDataFrame(
+        [(i, BASE) for i in range(n)], "doc_id long, text string"
+    )
+    capped = df.transform(
+        minhash_near_dedup(num_hashes=64, bands=16, max_bucket=k)
+    ).collect()
+    assert len(capped) == k * (k - 1) // 2
+    ids = {p.id_a for p in capped} | {p.id_b for p in capped}
+    assert ids == set(range(k))  # the k smallest doc_ids, exactly
+    assert all(p.jaccard == 1.0 for p in capped)
+
+    uncapped = df.transform(
+        minhash_near_dedup(num_hashes=64, bands=16, max_bucket=None)
+    ).collect()
+    assert len(uncapped) == n * (n - 1) // 2
+
+    # determinism under repartitioning: same kept set
+    recapped = (
+        df.repartition(7)
+        .transform(minhash_near_dedup(num_hashes=64, bands=16, max_bucket=k))
+        .collect()
+    )
+    assert {(p.id_a, p.id_b) for p in recapped} == {
+        (p.id_a, p.id_b) for p in capped
+    }
