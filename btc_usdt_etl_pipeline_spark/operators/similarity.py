@@ -544,6 +544,102 @@ def _srp_bucket(
     return packed
 
 
+def _srp_dot(
+    vec: F.Column, table: int, p: int, portable: bool
+) -> F.Column:
+    """The raw hyperplane-``p`` dot product behind :func:`_srp_bucket`'s
+    sign bit — exposed so multi-probe can rank planes by boundary
+    distance (``|dot|`` small ⇒ the sign is least certain ⇒ the first
+    bucket to probe).  Must stay bit-identical to the fold inside
+    ``_srp_bucket``: same component derivation, same strict
+    left-to-right accumulation."""
+
+    def component(j: F.Column) -> F.Column:
+        if portable:
+            from btc_usdt_etl_pipeline_spark.operators.dedup import (
+                portable_hash60,
+            )
+
+            key = F.concat_ws(":", F.lit(table), F.lit(p), j.cast("string"))
+            h = portable_hash60(key)
+            return (h % 2_000_003).cast("double") / F.lit(
+                1_000_001.5
+            ) - F.lit(1.0)
+        h = F.xxhash64(F.lit(table), F.lit(p), j)
+        return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
+
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, j: x.cast("double") * component(j),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _srp_table_keys(
+    vec: F.Column,
+    table: int,
+    planes: int,
+    portable: bool,
+    n_probes: int = 0,
+) -> F.Column:
+    """Array of bucket keys for one hash table: the base bucket plus
+    the ``n_probes`` best perturbation buckets (multi-probe LSH,
+    Lv et al. VLDB'07 adapted to sign-random-projection).
+
+    A near-neighbor missed by the base bucket differs in the sign bits
+    of the hyperplanes the query sits CLOSEST to, so the probe sequence
+    is all 1-bit and 2-bit sign flips scored by the summed boundary
+    distance ``Σ|dot|`` of the flipped planes, smallest first (ties by
+    flip mask — fully deterministic, so a SQL oracle can replay the
+    exact probe set).  This recovers misses without more tables: the
+    index (corpus side) stays single-bucket, only the query emits
+    ``n_probes + 1`` join keys per table.  The scoring folds run on
+    the QUERY side only, so their cost is per-query, not per-corpus-row.
+    """
+    base = _srp_bucket(vec, table, planes, portable)
+    if n_probes <= 0:
+        return F.array(base)
+    masks: list[tuple[tuple[int, ...], int]] = [
+        ((p,), 1 << p) for p in range(planes)
+    ] + [
+        ((p, r), (1 << p) | (1 << r))
+        for p in range(planes)
+        for r in range(p + 1, planes)
+    ]
+    dots = {
+        p: F.abs(_srp_dot(vec, table, p, portable)) for p in range(planes)
+    }
+
+    def score(ps: tuple[int, ...]) -> F.Column:
+        s = dots[ps[0]]
+        for p in ps[1:]:
+            s = s + dots[p]
+        return s
+
+    chosen = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        score(ps).alias("a"), F.lit(m).alias("m")
+                    )
+                    for ps, m in masks
+                ]
+            )
+        ),
+        1,
+        min(n_probes, len(masks)),
+    )
+    return F.concat(
+        F.array(base),
+        F.transform(chosen, lambda s: base.bitwiseXOR(s["m"])),
+    )
+
+
 def lsh_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -557,6 +653,7 @@ def lsh_top_k(
     exclude_self: bool = True,
     portable: bool = False,
     round_dp: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via SRP-LSH bucketing.
 
@@ -568,6 +665,15 @@ def lsh_top_k(
     buckets; ``round_dp`` rounds cosines before ranking for
     cross-engine tie stability.
 
+    ``probes`` enables multi-probe: each QUERY additionally probes that
+    many Hamming-1 neighbor buckets per table (boundary-closest planes
+    first; all flips when ``probes >= planes``).  The corpus side stays
+    single-bucket, so index size is unchanged — only the query-side join
+    keys multiply (``probes + 1`` per table).  Measured on the driver
+    embeddings (SCALE.md §7): planes=6 / tables=2 / probes=6 lifts
+    mean recall@10 from 0.098 to ≳ IVF-nprobe4 at comparable candidate
+    volume.
+
     ``dim`` is accepted for API compatibility but unused: hyperplane
     components are generated up to each row's ``size(vec)`` at runtime,
     so plan construction fires no job and an empty corpus flows through
@@ -575,24 +681,32 @@ def lsh_top_k(
     """
     del dim  # hyperplanes are sized per-row; no eager probe
 
-    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    _srp_bucket(
-                        F.col(vec_col), t, planes, portable
-                    ).alias("b"),
-                )
-                for t in range(tables)
-            ]
+    def tag(t: int):
+        # NB: a two-arg lambda would make F.transform bind the ARRAY
+        # INDEX to the second parameter (arity-sniffed), silently
+        # clobbering a default-arg table id — close over t instead.
+        return lambda b: F.struct(F.lit(t).alias("t"), b.alias("b"))
+
+    def with_buckets(df: DataFrame, idc: str, n_probes: int) -> DataFrame:
+        buckets = F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        _srp_table_keys(
+                            F.col(vec_col), t, planes, portable, n_probes
+                        ),
+                        tag(t),
+                    )
+                    for t in range(tables)
+                ]
+            )
         )
         return df.select(
             F.col(idc), F.col(vec_col), F.explode(buckets).alias("_bk")
         )
 
-    c = with_buckets(corpus, id_col)
-    q = with_buckets(queries, query_id_col).select(
+    c = with_buckets(corpus, id_col, 0)
+    q = with_buckets(queries, query_id_col, probes).select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
         F.col("_bk").alias("_qbk"),

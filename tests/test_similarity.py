@@ -173,6 +173,20 @@ def test_ivf_lsh_recall_floor_testdata(spark):
     assert ivf8 >= 0.70  # measured 0.782
     assert ivf8 > ivf4  # more probes must not hurt recall
     assert lsh >= 0.35  # measured 0.436
+    # Multi-probe (score-ordered 1-/2-bit flips): same index as the
+    # single-probe rows, query-side probes only.  probes=6 at
+    # planes=6/tables=2 lifts 0.098 -> 0.442; tables=4 reaches 0.706 --
+    # above IVF-nprobe4 (0.620) at ~1.5x its candidate volume.
+    mp_base = mean_recall(lsh_top_k(e, queries, k=10, planes=6, tables=2))
+    mp2 = mean_recall(
+        lsh_top_k(e, queries, k=10, planes=6, tables=2, probes=6)
+    )
+    mp4 = mean_recall(
+        lsh_top_k(e, queries, k=10, planes=6, tables=4, probes=6)
+    )
+    assert mp2 >= 0.39  # measured 0.442
+    assert mp4 >= 0.65  # measured 0.706
+    assert mp2 > mp_base  # probing must not hurt recall
     e.unpersist()
     exact.unpersist()
 

@@ -88,6 +88,20 @@ def main() -> None:
             f"lsh planes={planes} tables=4",
             lsh_top_k(e, queries, k=K, planes=planes, tables=4),
         )
+    for planes, tables, probes in (
+        (6, 2, 6),
+        (7, 4, 7),
+        (7, 4, 10),
+        (6, 4, 6),
+    ):
+        report(
+            f"lsh multiprobe planes={planes} tables={tables} "
+            f"probes={probes}",
+            lsh_top_k(
+                e, queries, k=K, planes=planes, tables=tables,
+                probes=probes,
+            ),
+        )
 
 
 if __name__ == "__main__":
