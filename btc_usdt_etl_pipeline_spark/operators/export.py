@@ -41,6 +41,38 @@ from pyspark.sql import functions as F
 from btc_usdt_etl_pipeline_spark.operators.dedup import portable_hash60
 
 
+def _auto_buckets(
+    size_bytes: int,
+    target_bytes: int,
+    lo: int,
+    hi: int = 1 << 20,
+) -> int:
+    """Bucket count from a plan-size estimate: enough buckets that each
+    one holds ~``target_bytes`` of input, clamped to [lo, hi].  Pure so
+    the policy is unit-testable without a SparkSession."""
+    import math
+
+    if size_bytes <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(size_bytes / target_bytes)))
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's ``sizeInBytes`` estimate for ``df`` — plan metadata
+    derived from file sizes, NO job and NO scan (the same zero-action
+    sizing the resample auto strategy uses, ``operators/resample.py``).
+
+    A plan with no usable stats (e.g. a Python-parallelized local
+    relation) reports ``spark.sql.defaultSizeInBytes`` = Long.MaxValue;
+    treat anything in that regime as UNKNOWN (0) so the auto policy
+    degrades to its lower clamp instead of exploding to the upper one.
+    """
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return 0 if size >= (1 << 62) else size
+
+
 def mix_plan(
     source_col: str,
     token_count: F.Column,
@@ -132,8 +164,9 @@ def mix_plan(
 
 def shard_export(
     id_col: str,
-    n_shards: int = 16,
+    n_shards: int | str = 16,
     salt: str = "shard",
+    target_shard_bytes: int = 256 << 20,
 ) -> Callable[[DataFrame], DataFrame]:
     """Deterministic shuffle-shard layout: ``shard_id`` and 0-based
     ``pos`` within the shard, ordered by the keyed hash (ties by id).
@@ -142,18 +175,37 @@ def shard_export(
     expectation (hash-uniform) and the layout is append-UNstable by
     design — training shards are rewritten per snapshot, unlike
     :func:`hash_sample` whose kept set must be append-stable.
+
+    ``n_shards`` contract (SCALE.md "export tape sizing"): each shard
+    is ONE window partition — ~corpus/n_shards rows on one task — so a
+    fixed count that's fine at sf0.1 is a straggler at 100 TB.  Pass
+    ``"auto"`` to derive the count from Catalyst's size estimate
+    (~``target_shard_bytes`` of input per shard, no extra job), or set
+    it explicitly from your output-shard size budget.  NOTE: the
+    shard/pos layout is a function of ``n_shards`` (``shard = h mod
+    n``), so auto-sized runs over different corpus sizes produce
+    different (valid) layouts — pin an integer when a replayable
+    layout matters (e.g. the differential oracle).
     """
-    if n_shards < 1:
+    if isinstance(n_shards, str):
+        if n_shards != "auto":
+            raise ValueError("n_shards must be an int or 'auto'")
+    elif n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
     def _t(df: DataFrame) -> DataFrame:
+        n = (
+            _auto_buckets(_plan_size_bytes(df), target_shard_bytes, lo=16)
+            if n_shards == "auto"
+            else n_shards
+        )
         h = portable_hash60(
             F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
         )
         w = Window.partitionBy("shard_id").orderBy("_h", id_col)
         return (
             df.withColumn("_h", h)
-            .withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+            .withColumn("shard_id", (F.col("_h") % n).cast("int"))
             .withColumn("pos", F.row_number().over(w).cast("long") - 1)
             .drop("_h")
         )
@@ -165,8 +217,9 @@ def pack_sequences(
     id_col: str,
     token_count: F.Column,
     chunk_tokens: int = 512,
-    num_buckets: int = 32,
+    num_buckets: int | str = 32,
     salt: str = "pack",
+    target_bucket_bytes: int = 128 << 20,
 ) -> Callable[[DataFrame], DataFrame]:
     """Concat-and-chunk packing over a deterministic global tape.
 
@@ -187,11 +240,32 @@ def pack_sequences(
     ``start_chunk`` by an explicit CASE so no engine ever evaluates
     integer division on a negative operand (semantics differ across
     engines: floor vs truncate toward zero).
+
+    ``num_buckets`` contract (SCALE.md "export tape sizing"): each
+    bucket is one window partition holding ~corpus/num_buckets rows on
+    one task.  ``"auto"`` derives the count from Catalyst's size
+    estimate (~``target_bucket_bytes`` of input per bucket, no extra
+    job).  The TAPE ORDER is a function of ``num_buckets`` (bucket =
+    h mod B is the sort prefix), so different bucket counts give
+    different — equally valid — deterministic shuffles; pin an integer
+    where a replayable tape matters (the oracle does).
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
+    if isinstance(num_buckets, str):
+        if num_buckets != "auto":
+            raise ValueError("num_buckets must be an int or 'auto'")
+    elif num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
 
     def _t(df: DataFrame) -> DataFrame:
+        n_buckets = (
+            _auto_buckets(
+                _plan_size_bytes(df), target_bucket_bytes, lo=32
+            )
+            if num_buckets == "auto"
+            else num_buckets
+        )
         h = portable_hash60(
             F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
         )
@@ -199,7 +273,7 @@ def pack_sequences(
             "_h", h
         )
         base = base.withColumn(
-            "_bucket", (F.col("_h") % num_buckets).cast("long")
+            "_bucket", (F.col("_h") % n_buckets).cast("long")
         )
         # Pass 1: per-bucket token totals -> exclusive cumulative offsets.
         # Metadata-scale (num_buckets rows); Catalyst prunes this branch

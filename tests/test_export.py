@@ -167,3 +167,75 @@ def test_pack_zero_token_doc_at_offset_zero(spark):
     assert (row["start_offset"], row["start_chunk"], row["end_chunk"]) == (
         0, 0, 0,
     )
+
+
+def test_auto_bucket_policy_pure():
+    """The auto sizing policy (r5 verdict #5): bucket count grows
+    linearly with input size at ~target bytes per bucket, clamped to
+    [lo, hi], and degrades to lo on a missing/zero estimate."""
+    from btc_usdt_etl_pipeline_spark.operators.export import _auto_buckets
+
+    mb = 1 << 20
+    assert _auto_buckets(0, 256 * mb, lo=16) == 16
+    assert _auto_buckets(-1, 256 * mb, lo=16) == 16  # unknown stats
+    assert _auto_buckets(100 * mb, 256 * mb, lo=16) == 16  # below lo
+    assert _auto_buckets(10_000 * mb, 256 * mb, lo=16) == 40
+    # 100 TB at 256 MB/shard -> ~400k shards, within the hi clamp
+    assert _auto_buckets(100 * (1 << 40), 256 * mb, lo=16) == 409_600
+    assert _auto_buckets(1 << 60, 256 * mb, lo=16) == 1 << 20  # hi clamp
+
+
+def test_export_auto_sizing_end_to_end(spark, docs):
+    """'auto' resolves from the plan-size estimate with no extra jobs
+    and yields a valid layout: dense per-shard positions, contiguous
+    tape.  At fixture scale auto == the lo clamp."""
+    sharded = docs.transform(shard_export("doc_id", n_shards="auto"))
+    assert sharded.select("shard_id").distinct().count() <= 16
+    # positions dense per shard
+    agg = (
+        sharded.groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    )
+    for r in agg:
+        assert r["mx"] == r["n"] - 1
+
+    packed = docs.transform(
+        pack_sequences("doc_id", _tokens(), num_buckets="auto")
+    ).collect()
+    rows = sorted(packed, key=lambda r: r["start_offset"])
+    expect = 0
+    for r in rows:
+        assert r["start_offset"] == expect
+        expect += r["tokens"]
+
+
+def test_export_bucket_row_bound(spark):
+    """The scale contract: with B buckets over N hash-uniform ids, no
+    single bucket (= one window partition) holds more than ~4x the mean
+    N/B — the guarantee that sizing B via 'auto' keeps every window
+    task bounded.  Checked empirically on 4,000 ids at B=32."""
+    n, b = 4_000, 32
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(n)], "doc_id long, n_tok long"
+    )
+    out = df.transform(
+        pack_sequences("doc_id", F.col("n_tok"), num_buckets=b)
+    )
+    # reconstruct the bucket from the same portable hash
+    from btc_usdt_etl_pipeline_spark.operators.dedup import portable_hash60
+
+    bucket = (
+        portable_hash60(
+            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+        )
+        % b
+    )
+    sizes = [
+        r["c"]
+        for r in out.groupBy(bucket.alias("bk"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == b
+    assert max(sizes) <= 4 * (n // b)
