@@ -6121,6 +6121,61 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 constants shared between engine call and oracle text so both
+#: parse the IDENTICAL double literals.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@_q(
+    "q143_bm25_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+    tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(toks) AS t FROM tok) u
+           WHERE t IN ('hash', 'join', 'vector')
+           GROUP BY doc_id, t),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS dfq FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::DOUBLE AS n,
+                     (SUM(dl)::DOUBLE / count(*)) AS avgdl
+              FROM dl),
+    sc AS (SELECT tf.doc_id,
+                  CAST(
+                    ln({1.0!r} + (s.n - d.dfq + {0.5!r}) / (d.dfq + {0.5!r}))
+                    * (tf.tf * {_BM25_K1 + 1.0!r})
+                    / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                         + {_BM25_B!r} * dl.dl / s.avgdl))
+                    AS DECIMAL(38,12)) AS term_score
+           FROM tf JOIN dfreq d USING (term)
+                   JOIN dl USING (doc_id), stats s),
+    agg AS (SELECT doc_id,
+                   round(CAST(SUM(term_score) AS DOUBLE), 4) AS score
+            FROM sc GROUP BY doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS rnk
+          FROM agg)
+    SELECT doc_id, score, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (top-10 docs for a 3-term query) — the
+    lexical-search ranking a pipeline uses for corpus slicing and RAG
+    retrieval baselines.  Float parity per the bigram-LM recipe: exact
+    integer counts through ln, per-term decimal(38,12) order-free sum,
+    4dp-rounded score; the oracle's literals are generated from the
+    SAME Python floats the Spark plan embeds, so both engines parse
+    identical doubles.  Top-k is a distributed TakeOrderedAndProject
+    (plan-audited like q134), never a corpus-wide unkeyed window."""
+    from btc_usdt_etl_pipeline_spark.operators.text import bm25_top_k
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        bm25_top_k(list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -85,6 +85,18 @@ HEADLINE = [
     "q131_pii_redact",
     "q132_semdedup",
     "q133_lm_quality",
+    "q134_cms_heavy_hitters",
+    "q136_zorder_layout",
+    "q137_data_quality",
+    "q138_random_projection",
+    "q139_chunk_documents",
+    "q140_cohort_retention",
+    "q141_funnel",
+    "q142_simsearch_multiprobe",
+    "q127_mix_plan",
+    "q128_shard_export",
+    "q129_pack_sequences",
+    "q143_bm25_topk",
 ]
 
 

@@ -192,6 +192,101 @@ def bigram_lm_score(
     return _t
 
 
+def bm25_top_k(
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """BM25 keyword retrieval: top-``k`` documents for one term set —
+    the classic lexical-search ranking (Robertson/Spärck Jones), which
+    a training-data pipeline uses for targeted corpus slicing and
+    RAG-style retrieval baselines.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Plan shape (all corpus-scale stages shuffle once, keyed by doc):
+    the exploded token stream is filtered to the query terms BEFORE any
+    shuffle (a |terms|-element IN over the explode — Catalyst pushes it
+    into the generate), so the tf table is |matching docs|×|terms| at
+    most; doc lengths ride a second column-pruned pass; N/avgdl attach
+    as an in-plan 1-row broadcast (``attach_scalar``); df(t) is a
+    |terms|-row broadcast.  The final top-k is ``orderBy().limit(k)``
+    — a distributed ``TakeOrderedAndProject``, never a corpus-wide
+    unkeyed window — with ``rnk`` re-derived over the k rows.
+
+    Cross-engine float parity follows the bigram-LM recipe: every
+    per-term score is arithmetic on exact integer counts (identical
+    doubles through ``ln``), summed order-free via a
+    ``decimal(38,12)`` cast; the reported score is rounded to 4dp.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(t.lower() for t in query_terms))
+    k1_plus_1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        tok = tokens(text_col)
+        dl = df.select(
+            F.col(id_col), F.size(tok).cast("long").alias("dl")
+        )
+        tf = (
+            df.select(F.col(id_col), F.explode(tok).alias("_term"))
+            .filter(F.col("_term").isin(*terms))
+            .groupBy(id_col, "_term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("_term").agg(
+            F.count(F.lit(1)).cast("double").alias("_df")
+        )
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1))
+            ).alias("_avgdl"),
+        )
+        scored = attach_scalar(
+            tf.join(F.broadcast(dfreq), "_term").join(dl, id_col),
+            stats,
+            F.col("tf"),
+            F.col("_n"),
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        )
+        num = F.col("tf").cast("double") * F.lit(k1_plus_1)
+        denom = F.col("tf").cast("double") + F.lit(k1) * (
+            F.lit(one_minus_b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        term_score = (idf * num / denom).cast("decimal(38,12)")
+        agg = (
+            scored.groupBy(id_col)
+            .agg(F.sum(term_score).alias("_s"))
+            .select(
+                F.col(id_col),
+                F.round(F.col("_s").cast("double"), 4).alias("score"),
+            )
+        )
+        topk = agg.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+        w = Window.orderBy(F.desc("score"), F.col(id_col))
+        return topk.select(
+            id_col, "score", F.row_number().over(w).alias("rnk")
+        )
+
+    return _t
+
+
 def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.ml.features import (
@@ -405,3 +406,59 @@ def test_chunk_documents_property_vs_python(spark):
         assert got == exp
 
     run()
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 scores and ranking against a direct Python computation of
+    the same formula (k1=1.2, b=0.75) on a 4-doc fixture."""
+    import math
+
+    from btc_usdt_etl_pipeline_spark.operators.text import bm25_top_k
+
+    docs = {
+        1: "spark shuffle join join hash",
+        2: "hash hash hash table scan",
+        3: "window agg sort merge",
+        4: "join hash join spark spark spark spark",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    terms = ["join", "hash"]
+    k1, b = 1.2, 0.75
+
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    expect = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(
+                1.0 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5)
+            )
+            s += round(
+                idf * (tf * (k1 + 1.0))
+                / (tf + k1 * (1 - b + b * len(t) / avgdl)),
+                12,
+            )
+        if s:
+            expect[d] = round(s, 4)
+
+    got = {
+        r["doc_id"]: (r["score"], r["rnk"])
+        for r in df.transform(bm25_top_k(terms, k=10)).collect()
+    }
+    assert set(got) == set(expect)  # doc 3 matches no term -> absent
+    for d, sc in expect.items():
+        assert got[d][0] == pytest.approx(sc, abs=1e-4)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in ranked] == [
+        d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])
+    ]

@@ -161,6 +161,19 @@ def main() -> int:
         "the only Window sits above the k-row limit",
     )
 
+    # q143: BM25's corpus-wide rank must be a distributed partial top-k
+    # like q134's, and its |terms|-row df table + 1-row stats row must
+    # broadcast against the tf table, never sort-merge.
+    df143 = qs["q143_bm25_topk"](spark, SF_DIR)
+    p143 = df143._jdf.queryExecution().executedPlan().toString()
+    check(
+        "q143",
+        "TakeOrderedAndProject" in p143,
+        "top-k is TakeOrderedAndProject",
+    )
+    k143 = join_kinds(df143)
+    check("q143", "BroadcastHashJoin" in k143, "df/stats joins broadcast")
+
     # q115: positional split must use the two-pass bucket-offset index —
     # NO Exchange SinglePartition (the unkeyed row_number global sort is
     # the reference's own anti-pattern, SURVEY §4.2-1).
