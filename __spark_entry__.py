@@ -6121,6 +6121,48 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q144_pmi_collocations",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bgl AS (SELECT doc_id,
+                   list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]) AS bgs
+            FROM tok WHERE len(toks) >= 2),
+    b AS (SELECT unnest(bgs) AS bg FROM bgl),
+    bi AS (SELECT bg, COUNT(*)::BIGINT AS c12 FROM b GROUP BY bg
+           HAVING COUNT(*) >= 10),
+    u AS (SELECT unnest(toks) AS w FROM tok),
+    uni AS (SELECT w, COUNT(*)::BIGINT AS cw FROM u GROUP BY w),
+    nu AS (SELECT SUM(cw)::DOUBLE AS nu FROM uni),
+    nb AS (SELECT SUM(greatest(len(toks) - 1, 0))::DOUBLE AS nb
+           FROM tok),
+    j AS (SELECT bi.bg, bi.c12, u1.cw AS c1, u2.cw AS c2,
+                 round(ln((bi.c12 / nb.nb)
+                          / ((u1.cw / nu.nu) * (u2.cw / nu.nu))), 6)
+                   AS pmi
+          FROM bi JOIN uni u1 ON split_part(bi.bg, ' ', 1) = u1.w
+                  JOIN uni u2 ON split_part(bi.bg, ' ', 2) = u2.w
+                  CROSS JOIN nu CROSS JOIN nb),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rnk
+          FROM j)
+    SELECT bg AS bigram, c12, c1, c2, pmi, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI bigram collocations (min count 10) — phrase mining /
+    tokenizer-merge candidates / boilerplate discovery as one pass of
+    exact corpus statistics.  All PMI inputs are exact integer counts
+    (identical doubles through ln, 6dp round absorbs 1-ulp libm drift —
+    the q133 lesson); the rank is a distributed
+    TakeOrderedAndProject over the min_count-pruned bigram vocabulary,
+    and the unigram joins are vocab-scale, never corpus-scale."""
+    from btc_usdt_etl_pipeline_spark.operators.text import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(pmi_collocations(k=20, min_count=10))
+
+
 #: BM25 constants shared between engine call and oracle text so both
 #: parse the IDENTICAL double literals.
 _BM25_K1 = 1.2

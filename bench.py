@@ -97,6 +97,7 @@ HEADLINE = [
     "q128_shard_export",
     "q129_pack_sequences",
     "q143_bm25_topk",
+    "q144_pmi_collocations",
 ]
 
 

@@ -287,6 +287,93 @@ def bm25_top_k(
     return _t
 
 
+def pmi_collocations(
+    k: int = 20,
+    min_count: int = 10,
+    text_col: str = "text",
+) -> Callable[[DataFrame], DataFrame]:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the classic corpus-statistics pass (phrase mining, tokenizer-merge
+    candidates, boilerplate discovery):
+
+    ``pmi(w1,w2) = ln( (c12/Nb) / ((c1/Nu)·(c2/Nu)) )``
+
+    with ``c12`` the bigram count, ``c1``/``c2`` unigram counts, ``Nb``
+    / ``Nu`` the corpus bigram/unigram totals.  ``min_count`` prunes
+    the long tail BEFORE the unigram joins (rare bigrams have noisy,
+    inflated PMI — and they are the bulk of the vocabulary, so the
+    filter is also what keeps the join mass bounded at corpus scale).
+
+    Plan: one bigram explode-groupBy and one unigram explode-groupBy
+    (both vocabulary-sized after aggregation), two equi-joins keyed by
+    word (vocab-scale shuffles, never corpus-scale), totals attached as
+    in-plan 1-row broadcasts, and a distributed
+    ``orderBy().limit(k)`` top-k.  Every PMI input is an exact integer
+    count, so both engines evaluate ln on identical doubles; ties
+    break on the bigram string.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        tok = tokens(text_col)
+        uni = df.select(F.explode(tok).alias("_w")).groupBy("_w").agg(
+            F.count(F.lit(1)).alias("_cw")
+        )
+        bi = (
+            df.select(F.explode(shingles(tok, 2)).alias("_bg"))
+            .groupBy("_bg")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .filter(F.col("c12") >= min_count)
+            .withColumn("_w1", F.split("_bg", " ")[0])
+            .withColumn("_w2", F.split("_bg", " ")[1])
+        )
+        nu = uni.agg(F.sum("_cw").cast("double").alias("_nu"))
+        nb = df.select(
+            F.size(shingles(tok, 2)).alias("_nbg")
+        ).agg(F.sum("_nbg").cast("double").alias("_nb"))
+        joined = (
+            bi.join(
+                uni.select(
+                    F.col("_w").alias("_w1"), F.col("_cw").alias("c1")
+                ),
+                "_w1",
+            )
+            .join(
+                uni.select(
+                    F.col("_w").alias("_w2"), F.col("_cw").alias("c2")
+                ),
+                "_w2",
+            )
+        )
+        joined = attach_scalar(joined, nu, F.col("c12"), F.col("_nu"))
+        joined = attach_scalar(joined, nb, F.col("c12"), F.col("_nb"))
+        pmi = F.log(
+            (F.col("c12").cast("double") / F.col("_nb"))
+            / (
+                (F.col("c1").cast("double") / F.col("_nu"))
+                * (F.col("c2").cast("double") / F.col("_nu"))
+            )
+        )
+        scored = joined.select(
+            F.col("_bg").alias("bigram"),
+            "c12",
+            "c1",
+            "c2",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        topk = scored.orderBy(F.desc("pmi"), F.col("bigram")).limit(k)
+        w = Window.orderBy(F.desc("pmi"), F.col("bigram"))
+        return topk.select(
+            "bigram", "c12", "c1", "c2", "pmi",
+            F.row_number().over(w).alias("rnk"),
+        )
+
+    return _t
+
+
 def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -462,3 +462,51 @@ def test_bm25_matches_python_reference(spark):
     assert [d for d, _ in ranked] == [
         d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])
     ]
+
+
+def test_pmi_collocations_python_reference(spark):
+    """PMI values and ranking against a direct Python computation on a
+    fixture where 'new york' always co-occurs (high PMI) and 'the end'
+    pairs a ubiquitous word with a common one (low PMI)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import pmi_collocations
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "the city of new york is the big apple"))
+    for i in range(30, 60):
+        rows.append((i, "the end of the story is near the sea"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bigram"]: (r["c12"], r["c1"], r["c2"], r["pmi"], r["rnk"])
+        for r in df.transform(
+            pmi_collocations(k=50, min_count=10)
+        ).collect()
+    }
+
+    toks = [t.split() for _, t in rows]
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    nb = 0
+    for t in toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[f"{a} {b}"] = bi.get(f"{a} {b}", 0) + 1
+            nb += 1
+    nu = sum(uni.values())
+    expect = {}
+    for bg, c12 in bi.items():
+        if c12 < 10:
+            continue
+        w1, w2 = bg.split()
+        pmi = math.log(
+            (c12 / nb) / ((uni[w1] / nu) * (uni[w2] / nu))
+        )
+        expect[bg] = (c12, uni[w1], uni[w2], round(pmi, 6))
+    assert set(got) == set(expect)
+    for bg, (c12, c1, c2, pmi) in expect.items():
+        g = got[bg]
+        assert (g[0], g[1], g[2]) == (c12, c1, c2)
+        assert g[3] == pytest.approx(pmi, abs=1e-6)
+    # 'new york' (exclusive pair) must outrank 'the end'
+    assert got["new york"][4] < got["the end"][4]
