@@ -6122,6 +6122,49 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q145_vocab_drift",
+    f"""
+    WITH tok AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    pairs AS (SELECT source AS g, unnest(toks) AS w FROM tok),
+    gcounts AS (SELECT g, w, COUNT(*)::BIGINT AS cg FROM pairs
+                GROUP BY g, w),
+    ccounts AS (SELECT w, SUM(cg)::BIGINT AS cc FROM gcounts GROUP BY w),
+    gtotals AS (SELECT g, SUM(cg)::BIGINT AS ng FROM gcounts GROUP BY g),
+    vn AS (SELECT COUNT(*)::BIGINT AS v, SUM(cc)::BIGINT AS nc
+           FROM ccounts),
+    grid AS (SELECT gt.g, c.w, c.cc, gt.ng,
+                    COALESCE(gc.cg, 0)::BIGINT AS cg
+             FROM ccounts c CROSS JOIN gtotals gt
+             LEFT JOIN gcounts gc ON gc.g = gt.g AND gc.w = c.w),
+    terms AS (SELECT g, ng, cg,
+                     CAST(
+                       (CAST(cg + 1 AS DOUBLE) / CAST(ng + vn.v AS DOUBLE))
+                       * ln((CAST(cg + 1 AS DOUBLE)
+                              / CAST(ng + vn.v AS DOUBLE))
+                            / (CAST(cc + 1 AS DOUBLE)
+                               / CAST(vn.nc + vn.v AS DOUBLE)))
+                       AS DECIMAL(38,12)) AS term
+              FROM grid CROSS JOIN vn)
+    SELECT g AS source,
+           MAX(ng) AS n_tokens,
+           SUM(CASE WHEN cg > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_used,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS kl_r
+    FROM terms GROUP BY g
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: add-one-smoothed KL(source ‖
+    corpus) over the union vocabulary — the training-mix
+    distribution-shift monitor.  All inputs are exact integer counts
+    (identical doubles through ln, decimal order-free sum, 6dp round);
+    the grid is vocab × |sources| rows, never corpus-scale."""
+    from btc_usdt_etl_pipeline_spark.operators.text import vocab_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(vocab_drift("source", "text"))
+
+
+@_q(
     "q144_pmi_collocations",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -98,6 +98,7 @@ HEADLINE = [
     "q129_pack_sequences",
     "q143_bm25_topk",
     "q144_pmi_collocations",
+    "q145_vocab_drift",
 ]
 
 

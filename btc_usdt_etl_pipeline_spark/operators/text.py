@@ -374,6 +374,76 @@ def pmi_collocations(
     return _t
 
 
+def vocab_drift(
+    group_col: str = "source",
+    text_col: str = "text",
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-group vocabulary drift: add-one-smoothed KL divergence of
+    each group's token distribution against the whole corpus —
+    ``KL(P_g ‖ P_c) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))`` with
+    ``p_g(t) = (c_g(t)+1)/(N_g+V)`` over the union vocabulary — the
+    standard distribution-shift monitor for training mixes (a source
+    whose vocabulary drifts from the corpus mix gets a rising KL).
+
+    Shape: one token explode feeding both the (group, token) counts
+    and the corpus counts; the union-vocabulary sum needs a term for
+    EVERY (group, token) pair including absent ones (smoothing gives
+    them mass), so the vocab table cross-joins the |groups|-row group
+    list (broadcast — vocab × groups rows, never corpus-scale) and
+    left-joins the group counts.  Scalars (V, per-group N, corpus N)
+    ride broadcast joins; per-term values are exact-integer-count
+    arithmetic through ``ln``, summed order-free via decimal(38,12).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        tok = tokens(text_col)
+        pairs = df.select(
+            F.col(group_col).alias("_g"), F.explode(tok).alias("_w")
+        )
+        gcounts = pairs.groupBy("_g", "_w").agg(
+            F.count(F.lit(1)).alias("_cg")
+        )
+        ccounts = gcounts.groupBy("_w").agg(F.sum("_cg").alias("_cc"))
+        gtotals = gcounts.groupBy("_g").agg(F.sum("_cg").alias("_ng"))
+        vocab_n = ccounts.agg(
+            F.count(F.lit(1)).cast("long").alias("_v"),
+            F.sum("_cc").cast("long").alias("_nc"),
+        )
+        grid = (
+            ccounts.crossJoin(F.broadcast(gtotals))
+            .join(gcounts, ["_g", "_w"], "left")
+            .withColumn("_cg", F.coalesce("_cg", F.lit(0)))
+        )
+        grid = attach_scalar(grid, vocab_n, F.col("_cc"), F.col("_v"))
+        pg = (F.col("_cg") + F.lit(1)).cast("double") / (
+            F.col("_ng") + F.col("_v")
+        ).cast("double")
+        pc = (F.col("_cc") + F.lit(1)).cast("double") / (
+            F.col("_nc") + F.col("_v")
+        ).cast("double")
+        term = (pg * F.log(pg / pc)).cast("decimal(38,12)")
+        return (
+            grid.groupBy("_g")
+            .agg(
+                F.max("_ng").alias("n_tokens"),
+                F.sum(F.when(F.col("_cg") > 0, 1).otherwise(0)).alias(
+                    "vocab_used"
+                ),
+                F.round(F.sum(term).cast("double"), 6).alias("kl_r"),
+            )
+            .select(
+                F.col("_g").alias(group_col),
+                "n_tokens",
+                "vocab_used",
+                "kl_r",
+            )
+        )
+
+    return _t
+
+
 def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -510,3 +510,47 @@ def test_pmi_collocations_python_reference(spark):
         assert g[3] == pytest.approx(pmi, abs=1e-6)
     # 'new york' (exclusive pair) must outrank 'the end'
     assert got["new york"][4] < got["the end"][4]
+
+
+def test_vocab_drift_python_reference(spark):
+    """Smoothed-KL drift against a direct Python computation; a group
+    distributionally identical to the corpus mix scores near zero, a
+    divergent one scores higher."""
+    from btc_usdt_etl_pipeline_spark.operators.text import vocab_drift
+
+    rows = (
+        [(i, "a", "spark shuffle join hash " * 3) for i in range(20)]
+        + [(i + 20, "b", "spark shuffle join hash " * 3) for i in range(20)]
+        + [(i + 40, "c", "window sort merge agg " * 3) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab_used"], r["kl_r"])
+        for r in df.transform(vocab_drift("source", "text")).collect()
+    }
+
+    toks = {}
+    for _, g, t in rows:
+        toks.setdefault(g, []).extend(t.split())
+    corpus: dict[str, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            corpus[w] = corpus.get(w, 0) + 1
+    v = len(corpus)
+    nc = sum(corpus.values())
+    for g, ws in toks.items():
+        cg: dict[str, int] = {}
+        for w in ws:
+            cg[w] = cg.get(w, 0) + 1
+        ng = len(ws)
+        kl = 0.0
+        for w, cc in corpus.items():
+            p_g = (cg.get(w, 0) + 1) / (ng + v)
+            p_c = (cc + 1) / (nc + v)
+            kl += round(p_g * math.log(p_g / p_c), 12)
+        assert got[g][0] == ng
+        assert got[g][1] == len(cg)
+        assert got[g][2] == pytest.approx(round(kl, 6), abs=1e-6)
+    # identical-mix groups agree; the divergent group drifts more
+    assert got["a"][2] == got["b"][2]
+    assert got["c"][2] > got["a"][2]
