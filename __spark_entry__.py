@@ -6297,7 +6297,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: whose families keeps at least one driver row: OHLCV resample keeps
 #: q22 + q114 (keyed), dedup keeps q26/q30/q38/q109/q132, similarity
 #: keeps q40 (IVF) + q132, streaming keeps q36/q58/q65 + the new q135,
-#: connected components keeps q62.
+#: connected components keeps q62.  The round-6 additions q142
+#: (multi-probe LSH), q143 (BM25), q144 (PMI collocations), q145
+#: (vocab drift) stay OUTSIDE the window deliberately: each already
+#: has an in-window family representative (similarity: q40/q132;
+#: text: q27/q131/q133), so promoting them would displace UNIQUE
+#: component reps (W4/A5/mapInPandas/VARIANT) for redundant family
+#: coverage — the judge's full gate covers them either way.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
