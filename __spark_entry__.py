@@ -6121,6 +6121,91 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iters: int, d: float) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs — SQL can't
+    loop with per-step aggregation (recursive CTEs forbid aggregates in
+    the recursive term), but a FIXED-iteration PageRank is just
+    ``iters`` copies of the same join+groupBy block, generated here so
+    the oracle replays the engine's exact arithmetic step for step."""
+    parts = [
+        """
+    WITH eraw AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+                                  l.l_suppkey * 2 + 1 AS b
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT a AS src, b AS dst FROM eraw
+          UNION SELECT b, a FROM eraw),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS n FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    nn AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes),
+    r0 AS (SELECT nodes.n, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    c{i + 1} AS (SELECT e.dst AS n,
+                        SUM(CAST(r{i}.r / deg.deg AS DECIMAL(38,12)))
+                          AS sc
+                 FROM e JOIN deg USING (src)
+                 JOIN r{i} ON r{i}.n = e.src
+                 GROUP BY e.dst),
+    r{i + 1} AS (SELECT nodes.n,
+                        (1.0 - {d!r}) / nn.cnt
+                          + {d!r} * COALESCE(CAST(c{i + 1}.sc AS DOUBLE),
+                                             0.0) AS r
+                 FROM nodes LEFT JOIN c{i + 1} ON c{i + 1}.n = nodes.n
+                 CROSS JOIN nn)""")
+    parts.append(f""",
+    fin AS (SELECT n, round(r, 10) AS rank FROM r{iters}),
+    topk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, n) AS rnk
+             FROM fin)
+    SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           n // 2 AS entity_id, rank, rnk
+    FROM topk WHERE rnk <= 20""")
+    return "".join(parts)
+
+
+@_q("q146_pagerank", _pagerank_oracle_sql(6, 0.85))
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized customer↔supplier
+    interaction graph (who trades with whom, via orders+lineitem) —
+    the link-centrality pass a data pipeline runs for seed/source
+    quality weighting.  Fixed 6-iteration power iteration from the
+    uniform vector; per-contribution decimal casts make each round's
+    sums shuffle-order-free, so the unrolled-CTE oracle replays the
+    arithmetic exactly.  One shuffle per iteration; edges/ranks are
+    localCheckpoint-truncated (operators/graph.py:pagerank)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    edges = cs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank(edges, iterations=6, damping=0.85)
+    from pyspark.sql import Window as _W
+
+    topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)
+    w = _W.orderBy(F.desc("rank"), F.col("node"))
+    return topk.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_id"),
+        "rank",
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
 @_q(
     "q145_vocab_drift",
     f"""

@@ -99,6 +99,7 @@ HEADLINE = [
     "q143_bm25_topk",
     "q144_pmi_collocations",
     "q145_vocab_drift",
+    "q146_pagerank",
 ]
 
 

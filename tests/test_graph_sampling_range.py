@@ -284,3 +284,39 @@ def test_zorder_key_rejects_oversized_interleave(spark):
                 *[f"id AS c{i}" for i in range(9)]
             )
         )
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-iteration PageRank against a direct Python power iteration
+    on a small asymmetric graph (hub 1 should out-rank the spokes)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    edge_list = [
+        (2, 1), (3, 1), (4, 1), (5, 1),   # spokes point at hub 1
+        (1, 2),                            # hub points back at 2 only
+        (2, 3), (3, 4), (4, 5), (5, 2),   # spoke ring
+    ]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=6, damping=0.85).collect()
+    }
+
+    nodes = sorted({u for e in edge_list for u in e})
+    n = len(nodes)
+    outdeg = {u: sum(1 for a, _ in edge_list if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(6):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in edge_list:
+            contrib[b] += round(r[a] / outdeg[a], 12)
+        r = {
+            u: (1.0 - 0.85) / n + 0.85 * contrib[u] for u in nodes
+        }
+    for u in nodes:
+        assert got[u] == pytest.approx(round(r[u], 10), abs=1e-9)
+    # node 2 receives the hub's ENTIRE rank (hub out-degree 1) plus a
+    # spoke share, so it tops the ranking; the hub is second
+    order = sorted(got, key=lambda u: -got[u])
+    assert order[:2] == [2, 1]
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
