@@ -251,6 +251,12 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: correctly-typed empty result, no 1/0 teleport
+        return nodes.select(
+            F.col("_n").alias(node_col),
+            F.lit(0.0).alias(rank_col),
+        )
     teleport = (1.0 - damping) / n
     ranks = nodes.select(
         "_n", (F.lit(1.0) / F.lit(float(n))).alias("_r")

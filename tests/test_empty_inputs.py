@@ -165,3 +165,36 @@ def test_round5_operators_empty(spark):
     # null/NaN metrics rather than a crash.
     rep = xy.transform(expectations([completeness("x")])).collect()
     assert len(rep) == 1
+
+
+def test_round6_operators_empty(spark):
+    """Round-6 operators over empty inputs: correctly-typed empty (or
+    structurally-complete) results, no ANSI aborts, no 1/0 teleport."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        bm25_top_k,
+        pmi_collocations,
+        vocab_drift,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert docs.transform(bm25_top_k(["hash"], k=5)).count() == 0
+    assert docs.transform(pmi_collocations(k=5, min_count=1)).count() == 0
+
+    sdocs = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    assert sdocs.transform(vocab_drift("source", "text")).count() == 0
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+    # short-doc corpora: no bigrams at all -> PMI empty, BM25 still
+    # scores the unigram matches
+    short = spark.createDataFrame(
+        [(1, "hash"), (2, "x")], "doc_id long, text string"
+    )
+    assert short.transform(pmi_collocations(k=5, min_count=1)).count() == 0
+    assert short.transform(bm25_top_k(["hash"], k=5)).count() == 1
