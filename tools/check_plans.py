@@ -210,8 +210,13 @@ def main() -> int:
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
     # centroid set against the corpus — the same index-build cross join
     # as q40's IVF; the nested loop IS the algorithm.
+    # q145: the vocab × |groups| smoothing grid is an intended cross
+    # join against the broadcast group-totals row set (absent tokens
+    # need smoothing mass) — the nested loop IS the algorithm, and its
+    # output is vocab-scale × a handful of groups, never corpus-scale.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
-                  "q47_simsearch_lsh", "q132_semdedup"}
+                  "q47_simsearch_lsh", "q132_semdedup",
+                  "q145_vocab_drift"}
     for name, fn in sorted(qs.items()):
         if name.startswith("q36") or name.startswith("q46") or \
                 name.startswith("q49") or name.startswith("q50") or \
