@@ -44,11 +44,16 @@ def _load(path: str) -> dict:
         obj = json.loads(text)
         if isinstance(obj, dict):
             parsed = obj.get("parsed", obj)
-            if parsed is not None:
+            # A parsed payload without a queries map is useless for
+            # comparison (r5: the driver's tail capture parsed the
+            # trailing SPREAD line instead of the totals) — fall
+            # through to tail recovery in that case too.
+            if parsed is not None and parsed.get("queries"):
                 return parsed
             # Driver wrapper whose stdout capture truncated mid-JSON
-            # (r4): recover the per-query medians that survived in the
-            # "tail" — everything before the "spread" dict is medians.
+            # (r4) or parsed the wrong line (r5): recover the per-query
+            # medians that survived in the "tail" — everything before
+            # the "spread" dict is medians.
             import re
 
             qpart = str(obj.get("tail", "")).split('"spread"')[0]
@@ -62,7 +67,7 @@ def _load(path: str) -> dict:
                 raise ValueError(f"unrecoverable bench wrapper in {path}")
             return {
                 "queries": queries,
-                "sf": obj.get("sf"),
+                "sf": obj.get("sf") or (parsed or {}).get("sf"),
                 "value": None,
                 "partial": True,
             }
@@ -122,6 +127,12 @@ def main() -> int:
     # Gate the total over SHARED queries only — the raw totals diverge
     # whenever coverage grows, which is progress, not regression.
     shared = (set(bq) & set(cq)) - resets
+    if not shared:
+        # No overlapping queries (e.g. an unrecoverable baseline):
+        # nothing to gate — report and pass rather than emitting a
+        # spurious 0→0 "regression".
+        print("no shared queries with baseline; per-query gate skipped")
+        return 0
     bt = sum(bq[n] for n in shared)
     ct = sum(cq[n] for n in shared)
     tratio = ct / bt if bt else float("inf")
