@@ -320,3 +320,56 @@ def test_pagerank_matches_python_reference(spark):
     order = sorted(got, key=lambda u: -got[u])
     assert order[:2] == [2, 1]
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_pagerank_property_random_graphs(spark):
+    """For ANY directed graph where every node has an out-edge: rank
+    mass is conserved (Σr = 1), every rank sits at or above the
+    teleport floor, and the result is invariant under input
+    repartitioning and edge-list duplication (dedup inside)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_nodes=st.integers(min_value=2, max_value=24),
+        extra=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=23),
+                st.integers(min_value=0, max_value=23),
+            ),
+            max_size=40,
+        ),
+    )
+    def run(n_nodes, extra):
+        # ring guarantees every node has an out-edge; extras add chaos
+        edge_list = [(i, (i + 1) % n_nodes) for i in range(n_nodes)]
+        edge_list += [
+            (a % n_nodes, b % n_nodes)
+            for a, b in extra
+            if a % n_nodes != b % n_nodes
+        ]
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, iterations=5).collect()
+        }
+        assert len(got) == n_nodes
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        floor = (1.0 - 0.85) / n_nodes
+        assert all(r >= floor - 1e-9 for r in got.values())
+        # determinism under physical layout + duplicated edges
+        dup = df.union(df).repartition(5)
+        got2 = {
+            r["node"]: r["rank"]
+            for r in pagerank(dup, iterations=5).collect()
+        }
+        assert got2 == got
+
+    run()
