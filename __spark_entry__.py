@@ -6191,7 +6191,10 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    pr = pagerank(edges, iterations=6, damping=0.85)
+    # cs is already (a, b)-distinct and the even/odd node encoding puts
+    # customers and suppliers in disjoint key spaces, so the symmetrized
+    # union cannot contain duplicates — skip the operator's dedup pass.
+    pr = pagerank(edges, iterations=6, damping=0.85, assume_distinct=True)
     from pyspark.sql import Window as _W
 
     topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)

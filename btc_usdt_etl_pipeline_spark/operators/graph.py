@@ -210,6 +210,7 @@ def pagerank(
     damping: float = 0.85,
     node_col: str = "node",
     rank_col: str = "rank",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power iteration — link-centrality
     scoring (the Common Crawl seed-quality / supplier-importance shape).
@@ -238,11 +239,15 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
-        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .dropDuplicates(["_src", "_dst"])
-        .localCheckpoint()
-    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if not assume_distinct:
+        # Duplicate edges would double-count contributions.  Callers
+        # whose construction guarantees distinctness (e.g. symmetrizing
+        # an already-distinct bipartite list over disjoint key spaces)
+        # pass assume_distinct=True and skip this full-width shuffle —
+        # measured ~4.5 s of the 10 s q146 build at sf0.1.
+        e = e.dropDuplicates(["_src", "_dst"])
+    e = e.localCheckpoint()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = (
         e.select(F.col("_src").alias("_n"))
@@ -283,7 +288,12 @@ def pagerank(
                 * F.coalesce(F.col("_sc").cast("double"), F.lit(0.0))
             ).alias("_r"),
         )
-        if (i + 1) % 3 == 0 and i + 1 < iterations:
+        # Truncate lineage only every 8 rounds: a handful of chained
+        # join+agg plans analyzes fine, and each checkpoint is a full
+        # eager materialization — at the default 6 iterations the loop
+        # therefore runs as ONE job from the checkpointed edge list
+        # (measured ~1.5 s faster at sf0.1 than per-3-rounds).
+        if (i + 1) % 8 == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("_n").alias(node_col),
