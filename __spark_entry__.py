@@ -6121,6 +6121,40 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q147_scd2",
+    """
+    WITH m AS (SELECT user_id, ts, event_type,
+                      (LAG(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_type)
+                       IS DISTINCT FROM event_type) AS chg
+               FROM events),
+    runs AS (SELECT user_id, event_type, ts AS valid_from
+             FROM m WHERE chg),
+    v AS (SELECT user_id, event_type, valid_from,
+                 LEAD(valid_from) OVER (
+                   PARTITION BY user_id
+                   ORDER BY valid_from, event_type) AS valid_to
+          FROM runs)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build from the events changelog: one
+    half-open [valid_from, valid_to) version per run of each user's
+    ``event_type`` state, consecutive unchanged rows collapsed, open
+    version flagged current — the warehouse dimension-history shape.
+    Two key-partitioned windows, no unkeyed sort, no self-join; the
+    null-safe change test (IS DISTINCT FROM) is mirrored in both
+    engines."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import scd2
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(scd2("user_id", ["event_type"], time_col="ts"))
+
+
 def _pagerank_oracle_sql(iters: int, d: float) -> str:
     """Unrolled power-iteration PageRank as chained CTEs — SQL can't
     loop with per-step aggregation (recursive CTEs forbid aggregates in

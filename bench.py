@@ -100,6 +100,7 @@ HEADLINE = [
     "q144_pmi_collocations",
     "q145_vocab_drift",
     "q146_pagerank",
+    "q147_scd2",
 ]
 
 

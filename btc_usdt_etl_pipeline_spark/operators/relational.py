@@ -226,3 +226,59 @@ def salted_join(
         return lhs.join(rhs, [*on, "_salt"]).drop("_salt")
 
     return _t
+
+
+def scd2(
+    key_col: str,
+    attr_cols: Sequence[str],
+    time_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Slowly-Changing-Dimension Type 2 build from a changelog: one
+    versioned row per (key, attribute-state) RUN, with
+    ``valid_from`` / ``valid_to`` interval columns and ``is_current``
+    — the standard warehouse dimension-history shape (the interval
+    complement of latest-snapshot changelog compaction).
+
+    Consecutive changelog rows whose tracked attributes are unchanged
+    COLLAPSE into one version (only real changes open a new interval);
+    ``valid_to`` is the next version's ``valid_from`` (half-open
+    intervals), null on the current version.
+
+    Plan: two windows, both keyed by ``key_col`` (no unkeyed window,
+    no self-join): lag over the attribute struct marks run starts,
+    lead over the surviving rows closes the intervals.  At 100 TB this
+    is two key-partitioned sort passes — the same shape AS-OF joins
+    already use.  ``order_tiebreak`` breaks equal-timestamp changelog
+    rows deterministically (defaults to the attribute struct itself).
+    """
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+
+    def _t(df: DataFrame) -> DataFrame:
+        attrs = F.struct(*[F.col(c) for c in attr_cols])
+        order = [F.col(time_col)]
+        order.append(
+            F.col(order_tiebreak) if order_tiebreak else attrs
+        )
+        w = Window.partitionBy(key_col).orderBy(*order)
+        # null-safe change test (IS DISTINCT FROM): a null attribute
+        # value must open/close versions like any other value, and the
+        # run's first row (lag = null struct) must always mark
+        marked = df.withColumn(
+            "_chg", ~F.lag(attrs).over(w).eqNullSafe(attrs)
+        ).filter(F.col("_chg"))
+        w2 = Window.partitionBy(key_col).orderBy(time_col, *(
+            [F.col(order_tiebreak)] if order_tiebreak else [attrs]
+        ))
+        return (
+            marked.withColumn("valid_from", F.col(time_col))
+            .withColumn("valid_to", F.lead(time_col).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(
+                key_col, *attr_cols, "valid_from", "valid_to",
+                "is_current",
+            )
+        )
+
+    return _t

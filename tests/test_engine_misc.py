@@ -328,3 +328,38 @@ def test_expectations_single_pass_report(spark):
     assert got["uniqueness(id)"] == (0.75, False)
     assert got["v<=100"] == (0.25, False)
     assert got["distinct_count(cat)"] == (3.0, True)
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    """SCD2: consecutive unchanged states collapse into one version,
+    intervals are half-open and chained, nulls open/close versions
+    like real values, and exactly one version per key is current."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import scd2
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"),
+        (1, 50, "a"),
+        (2, 10, None), (2, 20, "x"), (2, 30, None),
+        (3, 10, "only"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, state string")
+    out = sorted(
+        df.transform(scd2("k", ["state"], time_col="t")).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(
+            (r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    assert by_key[1] == [
+        ("a", 10, 30, False), ("b", 30, 50, False), ("a", 50, None, True)
+    ]
+    assert by_key[2] == [
+        (None, 10, 20, False), ("x", 20, 30, False), (None, 30, None, True)
+    ]
+    assert by_key[3] == [("only", 10, None, True)]
+    for vs in by_key.values():
+        assert sum(1 for v in vs if v[3]) == 1  # one current per key
+        for a, b in zip(vs, vs[1:]):
+            assert a[2] == b[1]  # chained half-open intervals
