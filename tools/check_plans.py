@@ -174,6 +174,31 @@ def main() -> int:
     k143 = join_kinds(df143)
     check("q143", "BroadcastHashJoin" in k143, "df/stats joins broadcast")
 
+    # q144: the PMI rank must be a distributed partial top-k over the
+    # min_count-pruned bigram vocabulary.
+    p144 = (
+        qs["q144_pmi_collocations"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "q144",
+        "TakeOrderedAndProject" in p144,
+        "top-k is TakeOrderedAndProject",
+    )
+
+    # q147: the SCD2 build is two KEY-partitioned windows — no
+    # single-partition exchange anywhere (the lag/lead sorts must both
+    # be parallel across keys).
+    p147 = (
+        qs["q147_scd2"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "q147",
+        "SinglePartition" not in p147,
+        "keyed windows only (no single-partition exchange)",
+    )
+
     # q115: positional split must use the two-pass bucket-offset index —
     # NO Exchange SinglePartition (the unkeyed row_number global sort is
     # the reference's own anti-pattern, SURVEY §4.2-1).
