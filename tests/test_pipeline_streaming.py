@@ -447,3 +447,61 @@ def test_interval_join_rejects_narrow_bucket(spark):
             left, right, "k", "lt", "rt", upper="1 hour",
             bucket_width_s=600,
         )
+
+
+def test_backfill_retry_and_error_policies(spark):
+    """Backfill drives one idempotent run per partition with bounded
+    retries: good partitions land, a missing-input partition exhausts
+    its attempts and is reported (continue) or raised (fail), and
+    rerunning the full range converges instead of doubling."""
+    from btc_usdt_etl_pipeline_spark.pipeline.schedule import backfill
+
+    n, track = 4_000, 1_000
+    with tempfile.TemporaryDirectory() as d:
+        for p in ("2024-01", "2024-02"):
+            make_klines(spark, n).write.mode("overwrite").parquet(
+                f"{d}/in/{p}"
+            )
+        cfg = EtlConfig(
+            input_path="unused",
+            input_format="parquet",
+            track_each=track,
+            table="t_backfill_bars",
+        )
+        results = backfill(
+            spark, cfg,
+            partitions=["2024-01", "2024-02", "2024-03"],  # 03 missing
+            path_template=f"{d}/in/{{p}}",
+            max_attempts=2,
+            on_error="continue",
+        )
+        by_p = {r.partition: r for r in results}
+        assert by_p["2024-01"].ok and by_p["2024-01"].attempts == 1
+        assert by_p["2024-02"].ok
+        assert not by_p["2024-03"].ok
+        assert by_p["2024-03"].attempts == 2
+        assert "2024-03" in (by_p["2024-03"].error or "") or by_p[
+            "2024-03"
+        ].error
+        bars = spark.table("t_backfill_bars").count()
+        assert bars == math.ceil(n / track)  # last good partition's bars
+
+        # rerun the whole range: converges (idempotent overwrite)
+        backfill(
+            spark, cfg,
+            partitions=["2024-01", "2024-02"],
+            path_template=f"{d}/in/{{p}}",
+        )
+        assert spark.table("t_backfill_bars").count() == bars
+
+        # fail-fast policy raises on the exhausted partition
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="2024-03"):
+            backfill(
+                spark, cfg,
+                partitions=["2024-03"],
+                path_template=f"{d}/in/{{p}}",
+                max_attempts=1,
+                on_error="fail",
+            )
