@@ -6125,9 +6125,17 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q147_scd2",
     """
     WITH m AS (SELECT user_id, ts, event_type,
-                      (LAG(event_type) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_type)
-                       IS DISTINCT FROM event_type) AS chg
+                      -- the LAG(TRUE) IS NULL arm marks each key's FIRST
+                      -- row unconditionally: with a NULL first
+                      -- event_type, NULL IS DISTINCT FROM NULL = false
+                      -- would silently drop the opening version, while
+                      -- the engine's lag(struct) null-safe test marks it
+                      ((LAG(TRUE) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_type)
+                        IS NULL)
+                       OR (LAG(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_type)
+                           IS DISTINCT FROM event_type)) AS chg
                FROM events),
     runs AS (SELECT user_id, event_type, ts AS valid_from
              FROM m WHERE chg),

@@ -96,7 +96,13 @@ def global_index_with_total(
 
     ``order_col`` values must be unique within a bucket for a deterministic
     index (the kline contract: unique ``open_time``; dedup first otherwise).
+    NULL order values index FIRST (a dedicated sentinel bucket — the same
+    nulls-first placement an ascending ``Window.orderBy`` gives them);
+    their relative order is undefined, like any tie.  Auto-bucketing
+    supports timestamp and numeric order columns; for anything else
+    (strings, dates) pass an explicit monotone ``bucket`` expression.
     """
+    _NULL_BUCKET = -(1 << 62)  # sorts before every derived bucket
     if bucket is None:
         dtype = dict(df.dtypes)[order_col]
         if dtype.startswith("timestamp"):
@@ -107,7 +113,9 @@ def global_index_with_total(
             bucket = F.floor(
                 F.unix_micros(F.col(order_col)) / F.lit(86_400_000_000)
             )
-        else:
+        elif dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal"):
             # Generic longs: range-balance via one min/max pass.
             numeric = F.col(order_col)
             lo_hi = df.select(
@@ -121,13 +129,25 @@ def global_index_with_total(
             span = max(int(hi) - int(lo), 0) + 1
             width = max(span // num_buckets, 1)
             bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
+        else:
+            raise TypeError(
+                f"global index auto-bucketing needs a timestamp or "
+                f"numeric order column; {order_col!r} is {dtype}. "
+                f"Pass bucket=<monotone expression> explicitly."
+            )
     # No persist between the two passes: the count/offset pass needs ONLY
     # the bucket key (a pure function of ``order_col``), so Catalyst
     # prunes its recompute down to a single-column scan + partial-agg —
     # far cheaper at scale than pinning the full-width rows in the block
     # manager (and it leaves no cached blocks behind for the caller to
     # clean up).  The main pass re-reads the source with full pushdown.
-    dfb = df.withColumn("_bucket", bucket.cast("long"))
+    # A null order value (or a caller-supplied bucket expression that
+    # nulls out) would reach the driver offset loop as None — pin such
+    # rows to the nulls-first sentinel bucket instead.
+    dfb = df.withColumn(
+        "_bucket",
+        F.coalesce(bucket.cast("long"), F.lit(_NULL_BUCKET)),
+    )
 
     counts = (
         dfb.groupBy("_bucket").count().orderBy("_bucket").collect()

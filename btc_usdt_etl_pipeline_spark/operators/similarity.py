@@ -665,14 +665,16 @@ def lsh_top_k(
     buckets; ``round_dp`` rounds cosines before ranking for
     cross-engine tie stability.
 
-    ``probes`` enables multi-probe: each QUERY additionally probes that
-    many Hamming-1 neighbor buckets per table (boundary-closest planes
-    first; all flips when ``probes >= planes``).  The corpus side stays
-    single-bucket, so index size is unchanged — only the query-side join
-    keys multiply (``probes + 1`` per table).  Measured on the driver
-    embeddings (SCALE.md §7): planes=6 / tables=2 / probes=6 lifts
-    mean recall@10 from 0.098 to ≳ IVF-nprobe4 at comparable candidate
-    volume.
+    ``probes`` enables multi-probe: each QUERY additionally probes its
+    ``probes`` best perturbation buckets per table, drawn from ALL
+    1-bit and 2-bit sign flips scored by boundary distance (so useful
+    values range up to ``planes·(planes+1)/2``, not ``planes`` — see
+    :func:`_srp_table_keys`).  The corpus side stays single-bucket, so
+    index size is unchanged — only the query-side join keys multiply
+    (``probes + 1`` per table).  Measured on the driver embeddings
+    (SCALE.md §7): planes=6 / tables=2 / probes=6 lifts mean recall@10
+    0.098 → 0.442 at a fixed index, and 6/4/probes=6 reaches 0.706,
+    above IVF-nprobe4, at ~1.5× its candidate volume.
 
     ``dim`` is accepted for API compatibility but unused: hyperplane
     components are generated up to each row's ``size(vec)`` at runtime,

@@ -110,3 +110,34 @@ def test_global_index_dense_and_ordered(spark):
     idx = with_global_index(df, "open_time")
     rows = idx.orderBy("open_time").select("_idx").collect()
     assert [r._idx for r in rows] == list(range(500))
+
+
+def test_global_index_null_order_values_and_dtype_guard(spark):
+    """Review finding (r6): a null order value must index FIRST (the
+    nulls-first placement of an ascending orderBy) instead of crashing
+    the driver offset loop with int(None); unsupported order dtypes
+    raise a clear TypeError pointing at the bucket= escape hatch."""
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.ml.features import positional_split
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        global_index_with_total,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (30,), (10,), (None,), (20,)], "t int"
+    )
+    indexed, n = global_index_with_total(df, "t")
+    assert n == 5
+    rows = sorted(indexed.collect(), key=lambda r: r["_idx"])
+    assert [r["t"] for r in rows[2:]] == [10, 20, 30]  # nulls first
+    assert sorted(r["_idx"] for r in rows) == [0, 1, 2, 3, 4]
+
+    # positional_split over data containing nulls labels every row
+    out = df.transform(positional_split("t", train=0.6, val=0.2))
+    assert out.filter("split is null").count() == 0
+    assert out.count() == 5
+
+    sdf = spark.createDataFrame([("a",), ("b",)], "s string")
+    with pytest.raises(TypeError, match="bucket"):
+        global_index_with_total(sdf, "s")

@@ -155,10 +155,13 @@ def main() -> int:
         "TakeOrderedAndProject" in p134,
         "top-k is TakeOrderedAndProject (distributed partial top-k)",
     )
+    # No Window anywhere BELOW the limit: find() on the first
+    # occurrence alone would still pass if a corpus-scale window were
+    # reintroduced upstream while the k-row rnk window remains.
     check(
         "q134",
-        p134.find("Window") < p134.find("TakeOrderedAndProject"),
-        "the only Window sits above the k-row limit",
+        "Window" not in p134[p134.find("TakeOrderedAndProject"):],
+        "no Window below the k-row limit",
     )
 
     # q143: BM25's corpus-wide rank must be a distributed partial top-k
