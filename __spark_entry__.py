@@ -6163,30 +6163,54 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.transform(scd2("user_id", ["event_type"], time_col="ts"))
 
 
-def _pagerank_oracle_sql(iters: int, d: float) -> str:
+def _pagerank_oracle_sql(
+    iters: int, d: float, weighted: bool = False
+) -> str:
     """Unrolled power-iteration PageRank as chained CTEs — SQL can't
     loop with per-step aggregation (recursive CTEs forbid aggregates in
     the recursive term), but a FIXED-iteration PageRank is just
     ``iters`` copies of the same join+groupBy block, generated here so
-    the oracle replays the engine's exact arithmetic step for step."""
-    parts = [
-        """
+    the oracle replays the engine's exact arithmetic step for step.
+    ``weighted`` carries a lineitem-count edge weight: out-STRENGTH
+    replaces out-degree and each contribution is ``r·w/s`` — weights
+    and strengths are integer-valued doubles, so their sums are exact
+    (order-free) in both engines."""
+    if weighted:
+        graph = """
+    WITH eraw AS (SELECT o.o_custkey * 2 AS a,
+                         l.l_suppkey * 2 + 1 AS b,
+                         COUNT(*)::DOUBLE AS w
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  GROUP BY a, b),
+    e AS (SELECT a AS src, b AS dst, w FROM eraw
+          UNION ALL SELECT b, a, w FROM eraw),
+    deg AS (SELECT src, SUM(w) AS deg FROM e GROUP BY src),"""
+    else:
+        graph = """
     WITH eraw AS (SELECT DISTINCT o.o_custkey * 2 AS a,
                                   l.l_suppkey * 2 + 1 AS b
                   FROM lineitem l
                   JOIN orders o ON l.l_orderkey = o.o_orderkey),
     e AS (SELECT a AS src, b AS dst FROM eraw
           UNION SELECT b, a FROM eraw),
-    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),"""
+    parts = [
+        graph + """
     nodes AS (SELECT DISTINCT src AS n FROM e
               UNION SELECT DISTINCT dst FROM e),
     nn AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes),
     r0 AS (SELECT nodes.n, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN nn)"""
     ]
+    term_fmt = (
+        "r{i}.r * e.w / deg.deg" if weighted
+        else "r{i}.r / deg.deg"
+    )
     for i in range(iters):
+        term = term_fmt.format(i=i)
         parts.append(f""",
     c{i + 1} AS (SELECT e.dst AS n,
-                        SUM(CAST(r{i}.r / deg.deg AS DECIMAL(38,12)))
+                        SUM(CAST({term} AS DECIMAL(38,12)))
                           AS sc
                  FROM e JOIN deg USING (src)
                  JOIN r{i} ON r{i}.n = e.src
@@ -6237,6 +6261,49 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers and suppliers in disjoint key spaces, so the symmetrized
     # union cannot contain duplicates — skip the operator's dedup pass.
     pr = pagerank(edges, iterations=6, damping=0.85, assume_distinct=True)
+    from pyspark.sql import Window as _W
+
+    topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)
+    w = _W.orderBy(F.desc("rank"), F.col("node"))
+    return topk.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_id"),
+        "rank",
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+@_q("q148_pagerank_weighted", _pagerank_oracle_sql(6, 0.85, weighted=True))
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer↔supplier graph: the random
+    walk follows an edge with probability proportional to its LINEITEM
+    COUNT (trade volume), so heavily-trading partners concentrate
+    rank — q146's structural centrality upgraded to flow centrality.
+    Weights and out-strengths are integer-valued doubles (exact,
+    order-free sums); the unrolled-CTE oracle replays every round."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = cs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(
+        cs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    pr = pagerank(
+        edges, iterations=6, damping=0.85, weight="w",
+        assume_distinct=True,
+    )
     from pyspark.sql import Window as _W
 
     topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)

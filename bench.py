@@ -101,6 +101,7 @@ HEADLINE = [
     "q145_vocab_drift",
     "q146_pagerank",
     "q147_scd2",
+    "q148_pagerank_weighted",
 ]
 
 

@@ -211,6 +211,7 @@ def pagerank(
     node_col: str = "node",
     rank_col: str = "rank",
     assume_distinct: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power iteration — link-centrality
     scoring (the Common Crawl seed-quality / supplier-importance shape).
@@ -236,19 +237,43 @@ def pagerank(
     node has at least one out-edge (e.g. symmetrize a bipartite
     interaction graph) or accept rank mass leaking to the teleport
     term.
+
+    ``weight`` names an edge-weight column: the random walk follows
+    edge ``u→v`` with probability ``w(u,v)/strength(u)`` (out-STRENGTH
+    replaces out-degree), duplicate ``(src, dst)`` rows SUM their
+    weights instead of collapsing, and the unweighted path is the
+    exact ``w ≡ 1.0`` special case (bit-identical: ``r·1.0/deg``
+    equals ``r/deg`` in IEEE arithmetic).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    if not assume_distinct:
-        # Duplicate edges would double-count contributions.  Callers
-        # whose construction guarantees distinctness (e.g. symmetrizing
-        # an already-distinct bipartite list over disjoint key spaces)
-        # pass assume_distinct=True and skip this full-width shuffle —
-        # measured ~4.5 s of the 10 s q146 build at sf0.1.
-        e = e.dropDuplicates(["_src", "_dst"])
+    if weight is not None:
+        e = edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        if not assume_distinct:
+            # duplicate weighted edges MERGE (weights sum) — the
+            # multigraph walk probability, not an arbitrary survivor
+            e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    else:
+        e = edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        )
+        if not assume_distinct:
+            # Duplicate edges would double-count contributions.
+            # Callers whose construction guarantees distinctness (e.g.
+            # symmetrizing an already-distinct bipartite list over
+            # disjoint key spaces) pass assume_distinct=True and skip
+            # this full-width shuffle — measured ~4.5 s of the 10 s
+            # q146 build at sf0.1.
+            e = e.dropDuplicates(["_src", "_dst"])
+        e = e.withColumn("_w", F.lit(1.0))
     e = e.localCheckpoint()
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # out-STRENGTH (Σw per src); with w ≡ 1.0 this is exactly the
+    # out-degree as a double (integer sums of 1.0 are exact)
+    deg = e.groupBy("_src").agg(F.sum("_w").alias("_deg"))
     nodes = (
         e.select(F.col("_src").alias("_n"))
         .union(e.select(F.col("_dst").alias("_n")))
@@ -272,9 +297,9 @@ def pagerank(
             ed.join(ranks, ed["_src"] == ranks["_n"])
             .select(
                 F.col("_dst").alias("_n"),
-                (F.col("_r") / F.col("_deg").cast("double")).cast(
-                    "decimal(38,12)"
-                ).alias("_c"),
+                (
+                    F.col("_r") * F.col("_w") / F.col("_deg")
+                ).cast("decimal(38,12)").alias("_c"),
             )
             .groupBy("_n")
             .agg(F.sum("_c").alias("_sc"))

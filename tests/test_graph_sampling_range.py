@@ -373,3 +373,39 @@ def test_pagerank_property_random_graphs(spark):
         assert got2 == got
 
     run()
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    """Weighted PageRank: mass conserved, w=1 equals the unweighted
+    result bit-for-bit, duplicate weighted edges merge by summing, and
+    a dominant-weight edge pulls rank toward its target."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    # triangle where 1 -> 2 carries 9x the weight of 1 -> 3
+    rows = [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=8, weight="w").collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[2] > got[3]  # the heavy edge concentrates rank
+
+    # w = 1 path is bit-identical to the unweighted operator
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    ew = e.withColumn("w", F.lit(1.0))
+    a = sorted(pagerank(e, iterations=5).collect())
+    b = sorted(pagerank(ew, iterations=5, weight="w").collect())
+    assert a == b
+
+    # duplicate weighted edges merge (weights sum), equal to pre-merged
+    dup = spark.createDataFrame(
+        [(1, 2, 4.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 1.0),
+         (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    c = sorted(pagerank(dup, iterations=8, weight="w").collect())
+    d = sorted(pagerank(df, iterations=8, weight="w").collect())
+    assert c == d
