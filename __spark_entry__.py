@@ -6275,6 +6275,45 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q149_m4_downsample",
+    """
+    WITH s AS (SELECT epoch_us(ts) AS us, value AS v FROM events),
+    st AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM s),
+    b AS (SELECT ((us - st.lo) * 64) // (st.hi - st.lo + 1) AS bucket,
+                 us, v
+          FROM s CROSS JOIN st),
+    m4 AS (SELECT bucket,
+                  min({'t': us, 'v': v}) AS f,
+                  max({'t': us, 'v': v}) AS l,
+                  min({'v': v, 't': us}) AS mn,
+                  max({'v': v, 't': us}) AS mx
+           FROM b GROUP BY bucket)
+    SELECT bucket,
+           f.t AS t_first, f.v AS v_first,
+           l.t AS t_last,  l.v AS v_last,
+           mn.v AS v_min, mn.t AS t_at_min,
+           mx.v AS v_max, mx.t AS t_at_max
+    FROM m4
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al. VLDB'14) of the events value
+    series into 64 pixel buckets: first/last/min/max per bucket — the
+    smallest point set that renders the identical line, the standard
+    time-series-store downsample.  One aggregation pass; bucket ids are
+    non-negative integer arithmetic (engine-exact) and every point
+    selection is a lexicographic struct min/max whose field order is
+    the tie-break, replayed identically by DuckDB's struct
+    comparisons."""
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        m4_downsample,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(m4_downsample("ts", "value", n_buckets=64))
+
+
 @_q("q148_pagerank_weighted", _pagerank_oracle_sql(6, 0.85, weighted=True))
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the customer↔supplier graph: the random

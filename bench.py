@@ -102,6 +102,7 @@ HEADLINE = [
     "q146_pagerank",
     "q147_scd2",
     "q148_pagerank_weighted",
+    "q149_m4_downsample",
 ]
 
 

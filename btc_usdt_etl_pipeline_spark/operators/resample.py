@@ -288,3 +288,66 @@ def resample_by_time(
         return out.orderBy("window_start") if sort_output else out
 
     return _transform
+
+
+def m4_downsample(
+    time_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per time
+    bucket keep the first, last, minimum and maximum points — the
+    smallest point set that renders the EXACT same line at a given
+    pixel width, and the standard downsample in time-series stores.
+
+    One aggregation pass: the (lo, hi) time range attaches as an
+    in-plan 1-row broadcast (no driver action), the bucket id is pure
+    NON-NEGATIVE integer arithmetic ``(t−lo)·n DIV (span+1)`` (exact
+    in any engine, always lands in [0, n)), and each extreme is a
+    ``min``/``max`` over a 2-field struct whose field order IS the
+    deterministic tie-break (first/last: time then value; min/max:
+    value then time) — the same lexicographic struct comparison SQL
+    engines implement, so an oracle replays point selection exactly.
+    Emitted times are epoch micros (longs).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        s = df.select(
+            F.unix_micros(F.col(time_col)).alias("_us"),
+            F.col(value_col).alias("_v"),
+        )
+        stats = s.agg(
+            F.min("_us").alias("_lo"), F.max("_us").alias("_hi")
+        )
+        j = attach_scalar(s, stats, F.col("_us"), F.col("_lo"))
+        j = j.withColumn(
+            "bucket",
+            F.expr(
+                f"((_us - _lo) * {int(n_buckets)}) DIV (_hi - _lo + 1)"
+            ),
+        )
+        ft = F.struct(F.col("_us").alias("t"), F.col("_v").alias("v"))
+        vt = F.struct(F.col("_v").alias("v"), F.col("_us").alias("t"))
+        agg = j.groupBy("bucket").agg(
+            F.min(ft).alias("_f"),
+            F.max(ft).alias("_l"),
+            F.min(vt).alias("_mn"),
+            F.max(vt).alias("_mx"),
+        )
+        return agg.select(
+            "bucket",
+            F.col("_f.t").alias("t_first"),
+            F.col("_f.v").alias("v_first"),
+            F.col("_l.t").alias("t_last"),
+            F.col("_l.v").alias("v_last"),
+            F.col("_mn.v").alias("v_min"),
+            F.col("_mn.t").alias("t_at_min"),
+            F.col("_mx.v").alias("v_max"),
+            F.col("_mx.t").alias("t_at_max"),
+        )
+
+    return _t

@@ -141,3 +141,50 @@ def test_global_index_null_order_values_and_dtype_guard(spark):
     sdf = spark.createDataFrame([("a",), ("b",)], "s string")
     with pytest.raises(TypeError, match="bucket"):
         global_index_with_total(sdf, "s")
+
+
+def test_m4_downsample_python_reference(spark):
+    """M4 against a direct Python computation: per bucket the
+    first/last/min/max points with (time, value) / (value, time)
+    lexicographic tie-breaks, bucket ids always in [0, n)."""
+    import datetime as dt
+
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        m4_downsample,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=i), float((i * 7) % 13) - 6.0)
+        for i in range(100)
+    ]
+    # duplicate-extreme bucket: two rows share the min value -> the
+    # earlier timestamp must win via the (v, t) struct tie-break
+    rows.append((base + dt.timedelta(seconds=100), -6.0))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    n = 8
+    got = {
+        r["bucket"]: r
+        for r in df.transform(m4_downsample("ts", "value", n)).collect()
+    }
+
+    us = [(int(t.timestamp() * 1_000_000), v) for t, v in rows]
+    lo = min(u for u, _ in us)
+    hi = max(u for u, _ in us)
+    buckets: dict[int, list[tuple[int, float]]] = {}
+    for u, v in us:
+        buckets.setdefault((u - lo) * n // (hi - lo + 1), []).append(
+            (u, v)
+        )
+    assert set(got) == set(buckets)
+    for b, pts in buckets.items():
+        r = got[b]
+        assert 0 <= b < n
+        tf, vf = min(pts)
+        tl, vl = max(pts)
+        vmn, tmn = min((v, u) for u, v in pts)
+        vmx, tmx = max((v, u) for u, v in pts)
+        assert (r["t_first"], r["v_first"]) == (tf, vf)
+        assert (r["t_last"], r["v_last"]) == (tl, vl)
+        assert (r["v_min"], r["t_at_min"]) == (vmn, tmn)
+        assert (r["v_max"], r["t_at_max"]) == (vmx, tmx)
