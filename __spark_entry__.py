@@ -6276,6 +6276,70 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q150_pit_join",
+    """
+    WITH m AS (SELECT user_id, ts, event_type,
+                      ((LAG(TRUE) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_type)
+                        IS NULL)
+                       OR (LAG(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_type)
+                           IS DISTINCT FROM event_type)) AS chg
+               FROM events),
+    runs AS (SELECT user_id, event_type, ts AS valid_from
+             FROM m WHERE chg),
+    dim AS (SELECT user_id, event_type AS state, valid_from,
+                   LEAD(valid_from) OVER (
+                     PARTITION BY user_id
+                     ORDER BY valid_from, event_type) AS valid_to
+            FROM runs),
+    f AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.state, d.valid_from
+    FROM f JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the canonical companion of the
+    SCD2 build: each purchase fact picks the dimension version valid AT
+    its timestamp.  Composed entirely from existing operators: the
+    dimension history comes from :func:`scd2` (q147) and the temporal
+    lookup is the backward AS-OF join (half-open SCD2 intervals
+    partition each key's timeline, so latest-version-at-or-before ≡
+    interval containment — which is exactly what the oracle's plain
+    interval join checks, proving the equivalence on real data).  The
+    as-of bucketing keeps the plan shuffle-keyed; no interval cross
+    join ever forms."""
+    from btc_usdt_etl_pipeline_spark.operators.asof import asof_join
+    from btc_usdt_etl_pipeline_spark.operators.relational import scd2
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.transform(
+        scd2("user_id", ["event_type"], time_col="ts")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        facts,
+        dim,
+        time_col="ts",
+        right_time_col="valid_from",
+        by=["user_id"],
+        right_value_cols=["state", "valid_from"],
+        direction="backward",
+    )
+
+
+@_q(
     "q149_m4_downsample",
     """
     WITH s AS (SELECT epoch_us(ts) AS us, value AS v FROM events),

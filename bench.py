@@ -103,6 +103,7 @@ HEADLINE = [
     "q147_scd2",
     "q148_pagerank_weighted",
     "q149_m4_downsample",
+    "q150_pit_join",
 ]
 
 
