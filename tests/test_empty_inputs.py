@@ -198,3 +198,26 @@ def test_round6_operators_empty(spark):
     )
     assert short.transform(pmi_collocations(k=5, min_count=1)).count() == 0
     assert short.transform(bm25_top_k(["hash"], k=5)).count() == 1
+
+
+def test_m4_downsample_empty_and_single_row(spark):
+    """M4 over an empty series is a typed empty result (the null
+    min/max stats row must not invent rows or trip the DIV); a
+    single-point series lands whole in bucket 0."""
+    import datetime as dt
+
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        m4_downsample,
+    )
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    out = empty.transform(m4_downsample("ts", "value", 16))
+    assert out.count() == 0
+    assert "v_min" in out.columns
+
+    one = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 5.0)], "ts timestamp, value double"
+    )
+    rows = one.transform(m4_downsample("ts", "value", 16)).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0
+    assert rows[0]["v_min"] == rows[0]["v_max"] == 5.0
