@@ -6121,10 +6121,10 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q147_scd2",
-    """
-    WITH m AS (SELECT user_id, ts, event_type,
+#: SCD2 run-detection CTE shared by the q147 and q150 oracles — ONE
+#: definition so a change-semantics fix can never diverge between the
+#: dimension-build gate and the point-in-time-lookup gate.
+_SCD2_RUNS_SQL = """    WITH m AS (SELECT user_id, ts, event_type,
                       -- the LAG(TRUE) IS NULL arm marks each key's FIRST
                       -- row unconditionally: with a NULL first
                       -- event_type, NULL IS DISTINCT FROM NULL = false
@@ -6138,7 +6138,12 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
                            IS DISTINCT FROM event_type)) AS chg
                FROM events),
     runs AS (SELECT user_id, event_type, ts AS valid_from
-             FROM m WHERE chg),
+             FROM m WHERE chg)"""
+
+
+@_q(
+    "q147_scd2",
+    _SCD2_RUNS_SQL + """,
     v AS (SELECT user_id, event_type, valid_from,
                  LEAD(valid_from) OVER (
                    PARTITION BY user_id
@@ -6161,6 +6166,56 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return e.transform(scd2("user_id", ["event_type"], time_col="ts"))
+
+
+def _cs_pagerank_topk(
+    spark: SparkSession, sf_dir: str, weighted: bool
+) -> DataFrame:
+    """Shared body of q146/q148: build the symmetrized customer↔supplier
+    graph from orders×lineitem (even/odd-encoded disjoint node spaces),
+    run 6-round PageRank (lineitem-count weights when ``weighted``),
+    and present the top-20 as (kind, entity_id, rank, rnk).  One
+    definition so the node encoding / tie-break can never diverge
+    between the two gates."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    a = (F.col("o_custkey") * 2).alias("a")
+    b = (F.col("l_suppkey") * 2 + 1).alias("b")
+    if weighted:
+        cs = joined.groupBy(a, b).agg(
+            F.count(F.lit(1)).cast("double").alias("w")
+        )
+        wcols = ["w"]
+    else:
+        cs = joined.select(a, b).dropDuplicates(["a", "b"])
+        wcols = []
+    edges = cs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), *wcols
+    ).union(
+        cs.select(F.col("b").alias("src"), F.col("a").alias("dst"), *wcols)
+    )
+    # cs is (a, b)-distinct and the even/odd encoding keeps the two
+    # directions in disjoint key spaces, so the union is duplicate-free
+    # by construction — skip the operator's dedup pass.
+    pr = pagerank(
+        edges, iterations=6, damping=0.85,
+        weight="w" if weighted else None, assume_distinct=True,
+    )
+    from pyspark.sql import Window as _W
+
+    topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)
+    w = _W.orderBy(F.desc("rank"), F.col("node"))
+    return topk.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_id"),
+        "rank",
+        F.row_number().over(w).alias("rnk"),
+    )
 
 
 def _pagerank_oracle_sql(
@@ -6241,53 +6296,14 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform vector; per-contribution decimal casts make each round's
     sums shuffle-order-free, so the unrolled-CTE oracle replays the
     arithmetic exactly.  One shuffle per iteration; edges/ranks are
-    localCheckpoint-truncated (operators/graph.py:pagerank)."""
-    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
-
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .dropDuplicates(["a", "b"])
-    )
-    edges = cs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    # cs is already (a, b)-distinct and the even/odd node encoding puts
-    # customers and suppliers in disjoint key spaces, so the symmetrized
-    # union cannot contain duplicates — skip the operator's dedup pass.
-    pr = pagerank(edges, iterations=6, damping=0.85, assume_distinct=True)
-    from pyspark.sql import Window as _W
-
-    topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)
-    w = _W.orderBy(F.desc("rank"), F.col("node"))
-    return topk.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("kind"),
-        F.expr("node DIV 2").alias("entity_id"),
-        "rank",
-        F.row_number().over(w).alias("rnk"),
-    )
+    localCheckpoint-truncated (operators/graph.py:pagerank).  Body
+    shared with q148 (:func:`_cs_pagerank_topk`)."""
+    return _cs_pagerank_topk(spark, sf_dir, weighted=False)
 
 
 @_q(
     "q150_pit_join",
-    """
-    WITH m AS (SELECT user_id, ts, event_type,
-                      ((LAG(TRUE) OVER (
-                          PARTITION BY user_id ORDER BY ts, event_type)
-                        IS NULL)
-                       OR (LAG(event_type) OVER (
-                             PARTITION BY user_id ORDER BY ts, event_type)
-                           IS DISTINCT FROM event_type)) AS chg
-               FROM events),
-    runs AS (SELECT user_id, event_type, ts AS valid_from
-             FROM m WHERE chg),
+    _SCD2_RUNS_SQL + """,
     dim AS (SELECT user_id, event_type AS state, valid_from,
                    LEAD(valid_from) OVER (
                      PARTITION BY user_id
@@ -6318,12 +6334,21 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btc_usdt_etl_pipeline_spark.operators.relational import scd2
 
     e = _t(spark, sf_dir, "events")
-    dim = e.transform(
-        scd2("user_id", ["event_type"], time_col="ts")
-    ).select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "valid_from",
+    # Zero-length versions (two changelog rows at one (user, ts)) are
+    # excluded before the as-of: the oracle's half-open containment
+    # can never match them, and feeding both equal-valid_from rows to
+    # the as-of would make the pick among them order-nondeterministic.
+    dim = (
+        e.transform(scd2("user_id", ["event_type"], time_col="ts"))
+        .filter(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("valid_from"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "valid_from",
+        )
     )
     facts = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -6385,40 +6410,9 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT (trade volume), so heavily-trading partners concentrate
     rank — q146's structural centrality upgraded to flow centrality.
     Weights and out-strengths are integer-valued doubles (exact,
-    order-free sums); the unrolled-CTE oracle replays every round."""
-    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
-
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    edges = cs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).union(
-        cs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
-    )
-    pr = pagerank(
-        edges, iterations=6, damping=0.85, weight="w",
-        assume_distinct=True,
-    )
-    from pyspark.sql import Window as _W
-
-    topk = pr.orderBy(F.desc("rank"), F.col("node")).limit(20)
-    w = _W.orderBy(F.desc("rank"), F.col("node"))
-    return topk.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("kind"),
-        F.expr("node DIV 2").alias("entity_id"),
-        "rank",
-        F.row_number().over(w).alias("rnk"),
-    )
+    order-free sums); the unrolled-CTE oracle replays every round.
+    Body shared with q146 (:func:`_cs_pagerank_topk`)."""
+    return _cs_pagerank_topk(spark, sf_dir, weighted=True)
 
 
 @_q(

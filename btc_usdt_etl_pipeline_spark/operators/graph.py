@@ -271,6 +271,21 @@ def pagerank(
             e = e.dropDuplicates(["_src", "_dst"])
         e = e.withColumn("_w", F.lit(1.0))
     e = e.localCheckpoint()
+    if weight is not None:
+        # Null/zero/negative weights would not error — they'd SILENTLY
+        # corrupt the walk (a NaN or null contribution is dropped by
+        # SUM, vanishing that node's rank mass; a negative weight is
+        # not a probability).  One cheap scan of the just-checkpointed
+        # edge list fails fast instead.
+        bad = (
+            e.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "pagerank edge weights must be non-null and > 0"
+            )
     # out-STRENGTH (Σw per src); with w ≡ 1.0 this is exactly the
     # out-degree as a double (integer sums of 1.0 are exact)
     deg = e.groupBy("_src").agg(F.sum("_w").alias("_deg"))

@@ -123,12 +123,17 @@ def global_index_with_total(
             ).first()
             lo, hi = lo_hi["lo"], lo_hi["hi"]
             if lo is None:
-                return (
-                    df.withColumn(index_col, F.lit(None).cast("long")), 0
+                # Empty OR all-null order column: every row (if any)
+                # belongs to the nulls-first sentinel bucket — fall
+                # through so non-empty all-null inputs still get dense
+                # indices 0..n-1 (same contract as the timestamp path).
+                bucket = F.lit(None)
+            else:
+                span = max(int(hi) - int(lo), 0) + 1
+                width = max(span // num_buckets, 1)
+                bucket = F.floor(
+                    (numeric - F.lit(int(lo))) / F.lit(width)
                 )
-            span = max(int(hi) - int(lo), 0) + 1
-            width = max(span // num_buckets, 1)
-            bucket = F.floor((numeric - F.lit(int(lo))) / F.lit(width))
         else:
             raise TypeError(
                 f"global index auto-bucketing needs a timestamp or "

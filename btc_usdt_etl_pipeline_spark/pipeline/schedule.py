@@ -75,6 +75,7 @@ def backfill(
     cfg: EtlConfig,
     partitions: list[str],
     path_template: str | None = None,
+    table_template: str | None = None,
     max_attempts: int = 3,
     on_error: str = "continue",
     backoff_seconds: float = 0.0,
@@ -84,8 +85,17 @@ def backfill(
     ``partitions`` are opaque labels (dates, months, symbol names);
     ``path_template`` maps each to its input path via ``{p}``
     substitution (default: ``cfg.input_path`` already points at the
-    partition's data and the label is informational).  Idempotence per
-    partition comes from the writers — a rerun of any subset of
+    partition's data and the label is informational).
+
+    **Per-partition idempotence requires per-partition targets.**  A
+    multi-partition backfill where every run full-overwrites the SAME
+    table would silently keep only the last partition, so the target
+    must be disjoint per partition — either ``table_template``
+    (``{p}``-substituted output table per partition) or a
+    ``cfg.partition_by`` column layout where each run's rows land in
+    its own table partitions (dynamic partition overwrite).  With
+    neither set and more than one partition, this raises instead of
+    destroying data.  Under that contract, rerunning ANY subset of
     ``partitions`` replaces exactly those partitions' output.
 
     ``on_error="continue"`` finishes the range and reports per-run
@@ -93,11 +103,24 @@ def backfill(
     the first exhausted partition (all_success)."""
     if on_error not in ("continue", "fail"):
         raise ValueError("on_error must be 'continue' or 'fail'")
+    if (
+        len(partitions) > 1
+        and table_template is None
+        and not cfg.partition_by
+    ):
+        raise ValueError(
+            "multi-partition backfill with a single full-overwrite "
+            "table would keep only the LAST partition; pass "
+            "table_template='{p}'-style per-partition tables or an "
+            "EtlConfig.partition_by column layout"
+        )
     results: list[RunResult] = []
     for p in partitions:
         run_cfg = cfg
         if path_template is not None:
-            run_cfg = replace(cfg, input_path=path_template.format(p=p))
+            run_cfg = replace(run_cfg, input_path=path_template.format(p=p))
+        if table_template is not None:
+            run_cfg = replace(run_cfg, table=table_template.format(p=p))
         res = run_with_retries(
             spark, run_cfg, partition=p, max_attempts=max_attempts,
             backoff_seconds=backoff_seconds,

@@ -409,3 +409,17 @@ def test_weighted_pagerank_follows_weights(spark):
     c = sorted(pagerank(dup, iterations=8, weight="w").collect())
     d = sorted(pagerank(df, iterations=8, weight="w").collect())
     assert c == d
+
+
+def test_weighted_pagerank_rejects_invalid_weights(spark):
+    """Null / zero / negative weights fail fast instead of silently
+    vanishing rank mass (a NaN or null contribution is dropped by the
+    sum, not surfaced)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    for bad in (0.0, -1.0, None):
+        df = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 1, bad)], "src long, dst long, w double"
+        )
+        with pytest.raises(ValueError, match="weights"):
+            pagerank(df, iterations=2, weight="w")

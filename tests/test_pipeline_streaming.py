@@ -451,14 +451,17 @@ def test_interval_join_rejects_narrow_bucket(spark):
 
 def test_backfill_retry_and_error_policies(spark):
     """Backfill drives one idempotent run per partition with bounded
-    retries: good partitions land, a missing-input partition exhausts
-    its attempts and is reported (continue) or raised (fail), and
-    rerunning the full range converges instead of doubling."""
+    retries: good partitions land in their own tables, a missing-input
+    partition exhausts its attempts and is reported (continue) or
+    raised (fail), rerunning the range converges, and a multi-partition
+    backfill into one unpartitioned table is refused up front."""
+    import pytest as _pytest
+
     from btc_usdt_etl_pipeline_spark.pipeline.schedule import backfill
 
     n, track = 4_000, 1_000
     with tempfile.TemporaryDirectory() as d:
-        for p in ("2024-01", "2024-02"):
+        for p in ("p2024_01", "p2024_02"):
             make_klines(spark, n).write.mode("overwrite").parquet(
                 f"{d}/in/{p}"
             )
@@ -466,42 +469,54 @@ def test_backfill_retry_and_error_policies(spark):
             input_path="unused",
             input_format="parquet",
             track_each=track,
-            table="t_backfill_bars",
+            table="unused",
         )
         results = backfill(
             spark, cfg,
-            partitions=["2024-01", "2024-02", "2024-03"],  # 03 missing
+            partitions=["p2024_01", "p2024_02", "p2024_03"],  # 03 missing
             path_template=f"{d}/in/{{p}}",
+            table_template="t_bf_{p}",
             max_attempts=2,
             on_error="continue",
         )
         by_p = {r.partition: r for r in results}
-        assert by_p["2024-01"].ok and by_p["2024-01"].attempts == 1
-        assert by_p["2024-02"].ok
-        assert not by_p["2024-03"].ok
-        assert by_p["2024-03"].attempts == 2
-        assert "2024-03" in (by_p["2024-03"].error or "") or by_p[
-            "2024-03"
-        ].error
-        bars = spark.table("t_backfill_bars").count()
-        assert bars == math.ceil(n / track)  # last good partition's bars
+        assert by_p["p2024_01"].ok and by_p["p2024_01"].attempts == 1
+        assert by_p["p2024_02"].ok
+        assert not by_p["p2024_03"].ok
+        assert by_p["p2024_03"].attempts == 2
+        # the error names the missing partition's path, not another's
+        assert "p2024_03" in (by_p["p2024_03"].error or "")
+        per = math.ceil(n / track)
+        # EVERY good partition's output exists — nothing clobbered
+        assert spark.table("t_bf_p2024_01").count() == per
+        assert spark.table("t_bf_p2024_02").count() == per
 
         # rerun the whole range: converges (idempotent overwrite)
         backfill(
             spark, cfg,
-            partitions=["2024-01", "2024-02"],
+            partitions=["p2024_01", "p2024_02"],
             path_template=f"{d}/in/{{p}}",
+            table_template="t_bf_{p}",
         )
-        assert spark.table("t_backfill_bars").count() == bars
+        assert spark.table("t_bf_p2024_01").count() == per
+        assert spark.table("t_bf_p2024_02").count() == per
 
         # fail-fast policy raises on the exhausted partition
-        import pytest as _pytest
-
-        with _pytest.raises(RuntimeError, match="2024-03"):
+        with _pytest.raises(RuntimeError, match="p2024_03"):
             backfill(
                 spark, cfg,
-                partitions=["2024-03"],
+                partitions=["p2024_03"],
                 path_template=f"{d}/in/{{p}}",
+                table_template="t_bf_{p}",
                 max_attempts=1,
                 on_error="fail",
+            )
+
+        # refused: multi-partition backfill into ONE unpartitioned
+        # table would keep only the last partition's rows
+        with _pytest.raises(ValueError, match="LAST partition"):
+            backfill(
+                spark, cfg,
+                partitions=["p2024_01", "p2024_02"],
+                path_template=f"{d}/in/{{p}}",
             )

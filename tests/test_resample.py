@@ -138,6 +138,13 @@ def test_global_index_null_order_values_and_dtype_guard(spark):
     assert out.filter("split is null").count() == 0
     assert out.count() == 5
 
+    # entirely-null numeric order column: all rows share the sentinel
+    # bucket and still get dense indices (not the old null-index path)
+    alln = spark.createDataFrame([(None,), (None,), (None,)], "t int")
+    idx2, n2 = global_index_with_total(alln, "t")
+    assert n2 == 3
+    assert sorted(r["_idx"] for r in idx2.collect()) == [0, 1, 2]
+
     sdf = spark.createDataFrame([("a",), ("b",)], "s string")
     with pytest.raises(TypeError, match="bucket"):
         global_index_with_total(sdf, "s")
