@@ -6121,6 +6121,59 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ALPHA_1024 = 0.7213 / (1.0 + 1.079 / 1024)
+
+
+@_q(
+    "q151_hll_distinct",
+    f"""
+    WITH h AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS h
+               FROM events),
+    k AS (SELECT h % 1024 AS bucket, h // 1024 AS w FROM h),
+    r AS (SELECT bucket,
+                 MAX(CASE WHEN w = 0 THEN 51
+                     ELSE bit_count((w & -w) - 1) + 1 END) AS mr
+          FROM k GROUP BY bucket),
+    nd AS (SELECT COUNT(DISTINCT user_id) AS nd FROM events),
+    st AS (SELECT COUNT(*)::BIGINT AS n_present,
+                  SUM((1::BIGINT << CAST(50 - mr AS INT)))::BIGINT
+                    AS spresent
+           FROM r),
+    agg AS (SELECT 1024 AS m, st.n_present,
+                   (1024 - st.n_present) AS v_zero, nd.nd AS n_exact,
+                   {_HLL_ALPHA_1024!r}::DOUBLE * {1024.0!r}::DOUBLE
+                     * {1024.0!r}::DOUBLE
+                     * {float(1 << 50)!r}::DOUBLE
+                     / CAST(st.spresent
+                            + (1024 - st.n_present) * (1::BIGINT << 50)
+                            AS DOUBLE) AS raw
+            FROM st CROSS JOIN nd)
+    SELECT m, n_present, v_zero, n_exact,
+           round(raw, 4) AS est_raw,
+           round(CASE WHEN raw <= {2.5 * 1024!r}::DOUBLE AND v_zero > 0
+                 THEN {1024.0!r}::DOUBLE * ln({1024.0!r}::DOUBLE
+                                      / CAST(v_zero AS DOUBLE))
+                 ELSE raw END, 4) AS est
+    FROM agg
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality sketch over events.user_id:
+    1024 max-rank registers from the md5 hash, harmonic-mean estimate
+    with the linear-counting small-range correction — the mergeable
+    distinct-count sketch, with every intermediate an exact integer so
+    DuckDB replays registers, denominator, and estimate bit-for-bit
+    (rank is pure bit arithmetic, the denominator an exact long; the
+    only floats are the final formula on identical inputs).  Exact
+    distinct rides along so the gate also WITNESSES the accuracy
+    (~2% here via the correction path)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import hll_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(hll_distinct("user_id", b=10))
+
+
 #: SCD2 run-detection CTE shared by the q147 and q150 oracles — ONE
 #: definition so a change-semantics fix can never diverge between the
 #: dimension-build gate and the point-in-time-lookup gate.

@@ -104,6 +104,7 @@ HEADLINE = [
     "q148_pagerank_weighted",
     "q149_m4_downsample",
     "q150_pit_join",
+    "q151_hll_distinct",
 ]
 
 

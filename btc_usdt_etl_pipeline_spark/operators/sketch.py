@@ -136,3 +136,99 @@ def cms_heavy_hitters(
         )
 
     return _t
+
+
+def hll_distinct(
+    key_col: str,
+    b: int = 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Portable HyperLogLog distinct-count sketch (Flajolet et al. '07):
+    ``m = 2^b`` max-rank registers over the portable 60-bit md5 hash —
+    the mergeable cardinality sketch (register-wise MAX merges across
+    partitions/machines/days), with the small-range linear-counting
+    correction.  ``approx_count_distinct`` is the production built-in;
+    this one exists because every intermediate is an exact INTEGER a
+    SQL oracle can replay: bucket = ``h mod m``, rank = trailing-zero
+    count of the remaining 50 hash bits (``bit_count((w & -w) - 1)``,
+    pure bit arithmetic — no float log), and the harmonic-mean
+    denominator is the exact long ``Σ 2^(50-rho)`` (scaled to avoid
+    fractional terms), so both engines evaluate the final estimate on
+    identical inputs.  Returns ONE row: registers seen, zero registers,
+    exact distinct (for error inspection), raw and corrected estimates.
+    """
+    if not 4 <= b <= 18:
+        raise ValueError("b must be in [4, 18]")
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(F.col(key_col).cast("string"))
+        # rank over the 50 bits above the bucket: rho = 1 + trailing
+        # zeros of w (w = h DIV m — integer division; a float divide
+        # would round the 60-bit hash to 53 bits and corrupt w),
+        # 51 when w = 0 — all integer ops
+        keyed = df.select(h.alias("_h")).select(
+            (F.col("_h") % m).alias("_bucket"),
+            F.expr(f"_h DIV {m}").alias("_w"),
+        )
+        rho = F.when(F.col("_w") == 0, F.lit(51)).otherwise(
+            F.bit_count(
+                F.expr("(_w & -_w) - 1")
+            )
+            + F.lit(1)
+        )
+        regs = (
+            keyed.withColumn("_rho", rho)
+            .groupBy("_bucket")
+            .agg(F.max("_rho").alias("_mr"))
+        )
+        # exact distinct rides along for error inspection (one extra
+        # agg on the same pass's input)
+        n_exact = df.select(
+            F.countDistinct(F.col(key_col)).alias("_nd")
+        )
+        stats = regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(1L, cast(50 - _mr as int))")
+            ).alias("_spresent"),
+        )
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        out = attach_scalar(
+            stats, n_exact, F.col("n_present"), F.col("_nd")
+        ).select(
+            F.lit(m).alias("m"),
+            "n_present",
+            (F.lit(m) - F.col("n_present")).alias("v_zero"),
+            F.col("_nd").alias("n_exact"),
+            # denominator: present registers' Σ2^(50-rho) + empty
+            # registers at rho=0 contributing 2^50 each — exact longs
+            (
+                F.col("_spresent")
+                + (F.lit(m) - F.col("n_present"))
+                * F.lit(1 << 50)
+            ).alias("_stotal"),
+        )
+        raw = (
+            F.lit(alpha)
+            * F.lit(float(m))
+            * F.lit(float(m))
+            * F.lit(float(1 << 50))
+            / F.col("_stotal").cast("double")
+        )
+        corrected = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+        ).otherwise(raw)
+        return out.select(
+            "m",
+            "n_present",
+            "v_zero",
+            "n_exact",
+            F.round(raw, 4).alias("est_raw"),
+            F.round(corrected, 4).alias("est"),
+        )
+
+    return _t
