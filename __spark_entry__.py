@@ -2526,7 +2526,8 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            {oracle_sum_sql("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")}
              / nullif(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS vwap,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS volume
     FROM events GROUP BY user_id, day
     """,
 )
@@ -2707,9 +2708,10 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts, value,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                 CAST(SUM(new_s) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
           FROM g)
     SELECT user_id, session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -3092,7 +3094,7 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
           FROM tok WHERE len(toks) >= 3),
     c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
-    SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_count,
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, MAX(cnt) AS top_count,
            MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_share
     FROM c GROUP BY doc_id
     """,
@@ -3876,7 +3878,7 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     r AS (
       SELECT event_id, user_id, ts,
-             SUM(is_p) OVER w AS n_purchases_so_far,
+             CAST(SUM(is_p) OVER w AS BIGINT) AS n_purchases_so_far,
              last_value(p_us IGNORE NULLS) OVER w AS last_p_us,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn,
@@ -3888,7 +3890,9 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id,
            n_purchases_so_far,
-           rn - last_p_rn AS events_since_purchase,
+           -- DOUBLE: NULL before a user's first purchase → a nullable
+           -- int column is float64 under the driver's pandas path
+           CAST(rn - last_p_rn AS DOUBLE) AS events_since_purchase,
            (epoch_us(ts) - last_p_us) / 1000000 AS secs_since_purchase
     FROM r
     """,
@@ -3924,7 +3928,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.max(
                 F.when(F.col("is_p") == 1, F.col("rn0"))
             ).over(w)
-        ).alias("events_since_purchase"),
+        ).cast("double").alias("events_since_purchase"),
         (
             (
                 F.unix_micros("ts")
@@ -3964,7 +3968,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX_BY(held_micro, ts) AS BIGINT) AS final_units_micro,
            CAST(MAX_BY(held_micro, ts) AS DOUBLE)
              * MAX_BY(cents, ts) / 100000000.0 AS final_value,
-           10000.0 * MAX(n_buys) AS invested
+           CAST(10000.0 * MAX(n_buys) AS DOUBLE) AS invested
     FROM c GROUP BY user_id
     """,
 )
@@ -4210,12 +4214,13 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ORDER BY ts, event_id) AS prev
       FROM events)
     SELECT user_id, event_id,
-           SUM(CASE WHEN prev IS NULL THEN 0
-                    WHEN value > prev THEN vol
-                    WHEN value < prev THEN -vol
-                    ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         WHEN value > prev THEN vol
+                         WHEN value < prev THEN -vol
+                         ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
     FROM t
     """,
 )
@@ -4323,12 +4328,15 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT COUNT(*) AS n_rows,
            COUNT(m) AS n_m_nonnull,
-           SUM(CASE WHEN m IS NOT DISTINCT FROM k THEN 1 ELSE 0 END)
-             AS n_nullsafe_eq,
-           SUM(COALESCE(m, k, 0)) AS sum_coalesced,
-           SUM(CASE WHEN nullif(k, 50) IS NULL THEN 1 ELSE 0 END)
-             AS n_k50_or_null,
-           MIN(m) AS min_m
+           CAST(SUM(CASE WHEN m IS NOT DISTINCT FROM k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq,
+           CAST(SUM(COALESCE(m, k, 0)) AS BIGINT) AS sum_coalesced,
+           CAST(SUM(CASE WHEN nullif(k, 50) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_k50_or_null,
+           -- DOUBLE, not BIGINT: an all-NULL integer column lands as
+           -- float64 in the driver's pandas canonicalizer — keep both
+           -- engines typed float so NULL renders identically
+           CAST(MIN(m) AS DOUBLE) AS min_m
     FROM t
     """,
 )
@@ -4354,7 +4362,7 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0
             )
         ).alias("n_k50_or_null"),
-        F.min("m").alias("min_m"),
+        F.min("m").cast("double").alias("min_m"),
     )
 
 
@@ -5389,10 +5397,10 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     b AS (SELECT *, h % 32 AS bucket FROM t),
     c AS (SELECT doc_id, tokens,
-                 COALESCE(SUM(tokens) OVER (
-                     ORDER BY bucket, h, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS start_offset
+                 CAST(COALESCE(SUM(tokens) OVER (
+                          ORDER BY bucket, h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_offset
           FROM b)
     SELECT doc_id, tokens, start_offset,
            start_offset // 512 AS start_chunk,
@@ -5989,8 +5997,10 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
           LEFT JOIN p ON v.user_id = p.user_id)
     SELECT entry_day,
            COUNT(*) AS n_entered,
-           SUM(CASE WHEN reached_click THEN 1 ELSE 0 END) AS n_clicked,
-           SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END) AS n_purchased,
+           CAST(SUM(CASE WHEN reached_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked,
+           CAST(SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchased,
            SUM(CASE WHEN reached_click THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE) AS click_rate,
            SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END)
@@ -6137,16 +6147,19 @@ _HLL_ALPHA_1024 = 0.7213 / (1.0 + 1.079 / 1024)
           FROM k GROUP BY bucket),
     nd AS (SELECT COUNT(DISTINCT user_id) AS nd FROM events),
     st AS (SELECT COUNT(*)::BIGINT AS n_present,
-                  SUM((1::BIGINT << CAST(50 - mr AS INT)))::BIGINT
+                  -- 2^51 scale (rem+1 for b=10): the w=0 register at
+                  -- mr=51 contributes an exact integer 1, never a
+                  -- negative shift; matches sketch.py's layout
+                  SUM((1::BIGINT << CAST(51 - mr AS INT)))::BIGINT
                     AS spresent
            FROM r),
     agg AS (SELECT 1024 AS m, st.n_present,
                    (1024 - st.n_present) AS v_zero, nd.nd AS n_exact,
                    {_HLL_ALPHA_1024!r}::DOUBLE * {1024.0!r}::DOUBLE
                      * {1024.0!r}::DOUBLE
-                     * {float(1 << 50)!r}::DOUBLE
+                     * {float(1 << 51)!r}::DOUBLE
                      / CAST(st.spresent
-                            + (1024 - st.n_present) * (1::BIGINT << 50)
+                            + (1024 - st.n_present) * (1::BIGINT << 51)
                             AS DOUBLE) AS raw
             FROM st CROSS JOIN nd)
     SELECT m, n_present, v_zero, n_exact,
@@ -6648,9 +6661,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (multi-probe LSH), q143 (BM25), q144 (PMI collocations), q145
 #: (vocab drift) stay OUTSIDE the window deliberately: each already
 #: has an in-window family representative (similarity: q40/q132;
-#: text: q27/q131/q133), so promoting them would displace UNIQUE
+#: text: q27/q131/q139), so promoting them would displace UNIQUE
 #: component reps (W4/A5/mapInPandas/VARIANT) for redundant family
-#: coverage — the judge's full gate covers them either way.
+#: coverage — the judge's full gate covers them either way.  Round 7
+#: promoted the five round-6 operator families that had NO driver row
+#: at all — q146 (PageRank), q147 (SCD2 build), q149 (M4 downsample),
+#: q150 (point-in-time join), q151 (HyperLogLog sketch) — demoting
+#: q38/q65/q128/q133/q138, each of whose families keeps driver rows:
+#: dedup keeps q26/q30/q109/q132, streaming keeps q36/q58/q135,
+#: training export keeps q127 (mix) + q129 (pack), text quality keeps
+#: q27/q131/q139, ML feature transforms keep q34/q110 (and SRP
+#: hashing stays judge-covered via q138/q142).  q148 (weighted
+#: PageRank) stays judge-side: q146 is its in-window family rep.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -6665,7 +6687,6 @@ _PRIORITY_WINDOW = [
     "q33_sliding_sequences",  # W6 ML sequences
     "q34_minmax_scale",       # A5 scaler
     "q36_streaming_ohlcv",    # streaming tumbling
-    "q38_ngram_jaccard",      # n-gram Jaccard
     "q40_simsearch_ivf",      # IVF ANN (scale path)
     "q44_multimodal_features",# multimodal kernel
     "q48_grouping_sets",      # rollup/cube/grouping sets family
@@ -6676,7 +6697,6 @@ _PRIORITY_WINDOW = [
     "q58_stateful_extrema",   # applyInPandasWithState
     "q60_range_join",         # range join
     "q62_dedup_clusters",     # connected components
-    "q65_stream_interval_join",  # stream-stream interval join
     "q66_corpus_pipeline",    # corpus filter→cluster→elect→sample
     "q76_kmeans",             # k-means clustering
     "q83_star_join",          # broadcast star join
@@ -6692,16 +6712,18 @@ _PRIORITY_WINDOW = [
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
     "q131_pii_redact",        # PII detect + redact
     "q132_semdedup",          # SemDeDup semantic dedup
-    "q133_lm_quality",        # corpus-trained bigram-LM quality score
     "q134_cms_heavy_hitters", # count-min sketch heavy hitters
     "q136_zorder_layout",     # Z-order layout key
     "q137_data_quality",      # data-quality expectations
-    "q128_shard_export",      # deterministic shuffle-shard layout
     "q135_stream_enrich",     # stream-static broadcast enrichment
-    "q138_random_projection", # SRP dimensionality reduction
     "q139_chunk_documents",   # token-window document chunking
     "q140_cohort_retention",  # cohort retention matrix
     "q141_funnel",            # ordered conversion funnel
+    "q146_pagerank",          # graph power iteration (PageRank)
+    "q147_scd2",              # SCD2 dimension build
+    "q149_m4_downsample",     # M4 time-series downsampling
+    "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
+    "q151_hll_distinct",      # HyperLogLog distinct sketch
 ]
 
 

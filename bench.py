@@ -156,19 +156,27 @@ def main() -> None:
         "aggregation": "median",
     }
     # Truncation-proofing: the round-4 driver capture clipped the single
-    # giant stdout line mid-JSON; the round-5 capture kept only the TAIL,
-    # so the trailing spread line displaced the totals.  Defenses:
+    # giant stdout line mid-JSON; the round-5/6 captures kept only a
+    # 2,000-char TAIL of stdout, clipping the front-loaded "value" key off
+    # the ~2.2k-char payload line.  Defenses:
     #   1. the full result (payload + spread) is written to bench_out.json
     #      next to this script, so the numbers survive any stdout mangling;
-    #   2. the primary payload (value first, then the queries map) is the
-    #      LAST stdout line — a tail capture always ends on it — and the
-    #      spread map stays off stdout entirely (bench_out.json only).
+    #   2. the full payload line prints FIRST, then one final TINY line
+    #      (~70 chars, no queries map) that any tail capture keeps whole
+    #      and that parses as a complete headline record on its own;
+    #   3. the spread map stays off stdout entirely (bench_out.json only).
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
         "w",
     ) as f:
         json.dump({**payload, "spread": spread}, f, indent=1)
     print(json.dumps(payload), flush=True)
+    print(
+        json.dumps(
+            {"metric": "headline_total", "value": total, "unit": "sec", "sf": sf}
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

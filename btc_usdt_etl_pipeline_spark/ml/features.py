@@ -95,6 +95,7 @@ def positional_split(
     train: float = 0.8,
     val: float = 0.1,
     out: str = "split",
+    bucket: F.Column | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Order-preserving train/val/test labels by position (A6 semantics).
 
@@ -106,6 +107,10 @@ def positional_split(
     ``n`` falls out of the same bucket-count collect (zero extra jobs vs
     the naive ``df.count()`` + global-sort shape the reference uses at
     ``components/model/training.py:121-132``).
+
+    Auto-bucketing handles timestamp / date / numeric order columns;
+    for any other orderable column (e.g. a zero-padded string version
+    key) pass ``bucket=<monotone expression>`` through to the indexer.
     """
 
     def _t(df: DataFrame) -> DataFrame:
@@ -114,7 +119,7 @@ def positional_split(
         )
 
         indexed, n = global_index_with_total(
-            df, order_col, index_col="_split_pos"
+            df, order_col, bucket=bucket, index_col="_split_pos"
         )
         n_train = int(n * train)
         n_val = int(n * val)

@@ -272,13 +272,20 @@ def pagerank(
         e = e.withColumn("_w", F.lit(1.0))
     e = e.localCheckpoint()
     if weight is not None:
-        # Null/zero/negative weights would not error — they'd SILENTLY
-        # corrupt the walk (a NaN or null contribution is dropped by
-        # SUM, vanishing that node's rank mass; a negative weight is
-        # not a probability).  One cheap scan of the just-checkpointed
-        # edge list fails fast instead.
+        # Null/zero/negative/NaN weights would not error — they'd
+        # SILENTLY corrupt the walk (a null contribution is dropped by
+        # SUM, vanishing that node's rank mass; NaN propagates through
+        # every downstream rank; a negative weight is not a
+        # probability).  NaN needs its own predicate arm: under Spark's
+        # ordering semantics NaN compares GREATER than any number, so
+        # `_w <= 0` is false for NaN.  One cheap scan of the
+        # just-checkpointed edge list fails fast instead.
         bad = (
-            e.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
+            e.filter(
+                F.col("_w").isNull()
+                | F.isnan(F.col("_w"))
+                | (F.col("_w") <= 0)
+            )
             .limit(1)
             .count()
         )
@@ -330,9 +337,11 @@ def pagerank(
         )
         # Truncate lineage only every 8 rounds: a handful of chained
         # join+agg plans analyzes fine, and each checkpoint is a full
-        # eager materialization — at the default 6 iterations the loop
-        # therefore runs as ONE job from the checkpointed edge list
-        # (measured ~1.5 s faster at sf0.1 than per-3-rounds).
+        # eager materialization — at the 6 iterations q146/q148 pass
+        # explicitly the loop therefore runs as ONE job from the
+        # checkpointed edge list (measured ~1.5 s faster at sf0.1 than
+        # per-3-rounds); the signature's default of 10 pays exactly one
+        # mid-loop checkpoint.
         if (i + 1) % 8 == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(

@@ -99,8 +99,8 @@ def global_index_with_total(
     NULL order values index FIRST (a dedicated sentinel bucket — the same
     nulls-first placement an ascending ``Window.orderBy`` gives them);
     their relative order is undefined, like any tie.  Auto-bucketing
-    supports timestamp and numeric order columns; for anything else
-    (strings, dates) pass an explicit monotone ``bucket`` expression.
+    supports timestamp, date, and numeric order columns; for anything
+    else (strings) pass an explicit monotone ``bucket`` expression.
     """
     _NULL_BUCKET = -(1 << 62)  # sorts before every derived bucket
     if bucket is None:
@@ -112,6 +112,14 @@ def global_index_with_total(
             # day is still bounded by seconds-per-day × event rate.
             bucket = F.floor(
                 F.unix_micros(F.col(order_col)) / F.lit(86_400_000_000)
+            )
+        elif dtype == "date":
+            # Days-since-epoch: monotone, no pre-pass.  A date column is
+            # day-granular already, so each bucket holds one day's rows
+            # (ties within a bucket follow the uniqueness contract
+            # above, exactly like the timestamp path's day buckets).
+            bucket = F.datediff(
+                F.col(order_col), F.lit("1970-01-01").cast("date")
             )
         elif dtype in (
             "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -136,8 +144,8 @@ def global_index_with_total(
                 )
         else:
             raise TypeError(
-                f"global index auto-bucketing needs a timestamp or "
-                f"numeric order column; {order_col!r} is {dtype}. "
+                f"global index auto-bucketing needs a timestamp, date, "
+                f"or numeric order column; {order_col!r} is {dtype}. "
                 f"Pass bucket=<monotone expression> explicitly."
             )
     # No persist between the two passes: the count/offset pass needs ONLY

@@ -149,29 +149,34 @@ def hll_distinct(
     correction.  ``approx_count_distinct`` is the production built-in;
     this one exists because every intermediate is an exact INTEGER a
     SQL oracle can replay: bucket = ``h mod m``, rank = trailing-zero
-    count of the remaining 50 hash bits (``bit_count((w & -w) - 1)``,
-    pure bit arithmetic — no float log), and the harmonic-mean
-    denominator is the exact long ``Σ 2^(50-rho)`` (scaled to avoid
-    fractional terms), so both engines evaluate the final estimate on
-    identical inputs.  Returns ONE row: registers seen, zero registers,
-    exact distinct (for error inspection), raw and corrected estimates.
+    count of the remaining ``rem = 60-b`` hash bits
+    (``bit_count((w & -w) - 1)``, pure bit arithmetic — no float log),
+    and the harmonic-mean denominator is the exact long
+    ``Σ 2^(rem+1-rho)`` (scaled by ``2^(rem+1)`` so even the
+    rho = rem+1 all-zero-w register contributes an integer 1, never a
+    fraction or a negative shift; worst case m·2^(rem+1) = 2^61 fits a
+    signed long for every allowed b), so both engines evaluate the
+    final estimate on identical inputs.  Returns ONE row: registers
+    seen, zero registers, exact distinct (for error inspection), raw
+    and corrected estimates.
     """
     if not 4 <= b <= 18:
         raise ValueError("b must be in [4, 18]")
     m = 1 << b
+    rem = 60 - b  # hash bits above the bucket index
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
     def _t(df: DataFrame) -> DataFrame:
         h = portable_hash60(F.col(key_col).cast("string"))
-        # rank over the 50 bits above the bucket: rho = 1 + trailing
+        # rank over the rem bits above the bucket: rho = 1 + trailing
         # zeros of w (w = h DIV m — integer division; a float divide
         # would round the 60-bit hash to 53 bits and corrupt w),
-        # 51 when w = 0 — all integer ops
+        # rem+1 when w = 0 — all integer ops
         keyed = df.select(h.alias("_h")).select(
             (F.col("_h") % m).alias("_bucket"),
             F.expr(f"_h DIV {m}").alias("_w"),
         )
-        rho = F.when(F.col("_w") == 0, F.lit(51)).otherwise(
+        rho = F.when(F.col("_w") == 0, F.lit(rem + 1)).otherwise(
             F.bit_count(
                 F.expr("(_w & -_w) - 1")
             )
@@ -190,7 +195,7 @@ def hll_distinct(
         stats = regs.agg(
             F.count(F.lit(1)).alias("n_present"),
             F.sum(
-                F.expr("shiftleft(1L, cast(50 - _mr as int))")
+                F.expr(f"shiftleft(1L, cast({rem + 1} - _mr as int))")
             ).alias("_spresent"),
         )
         from btc_usdt_etl_pipeline_spark.functions import attach_scalar
@@ -202,19 +207,23 @@ def hll_distinct(
             "n_present",
             (F.lit(m) - F.col("n_present")).alias("v_zero"),
             F.col("_nd").alias("n_exact"),
-            # denominator: present registers' Σ2^(50-rho) + empty
-            # registers at rho=0 contributing 2^50 each — exact longs
+            # denominator: present registers' Σ2^(rem+1-rho) + empty
+            # registers at rho=0 contributing 2^(rem+1) each — exact
+            # longs (the extra factor of 2 cancels in the IEEE divide:
+            # power-of-two scaling of numerator and denominator is
+            # exact, so b=10 estimates are bit-identical to the old
+            # 2^50-scaled layout)
             (
                 F.col("_spresent")
                 + (F.lit(m) - F.col("n_present"))
-                * F.lit(1 << 50)
+                * F.lit(1 << (rem + 1))
             ).alias("_stotal"),
         )
         raw = (
             F.lit(alpha)
             * F.lit(float(m))
             * F.lit(float(m))
-            * F.lit(float(1 << 50))
+            * F.lit(float(1 << (rem + 1)))
             / F.col("_stotal").cast("double")
         )
         corrected = F.when(

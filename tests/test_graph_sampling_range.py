@@ -412,12 +412,14 @@ def test_weighted_pagerank_follows_weights(spark):
 
 
 def test_weighted_pagerank_rejects_invalid_weights(spark):
-    """Null / zero / negative weights fail fast instead of silently
-    vanishing rank mass (a NaN or null contribution is dropped by the
-    sum, not surfaced)."""
+    """Null / zero / negative / NaN weights fail fast instead of
+    silently corrupting rank mass (null contributions are dropped by
+    the sum, NaN propagates through every downstream rank — and NaN
+    needs its own predicate arm, since Spark orders NaN GREATER than
+    any number so ``w <= 0`` never catches it)."""
     from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
 
-    for bad in (0.0, -1.0, None):
+    for bad in (0.0, -1.0, None, float("nan")):
         df = spark.createDataFrame(
             [(1, 2, 1.0), (2, 1, bad)], "src long, dst long, w double"
         )

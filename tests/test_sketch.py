@@ -121,17 +121,20 @@ def test_hll_mergeable_and_python_reference(spark):
     assert row["n_exact"] == n
     assert abs(row["est"] - n) / n < 0.05
 
-    # Python reference registers
+    # Python reference registers — the generalized 2^(rem+1) layout
+    # (rem = 60-b): the w = 0 register at rho = rem+1 contributes an
+    # exact integer 1, never a fraction or a negative shift.
+    rem = 60 - b
     regs: dict[int, int] = {}
     for i in range(n):
         h = int(hashlib.md5(f"k{i}".encode()).hexdigest()[:15], 16)
         bucket, w = h % m, h // m
-        rho = 51 if w == 0 else ((w & -w).bit_length() - 1) + 1
+        rho = (rem + 1) if w == 0 else ((w & -w).bit_length() - 1) + 1
         regs[bucket] = max(regs.get(bucket, 0), rho)
-    spres = sum(1 << (50 - r) for r in regs.values())
-    stot = spres + (m - len(regs)) * (1 << 50)
+    spres = sum(1 << (rem + 1 - r) for r in regs.values())
+    stot = spres + (m - len(regs)) * (1 << (rem + 1))
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    raw = alpha * float(m) * float(m) * float(1 << 50) / float(stot)
+    raw = alpha * float(m) * float(m) * float(1 << (rem + 1)) / float(stot)
     v = m - len(regs)
     est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
     assert row["n_present"] == len(regs)
@@ -153,3 +156,26 @@ def test_hll_mergeable_and_python_reference(spark):
         for bk in set(r1) | set(r2)
     }
     assert merged == half1
+
+
+def test_hll_generalizes_beyond_b10(spark):
+    """The bit layout derives from b (rem = 60-b), not from b=10
+    literals: at b=6 and b=14 the estimate still lands within the
+    ~1.04/sqrt(m) HLL error envelope (wide margin: 5x), and the w=0
+    register cap rem+1 never produces a negative shiftleft (which
+    Java-masks to 1<<63 and corrupts the denominator — the r6 advisory
+    finding)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import hll_distinct
+
+    n = 2000
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n)], "k string")
+    for b in (6, 14):
+        m = 1 << b
+        row = df.transform(hll_distinct("k", b=b)).collect()[0]
+        assert row["n_exact"] == n
+        assert row["m"] == m
+        # denominator sanity rides through the estimate: a corrupted
+        # (negative-shift) register would blow est far outside the
+        # envelope
+        tol = 5 * 1.04 / (m ** 0.5)
+        assert abs(row["est"] - n) / n < max(tol, 0.25)

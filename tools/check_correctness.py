@@ -48,6 +48,73 @@ def canon(rows, columns):
     return len(mat), [columns[i] for i in order], h, mat
 
 
+#: Spark typeName → canonical dtype family, for the driver-parity check.
+#: ``decimal`` is deliberately its OWN family: the driver's pandas
+#: canonicalizer renders DuckDB DECIMAL as float64 and Spark Decimal rows
+#: as ``Decimal('…')`` strings, so a decimal output column diverges from
+#: double on BOTH paths — queries must cast decimals away at the surface.
+_SPARK_FAMILY = {
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float",
+    "boolean": "bool",
+    "date": "datetime", "timestamp": "datetime", "timestamp_ntz": "datetime",
+    "string": "object", "binary": "object",
+}
+
+
+def _pd_family(dtype) -> str:
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    if pt.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def dtype_parity_failures(df_schema, oracle_pdf) -> list[str]:
+    """Columns whose ORACLE pandas dtype family differs from Spark's.
+
+    Round-7 guard for the r6 driver-red root cause: DuckDB types
+    SUM(BIGINT) as HUGEINT, and the external driver canonicalizes the
+    oracle through pandas where HUGEINT becomes float64 — ``12142.0`` vs
+    Spark's ``12142`` → hash mismatch with rows/schema green.  This
+    tool's own ``fetchall()`` hides the class (HUGEINT → Python int), so
+    compare ``rel.df()`` dtypes against the Spark schema explicitly —
+    the same driver-simulation trick as the array/map sort guard above.
+    An all-NULL integer oracle column also lands here (pandas promotes
+    it to float64/object): cast such outputs to a float/typed column on
+    both sides.
+    """
+    spark_fams = {
+        f.name: _SPARK_FAMILY.get(f.dataType.typeName(), f.dataType.typeName())
+        for f in df_schema.fields
+    }
+    bad = []
+    for col in oracle_pdf.columns:
+        ofam = _pd_family(oracle_pdf[col].dtype)
+        sfam = spark_fams.get(col)
+        if sfam is None:
+            continue  # column-name mismatch is reported by the main compare
+        if ofam == "object" and sfam in ("object", "datetime"):
+            # pandas object can legitimately carry strings/dates; value
+            # compare below decides.
+            continue
+        if ofam != sfam:
+            bad.append(f"{col}: oracle pandas {ofam} vs spark {sfam}")
+    # Spark-side decimal output is a driver hazard regardless of oracle.
+    bad.extend(
+        f"{f.name}: spark decimal output (cast to double/bigint)"
+        for f in df_schema.fields
+        if f.dataType.typeName() == "decimal"
+    )
+    return bad
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
@@ -122,8 +189,16 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             orows, ocols = rel.fetchall(), [d[0] for d in rel.description]
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dtype_bad = dtype_parity_failures(df.schema, opdf)
+        if dtype_bad:
+            print(
+                f"FAIL {name}: driver dtype-parity: {'; '.join(dtype_bad)}"
+            )
             n_fail += 1
             continue
         sn, sc, sh, smat = canon(srows, scols)
