@@ -51,8 +51,12 @@ def _bucket_col(
     """
     dtype = dict(df.dtypes)[col]
     if dtype.startswith("timestamp"):
+        # .cast("timestamp"): TIMESTAMP_NTZ inputs (raw parquet scans)
+        # are rejected by unix_micros; the constant session-TZ shift
+        # preserves the monotonicity bucketing needs.
         return F.floor(
-            F.unix_micros(F.col(col)) / F.lit(86_400_000_000)
+            F.unix_micros(F.col(col).cast("timestamp"))
+            / F.lit(86_400_000_000)
         ).cast("long")
     if dtype == "date":
         return F.floor(

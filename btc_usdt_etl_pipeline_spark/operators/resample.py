@@ -110,8 +110,12 @@ def global_index_with_total(
             # min/max pre-pass (one whole action saved).  Day buckets are
             # balanced for any steady time series; a pathological burst
             # day is still bounded by seconds-per-day × event rate.
+            # TIMESTAMP_NTZ needs a cast (unix_micros rejects it); the
+            # session-TZ shift is a constant offset, so monotonicity —
+            # all bucketing needs — is preserved.
             bucket = F.floor(
-                F.unix_micros(F.col(order_col)) / F.lit(86_400_000_000)
+                F.unix_micros(F.col(order_col).cast("timestamp"))
+                / F.lit(86_400_000_000)
             )
         elif dtype == "date":
             # Days-since-epoch: monotone, no pre-pass.  A date column is

@@ -7,6 +7,24 @@ strategy, cumulative-product equity curves — re-expressed as Spark window
 functions.  All are per-key windows when ``partition_by`` is given, so they
 parallelize across keys (symbols / users) at scale; a ``partition_by=None``
 global series matches the reference's single-series notebook exactly.
+
+Unkeyed scale path (round 7): an unkeyed ``Window.orderBy`` serializes
+the whole series onto one task.  For the BOUNDED trailing frames here
+(``pct_change`` lag-1, ``rolling_mean_std`` W rows) an exact parallel
+decomposition exists: dense global index (the two-pass bucket-offset
+pass from ``operators/resample.py`` — no global sort), fixed-size
+chunks, the last ``halo`` rows of each chunk duplicated into the next
+chunk as read-only context, per-chunk windows (parallel across chunks),
+halo outputs dropped.  Every output row's frame then contains exactly
+the same rows in the same order as the single-window plan, so results
+are BIT-IDENTICAL — which is why ``strategy='auto'`` can swap plans on
+Catalyst's size estimate without changing any oracle hash.
+``fill_forward``'s unbounded carry uses the bucket-level carry-in
+decomposition instead (same technique as the unkeyed as-of join in
+``operators/asof.py``).  ``cumulative_product`` has NO bit-identical
+parallel form (re-associating the log-sum changes IEEE rounding), so it
+keeps the honest single-series window; see SCALE.md §8 for the measured
+single-task ceiling and the keyed escape hatch.
 """
 
 from __future__ import annotations
@@ -16,6 +34,16 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+#: Unkeyed series larger than this (Catalyst plan-stats estimate, no
+#: scan) switch to the chunked/bucketed parallel plan.  NOT resample's
+#: 1.5 GB sort threshold: a window op's single-task cost is the sort
+#: PLUS an O(n·frame) window evaluation, so the crossover sits far
+#: lower.  Measured (local[32], rolling W=30): 1M rows / 13 MB plan —
+#: window 2.4 s vs chunked 3.0 s; 10M rows / 134 MB — window 41.3 s vs
+#: chunked 11.7 s (3.5×).  32 MB ≈ the ~2M-row crossover.
+_CHUNK_THRESHOLD_BYTES = 32_000_000
+_CHUNK_ROWS = 1 << 20
+
 
 def _window(partition_by: Sequence[str] | None, order_col: str) -> WindowSpec:
     w = Window.orderBy(order_col)
@@ -24,18 +52,98 @@ def _window(partition_by: Sequence[str] | None, order_col: str) -> WindowSpec:
     return w
 
 
+def _plan_size(df: DataFrame) -> int:
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def _auto_chunked(df: DataFrame, order_col: str, strategy: str) -> bool:
+    """Decide the unkeyed plan: explicit strategy wins; ``auto`` goes
+    chunked past the size threshold — but only when the order column's
+    type supports arithmetic auto-bucketing (timestamp/date/numeric);
+    anything else keeps the single-window plan rather than erroring."""
+    if strategy == "window":
+        return False
+    if strategy == "chunked":
+        return True
+    dtype = dict(df.dtypes)[order_col]
+    bucketable = (
+        dtype.startswith("timestamp")
+        or dtype == "date"
+        or dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtype.startswith("decimal")
+    )
+    return bucketable and _plan_size(df) > _CHUNK_THRESHOLD_BYTES
+
+
+def _chunked_trailing(
+    df: DataFrame,
+    order_col: str,
+    halo: int,
+    compute: Callable[[DataFrame, WindowSpec], DataFrame],
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Exact unkeyed trailing-frame windows without a single-partition
+    sort.  ``compute(df, w)`` must add columns using window specs
+    derived from ``w`` with frames reaching at most ``halo`` rows back.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        with_global_index,
+    )
+
+    # Late-bound module global so tests can shrink chunks to force
+    # multi-chunk coverage on small inputs.
+    chunk_rows = max(chunk_rows or _CHUNK_ROWS, 4 * halo, 1)
+    indexed = with_global_index(df, order_col, index_col="_g_idx")
+    chunk = F.floor(F.col("_g_idx") / F.lit(chunk_rows))
+    base = indexed.withColumn("_chunk", chunk).withColumn(
+        "_halo", F.lit(False)
+    )
+    halo_rows = (
+        indexed.filter(
+            (F.col("_g_idx") % chunk_rows) >= F.lit(chunk_rows - halo)
+        )
+        .withColumn("_chunk", chunk + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    u = base.unionByName(halo_rows)
+    w = Window.partitionBy("_chunk").orderBy("_g_idx")
+    out = compute(u, w)
+    return out.filter(~F.col("_halo")).drop("_chunk", "_halo", "_g_idx")
+
+
 def pct_change(
     col: str,
     order_col: str,
     partition_by: Sequence[str] | None = None,
     out: str = "return",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
-    """1-step fractional return: ``x/lag(x) - 1`` (notebook cell 15 W3)."""
+    """1-step fractional return: ``x/lag(x) - 1`` (notebook cell 15 W3).
+
+    Unkeyed ``strategy``: ``'window'`` = single global window,
+    ``'chunked'`` = halo-chunked parallel plan (bit-identical output),
+    ``'auto'`` = switch on Catalyst's size estimate.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
+
+    def _ret(prev: Column) -> Column:
+        return (F.col(col) - prev) / prev
 
     def _t(df: DataFrame) -> DataFrame:
+        if not partition_by and _auto_chunked(df, order_col, strategy):
+            return _chunked_trailing(
+                df,
+                order_col,
+                halo=1,
+                compute=lambda u, w: u.withColumn(
+                    out, _ret(F.lag(col, 1).over(w))
+                ),
+            )
         w = _window(partition_by, order_col)
-        prev = F.lag(col, 1).over(w)
-        return df.withColumn(out, (F.col(col) - prev) / prev)
+        return df.withColumn(out, _ret(F.lag(col, 1).over(w)))
 
     return _t
 
@@ -46,16 +154,31 @@ def rolling_mean_std(
     window_rows: int,
     partition_by: Sequence[str] | None = None,
     prefix: str | None = None,
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Rolling mean + sample std over the trailing ``window_rows`` rows
-    (notebook cell 14 W2: MA30 ± 2σ volatility bands)."""
+    (notebook cell 14 W2: MA30 ± 2σ volatility bands).
+
+    Unkeyed ``strategy`` as in :func:`pct_change`: the chunked plan
+    carries ``window_rows - 1`` halo rows per chunk boundary and is
+    bit-identical to the single-window plan.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     p = prefix or f"{col}_{window_rows}"
 
-    def _t(df: DataFrame) -> DataFrame:
-        w = _window(partition_by, order_col).rowsBetween(-(window_rows - 1), 0)
-        return df.withColumn(f"{p}_mean", F.avg(col).over(w)).withColumn(
-            f"{p}_std", F.stddev(col).over(w)
+    def _add(u: DataFrame, w: WindowSpec) -> DataFrame:
+        f = w.rowsBetween(-(window_rows - 1), 0)
+        return u.withColumn(f"{p}_mean", F.avg(col).over(f)).withColumn(
+            f"{p}_std", F.stddev(col).over(f)
         )
+
+    def _t(df: DataFrame) -> DataFrame:
+        if not partition_by and _auto_chunked(df, order_col, strategy):
+            return _chunked_trailing(
+                df, order_col, halo=window_rows - 1, compute=_add
+            )
+        return _add(df, _window(partition_by, order_col))
 
     return _t
 
@@ -144,6 +267,7 @@ def fill_forward(
     value_cols: Sequence[str],
     order_cols: Sequence[str],
     partition_by: Sequence[str] | None = None,
+    strategy: str = "auto",
 ) -> "Callable[[DataFrame], DataFrame]":
     """Last-observation-carried-forward gap filling: each null takes the
     most recent non-null value in its key's series.  ``order_cols``
@@ -151,13 +275,82 @@ def fill_forward(
     tied timestamps are nondeterministic.
 
     One window per partition key (shuffle keyed by ``partition_by`` —
-    parallel across keys; for a single giant unkeyed series use the
-    bucketed carry in ``operators/asof.py``, same technique).  ``last``
-    with ``ignorenulls`` over an unbounded-preceding frame is
-    incremental state in the window exec — no per-row rescans.
+    parallel across keys).  ``last`` with ``ignorenulls`` over an
+    unbounded-preceding frame is incremental state in the window exec —
+    no per-row rescans.
+
+    Unkeyed scale path (``strategy``: ``'window'`` | ``'bucket'`` |
+    ``'auto'`` on Catalyst's size estimate): the unbounded carry
+    decomposes as in the unkeyed as-of join (``operators/asof.py``) —
+    bucket by a coarse key monotone in ``order_cols[0]`` (ties on the
+    first order column always share a bucket, so cross-bucket order is
+    total even when later tie-breakers reorder within it), one
+    aggregation takes each bucket's LAST non-null per column
+    (``max_by`` keyed on the full order tuple — null-valued rows carry
+    a null ordering key, which ``max_by`` ignores), a bucket-level
+    carry window over #buckets rows (metadata scale) computes each
+    bucket's carry-in, broadcast back, and the per-row LOCF window is
+    then partitioned by bucket — parallel across buckets, falling back
+    to the carry-in when a bucket has no prior non-null.  Output is
+    IDENTICAL to the single-window plan (values are carried, not
+    recomputed — no float reassociation), so ``auto`` is hash-safe.
     """
+    if strategy not in ("auto", "window", "bucket"):
+        raise ValueError("strategy must be auto | window | bucket")
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.asof import _bucket_col
+
+        d = df.withColumn("_ff_b", _bucket_col(df, order_cols[0]))
+        ord_key = F.struct(*[F.col(o) for o in order_cols])
+        lasts = d.groupBy("_ff_b").agg(
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), ord_key),
+                ).alias(f"_ff_last_{c}")
+                for c in value_cols
+            ]
+        )
+        wb = Window.orderBy("_ff_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = lasts.select(
+            "_ff_b",
+            *[
+                F.last(f"_ff_last_{c}", ignorenulls=True)
+                .over(wb)
+                .alias(f"_ff_carry_{c}")
+                for c in value_cols
+            ],
+        )
+        ww = (
+            Window.partitionBy("_ff_b")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = d.join(F.broadcast(carry), "_ff_b")
+        for c in value_cols:
+            out = out.withColumn(
+                c,
+                F.coalesce(
+                    F.last(F.col(c), ignorenulls=True).over(ww),
+                    F.col(f"_ff_carry_{c}"),
+                ),
+            )
+        return out.drop(
+            "_ff_b", *[f"_ff_carry_{c}" for c in value_cols]
+        )
 
     def _t(df: DataFrame) -> DataFrame:
+        if not partition_by and (
+            strategy == "bucket"
+            or (
+                strategy == "auto"
+                and _auto_chunked(df, order_cols[0], "auto")
+            )
+        ):
+            return _bucketed(df)
         w = (
             Window.partitionBy(*partition_by)
             if partition_by

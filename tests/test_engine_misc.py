@@ -363,3 +363,67 @@ def test_scd2_collapses_runs_and_closes_intervals(spark):
         assert sum(1 for v in vs if v[3]) == 1  # one current per key
         for a, b in zip(vs, vs[1:]):
             assert a[2] == b[1]  # chained half-open intervals
+
+
+def test_unkeyed_window_scale_paths_bit_identical(spark, monkeypatch):
+    """The round-7 unkeyed scale paths — halo-chunked pct_change /
+    rolling_mean_std and bucket-carried fill_forward — must equal the
+    single-window plans BIT-FOR-BIT (that is the contract that lets
+    strategy='auto' swap plans on the size estimate without moving any
+    oracle hash).  Chunks are shrunk to 64 rows and the series spans
+    ~60 day-buckets so both decompositions genuinely cross boundaries,
+    including a leading all-null stretch (null carry-in) and nulls that
+    force carries across bucket edges."""
+    import datetime as dt
+
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "_CHUNK_ROWS", 64)
+    epoch = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            epoch + dt.timedelta(hours=3 * i),
+            # deterministic wiggly series; nulls on i%3==0 and an
+            # entirely-null leading stretch
+            None if (i < 40 or i % 3 == 0) else 100.0 + ((i * 37) % 97) / 7.0,
+            # never exactly zero (ANSI divide in pct_change)
+            ((i * 13) % 89) - 44.5,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "t timestamp, v double, x double")
+
+    def rows_of(out):
+        return sorted(
+            (tuple(r) for r in out.collect()),
+            key=lambda r: r[0],
+        )
+
+    a = rows_of(df.transform(W.pct_change("x", "t", strategy="window")))
+    b = rows_of(df.transform(W.pct_change("x", "t", strategy="chunked")))
+    assert a == b
+
+    a = rows_of(
+        df.transform(W.rolling_mean_std("x", "t", 7, strategy="window"))
+    )
+    b = rows_of(
+        df.transform(W.rolling_mean_std("x", "t", 7, strategy="chunked"))
+    )
+    assert a == b
+
+    a = rows_of(df.transform(W.fill_forward(["v"], ["t"], strategy="window")))
+    b = rows_of(df.transform(W.fill_forward(["v"], ["t"], strategy="bucket")))
+    assert a == b
+    # the leading stretch has nothing to carry: stays null in both
+    assert a[0][1] is None
+
+    import pytest as _pytest
+
+    for fn, kw in (
+        (W.pct_change, dict(col="x", order_col="t")),
+        (W.rolling_mean_std, dict(col="x", order_col="t", window_rows=3)),
+    ):
+        with _pytest.raises(ValueError, match="strategy"):
+            fn(strategy="bogus", **kw)
+    with _pytest.raises(ValueError, match="strategy"):
+        W.fill_forward(["v"], ["t"], strategy="bogus")

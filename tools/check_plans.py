@@ -215,6 +215,39 @@ def main() -> int:
         "no single-partition exchange (bucketed global index)",
     )
 
+    # Round-7 unkeyed-window scale paths: forced chunked/bucketed plans
+    # must contain NO single-partition exchange over the data (the
+    # bucket-level carry window in fill_forward runs over #buckets
+    # metadata rows AFTER an aggregation, so assert on the pre-agg
+    # side instead: the per-row windows are keyed by chunk/bucket).
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_id", "value"
+    )
+    pchk = (
+        ev.transform(W.pct_change("value", "ts", strategy="chunked"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # with_global_index's offset collect is a separate job; the main
+    # plan must window by _chunk only
+    check(
+        "windows-chunked",
+        "SinglePartition" not in pchk,
+        "chunked pct_change: no single-partition exchange",
+    )
+    rchk = (
+        ev.transform(
+            W.rolling_mean_std("value", "ts", 30, strategy="chunked")
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "windows-chunked",
+        "SinglePartition" not in rchk,
+        "chunked rolling_mean_std: no single-partition exchange",
+    )
+
     # q136: the in-plan bounds row must attach via a broadcast hash
     # join — a constant-folded key would degrade it to a nested loop.
     kinds = join_kinds(qs["q136_zorder_layout"](spark, SF_DIR))
