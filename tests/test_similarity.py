@@ -270,3 +270,80 @@ def test_round_half_up_matches_spark_round(spark):
     ]
     ours = _round_half_up(np.array(vals), 4).tolist()
     assert ours == spark_rounded
+
+
+def test_portable_hash_changes_buckets_not_pair_semantics(spark):
+    """The md5 ``portable=True`` family exists ONLY so a SQL oracle can
+    replay bucket ids; production runs ``portable=False`` (xxhash64).
+    Swapping families may change WHICH candidates the buckets propose —
+    never pair semantics:
+
+    - simhash: identical texts collide to identical fingerprints under
+      BOTH families (exact-dup collision is hash-family-independent),
+      and each family is deterministic across repeated runs;
+    - lsh_top_k: for every (query, neighbor) pair surfaced by BOTH
+      families the attached cosine is IDENTICAL (scoring is hash-free —
+      hashing only routes candidates), and production recall clears the
+      same floor as the portable config at planes=6/tables=4/probes=6.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here variant {i % 7} tail") for i in range(40)]
+        + [(100, "an exactly duplicated document body"),
+           (101, "an exactly duplicated document body")],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        fp = {
+            r.doc_id: r.simhash
+            for r in docs.transform(
+                simhash(portable=portable)
+            ).collect()
+        }
+        fp2 = {
+            r.doc_id: r.simhash
+            for r in docs.transform(
+                simhash(portable=portable)
+            ).collect()
+        }
+        assert fp == fp2  # deterministic within a family
+        assert fp[100] == fp[101]  # exact dups collide in any family
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .cache()
+    )
+    queries = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(e, queries, k=10).cache()
+
+    def run(portable):
+        return lsh_top_k(
+            e, queries, k=10, planes=6, tables=4, probes=6,
+            portable=portable,
+        ).cache()
+
+    prod, replay = run(False), run(True)
+    # shared pairs score identically (bit-for-bit: same cosine fold)
+    joined = prod.alias("p").join(
+        replay.alias("r"), ["query_id", "vec_id"]
+    ).select(F.col("p.cosine").alias("cp"), F.col("r.cosine").alias("cr"))
+    diffs = joined.filter(F.col("cp") != F.col("cr")).count()
+    assert diffs == 0 and joined.count() > 0
+
+    def mean_recall(approx):
+        return recall_at_k(approx, exact).agg(
+            F.avg("recall").alias("m")
+        ).first()["m"]
+
+    assert mean_recall(prod) >= 0.60  # portable config floor is 0.65;
+    # different buckets => slightly different recall is expected, but
+    # the production family must stay in the same quality band
+    for d in (e, exact, prod, replay):
+        d.unpersist()
