@@ -6621,6 +6621,237 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q152_cdc_merge",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    snap AS (SELECT user_id, value AS state FROM r WHERE rn = 1),
+    chg AS (SELECT user_id, value AS state,
+                   CASE WHEN event_type = 'purchase' THEN 'delete'
+                        ELSE 'upsert' END AS op,
+                   ts, event_id
+            FROM r WHERE rn > 1),
+    u AS (
+      SELECT user_id, state, 0 AS src, NULL AS op,
+             NULL::TIMESTAMP AS vts, NULL::BIGINT AS vid
+      FROM snap
+      UNION ALL
+      SELECT user_id, state, 1, op, ts, event_id FROM chg),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY src DESC, vts DESC, vid DESC) AS rn2
+      FROM u)
+    SELECT user_id, state FROM ranked
+    WHERE rn2 = 1 AND (op IS NULL OR op <> 'delete')
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) merge — the MERGE INTO / Delta-upsert compaction
+    of every incremental bronze→silver hop: a snapshot (each user's
+    first event state) absorbs an upsert/delete changelog (subsequent
+    events; purchases act as delete tombstones), latest-wins per key by
+    the (ts, event_id) version tuple.  One keyed window over the union
+    (``operators/relational.py:cdc_merge``) — a single hash shuffle by
+    key, no join, parallel across keys at any scale."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import cdc_merge
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("_rn", F.row_number().over(w))
+    snapshot = r.filter(F.col("_rn") == 1).select(
+        "user_id", F.col("value").alias("state")
+    )
+    changes = r.filter(F.col("_rn") > 1).select(
+        "user_id",
+        F.col("value").alias("state"),
+        F.when(F.col("event_type") == "purchase", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "ts",
+        "event_id",
+    )
+    return cdc_merge(
+        snapshot, changes, ["user_id"], ["ts", "event_id"], op_col="op"
+    )
+
+
+@_q(
+    "q153_triangle_count",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                FROM lineitem WHERE l_orderkey % 20 = 0),
+    e0 AS (SELECT DISTINCT a.s AS _a, b.s AS _b
+           FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+    deg AS (SELECT _n, COUNT(*) AS _d
+            FROM (SELECT _a AS _n FROM e0
+                  UNION ALL SELECT _b FROM e0)
+            GROUP BY _n),
+    r AS (SELECT e0._a, e0._b, da._d AS _da, db._d AS _db
+          FROM e0
+          JOIN deg da ON da._n = e0._a
+          JOIN deg db ON db._n = e0._b),
+    o AS (SELECT CASE WHEN _da < _db OR (_da = _db AND _a < _b)
+                      THEN _a ELSE _b END AS _u,
+                 CASE WHEN _da < _db OR (_da = _db AND _a < _b)
+                      THEN _b ELSE _a END AS _v
+          FROM r),
+    wedge AS (SELECT o1._u, o1._v AS _x, o2._v AS _y
+              FROM o o1 JOIN o o2 ON o1._u = o2._u AND o1._v < o2._v),
+    closed AS (SELECT w._x, w._y,
+                      CASE WHEN oc._u IS NOT NULL THEN 1 ELSE 0 END AS c
+               FROM wedge w
+               LEFT JOIN o oc ON oc._u = w._x AND oc._v = w._y)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e0) AS n_edges,
+           COUNT(*) AS n_wedges,
+           CAST(SUM(c) AS BIGINT) AS n_triangles
+    FROM closed
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the co-supplier graph (suppliers
+    sharing an order are connected — a natural collaboration graph with
+    genuine triangles), by degree-ordered edge orientation
+    (``operators/graph.py:triangle_count``, Suri-Vassilvitskii WWW'11):
+    orientation caps oriented out-degree at O(√m), so the wedge join
+    survives power-law degree distributions — n_wedges rides along as
+    the audit number.  All exact integers; the oracle replays the
+    orientation and both joins.
+
+    Gate fixture note: the graph is built from the deterministic 5%
+    order subsample (``l_orderkey % 20 = 0``) because the FULL
+    co-supplier graph at small SF is degenerate-dense (1k suppliers ×
+    150k orders at sf0.1 → a near-complete K₁₀₀₀ whose Θ(n³) wedge
+    mass measures the fixture, not the operator; real co-occurrence
+    graphs at 100 TB are sparse because the entity space scales with
+    the data).  The subsample keeps genuine recurring-supplier
+    triangles at every SF."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 20 == 0
+    ).select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = li.select(F.col("o"), F.col("s").alias("src"))
+    b = li.select(F.col("o"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_HLL_SCALE_51 = float(1 << 51)
+
+
+@_q(
+    "q154_hll_grouped",
+    f"""
+    WITH h AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      user_id,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS h
+               FROM events),
+    k AS (SELECT day, user_id, h % 1024 AS bucket, h // 1024 AS w FROM h),
+    r AS (SELECT day, bucket,
+                 MAX(CASE WHEN w = 0 THEN 51
+                     ELSE bit_count((w & -w) - 1) + 1 END) AS mr
+          FROM k GROUP BY day, bucket),
+    nd AS (SELECT day, COUNT(DISTINCT user_id) AS n_exact
+           FROM k GROUP BY day),
+    st AS (SELECT day, COUNT(*)::BIGINT AS n_present,
+                  SUM((1::BIGINT << CAST(51 - mr AS INT)))::BIGINT
+                    AS spresent
+           FROM r GROUP BY day),
+    agg AS (SELECT st.day, 1024 AS m, st.n_present,
+                   CAST(1024 - st.n_present AS BIGINT) AS v_zero,
+                   nd.n_exact,
+                   {_HLL_ALPHA_1024!r}::DOUBLE * {1024.0!r}::DOUBLE
+                     * {1024.0!r}::DOUBLE * {_HLL_SCALE_51!r}::DOUBLE
+                     / CAST(st.spresent
+                            + (1024 - st.n_present) * (1::BIGINT << 51)
+                            AS DOUBLE) AS raw
+            FROM st JOIN nd ON st.day = nd.day)
+    SELECT day, m, n_present, v_zero, n_exact,
+           round(raw, 4) AS est_raw,
+           round(CASE WHEN raw <= {2.5 * 1024!r}::DOUBLE AND v_zero > 0
+                 THEN {1024.0!r}::DOUBLE * ln({1024.0!r}::DOUBLE
+                                      / CAST(v_zero AS DOUBLE))
+                 ELSE raw END, 4) AS est
+    FROM agg
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HyperLogLog distinct-user sketch — the grouped,
+    REGISTER-WISE MERGEABLE deployment shape of q151's sketch (one
+    register set per day; merging days = MAX per (day, bucket) without
+    re-reading raw data): the daily-actives rollup every pipeline
+    materializes, at 2^b longs per group instead of a distinct-union.
+    Same integer bucketing/rank/denominator as q151, so the oracle
+    replays per-group registers and estimates bit-for-bit."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_distinct_by,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return e.transform(hll_distinct_by(["day"], "user_id", b=10))
+
+
+@_q(
+    "q155_winnow_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) - 2 AS n, u.i AS i,
+                 array_to_string(toks[u.i:u.i+2], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                    AS u(i)
+          WHERE len(toks) - 2 >= 4),
+    hsh AS (SELECT doc_id, n, i,
+                   (('0x' || substr(md5(gram), 1, 15))::BIGINT
+                     % 1099511627776) * 1048576
+                   + (1048575 - (i - 1)) AS packed
+            FROM g),
+    sel0 AS (SELECT doc_id, n, i,
+                    MIN(packed) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+             FROM hsh),
+    -- the incomplete-tail filter runs AFTER the window (tail rows must
+    -- still serve as frame members of earlier complete windows)
+    sel AS (SELECT DISTINCT doc_id, s FROM sel0 WHERE i - 1 <= n - 4)
+    SELECT doc_id,
+           (1048575 - (s % 1048576)) AS fp_pos,
+           s // 1048576 AS fp_hash
+    FROM sel
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken
+    SIGMOD'03, the MOSS copy-detector): per window of 4 consecutive
+    token-3-gram hashes select the minimum (rightmost on ties) — any
+    6-token span shared between documents shares a fingerprint, and
+    matches LOCALIZE the copied positions, which whole-document MinHash
+    cannot.  The (hash, rightmost) selection is one windowed MIN over
+    the packed integer ``h40·2^20 + (2^20−1−pos)``, keyed by document —
+    parallel across docs, oracle-replayable (``portable=True``)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        winnow_fingerprints(k=3, window=4, portable=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6673,6 +6904,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q27/q131/q139, ML feature transforms keep q34/q110 (and SRP
 #: hashing stays judge-covered via q138/q142).  q148 (weighted
 #: PageRank) stays judge-side: q146 is its in-window family rep.
+#: Late round 7 promoted q152 (CDC changelog merge — a NEW family with
+#: no in-window cousin; SCD2 builds history, cdc_merge compacts to a
+#: snapshot with deletes) and demoted q107 (custom aggregations keep
+#: q01 exact sums + q54 salted in-window; Gini/HHI stay judge-side).
+#: The other round-7 additions stay judge-side by the family rule:
+#: q153 triangles (graph: q146), q154 grouped HLL (sketch: q151,
+#: q134), q155 winnowing (text fingerprints: q27/q131/q139).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -6703,7 +6941,7 @@ _PRIORITY_WINDOW = [
     "q84_time_range_frame",   # RANGE interval frame
     "q92_variant_json",       # VARIANT semi-structured
     "q100_dashboard",         # financial composite dashboard
-    "q107_gini",              # Gini custom agg (HHI cousin: judge gate q106)
+    "q152_cdc_merge",         # CDC changelog merge (upsert + tombstones)
     "q109_segment_dedup",     # C4-style segment-level dedup
     "q110_embedding_quantize",# int8 embedding quantization
     "q114_keyed_resample",    # per-key OHLCV resample

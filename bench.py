@@ -105,6 +105,10 @@ HEADLINE = [
     "q149_m4_downsample",
     "q150_pit_join",
     "q151_hll_distinct",
+    "q152_cdc_merge",
+    "q153_triangle_count",
+    "q154_hll_grouped",
+    "q155_winnow_fingerprints",
 ]
 
 

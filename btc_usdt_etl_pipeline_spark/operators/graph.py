@@ -348,3 +348,92 @@ def pagerank(
         F.col("_n").alias(node_col),
         F.round(F.col("_r"), 10).alias(rank_col),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle count over an undirected graph, by degree-ordered
+    edge orientation (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11) — the formulation that survives
+    power-law graphs at cluster scale.
+
+    The naive wedge join explodes on hubs: a degree-d node contributes
+    d² wedges (a celebrity node in a social graph is the whole job).
+    Orienting every edge from its lower-(degree, id) endpoint to its
+    higher one caps every node's ORIENTED out-degree at O(√m) on any
+    graph, so wedge mass Σ outdeg² is bounded by m^1.5 regardless of
+    the degree distribution — each triangle is then counted exactly
+    once, from its lowest-ordered vertex.
+
+    Plan: edge canonicalize+dedup (one shuffle), degree agg (one
+    shuffle), two broadcast-eligible equi-joins to attach endpoint
+    ranks, a self-join on the wedge pivot, and one semi-join-shaped
+    count against the oriented edge set — every join keyed, nothing
+    cartesian, no iteration.  Self-loops are dropped (a self-loop is
+    not part of any simple triangle).
+
+    Returns ONE row: ``(n_nodes, n_edges, n_wedges, n_triangles)`` —
+    all exact integers (oracle-replayable; n_wedges is the audit
+    number that tells you what the orientation saved).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .dropDuplicates(["_a", "_b"])
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # total order on nodes: (degree, id) — ties broken by id so the
+    # orientation is deterministic on any engine
+    ranked = (
+        und.join(deg.withColumnRenamed("_n", "_a"), "_a")
+        .withColumnRenamed("_d", "_da")
+        .join(
+            deg.withColumnRenamed("_n", "_b").withColumnRenamed(
+                "_d", "_db"
+            ),
+            "_b",
+        )
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+    )
+    o1 = oriented.select(F.col("_u"), F.col("_v").alias("_x"))
+    o2 = oriented.select(F.col("_u"), F.col("_v").alias("_y"))
+    wedges = o1.join(o2, "_u").filter(F.col("_x") < F.col("_y"))
+    closing = oriented.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    ).withColumn("_closed", F.lit(1))
+    tri = wedges.join(closing, ["_x", "_y"], "left")
+    stats = tri.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.sum(F.coalesce(F.col("_closed"), F.lit(0))).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # attach_scalar, not crossJoin: 1-row × 1-row attaches as
+    # BroadcastHashJoin (the in-plan scalar idiom), keeping the
+    # no-nested-loop plan audit true for this operator too
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+    out = attach_scalar(
+        stats, counts, F.col("n_wedges"), F.col("n_edges")
+    )
+    out = attach_scalar(out, nodes, F.col("n_wedges"), F.col("n_nodes"))
+    return out.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

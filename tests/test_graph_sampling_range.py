@@ -425,3 +425,30 @@ def test_weighted_pagerank_rejects_invalid_weights(spark):
         )
         with pytest.raises(ValueError, match="weights"):
             pagerank(df, iterations=2, weight="w")
+
+
+def test_triangle_count_known_graphs(spark):
+    """Exact counts on graphs with known answers: K4 has 4 triangles
+    and 4 nodes/6 edges; adding a pendant vertex adds 0 triangles; a
+    4-cycle has 0; duplicate/reversed/self-loop edges must not change
+    any count (canonicalization)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import triangle_count
+
+    def tc(rows):
+        df = spark.createDataFrame(rows, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tc(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    messy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (3, 4)]
+    r = tc(messy)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+    cycle4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    r = tc(cycle4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 0)
+    # orientation audit: every triangle is counted from exactly one
+    # wedge, so wedges >= triangles always
+    assert r.n_wedges >= r.n_triangles

