@@ -6806,9 +6806,11 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.transform(hll_distinct_by(["day"], "user_id", b=10))
 
 
-@_q(
-    "q155_winnow_fingerprints",
-    f"""
+#: Winnowing selection CTE chain (k=3 grams, window=4, portable md5
+#: h40, packed rightmost-tie key) shared by the q155 fingerprint gate
+#: and the q156 match-pair gate — ONE definition so a selection-rule
+#: fix can never diverge between the two (the _SCD2_RUNS_SQL pattern).
+_WINNOW_SEL_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     g AS (SELECT doc_id, len(toks) - 2 AS n, u.i AS i,
                  array_to_string(toks[u.i:u.i+2], ' ') AS gram
@@ -6827,6 +6829,13 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the incomplete-tail filter runs AFTER the window (tail rows must
     -- still serve as frame members of earlier complete windows)
     sel AS (SELECT DISTINCT doc_id, s FROM sel0 WHERE i - 1 <= n - 4)
+"""
+
+
+@_q(
+    "q155_winnow_fingerprints",
+    _WINNOW_SEL_SQL
+    + """
     SELECT doc_id,
            (1048575 - (s % 1048576)) AS fp_pos,
            s // 1048576 AS fp_hash
@@ -6849,6 +6858,164 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.transform(
         winnow_fingerprints(k=3, window=4, portable=True)
+    )
+
+
+@_q(
+    "q156_winnow_match_pairs",
+    _WINNOW_SEL_SQL
+    + """
+    , fps AS (SELECT DISTINCT doc_id, s // 1048576 AS fp_hash FROM sel),
+    dfc AS (SELECT fp_hash, COUNT(*) AS df FROM fps GROUP BY fp_hash),
+    kept AS (SELECT f.doc_id, f.fp_hash
+             FROM fps f JOIN dfc ON f.fp_hash = dfc.fp_hash
+             WHERE dfc.df <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match stage: pairs of documents sharing ≥2 winnowing
+    fingerprints, with the shared count (a direct copied-span-length
+    proxy).  Fingerprints with document frequency > 50 are fenced out
+    of candidate generation (the boilerplate cap — same reasoning and
+    default as n-gram Jaccard ``max_df``), so candidate mass is
+    K·Σdf, corpus-shape independent.  One groupBy + one
+    hash-keyed self-join over the (doc, hash)-distinct fingerprint
+    table — never over raw grams."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        winnow_match_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        winnow_match_pairs(
+            k=3, window=4, min_shared=2, max_fp_df=50, portable=True
+        )
+    )
+
+
+@_q(
+    "q157_quantile_binning",
+    """
+    WITH src AS (SELECT event_id, value FROM events
+                 WHERE NOT isnan(value)),
+    b AS (SELECT [round(quantile_cont(value, 0.1), 6),
+                  round(quantile_cont(value, 0.2), 6),
+                  round(quantile_cont(value, 0.3), 6),
+                  round(quantile_cont(value, 0.4), 6),
+                  round(quantile_cont(value, 0.5), 6),
+                  round(quantile_cont(value, 0.6), 6),
+                  round(quantile_cont(value, 0.7), 6),
+                  round(quantile_cont(value, 0.8), 6),
+                  round(quantile_cont(value, 0.9), 6)] AS bounds
+          FROM src)
+    SELECT event_id, value,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(list_sum(list_transform(bounds,
+                       x -> CASE WHEN value > x THEN 1 ELSE 0 END))
+                     AS INT) END AS bin
+    FROM src, b
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of event values — the
+    QuantileDiscretizer feature transform at scale: exact type-7
+    percentile boundaries (one aggregation, rounded to the pinned 6 dp
+    cross-engine idiom of q55), attached in-plan as a broadcast scalar,
+    bin = count of boundaries strictly below the value.  NaNs filtered
+    on both sides (the q55 engine-disagreement precedent)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_binning
+
+    e = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    return e.select("event_id", "value").transform(
+        quantile_binning("value", num_bins=10)
+    )
+
+
+@_q(
+    "q158_snapshot_diff",
+    """
+    WITH lo AS (SELECT MIN(epoch_us(ts)) AS lo FROM events),
+    o AS (SELECT user_id, value AS o_value, event_type AS o_et
+          FROM (SELECT e.user_id, e.value, e.event_type,
+                       ROW_NUMBER() OVER (PARTITION BY e.user_id
+                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                FROM events e, lo
+                WHERE epoch_us(e.ts) < lo.lo + 864000000000)
+          WHERE rn = 1),
+    n AS (SELECT user_id, value AS n_value, event_type AS n_et
+          FROM (SELECT e.user_id, e.value, e.event_type,
+                       ROW_NUMBER() OVER (PARTITION BY e.user_id
+                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                FROM events e, lo
+                WHERE epoch_us(e.ts) < lo.lo + 1728000000000)
+          WHERE rn = 1),
+    j AS (SELECT o.user_id IS NOT NULL AS in_old,
+                 n.user_id IS NOT NULL AS in_new,
+                 o.o_value, o.o_et, n.n_value, n.n_et
+          FROM o FULL JOIN n ON o.user_id = n.user_id),
+    s AS (SELECT
+            CAST(SUM(CASE WHEN NOT in_old THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_added,
+            CAST(SUM(CASE WHEN NOT in_new THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+            CAST(SUM(CASE WHEN in_old AND in_new
+                       AND (o_value IS DISTINCT FROM n_value
+                            OR o_et IS DISTINCT FROM n_et)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+            CAST(SUM(CASE WHEN in_old AND in_new
+                       AND o_value IS NOT DISTINCT FROM n_value
+                       AND o_et IS NOT DISTINCT FROM n_et
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+            CAST(SUM(CASE WHEN in_old AND in_new
+                       AND o_value IS DISTINCT FROM n_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_value,
+            CAST(SUM(CASE WHEN in_old AND in_new
+                       AND o_et IS DISTINCT FROM n_et
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_et
+          FROM j)
+    SELECT 'n_added' AS metric, n_added AS n FROM s
+    UNION ALL SELECT 'n_removed', n_removed FROM s
+    UNION ALL SELECT 'n_changed', n_changed FROM s
+    UNION ALL SELECT 'n_unchanged', n_unchanged FROM s
+    UNION ALL SELECT 'changed:value', c_value FROM s
+    UNION ALL SELECT 'changed:event_type', c_et FROM s
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run snapshot regression report: each user's latest
+    (value, event_type) state as of day 10 vs day 20 of the window,
+    diffed by key (``operators/relational.py:snapshot_diff``) — added /
+    removed / changed / unchanged counts plus per-column change counts,
+    the health report every scheduled pipeline wants between runs.  One
+    full-outer join + one agg; the day cutoffs derive from MIN(ts)
+    identically in both engines (exact integer micros)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    lo = e.agg(F.min(F.unix_micros("ts"))).first()[0]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(cut_us: int) -> DataFrame:
+        return (
+            e.filter(F.unix_micros("ts") < F.lit(cut_us))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "value", "event_type")
+        )
+
+    return snapshot_diff(
+        snap(lo + 10 * 86_400_000_000),
+        snap(lo + 20 * 86_400_000_000),
+        ["user_id"],
     )
 
 

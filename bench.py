@@ -109,6 +109,9 @@ HEADLINE = [
     "q153_triangle_count",
     "q154_hll_grouped",
     "q155_winnow_fingerprints",
+    "q156_winnow_match_pairs",
+    "q157_quantile_binning",
+    "q158_snapshot_diff",
 ]
 
 

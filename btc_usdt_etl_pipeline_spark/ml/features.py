@@ -249,3 +249,59 @@ def quantize_embeddings(
         )
 
     return _t
+
+
+def quantile_binning(
+    value_col: str,
+    num_bins: int = 10,
+    out: str = "bin",
+    round_dp: int | None = 6,
+) -> Callable[[DataFrame], DataFrame]:
+    """Equal-frequency feature discretization (the QuantileDiscretizer
+    shape): bin boundaries are the EXACT type-7 interpolated
+    percentiles at i/num_bins (i = 1..num_bins−1), computed in one
+    aggregation and attached in-plan as a broadcast scalar (no driver
+    action, no fitted model object); ``bin`` = number of boundaries
+    strictly below the value — 0-based, monotone, the maximum lands in
+    the top bin.
+
+    Boundaries are rounded to ``round_dp`` (default 6) before
+    comparison — the repo's pinned cross-engine percentile idiom (q55):
+    Spark and DuckDB agree on type-7 interpolation to well past 6 dp,
+    and rounding makes the COMPARISON values bit-identical so a SQL
+    oracle replays bin assignment exactly.  NULL values get a NULL bin;
+    NaN compares greater than every boundary (Spark semantics) and
+    lands in the top bin — filter NaNs first if that is not wanted.
+
+    Scale: one percentile aggregation (sort-free sketchless exact
+    percentile is a Spark builtin running as a single-pass
+    partial-merge agg) + one broadcast-hash attach + a pure projection;
+    ties spanning a boundary all fall on one side (strict >), so
+    heavily-tied columns may produce uneven bins — that is a property
+    of quantile binning itself, not the plan.
+    """
+    if num_bins < 2:
+        raise ValueError("num_bins must be >= 2")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        ps = [i / num_bins for i in range(1, num_bins)]
+        bounds = F.percentile(value_col, F.lit(ps))
+        if round_dp is not None:
+            bounds = F.transform(bounds, lambda x: F.round(x, round_dp))
+        b = df.agg(bounds.alias("_qb_bounds"))
+        withb = attach_scalar(
+            df, b, F.col(value_col), F.size("_qb_bounds")
+        )
+        v = F.col(value_col)
+        binned = F.aggregate(
+            F.col("_qb_bounds"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(v > x, 1).otherwise(0),
+        )
+        return withb.withColumn(
+            out, F.when(v.isNotNull(), binned).cast("int")
+        ).drop("_qb_bounds")
+
+    return _t

@@ -344,3 +344,77 @@ def cdc_merge(
         )
         .select(*keys, *data_cols)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff between two snapshot versions — the regression report
+    every scheduled pipeline wants between runs: how many keys were
+    added / removed / changed / unchanged, and per compared column, how
+    many surviving keys changed it.
+
+    Null-safe comparison (``eqNullSafe``) so null↔value transitions
+    count as changes.  Plan: ONE full-outer join keyed by ``key_cols``
+    plus one aggregation — the whole report is a single pass, no
+    per-column jobs.  Returns long-form ``(metric, n)`` rows:
+    ``n_added``, ``n_removed``, ``n_changed``, ``n_unchanged``, then
+    ``changed:<col>`` per compared column.
+    """
+    keys = list(key_cols)
+    cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    col_changed = {
+        c: both & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        for c in cols
+    }
+    any_changed = None
+    for c in cols:
+        any_changed = (
+            col_changed[c]
+            if any_changed is None
+            else (any_changed | col_changed[c])
+        )
+    cnt = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, 1).otherwise(0)
+    ).cast("long")
+    agg = j.agg(
+        cnt(F.col("_in_old").isNull()).alias("n_added"),
+        cnt(F.col("_in_new").isNull()).alias("n_removed"),
+        cnt(both & any_changed).alias("n_changed"),
+        cnt(both & ~any_changed).alias("n_unchanged"),
+        *[
+            cnt(col_changed[c]).alias(f"changed:{c}")
+            for c in cols
+        ],
+    )
+    metrics = ["n_added", "n_removed", "n_changed", "n_unchanged"] + [
+        f"changed:{c}" for c in cols
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n")
+            )
+            for m in metrics
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("_p")).select("_p.*")

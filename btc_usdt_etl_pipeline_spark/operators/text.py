@@ -727,3 +727,66 @@ def winnow_fingerprints(
         )
 
     return _t
+
+
+def winnow_match_pairs(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 50,
+    portable: bool = False,
+) -> Callable[[DataFrame], DataFrame]:
+    """Copy-detection pairs from winnowing fingerprints — the match
+    stage of MOSS: documents sharing at least ``min_shared`` selected
+    fingerprint HASHES are reported with their shared count (a direct
+    proxy for total copied-span length, since selection density is
+    ~2/(window+1) of grams).
+
+    Plan: :func:`winnow_fingerprints` → distinct (doc, hash) →
+    document-frequency cap (``max_fp_df``, same boilerplate fence as
+    the n-gram Jaccard ``max_df``: one viral footer shared by the whole
+    corpus would otherwise put Σdf² pairs through the join; grams that
+    common are boilerplate, not plagiarism) → equi-self-join keyed by
+    fingerprint hash → pair count.  Shuffles only by hash and by pair —
+    candidate mass is capped at ``max_fp_df``·Σdf, corpus-shape
+    independent.  Returns ``(id_a, id_b, n_shared)`` with
+    ``id_a < id_b``.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_fp_df is not None and max_fp_df < 2:
+        raise ValueError("max_fp_df must be >= 2 (or None)")
+
+    def _t(df: DataFrame) -> DataFrame:
+        fps = (
+            df.transform(
+                winnow_fingerprints(
+                    text_col, id_col, k=k, window=window,
+                    portable=portable,
+                )
+            )
+            .select(F.col(id_col).alias("_id"), "fp_hash")
+            .distinct()
+        )
+        if max_fp_df is not None:
+            dfc = fps.groupBy("fp_hash").agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+            fps = (
+                fps.join(dfc, "fp_hash")
+                .filter(F.col("_df") <= max_fp_df)
+                .drop("_df")
+            )
+        a = fps.select(F.col("_id").alias("id_a"), "fp_hash")
+        b = fps.select(F.col("_id").alias("id_b"), "fp_hash")
+        return (
+            a.join(b, "fp_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    return _t

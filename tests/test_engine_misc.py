@@ -489,3 +489,38 @@ def test_hll_grouped_matches_global_and_merges(spark):
     both = df.transform(hll_distinct("k")).collect()[0]
     assert both["n_exact"] == 700
     assert abs(both["est"] - 700) / 700 < 0.1
+
+
+def test_snapshot_diff_statuses_and_column_counts(spark):
+    """added/removed/changed/unchanged partition the key space, and the
+    per-column counters see exactly the columns that changed —
+    including null<->value transitions (null-safe compare)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),      # unchanged
+            (2, 21.0, "b"),      # v changed
+            (3, 30.0, "zz"),     # both changed (null -> value counts)
+            (5, 50.0, "e"),      # added
+        ],                        # k=4 removed
+        "k long, v double, s string",
+    )
+    got = {
+        r.metric: r.n
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        "n_added": 1,
+        "n_removed": 1,
+        "n_changed": 2,
+        "n_unchanged": 1,
+        "changed:v": 2,
+        "changed:s": 1,
+    }

@@ -602,3 +602,66 @@ def test_winnowing_guarantee_and_density(spark):
         ).collect())
     )
     assert a == b
+
+
+def test_winnow_match_pairs_detects_copy_and_caps_boilerplate(spark):
+    """A copied 8-token span produces a pair with n_shared >= 2 under
+    min_shared=2; unrelated docs pair with nobody; and a boilerplate
+    fingerprint present in EVERY doc is fenced by max_fp_df so it alone
+    creates no all-pairs clique."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        winnow_match_pairs,
+    )
+
+    span = "the quick brown fox jumps over the lazy dog runs"  # 10 toks
+    boiler = "subscribe to our newsletter now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {span} closing remarks {boiler}"),
+            (2, f"other beginning text {span} different ending {boiler}"),
+            (3, f"nothing related at all to anything else {boiler}"),
+            (4, f"completely separate content again here too {boiler}"),
+            (5, f"yet more unrelated filler words to pad out {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in docs.transform(
+            winnow_match_pairs(
+                k=3, window=4, min_shared=2, max_fp_df=2
+            )
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # the boilerplate tail is shared by all 5 docs -> df=5 > cap=2, so
+    # docs 3/4/5 (which share ONLY boilerplate) pair with nobody
+    assert all(set(p) == {1, 2} for p in pairs)
+
+
+def test_quantile_binning_equal_frequency_and_edges(spark):
+    """Deciles over 0..999 put ~100 values per bin, monotone in the
+    value; nulls bin to null; the max lands in the top bin; num_bins<2
+    rejects."""
+    import pytest as _pytest
+
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_binning
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)] + [(1000, None)],
+        "id long, v double",
+    )
+    rows = df.transform(quantile_binning("v", num_bins=10)).collect()
+    bins = {r.id: r.bin for r in rows}
+    assert bins[1000] is None
+    assert bins[0] == 0 and bins[999] == 9
+    from collections import Counter
+
+    c = Counter(b for i, b in bins.items() if b is not None)
+    assert set(c) == set(range(10))
+    assert all(80 <= n <= 120 for n in c.values())
+    # monotone
+    vals = sorted((i, b) for i, b in bins.items() if b is not None)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(vals, vals[1:]))
+    with _pytest.raises(ValueError, match="num_bins"):
+        quantile_binning("v", num_bins=1)
