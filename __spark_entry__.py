@@ -7019,6 +7019,67 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q159_unicode_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' caf' || 'e' || chr(769) || chr(8203)
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN ' A' || chr(778)
+                       ELSE ' ' || chr(65279) || 'B' END
+                  || '  tail' AS t
+      FROM documents),
+    n AS (SELECT doc_id, t,
+                 trim(regexp_replace(
+                   regexp_replace(nfc_normalize(t),
+                     '[\\p{Cf}\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                     '', 'g'),
+                   '\\s+', ' ', 'g')) AS text_norm
+          FROM aug)
+    SELECT doc_id, text_norm,
+           CAST(length(t) AS BIGINT) AS n_raw,
+           CAST(length(text_norm) AS BIGINT) AS n_norm
+    FROM n
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization pass (NFC + format-char strip + whitespace
+    collapse) over a deterministically AUGMENTED corpus — the synthetic
+    documents are pure ASCII, so both engines first append the same
+    non-NFC material (combining acute → é, combining ring → Å, a
+    zero-width space and a BOM that must vanish; the q131 PII-augment
+    pattern, SCALE.md lesson 19).  The normalize itself is the repo's
+    one sanctioned Python kernel class (Arrow-batched ``unicodedata``;
+    Spark SQL has no UAX#15 builtin) and DuckDB's ``nfc_normalize``
+    replays it; lengths stay BMP-only so codepoint counts agree."""
+    from btc_usdt_etl_pipeline_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" caf"),
+            # DECOMPOSED e+U+0301 / A+U+030A (matching the oracle's
+            # chr(769)/chr(778) build — NFC must do the composing, not
+            # the source file); ZWSP and BOM are Cf and must vanish
+            F.lit("e\u0301"),
+            F.lit("\u200b"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" A\u030a")
+            ).otherwise(F.lit(" \ufeffB")),
+            F.lit("  tail"),
+        ).alias("t"),
+    )
+    return aug.transform(normalize_text("t", out="text_norm")).select(
+        "doc_id",
+        "text_norm",
+        F.length("t").cast("long").alias("n_raw"),
+        F.length("text_norm").cast("long").alias("n_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

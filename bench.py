@@ -112,6 +112,7 @@ HEADLINE = [
     "q156_winnow_match_pairs",
     "q157_quantile_binning",
     "q158_snapshot_diff",
+    "q159_unicode_normalize",
 ]
 
 

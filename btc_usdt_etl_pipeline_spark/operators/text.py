@@ -790,3 +790,59 @@ def winnow_match_pairs(
         )
 
     return _t
+
+
+def normalize_text(
+    text_col: str = "text",
+    out: str = "text_norm",
+    form: str = "NFC",
+    strip_formats: bool = True,
+    collapse_ws: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Unicode text normalization — the first pass of every LLM data
+    pipeline: canonical composition (``form``: NFC/NFKC/NFD/NFKD), then
+    control/format-character stripping (zero-width spaces, BOMs,
+    bidi marks — the classic dedup/tokenizer poison), then whitespace
+    collapse + trim.
+
+    The normalization itself is an Arrow-batched pandas UDF
+    (``unicodedata`` — Spark SQL has no Unicode-normalization builtin;
+    this is the sanctioned Python-kernel case, same stance as the
+    multimodal decode), while the strip/collapse steps stay JVM-side
+    codegen regexes, so the Python surface is exactly one
+    vectorized str→str map.  Order is fixed at normalize → strip →
+    collapse: composition can CREATE precomposed characters whose
+    combining marks would otherwise survive a pre-normalize strip.
+
+    Oracle story: DuckDB's ``nfc_normalize`` implements the same UAX#15
+    NFC as Python's ``unicodedata`` (probed: combining-acute 'e'+U+0301
+    → U+00E9 on both), so q159 replays the full pass.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("form must be NFC | NFKC | NFD | NFKD")
+
+    def _t(df: DataFrame) -> DataFrame:
+        import pandas as pd  # noqa: F401
+
+        @F.pandas_udf("string")
+        def _norm(s):  # type: ignore[no-untyped-def]
+            import unicodedata
+
+            return s.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize(form, x)
+            )
+
+        c = _norm(F.col(text_col))
+        if strip_formats:
+            # Cc minus \t\n\r (keep layout whitespace for the collapse
+            # step to see), plus all of Cf (ZWSP/BOM/bidi)
+            c = F.regexp_replace(
+                c, r"[\p{Cf}\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+            )
+        if collapse_ws:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(out, c)
+
+    return _t

@@ -665,3 +665,36 @@ def test_quantile_binning_equal_frequency_and_edges(spark):
     assert all(b1 <= b2 for (_, b1), (_, b2) in zip(vals, vals[1:]))
     with _pytest.raises(ValueError, match="num_bins"):
         quantile_binning("v", num_bins=1)
+
+
+def test_normalize_text_forms_and_stripping(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    compatibility chars (ligature fi, fullwidth digits); format chars
+    (ZWSP/BOM) vanish; whitespace collapses; nulls pass through; bad
+    form rejects."""
+    import pytest as _pytest
+
+    from btc_usdt_etl_pipeline_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "café  x"),          # decomposed -> café x
+        (2, "a​b﻿c"),        # ZWSP + BOM stripped -> abc
+        (3, "ﬁne １２"),  # NFKC: ligature fi, fullwidth 12
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    nfc = {
+        r.id: r.text_norm
+        for r in df.transform(normalize_text()).collect()
+    }
+    assert nfc[1] == "café x"
+    assert nfc[2] == "abc"
+    assert nfc[3] == "ﬁne １２"  # NFC keeps compat chars
+    assert nfc[4] is None
+    nfkc = {
+        r.id: r.text_norm
+        for r in df.transform(normalize_text(form="NFKC")).collect()
+    }
+    assert nfkc[3] == "fine 12"
+    with _pytest.raises(ValueError, match="form"):
+        normalize_text(form="NFX")
