@@ -7080,6 +7080,57 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q160_length_bucketed_shards",
+    f"""
+    WITH src AS (SELECT doc_id, {_WS_TOKS_SQL} AS n_tokens
+                 FROM documents),
+    b AS (SELECT [round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.25), 6),
+                  round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.50), 6),
+                  round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.75), 6)]
+            AS bounds
+          FROM src),
+    binned AS (
+      SELECT doc_id, n_tokens,
+             CAST(list_sum(list_transform(b.bounds,
+                    x -> CASE WHEN n_tokens > x THEN 1 ELSE 0 END))
+                  AS INT) AS len_bucket,
+             ('0x' || substr(md5('lbs:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM src, b),
+    sharded AS (
+      SELECT doc_id, n_tokens, len_bucket,
+             CAST(h % 4 AS INT) AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY len_bucket, h % 4
+                                ORDER BY h, doc_id) - 1 AS pos
+      FROM binned)
+    SELECT doc_id, n_tokens, len_bucket, shard_id,
+           CAST(pos AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped training-shard layout: equal-frequency token-
+    length quartiles (q157's binning over q27's token count), then
+    deterministic hash shards WITHIN each bucket with dense positions —
+    the length-grouped batching layout that minimizes pad-token waste
+    at fixed batch shape while keeping every shard an unbiased sample
+    of its bucket.  Composes three gated operators (token count →
+    quantile_binning → shard window) into the export tape; one
+    percentile agg + one (bucket, shard)-keyed exchange."""
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        length_bucketed_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select("doc_id", _ws_token_count().alias("n_tokens"))
+    return src.transform(
+        length_bucketed_shards(
+            "doc_id", "n_tokens", n_buckets=4, shards_per_bucket=4
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

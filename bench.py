@@ -113,6 +113,7 @@ HEADLINE = [
     "q157_quantile_binning",
     "q158_snapshot_diff",
     "q159_unicode_normalize",
+    "q160_length_bucketed_shards",
 ]
 
 

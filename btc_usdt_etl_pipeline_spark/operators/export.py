@@ -331,3 +331,62 @@ def pack_sequences(
         )
 
     return _t
+
+
+def length_bucketed_shards(
+    id_col: str,
+    length_col: str,
+    n_buckets: int = 4,
+    shards_per_bucket: int = 4,
+    salt: str = "lbs",
+) -> Callable[[DataFrame], DataFrame]:
+    """Length-grouped training-shard layout: documents are first binned
+    into ``n_buckets`` equal-frequency LENGTH buckets
+    (:func:`...ml.features.quantile_binning` over ``length_col``), then
+    hash-sharded WITHIN each bucket — the length-grouped batching
+    layout: a training batch read sequentially from one
+    ``(len_bucket, shard_id)`` stream has near-uniform sequence
+    lengths, which is what minimizes pad-token waste at fixed batch
+    shape, while the hash shard keeps every shard an unbiased sample
+    of its bucket (no length↔content correlation leaks into batch
+    composition).
+
+    Plan: one percentile aggregation (broadcast-attached boundaries),
+    one exchange keyed by ``(len_bucket, shard_id)`` for the position
+    window — the same single-exchange contract as
+    :func:`shard_export`, with the same per-shard straggler caveat
+    (size ``shards_per_bucket`` so a bucket's share of the corpus
+    divided by it fits one task).  Deterministic and oracle-replayable
+    (portable hash, pinned 6-dp boundaries).
+    """
+    if shards_per_bucket < 1:
+        raise ValueError("shards_per_bucket must be >= 1")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.ml.features import (
+            quantile_binning,
+        )
+
+        b = df.transform(
+            quantile_binning(
+                length_col, num_bins=n_buckets, out="len_bucket"
+            )
+        )
+        h = portable_hash60(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(id_col).cast("string")
+            )
+        )
+        w = Window.partitionBy("len_bucket", "shard_id").orderBy(
+            "_h", id_col
+        )
+        return (
+            b.withColumn("_h", h)
+            .withColumn(
+                "shard_id", (F.col("_h") % shards_per_bucket).cast("int")
+            )
+            .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+            .drop("_h")
+        )
+
+    return _t

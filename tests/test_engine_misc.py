@@ -20,19 +20,26 @@ MODULES = [
     "btc_usdt_etl_pipeline_spark.functions",
     "btc_usdt_etl_pipeline_spark.operators.asof",
     "btc_usdt_etl_pipeline_spark.operators.dedup",
+    "btc_usdt_etl_pipeline_spark.operators.export",
+    "btc_usdt_etl_pipeline_spark.operators.graph",
     "btc_usdt_etl_pipeline_spark.operators.multimodal",
     "btc_usdt_etl_pipeline_spark.operators.partitioning",
     "btc_usdt_etl_pipeline_spark.operators.relational",
     "btc_usdt_etl_pipeline_spark.operators.resample",
+    "btc_usdt_etl_pipeline_spark.operators.sampling",
     "btc_usdt_etl_pipeline_spark.operators.similarity",
+    "btc_usdt_etl_pipeline_spark.operators.sketch",
     "btc_usdt_etl_pipeline_spark.operators.text",
     "btc_usdt_etl_pipeline_spark.operators.windows",
     "btc_usdt_etl_pipeline_spark.sources.ingest",
     "btc_usdt_etl_pipeline_spark.sources.lake",
     "btc_usdt_etl_pipeline_spark.sources.warehouse",
     "btc_usdt_etl_pipeline_spark.streaming.ohlcv",
+    "btc_usdt_etl_pipeline_spark.streaming.stateful",
     "btc_usdt_etl_pipeline_spark.ml.features",
+    "btc_usdt_etl_pipeline_spark.ml.inference",
     "btc_usdt_etl_pipeline_spark.pipeline.runner",
+    "btc_usdt_etl_pipeline_spark.pipeline.schedule",
 ]
 
 
@@ -524,3 +531,58 @@ def test_snapshot_diff_statuses_and_column_counts(spark):
         "changed:v": 2,
         "changed:s": 1,
     }
+
+
+def test_cdc_merge_property_vs_python_model(spark):
+    """For ANY interleaving of upserts and deletes over a random
+    snapshot, cdc_merge equals the obvious Python model: sort changes
+    per key by version, apply last-one-wins, drop deleted keys."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from btc_usdt_etl_pipeline_spark.operators.relational import cdc_merge
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        snap=st.dictionaries(
+            st.integers(0, 12), st.integers(-5, 5), max_size=8
+        ),
+        chg=st.lists(
+            st.tuples(
+                st.integers(0, 12),          # key
+                st.integers(-5, 5),          # value
+                st.booleans(),               # is_delete
+            ),
+            max_size=20,
+        ),
+    )
+    def run(snap, chg):
+        model = dict(snap)
+        for k, v, is_del in chg:  # list order IS version order
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        sdf = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [(None, None)],
+            "k int, v int",
+        ).filter(F.col("k").isNotNull())
+        cdf = spark.createDataFrame(
+            [
+                (k, v, "delete" if is_del else "upsert", i)
+                for i, (k, v, is_del) in enumerate(chg)
+            ]
+            or [(None, None, None, None)],
+            "k int, v int, op string, ver int",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r.k: r.v
+            for r in cdc_merge(sdf, cdf, ["k"], ["ver"]).collect()
+        }
+        assert got == model
+
+    run()

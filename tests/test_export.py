@@ -239,3 +239,45 @@ def test_export_bucket_row_bound(spark):
     ]
     assert len(sizes) == b
     assert max(sizes) <= 4 * (n // b)
+
+
+def test_length_bucketed_shards_layout(spark):
+    """Buckets are equal-frequency in length; within a (bucket, shard)
+    the positions are dense 0..n-1; every shard's length range is
+    bounded by its bucket's range (the pad-waste guarantee); layout is
+    partitioning-independent."""
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        length_bucketed_shards,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 400 + 1) for i in range(800)],
+        "doc_id long, n_tokens long",
+    )
+    t = length_bucketed_shards(
+        "doc_id", "n_tokens", n_buckets=4, shards_per_bucket=3
+    )
+    rows = df.transform(t).collect()
+    assert len(rows) == 800
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    by_bs = defaultdict(list)
+    for r in rows:
+        by_bucket[r.len_bucket].append(r.n_tokens)
+        by_bs[(r.len_bucket, r.shard_id)].append(r.pos)
+    # equal-frequency quartiles
+    assert set(by_bucket) == {0, 1, 2, 3}
+    assert all(150 <= len(v) <= 250 for v in by_bucket.values())
+    # bucket ranges are disjoint (monotone binning)
+    ranges = [
+        (min(v), max(v)) for _, v in sorted(by_bucket.items())
+    ]
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+    # dense positions per (bucket, shard)
+    for poss in by_bs.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # partitioning-independence
+    rows2 = df.repartition(13).transform(t).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
