@@ -6708,7 +6708,7 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM e0) AS n_edges,
            COUNT(*) AS n_wedges,
-           CAST(SUM(c) AS BIGINT) AS n_triangles
+           COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_triangles
     FROM closed
     """,
 )
@@ -7189,7 +7189,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q01 exact sums + q54 salted in-window; Gini/HHI stay judge-side).
 #: The other round-7 additions stay judge-side by the family rule:
 #: q153 triangles (graph: q146), q154 grouped HLL (sketch: q151,
-#: q134), q155 winnowing (text fingerprints: q27/q131/q139).
+#: q134), q155/q156 winnowing + match pairs (text fingerprints:
+#: q27/q131/q139), q157 quantile binning (ML features: q34/q110),
+#: q158 snapshot diff (relational: q152/q147), q159 unicode normalize
+#: (text: q27/q131/q139), q160 length-bucketed shards (export:
+#: q127/q129).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

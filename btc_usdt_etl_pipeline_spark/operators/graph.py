@@ -421,9 +421,12 @@ def triangle_count(
     tri = wedges.join(closing, ["_x", "_y"], "left")
     stats = tri.agg(
         F.count(F.lit(1)).alias("n_wedges"),
-        F.sum(F.coalesce(F.col("_closed"), F.lit(0))).cast("long").alias(
-            "n_triangles"
-        ),
+        # outer coalesce: SUM over an empty wedge set is NULL — an
+        # empty/triangle-free graph must report 0, not null
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_closed"), F.lit(0))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_triangles"),
     )
     counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -221,3 +221,61 @@ def test_m4_downsample_empty_and_single_row(spark):
     rows = one.transform(m4_downsample("ts", "value", 16)).collect()
     assert len(rows) == 1 and rows[0]["bucket"] == 0
     assert rows[0]["v_min"] == rows[0]["v_max"] == 5.0
+
+
+def test_round7_operators_on_empty_inputs(spark):
+    """Every round-7 operator must flow an empty (or trivially small)
+    input through to a correctly-typed result — no 1/0, no null where
+    the contract says 0, no crash."""
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_binning
+    from btc_usdt_etl_pipeline_spark.operators.graph import triangle_count
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        cdc_merge,
+        snapshot_diff,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_distinct_by,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        normalize_text,
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert empty_docs.transform(
+        winnow_fingerprints(k=3, window=4)
+    ).count() == 0
+    assert empty_docs.transform(
+        winnow_match_pairs(k=3, window=4)
+    ).count() == 0
+    assert empty_docs.transform(normalize_text()).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    r = triangle_count(empty_edges).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0)
+
+    empty_kv = spark.createDataFrame([], "k long, v double")
+    some_kv = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    # empty changelog: snapshot passes through
+    chg_schema = "k long, v double, op string, ver long"
+    empty_chg = spark.createDataFrame([], chg_schema)
+    out = cdc_merge(some_kv, empty_chg, ["k"], ["ver"]).collect()
+    assert [(r.k, r.v) for r in out] == [(1, 1.0)]
+    # empty snapshot: changelog inserts (minus deletes)
+    chg = spark.createDataFrame(
+        [(2, 2.0, "upsert", 1), (3, 3.0, "delete", 1)], chg_schema
+    )
+    out = cdc_merge(empty_kv, chg, ["k"], ["ver"]).collect()
+    assert [(r.k, r.v) for r in out] == [(2, 2.0)]
+
+    d = {
+        r.metric: r.n
+        for r in snapshot_diff(empty_kv, some_kv, ["k"]).collect()
+    }
+    assert d["n_added"] == 1 and d["n_removed"] == 0
+
+    g = spark.createDataFrame([], "g int, k string")
+    assert g.transform(hll_distinct_by(["g"], "k")).count() == 0
+
+    assert empty_kv.transform(quantile_binning("v", 4)).count() == 0
