@@ -212,6 +212,7 @@ def pagerank(
     rank_col: str = "rank",
     assume_distinct: bool = False,
     weight: str | None = None,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power iteration — link-centrality
     scoring (the Common Crawl seed-quality / supplier-importance shape).
@@ -222,17 +223,38 @@ def pagerank(
     function of the edge list, so a SQL oracle can replay it by
     unrolling the same number of steps.
 
-    Scale shape: each iteration is ONE shuffle — the contributions join
-    keyed by ``src`` then a ``dst``-keyed aggregation; out-degrees are
-    computed once.  Per-contribution values are cast to
-    ``decimal(38,12)`` before the sum so the per-node total is
-    independent of shuffle arrival order (the repo's float-parity
-    idiom); everything else is scalar double arithmetic on
-    deterministic inputs.  The deduped edge list and the per-round
-    ranks are ``localCheckpoint``-truncated like
-    :func:`connected_components` — the iterated plan stays flat, the
-    loop never rescans the raw input, and no ``persist`` outlives the
-    call (checkpoint block lifetime is managed by Spark's RDD GC).
+    Scale shape — TWO physical strategies, switched on the measured
+    node count (known for free from the teleport term's ``count()``):
+
+    * ``n <= broadcast_nodes_max`` (the common case: the rank vector
+      is node-sized, orders of magnitude smaller than the edge list):
+      the rank vector is BROADCAST into the contribution stage, so the
+      checkpointed edge list never moves — each iteration is one fused
+      scan→broadcast-hash-join→partial-agg stage plus one node-sized
+      exchange.  Nodes absent from the contributions table are carried
+      IMPLICITLY: their rank is exactly the teleport constant (``1/n``
+      at step 0), so the join ``coalesce``s to that scalar instead of
+      materializing the full vector each round — the dense node vector
+      is only produced once, by a final left join.  Measured at sf0.1
+      (1.17 M edges, 16 k nodes): 9.0 s → 5.1 s end-to-end, identical
+      hashes.  2 M nodes ≈ a 60 MB broadcast — safe on any executor
+      sized for 100 TB inputs.
+    * above the threshold (billions of nodes — rank vector no longer
+      broadcastable): each iteration is ONE shuffle — the
+      contributions join keyed by ``src`` then a ``dst``-keyed
+      aggregation; out-degrees are attached once.
+
+    Both paths compute bit-identical ranks: per-contribution values
+    are cast to ``decimal(38,12)`` before the sum so the per-node
+    total is independent of shuffle arrival order (the repo's
+    float-parity idiom) AND of the join strategy; everything else is
+    scalar double arithmetic on deterministic inputs, and the implicit
+    default ``teleport + d·0.0 == teleport`` is an IEEE identity
+    (differential-tested in ``tests/test_graph.py``).  The deduped
+    edge list and the per-round ranks are ``localCheckpoint``-truncated
+    like :func:`connected_components` — the iterated plan stays flat,
+    the loop never rescans the raw input, and no ``persist`` outlives
+    the call (checkpoint block lifetime is managed by Spark's RDD GC).
     Dangling nodes are the CALLER's concern: pass a graph where every
     node has at least one out-edge (e.g. symmetrize a bipartite
     interaction graph) or accept rank mass leaking to the teleport
@@ -310,6 +332,55 @@ def pagerank(
             F.lit(0.0).alias(rank_col),
         )
     teleport = (1.0 - damping) / n
+    if n <= broadcast_nodes_max:
+        # Broadcast path: deg is node-sized too, so attaching it is a
+        # broadcast hash join — the edge list is checkpointed already
+        # partitioned however it arrived and never shuffles again.
+        ed = e.join(F.broadcast(deg), "_src").localCheckpoint()
+        present: DataFrame | None = None  # nodes with explicit rank
+        default = 1.0 / n  # rank of every node absent from `present`
+        for i in range(iterations):
+            if present is None:
+                j, src_r = ed, F.lit(default)
+            else:
+                j = ed.join(
+                    F.broadcast(present),
+                    ed["_src"] == present["_n"],
+                    "left",
+                )
+                src_r = F.coalesce(F.col("_r"), F.lit(default))
+            contrib = (
+                j.select(
+                    F.col("_dst").alias("_cn"),
+                    (
+                        src_r * F.col("_w") / F.col("_deg")
+                    ).cast("decimal(38,12)").alias("_c"),
+                )
+                .groupBy("_cn")
+                .agg(F.sum("_c").alias("_sc"))
+            )
+            # nodes with no in-edges stay implicit at `default` —
+            # teleport + d·0.0 == teleport exactly, so dropping them
+            # from the explicit vector changes no value
+            present = contrib.select(
+                F.col("_cn").alias("_n"),
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.col("_sc").cast("double")
+                ).alias("_r"),
+            )
+            default = teleport
+            if (i + 1) % 8 == 0 and i + 1 < iterations:
+                present = present.localCheckpoint()
+        # densify ONCE: in-degree-0 nodes take the implicit default
+        ranks = nodes.join(F.broadcast(present), "_n", "left").select(
+            "_n",
+            F.coalesce(F.col("_r"), F.lit(default)).alias("_r"),
+        )
+        return ranks.select(
+            F.col("_n").alias(node_col),
+            F.round(F.col("_r"), 10).alias(rank_col),
+        )
     ranks = nodes.select(
         "_n", (F.lit(1.0) / F.lit(float(n))).alias("_r")
     )
@@ -337,11 +408,10 @@ def pagerank(
         )
         # Truncate lineage only every 8 rounds: a handful of chained
         # join+agg plans analyzes fine, and each checkpoint is a full
-        # eager materialization — at the 6 iterations q146/q148 pass
-        # explicitly the loop therefore runs as ONE job from the
-        # checkpointed edge list (measured ~1.5 s faster at sf0.1 than
-        # per-3-rounds); the signature's default of 10 pays exactly one
-        # mid-loop checkpoint.
+        # eager materialization — the loop therefore runs as ONE job
+        # from the checkpointed edge list (measured ~1.5 s faster at
+        # sf0.1 than per-3-rounds); a 10-iteration call pays exactly
+        # one mid-loop checkpoint.
         if (i + 1) % 8 == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(

@@ -452,3 +452,38 @@ def test_triangle_count_known_graphs(spark):
     # orientation audit: every triangle is counted from exactly one
     # wedge, so wedges >= triangles always
     assert r.n_wedges >= r.n_triangles
+
+
+def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
+    """The node-count auto-switch picks between a broadcast-rank loop
+    and a shuffle loop; both must produce BIT-identical ranks — the
+    decimal contribution sums are order-free and the broadcast path's
+    implicit teleport default is an IEEE identity.  Graph includes a
+    source-only node (5 -> in-degree-0) to exercise the implicit
+    densify-at-the-end branch."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import pagerank
+
+    rows = [
+        (1, 2), (2, 3), (3, 1),       # cycle
+        (4, 1), (1, 4),               # tail pair
+        (5, 1), (5, 2), (5, 3),       # 5 has out-edges only
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    bcast = sorted(pagerank(df, iterations=7).collect())
+    shuf = sorted(
+        pagerank(df, iterations=7, broadcast_nodes_max=0).collect()
+    )
+    assert bcast == shuf
+    # in-degree-0 node 5 sits exactly at the teleport floor
+    got = {r["node"]: r["rank"] for r in bcast}
+    assert got[5] == pytest.approx((1.0 - 0.85) / 5, abs=1e-9)
+
+    wrows = [(a, b, float(a + b)) for a, b in rows]
+    wdf = spark.createDataFrame(wrows, "src long, dst long, w double")
+    wb = sorted(pagerank(wdf, iterations=7, weight="w").collect())
+    ws = sorted(
+        pagerank(
+            wdf, iterations=7, weight="w", broadcast_nodes_max=0
+        ).collect()
+    )
+    assert wb == ws
