@@ -7131,6 +7131,111 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(num_merges: int, counts: bool = False) -> str:
+    """Unrolled BPE training as chained CTEs — the merge loop has a
+    data-dependent rule per round, but a FIXED round count means each
+    round is one (pair-count → arg-max → greedy apply) CTE block whose
+    rule CTE feeds the next block (the pagerank-oracle construction).
+    The greedy left-to-right apply uses DuckDB's ``list_reduce`` over a
+    ``chr(31)``-joined accumulator string (symbols are ``[a-z0-9]`` +
+    the ``</w>`` marker, so the separator can never collide).
+    ``counts=True`` returns per-document token counts under the final
+    segmentation instead of the merge table.  Every CTE is
+    ``MATERIALIZED``: each round references its predecessor TWICE (the
+    arg-max and the apply), so DuckDB's default inlining re-evaluates
+    the chain exponentially — measured 324 s for 12 rounds at sf0.01
+    vs 0.1 s materialized."""
+    parts = [
+        """
+    WITH dw AS MATERIALIZED (SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS w
+                FROM documents),
+    w0 AS MATERIALIZED (SELECT w, COUNT(*)::BIGINT AS cnt FROM dw
+           WHERE length(w) BETWEEN 1 AND 30 GROUP BY w),
+    s0 AS MATERIALIZED (SELECT w, cnt,
+                  list_append(string_split(w, ''), '</w>') AS syms
+           FROM w0)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (SELECT p[1] AS l, p[2] AS r, SUM(cnt)::BIGINT AS freq
+             FROM (SELECT cnt, UNNEST(list_zip(syms, syms[2:])) AS p
+                   FROM s{i - 1})
+             WHERE p[2] IS NOT NULL GROUP BY l, r),
+    r{i} AS MATERIALIZED (SELECT l, r, l || r AS m, freq FROM p{i}
+             ORDER BY freq DESC, l, r LIMIT 1),
+    s{i} AS MATERIALIZED (SELECT w, cnt,
+                    string_split(list_reduce(syms, (acc, x) -> CASE
+                      WHEN list_extract(string_split(acc, chr(31)), -1)
+                             = r{i}.l AND x = r{i}.r
+                      THEN substr(acc, 1,
+                                  length(acc) - length(r{i}.l)) || r{i}.m
+                      ELSE acc || chr(31) || x END), chr(31)) AS syms
+             FROM s{i - 1} CROSS JOIN r{i})""")
+    if counts:
+        parts.append(f"""
+    SELECT dw.doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(len(s.syms))::BIGINT AS n_tokens
+    FROM dw JOIN s{num_merges} s USING (w)
+    WHERE length(dw.w) BETWEEN 1 AND 30
+    GROUP BY dw.doc_id""")
+    else:
+        union = " UNION ALL ".join(
+            f"SELECT {i} AS step, l AS merge_left, r AS merge_right,"
+            f" m AS merged, freq FROM r{i}"
+            for i in range(1, num_merges + 1)
+        )
+        parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+_BPE_GATE_MERGES = 12
+
+
+@_q("q161_bpe_train", _bpe_oracle_sql(_BPE_GATE_MERGES))
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. ACL'16) on the documents
+    corpus: 12 merge rounds over the word-frequency table, returning
+    the learned merge table ``(step, merge_left, merge_right, merged,
+    freq)`` — training order = encode priority.  After the one corpus
+    scan everything is vocabulary-sized (Heaps'-law sublinear at
+    100 TB); each round is a map-side-combined pair count, a
+    TakeOrderedAndProject arg-max (ONE rule row to the driver — the
+    sequential decision is the algorithm), and a codegen ``aggregate``
+    HOF applying the merge.  Ties break (freq desc, left, right) so the
+    table is a pure function of the corpus; the oracle unrolls the same
+    12 rounds as chained CTEs (operators/tokenize.py)."""
+    from btc_usdt_etl_pipeline_spark.operators.tokenize import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, "text", num_merges=_BPE_GATE_MERGES).merges
+
+
+@_q(
+    "q162_bpe_token_counts",
+    _bpe_oracle_sql(_BPE_GATE_MERGES, counts=True),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the q161-trained BPE vocabulary
+    — the token-budget pass a training-data pipeline runs before
+    packing, with the REAL subword tokenizer instead of the whitespace
+    heuristic (upgrade of q27's count).  The trainer's final
+    segmentation already maps word → token count, so encoding
+    in-corpus text is one broadcast join onto the per-occurrence word
+    list plus one doc-keyed aggregation; the corpus is scanned once
+    for training and once for counting."""
+    from btc_usdt_etl_pipeline_spark.operators.tokenize import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = bpe_train(d, "text", num_merges=_BPE_GATE_MERGES)
+    return bpe_token_counts(d, model.vocab, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7193,7 +7298,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q27/q131/q139), q157 quantile binning (ML features: q34/q110),
 #: q158 snapshot diff (relational: q152/q147), q159 unicode normalize
 #: (text: q27/q131/q139), q160 length-bucketed shards (export:
-#: q127/q129).
+#: q127/q129).  q161 (BPE tokenizer training — a NEW family: real
+#: subword merge-table learning, nothing in-window touches it) was
+#: promoted over q114, the resample family's second representative
+#: (q22 stays in-window; per-key resample remains judge-covered);
+#: q162 (BPE token counts) stays judge-side as q161's family member.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -7227,7 +7336,7 @@ _PRIORITY_WINDOW = [
     "q152_cdc_merge",         # CDC changelog merge (upsert + tombstones)
     "q109_segment_dedup",     # C4-style segment-level dedup
     "q110_embedding_quantize",# int8 embedding quantization
-    "q114_keyed_resample",    # per-key OHLCV resample
+    "q161_bpe_train",         # BPE tokenizer training (merge table)
     "q124_fuzzy_join",        # edit-distance-1 fuzzy join
     "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)

@@ -114,6 +114,8 @@ HEADLINE = [
     "q158_snapshot_diff",
     "q159_unicode_normalize",
     "q160_length_bucketed_shards",
+    "q161_bpe_train",
+    "q162_bpe_token_counts",
 ]
 
 

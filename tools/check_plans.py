@@ -266,6 +266,21 @@ def main() -> int:
         "projection pass, no keyed shuffle",
     )
 
+    # q162: the BPE encode step must be a broadcast join of the
+    # vocabulary onto the per-occurrence word list — the corpus side
+    # never shuffles for the join (only the final doc-keyed agg).
+    df = qs["q162_bpe_token_counts"](spark, SF_DIR)
+    check(
+        "q162",
+        any("BroadcastHashJoin" in k for k in join_kinds(df)),
+        "vocab encode join is broadcast",
+    )
+    check(
+        "q162",
+        all("SortMergeJoin" not in k for k in join_kinds(df)),
+        "no sort-merge join on the corpus side",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
