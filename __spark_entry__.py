@@ -7236,6 +7236,120 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(d, model.vocab, "doc_id", "text")
 
 
+def _bloom_oracle_sql(n_bits: int, n_hashes: int) -> str:
+    """Bit-exact bloom replay: same seeded md5 positions, same 32-bit
+    word packing (32 not 64 — DuckDB raises on ``1::BIGINT << 63``),
+    dense word list via a range anti-fill, probe as an AND of word-bit
+    tests.  ``n_bloom_pass`` is therefore the engine's exact candidate
+    count, not an approximation of it."""
+
+    def probe(key_sql: str, i: int) -> str:
+        h = (
+            f"(('0x' || substr(md5('bf{i}:' || CAST({key_sql} AS"
+            f" VARCHAR)), 1, 15))::BIGINT % {n_bits})"
+        )
+        return (
+            f"(list_extract(ws, CAST(({h} >> 5) + 1 AS INT))"
+            f" & (1::BIGINT << CAST({h} & 31 AS INT))) <> 0"
+        )
+
+    cond = " AND ".join(probe("l_suppkey", i) for i in range(n_hashes))
+    return f"""
+    WITH dk AS MATERIALIZED (
+      SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey < 3),
+    pos AS (SELECT (('0x' || substr(md5('bf' || t.i || ':' ||
+                     CAST(k AS VARCHAR)), 1, 15))::BIGINT % {n_bits}) AS p
+            FROM dk CROSS JOIN
+                 (SELECT unnest(range({n_hashes})) AS i) t),
+    words AS (SELECT p >> 5 AS idx,
+                     bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS w
+              FROM pos GROUP BY idx),
+    warr AS MATERIALIZED (
+      SELECT list(COALESCE(w.w, 0) ORDER BY g.idx) AS ws
+      FROM range(0, {n_bits // 32}) g(idx)
+      LEFT JOIN words w ON w.idx = g.idx),
+    probed AS (SELECT l.l_suppkey, l.l_extendedprice, l.l_discount,
+                      ({cond}) AS bloom_pass,
+                      dk.k IS NOT NULL AS hit
+               FROM lineitem l
+               CROSS JOIN warr
+               LEFT JOIN dk ON dk.k = l.l_suppkey)
+    SELECT COUNT(*)::BIGINT AS n_probed,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN hit THEN
+                  CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS matched_revenue
+    FROM probed
+    """
+
+
+_BLOOM_BITS, _BLOOM_HASHES = 4096, 3
+
+
+@_q("q163_bloom_prejoin", _bloom_oracle_sql(_BLOOM_BITS, _BLOOM_HASHES))
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join audit (Bloom CACM'70; the pattern behind
+    Spark's runtime bloom-filter join injection): build a 4096-bit /
+    3-hash filter from the low-nation supplier keys (metadata-sized),
+    probe every lineitem row AT THE SCAN as a pure JVM expression —
+    no join, no row amplification — and report probed / bloom-passed /
+    exactly-matched counts plus matched revenue.  ``n_bloom_pass`` is
+    oracle-replayed bit-exactly (seeded portable md5 positions, 32-bit
+    word packing), so the gate proves the filter itself, not just the
+    final join.  At 100 TB this is THE pre-shuffle reducer: the
+    exchange feeding a selective semi join carries match+fp rows only
+    (operators/sketch.py:bloom_semi_join; no false negatives, so
+    results equal the plain semi join's)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 3)
+        .select("s_suppkey")
+    )
+    words = bloom_filter_words(
+        dim, "s_suppkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+    marked = li.withColumn(
+        "bloom_pass",
+        bloom_might_contain(words, F.col("l_suppkey"), _BLOOM_HASHES),
+    ).join(
+        F.broadcast(
+            dim.dropDuplicates().select(
+                F.col("s_suppkey").alias("l_suppkey"),
+                F.lit(True).alias("hit"),
+            )
+        ),
+        "l_suppkey",
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(
+            F.coalesce(F.col("hit"), F.lit(False)).cast("long")
+        ).alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("hit"),
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,6)"),
+            )
+        ).cast("double").alias("matched_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7303,6 +7417,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: promoted over q114, the resample family's second representative
 #: (q22 stays in-window; per-key resample remains judge-covered);
 #: q162 (BPE token counts) stays judge-side as q161's family member.
+#: q163 (bloom pre-join) stays judge-side by the family rule: sketches
+#: keep q134/q151 in-window and joins keep q24/q60/q83.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

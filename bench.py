@@ -116,6 +116,7 @@ HEADLINE = [
     "q160_length_bucketed_shards",
     "q161_bpe_train",
     "q162_bpe_token_counts",
+    "q163_bloom_prejoin",
 ]
 
 

@@ -327,3 +327,118 @@ def hll_distinct_by(
         )
 
     return _t
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — pre-shuffle join filtering (Bloom, CACM 1970)
+# ---------------------------------------------------------------------------
+
+#: Bits packed per filter word.  32, NOT 64: positions stay positive and
+#: ``1 << bit`` never overflows a signed BIGINT, so DuckDB (which raises
+#: on ``1::BIGINT << 63``) replays the exact same words the JVM computes.
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_positions(
+    key: Column, n_bits: int, n_hashes: int
+) -> list[Column]:
+    """The ``n_hashes`` bit positions of ``key`` — independent seeded
+    instances of the repo's portable 60-bit md5 hash, so any engine
+    with ``md5`` replays them (``operators/dedup.py:portable_hash60``);
+    non-negative by construction, so ``%`` is a true modulus."""
+    return [
+        portable_hash60(
+            F.concat(F.lit(f"bf{i}:"), key.cast("string"))
+        ) % F.lit(n_bits)
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_filter_words(
+    dim: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Build the filter from ``dim[key_col]`` and return its dense word
+    array (``n_bits / 32`` ints) — METADATA-scale driver traffic, like
+    Spark's own runtime bloom-filter subquery result.  One map-side-
+    combined aggregation over the dim keys; duplicate keys cost nothing
+    (bit_or is idempotent)."""
+    if n_bits % _BLOOM_WORD_BITS != 0:
+        raise ValueError("n_bits must be a multiple of 32")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *_bloom_positions(F.col(key_col), n_bits, n_hashes)
+            )
+        ).alias("p")
+    )
+    rows = (
+        pos.select(
+            F.shiftright("p", 5).alias("idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("p").bitwiseAND(F.lit(31)).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("idx")
+        .agg(F.bit_or("b").alias("w"))
+        .collect()
+    )
+    words = [0] * (n_bits // _BLOOM_WORD_BITS)
+    for r in rows:
+        words[r["idx"]] = r["w"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, n_hashes: int
+) -> Column:
+    """Membership probe as a pure JVM expression: ``n_hashes`` md5
+    positions, each tested against the broadcast-literal word array.
+    No join, no shuffle, no row amplification — the filter rides the
+    scan stage, which is the whole point at 100 TB: probe-side rows
+    that cannot match die before the join exchange.  False positives
+    possible (callers re-join exactly), false negatives impossible."""
+    n_bits = len(words) * _BLOOM_WORD_BITS
+    arr = F.lit(words).cast("array<long>")
+    cond = F.lit(True)
+    for p in _bloom_positions(key, n_bits, n_hashes):
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            p.bitwiseAND(F.lit(31)).cast("int"),
+        )
+        word = F.element_at(arr, (F.shiftright(p, 5) + F.lit(1)).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != F.lit(0))
+    return cond
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Semi join with a bloom pre-filter: build the filter from the dim
+    keys (metadata-sized), kill non-matching fact rows AT THE SCAN, then
+    exact left-semi join the survivors.  Identical results to a plain
+    semi join (no false negatives); at scale the exchange feeding the
+    join carries only ``match_rate + fp_rate`` of the probe side
+    instead of all of it.  fp rate ≈ (1 - e^(-kn/m))^k — size ``n_bits``
+    ≈ 10× the dim key count for <1% with ``n_hashes=5``."""
+    words = bloom_filter_words(dim, dim_key, n_bits, n_hashes)
+    passed = facts.filter(
+        bloom_might_contain(words, F.col(fact_key), n_hashes)
+    )
+    return passed.join(
+        dim.select(F.col(dim_key).alias(fact_key)).dropDuplicates(),
+        fact_key,
+        "left_semi",
+    )

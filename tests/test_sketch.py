@@ -5,6 +5,8 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 
 def _bucket(key: str, row: int, width: int) -> int:
     h = int(hashlib.md5(f"cms{row}:{key}".encode()).hexdigest()[:15], 16)
@@ -179,3 +181,69 @@ def test_hll_generalizes_beyond_b10(spark):
         # envelope
         tol = 5 * 1.04 / (m ** 0.5)
         assert abs(row["est"] - n) / n < max(tol, 0.25)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """Bloom pre-filtered semi join returns EXACTLY the plain semi
+    join's rows (no false negatives, exact re-join kills false
+    positives), and the bloom filter itself prunes rows before the
+    join in the physical plan."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        bloom_filter_words,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, i % 97) for i in range(5000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 97, 7)], "k long"
+    )
+    got = sorted(
+        r.row_id
+        for r in bloom_semi_join(
+            facts, dim, "k", "k", n_bits=4096, n_hashes=3
+        ).collect()
+    )
+    want = sorted(
+        r.row_id
+        for r in facts.join(dim, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the bloom predicate must sit BELOW the join (scan-side prune)
+    plan = bloom_semi_join(
+        facts, dim, "k", "k", n_bits=4096, n_hashes=3
+    )._jdf.queryExecution().executedPlan().toString()
+    join_at = plan.index("Join")
+    assert "md5" in plan[join_at:], "bloom filter below the join"
+
+    # no false negatives even on a deliberately saturated filter;
+    # false positives exist at this size and the exact join kills them
+    words = bloom_filter_words(dim, "k", n_bits=32, n_hashes=2)
+    passed = facts.filter(
+        bloom_might_contain(words, F.col("k"), 2)
+    )
+    n_pass = passed.count()
+    assert n_pass >= len(want)  # superset of true matches
+    assert n_pass > len(want)   # 32 bits MUST show false positives
+    assert sorted(
+        r.row_id
+        for r in passed.join(dim, "k", "left_semi").collect()
+    ) == want
+
+
+def test_bloom_empty_dim_passes_nothing(spark):
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+
+    facts = spark.createDataFrame([(1,), (2,)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    words = bloom_filter_words(empty, "k", n_bits=1024, n_hashes=3)
+    assert words == [0] * 32
+    assert facts.filter(
+        bloom_might_contain(words, F.col("k"), 3)
+    ).count() == 0
