@@ -7350,6 +7350,54 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q164_incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           min({'t': ts, 'v': value}).t AS open_ts,
+           min({'t': ts, 'v': value}).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           max({'t': ts, 'v': value}).t AS close_ts,
+           max({'t': ts, 'v': value}).v AS close,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_value,
+           COUNT(*)::BIGINT AS n_rows
+    FROM events
+    GROUP BY bucket_start
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the hourly OHLCV rollup is kept
+    as MERGEABLE per-bucket state (struct-min open, struct-max close,
+    max/min/decimal-sum/count) and a late-arriving delta batch (every
+    8th event, sprinkled across all buckets — the worst case for any
+    partition-pruning shortcut) is folded in WITHOUT re-touching raw
+    settled data: aggregate the delta to bar state, union with the
+    existing bar-scale state, one bucket-keyed re-agg.  The oracle is
+    the full recompute over all events — the gate therefore proves
+    merge(agg(A), agg(B)) == agg(A ∪ B) on real data, which is the
+    contract that lets a 100 TB pipeline run daily catch-up batches
+    (reference airflow/dags/new6.py re-aggregates the whole history
+    instead) at delta cost.  Every field is a semigroup; ties and
+    batch order cannot change any value (operators/resample.py:
+    bar_state)."""
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        bar_state,
+        finalize_bars,
+        merge_bar_states,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    settled = e.filter(F.col("event_id") % 8 != 0)
+    delta = e.filter(F.col("event_id") % 8 == 0)
+    merged = merge_bar_states(
+        settled.transform(bar_state("ts", "value", "1 hour")),
+        delta.transform(bar_state("ts", "value", "1 hour")),
+    )
+    return finalize_bars(merged)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7418,7 +7466,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (q22 stays in-window; per-key resample remains judge-covered);
 #: q162 (BPE token counts) stays judge-side as q161's family member.
 #: q163 (bloom pre-join) stays judge-side by the family rule: sketches
-#: keep q134/q151 in-window and joins keep q24/q60/q83.
+#: keep q134/q151 in-window and joins keep q24/q60/q83.  q164
+#: (incremental rollup merge) stays judge-side too: resampling keeps
+#: q22 in-window and the merge law is pinned by its own property test.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

@@ -117,6 +117,7 @@ HEADLINE = [
     "q161_bpe_train",
     "q162_bpe_token_counts",
     "q163_bloom_prejoin",
+    "q164_incremental_rollup",
 ]
 
 

@@ -368,3 +368,105 @@ def m4_downsample(
         )
 
     return _t
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (mergeable bar state)
+# ---------------------------------------------------------------------------
+
+#: The reference's pipeline re-aggregates the WHOLE kline history every
+#: daily run (airflow/dags/new6.py schedules a full process_data pass);
+#: at 100 TB the correct shape is incremental view maintenance: keep the
+#: rollup's per-bucket state MERGEABLE and fold each day's delta into it
+#: without touching settled buckets.  Every field below is a semigroup:
+#: open/close are lexicographic struct min/max over (ts, value) —
+#: deterministic under ties AND under arbitrary batch splits — and
+#: high/low/sum/count merge by max/min/sum.  merge(agg(A), agg(B)) ==
+#: agg(A ∪ B) exactly (property-tested), so batches may arrive late,
+#: out of order, or repeatedly re-split.
+
+
+def bar_state(
+    time_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "1 hour",
+) -> Callable[[DataFrame], DataFrame]:
+    """Aggregate raw ticks into mergeable per-bucket bar state:
+    ``(bucket_start, o (t,v), high, low, c (t,v), sum_value, n_rows)``.
+    One map-side-combined aggregation; the bucket key is pure timestamp
+    arithmetic so the only shuffle is the agg exchange.  ``sum_value``
+    accumulates in decimal(38,6) so merge order can never change the
+    float result (the repo's float-parity idiom)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc(
+                    _TRUNC_UNIT[interval], F.col(time_col)
+                ).alias("bucket_start")
+            )
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                    )
+                ).alias("o"),
+                F.max(F.col(value_col)).alias("high"),
+                F.min(F.col(value_col)).alias("low"),
+                F.max(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                    )
+                ).alias("c"),
+                F.sum(
+                    F.col(value_col).cast("decimal(38,6)")
+                ).alias("sum_value"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    return _t
+
+
+_TRUNC_UNIT = {
+    "1 hour": "hour",
+    "1 day": "day",
+    "1 minute": "minute",
+    "1 week": "week",
+}
+
+
+def merge_bar_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of bar-state tables into one — union plus ONE
+    bucket-keyed re-aggregation over bar-scale (not tick-scale) rows.
+    Buckets untouched by a delta pass through unchanged; the exchange
+    carries |buckets| rows per input, never raw data."""
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("bucket_start").agg(
+        F.min("o").alias("o"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("c").alias("c"),
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def finalize_bars(state: DataFrame) -> DataFrame:
+    """Present mergeable state as the OHLCV bar table."""
+    return state.select(
+        "bucket_start",
+        F.col("o.t").alias("open_ts"),
+        F.col("o.v").alias("open"),
+        "high",
+        "low",
+        F.col("c.t").alias("close_ts"),
+        F.col("c.v").alias("close"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -195,3 +195,55 @@ def test_m4_downsample_python_reference(spark):
         assert (r["t_last"], r["v_last"]) == (tl, vl)
         assert (r["v_min"], r["t_at_min"]) == (vmn, tmn)
         assert (r["v_max"], r["t_at_max"]) == (vmx, tmx)
+
+
+def test_bar_state_merge_equals_full_recompute(spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) for ANY split, any merge
+    arity, and repeated folds — the contract that makes the rollup
+    incrementally maintainable.  Includes duplicate timestamps (struct
+    tie-break) and an empty delta (identity)."""
+    import datetime as dt
+
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        bar_state,
+        finalize_bars,
+        merge_bar_states,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(500):
+        # duplicate ts every 5th row: tie-break must stay deterministic
+        t = base + dt.timedelta(minutes=(i - i % 5) * 7 % (60 * 24))
+        rows.append((i, t, float((i * 37) % 100) / 3.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+    full = sorted(
+        map(tuple, finalize_bars(
+            df.transform(bar_state("ts", "value", "1 hour"))
+        ).collect())
+    )
+
+    for mod in (2, 3, 7):
+        parts = [
+            df.filter(F.col("event_id") % mod == k).transform(
+                bar_state("ts", "value", "1 hour")
+            )
+            for k in range(mod)
+        ]
+        merged = sorted(
+            map(tuple, finalize_bars(merge_bar_states(*parts)).collect())
+        )
+        assert merged == full, f"split mod {mod} diverged"
+
+    # empty delta is the identity; re-merging a merge is idempotent-safe
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, value double"
+    ).transform(bar_state("ts", "value", "1 hour"))
+    st = df.transform(bar_state("ts", "value", "1 hour"))
+    again = sorted(
+        map(tuple, finalize_bars(
+            merge_bar_states(merge_bar_states(st, empty), empty)
+        ).collect())
+    )
+    assert again == full
