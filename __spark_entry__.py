@@ -2171,7 +2171,7 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared by q62 (label propagation) and q119 (star contraction): two
 #: independent CC algorithms checked against ONE recursive-CTE oracle.
-_CC_ORACLE_SQL = f"""
+_CC_CTES_SQL = f"""
     WITH RECURSIVE
     tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     g AS (SELECT doc_id,
@@ -2200,7 +2200,9 @@ _CC_ORACLE_SQL = f"""
         SELECT u, u FROM (SELECT DISTINCT u FROM bi)
         UNION
         SELECT b.v, w.label FROM walk w JOIN bi b ON w.node = b.u
-    )
+    )"""
+
+_CC_ORACLE_SQL = _CC_CTES_SQL + """
     SELECT node AS doc_id, MIN(label) AS component
     FROM walk GROUP BY node
     """
@@ -7398,6 +7400,69 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_bars(merged)
 
 
+@_q(
+    "q165_leakage_safe_split",
+    _CC_CTES_SQL + """,
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM walk GROUP BY node),
+    assigned AS (SELECT d.doc_id,
+                        COALESCE(c.component, d.doc_id) AS group_key
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+    hashed AS (SELECT doc_id, group_key,
+                      ('0x' || substr(md5('split:' ||
+                         CAST(group_key AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 AS h
+               FROM assigned)
+    SELECT doc_id, group_key,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split UNIT is the
+    near-duplicate dedup CLUSTER (q62's capped-Jaccard connected
+    components), not the document — a row-wise random split puts one
+    near-duplicate in train and its twin in test, silently
+    contaminating every eval on a duplicate-bearing corpus.  Singleton
+    docs form their own group; assignment is the portable group-hash
+    percentile, so membership is frozen across runs/engines/corpus
+    growth (a group can never migrate splits as data is appended — the
+    property that keeps eval sets stable across pipeline versions).
+    Plan: the q62 cluster pipeline + one broadcast-scale left join +
+    a pure hash projection (operators/sampling.py:
+    group_preserving_split)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.sampling import (
+        group_preserving_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.8,
+            unit="token", max_df=50,
+        )
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "group_key"
+            ),
+        )
+        .transform(group_preserving_split("group_key"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7469,6 +7534,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keep q134/q151 in-window and joins keep q24/q60/q83.  q164
 #: (incremental rollup merge) stays judge-side too: resampling keeps
 #: q22 in-window and the merge law is pinned by its own property test.
+#: q165 (leakage-safe split) stays judge-side: it composes two
+#: in-window operators (q62 clusters, q63-family hash sampling).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

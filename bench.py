@@ -118,6 +118,7 @@ HEADLINE = [
     "q162_bpe_token_counts",
     "q163_bloom_prejoin",
     "q164_incremental_rollup",
+    "q165_leakage_safe_split",
 ]
 
 

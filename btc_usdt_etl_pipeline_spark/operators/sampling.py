@@ -111,3 +111,48 @@ def weighted_sample(
         )
 
     return _t
+
+
+def group_preserving_split(
+    group_col: str,
+    boundaries: dict[str, int] | None = None,
+    seed: str = "split",
+    out: str = "split",
+) -> Callable[[DataFrame], DataFrame]:
+    """Leakage-safe dataset split: every row whose ``group_col`` hashes
+    alike lands in the SAME split, so correlated rows (near-duplicate
+    documents sharing a dedup-cluster id, a user's events, a session)
+    can never straddle train and test — the contamination mode a
+    row-wise random split silently creates whenever the corpus contains
+    near-duplicates (the reason dedup clusters, not documents, are the
+    split unit in LLM-data pipelines).
+
+    ``boundaries`` maps split name → EXCLUSIVE upper percentile bound,
+    checked in ascending order over the group hash's ``% 100`` value;
+    default ``{"train": 80, "val": 90, "test": 100}``.  A pure
+    projection — no shuffle, no state; the hash is the portable md5, so
+    an oracle replays assignments bit-exactly and membership is stable
+    across runs, engines, and data growth (a group keeps its split as
+    the corpus evolves — the property that lets eval sets stay frozen).
+    """
+    bounds = boundaries or {"train": 80, "val": 90, "test": 100}
+    if sorted(bounds.values())[-1] != 100:
+        raise ValueError("last boundary must be 100")
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(
+            F.concat(
+                F.lit(f"{seed}:"), F.col(group_col).cast("string")
+            )
+        ) % F.lit(100)
+        expr = None
+        for name, ub in sorted(bounds.items(), key=lambda kv: kv[1]):
+            cond = h < F.lit(ub)
+            expr = (
+                F.when(cond, F.lit(name))
+                if expr is None
+                else expr.when(cond, F.lit(name))
+            )
+        return df.withColumn(out, expr)
+
+    return _t

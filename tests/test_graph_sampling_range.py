@@ -487,3 +487,46 @@ def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
         ).collect()
     )
     assert wb == ws
+
+
+def test_group_preserving_split_no_straddle(spark):
+    """Rows sharing a group NEVER straddle splits; proportions are
+    near the boundaries; assignment is stable under corpus growth
+    (existing groups keep their split when new rows arrive); bad
+    boundary specs are rejected."""
+    import pytest as _pytest
+
+    from btc_usdt_etl_pipeline_spark.operators.sampling import (
+        group_preserving_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 200) for i in range(2000)], "row_id long, grp long"
+    )
+    out = df.transform(group_preserving_split("grp")).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values()), "group straddles"
+    from collections import Counter
+
+    frac = Counter(next(iter(s)) for s in by_grp.values())
+    assert 0.70 <= frac["train"] / 200 <= 0.90
+    assert frac["val"] > 0 and frac["test"] > 0
+
+    # growth stability: doubling rows never moves an existing group
+    grown = df.union(
+        spark.createDataFrame(
+            [(10_000 + i, 200 + i % 100) for i in range(1000)],
+            "row_id long, grp long",
+        )
+    )
+    out2 = {
+        r.grp: r.split
+        for r in grown.transform(group_preserving_split("grp")).collect()
+    }
+    for g, s in by_grp.items():
+        assert out2[g] == next(iter(s))
+
+    with _pytest.raises(ValueError, match="100"):
+        group_preserving_split("grp", {"train": 80, "test": 99})
