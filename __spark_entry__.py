@@ -7463,6 +7463,61 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q166_streaming_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           min({'t': ts, 'v': value}).t AS open_ts,
+           min({'t': ts, 'v': value}).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           max({'t': ts, 'v': value}).t AS close_ts,
+           max({'t': ts, 'v': value}).v AS close,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_value,
+           COUNT(*)::BIGINT AS n_rows
+    FROM events
+    GROUP BY bucket_start
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the q164 incremental-maintenance contract:
+    drain the events stream through the versioned ``foreachBatch``
+    merge sink (each micro-batch folds its bar state onto the previous
+    version — settled raw data never re-read, retries idempotent by
+    same-batch-id recompute) and hash-match the FINAL persisted state
+    against the batch full-recompute oracle.  Batch q164 proves
+    merge(agg(A), agg(B)) == agg(A ∪ B) on a two-way split; this
+    proves it over the stream's arbitrary micro-batch partitioning —
+    together they license running the rollup continuously AND
+    re-running it as daily catch-up with identical bytes
+    (streaming/ohlcv.py:incremental_rollup_upsert)."""
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        finalize_bars,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_rollup_upsert,
+        read_rollup_state,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("ts", "value")
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "state")
+        upsert = incremental_rollup_upsert(
+            spark, state, "ts", "value", "1 hour"
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .foreachBatch(upsert)
+            .start()
+        )
+        q.awaitTermination()
+        return finalize_bars(
+            read_rollup_state(spark, state)
+        ).localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7536,6 +7591,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q22 in-window and the merge law is pinned by its own property test.
 #: q165 (leakage-safe split) stays judge-side: it composes two
 #: in-window operators (q62 clusters, q63-family hash sampling).
+#: q166 (streaming rollup) stays judge-side: streaming keeps
+#: q36/q58/q135 in-window and q166 shares q164's oracle/merge law.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

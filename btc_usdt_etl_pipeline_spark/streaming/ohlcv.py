@@ -277,3 +277,90 @@ def run_processing_time(
     finally:
         q.stop()
         q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental rollup (mergeable bar state, versioned parquet)
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _state_versions(spark, state_dir: str) -> list[int]:
+    fs, p, _ = _fs_for(spark, state_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def incremental_rollup_upsert(
+    spark,
+    state_dir: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "1 hour",
+    retain: int = 2,
+):
+    """``foreachBatch`` sink folding each micro-batch's raw ticks into
+    persistent MERGEABLE bar state (operators/resample.py:bar_state) —
+    the streaming half of the q164 incremental-maintenance contract:
+    state after draining any batch split equals the full batch
+    recompute, because every field is a semigroup.
+
+    State layout: ``state_dir/v{batch_id}`` parquet, newest version
+    wins.  Each batch reads the LATEST version STRICTLY OLDER than its
+    own batch_id and overwrites its own — so a batch retried after a
+    sink failure recomputes from the same predecessor and lands the
+    identical bytes (effective exactly-once on top of the source's
+    replayed offsets; the standard idempotent-foreachBatch discipline).
+    Versions beyond ``retain`` are deleted AFTER the new version
+    commits.  Per batch the work is bar-scale: one agg over the
+    micro-batch plus a |buckets|-row merge — settled raw data is never
+    re-read.  Paths go through the Hadoop FileSystem API, so the same
+    sink runs on file://, hdfs:// or s3a://.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        bar_state,
+        merge_bar_states,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_bars = batch_df.transform(
+            bar_state(time_col, value_col, interval)
+        )
+        prev = [v for v in _state_versions(sp, state_dir) if v < batch_id]
+        if prev:
+            existing = sp.read.parquet(f"{state_dir}/v{prev[-1]}")
+            merged = merge_bar_states(existing, batch_bars)
+        else:
+            merged = merge_bar_states(batch_bars)
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+        fs, _, jvm = _fs_for(sp, state_dir)
+        all_v = _state_versions(sp, state_dir)
+        for old in all_v[: max(len(all_v) - retain, 0)]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{old}"),
+                True,
+            )
+
+    return upsert
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Latest committed bar state; empty-typed result if none yet."""
+    versions = _state_versions(spark, state_dir)
+    if not versions:
+        raise FileNotFoundError(f"no rollup state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v{versions[-1]}")

@@ -31,6 +31,13 @@ from btc_usdt_etl_pipeline_spark.operators.resample import (  # noqa: E402
 
 
 def _persistent_rdd_count(spark) -> int:
+    # Collect Python garbage first: localCheckpoint blocks from OTHER
+    # tests are released when their DataFrames are GC'd, and a release
+    # landing between the base and final measurements would skew the
+    # delta (observed in-suite: 14 -> 4 with zero operator leaks).
+    import gc
+
+    gc.collect()
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
@@ -79,11 +86,12 @@ def test_back_to_back_operators_leave_no_cached_state(spark):
         right_value_cols=["bid"],
     ).collect()
 
-    # No NEW persisted state from the operators under test.  (Absolute
-    # zero would be order-dependent in the full suite: other tests
-    # legitimately localCheckpoint — e.g. the star-contraction rounds —
-    # and those blocks live until their DataFrames are GC'd.)
-    assert _persistent_rdd_count(spark) == base_rdds
+    # No NEW persisted state from the operators under test.  (<=, not
+    # ==: absolute equality is order-dependent in the full suite —
+    # other tests legitimately localCheckpoint, e.g. the
+    # star-contraction rounds, and those blocks are released whenever
+    # their DataFrames get GC'd, which can happen mid-test.)
+    assert _persistent_rdd_count(spark) <= base_rdds
     assert not [
         t for t in spark.catalog.listTables() if spark.catalog.isCached(t.name)
     ]
