@@ -7518,6 +7518,52 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
 
 
+@_q(
+    "q167_entity_resolution",
+    """
+    WITH RECURSIVE
+    n AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+    p AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM n a JOIN n b
+            ON a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+    bi AS (SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+    walk(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+        UNION
+        SELECT b.v, w.label FROM walk w JOIN bi b ON w.node = b.u
+    ),
+    comp AS (SELECT node AS id, MIN(label) AS entity_id
+             FROM walk GROUP BY node),
+    asg AS (SELECT n.id, n.name,
+                   COALESCE(c.entity_id, n.id) AS entity_id
+            FROM n LEFT JOIN comp c USING (id)),
+    surv AS (SELECT entity_id,
+                    min({'name': name, 'id': id}) AS s,
+                    COUNT(*)::BIGINT AS n_members
+             FROM asg GROUP BY entity_id)
+    SELECT asg.id AS record_id, asg.name, asg.entity_id,
+           surv.s.name AS canonical_name, surv.n_members
+    FROM asg JOIN surv USING (entity_id)
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on supplier names: ED-≤1 blocking via the
+    SymSpell deletion join (q124's complete candidate generator, Σdf²
+    not n²), transitive closure so typo chains collapse, and
+    deterministic struct-min survivorship electing each entity's
+    canonical record.  The oracle brute-forces all-pairs levenshtein
+    and walks the same graph recursively — a blocking miss, a closure
+    error, or a different survivor all break the hash
+    (operators/text.py:resolve_entities)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        resolve_entities,
+    )
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.transform(resolve_entities("s_suppkey", "s_name"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7593,6 +7639,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: in-window operators (q62 clusters, q63-family hash sampling).
 #: q166 (streaming rollup) stays judge-side: streaming keeps
 #: q36/q58/q135 in-window and q166 shares q164's oracle/merge law.
+#: q167 (entity resolution) stays judge-side: it composes two
+#: in-window operators (q124 fuzzy blocking, q62 components).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)

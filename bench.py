@@ -119,6 +119,7 @@ HEADLINE = [
     "q163_bloom_prejoin",
     "q164_incremental_rollup",
     "q165_leakage_safe_split",
+    "q167_entity_resolution",
 ]
 
 

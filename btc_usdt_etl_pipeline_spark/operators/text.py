@@ -846,3 +846,65 @@ def normalize_text(
         return df.withColumn(out, c)
 
     return _t
+
+
+def resolve_entities(
+    id_col: str,
+    name_col: str,
+) -> "Callable[[DataFrame], DataFrame]":
+    """Entity resolution over near-identical names: block → score →
+    cluster → survivorship, the record-linkage pipeline (Fellegi &
+    Sunter JASA'69 shape, deterministic rules).
+
+    Pipeline: exact edit-distance-≤1 match pairs from the SymSpell
+    deletion-neighborhood join (:func:`fuzzy_self_join_ed1` — Σdf²
+    candidate mass, never n²), transitive closure via min-label
+    connected components (typo CHAINS a~b~c collapse into one entity),
+    then survivorship: each entity's canonical record is its
+    lexicographically smallest ``(name, id)`` member — a total,
+    content-deterministic rule an oracle replays as a struct-min.
+
+    Returns one row per input record:
+    ``(record_id, name, entity_id, canonical_name, n_members)`` with
+    ``entity_id`` = min member id.  Singletons are their own entity.
+    Shuffle inventory: the variant join, one component loop over the
+    (pair-scale, not record-scale) edge list, and two entity-keyed
+    aggregation/join exchanges.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        recs = df.select(
+            F.col(id_col).alias("record_id"),
+            F.col(name_col).alias("name"),
+        )
+        pairs = df.transform(
+            fuzzy_self_join_ed1(text_col=name_col, id_col=id_col)
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs).select(
+            F.col("node").alias("record_id"),
+            F.col("component").alias("entity_id"),
+        )
+        assigned = recs.join(comp, "record_id", "left").select(
+            "record_id",
+            "name",
+            F.coalesce(F.col("entity_id"), F.col("record_id")).alias(
+                "entity_id"
+            ),
+        )
+        surv = assigned.groupBy("entity_id").agg(
+            F.min(F.struct("name", "record_id")).alias("_s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        return assigned.join(surv, "entity_id").select(
+            "record_id",
+            "name",
+            "entity_id",
+            F.col("_s.name").alias("canonical_name"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+
+    return _t

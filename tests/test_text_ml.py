@@ -698,3 +698,35 @@ def test_normalize_text_forms_and_stripping(spark):
     assert nfkc[3] == "fine 12"
     with _pytest.raises(ValueError, match="form"):
         normalize_text(form="NFX")
+
+
+def test_resolve_entities_chains_and_survivorship(spark):
+    """Typo CHAINS collapse transitively into one entity; the canonical
+    record is the lexicographic (name, id) struct-min; singletons are
+    their own entity; every record appears exactly once."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme c0rp"),    # sub of 'o' -> chains to 1
+        (3, "acme c0rpx"),   # insertion on 2 -> same entity via chain
+        (4, "globex"),       # singleton
+        (5, "globey"),       # ED1 of 4
+        (6, "zzz unique"),   # singleton
+    ]
+    df = spark.createDataFrame(rows, "rid long, nm string")
+    out = {
+        r.record_id: r
+        for r in df.transform(resolve_entities("rid", "nm")).collect()
+    }
+    assert len(out) == 6
+    # chain 1-2-3 is one entity rooted at min id 1
+    assert out[1].entity_id == out[2].entity_id == out[3].entity_id == 1
+    assert out[4].entity_id == out[5].entity_id == 4
+    assert out[6].entity_id == 6 and out[6].n_members == 1
+    # survivorship: lexicographically smallest name wins ('acme c0rp')
+    assert out[1].canonical_name == "acme c0rp"
+    assert out[3].n_members == 3
+    assert out[4].canonical_name == "globex"
