@@ -398,6 +398,13 @@ def bar_state(
     accumulates in decimal(38,6) so merge order can never change the
     float result (the repo's float-parity idiom)."""
 
+    if interval not in _TRUNC_UNIT:
+        raise ValueError(
+            f"interval must be one of {sorted(_TRUNC_UNIT)} — the state"
+            " is keyed by date_trunc so merged batches can never"
+            " disagree on bucket boundaries"
+        )
+
     def _t(df: DataFrame) -> DataFrame:
         return (
             df.groupBy(

@@ -281,6 +281,15 @@ def main() -> int:
         "no sort-merge join on the corpus side",
     )
 
+    # q165: the cluster-assignment join must be broadcast (component
+    # table is dup-graph-scale, corpus side must not shuffle for it)
+    df = qs["q165_leakage_safe_split"](spark, SF_DIR)
+    check(
+        "q165",
+        any("BroadcastHashJoin" in k for k in join_kinds(df)),
+        "cluster assignment join is broadcast",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
