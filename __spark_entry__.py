@@ -7564,6 +7564,298 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.transform(resolve_entities("s_suppkey", "s_name"))
 
 
+@_q(
+    "q168_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(FLOOR(value * 10) AS BIGINT) * 1000000 AS e
+      FROM events),
+    pm AS (SELECT user_id, s, e,
+                  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM iv),
+    m AS (SELECT user_id, s, e,
+                 CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END AS brk
+          FROM pm),
+    g AS (SELECT user_id, s, e,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+          FROM m),
+    sp AS (SELECT user_id, span_id, MIN(s) AS span_start,
+                  MAX(e) AS span_end, COUNT(*) AS n_iv
+           FROM g GROUP BY user_id, span_id)
+    SELECT user_id,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered,
+           COUNT(*)::BIGINT AS n_spans,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+    FROM sp GROUP BY user_id
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: each event opens a span of
+    ``floor(value*10)`` seconds; overlapping/touching spans are merged
+    by the textbook sweep re-expressed as two keyed windows (running
+    max of end detects chain breaks, running sum of the break flag
+    numbers the chains — NO interval self-join, which is Σ per-key n²),
+    then one agg emits per-user busy-time with overlap removed — the
+    number a raw sum(end-start) overstates whenever spans overlap.
+    Epoch-µs integer arithmetic end-to-end; one hash shuffle on
+    user_id, both windows and both aggs reuse it
+    (operators/intervals.py:merge_intervals/interval_coverage)."""
+    from btc_usdt_etl_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * 10).cast("long")
+            * F.lit(1000000)
+        ).alias("e"),
+    )
+    return iv.transform(interval_coverage(["user_id"], "s", "e"))
+
+
+@_q(
+    "q169_zone_pruning",
+    f"""
+    WITH bnd AS (SELECT CAST(MIN(l_partkey) AS DOUBLE) AS lo0,
+                        CAST(MAX(l_partkey) AS DOUBLE) AS hi0,
+                        CAST(MIN(l_suppkey) AS DOUBLE) AS lo1,
+                        CAST(MAX(l_suppkey) AS DOUBLE) AS hi1,
+                        MIN(l_partkey) AS ilo, MAX(l_partkey) AS ihi
+                 FROM lineitem),
+    q AS (SELECT l.l_partkey, l.l_suppkey, ilo, ihi,
+                 LEAST(CAST(FLOOR(
+                   (CASE WHEN hi0 - lo0 > 0
+                         THEN (l.l_partkey - lo0) / (hi0 - lo0)
+                         ELSE 0.0 END) * 256.0) AS BIGINT), 255) AS q0,
+                 LEAST(CAST(FLOOR(
+                   (CASE WHEN hi1 - lo1 > 0
+                         THEN (l.l_suppkey - lo1) / (hi1 - lo1)
+                         ELSE 0.0 END) * 256.0) AS BIGINT), 255) AS q1
+          FROM lineitem l CROSS JOIN bnd),
+    zf AS (SELECT l_partkey, l_suppkey,
+                  ({_Z_INTERLEAVE}) >> 10 AS file_id
+           FROM q),
+    zs AS (SELECT file_id, COUNT(*) AS n_rows,
+                  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+                  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+           FROM zf GROUP BY file_id),
+    lf AS (SELECT l_partkey, l_suppkey,
+                  ((l_partkey - ilo) * 64) // (ihi - ilo + 1) AS file_id
+           FROM q),
+    ls AS (SELECT file_id, COUNT(*) AS n_rows,
+                  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+                  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+           FROM lf GROUP BY file_id),
+    zb AS (SELECT 'zorder' AS layout, 'both' AS predicate,
+                  COUNT(*)::BIGINT AS n_files,
+                  CAST(SUM(CASE WHEN min_pk <= 600 AND max_pk >= 400
+                             AND min_sk <= 40 AND max_sk >= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                    AS files_scanned,
+                  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN min_pk <= 600 AND max_pk >= 400
+                             AND min_sk <= 40 AND max_sk >= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+                    AS rows_scanned
+           FROM zs),
+    zt AS (SELECT 'zorder' AS layout, 'trailing_only' AS predicate,
+                  COUNT(*)::BIGINT AS n_files,
+                  CAST(SUM(CASE WHEN min_sk <= 40 AND max_sk >= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                    AS files_scanned,
+                  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN min_sk <= 40 AND max_sk >= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+                    AS rows_scanned
+           FROM zs),
+    lb AS (SELECT 'linear' AS layout, 'both' AS predicate,
+                  COUNT(*)::BIGINT AS n_files,
+                  CAST(SUM(CASE WHEN min_pk <= 600 AND max_pk >= 400
+                             AND min_sk <= 40 AND max_sk >= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                    AS files_scanned,
+                  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN min_pk <= 600 AND max_pk >= 400
+                             AND min_sk <= 40 AND max_sk >= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+                    AS rows_scanned
+           FROM ls),
+    lt AS (SELECT 'linear' AS layout, 'trailing_only' AS predicate,
+                  COUNT(*)::BIGINT AS n_files,
+                  CAST(SUM(CASE WHEN min_sk <= 40 AND max_sk >= 20
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                    AS files_scanned,
+                  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                  CAST(SUM(CASE WHEN min_sk <= 40 AND max_sk >= 20
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+                    AS rows_scanned
+           FROM ls)
+    SELECT * FROM zb UNION ALL SELECT * FROM zt
+    UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM lt
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning evaluation: the planner-side evidence that a
+    Z-order layout is WORTH the rewrite.  Both candidate layouts are
+    assigned in-plan — Morton files from the existing q136 key
+    (zkey >> 10 ≈ 64 files) vs a linear partkey-range layout at the
+    same file count — then one metadata-sized aggregation per layout
+    builds the parquet-footer min/max view and evaluates the standard
+    zone-map overlap test for a 2-D range predicate (l_partkey ∈
+    [400,600] ∧ l_suppkey ∈ [20,40]).  Z-order prunes on BOTH columns
+    (file count scanned ≈ selectivity in each dimension), linear only
+    on the leading one — the measured files/rows-scanned gap is the
+    whole argument for multi-dimensional clustering at 100 TB
+    (operators/layout.py:skipping_stats/files_scanned,
+    operators/partitioning.py:zorder_key)."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+    from btc_usdt_etl_pipeline_spark.operators.layout import (
+        files_scanned,
+        skipping_stats,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    preds = {
+        "both": {"l_partkey": (400, 600), "l_suppkey": (20, 40)},
+        "trailing_only": {"l_suppkey": (20, 40)},
+    }
+
+    zf = li.transform(
+        zorder_key(["l_partkey", "l_suppkey"], bits=8)
+    ).withColumn("file_id", F.shiftright("zkey", 10))
+    zstats = zf.transform(
+        skipping_stats("file_id", ["l_partkey", "l_suppkey"])
+    ).localCheckpoint()  # 64 rows; reused by every predicate
+
+    ib = li.agg(
+        F.min("l_partkey").alias("_ilo"),
+        F.max("l_partkey").alias("_ihi"),
+    )
+    lf = attach_scalar(
+        li, ib, F.col("l_partkey"), F.col("_ilo")
+    ).withColumn(
+        "file_id",
+        F.expr("((l_partkey - _ilo) * 64) DIV (_ihi - _ilo + 1)"),
+    )
+    lstats = lf.transform(
+        skipping_stats("file_id", ["l_partkey", "l_suppkey"])
+    ).localCheckpoint()
+
+    out = None
+    for layout, stats in (("zorder", zstats), ("linear", lstats)):
+        for pname, pred in preds.items():
+            row = files_scanned(stats, pred).select(
+                F.lit(layout).alias("layout"),
+                F.lit(pname).alias("predicate"),
+                "*",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+@_q(
+    "q170_compaction_plan",
+    """
+    WITH f AS (SELECT l_returnflag AS part,
+                      l_orderkey // 16 AS file_id,
+                      CAST(SUM(CAST(l_quantity AS BIGINT) * 37 + 120)
+                        AS BIGINT) AS size_bytes
+               FROM lineitem GROUP BY 1, 2),
+    w AS (SELECT part, file_id, size_bytes,
+                 COALESCE(SUM(size_bytes) OVER (PARTITION BY part
+                   ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS before
+          FROM f),
+    b AS (SELECT part, file_id, size_bytes,
+                 CAST(FLOOR(before / 1048576) AS BIGINT) AS bin
+          FROM w)
+    SELECT part, bin, COUNT(*)::BIGINT AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM b GROUP BY part, bin
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Delta OPTIMIZE binpack /
+    Iceberg rewrite_data_files shape): the simulated file inventory —
+    one row per (returnflag partition, 16-order file) with an
+    estimated byte size — is packed into ~1 MiB rewrite bins by the
+    running-sum rule: a file joins bin floor(bytes_before_it/target)
+    within its partition, so bins close at-or-above target, never
+    exceed target + max_file, the assignment is ONE keyed window (no
+    sequential bin-packing loop), and ADJACENT files coalesce —
+    preserving whatever clustering order the table already has, which
+    first-fit-decreasing would destroy.  Output is metadata-sized
+    (rows == bins), ready to drive the rewrite job
+    (operators/layout.py:compaction_plan)."""
+    from btc_usdt_etl_pipeline_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part"),
+        F.expr("l_orderkey DIV 16").alias("file_id"),
+    ).agg(
+        F.sum(
+            F.col("l_quantity").cast("long") * 37 + 120
+        ).alias("size_bytes")
+    )
+    return files.transform(
+        compaction_plan(["part"], "file_id", "size_bytes", 1 << 20)
+    )
+
+
+@_q(
+    "q171_skyline",
+    """
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice
+             OR b.p_size > a.p_size))
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over parts: cheapest-per-size
+    frontier — no other part is both at-most-as-expensive and
+    at-least-as-large with one strict improvement.  The oracle is the
+    textbook quadratic NOT EXISTS; the engine collapses 2-D dominance
+    to sort + running max WITHOUT a global sort: price is range-
+    bucketed (in-plan bounds, broadcast attach), per-bucket maxima
+    (metadata-sized, ≤512 rows) are prefix-maxed and broadcast back,
+    and the within-bucket running max is a bucket-KEYED window — two
+    keyed shuffles + one broadcast join, O(n log partition) at any
+    scale vs the oracle's O(n²)
+    (operators/relational.py:skyline_2d)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return p.transform(skyline_2d("p_retailprice", "p_size"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

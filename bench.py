@@ -120,6 +120,10 @@ HEADLINE = [
     "q164_incremental_rollup",
     "q165_leakage_safe_split",
     "q167_entity_resolution",
+    "q168_interval_coverage",
+    "q169_zone_pruning",
+    "q170_compaction_plan",
+    "q171_skyline",
 ]
 
 

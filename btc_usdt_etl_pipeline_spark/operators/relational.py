@@ -418,3 +418,114 @@ def snapshot_diff(
         ]
     )
     return agg.select(F.explode(pairs).alias("_p")).select("_p.*")
+
+
+def skyline_2d(
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+    num_buckets: int = 512,
+) -> Callable[[DataFrame], DataFrame]:
+    """2-D skyline (Pareto front): rows no other row dominates.
+
+    A row is dominated iff some other row is at-least-as-good on both
+    axes and strictly better on at least one (default: smaller-or-equal
+    x, larger-or-equal y).  The classic formulation is a quadratic
+    NOT-EXISTS self-join; in 2-D it collapses to a SORT + RUNNING MAX:
+    a row survives iff its y equals the best y at its exact x AND
+    strictly exceeds the best y over all strictly-better x.  Equal
+    (x, y) duplicates survive together (neither strictly beats the
+    other).  Rows with a null coordinate are incomparable and dropped.
+
+    The running max is computed WITHOUT a global sort, by the same
+    two-level decomposition the global indexer uses: quantize x into
+    ``num_buckets`` range buckets (in-plan min/max bounds, broadcast
+    attach), take per-bucket y maxima (metadata-sized: collected,
+    prefix-maxed on the driver, broadcast back), and run the
+    within-bucket max as a bucket-KEYED window.  Plan: two keyed
+    shuffles (bucket agg + bucket window), one broadcast join, no
+    Exchange SinglePartition — survives any x distribution except
+    extreme single-value skew, where every row shares one bucket and
+    the keyed window serializes (then: raise num_buckets or pre-hash
+    the constant dimension away; a constant x makes the skyline
+    trivial anyway).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        x = F.col(x_col) if minimize_x else -F.col(x_col)
+        y = F.col(y_col) if maximize_y else -F.col(y_col)
+        base = df.where(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+        pts = base.select(
+            F.struct(*[F.col(c) for c in base.columns]).alias("_row"),
+            x.cast("double").alias("_x"),
+            y.cast("double").alias("_y"),
+        )
+        bounds = pts.agg(
+            F.min("_x").alias("_lo"), F.max("_x").alias("_hi")
+        )
+        withb = attach_scalar(
+            pts, bounds, F.col("_x"), F.col("_lo")
+        )
+        span = F.col("_hi") - F.col("_lo")
+        bkt = F.when(span > 0, F.least(
+            F.floor(
+                (F.col("_x") - F.col("_lo")) / span * num_buckets
+            ).cast("long"),
+            F.lit(num_buckets - 1),
+        )).otherwise(F.lit(0).cast("long"))
+        pb = withb.withColumn("_b", bkt).drop("_lo", "_hi")
+
+        # Per-(bucket, x) best y; per-bucket best y (metadata-sized).
+        gx = pb.groupBy("_b", "_x").agg(F.max("_y").alias("_gy"))
+        bmax_rows = (
+            gx.groupBy("_b").agg(F.max("_gy").alias("_by")).collect()
+        )
+        by = {int(r["_b"]): r["_by"] for r in bmax_rows}
+        prefix: dict[int, float] = {}
+        best = None
+        for b in sorted(by):
+            prefix[b] = best
+            best = by[b] if best is None else max(best, by[b])
+        spark = df.sparkSession
+        pre_df = spark.createDataFrame(
+            [(b, p) for b, p in prefix.items()],
+            "_b long, _pre double",
+        )
+
+        w = (
+            Window.partitionBy("_b")
+            .orderBy("_x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gx2 = (
+            gx.withColumn("_inb", F.max("_gy").over(w))
+            .join(F.broadcast(pre_df), "_b", "left")
+            .withColumn(
+                "_best_before",
+                F.greatest(
+                    F.coalesce(F.col("_inb"), F.lit(float("-inf"))),
+                    F.coalesce(F.col("_pre"), F.lit(float("-inf"))),
+                ),
+            )
+            .where(F.col("_gy") > F.col("_best_before"))
+            .select(
+                F.col("_b").alias("_sb"),
+                F.col("_x").alias("_sx"),
+                F.col("_gy").alias("_sy"),
+            )
+        )
+        out = pb.join(
+            gx2,
+            (F.col("_b") == F.col("_sb"))
+            & (F.col("_x") == F.col("_sx"))
+            & (F.col("_y") == F.col("_sy")),
+            "inner",
+        ).select("_row.*")
+        return out
+
+    return _t

@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 from btc_usdt_etl_pipeline_spark.plans import (  # noqa: E402
     join_kinds,
+    plan_string,
     pushed_filters,
     read_columns,
     uses_whole_stage_codegen,
@@ -288,6 +289,85 @@ def main() -> int:
         "q165",
         any("BroadcastHashJoin" in k for k in join_kinds(df)),
         "cluster assignment join is broadcast",
+    )
+
+    # q168: interval merge is pure keyed windows — no join may appear,
+    # no single-partition Exchange, and the scan reads only 3 columns
+    df = qs["q168_interval_coverage"](spark, SF_DIR)
+    check("q168", join_kinds(df) == [], "no joins (window-only sweep)")
+    check(
+        "q168",
+        "SinglePartition" not in plan_string(df),
+        "no single-partition exchange",
+    )
+    check(
+        "q168",
+        all(len(cols) <= 3 for cols in read_columns(df)),
+        "reads only ts/user_id/value",
+    )
+
+    # q169: the returned frame aggregates a localCheckpoint'ed 64-row
+    # stats table (correct at-scale behavior: file stats materialize
+    # once, every predicate evaluation reuses them), so the scale-
+    # critical shape lives in the stats-BUILD subplan — audit it
+    # directly: bounds attach must stay a BroadcastHashJoin and the
+    # scan must read only the two clustering columns.
+    from btc_usdt_etl_pipeline_spark.operators.layout import (
+        skipping_stats,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.partitioning import (
+        zorder_key,
+    )
+
+    li169 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    from pyspark.sql import functions as _F
+
+    zstats = li169.transform(
+        zorder_key(["l_partkey", "l_suppkey"], bits=8)
+    ).withColumn("file_id", _F.shiftright("zkey", 10)).transform(
+        skipping_stats("file_id", ["l_partkey", "l_suppkey"])
+    )
+    check(
+        "q169",
+        "BroadcastHashJoin" in join_kinds(zstats),
+        "bounds attach is a broadcast hash join",
+    )
+    check(
+        "q169",
+        "SortMergeJoin" not in join_kinds(zstats),
+        "no sort-merge in the stats build",
+    )
+    check(
+        "q169",
+        all(len(cols) <= 2 for cols in read_columns(zstats)),
+        "reads only the two clustering columns",
+    )
+
+    # q170: compaction planning is one keyed window over the file
+    # inventory — no joins, no single-partition exchange
+    df = qs["q170_compaction_plan"](spark, SF_DIR)
+    check("q170", join_kinds(df) == [], "no joins (keyed window)")
+    check(
+        "q170",
+        "SinglePartition" not in plan_string(df),
+        "no single-partition exchange",
+    )
+
+    # q171: skyline must resolve the bucket-prefix attach as broadcast
+    # joins and never fall back to a sort-merge join or a global
+    # range-sort of the data.  (SinglePartition exchanges DO appear —
+    # the 1-row bounds agg and the ≤512-row bucket-maxima agg — both
+    # metadata-sized final aggregations, not data-scale sorts.)
+    df = qs["q171_skyline"](spark, SF_DIR)
+    kinds = join_kinds(df)
+    check("q171", "BroadcastHashJoin" in kinds, "broadcast attach/join")
+    check("q171", "SortMergeJoin" not in kinds, "no sort-merge join")
+    check(
+        "q171",
+        "rangepartitioning" not in plan_string(df),
+        "no global range-sort of the points",
     )
 
     # Every query: no cartesian products anywhere; nested-loop joins only
