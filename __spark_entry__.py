@@ -7856,6 +7856,195 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.transform(skyline_2d("p_retailprice", "p_size"))
 
 
+@_q(
+    "q172_temperature_mix",
+    """
+    WITH per AS (SELECT lang,
+                        CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+                 FROM documents GROUP BY lang),
+    r AS (SELECT lang, available_tokens,
+                 CASE WHEN available_tokens > 0
+                      THEN sqrt(CAST(available_tokens AS DOUBLE))
+                           / CAST(available_tokens AS DOUBLE)
+                      ELSE 0.0 END AS rr
+          FROM per),
+    rb AS (SELECT lang, available_tokens,
+                  CASE WHEN (SELECT MAX(rr) FROM r) > 0
+                       THEN CAST(FLOOR(10000 * rr
+                              / (SELECT MAX(rr) FROM r)) AS BIGINT)
+                       ELSE 0 END AS rate_bp
+           FROM r),
+    s AS (SELECT d.lang, d.doc_id, d.n_chars
+          FROM documents d JOIN rb ON d.lang = rb.lang
+          WHERE ('0x' || substr(md5('t1:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 10000 < rb.rate_bp),
+    agg AS (SELECT lang, COUNT(*)::BIGINT AS sampled_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+            FROM s GROUP BY lang)
+    SELECT rb.lang, rb.available_tokens, rb.rate_bp,
+           agg.sampled_docs, agg.sampled_chars
+    FROM rb JOIN agg USING (lang)
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the alpha-sampling rule
+    behind multilingual pretraining mixes): per-language sampling mass
+    ∝ p^α flattens the natural distribution so low-resource languages
+    aren't drowned out; per-document keep rate ∝ n^(α-1) normalized to
+    the smallest language (downsample-only).  α=0.5 runs through sqrt
+    — IEEE-correctly-rounded, so the oracle replays the rates
+    BIT-EXACTLY (pow's last ulp is implementation-defined; that's why
+    the differential gate pins α=0.5).  Selection is the portable
+    keyed hash (reproducible, append-stable); rates are computed on
+    the per-language aggregate (metadata-scale) and attached by
+    broadcast, so the data-scale work is one agg + one map-side filter
+    (operators/export.py:temperature_rates/temperature_sample).  Here
+    English (3× the mass of any other language) is cut to 55% while
+    the smallest language keeps 100%."""
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rates = d.transform(
+        temperature_rates("lang", F.col("n_chars"))
+    )
+    sampled = d.transform(
+        temperature_sample("lang", "doc_id", F.col("n_chars"))
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+    return rates.join(sampled, "lang")
+
+
+@_q(
+    "q173_hll_intersection",
+    f"""
+    WITH f AS (SELECT CASE WHEN extract(year FROM o_orderdate) = 1995
+                           THEN 'a' ELSE 'b' END AS s,
+                      CAST(o_custkey AS VARCHAR) AS k
+               FROM orders
+               WHERE extract(year FROM o_orderdate) IN (1995, 1996)),
+    h AS (SELECT s, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+          FROM f),
+    kk AS (SELECT s, h % 1024 AS bucket, h // 1024 AS w FROM h),
+    r AS (SELECT s, bucket,
+                 MAX(CASE WHEN w = 0 THEN 51
+                     ELSE bit_count((w & -w) - 1) + 1 END) AS mr
+          FROM kk GROUP BY s, bucket),
+    ru AS (SELECT 'u' AS s, bucket, MAX(mr) AS mr FROM r
+           GROUP BY bucket),
+    ar AS (SELECT * FROM r UNION ALL SELECT * FROM ru),
+    st AS (SELECT s, COUNT(*)::BIGINT AS np,
+                  SUM((1::BIGINT << CAST(51 - mr AS INT)))::BIGINT
+                    AS sp
+           FROM ar GROUP BY s),
+    ee AS (SELECT s,
+                  CASE WHEN raw <= 2560.0 AND (1024 - np) > 0
+                       THEN 1024.0 * ln(1024.0
+                              / CAST(1024 - np AS DOUBLE))
+                       ELSE raw END AS est
+           FROM (SELECT s, np,
+                        {_HLL_ALPHA_1024!r}::DOUBLE * 1024.0 * 1024.0
+                          * {float(1 << 51)!r}::DOUBLE
+                          / CAST(sp + (1024 - np) * (1::BIGINT << 51)
+                                 AS DOUBLE) AS raw
+                 FROM st)),
+    one AS (SELECT MAX(CASE WHEN s = 'a' THEN est END) AS ea,
+                   MAX(CASE WHEN s = 'b' THEN est END) AS eb,
+                   MAX(CASE WHEN s = 'u' THEN est END) AS eu
+            FROM ee),
+    ex AS (SELECT COUNT(*)::BIGINT AS n_exact_intersection
+           FROM (SELECT k FROM f GROUP BY k
+                 HAVING COUNT(DISTINCT s) = 2))
+    SELECT 1024 AS m, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+           round(eu, 4) AS est_union,
+           round(GREATEST(0.0, ea + eb - eu), 4) AS est_intersection,
+           n_exact_intersection
+    FROM one CROSS JOIN ex
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog set-intersection estimate (audience-overlap /
+    cross-segment-reach): customers who ordered in 1995 vs 1996,
+    |A∩B| by inclusion-exclusion over q151's portable registers —
+    the union sketch is the register-wise MAX, so the two sides never
+    co-locate; only their 1024-register arrays meet.  Exact
+    intersection rides along to witness the error (three ~1.04/√m
+    estimates subtract, so relative error grows as the overlap
+    shrinks — a planning sketch, not a join replacement).  One
+    (side, bucket) map-side-partial aggregation over the filtered
+    scan, register union and estimator on ≤3×1024 rows
+    (operators/sketch.py:hll_intersection)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_intersection,
+    )
+
+    # date-range form of "year in (1995, 1996)": BETWEEN on the raw
+    # column is pushable to the parquet scan; year() on it is not
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    ).select(
+        F.year("o_orderdate").cast("string").alias("yr"), "o_custkey"
+    )
+    return o.transform(
+        hll_intersection("yr", "o_custkey", "1995", "1996")
+    )
+
+
+@_q(
+    "q174_incremental_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM tok),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))
+                   AS jaccard
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0
+            AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7))
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — the daily-crawl contract: docs with
+    ``doc_id % 10 = 7`` play the NEW batch, the rest the settled
+    index, and only pairs touching the batch are proposed/verified
+    (index↔index pairs were resolved when the index was built).
+    Shares q30's MinHash band machinery — the index's signatures ARE
+    its LSH index — but old↔old pairs are pruned inside the bucket
+    expansion, BEFORE the shingle-verify join, so exact-Jaccard work
+    scales with |new|·occupancy instead of Σ|bucket|² over the whole
+    corpus; the bucket cap evicts index rows before batch rows
+    (deterministic `_new DESC, id` order).  Oracle: all-pairs exact
+    Jaccard restricted to batch-touching pairs — at 128 hashes /
+    32 bands the LSH miss probability at j≥0.8 is ~1e-15, so the
+    outputs coincide (operators/dedup.py:minhash_near_dedup
+    ``new_col=``)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_new", F.expr("doc_id % 10 = 7")
+    )
+    return d.transform(
+        minhash_near_dedup(
+            text_col="text",
+            id_col="doc_id",
+            shingle_n=3,
+            num_hashes=128,
+            bands=32,
+            jaccard_threshold=0.8,
+            max_bucket=256,
+            new_col="_new",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

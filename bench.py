@@ -124,6 +124,9 @@ HEADLINE = [
     "q169_zone_pruning",
     "q170_compaction_plan",
     "q171_skyline",
+    "q172_temperature_mix",
+    "q173_hll_intersection",
+    "q174_incremental_dedup",
 ]
 
 

@@ -128,6 +128,7 @@ def minhash_near_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = 256,
+    new_col: str | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """MinHash + LSH near-duplicate pair detection.
 
@@ -135,6 +136,20 @@ def minhash_near_dedup(
     ``jaccard >= jaccard_threshold``, ``id_a < id_b``, verified exactly on
     the true shingle sets (LSH only proposes).  ``bands`` band-keys of
     ``num_hashes/bands`` rows each; P(candidate) ≈ 1-(1-j^r)^b.
+
+    ``new_col`` (a boolean column) switches on INCREMENTAL mode — the
+    daily-crawl contract: only pairs with at least one NEW side are
+    emitted (new-vs-index and new-vs-new; index-vs-index pairs were
+    already resolved when the index was built and are never
+    re-verified).  The band/bucket machinery is shared — the index
+    side's signatures ARE its LSH index — but old↔old pairs are pruned
+    at bucket-pair expansion, BEFORE the shingle-verify join, so the
+    expensive exact-Jaccard stage scales with the new batch
+    (≈ |new| · bucket occupancy), not with Σ|bucket|² over the whole
+    corpus.  The bucket cap keeps new members preferentially
+    (``_new DESC, id``) so a boilerplate-degenerate bucket evicts index
+    rows, not the batch being checked; eviction order stays
+    deterministic/replayable.
 
     ``max_bucket`` caps each band bucket's membership (standard LSH
     practice): candidate mass per bucket is Σ|bucket|², so one
@@ -168,16 +183,23 @@ def minhash_near_dedup(
         # intermediate in the block manager (spill at scale) that the
         # operator can never safely unpersist (the returned lazy plan
         # still references it).  No cached blocks outlive the call.
+        flag_cols = (
+            [F.col(new_col).cast("boolean").alias("_new")]
+            if new_col is not None
+            else []
+        )
         base = (
             ensure_parallelism(df, id_col)
             .select(
                 F.col(id_col).alias("_id"),
+                *flag_cols,
                 F.array_distinct(
                     shingles(tokens(text_col), shingle_n)
                 ).alias("_sh"),
             )
             .filter(F.size("_sh") > 0)
         )
+        meta = ["_id"] + (["_new"] if new_col is not None else [])
         # Signatures via explode + codegen'd aggregates, NOT the nested
         # higher-order-function form: HOF lambdas are interpreted per
         # element × per hash function (catastrophic constant factor),
@@ -185,16 +207,16 @@ def minhash_near_dedup(
         # whole-stage codegen with map-side partial aggregation — the
         # shuffle carries at most one num_hashes-wide row per doc.
         ex = base.select(
-            "_id", F.explode("_sh").alias("_s")
-        ).select("_id", F.xxhash64("_s").alias("_h"))
-        sig = ex.groupBy("_id").agg(
+            *meta, F.explode("_sh").alias("_s")
+        ).select(*meta, F.xxhash64("_s").alias("_h"))
+        sig = ex.groupBy(*meta).agg(
             *[
                 F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
                 for i in range(num_hashes)
             ]
         )
         banded = sig.select(
-            "_id",
+            *meta,
             F.explode(
                 F.array(
                     *[
@@ -222,36 +244,77 @@ def minhash_near_dedup(
         # the groupBy's hash-partitioning on ``_key``, so it adds no
         # extra shuffle, and it bounds the collect_list array width.
         if max_bucket is not None:
-            wcap = Window.partitionBy("_key").orderBy("_id")
+            if new_col is not None:
+                wcap = Window.partitionBy("_key").orderBy(
+                    F.col("_new").desc(), "_id"
+                )
+            else:
+                wcap = Window.partitionBy("_key").orderBy("_id")
             banded = (
                 banded.withColumn("_r", F.row_number().over(wcap))
                 .filter(F.col("_r") <= max_bucket)
                 .drop("_r")
             )
-        buckets = (
-            banded.groupBy("_key")
-            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-            .filter(F.size("_ids") > 1)
-        )
-        pairs = buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("_ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("_ids"),
-                                i + F.lit(2),
-                                F.size("_ids") - i - 1,
-                            ),
-                            lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
-                            ),
-                        ),
-                    )
+        if new_col is not None:
+            buckets = (
+                banded.groupBy("_key")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("_id", "_new"))
+                    ).alias("_ids")
                 )
-            ).alias("_p")
-        )
+                .filter(F.size("_ids") > 1)
+            )
+            pairs = buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("_ids"),
+                            lambda x, i: F.transform(
+                                F.filter(
+                                    F.slice(
+                                        F.col("_ids"),
+                                        i + F.lit(2),
+                                        F.size("_ids") - i - 1,
+                                    ),
+                                    # prune old↔old HERE, before any
+                                    # pair leaves the bucket
+                                    lambda y: x["_new"] | y["_new"],
+                                ),
+                                lambda y: F.struct(
+                                    x["_id"].alias("id_a"),
+                                    y["_id"].alias("id_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("_p")
+            )
+        else:
+            buckets = (
+                banded.groupBy("_key")
+                .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+                .filter(F.size("_ids") > 1)
+            )
+            pairs = buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("_ids"),
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("_ids"),
+                                    i + F.lit(2),
+                                    F.size("_ids") - i - 1,
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("_p")
+            )
         cand = pairs.select("_p.id_a", "_p.id_b").dropDuplicates(
             ["id_a", "id_b"]
         )

@@ -390,3 +390,97 @@ def length_bucketed_shards(
         )
 
     return _t
+
+
+def temperature_rates(
+    group_col: str,
+    token_count: F.Column,
+    alpha: float = 0.5,
+) -> Callable[[DataFrame], DataFrame]:
+    """Temperature-scaled sampling rates per group (the multilingual
+    alpha-sampling rule): sampling mass q_i ∝ p_i^α flattens the group
+    distribution — α=1 keeps natural proportions, α→0 approaches
+    uniform — so low-resource languages/sources aren't drowned out of a
+    training mix.  The per-DOCUMENT keep rate that realizes q is
+    ∝ n_i^(α-1), normalized so the smallest group samples at 100%
+    (downsample-only; pair with :func:`mix_plan`'s epochs for
+    upsampling).
+
+    Output per group: ``available_tokens``, ``rate_bp`` (basis points,
+    feeds :func:`...sampling.hash_sample`-style hash selection).  Like
+    mix_plan, the math runs on the per-group aggregate — metadata-scale
+    rows — so the unpartitioned normalizer window is free.
+
+    α=0.5 (the default) computes via ``sqrt``, which IEEE 754 requires
+    correctly rounded — the rates replay BIT-EXACTLY in any engine.
+    Other α go through ``pow``, whose last-ulp behavior is
+    implementation-defined; differential oracles should pin α=0.5.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+
+    def _t(df: DataFrame) -> DataFrame:
+        per = df.groupBy(group_col).agg(
+            F.sum(token_count).cast("long").alias("available_tokens")
+        )
+        n = F.col("available_tokens").cast("double")
+        if alpha == 0.5:
+            q_raw = F.sqrt(n)
+        else:
+            q_raw = F.pow(n, F.lit(float(alpha)))
+        w_all = Window.partitionBy()
+        # n == 0 guard: a group whose docs all tokenize to zero gets
+        # rate 0 (nothing to sample) instead of a NaN poisoning _rmax
+        return (
+            per.withColumn(
+                "_rr",
+                F.when(n > 0, q_raw / n).otherwise(F.lit(0.0)),
+            )
+            .withColumn("_rmax", F.max("_rr").over(w_all))
+            .select(
+                group_col,
+                "available_tokens",
+                F.when(
+                    F.col("_rmax") > 0,
+                    F.floor(
+                        F.lit(10_000) * F.col("_rr") / F.col("_rmax")
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("rate_bp"),
+            )
+        )
+
+    return _t
+
+
+def temperature_sample(
+    group_col: str,
+    key_col: str,
+    token_count: F.Column,
+    alpha: float = 0.5,
+    salt: str = "t1",
+) -> Callable[[DataFrame], DataFrame]:
+    """Apply :func:`temperature_rates` deterministically: keep a row iff
+    ``portable_hash(salt:key) mod 10000 < rate_bp(group)``.  The rate
+    table is groups-sized, so attaching it is a broadcast hash join and
+    the filter is map-side; selection is reproducible under any
+    partitioning/engine/rerun and append-stable (a new document never
+    flips an old one's fate).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        rates = df.transform(
+            temperature_rates(group_col, token_count, alpha)
+        ).select(group_col, "rate_bp")
+        h = portable_hash60(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(key_col).cast("string")
+            )
+        ) % F.lit(10_000)
+        return df.join(F.broadcast(rates), group_col).filter(
+            h < F.col("rate_bp")
+        )
+
+    return _t

@@ -442,3 +442,135 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+def hll_intersection(
+    group_col: str,
+    key_col: str,
+    group_a: str,
+    group_b: str,
+    b: int = 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Estimate |A ∩ B| from HyperLogLog registers by inclusion-
+    exclusion: est(A) + est(B) − est(A ∪ B), where the union sketch is
+    the register-wise MAX of the two sides' registers — the property
+    that makes HLL the audience-overlap / cross-segment-reach sketch:
+    the two sides never need to be co-located, only their 2^b-register
+    arrays meet.  (Relative error grows as |A∩B| shrinks vs the
+    Jaccard of the sets — inclusion-exclusion subtracts three ~1.04/√m
+    estimates — so it is a planning sketch, not an exact-join
+    replacement; the exact intersection rides along to witness the
+    error.)
+
+    Same portable register layout as :func:`hll_distinct` (md5 60-bit
+    hash, integer-exact denominator, linear-counting correction), so a
+    SQL oracle replays registers and estimates bit-for-bit.  Plan: one
+    (side, bucket) aggregation over the two groups' rows (map-side
+    partial, ≤ 2·2^b survivors), a 3-way register union (metadata-
+    sized), one exact-intersection agg riding along, and a broadcast
+    combine — one data-scale pass.
+    """
+    if not 4 <= b <= 18:
+        raise ValueError("b must be in [4, 18]")
+    m = 1 << b
+    rem = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _est(n_present: Column, spresent: Column) -> Column:
+        stotal = spresent + (F.lit(m) - n_present) * F.lit(
+            1 << (rem + 1)
+        )
+        raw = (
+            F.lit(alpha)
+            * F.lit(float(m))
+            * F.lit(float(m))
+            * F.lit(float(1 << (rem + 1)))
+            / stotal.cast("double")
+        )
+        v_zero = F.lit(m) - n_present
+        return F.when(
+            (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / v_zero.cast("double")),
+        ).otherwise(raw)
+
+    def _t(df: DataFrame) -> DataFrame:
+        filt = df.where(
+            F.col(group_col).isin([group_a, group_b])
+        ).select(
+            F.when(F.col(group_col) == group_a, "a")
+            .otherwise("b")
+            .alias("_s"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        h = portable_hash60(F.col("_k"))
+        keyed = filt.select("_s", h.alias("_h")).select(
+            "_s",
+            (F.col("_h") % m).alias("_bucket"),
+            F.expr(f"_h DIV {m}").alias("_w"),
+        )
+        rho = F.when(F.col("_w") == 0, F.lit(rem + 1)).otherwise(
+            F.bit_count(F.expr("(_w & -_w) - 1")) + F.lit(1)
+        )
+        regs = (
+            keyed.withColumn("_rho", rho)
+            .groupBy("_s", "_bucket")
+            .agg(F.max("_rho").alias("_mr"))
+        )
+        regs_u = (
+            regs.groupBy("_bucket")
+            .agg(F.max("_mr").alias("_mr"))
+            .select(F.lit("u").alias("_s"), "_bucket", "_mr")
+        )
+        stats = (
+            regs.unionByName(regs_u)
+            .groupBy("_s")
+            .agg(
+                F.count(F.lit(1)).alias("_np"),
+                F.sum(
+                    F.expr(
+                        f"shiftleft(1L, cast({rem + 1} - _mr as int))"
+                    )
+                ).alias("_sp"),
+            )
+            .withColumn("_est", _est(F.col("_np"), F.col("_sp")))
+        )
+        one = stats.agg(
+            F.max(F.when(F.col("_s") == "a", F.col("_est"))).alias(
+                "_ea"
+            ),
+            F.max(F.when(F.col("_s") == "b", F.col("_est"))).alias(
+                "_eb"
+            ),
+            F.max(F.when(F.col("_s") == "u", F.col("_est"))).alias(
+                "_eu"
+            ),
+        )
+        exact = (
+            filt.groupBy("_k")
+            .agg(F.countDistinct("_s").alias("_ng"))
+            .where(F.col("_ng") == 2)
+            .agg(F.count(F.lit(1)).alias("n_exact_intersection"))
+        )
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        # 1-row × 1-row combine via the derived-key broadcast HASH join
+        # (a bare crossJoin degrades to BroadcastNestedLoopJoin)
+        return attach_scalar(
+            one, exact, F.col("_ea"), F.col("n_exact_intersection")
+        ).select(
+            F.lit(m).alias("m"),
+            F.round("_ea", 4).alias("est_a"),
+            F.round("_eb", 4).alias("est_b"),
+            F.round("_eu", 4).alias("est_union"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("_ea") + F.col("_eb") - F.col("_eu"),
+                ),
+                4,
+            ).alias("est_intersection"),
+            "n_exact_intersection",
+        )
+
+    return _t

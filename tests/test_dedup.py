@@ -329,3 +329,39 @@ def test_minhash_max_bucket_cap_semantics(spark):
     assert {(p.id_a, p.id_b) for p in recapped} == {
         (p.id_a, p.id_b) for p in capped
     }
+
+
+def test_incremental_minhash_equals_filtered_full(spark):
+    """new_col mode == full pair set filtered to batch-touching pairs,
+    and never emits an index↔index pair."""
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        minhash_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        # clusters of 4 near-identical docs; one member per cluster is
+        # "new" (id % 4 == 3)
+        rows.append((i, base + f" tail{i // 4}" + (" x" if i % 4 == 0 else "")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = df.transform(
+        minhash_near_dedup(bands=32, jaccard_threshold=0.5)
+    ).collect()
+    dn = df.withColumn("_new", F.expr("doc_id % 4 = 3"))
+    inc = dn.transform(
+        minhash_near_dedup(
+            bands=32, jaccard_threshold=0.5, new_col="_new"
+        )
+    ).collect()
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full
+        if r["id_a"] % 4 == 3 or r["id_b"] % 4 == 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in inc}
+    assert got == want and len(want) > 0
+    for a, b in got:
+        assert a % 4 == 3 or b % 4 == 3

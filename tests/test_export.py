@@ -281,3 +281,66 @@ def test_length_bucketed_shards_layout(spark):
     # partitioning-independence
     rows2 = df.repartition(13).transform(t).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_temperature_rates_alpha_half_reference(spark):
+    import math
+
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        temperature_rates,
+    )
+
+    rows = [("en", 90000), ("fr", 10000), ("de", 2500), ("zz", 0)]
+    df = spark.createDataFrame(rows, "lang string, n long")
+    got = {
+        r["lang"]: r["rate_bp"]
+        for r in df.transform(
+            temperature_rates("lang", F.col("n"))
+        ).collect()
+    }
+    # reference: rate ∝ n^(α-1) = 1/sqrt(n), normalized to max
+    rr = {g: (math.sqrt(n) / n if n > 0 else 0.0) for g, n in rows}
+    rmax = max(rr.values())
+    want = {g: int(10_000 * v / rmax) for g, v in rr.items()}
+    assert got == want
+    # smallest non-empty group samples at 100%, zero group at 0%
+    assert got["de"] == 10_000
+    assert got["zz"] == 0
+
+
+def test_temperature_rates_flatten_monotone(spark):
+    """Lower alpha flattens harder: the big group's rate drops."""
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        temperature_rates,
+    )
+
+    rows = [("big", 1_000_000), ("small", 1_000)]
+    df = spark.createDataFrame(rows, "g string, n long")
+
+    def rate(alpha):
+        return {
+            r["g"]: r["rate_bp"]
+            for r in df.transform(
+                temperature_rates("g", F.col("n"), alpha=alpha)
+            ).collect()
+        }
+
+    r_natural = rate(1.0)
+    r_half = rate(0.5)
+    assert r_natural["big"] == 10_000  # α=1: no reweighting
+    assert r_half["big"] < r_natural["big"]
+    assert r_half["small"] == 10_000
+
+
+def test_temperature_sample_deterministic_subset(spark, docs):
+    from btc_usdt_etl_pipeline_spark.operators.export import (
+        temperature_sample,
+    )
+
+    tcount = F.size(F.split("text", r"\s+"))
+    t = temperature_sample("source", "doc_id", tcount)
+    a = sorted(r["doc_id"] for r in docs.transform(t).collect())
+    b = sorted(r["doc_id"] for r in docs.transform(t).collect())
+    assert a == b  # reruns identical
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert set(a) <= all_ids  # downsample-only

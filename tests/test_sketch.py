@@ -247,3 +247,57 @@ def test_bloom_empty_dim_passes_nothing(spark):
     assert facts.filter(
         bloom_might_contain(words, F.col("k"), 3)
     ).count() == 0
+
+
+def test_hll_intersection_vs_exact(spark):
+    """Planted overlap: |A|=800, |B|=600, |A∩B|=300 — the sketch
+    estimate must land within the inclusion-exclusion error budget
+    (3 sketches × ~1.04/√1024 ≈ 10% of the union) and the exact
+    column must be exact."""
+    rows = (
+        [("a", f"k{i}") for i in range(800)]
+        + [("b", f"k{i}") for i in range(500, 1100)]
+    )
+    df = spark.createDataFrame(rows, "g string, k string")
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_intersection,
+    )
+
+    out = df.transform(
+        hll_intersection("g", "k", "a", "b")
+    ).collect()[0]
+    assert out["n_exact_intersection"] == 300
+    assert abs(out["est_a"] - 800) / 800 < 0.12
+    assert abs(out["est_b"] - 600) / 600 < 0.12
+    assert abs(out["est_union"] - 1100) / 1100 < 0.12
+    # union of three ~3% sketches: generous but non-vacuous bound
+    assert abs(out["est_intersection"] - 300) < 0.35 * 1100
+    # inclusion-exclusion internal consistency
+    assert out["est_intersection"] >= 0.0
+
+
+def test_hll_intersection_disjoint_and_identical(spark):
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_intersection,
+    )
+
+    dis = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(400)]
+        + [("b", f"y{i}") for i in range(400)],
+        "g string, k string",
+    )
+    out = dis.transform(hll_intersection("g", "k", "a", "b")).collect()[0]
+    assert out["n_exact_intersection"] == 0
+    # disjoint sets: union sketch == merged registers, estimate near 800
+    assert abs(out["est_union"] - 800) / 800 < 0.12
+
+    same = spark.createDataFrame(
+        [(g, f"s{i}") for g in ("a", "b") for i in range(500)],
+        "g string, k string",
+    )
+    out = same.transform(hll_intersection("g", "k", "a", "b")).collect()[0]
+    # identical sides: registers coincide, est_a == est_b == est_union
+    # and intersection == est_a exactly (no sketch noise in the algebra)
+    assert out["est_a"] == out["est_b"] == out["est_union"]
+    assert out["est_intersection"] == out["est_a"]
+    assert out["n_exact_intersection"] == 500

@@ -370,6 +370,34 @@ def main() -> int:
         "no global range-sort of the points",
     )
 
+    # q172: the rate table is groups-sized — attaching it must be a
+    # broadcast hash join, never a shuffle of the corpus
+    df = qs["q172_temperature_mix"](spark, SF_DIR)
+    check(
+        "q172",
+        "BroadcastHashJoin" in join_kinds(df),
+        "rate attach is broadcast",
+    )
+    check(
+        "q172",
+        "SortMergeJoin" not in join_kinds(df),
+        "corpus never shuffles for the rate join",
+    )
+
+    # q173: one data-scale pass; register/estimator joins are
+    # metadata-sized — no sort-merge join anywhere
+    df = qs["q173_hll_intersection"](spark, SF_DIR)
+    check(
+        "q173",
+        "SortMergeJoin" not in join_kinds(df),
+        "register combine never sort-merges",
+    )
+    check(
+        "q173",
+        any("o_orderdate" in f for f in pushed_filters(df)),
+        "year filter pushed to the orders scan",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
