@@ -8045,6 +8045,208 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q175_attribution",
+    f"""
+    WITH b AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN epoch_us(ts) END AS t_us,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN event_type END AS t_ch
+      FROM events),
+    r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(t_us IGNORE NULLS) OVER w AS last_t,
+             last_value(t_ch IGNORE NULLS) OVER w AS last_ch
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT CASE WHEN last_t IS NOT NULL
+                   AND epoch_us(ts) - last_t <= 604800000000
+                  THEN last_ch ELSE 'direct' END AS channel,
+             value
+      FROM r WHERE event_type = 'purchase')
+    SELECT channel, COUNT(*)::BIGINT AS n_purchases,
+           {oracle_sum_sql('value')} AS revenue
+    FROM p GROUP BY channel
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click/view/signup within a 7-day lookback, else
+    'direct' — the standard conversion-credit composite, as ONE keyed
+    window (LOCF of the latest touch time and type over the user's
+    ordered stream; both IGNORE-NULLS lasts resolve to the same source
+    row because their null conditions coincide) plus a grouped
+    exact-decimal revenue sum.  No self-join of purchases against
+    touches — the window formulation is the as-of join fused into the
+    event scan; integer epoch-µs keeps the lookback test exact."""
+    e = _t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view", "signup")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).withColumn(
+        "_last_t",
+        F.last(
+            F.when(is_touch, F.unix_micros("ts")), ignorenulls=True
+        ).over(wb),
+    ).withColumn(
+        "_last_ch",
+        F.last(
+            F.when(is_touch, F.col("event_type")), ignorenulls=True
+        ).over(wb),
+    )
+    p = r.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("_last_t").isNotNull()
+            & (
+                F.unix_micros("ts") - F.col("_last_t")
+                <= F.lit(604800000000)
+            ),
+            F.col("_last_ch"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        exact_sum("value").alias("revenue"),
+    )
+
+
+@_q(
+    "q176_target_encoding",
+    """
+    WITH c AS (SELECT o_orderpriority,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS cs,
+                      COUNT(o_totalprice) AS cn
+               FROM orders GROUP BY o_orderpriority),
+    g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                   AS DOUBLE) / COUNT(o_totalprice) AS gm
+          FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((c.cs - o.o_totalprice + 10.0 * g.gm)
+                 / (c.cn - 1 + 10.0), 6) AS te
+    FROM orders o
+    JOIN c USING (o_orderpriority)
+    CROSS JOIN g
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing
+    (m=10) of order priority against order value — the standard
+    high-cardinality categorical feature, self-leakage removed by
+    subtracting the row's own target, rare categories shrunk toward
+    the global mean (a singleton encodes to exactly the global mean;
+    the denominator is m there, never zero).  Exact decimal sums +
+    identical operation order make the doubles replay bit-for-bit;
+    plan is one category agg broadcast back + the in-plan 1-row
+    global mean — the fact side never shuffles
+    (ml/features.py:target_encode_loo)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        target_encode_loo,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return o.transform(
+        target_encode_loo("o_orderpriority", "o_totalprice", m=10.0)
+    ).select("o_orderkey", "o_orderpriority", "te")
+
+
+@_q(
+    "q177_session_paths",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM s),
+    p AS (
+      SELECT user_id, sess,
+             event_type || '>' || lead(event_type) OVER w2 || '>'
+               || lead(event_type, 2) OVER w2 AS path
+      FROM g
+      WINDOW w2 AS (PARTITION BY user_id, sess
+                    ORDER BY ts, event_id)),
+    cnt AS (
+      SELECT path, COUNT(*)::BIGINT AS n_occurrences,
+             COUNT(DISTINCT user_id || ':' || sess)::BIGINT
+               AS n_sessions
+      FROM p WHERE path IS NOT NULL GROUP BY path)
+    SELECT path, n_occurrences, n_sessions FROM cnt
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: top-20 3-step event-type paths over
+    30-minute-gap sessions — the product-analytics 'common paths'
+    report.  Sessions come from the q73 gap rule (running sum of the
+    break flag); paths are two LEADs over the session-keyed window —
+    no per-session array materialization, no explode, every row
+    yields at most one path — then a global count and a distributed
+    top-k (TakeOrderedAndProject, never a full sort).  Ties broken by
+    path text so the cut is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            > F.lit(1800000000)
+        ),
+        1,
+    ).otherwise(0)
+    g = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "_sess",
+        F.sum(brk).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "_sess").orderBy(
+        "ts", "event_id"
+    )
+    p = g.select(
+        "user_id",
+        "_sess",
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type").over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("_third"),
+    ).where(F.col("_third").isNotNull())
+    cnt = p.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("user_id"), F.col("_sess"))
+        ).alias("n_sessions"),
+    )
+    return cnt.orderBy(
+        F.col("n_occurrences").desc(), "path"
+    ).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -127,6 +127,9 @@ HEADLINE = [
     "q172_temperature_mix",
     "q173_hll_intersection",
     "q174_incremental_dedup",
+    "q175_attribution",
+    "q176_target_encoding",
+    "q177_session_paths",
 ]
 
 

@@ -305,3 +305,61 @@ def quantile_binning(
         ).drop("_qb_bounds")
 
     return _t
+
+
+def target_encode_loo(
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+    out: str = "te",
+) -> Callable[[DataFrame], DataFrame]:
+    """Leave-one-out target encoding with m-estimate smoothing — the
+    standard high-cardinality categorical feature for tabular models:
+
+        te(row) = (sum(cat) − y(row) + m·global_mean) / (n(cat) − 1 + m)
+
+    Leaving the row's own target out removes the self-leakage that
+    makes naive target encoding overfit; the m-estimate shrinks rare
+    categories toward the global mean (a singleton category encodes to
+    exactly the global mean — no divide-by-zero special case, since the
+    denominator is m there).
+
+    All sums run through the exact-decimal idiom so the encoding is
+    order-insensitive and bit-reproducible in any engine.  Plan: one
+    category aggregation (broadcast back — category tables are
+    metadata-scale next to the fact side), the 1-row global aggregate
+    attached in-plan, then a pure projection; the fact table never
+    shuffles.
+    """
+    if m <= 0:
+        raise ValueError("smoothing m must be > 0")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import (
+            attach_scalar,
+            exact_sum,
+        )
+
+        cats = df.groupBy(cat_col).agg(
+            exact_sum(target_col).alias("_cs"),
+            F.count(target_col).alias("_cn"),
+        )
+        glob = df.agg(
+            (exact_sum(target_col) / F.count(target_col)).alias("_g")
+        )
+        joined = attach_scalar(
+            df.join(F.broadcast(cats), cat_col),
+            glob,
+            F.col(target_col),
+            F.col("_g"),
+        )
+        te = (
+            F.col("_cs")
+            - F.col(target_col)
+            + F.lit(float(m)) * F.col("_g")
+        ) / (F.col("_cn") - 1 + F.lit(float(m)))
+        return joined.withColumn(out, F.round(te, 6)).drop(
+            "_cs", "_cn", "_g"
+        )
+
+    return _t

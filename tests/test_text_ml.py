@@ -730,3 +730,38 @@ def test_resolve_entities_chains_and_survivorship(spark):
     assert out[1].canonical_name == "acme c0rp"
     assert out[3].n_members == 3
     assert out[4].canonical_name == "globex"
+
+
+def test_target_encode_loo_reference(spark):
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.ml.features import target_encode_loo
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", 30.0),
+        ("b", 100.0), ("b", 200.0),
+        ("c", 50.0),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    m = 10.0
+    g = sum(y for _, y in rows) / len(rows)
+    out = {
+        (r["cat"], r["y"]): r["te"]
+        for r in df.transform(target_encode_loo("cat", "y", m=m)).collect()
+    }
+    for cat, y in rows:
+        cs = sum(v for c, v in rows if c == cat)
+        cn = sum(1 for c, _ in rows if c == cat)
+        want = (cs - y + m * g) / (cn - 1 + m)
+        assert abs(out[(cat, y)] - want) < 1e-6
+    # singleton category == global mean exactly (denominator is m)
+    assert abs(out[("c", 50.0)] - round(g, 6)) < 1e-9
+
+
+def test_target_encode_loo_rejects_bad_m(spark):
+    import pytest as _pytest
+
+    from btc_usdt_etl_pipeline_spark.ml.features import target_encode_loo
+
+    with _pytest.raises(ValueError):
+        target_encode_loo("c", "y", m=0.0)

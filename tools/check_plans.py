@@ -398,6 +398,40 @@ def main() -> int:
         "year filter pushed to the orders scan",
     )
 
+    # q175: attribution is window-fused — no purchase×touch self-join
+    # may appear, no single-partition exchange
+    df = qs["q175_attribution"](spark, SF_DIR)
+    check("q175", join_kinds(df) == [], "no self-join (window-fused)")
+    check(
+        "q175",
+        "SinglePartition" not in plan_string(df),
+        "no single-partition exchange",
+    )
+
+    # q176: the category table must broadcast; the fact side must not
+    # shuffle for either join
+    df = qs["q176_target_encoding"](spark, SF_DIR)
+    check(
+        "q176",
+        "BroadcastHashJoin" in join_kinds(df),
+        "category + global-mean attach broadcast",
+    )
+    check(
+        "q176",
+        "SortMergeJoin" not in join_kinds(df),
+        "fact side never shuffles for a join",
+    )
+
+    # q177: top-20 must be a distributed TakeOrderedAndProject, never
+    # a global sort of the path counts
+    df = qs["q177_session_paths"](spark, SF_DIR)
+    check(
+        "q177",
+        "TakeOrderedAndProject" in plan_string(df),
+        "top-k via TakeOrderedAndProject",
+    )
+    check("q177", join_kinds(df) == [], "no joins (windows + agg)")
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
