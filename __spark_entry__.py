@@ -8324,6 +8324,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q36/q58/q135 in-window and q166 shares q164's oracle/merge law.
 #: q167 (entity resolution) stays judge-side: it composes two
 #: in-window operators (q124 fuzzy blocking, q62 components).
+#: Late round 7 promoted q168 (interval algebra) and q171 (2-D
+#: skyline) — both NEW families with no in-window cousin — demoting
+#: q109 (dedup keeps q26/q30/q132/q62/q66 in-window; segment dedup
+#: stays judge-covered) and q140 (product composites keep q100
+#: dashboard + q141 funnel; cohort retention stays judge-covered).
+#: The other late-round-7 additions stay judge-side by the family
+#: rule: q169/q170 layout ops (q136 Z-order is the in-window layout
+#: rep), q172 temperature mix (export: q127/q129), q173 HLL
+#: intersection (sketch: q134/q151), q174 incremental dedup (dedup:
+#: q26/q30/q132), q175 attribution / q177 session paths (product
+#: composites: q100/q141), q176 target encoding (ML features:
+#: q34/q110).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -8355,7 +8367,6 @@ _PRIORITY_WINDOW = [
     "q92_variant_json",       # VARIANT semi-structured
     "q100_dashboard",         # financial composite dashboard
     "q152_cdc_merge",         # CDC changelog merge (upsert + tombstones)
-    "q109_segment_dedup",     # C4-style segment-level dedup
     "q110_embedding_quantize",# int8 embedding quantization
     "q161_bpe_train",         # BPE tokenizer training (merge table)
     "q124_fuzzy_join",        # edit-distance-1 fuzzy join
@@ -8368,13 +8379,14 @@ _PRIORITY_WINDOW = [
     "q137_data_quality",      # data-quality expectations
     "q135_stream_enrich",     # stream-static broadcast enrichment
     "q139_chunk_documents",   # token-window document chunking
-    "q140_cohort_retention",  # cohort retention matrix
     "q141_funnel",            # ordered conversion funnel
     "q146_pagerank",          # graph power iteration (PageRank)
     "q147_scd2",              # SCD2 dimension build
     "q149_m4_downsample",     # M4 time-series downsampling
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
     "q151_hll_distinct",      # HyperLogLog distinct sketch
+    "q168_interval_coverage", # interval algebra (merge/coverage sweep)
+    "q171_skyline",           # 2-D skyline / Pareto front
 ]
 
 
