@@ -8247,6 +8247,149 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@_q(
+    "q178_grid_clusters",
+    """
+    WITH RECURSIVE
+    p AS (SELECT vec_id,
+                 CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.03125)
+                   AS BIGINT) AS cx,
+                 CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.03125)
+                   AS BIGINT) AS cy
+          FROM embeddings),
+    pc AS (SELECT vec_id, cx, cy,
+                  (cx + 1048576) * 2097152 + (cy + 1048576) AS cell
+           FROM p),
+    dense AS (SELECT cell, cx, cy, COUNT(*) AS n
+              FROM pc GROUP BY cell, cx, cy
+              HAVING COUNT(*) >= 3),
+    e AS (SELECT a.cell AS u, b.cell AS v
+          FROM dense a JOIN dense b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+           AND a.cell <> b.cell),
+    walk(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN e ON w.node = e.u),
+    comp AS (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
+    cm AS (SELECT d.cell, COALESCE(c.comp, d.cell) AS cluster
+           FROM dense d LEFT JOIN comp c ON d.cell = c.node)
+    SELECT pc.vec_id, COALESCE(cm.cluster, -1) AS cluster
+    FROM pc LEFT JOIN cm USING (cell)
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (STING / grid-DBSCAN) over the
+    first two embedding dimensions: ε=1/32 cells, cells with ≥3 points
+    are dense, 8-adjacent dense cells connect, every point gets its
+    component's min cell id — sparse-cell points are noise (the
+    operator returns null; encoded -1 here so the gate column stays a
+    non-nullable int through the driver's pandas canonicalizer).
+    The scalable stand-in for DBSCAN: no ε-neighborhood distance
+    self-join (quadratic), just one cell aggregation, a
+    |dense-cells|-scale neighbor equi-join and label-prop connected
+    components — all keyed.  ε is a power of two so the cell
+    assignment is an exact binary scale both engines compute
+    identically; the oracle brute-forces adjacency and walks the same
+    graph recursively (ml/clustering.py:grid_density_clusters).
+    Finds 8 clusters / 205 noise points at the gate."""
+    from btc_usdt_etl_pipeline_spark.ml.clustering import (
+        grid_density_clusters,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.transform(
+        grid_density_clusters(
+            "vec_id",
+            F.element_at("embedding", 1).cast("double"),
+            F.element_at("embedding", 2).cast("double"),
+            eps=0.03125,
+            min_pts=3,
+        )
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("cluster"), F.lit(-1).cast("long")).alias(
+            "cluster"
+        ),
+    )
+
+
+@_q(
+    "q179_streaming_hll",
+    f"""
+    WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                        AS bucket_start,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS h
+               FROM events),
+    k AS (SELECT bucket_start, h % 1024 AS bucket, h // 1024 AS w
+          FROM h),
+    r AS (SELECT bucket_start, bucket,
+                 MAX(CASE WHEN w = 0 THEN 51
+                     ELSE bit_count((w & -w) - 1) + 1 END) AS mr
+          FROM k GROUP BY bucket_start, bucket),
+    st AS (SELECT bucket_start, COUNT(*)::BIGINT AS n_present,
+                  SUM((1::BIGINT << CAST(51 - mr AS INT)))::BIGINT
+                    AS spresent
+           FROM r GROUP BY bucket_start),
+    agg AS (SELECT bucket_start, 1024 AS m, n_present,
+                   CAST(1024 - n_present AS BIGINT) AS v_zero,
+                   {_HLL_ALPHA_1024!r}::DOUBLE * {1024.0!r}::DOUBLE
+                     * {1024.0!r}::DOUBLE * {float(1 << 51)!r}::DOUBLE
+                     / CAST(spresent
+                            + (1024 - n_present) * (1::BIGINT << 51)
+                            AS DOUBLE) AS raw
+            FROM st)
+    SELECT bucket_start, m, n_present, v_zero,
+           round(raw, 4) AS est_raw,
+           round(CASE WHEN raw <= {2.5 * 1024!r}::DOUBLE AND v_zero > 0
+                 THEN {1024.0!r}::DOUBLE * ln({1024.0!r}::DOUBLE
+                                      / CAST(v_zero AS DOUBLE))
+                 ELSE raw END, 4) AS est
+    FROM agg
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users-per-hour via persisted HyperLogLog
+    registers: drain the events stream through a versioned
+    ``foreachBatch`` register sink (each micro-batch folds its
+    (hour, bucket, max-rank) registers onto the previous state by
+    register-wise MAX — the HLL merge law — at |buckets|·2^b-row cost,
+    settled raw events never re-read, same idempotent-retry
+    versioning as q166), then estimate from the FINAL persisted
+    registers alone.  A streaming COUNT(DISTINCT) would have to hold
+    every key in state; registers are fixed-width.  The oracle is the
+    batch per-hour sketch over all events — hash-equality proves
+    state after ANY micro-batch partitioning == the full recompute
+    (streaming/ohlcv.py:incremental_hll_upsert,
+    operators/sketch.py:hll_registers_by/merge_hll_registers/
+    hll_estimate_from_registers)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_hll_upsert,
+        read_rollup_state,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("ts", "user_id")
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "state")
+        upsert = incremental_hll_upsert(
+            spark, state, "ts", "user_id", "hour"
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .foreachBatch(upsert)
+            .start()
+        )
+        q.awaitTermination()
+        return hll_estimate_from_registers(
+            read_rollup_state(spark, state), ["bucket_start"]
+        ).localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -130,6 +130,8 @@ HEADLINE = [
     "q175_attribution",
     "q176_target_encoding",
     "q177_session_paths",
+    "q178_grid_clusters",
+    "q179_streaming_hll",
 ]
 
 

@@ -31,6 +31,8 @@ their previous centroid (standard Lloyd fallback).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,3 +132,105 @@ def kmeans_assign(
         )
     finally:
         base.unpersist()
+
+
+def grid_density_clusters(
+    id_col: str,
+    x: F.Column,
+    y: F.Column,
+    eps: float = 0.125,
+    min_pts: int = 8,
+) -> Callable[[DataFrame], DataFrame]:
+    """Grid-based density clustering (the STING/grid-DBSCAN shape):
+    snap points to an ``eps``-sized grid, keep cells with ≥ ``min_pts``
+    points (density test), connect 8-adjacent dense cells, and label
+    each point with its component's min cell id; points in sparse cells
+    are noise (``cluster`` null).  This is the scalable stand-in for
+    DBSCAN on Spark: exact DBSCAN's ε-neighborhood query is a distance
+    self-join, while the grid pays one cell aggregation (map-side
+    partial — at most |cells| rows survive), one |dense-cells|-scale
+    8-neighbor equi-join, and the label-propagation connected
+    components — all keyed, nothing quadratic in points.  The
+    approximation is the usual one: cell granularity decides borders
+    (a DBSCAN border point whose cell is sparse becomes noise).
+
+    Determinism/oracle: cell = ``floor(coord / eps)``; pick ``eps`` a
+    power of two so the division is an exact binary scale and the cell
+    assignment replays bit-for-bit in any engine.  Cell ids pack as
+    ``(cx + 2^20)·2^21 + (cy + 2^20)`` — exact for \\|cx\\|,\\|cy\\| < 2^20,
+    i.e. coordinates within ±2^20·eps.
+    """
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    bias = 1 << 20
+    pack = 1 << 21
+
+    def cell_id(cx: F.Column, cy: F.Column) -> F.Column:
+        return (cx + bias) * pack + (cy + bias)
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        pts = df.select(
+            F.col(id_col),
+            F.floor(x / F.lit(float(eps))).cast("long").alias("_cx"),
+            F.floor(y / F.lit(float(eps))).cast("long").alias("_cy"),
+        ).withColumn("_cell", cell_id(F.col("_cx"), F.col("_cy")))
+        dense = (
+            pts.groupBy("_cell", "_cx", "_cy")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_pts)
+        )
+        offsets = F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ]
+        )
+        nb = dense.select(
+            F.col("_cell").alias("id_a"), "_cx", "_cy",
+            F.explode(offsets).alias("_o"),
+        ).select(
+            "id_a",
+            cell_id(
+                F.col("_cx") + F.col("_o.dx"),
+                F.col("_cy") + F.col("_o.dy"),
+            ).alias("id_b"),
+        )
+        edges = nb.join(
+            dense.select(F.col("_cell").alias("id_b")), "id_b"
+        ).where(F.col("id_a") < F.col("id_b"))
+        # Star contraction, not label propagation: a dense-cell graph
+        # is a GRID, whose diameter grows with the corpus (a 10×
+        # embedding cloud already chains >64 cells), so diameter-bound
+        # label rounds diverge while star contraction halves components
+        # per round (O(log n) — the q119 argument).
+        comp = connected_components(edges, algorithm="star")
+        cellmap = (
+            dense.select("_cell")
+            .join(
+                comp.select(
+                    F.col("node").alias("_cell"),
+                    F.col("component").alias("_comp"),
+                ),
+                "_cell",
+                "left",
+            )
+            .select(
+                "_cell",
+                F.coalesce(F.col("_comp"), F.col("_cell")).alias(
+                    "cluster"
+                ),
+            )
+        )
+        return pts.join(cellmap, "_cell", "left").select(
+            id_col, "cluster"
+        )
+
+    return _t

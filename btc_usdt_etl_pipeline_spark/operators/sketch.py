@@ -574,3 +574,100 @@ def hll_intersection(
         )
 
     return _t
+
+
+def hll_registers_by(
+    group_cols: "list[str] | tuple[str, ...]",
+    key_col: str,
+    b: int = 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Raw per-group HLL registers ``(group…, _bucket, _mr)`` — the
+    PERSISTABLE form of :func:`hll_distinct_by`'s sketch: register sets
+    are what streaming/incremental pipelines store, because the merge
+    law is pure column algebra (``MAX`` per (group, bucket)) and never
+    needs raw data again.  Same md5 bucketing / rank layout as every
+    other HLL entry point, so estimates from merged registers replay in
+    a SQL oracle."""
+    if not 4 <= b <= 18:
+        raise ValueError("b must be in [4, 18]")
+    gcols = list(group_cols)
+    m = 1 << b
+    rem = 60 - b
+
+    def _t(df: DataFrame) -> DataFrame:
+        h = portable_hash60(F.col(key_col).cast("string"))
+        keyed = df.select(*gcols, h.alias("_h")).select(
+            *gcols,
+            (F.col("_h") % m).alias("_bucket"),
+            F.expr(f"_h DIV {m}").alias("_w"),
+        )
+        rho = F.when(F.col("_w") == 0, F.lit(rem + 1)).otherwise(
+            F.bit_count(F.expr("(_w & -_w) - 1")) + F.lit(1)
+        )
+        return (
+            keyed.withColumn("_rho", rho)
+            .groupBy(*gcols, "_bucket")
+            .agg(F.max("_rho").alias("_mr"))
+        )
+
+    return _t
+
+
+def merge_hll_registers(*register_frames: DataFrame) -> DataFrame:
+    """Merge register frames: MAX per (group…, _bucket).  The HLL merge
+    law — merge(reg(A), reg(B)) == reg(A ∪ B) — so daily/streaming
+    register sets fold together at register cost, never re-reading
+    keys.  All frames must share the register schema."""
+    if not register_frames:
+        raise ValueError("need at least one register frame")
+    u = register_frames[0]
+    for f in register_frames[1:]:
+        u = u.unionByName(f)
+    keys = [c for c in u.columns if c != "_mr"]
+    return u.groupBy(*keys).agg(F.max("_mr").alias("_mr"))
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]",
+    b: int = 10,
+) -> DataFrame:
+    """Per-group cardinality estimate from stored registers — the read
+    side of a persisted/streamed sketch (no raw data available, so no
+    exact rider).  Identical estimator math to :func:`hll_distinct_by`
+    (integer-exact denominator, linear-counting correction); returns
+    ``(group…, m, n_present, v_zero, est_raw, est)``."""
+    gcols = list(group_cols)
+    m = 1 << b
+    rem = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    stats = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({rem + 1} - _mr as int))")
+        ).alias("_spresent"),
+    )
+    stotal = F.col("_spresent") + (
+        F.lit(m) - F.col("n_present")
+    ) * F.lit(1 << (rem + 1))
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << (rem + 1)))
+        / stotal.cast("double")
+    )
+    v_zero = F.lit(m) - F.col("n_present")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return stats.select(
+        *gcols,
+        F.lit(m).alias("m"),
+        "n_present",
+        v_zero.alias("v_zero"),
+        F.round(raw, 4).alias("est_raw"),
+        F.round(corrected, 4).alias("est"),
+    )

@@ -364,3 +364,65 @@ def read_rollup_state(spark, state_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no rollup state under {state_dir}")
     return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+
+def incremental_hll_upsert(
+    spark,
+    state_dir: str,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    trunc_unit: str = "hour",
+    b: int = 10,
+    retain: int = 2,
+):
+    """``foreachBatch`` sink maintaining per-time-bucket HyperLogLog
+    registers — the streaming distinct-users-per-hour rollup.  A
+    COUNT(DISTINCT) can't be maintained incrementally without keeping
+    every key; HLL registers can, because the merge law is register-wise
+    MAX (operators/sketch.py:merge_hll_registers) — so each micro-batch
+    folds its own register set onto the previous state at
+    ``|buckets|·2^b``-row cost, settled raw events are never re-read,
+    and the persisted state answers the estimate at any moment.
+
+    Versioning/idempotence discipline is identical to
+    :func:`incremental_rollup_upsert` (same ``state_dir/v{batch_id}``
+    layout, retries recompute from the same predecessor, Hadoop FS API
+    paths); read the final registers back with
+    :func:`read_rollup_state` and estimate via
+    ``operators/sketch.py:hll_estimate_from_registers``.
+    """
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_registers_by,
+        merge_hll_registers,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        regs = batch_df.select(
+            F.date_trunc(trunc_unit, F.col(time_col)).alias(
+                "bucket_start"
+            ),
+            key_col,
+        ).transform(hll_registers_by(["bucket_start"], key_col, b))
+        prev = [
+            v for v in _state_versions(sp, state_dir) if v < batch_id
+        ]
+        if prev:
+            existing = sp.read.parquet(f"{state_dir}/v{prev[-1]}")
+            merged = merge_hll_registers(existing, regs)
+        else:
+            merged = merge_hll_registers(regs)
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+        fs, _, jvm = _fs_for(sp, state_dir)
+        all_v = _state_versions(sp, state_dir)
+        for old in all_v[: max(len(all_v) - retain, 0)]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{old}"),
+                True,
+            )
+
+    return upsert

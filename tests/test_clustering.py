@@ -52,3 +52,56 @@ def test_kmeans_k_exceeds_rows(spark):
     got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=5, iters=2).collect()}
     assert set(got) == {0, 1, 2}
     assert len(set(got.values())) == 3  # each point keeps its own seed
+
+
+def test_grid_density_clusters_reference(spark):
+    """Two well-separated dense blobs + scattered noise: blob points
+    share a cluster label per blob, labels differ across blobs, noise
+    points get null."""
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.ml.clustering import (
+        grid_density_clusters,
+    )
+
+    rows = []
+    rid = 0
+    # blob A around (0.1, 0.1): 20 points inside one eps=0.125 cell
+    for i in range(20):
+        rows.append((rid, 0.10 + (i % 5) * 0.004, 0.10 + (i // 5) * 0.004)); rid += 1
+    # blob B: two ADJACENT dense cells around (1.0, 1.0) — must merge
+    for i in range(12):
+        rows.append((rid, 1.01 + (i % 4) * 0.004, 1.01 + (i // 4) * 0.004)); rid += 1
+    for i in range(12):
+        rows.append((rid, 1.135 + (i % 4) * 0.004, 1.01 + (i // 4) * 0.004)); rid += 1
+    # noise: isolated singles
+    for i in range(5):
+        rows.append((rid, 5.0 + i, 5.0 + i)); rid += 1
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {
+        r["id"]: r["cluster"]
+        for r in df.transform(
+            grid_density_clusters(
+                "id", F.col("x"), F.col("y"), eps=0.125, min_pts=8
+            )
+        ).collect()
+    }
+    blob_a = {out[i] for i in range(20)}
+    blob_b = {out[i] for i in range(20, 44)}
+    noise = {out[i] for i in range(44, 49)}
+    assert len(blob_a) == 1 and None not in blob_a
+    assert len(blob_b) == 1 and None not in blob_b  # adjacent cells merged
+    assert blob_a != blob_b
+    assert noise == {None}
+
+
+def test_grid_density_rejects_bad_min_pts(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.ml.clustering import (
+        grid_density_clusters,
+    )
+
+    with _pytest.raises(ValueError):
+        grid_density_clusters("id", F.col("x"), F.col("y"), min_pts=0)

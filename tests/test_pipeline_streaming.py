@@ -596,3 +596,84 @@ def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
         map(tuple, finalize_bars(read_rollup_state(spark, state2)).collect())
     )
     assert after_retry == want
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """HLL register state after draining multiple micro-batches ==
+    batch recompute (the register merge law over the stream's
+    partitioning); a retried batch is idempotent."""
+    import datetime as dt
+
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_distinct_by,
+        hll_estimate_from_registers,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_hll_upsert,
+        read_rollup_state,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=(i * 13) % (24 * 60)),
+         (i * 7) % 97)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src = str(tmp_path / "srcH")
+    df.repartition(3).write.parquet(src)
+    state = str(tmp_path / "stateH")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    upsert = incremental_hll_upsert(spark, state, "ts", "user_id", "hour")
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckptH"))
+        .foreachBatch(upsert)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(
+            tuple,
+            hll_estimate_from_registers(
+                read_rollup_state(spark, state), ["bucket_start"]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                F.date_trunc("hour", "ts").alias("bucket_start"),
+                "user_id",
+            )
+            .transform(hll_distinct_by(["bucket_start"], "user_id"))
+            .select(
+                "bucket_start", "m", "n_present", "v_zero",
+                "est_raw", "est",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # retry idempotence on manual batches
+    state2 = str(tmp_path / "stateH2")
+    up2 = incremental_hll_upsert(spark, state2, "ts", "user_id", "hour")
+    up2(df.filter(F.col("event_id") % 2 == 0), 0)
+    up2(df.filter(F.col("event_id") % 2 == 1), 1)
+    up2(df.filter(F.col("event_id") % 2 == 1), 1)  # retry
+    got2 = sorted(
+        map(
+            tuple,
+            hll_estimate_from_registers(
+                read_rollup_state(spark, state2), ["bucket_start"]
+            ).collect(),
+        )
+    )
+    assert got2 == want

@@ -432,6 +432,21 @@ def main() -> int:
     )
     check("q177", join_kinds(df) == [], "no joins (windows + agg)")
 
+    # q178: grid clustering must never distance-self-join the points —
+    # the only joins are the dense-cell neighbor equi-join, the CC
+    # rounds, and the cell-map attach (hash joins all)
+    df = qs["q178_grid_clusters"](spark, SF_DIR)
+    check(
+        "q178",
+        "CartesianProduct" not in join_kinds(df),
+        "no quadratic neighborhood join",
+    )
+    check(
+        "q178",
+        "BroadcastNestedLoopJoin" not in join_kinds(df),
+        "no nested-loop join",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
