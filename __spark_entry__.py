@@ -8390,6 +8390,467 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
 
 
+@_q(
+    "q180_cusum",
+    """
+    WITH d AS (SELECT event_id, user_id, ts,
+                      CAST(value - 100.0 - 10.0 AS DECIMAL(38,6)) AS dev
+               FROM events),
+    r AS (SELECT event_id, user_id, ts,
+                 CAST(SUM(dev) OVER w AS DOUBLE) AS rs
+          FROM d
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+    SELECT event_id, user_id,
+           rs - LEAST(0.0, MIN(rs) OVER w2) AS cusum,
+           (rs - LEAST(0.0, MIN(rs) OVER w2)) > 1000.0 AS alarm
+    FROM r
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint statistic (Page 1954) per user
+    series: S_t = max(0, S_t-1 + (x_t - target - slack)), target 100 /
+    slack 10 / alarm threshold 1000.  The recursion is replaced by its
+    EXACT closed form S_t = RS_t - min(0, min_j<=t RS_j) — a
+    cumulative decimal-exact sum plus a running min of it, two stacked
+    keyed windows sharing one exchange, fully parallel where the
+    textbook formulation is sequential
+    (operators/windows.py:cusum)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import cusum
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        cusum(
+            "value", target=100.0, slack=10.0, threshold=1000.0,
+            partition_by="user_id", order_by=("ts", "event_id"),
+        )
+    ).select("event_id", "user_id", "cusum", "alarm")
+
+
+@_q(
+    "q181_macd",
+    """
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+           (value
+             + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.8461538461538461::DOUBLE * lag(value, 1) OVER w END
+             + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.7159763313609467::DOUBLE * lag(value, 2) OVER w END
+             + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.6058261265361857::DOUBLE * lag(value, 3) OVER w END
+             + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.5126221070690802::DOUBLE * lag(value, 4) OVER w END
+             + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.43375716751999094::DOUBLE * lag(value, 5) OVER w END
+             + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.3670252955938385::DOUBLE * lag(value, 6) OVER w END
+             + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.3105598655024787::DOUBLE * lag(value, 7) OVER w END
+             + CASE WHEN lag(value, 8) OVER w IS NULL THEN 0.0 ELSE 0.2627814246559435::DOUBLE * lag(value, 8) OVER w END
+             + CASE WHEN lag(value, 9) OVER w IS NULL THEN 0.0 ELSE 0.22235351317041374::DOUBLE * lag(value, 9) OVER w END
+             + CASE WHEN lag(value, 10) OVER w IS NULL THEN 0.0 ELSE 0.18814528037496547::DOUBLE * lag(value, 10) OVER w END
+             + CASE WHEN lag(value, 11) OVER w IS NULL THEN 0.0 ELSE 0.15919985262497077::DOUBLE * lag(value, 11) OVER w END
+             + CASE WHEN lag(value, 12) OVER w IS NULL THEN 0.0 ELSE 0.1347075676057445::DOUBLE * lag(value, 12) OVER w END
+             + CASE WHEN lag(value, 13) OVER w IS NULL THEN 0.0 ELSE 0.11398332643562997::DOUBLE * lag(value, 13) OVER w END
+             + CASE WHEN lag(value, 14) OVER w IS NULL THEN 0.0 ELSE 0.09644743006091767::DOUBLE * lag(value, 14) OVER w END
+             + CASE WHEN lag(value, 15) OVER w IS NULL THEN 0.0 ELSE 0.08160936389769957::DOUBLE * lag(value, 15) OVER w END
+             + CASE WHEN lag(value, 16) OVER w IS NULL THEN 0.0 ELSE 0.06905407714420733::DOUBLE * lag(value, 16) OVER w END
+             + CASE WHEN lag(value, 17) OVER w IS NULL THEN 0.0 ELSE 0.05843037296817544::DOUBLE * lag(value, 17) OVER w END
+             + CASE WHEN lag(value, 18) OVER w IS NULL THEN 0.0 ELSE 0.04944108481922537::DOUBLE * lag(value, 18) OVER w END
+             + CASE WHEN lag(value, 19) OVER w IS NULL THEN 0.0 ELSE 0.041834764077806084::DOUBLE * lag(value, 19) OVER w END
+             + CASE WHEN lag(value, 20) OVER w IS NULL THEN 0.0 ELSE 0.03539864652737438::DOUBLE * lag(value, 20) OVER w END
+             + CASE WHEN lag(value, 21) OVER w IS NULL THEN 0.0 ELSE 0.02995270090777832::DOUBLE * lag(value, 21) OVER w END
+             + CASE WHEN lag(value, 22) OVER w IS NULL THEN 0.0 ELSE 0.025344593075812424::DOUBLE * lag(value, 22) OVER w END
+             + CASE WHEN lag(value, 23) OVER w IS NULL THEN 0.0 ELSE 0.02144542491030282::DOUBLE * lag(value, 23) OVER w END
+             + CASE WHEN lag(value, 24) OVER w IS NULL THEN 0.0 ELSE 0.01814612877025623::DOUBLE * lag(value, 24) OVER w END
+             + CASE WHEN lag(value, 25) OVER w IS NULL THEN 0.0 ELSE 0.015354416651755272::DOUBLE * lag(value, 25) OVER w END
+             + CASE WHEN lag(value, 26) OVER w IS NULL THEN 0.0 ELSE 0.012992198705331384::DOUBLE * lag(value, 26) OVER w END
+             + CASE WHEN lag(value, 27) OVER w IS NULL THEN 0.0 ELSE 0.01099339890451117::DOUBLE * lag(value, 27) OVER w END
+             + CASE WHEN lag(value, 28) OVER w IS NULL THEN 0.0 ELSE 0.009302106765355606::DOUBLE * lag(value, 28) OVER w END
+             + CASE WHEN lag(value, 29) OVER w IS NULL THEN 0.0 ELSE 0.00787101341683936::DOUBLE * lag(value, 29) OVER w END
+             + CASE WHEN lag(value, 30) OVER w IS NULL THEN 0.0 ELSE 0.006660088275787151::DOUBLE * lag(value, 30) OVER w END
+             + CASE WHEN lag(value, 31) OVER w IS NULL THEN 0.0 ELSE 0.005635459310281435::DOUBLE * lag(value, 31) OVER w END
+             + CASE WHEN lag(value, 32) OVER w IS NULL THEN 0.0 ELSE 0.0047684655702381375::DOUBLE * lag(value, 32) OVER w END
+             + CASE WHEN lag(value, 33) OVER w IS NULL THEN 0.0 ELSE 0.004034855482509194::DOUBLE * lag(value, 33) OVER w END
+             + CASE WHEN lag(value, 34) OVER w IS NULL THEN 0.0 ELSE 0.003414108485200087::DOUBLE * lag(value, 34) OVER w END
+             + CASE WHEN lag(value, 35) OVER w IS NULL THEN 0.0 ELSE 0.002888861025938535::DOUBLE * lag(value, 35) OVER w END)
+            / (1.0::DOUBLE
+             + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.8461538461538461::DOUBLE END
+             + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.7159763313609467::DOUBLE END
+             + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.6058261265361857::DOUBLE END
+             + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.5126221070690802::DOUBLE END
+             + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.43375716751999094::DOUBLE END
+             + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.3670252955938385::DOUBLE END
+             + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.3105598655024787::DOUBLE END
+             + CASE WHEN lag(value, 8) OVER w IS NULL THEN 0.0 ELSE 0.2627814246559435::DOUBLE END
+             + CASE WHEN lag(value, 9) OVER w IS NULL THEN 0.0 ELSE 0.22235351317041374::DOUBLE END
+             + CASE WHEN lag(value, 10) OVER w IS NULL THEN 0.0 ELSE 0.18814528037496547::DOUBLE END
+             + CASE WHEN lag(value, 11) OVER w IS NULL THEN 0.0 ELSE 0.15919985262497077::DOUBLE END
+             + CASE WHEN lag(value, 12) OVER w IS NULL THEN 0.0 ELSE 0.1347075676057445::DOUBLE END
+             + CASE WHEN lag(value, 13) OVER w IS NULL THEN 0.0 ELSE 0.11398332643562997::DOUBLE END
+             + CASE WHEN lag(value, 14) OVER w IS NULL THEN 0.0 ELSE 0.09644743006091767::DOUBLE END
+             + CASE WHEN lag(value, 15) OVER w IS NULL THEN 0.0 ELSE 0.08160936389769957::DOUBLE END
+             + CASE WHEN lag(value, 16) OVER w IS NULL THEN 0.0 ELSE 0.06905407714420733::DOUBLE END
+             + CASE WHEN lag(value, 17) OVER w IS NULL THEN 0.0 ELSE 0.05843037296817544::DOUBLE END
+             + CASE WHEN lag(value, 18) OVER w IS NULL THEN 0.0 ELSE 0.04944108481922537::DOUBLE END
+             + CASE WHEN lag(value, 19) OVER w IS NULL THEN 0.0 ELSE 0.041834764077806084::DOUBLE END
+             + CASE WHEN lag(value, 20) OVER w IS NULL THEN 0.0 ELSE 0.03539864652737438::DOUBLE END
+             + CASE WHEN lag(value, 21) OVER w IS NULL THEN 0.0 ELSE 0.02995270090777832::DOUBLE END
+             + CASE WHEN lag(value, 22) OVER w IS NULL THEN 0.0 ELSE 0.025344593075812424::DOUBLE END
+             + CASE WHEN lag(value, 23) OVER w IS NULL THEN 0.0 ELSE 0.02144542491030282::DOUBLE END
+             + CASE WHEN lag(value, 24) OVER w IS NULL THEN 0.0 ELSE 0.01814612877025623::DOUBLE END
+             + CASE WHEN lag(value, 25) OVER w IS NULL THEN 0.0 ELSE 0.015354416651755272::DOUBLE END
+             + CASE WHEN lag(value, 26) OVER w IS NULL THEN 0.0 ELSE 0.012992198705331384::DOUBLE END
+             + CASE WHEN lag(value, 27) OVER w IS NULL THEN 0.0 ELSE 0.01099339890451117::DOUBLE END
+             + CASE WHEN lag(value, 28) OVER w IS NULL THEN 0.0 ELSE 0.009302106765355606::DOUBLE END
+             + CASE WHEN lag(value, 29) OVER w IS NULL THEN 0.0 ELSE 0.00787101341683936::DOUBLE END
+             + CASE WHEN lag(value, 30) OVER w IS NULL THEN 0.0 ELSE 0.006660088275787151::DOUBLE END
+             + CASE WHEN lag(value, 31) OVER w IS NULL THEN 0.0 ELSE 0.005635459310281435::DOUBLE END
+             + CASE WHEN lag(value, 32) OVER w IS NULL THEN 0.0 ELSE 0.0047684655702381375::DOUBLE END
+             + CASE WHEN lag(value, 33) OVER w IS NULL THEN 0.0 ELSE 0.004034855482509194::DOUBLE END
+             + CASE WHEN lag(value, 34) OVER w IS NULL THEN 0.0 ELSE 0.003414108485200087::DOUBLE END
+             + CASE WHEN lag(value, 35) OVER w IS NULL THEN 0.0 ELSE 0.002888861025938535::DOUBLE END)
+           -
+           (value
+             + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.9259259259259259::DOUBLE * lag(value, 1) OVER w END
+             + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.8573388203017833::DOUBLE * lag(value, 2) OVER w END
+             + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.7938322410201697::DOUBLE * lag(value, 3) OVER w END
+             + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.7350298527964534::DOUBLE * lag(value, 4) OVER w END
+             + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.6805831970337531::DOUBLE * lag(value, 5) OVER w END
+             + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.6301696268831047::DOUBLE * lag(value, 6) OVER w END
+             + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.583490395262134::DOUBLE * lag(value, 7) OVER w END
+             + CASE WHEN lag(value, 8) OVER w IS NULL THEN 0.0 ELSE 0.5402688845019759::DOUBLE * lag(value, 8) OVER w END
+             + CASE WHEN lag(value, 9) OVER w IS NULL THEN 0.0 ELSE 0.5002489671314592::DOUBLE * lag(value, 9) OVER w END
+             + CASE WHEN lag(value, 10) OVER w IS NULL THEN 0.0 ELSE 0.4631934880846844::DOUBLE * lag(value, 10) OVER w END
+             + CASE WHEN lag(value, 11) OVER w IS NULL THEN 0.0 ELSE 0.42888285933767073::DOUBLE * lag(value, 11) OVER w END
+             + CASE WHEN lag(value, 12) OVER w IS NULL THEN 0.0 ELSE 0.3971137586459914::DOUBLE * lag(value, 12) OVER w END
+             + CASE WHEN lag(value, 13) OVER w IS NULL THEN 0.0 ELSE 0.3676979246722143::DOUBLE * lag(value, 13) OVER w END
+             + CASE WHEN lag(value, 14) OVER w IS NULL THEN 0.0 ELSE 0.3404610413631614::DOUBLE * lag(value, 14) OVER w END
+             + CASE WHEN lag(value, 15) OVER w IS NULL THEN 0.0 ELSE 0.3152417049658902::DOUBLE * lag(value, 15) OVER w END
+             + CASE WHEN lag(value, 16) OVER w IS NULL THEN 0.0 ELSE 0.29189046756100945::DOUBLE * lag(value, 16) OVER w END
+             + CASE WHEN lag(value, 17) OVER w IS NULL THEN 0.0 ELSE 0.2702689514453791::DOUBLE * lag(value, 17) OVER w END
+             + CASE WHEN lag(value, 18) OVER w IS NULL THEN 0.0 ELSE 0.25024902911609176::DOUBLE * lag(value, 18) OVER w END
+             + CASE WHEN lag(value, 19) OVER w IS NULL THEN 0.0 ELSE 0.23171206399638125::DOUBLE * lag(value, 19) OVER w END
+             + CASE WHEN lag(value, 20) OVER w IS NULL THEN 0.0 ELSE 0.21454820740405672::DOUBLE * lag(value, 20) OVER w END
+             + CASE WHEN lag(value, 21) OVER w IS NULL THEN 0.0 ELSE 0.19865574759634883::DOUBLE * lag(value, 21) OVER w END
+             + CASE WHEN lag(value, 22) OVER w IS NULL THEN 0.0 ELSE 0.18394050703365633::DOUBLE * lag(value, 22) OVER w END
+             + CASE WHEN lag(value, 23) OVER w IS NULL THEN 0.0 ELSE 0.17031528429042253::DOUBLE * lag(value, 23) OVER w END
+             + CASE WHEN lag(value, 24) OVER w IS NULL THEN 0.0 ELSE 0.1576993373059468::DOUBLE * lag(value, 24) OVER w END
+             + CASE WHEN lag(value, 25) OVER w IS NULL THEN 0.0 ELSE 0.1460179049129137::DOUBLE * lag(value, 25) OVER w END
+             + CASE WHEN lag(value, 26) OVER w IS NULL THEN 0.0 ELSE 0.1352017638082534::DOUBLE * lag(value, 26) OVER w END
+             + CASE WHEN lag(value, 27) OVER w IS NULL THEN 0.0 ELSE 0.1251868183409754::DOUBLE * lag(value, 27) OVER w END
+             + CASE WHEN lag(value, 28) OVER w IS NULL THEN 0.0 ELSE 0.11591372068608832::DOUBLE * lag(value, 28) OVER w END
+             + CASE WHEN lag(value, 29) OVER w IS NULL THEN 0.0 ELSE 0.10732751915378548::DOUBLE * lag(value, 29) OVER w END
+             + CASE WHEN lag(value, 30) OVER w IS NULL THEN 0.0 ELSE 0.09937733254980137::DOUBLE * lag(value, 30) OVER w END
+             + CASE WHEN lag(value, 31) OVER w IS NULL THEN 0.0 ELSE 0.09201604865722349::DOUBLE * lag(value, 31) OVER w END
+             + CASE WHEN lag(value, 32) OVER w IS NULL THEN 0.0 ELSE 0.08520004505298472::DOUBLE * lag(value, 32) OVER w END
+             + CASE WHEN lag(value, 33) OVER w IS NULL THEN 0.0 ELSE 0.07888893060461548::DOUBLE * lag(value, 33) OVER w END
+             + CASE WHEN lag(value, 34) OVER w IS NULL THEN 0.0 ELSE 0.0730453061153847::DOUBLE * lag(value, 34) OVER w END
+             + CASE WHEN lag(value, 35) OVER w IS NULL THEN 0.0 ELSE 0.06763454269943028::DOUBLE * lag(value, 35) OVER w END
+             + CASE WHEN lag(value, 36) OVER w IS NULL THEN 0.0 ELSE 0.06262457657354656::DOUBLE * lag(value, 36) OVER w END
+             + CASE WHEN lag(value, 37) OVER w IS NULL THEN 0.0 ELSE 0.05798571904958015::DOUBLE * lag(value, 37) OVER w END
+             + CASE WHEN lag(value, 38) OVER w IS NULL THEN 0.0 ELSE 0.0536904806014631::DOUBLE * lag(value, 38) OVER w END
+             + CASE WHEN lag(value, 39) OVER w IS NULL THEN 0.0 ELSE 0.04971340796431768::DOUBLE * lag(value, 39) OVER w END
+             + CASE WHEN lag(value, 40) OVER w IS NULL THEN 0.0 ELSE 0.046030933300294154::DOUBLE * lag(value, 40) OVER w END
+             + CASE WHEN lag(value, 41) OVER w IS NULL THEN 0.0 ELSE 0.0426212345373094::DOUBLE * lag(value, 41) OVER w END
+             + CASE WHEN lag(value, 42) OVER w IS NULL THEN 0.0 ELSE 0.03946410605306426::DOUBLE * lag(value, 42) OVER w END
+             + CASE WHEN lag(value, 43) OVER w IS NULL THEN 0.0 ELSE 0.036540838938022464::DOUBLE * lag(value, 43) OVER w END
+             + CASE WHEN lag(value, 44) OVER w IS NULL THEN 0.0 ELSE 0.03383411012779858::DOUBLE * lag(value, 44) OVER w END
+             + CASE WHEN lag(value, 45) OVER w IS NULL THEN 0.0 ELSE 0.03132787974796165::DOUBLE * lag(value, 45) OVER w END
+             + CASE WHEN lag(value, 46) OVER w IS NULL THEN 0.0 ELSE 0.02900729606292745::DOUBLE * lag(value, 46) OVER w END
+             + CASE WHEN lag(value, 47) OVER w IS NULL THEN 0.0 ELSE 0.026858607465673565::DOUBLE * lag(value, 47) OVER w END
+             + CASE WHEN lag(value, 48) OVER w IS NULL THEN 0.0 ELSE 0.024869080986734782::DOUBLE * lag(value, 48) OVER w END
+             + CASE WHEN lag(value, 49) OVER w IS NULL THEN 0.0 ELSE 0.023026926839569244::DOUBLE * lag(value, 49) OVER w END
+             + CASE WHEN lag(value, 50) OVER w IS NULL THEN 0.0 ELSE 0.021321228555156706::DOUBLE * lag(value, 50) OVER w END
+             + CASE WHEN lag(value, 51) OVER w IS NULL THEN 0.0 ELSE 0.019741878291811767::DOUBLE * lag(value, 51) OVER w END
+             + CASE WHEN lag(value, 52) OVER w IS NULL THEN 0.0 ELSE 0.018279516936862746::DOUBLE * lag(value, 52) OVER w END
+             + CASE WHEN lag(value, 53) OVER w IS NULL THEN 0.0 ELSE 0.016925478645243283::DOUBLE * lag(value, 53) OVER w END
+             + CASE WHEN lag(value, 54) OVER w IS NULL THEN 0.0 ELSE 0.015671739486336374::DOUBLE * lag(value, 54) OVER w END
+             + CASE WHEN lag(value, 55) OVER w IS NULL THEN 0.0 ELSE 0.014510869894755902::DOUBLE * lag(value, 55) OVER w END
+             + CASE WHEN lag(value, 56) OVER w IS NULL THEN 0.0 ELSE 0.013435990643292503::DOUBLE * lag(value, 56) OVER w END
+             + CASE WHEN lag(value, 57) OVER w IS NULL THEN 0.0 ELSE 0.012440732077122688::DOUBLE * lag(value, 57) OVER w END
+             + CASE WHEN lag(value, 58) OVER w IS NULL THEN 0.0 ELSE 0.011519196367706193::DOUBLE * lag(value, 58) OVER w END
+             + CASE WHEN lag(value, 59) OVER w IS NULL THEN 0.0 ELSE 0.01066592256269092::DOUBLE * lag(value, 59) OVER w END)
+            / (1.0::DOUBLE
+             + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.9259259259259259::DOUBLE END
+             + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.8573388203017833::DOUBLE END
+             + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.7938322410201697::DOUBLE END
+             + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.7350298527964534::DOUBLE END
+             + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.6805831970337531::DOUBLE END
+             + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.6301696268831047::DOUBLE END
+             + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.583490395262134::DOUBLE END
+             + CASE WHEN lag(value, 8) OVER w IS NULL THEN 0.0 ELSE 0.5402688845019759::DOUBLE END
+             + CASE WHEN lag(value, 9) OVER w IS NULL THEN 0.0 ELSE 0.5002489671314592::DOUBLE END
+             + CASE WHEN lag(value, 10) OVER w IS NULL THEN 0.0 ELSE 0.4631934880846844::DOUBLE END
+             + CASE WHEN lag(value, 11) OVER w IS NULL THEN 0.0 ELSE 0.42888285933767073::DOUBLE END
+             + CASE WHEN lag(value, 12) OVER w IS NULL THEN 0.0 ELSE 0.3971137586459914::DOUBLE END
+             + CASE WHEN lag(value, 13) OVER w IS NULL THEN 0.0 ELSE 0.3676979246722143::DOUBLE END
+             + CASE WHEN lag(value, 14) OVER w IS NULL THEN 0.0 ELSE 0.3404610413631614::DOUBLE END
+             + CASE WHEN lag(value, 15) OVER w IS NULL THEN 0.0 ELSE 0.3152417049658902::DOUBLE END
+             + CASE WHEN lag(value, 16) OVER w IS NULL THEN 0.0 ELSE 0.29189046756100945::DOUBLE END
+             + CASE WHEN lag(value, 17) OVER w IS NULL THEN 0.0 ELSE 0.2702689514453791::DOUBLE END
+             + CASE WHEN lag(value, 18) OVER w IS NULL THEN 0.0 ELSE 0.25024902911609176::DOUBLE END
+             + CASE WHEN lag(value, 19) OVER w IS NULL THEN 0.0 ELSE 0.23171206399638125::DOUBLE END
+             + CASE WHEN lag(value, 20) OVER w IS NULL THEN 0.0 ELSE 0.21454820740405672::DOUBLE END
+             + CASE WHEN lag(value, 21) OVER w IS NULL THEN 0.0 ELSE 0.19865574759634883::DOUBLE END
+             + CASE WHEN lag(value, 22) OVER w IS NULL THEN 0.0 ELSE 0.18394050703365633::DOUBLE END
+             + CASE WHEN lag(value, 23) OVER w IS NULL THEN 0.0 ELSE 0.17031528429042253::DOUBLE END
+             + CASE WHEN lag(value, 24) OVER w IS NULL THEN 0.0 ELSE 0.1576993373059468::DOUBLE END
+             + CASE WHEN lag(value, 25) OVER w IS NULL THEN 0.0 ELSE 0.1460179049129137::DOUBLE END
+             + CASE WHEN lag(value, 26) OVER w IS NULL THEN 0.0 ELSE 0.1352017638082534::DOUBLE END
+             + CASE WHEN lag(value, 27) OVER w IS NULL THEN 0.0 ELSE 0.1251868183409754::DOUBLE END
+             + CASE WHEN lag(value, 28) OVER w IS NULL THEN 0.0 ELSE 0.11591372068608832::DOUBLE END
+             + CASE WHEN lag(value, 29) OVER w IS NULL THEN 0.0 ELSE 0.10732751915378548::DOUBLE END
+             + CASE WHEN lag(value, 30) OVER w IS NULL THEN 0.0 ELSE 0.09937733254980137::DOUBLE END
+             + CASE WHEN lag(value, 31) OVER w IS NULL THEN 0.0 ELSE 0.09201604865722349::DOUBLE END
+             + CASE WHEN lag(value, 32) OVER w IS NULL THEN 0.0 ELSE 0.08520004505298472::DOUBLE END
+             + CASE WHEN lag(value, 33) OVER w IS NULL THEN 0.0 ELSE 0.07888893060461548::DOUBLE END
+             + CASE WHEN lag(value, 34) OVER w IS NULL THEN 0.0 ELSE 0.0730453061153847::DOUBLE END
+             + CASE WHEN lag(value, 35) OVER w IS NULL THEN 0.0 ELSE 0.06763454269943028::DOUBLE END
+             + CASE WHEN lag(value, 36) OVER w IS NULL THEN 0.0 ELSE 0.06262457657354656::DOUBLE END
+             + CASE WHEN lag(value, 37) OVER w IS NULL THEN 0.0 ELSE 0.05798571904958015::DOUBLE END
+             + CASE WHEN lag(value, 38) OVER w IS NULL THEN 0.0 ELSE 0.0536904806014631::DOUBLE END
+             + CASE WHEN lag(value, 39) OVER w IS NULL THEN 0.0 ELSE 0.04971340796431768::DOUBLE END
+             + CASE WHEN lag(value, 40) OVER w IS NULL THEN 0.0 ELSE 0.046030933300294154::DOUBLE END
+             + CASE WHEN lag(value, 41) OVER w IS NULL THEN 0.0 ELSE 0.0426212345373094::DOUBLE END
+             + CASE WHEN lag(value, 42) OVER w IS NULL THEN 0.0 ELSE 0.03946410605306426::DOUBLE END
+             + CASE WHEN lag(value, 43) OVER w IS NULL THEN 0.0 ELSE 0.036540838938022464::DOUBLE END
+             + CASE WHEN lag(value, 44) OVER w IS NULL THEN 0.0 ELSE 0.03383411012779858::DOUBLE END
+             + CASE WHEN lag(value, 45) OVER w IS NULL THEN 0.0 ELSE 0.03132787974796165::DOUBLE END
+             + CASE WHEN lag(value, 46) OVER w IS NULL THEN 0.0 ELSE 0.02900729606292745::DOUBLE END
+             + CASE WHEN lag(value, 47) OVER w IS NULL THEN 0.0 ELSE 0.026858607465673565::DOUBLE END
+             + CASE WHEN lag(value, 48) OVER w IS NULL THEN 0.0 ELSE 0.024869080986734782::DOUBLE END
+             + CASE WHEN lag(value, 49) OVER w IS NULL THEN 0.0 ELSE 0.023026926839569244::DOUBLE END
+             + CASE WHEN lag(value, 50) OVER w IS NULL THEN 0.0 ELSE 0.021321228555156706::DOUBLE END
+             + CASE WHEN lag(value, 51) OVER w IS NULL THEN 0.0 ELSE 0.019741878291811767::DOUBLE END
+             + CASE WHEN lag(value, 52) OVER w IS NULL THEN 0.0 ELSE 0.018279516936862746::DOUBLE END
+             + CASE WHEN lag(value, 53) OVER w IS NULL THEN 0.0 ELSE 0.016925478645243283::DOUBLE END
+             + CASE WHEN lag(value, 54) OVER w IS NULL THEN 0.0 ELSE 0.015671739486336374::DOUBLE END
+             + CASE WHEN lag(value, 55) OVER w IS NULL THEN 0.0 ELSE 0.014510869894755902::DOUBLE END
+             + CASE WHEN lag(value, 56) OVER w IS NULL THEN 0.0 ELSE 0.013435990643292503::DOUBLE END
+             + CASE WHEN lag(value, 57) OVER w IS NULL THEN 0.0 ELSE 0.012440732077122688::DOUBLE END
+             + CASE WHEN lag(value, 58) OVER w IS NULL THEN 0.0 ELSE 0.011519196367706193::DOUBLE END
+             + CASE WHEN lag(value, 59) OVER w IS NULL THEN 0.0 ELSE 0.01066592256269092::DOUBLE END)
+           AS macd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, round(macd, 6) AS macd,
+           round((macd
+             + CASE WHEN lag(macd, 1) OVER w2 IS NULL THEN 0.0 ELSE 0.8::DOUBLE * lag(macd, 1) OVER w2 END
+             + CASE WHEN lag(macd, 2) OVER w2 IS NULL THEN 0.0 ELSE 0.6400000000000001::DOUBLE * lag(macd, 2) OVER w2 END
+             + CASE WHEN lag(macd, 3) OVER w2 IS NULL THEN 0.0 ELSE 0.5120000000000001::DOUBLE * lag(macd, 3) OVER w2 END
+             + CASE WHEN lag(macd, 4) OVER w2 IS NULL THEN 0.0 ELSE 0.40960000000000013::DOUBLE * lag(macd, 4) OVER w2 END
+             + CASE WHEN lag(macd, 5) OVER w2 IS NULL THEN 0.0 ELSE 0.32768000000000014::DOUBLE * lag(macd, 5) OVER w2 END
+             + CASE WHEN lag(macd, 6) OVER w2 IS NULL THEN 0.0 ELSE 0.2621440000000001::DOUBLE * lag(macd, 6) OVER w2 END
+             + CASE WHEN lag(macd, 7) OVER w2 IS NULL THEN 0.0 ELSE 0.2097152000000001::DOUBLE * lag(macd, 7) OVER w2 END
+             + CASE WHEN lag(macd, 8) OVER w2 IS NULL THEN 0.0 ELSE 0.1677721600000001::DOUBLE * lag(macd, 8) OVER w2 END
+             + CASE WHEN lag(macd, 9) OVER w2 IS NULL THEN 0.0 ELSE 0.13421772800000006::DOUBLE * lag(macd, 9) OVER w2 END
+             + CASE WHEN lag(macd, 10) OVER w2 IS NULL THEN 0.0 ELSE 0.10737418240000006::DOUBLE * lag(macd, 10) OVER w2 END
+             + CASE WHEN lag(macd, 11) OVER w2 IS NULL THEN 0.0 ELSE 0.08589934592000005::DOUBLE * lag(macd, 11) OVER w2 END
+             + CASE WHEN lag(macd, 12) OVER w2 IS NULL THEN 0.0 ELSE 0.06871947673600004::DOUBLE * lag(macd, 12) OVER w2 END
+             + CASE WHEN lag(macd, 13) OVER w2 IS NULL THEN 0.0 ELSE 0.054975581388800036::DOUBLE * lag(macd, 13) OVER w2 END
+             + CASE WHEN lag(macd, 14) OVER w2 IS NULL THEN 0.0 ELSE 0.043980465111040035::DOUBLE * lag(macd, 14) OVER w2 END
+             + CASE WHEN lag(macd, 15) OVER w2 IS NULL THEN 0.0 ELSE 0.03518437208883203::DOUBLE * lag(macd, 15) OVER w2 END
+             + CASE WHEN lag(macd, 16) OVER w2 IS NULL THEN 0.0 ELSE 0.028147497671065627::DOUBLE * lag(macd, 16) OVER w2 END
+             + CASE WHEN lag(macd, 17) OVER w2 IS NULL THEN 0.0 ELSE 0.022517998136852502::DOUBLE * lag(macd, 17) OVER w2 END
+             + CASE WHEN lag(macd, 18) OVER w2 IS NULL THEN 0.0 ELSE 0.018014398509482003::DOUBLE * lag(macd, 18) OVER w2 END
+             + CASE WHEN lag(macd, 19) OVER w2 IS NULL THEN 0.0 ELSE 0.014411518807585602::DOUBLE * lag(macd, 19) OVER w2 END
+             + CASE WHEN lag(macd, 20) OVER w2 IS NULL THEN 0.0 ELSE 0.011529215046068483::DOUBLE * lag(macd, 20) OVER w2 END
+             + CASE WHEN lag(macd, 21) OVER w2 IS NULL THEN 0.0 ELSE 0.009223372036854787::DOUBLE * lag(macd, 21) OVER w2 END
+             + CASE WHEN lag(macd, 22) OVER w2 IS NULL THEN 0.0 ELSE 0.00737869762948383::DOUBLE * lag(macd, 22) OVER w2 END
+             + CASE WHEN lag(macd, 23) OVER w2 IS NULL THEN 0.0 ELSE 0.005902958103587064::DOUBLE * lag(macd, 23) OVER w2 END
+             + CASE WHEN lag(macd, 24) OVER w2 IS NULL THEN 0.0 ELSE 0.004722366482869652::DOUBLE * lag(macd, 24) OVER w2 END
+             + CASE WHEN lag(macd, 25) OVER w2 IS NULL THEN 0.0 ELSE 0.0037778931862957215::DOUBLE * lag(macd, 25) OVER w2 END
+             + CASE WHEN lag(macd, 26) OVER w2 IS NULL THEN 0.0 ELSE 0.0030223145490365774::DOUBLE * lag(macd, 26) OVER w2 END)
+            / (1.0::DOUBLE
+             + CASE WHEN lag(macd, 1) OVER w2 IS NULL THEN 0.0 ELSE 0.8::DOUBLE END
+             + CASE WHEN lag(macd, 2) OVER w2 IS NULL THEN 0.0 ELSE 0.6400000000000001::DOUBLE END
+             + CASE WHEN lag(macd, 3) OVER w2 IS NULL THEN 0.0 ELSE 0.5120000000000001::DOUBLE END
+             + CASE WHEN lag(macd, 4) OVER w2 IS NULL THEN 0.0 ELSE 0.40960000000000013::DOUBLE END
+             + CASE WHEN lag(macd, 5) OVER w2 IS NULL THEN 0.0 ELSE 0.32768000000000014::DOUBLE END
+             + CASE WHEN lag(macd, 6) OVER w2 IS NULL THEN 0.0 ELSE 0.2621440000000001::DOUBLE END
+             + CASE WHEN lag(macd, 7) OVER w2 IS NULL THEN 0.0 ELSE 0.2097152000000001::DOUBLE END
+             + CASE WHEN lag(macd, 8) OVER w2 IS NULL THEN 0.0 ELSE 0.1677721600000001::DOUBLE END
+             + CASE WHEN lag(macd, 9) OVER w2 IS NULL THEN 0.0 ELSE 0.13421772800000006::DOUBLE END
+             + CASE WHEN lag(macd, 10) OVER w2 IS NULL THEN 0.0 ELSE 0.10737418240000006::DOUBLE END
+             + CASE WHEN lag(macd, 11) OVER w2 IS NULL THEN 0.0 ELSE 0.08589934592000005::DOUBLE END
+             + CASE WHEN lag(macd, 12) OVER w2 IS NULL THEN 0.0 ELSE 0.06871947673600004::DOUBLE END
+             + CASE WHEN lag(macd, 13) OVER w2 IS NULL THEN 0.0 ELSE 0.054975581388800036::DOUBLE END
+             + CASE WHEN lag(macd, 14) OVER w2 IS NULL THEN 0.0 ELSE 0.043980465111040035::DOUBLE END
+             + CASE WHEN lag(macd, 15) OVER w2 IS NULL THEN 0.0 ELSE 0.03518437208883203::DOUBLE END
+             + CASE WHEN lag(macd, 16) OVER w2 IS NULL THEN 0.0 ELSE 0.028147497671065627::DOUBLE END
+             + CASE WHEN lag(macd, 17) OVER w2 IS NULL THEN 0.0 ELSE 0.022517998136852502::DOUBLE END
+             + CASE WHEN lag(macd, 18) OVER w2 IS NULL THEN 0.0 ELSE 0.018014398509482003::DOUBLE END
+             + CASE WHEN lag(macd, 19) OVER w2 IS NULL THEN 0.0 ELSE 0.014411518807585602::DOUBLE END
+             + CASE WHEN lag(macd, 20) OVER w2 IS NULL THEN 0.0 ELSE 0.011529215046068483::DOUBLE END
+             + CASE WHEN lag(macd, 21) OVER w2 IS NULL THEN 0.0 ELSE 0.009223372036854787::DOUBLE END
+             + CASE WHEN lag(macd, 22) OVER w2 IS NULL THEN 0.0 ELSE 0.00737869762948383::DOUBLE END
+             + CASE WHEN lag(macd, 23) OVER w2 IS NULL THEN 0.0 ELSE 0.005902958103587064::DOUBLE END
+             + CASE WHEN lag(macd, 24) OVER w2 IS NULL THEN 0.0 ELSE 0.004722366482869652::DOUBLE END
+             + CASE WHEN lag(macd, 25) OVER w2 IS NULL THEN 0.0 ELSE 0.0037778931862957215::DOUBLE END
+             + CASE WHEN lag(macd, 26) OVER w2 IS NULL THEN 0.0 ELSE 0.0030223145490365774::DOUBLE END), 6) AS signal,
+           round(macd - ((macd
+             + CASE WHEN lag(macd, 1) OVER w2 IS NULL THEN 0.0 ELSE 0.8::DOUBLE * lag(macd, 1) OVER w2 END
+             + CASE WHEN lag(macd, 2) OVER w2 IS NULL THEN 0.0 ELSE 0.6400000000000001::DOUBLE * lag(macd, 2) OVER w2 END
+             + CASE WHEN lag(macd, 3) OVER w2 IS NULL THEN 0.0 ELSE 0.5120000000000001::DOUBLE * lag(macd, 3) OVER w2 END
+             + CASE WHEN lag(macd, 4) OVER w2 IS NULL THEN 0.0 ELSE 0.40960000000000013::DOUBLE * lag(macd, 4) OVER w2 END
+             + CASE WHEN lag(macd, 5) OVER w2 IS NULL THEN 0.0 ELSE 0.32768000000000014::DOUBLE * lag(macd, 5) OVER w2 END
+             + CASE WHEN lag(macd, 6) OVER w2 IS NULL THEN 0.0 ELSE 0.2621440000000001::DOUBLE * lag(macd, 6) OVER w2 END
+             + CASE WHEN lag(macd, 7) OVER w2 IS NULL THEN 0.0 ELSE 0.2097152000000001::DOUBLE * lag(macd, 7) OVER w2 END
+             + CASE WHEN lag(macd, 8) OVER w2 IS NULL THEN 0.0 ELSE 0.1677721600000001::DOUBLE * lag(macd, 8) OVER w2 END
+             + CASE WHEN lag(macd, 9) OVER w2 IS NULL THEN 0.0 ELSE 0.13421772800000006::DOUBLE * lag(macd, 9) OVER w2 END
+             + CASE WHEN lag(macd, 10) OVER w2 IS NULL THEN 0.0 ELSE 0.10737418240000006::DOUBLE * lag(macd, 10) OVER w2 END
+             + CASE WHEN lag(macd, 11) OVER w2 IS NULL THEN 0.0 ELSE 0.08589934592000005::DOUBLE * lag(macd, 11) OVER w2 END
+             + CASE WHEN lag(macd, 12) OVER w2 IS NULL THEN 0.0 ELSE 0.06871947673600004::DOUBLE * lag(macd, 12) OVER w2 END
+             + CASE WHEN lag(macd, 13) OVER w2 IS NULL THEN 0.0 ELSE 0.054975581388800036::DOUBLE * lag(macd, 13) OVER w2 END
+             + CASE WHEN lag(macd, 14) OVER w2 IS NULL THEN 0.0 ELSE 0.043980465111040035::DOUBLE * lag(macd, 14) OVER w2 END
+             + CASE WHEN lag(macd, 15) OVER w2 IS NULL THEN 0.0 ELSE 0.03518437208883203::DOUBLE * lag(macd, 15) OVER w2 END
+             + CASE WHEN lag(macd, 16) OVER w2 IS NULL THEN 0.0 ELSE 0.028147497671065627::DOUBLE * lag(macd, 16) OVER w2 END
+             + CASE WHEN lag(macd, 17) OVER w2 IS NULL THEN 0.0 ELSE 0.022517998136852502::DOUBLE * lag(macd, 17) OVER w2 END
+             + CASE WHEN lag(macd, 18) OVER w2 IS NULL THEN 0.0 ELSE 0.018014398509482003::DOUBLE * lag(macd, 18) OVER w2 END
+             + CASE WHEN lag(macd, 19) OVER w2 IS NULL THEN 0.0 ELSE 0.014411518807585602::DOUBLE * lag(macd, 19) OVER w2 END
+             + CASE WHEN lag(macd, 20) OVER w2 IS NULL THEN 0.0 ELSE 0.011529215046068483::DOUBLE * lag(macd, 20) OVER w2 END
+             + CASE WHEN lag(macd, 21) OVER w2 IS NULL THEN 0.0 ELSE 0.009223372036854787::DOUBLE * lag(macd, 21) OVER w2 END
+             + CASE WHEN lag(macd, 22) OVER w2 IS NULL THEN 0.0 ELSE 0.00737869762948383::DOUBLE * lag(macd, 22) OVER w2 END
+             + CASE WHEN lag(macd, 23) OVER w2 IS NULL THEN 0.0 ELSE 0.005902958103587064::DOUBLE * lag(macd, 23) OVER w2 END
+             + CASE WHEN lag(macd, 24) OVER w2 IS NULL THEN 0.0 ELSE 0.004722366482869652::DOUBLE * lag(macd, 24) OVER w2 END
+             + CASE WHEN lag(macd, 25) OVER w2 IS NULL THEN 0.0 ELSE 0.0037778931862957215::DOUBLE * lag(macd, 25) OVER w2 END
+             + CASE WHEN lag(macd, 26) OVER w2 IS NULL THEN 0.0 ELSE 0.0030223145490365774::DOUBLE * lag(macd, 26) OVER w2 END)
+            / (1.0::DOUBLE
+             + CASE WHEN lag(macd, 1) OVER w2 IS NULL THEN 0.0 ELSE 0.8::DOUBLE END
+             + CASE WHEN lag(macd, 2) OVER w2 IS NULL THEN 0.0 ELSE 0.6400000000000001::DOUBLE END
+             + CASE WHEN lag(macd, 3) OVER w2 IS NULL THEN 0.0 ELSE 0.5120000000000001::DOUBLE END
+             + CASE WHEN lag(macd, 4) OVER w2 IS NULL THEN 0.0 ELSE 0.40960000000000013::DOUBLE END
+             + CASE WHEN lag(macd, 5) OVER w2 IS NULL THEN 0.0 ELSE 0.32768000000000014::DOUBLE END
+             + CASE WHEN lag(macd, 6) OVER w2 IS NULL THEN 0.0 ELSE 0.2621440000000001::DOUBLE END
+             + CASE WHEN lag(macd, 7) OVER w2 IS NULL THEN 0.0 ELSE 0.2097152000000001::DOUBLE END
+             + CASE WHEN lag(macd, 8) OVER w2 IS NULL THEN 0.0 ELSE 0.1677721600000001::DOUBLE END
+             + CASE WHEN lag(macd, 9) OVER w2 IS NULL THEN 0.0 ELSE 0.13421772800000006::DOUBLE END
+             + CASE WHEN lag(macd, 10) OVER w2 IS NULL THEN 0.0 ELSE 0.10737418240000006::DOUBLE END
+             + CASE WHEN lag(macd, 11) OVER w2 IS NULL THEN 0.0 ELSE 0.08589934592000005::DOUBLE END
+             + CASE WHEN lag(macd, 12) OVER w2 IS NULL THEN 0.0 ELSE 0.06871947673600004::DOUBLE END
+             + CASE WHEN lag(macd, 13) OVER w2 IS NULL THEN 0.0 ELSE 0.054975581388800036::DOUBLE END
+             + CASE WHEN lag(macd, 14) OVER w2 IS NULL THEN 0.0 ELSE 0.043980465111040035::DOUBLE END
+             + CASE WHEN lag(macd, 15) OVER w2 IS NULL THEN 0.0 ELSE 0.03518437208883203::DOUBLE END
+             + CASE WHEN lag(macd, 16) OVER w2 IS NULL THEN 0.0 ELSE 0.028147497671065627::DOUBLE END
+             + CASE WHEN lag(macd, 17) OVER w2 IS NULL THEN 0.0 ELSE 0.022517998136852502::DOUBLE END
+             + CASE WHEN lag(macd, 18) OVER w2 IS NULL THEN 0.0 ELSE 0.018014398509482003::DOUBLE END
+             + CASE WHEN lag(macd, 19) OVER w2 IS NULL THEN 0.0 ELSE 0.014411518807585602::DOUBLE END
+             + CASE WHEN lag(macd, 20) OVER w2 IS NULL THEN 0.0 ELSE 0.011529215046068483::DOUBLE END
+             + CASE WHEN lag(macd, 21) OVER w2 IS NULL THEN 0.0 ELSE 0.009223372036854787::DOUBLE END
+             + CASE WHEN lag(macd, 22) OVER w2 IS NULL THEN 0.0 ELSE 0.00737869762948383::DOUBLE END
+             + CASE WHEN lag(macd, 23) OVER w2 IS NULL THEN 0.0 ELSE 0.005902958103587064::DOUBLE END
+             + CASE WHEN lag(macd, 24) OVER w2 IS NULL THEN 0.0 ELSE 0.004722366482869652::DOUBLE END
+             + CASE WHEN lag(macd, 25) OVER w2 IS NULL THEN 0.0 ELSE 0.0037778931862957215::DOUBLE END
+             + CASE WHEN lag(macd, 26) OVER w2 IS NULL THEN 0.0 ELSE 0.0030223145490365774::DOUBLE END)), 6) AS histogram
+    FROM m
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) per user series in the repo's truncated-EWMA
+    idiom (q72): each infinite EMA recursion becomes a bounded chain
+    of lags with geometric weights and an adaptive head normalizer —
+    36/60/27 taps leave <1.3% tail mass — fully parallel, one keyed
+    window pass per level (fast/slow EMAs share the first window, the
+    signal EMA runs over the derived MACD column in a second).
+    Unlike q72 (whose weights are exact powers of two, so products
+    are rounding-free), the geometric weights here make each product
+    inexact and the engines' multiply-add fusion differs at the last
+    ulp — outputs are pinned at 6dp on both sides (measured
+    divergence ≤ 4e-14).  The exact recursive form stays the
+    grouped-map surface's job (q57) — this is the declarative shape
+    you'd run at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def trunc_ema(col: str, wspec, alpha: float, taps: int) -> Column:
+        num: Column = F.col(col)
+        den: Column = F.lit(1.0)
+        wgt = 1.0
+        for i in range(1, taps):
+            wgt *= 1.0 - alpha
+            lagc = F.lag(col, i).over(wspec)
+            num = num + F.when(lagc.isNull(), 0.0).otherwise(
+                F.lit(wgt) * lagc
+            )
+            den = den + F.when(lagc.isNull(), 0.0).otherwise(
+                F.lit(wgt)
+            )
+        return num / den
+
+    m = e.select(
+        "event_id", "user_id", "ts",
+        (
+            trunc_ema("value", wb, 0.15384615384615385, 36)
+            - trunc_ema("value", wb, 0.07407407407407407, 60)
+        ).alias("macd"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sig = trunc_ema("macd", w2, 0.2, 27)
+    return m.select(
+        "event_id", "user_id",
+        F.round("macd", 6).alias("macd"),
+        F.round(sig, 6).alias("signal"),
+        F.round(F.col("macd") - sig, 6).alias("histogram"),
+    )
+
+
+@_q(
+    "q182_theil_sen",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id
+               FROM events),
+    p AS (SELECT a.user_id,
+                 (b.value - a.value)
+                   / ((b.t - a.t) / 86400000000.0) AS slope
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND b.t > a.t)
+    SELECT user_id, round(quantile_cont(slope, 0.5), 6)
+             AS sen_slope,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM p GROUP BY user_id
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user series: the median of all
+    pairwise slopes (value per DAY), insensitive to outliers where
+    q57's OLS is not — the robust-statistics twin of the grouped
+    regression surface.  Pairs come from a user-keyed self-join
+    (co-partitioned equi-join, pair count bounded by per-key series
+    length squared — a per-GROUP quadratic, never corpus-quadratic;
+    for 100 TB series, sample or window the pairs per key first);
+    the median is the shared type-7 interpolation pinned by q55.
+    Same-timestamp pairs are excluded on both sides (undefined
+    slope)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("_t"),
+        F.col("value").alias("_v"),
+    )
+    a = e.select(
+        F.col("user_id"),
+        F.col("_t").alias("_t1"),
+        F.col("_v").alias("_v1"),
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("_t").alias("_t2"),
+        F.col("_v").alias("_v2"),
+    )
+    pairs = a.join(b, "user_id").where(F.col("_t2") > F.col("_t1"))
+    slope = (F.col("_v2") - F.col("_v1")) / (
+        (F.col("_t2") - F.col("_t1")) / F.lit(86400000000.0)
+    )
+    return (
+        pairs.select("user_id", slope.alias("_s"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.percentile("_s", F.lit(0.5)), 6).alias(
+                "sen_slope"
+            ),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -367,3 +367,69 @@ def fill_forward(
         return out
 
     return _t
+
+
+def cusum(
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    out: str = "cusum",
+) -> Callable[[DataFrame], DataFrame]:
+    """One-sided CUSUM changepoint statistic (Page 1954):
+
+        S_t = max(0, S_{t-1} + (x_t − target − slack))
+
+    The recursion looks inherently sequential, but it has the exact
+    closed form  S_t = RS_t − min(0, min_{j≤t} RS_j)  where RS is the
+    running sum of the deviations d_i = x_i − target − slack — so the
+    whole statistic is TWO stacked keyed windows (cumulative sum, then
+    running min of that sum), fully parallel and incremental, no
+    grouped-map recursion.  The cumulative sum runs through the exact
+    decimal idiom, making S_t order-insensitive and replayable
+    bit-for-bit by a SQL oracle.
+
+    ``threshold`` adds an ``alarm`` boolean (S_t > h) — the standard
+    drift detector; reset-after-alarm variants re-run from the alarm
+    point (operationally a filter + recompute, still no recursion).
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        order = [F.col(c) for c in order_by]
+        wb = (
+            Window.partitionBy(partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        w = wb.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        dev = (
+            F.col(value_col).cast("double")
+            - F.lit(float(target))
+            - F.lit(float(slack))
+        ).cast(DEC)
+        rs = F.sum(dev).over(w).cast("double")
+        out_df = df.withColumn("_rs", rs).withColumn(
+            out,
+            F.col("_rs")
+            - F.least(
+                F.lit(0.0),
+                F.min("_rs").over(
+                    wb.orderBy(*order).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            ),
+        )
+        if threshold is not None:
+            out_df = out_df.withColumn(
+                "alarm", F.col(out) > F.lit(float(threshold))
+            )
+        return out_df.drop("_rs")
+
+    return _t

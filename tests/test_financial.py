@@ -92,3 +92,53 @@ def test_atr_gap_day_uses_prev_close(spark):
     ).orderBy("day").collect()
     assert tr[0].tr == 1.0  # head row: null lag skipped, plain range
     assert tr[1].tr == 5.0  # gap day: |high - prev_close| dominates
+
+
+def test_cusum_matches_recursion(spark):
+    """The two-window closed form == the textbook sequential recursion."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import cusum
+
+    rng = random.Random(5)
+    rows = [
+        (k, i, round(rng.uniform(0, 40), 2))
+        for k in range(4)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k int, i int, x double")
+    out = {
+        (r["k"], r["i"]): (r["cusum"], r["alarm"])
+        for r in df.transform(
+            cusum(
+                "x", target=20.0, slack=2.0, threshold=30.0,
+                partition_by="k", order_by=("i",),
+            )
+        ).collect()
+    }
+    for k in range(4):
+        s = 0.0
+        for i in range(200):
+            x = dict(((kk, ii), v) for kk, ii, v in rows)[(k, i)]
+            s = max(0.0, s + (x - 20.0 - 2.0))
+            got, alarm = out[(k, i)]
+            assert abs(got - s) < 1e-6, (k, i, got, s)
+            assert alarm == (got > 30.0)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Sen slope ignores a gross outlier that wrecks the OLS fit."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, float(i), 2.0 * i + 1.0) for i in range(20)]
+    rows[10] = (1, 10.0, 1e6)  # outlier
+    df = spark.createDataFrame(rows, "k int, t double, v double")
+    a = df.select("k", F.col("t").alias("t1"), F.col("v").alias("v1"))
+    b = df.select("k", F.col("t").alias("t2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "k").where(F.col("t2") > F.col("t1"))
+    sen = pairs.select(
+        ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1"))).alias("s")
+    ).agg(F.percentile("s", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    assert abs(sen - 2.0) < 0.05  # the true slope, outlier shrugged off
