@@ -8851,6 +8851,252 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q183_psi",
+    """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS t
+               FROM events WHERE value IS NOT NULL),
+    bd AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS b FROM e),
+    tagged AS (SELECT event_type,
+                      LEAST(9, GREATEST(0,
+                        CAST(FLOOR((value - 0.0) / 50.0) AS INT))) AS bin,
+                      CASE WHEN t >= b THEN 1 ELSE 0 END AS cur
+               FROM e CROSS JOIN bd),
+    counts AS (SELECT event_type, bin,
+                      CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+                      CAST(SUM(cur) AS BIGINT) AS n_cur
+               FROM tagged GROUP BY event_type, bin),
+    dense AS (SELECT g.event_type, CAST(r.range AS INT) AS bin,
+                     COALESCE(c.n_ref, 0) AS n_ref,
+                     COALESCE(c.n_cur, 0) AS n_cur
+              FROM (SELECT DISTINCT event_type FROM counts) g
+              CROSS JOIN range(10) r
+              LEFT JOIN counts c
+                ON c.event_type = g.event_type AND c.bin = r.range),
+    p AS (SELECT event_type,
+                 (n_ref + 0.5)
+                   / (CAST(SUM(n_ref) OVER wg AS DOUBLE) + 5.0) AS p_ref,
+                 (n_cur + 0.5)
+                   / (CAST(SUM(n_cur) OVER wg AS DOUBLE) + 5.0) AS p_cur
+          FROM dense WINDOW wg AS (PARTITION BY event_type))
+    SELECT event_type,
+           CAST(SUM(CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS psi
+    FROM p GROUP BY event_type
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second halves of the time range (split at the midpoint epoch,
+    attached as an in-plan broadcast scalar — no driver action): the
+    standard train-vs-serve feature-drift score over 10 fixed-width
+    bins on [0, 500) with Laplace eps=0.5.  One data-scale shuffle
+    (the (type, bin) count agg); the bin grid densification and the
+    PSI reduction run on 50 post-agg rows
+    (operators/drift.py:psi)."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+    from btc_usdt_etl_pipeline_spark.operators.drift import psi
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("_tus", F.unix_micros("ts"))
+    )
+    bounds = e.agg(
+        F.min("_tus").alias("_mn"), F.max("_tus").alias("_mx")
+    )
+    tagged = attach_scalar(e, bounds, F.col("_tus"), F.col("_mn"))
+    boundary = F.col("_mn") + F.expr("(_mx - _mn) DIV 2")
+    return tagged.transform(
+        psi(
+            "value",
+            is_current=F.col("_tus") >= boundary,
+            lo=0.0,
+            hi=500.0,
+            n_bins=10,
+            group_by="event_type",
+            eps=0.5,
+        )
+    )
+
+
+@_q(
+    "q184_ks_drift",
+    """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS t
+               FROM events WHERE value IS NOT NULL),
+    bd AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS b FROM e),
+    tg AS (SELECT event_type, value AS v,
+                  CASE WHEN t >= b THEN 1 ELSE 0 END AS cur
+           FROM e CROSS JOIN bd),
+    c AS (SELECT event_type, v,
+                 CAST(SUM(1 - cur) AS BIGINT) AS a,
+                 CAST(SUM(cur) AS BIGINT) AS b
+          FROM tg GROUP BY event_type, v),
+    g AS (SELECT event_type, a, b,
+                 ABS(CAST(SUM(a) OVER wo AS DOUBLE)
+                       / CAST(SUM(a) OVER wg AS DOUBLE)
+                     - CAST(SUM(b) OVER wo AS DOUBLE)
+                       / CAST(SUM(b) OVER wg AS DOUBLE)) AS gap
+          FROM c
+          WINDOW wo AS (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW),
+                 wg AS (PARTITION BY event_type))
+    SELECT event_type, CAST(SUM(a) AS BIGINT) AS n_ref,
+           CAST(SUM(b) AS BIGINT) AS n_cur, MAX(gap) AS ks
+    FROM g GROUP BY event_type
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type
+    (same midpoint time split as q183): D = max ECDF gap, evaluated
+    tie-correctly at the observed values after collapsing to
+    per-(type, value) pair counts — all-integer cumsums and one IEEE
+    division, so D is bit-exact cross-engine with no rounding
+    contract at all, the bin-free complement of PSI
+    (operators/drift.py:ks_statistic)."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+    from btc_usdt_etl_pipeline_spark.operators.drift import ks_statistic
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("_tus", F.unix_micros("ts"))
+    )
+    bounds = e.agg(
+        F.min("_tus").alias("_mn"), F.max("_tus").alias("_mx")
+    )
+    tagged = attach_scalar(e, bounds, F.col("_tus"), F.col("_mn"))
+    boundary = F.col("_mn") + F.expr("(_mx - _mn) DIV 2")
+    return tagged.transform(
+        ks_statistic(
+            "value",
+            is_current=F.col("_tus") >= boundary,
+            group_by="event_type",
+        )
+    )
+
+
+@_q(
+    "q185_acf",
+    """
+    WITH m AS (SELECT user_id, value, ts, event_id,
+                      value - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                   OVER wg AS DOUBLE)
+                              / COUNT(value) OVER wg AS dev
+               FROM events WINDOW wg AS (PARTITION BY user_id)),
+    s AS (SELECT user_id,
+                 CAST(dev * dev AS DECIMAL(38,6)) AS d2,
+                 CAST(dev * lag(dev, 1) OVER wo AS DECIMAL(38,6)) AS p1,
+                 CAST(dev * lag(dev, 2) OVER wo AS DECIMAL(38,6)) AS p2,
+                 CAST(dev * lag(dev, 3) OVER wo AS DECIMAL(38,6)) AS p3,
+                 CAST(dev * lag(dev, 4) OVER wo AS DECIMAL(38,6)) AS p4,
+                 CAST(dev * lag(dev, 5) OVER wo AS DECIMAL(38,6)) AS p5
+          FROM m WINDOW wo AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    a AS (SELECT user_id, CAST(SUM(d2) AS DOUBLE) AS den,
+                 CAST(SUM(p1) AS DOUBLE) AS n1,
+                 CAST(SUM(p2) AS DOUBLE) AS n2,
+                 CAST(SUM(p3) AS DOUBLE) AS n3,
+                 CAST(SUM(p4) AS DOUBLE) AS n4,
+                 CAST(SUM(p5) AS DOUBLE) AS n5
+          FROM s GROUP BY user_id)
+    SELECT user_id, lag, acf FROM (
+      SELECT user_id, 1 AS lag, n1 / den AS acf FROM a
+      UNION ALL SELECT user_id, 2, n2 / den FROM a
+      UNION ALL SELECT user_id, 3, n3 / den FROM a
+      UNION ALL SELECT user_id, 4, n4 / den FROM a
+      UNION ALL SELECT user_id, 5, n5 / den FROM a)
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function r_1..r_5 per user series (biased
+    estimator, shared denominator): one ordered window pass computes
+    all five lag products at once, one aggregation reduces each series
+    to 5 numerators + 1 denominator, and the per-series row unpivots
+    via an inline array explode — never K repeated scans.  Exact-
+    decimal sums + one IEEE division, no transcendentals: bit-stable
+    (operators/windows.py:acf)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import acf
+
+    return _t(spark, sf_dir, "events").transform(
+        acf(
+            "value",
+            max_lag=5,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q186_seasonal_decompose",
+    """
+    WITH m AS (SELECT event_id, user_id, value, ts,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                           OVER wt AS DOUBLE)
+                        / COUNT(value) OVER wt AS trend,
+                      CAST((ROW_NUMBER() OVER wo - 1) % 24 AS INT)
+                        AS phase
+               FROM events
+               WINDOW wo AS (PARTITION BY user_id
+                             ORDER BY ts, event_id),
+                      wt AS (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 12 PRECEDING
+                             AND 12 FOLLOWING)),
+    d AS (SELECT *, value - trend AS detr FROM m),
+    p AS (SELECT *,
+                 CAST(SUM(CAST(detr AS DECIMAL(38,6)))
+                      OVER wp AS DOUBLE)
+                   / COUNT(detr) OVER wp AS pm,
+                 ROW_NUMBER() OVER wpo AS rip
+          FROM d
+          WINDOW wp AS (PARTITION BY user_id, phase),
+                 wpo AS (PARTITION BY user_id, phase
+                         ORDER BY ts, event_id)),
+    g AS (SELECT *,
+                 CAST(SUM(CAST(CASE WHEN rip = 1 THEN pm
+                               ELSE 0.0 END AS DECIMAL(38,12)))
+                      OVER wgu AS DOUBLE) / 24.0 AS grand
+          FROM p WINDOW wgu AS (PARTITION BY user_id))
+    SELECT event_id, user_id, phase, trend,
+           pm - grand AS seasonal,
+           value - trend - (pm - grand) AS resid
+    FROM g
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) per user series:
+    trend = centered +/-12-row moving average (count-aware at edges),
+    seasonal = centered per-phase mean of the detrended series
+    (period 24, phase = dense position mod 24), resid = remainder.
+    Two keyed window families, no joins or iteration; exact-decimal
+    means make every component order-insensitive and the arithmetic
+    is add/sub/divide only — bit-stable cross-engine
+    (operators/windows.py:seasonal_decompose)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .transform(
+            seasonal_decompose(
+                "value",
+                period=24,
+                trend_halfwidth=12,
+                partition_by="user_id",
+                order_by=("ts", "event_id"),
+            )
+        )
+        .select(
+            "event_id", "user_id", "phase", "trend", "seasonal", "resid"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,186 @@
+"""Distribution-drift detection between a reference and a current sample.
+
+The monitoring layer a training-data pipeline needs once it refreshes
+continuously: did this feature's distribution move between the data the
+model was trained on and the data arriving now?  Two standard,
+complementary statistics, both as pure column expressions over ONE
+data-scale shuffle each:
+
+* :func:`psi` — Population Stability Index over fixed-width bins, the
+  industry drift score (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25
+  action).  Binned, so it works on any scalar and is insensitive to
+  heavy tails, but needs explicit bin bounds.
+* :func:`ks_statistic` — two-sample Kolmogorov–Smirnov ``D`` =
+  ``max |ECDF_ref − ECDF_cur|``.  Bin-free and exactly reproducible
+  (pure integer counts and one IEEE division — no transcendentals),
+  at the cost of an ordered scan of the distinct values.
+
+Scale shape: both aggregate the raw rows down to per-(group, bin) or
+per-(group, distinct-value) counts in their single data-scale exchange;
+everything after runs on the reduced table (windows keyed by ``group``
+parallelize across groups).  PSI's bin densification is a broadcast of
+``groups × n_bins`` synthetic rows — metadata-scale.  A skewed single
+group degrades KS to one task over its distinct VALUES (already
+deduplicated), not its rows.
+
+Determinism: KS is bit-exact across engines (integer cumsums, one
+exact-rounded division, abs/max).  PSI's term carries ``ln`` — libm
+implementations differ in the last ULP — so each bin's term is rounded
+to 6 dp via the exact-decimal cast before the order-free sum, the same
+contract the rest of the engine uses for transcendental outputs
+(functions/__init__ module doc).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.functions import DEC
+
+
+def _group_cols(group_by: Sequence[str] | str | None) -> list[str]:
+    if group_by is None:
+        return []
+    if isinstance(group_by, str):
+        return [group_by]
+    return list(group_by)
+
+
+def psi(
+    value_col: str,
+    is_current: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    group_by: Sequence[str] | str | None = None,
+    eps: float = 0.5,
+    out: str = "psi",
+) -> Callable[[DataFrame], DataFrame]:
+    """Population Stability Index per group between the reference sample
+    (``is_current`` false) and the current sample (``is_current`` true).
+
+        PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    Values are clamped into ``n_bins`` fixed-width bins on [lo, hi)
+    (underflow → bin 0, overflow → bin n−1: drifted mass pushed out of
+    the training range must count, not vanish).  Proportions are
+    Laplace-smoothed, ``p = (count + eps) / (N + eps·n_bins)``, so empty
+    bins stay finite; bins empty in BOTH samples still contribute their
+    (tiny, nonzero when sample sizes differ) smoothed term, which is why
+    the bin grid is densified to all ``n_bins`` per group rather than
+    whatever bins happened to be observed.
+
+    One data-scale shuffle (the (group, bin) count agg); the densify
+    cross-join and the per-group windows run on ``groups × n_bins``
+    rows.  Returns one row per group: ``group_by… , psi``.
+    """
+    gcols = _group_cols(group_by)
+    width = (hi - lo) / n_bins
+
+    def _t(df: DataFrame) -> DataFrame:
+        raw_bin = F.floor(
+            (F.col(value_col).cast("double") - F.lit(float(lo)))
+            / F.lit(float(width))
+        )
+        bin_ = F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)
+        ).cast("int")
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, bin_.alias("_bin"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_n_ref"),
+                F.sum(cur).alias("_n_cur"),
+            )
+        )
+        # Densify to the full bin grid per group (groups×n_bins rows —
+        # post-agg metadata scale; broadcast the synthetic grid side).
+        grid = (
+            counts.select(*gcols)
+            .distinct()
+            .crossJoin(
+                F.broadcast(
+                    counts.sparkSession.range(n_bins).select(
+                        F.col("id").cast("int").alias("_bin")
+                    )
+                )
+            )
+        )
+        dense = grid.join(counts, [*gcols, "_bin"], "left").select(
+            *gcols,
+            "_bin",
+            F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
+            F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        e = F.lit(float(eps))
+        en = F.lit(float(eps) * n_bins)
+        p_ref = (F.col("_n_ref") + e) / (F.sum("_n_ref").over(wg) + en)
+        p_cur = (F.col("_n_cur") + e) / (F.sum("_n_cur").over(wg) + en)
+        term = ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast(DEC)
+        return (
+            dense.withColumn("_term", term)
+            .groupBy(*gcols)
+            .agg(F.sum("_term").cast("double").alias(out))
+        )
+
+    return _t
+
+
+def ks_statistic(
+    value_col: str,
+    is_current: Column,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "ks",
+) -> Callable[[DataFrame], DataFrame]:
+    """Two-sample Kolmogorov–Smirnov statistic per group:
+
+        D = max_x |ECDF_ref(x) − ECDF_cur(x)|
+
+    Computed tie-correctly by first collapsing to per-(group, value)
+    pair counts (the one data-scale shuffle), then a per-group ordered
+    cumulative count of each sample — evaluating the ECDF gap only AT
+    observed values, where the max of a step-function difference is
+    attained.  All-integer cumsums and a single exact-rounded IEEE
+    division per row make ``D`` bit-identical in any engine and any
+    execution order (no transcendentals — see module doc).
+
+    Returns one row per group: ``group_by…, n_ref, n_cur, ks``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_a"),
+                F.sum(cur).alias("_b"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        gap = F.abs(
+            F.sum("_a").over(wo).cast("double")
+            / F.sum("_a").over(wg).cast("double")
+            - F.sum("_b").over(wo).cast("double")
+            / F.sum("_b").over(wg).cast("double")
+        )
+        return (
+            counts.withColumn("_gap", gap)
+            .groupBy(*gcols)
+            .agg(
+                F.sum("_a").alias("n_ref"),
+                F.sum("_b").alias("n_cur"),
+                F.max("_gap").alias(out),
+            )
+        )
+
+    return _t

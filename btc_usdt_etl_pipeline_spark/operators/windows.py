@@ -433,3 +433,171 @@ def cusum(
         return out_df.drop("_rs")
 
     return _t
+
+
+def acf(
+    value_col: str,
+    max_lag: int,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    out: str = "acf",
+) -> Callable[[DataFrame], DataFrame]:
+    """Autocorrelation function r_1..r_max_lag per series:
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄)  /  Σ_t (x_t − x̄)²
+
+    (the standard biased estimator — one shared denominator, so the
+    sequence is a valid autocovariance and r_0 ≡ 1).  One ordered
+    window pass computes all K lags at once; one aggregation reduces
+    each series to K numerators + 1 denominator; the per-series rows
+    are then unpivoted to long form via an inline array explode —
+    three narrow exchanges total, parallel across series, never
+    across-lag repeated scans.
+
+    Determinism: x̄ uses the exact-decimal mean; deviation products are
+    rounded to 6 dp by the decimal cast before the order-free sums, and
+    the final division is a single IEEE op — bit-stable cross-engine
+    (no transcendentals anywhere).
+
+    Returns ``(partition_by…, lag, acf)``, lag ∈ 1..max_lag.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        wg = (
+            Window.partitionBy(partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        wo = wg.orderBy(*[F.col(c) for c in order_by])
+        xbar = (
+            F.sum(F.col(value_col).cast(DEC)).over(wg).cast("double")
+            / F.count(value_col).over(wg)
+        )
+        d = df.withColumn("_dev", F.col(value_col) - xbar)
+        lag_prods = [
+            (F.col("_dev") * F.lag("_dev", k).over(wo)).cast(DEC).alias(
+                f"_p{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ]
+        staged = d.select(
+            *( [partition_by] if partition_by else [] ),
+            (F.col("_dev") * F.col("_dev")).cast(DEC).alias("_d2"),
+            *lag_prods,
+        )
+        gcols = [partition_by] if partition_by else []
+        agg = staged.groupBy(*gcols).agg(
+            F.sum("_d2").cast("double").alias("_den"),
+            *[
+                F.sum(f"_p{k}").cast("double").alias(f"_n{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    (F.col(f"_n{k}") / F.col("_den")).alias(out),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+        return agg.select(
+            *gcols, F.explode(pairs).alias("_e")
+        ).select(*gcols, "_e.lag", f"_e.{out}")
+
+    return _t
+
+
+def seasonal_decompose(
+    value_col: str,
+    period: int,
+    trend_halfwidth: int | None = None,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+) -> Callable[[DataFrame], DataFrame]:
+    """Additive seasonal decomposition (STL-lite):
+
+        x_t = trend_t + seasonal_{t mod period} + resid_t
+
+    * trend — centered moving average over ±halfwidth rows (count-aware
+      at the series edges: the shrunken frame's own mean, so no null
+      margins and every row decomposes);
+    * seasonal — per-phase mean of the detrended series (phase = dense
+      position mod period), itself centered by subtracting the mean of
+      the phase means so the seasonal component sums to ~0 over one
+      period (the standard identifiability constraint);
+    * resid — what's left.
+
+    Everything is two keyed window families (ordered: the trend frame +
+    row position; unordered: per-(key, phase) and per-key means) — no
+    joins, no iteration; parallel across series.  Exact-decimal sums
+    make every component order-insensitive; the arithmetic is
+    add/subtract/divide only, so outputs are bit-stable cross-engine.
+
+    Returns the input plus ``phase, trend, seasonal, resid``.
+    """
+    h = trend_halfwidth if trend_halfwidth is not None else period // 2
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        wg = (
+            Window.partitionBy(partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        wo = wg.orderBy(*[F.col(c) for c in order_by])
+        frame = wo.rowsBetween(-h, h)
+        trend = (
+            F.sum(F.col(value_col).cast(DEC)).over(frame).cast("double")
+            / F.count(value_col).over(frame)
+        )
+        phase = F.pmod(F.row_number().over(wo) - 1, F.lit(period)).cast(
+            "int"
+        )
+        d = df.withColumn("trend", trend).withColumn("phase", phase)
+        d = d.withColumn("_detr", F.col(value_col) - F.col("trend"))
+        wp = (
+            Window.partitionBy(partition_by, "phase")
+            if partition_by
+            else Window.partitionBy("phase")
+        )
+        phase_mean = (
+            F.sum(F.col("_detr").cast(DEC)).over(wp).cast("double")
+            / F.count("_detr").over(wp)
+        )
+        d = d.withColumn("_pm", phase_mean)
+        # Center: subtract the mean of the DISTINCT phase means (each
+        # phase weighted once, not by its row count) — sum each phase's
+        # mean only at its first row position.  The order-free sum here
+        # casts at scale 12, not the usual 6: a phase mean is
+        # (6-dp-exact sum) / (small count), which for even counts lands
+        # EXACTLY on a 6-dp rounding tie (odd last digit / 2 → …5 at
+        # digit 7) where Spark's and DuckDB's double→decimal tie-breaks
+        # disagree; at 12 dp a terminating quotient is represented
+        # exactly (≤ 7-8 digits) and a repeating one never ties.
+        wpo = wp.orderBy(*[F.col(c) for c in order_by])
+        first_in_phase = F.row_number().over(wpo) == 1
+        grand = (
+            F.sum(
+                F.when(first_in_phase, F.col("_pm"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,12)")
+            )
+            .over(wg)
+            .cast("double")
+            / F.lit(float(period))
+        )
+        return (
+            d.withColumn("seasonal", F.col("_pm") - grand)
+            .withColumn(
+                "resid",
+                F.col(value_col) - F.col("trend") - F.col("seasonal"),
+            )
+            .drop("_detr", "_pm")
+        )
+
+    return _t
