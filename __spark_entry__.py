@@ -9097,6 +9097,280 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q187_rfm",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS t, value
+               FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT user_id, MAX(t) AS last_t,
+                 COUNT(*)::BIGINT AS frequency,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS monetary
+          FROM p GROUP BY user_id),
+    nw AS (SELECT MAX(last_t) AS now_t FROM m),
+    mm AS (SELECT user_id,
+                  (now_t - last_t) // 86400000000 AS recency_days,
+                  frequency, monetary
+           FROM m CROSS JOIN nw),
+    b AS (SELECT [round(quantile_cont(recency_days, 0.2), 6),
+                  round(quantile_cont(recency_days, 0.4), 6),
+                  round(quantile_cont(recency_days, 0.6), 6),
+                  round(quantile_cont(recency_days, 0.8), 6)] AS rb,
+                 [round(quantile_cont(frequency, 0.2), 6),
+                  round(quantile_cont(frequency, 0.4), 6),
+                  round(quantile_cont(frequency, 0.6), 6),
+                  round(quantile_cont(frequency, 0.8), 6)] AS fb,
+                 [round(quantile_cont(monetary, 0.2), 6),
+                  round(quantile_cont(monetary, 0.4), 6),
+                  round(quantile_cont(monetary, 0.6), 6),
+                  round(quantile_cont(monetary, 0.8), 6)] AS mb
+          FROM mm),
+    s AS (SELECT user_id, recency_days, frequency, monetary,
+                 CAST(5 - list_sum(list_transform(rb,
+                   x -> CASE WHEN recency_days > x THEN 1 ELSE 0 END))
+                   AS INT) AS r_score,
+                 CAST(1 + list_sum(list_transform(fb,
+                   x -> CASE WHEN frequency > x THEN 1 ELSE 0 END))
+                   AS INT) AS f_score,
+                 CAST(1 + list_sum(list_transform(mb,
+                   x -> CASE WHEN monetary > x THEN 1 ELSE 0 END))
+                   AS INT) AS m_score
+          FROM mm, b)
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+             AS rfm
+    FROM s
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: recency (days
+    since last purchase at the corpus max, integer DIV — exact),
+    frequency (purchase count), monetary (exact-decimal spend sum),
+    each scored 1-5 by the shared quantile-binning operator (exact
+    type-7 quintile boundaries, 6 dp pinned idiom, attached as in-plan
+    broadcast scalars) — recency inverted so 5 is always 'best'.
+    Three tiny percentile aggregations over the per-user table; the
+    only data-scale work is the first groupBy
+    (ml/features.py:quantile_binning)."""
+    from btc_usdt_etl_pipeline_spark.functions import (
+        attach_scalar,
+        exact_sum,
+    )
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_binning
+
+    p = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("_tus"), "value")
+    )
+    m = p.groupBy("user_id").agg(
+        F.max("_tus").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum("value").alias("monetary"),
+    )
+    now = m.agg(F.max("_last").alias("_now"))
+    mm = attach_scalar(m, now, F.col("_last"), F.col("_now")).select(
+        "user_id",
+        F.expr("(_now - _last) DIV 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    binned = (
+        mm.transform(quantile_binning("recency_days", 5, out="_rb"))
+        .transform(quantile_binning("frequency", 5, out="_fb"))
+        .transform(quantile_binning("monetary", 5, out="_mb"))
+    )
+    r = (F.lit(5) - F.col("_rb")).cast("int")
+    f = (F.lit(1) + F.col("_fb")).cast("int")
+    mo = (F.lit(1) + F.col("_mb")).cast("int")
+    return binned.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        mo.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), mo.cast("string")
+        ).alias("rfm"),
+    )
+
+
+@_q(
+    "q188_sax",
+    """
+    WITH st AS (SELECT user_id, value,
+                       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                            OVER wg AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                            OVER wg AS DOUBLE) AS sxx,
+                       CAST(COUNT(value) OVER wg AS DOUBLE) AS n,
+                       ROW_NUMBER() OVER wo AS rn
+                FROM events
+                WINDOW wg AS (PARTITION BY user_id),
+                       wo AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)),
+    z AS (SELECT user_id, (rn - 1) // 16 AS chunk,
+                 CASE WHEN SQRT((sxx - sx * sx / n) / (n - 1.0)) > 0
+                      THEN (value - sx / n)
+                           / SQRT((sxx - sx * sx / n) / (n - 1.0))
+                      ELSE 0.0 END AS zv
+          FROM st),
+    paa AS (SELECT user_id, chunk,
+                   CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(zv) AS paa
+            FROM z GROUP BY user_id, chunk),
+    sym AS (SELECT user_id, chunk,
+                   chr(97
+                     + CASE WHEN paa > -0.6744897501960817
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN paa > 0.0 THEN 1 ELSE 0 END
+                     + CASE WHEN paa > 0.6744897501960817
+                            THEN 1 ELSE 0 END) AS s
+            FROM paa)
+    SELECT user_id, COUNT(s)::BIGINT AS n_chunks,
+           string_agg(s, '' ORDER BY chunk) AS sax
+    FROM sym GROUP BY user_id
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's value series (Lin/Keogh):
+    z-normalize (exact-decimal mean/σ), 16-row piecewise-aggregate
+    means, Gaussian-quartile breakpoints → a 4-letter-alphabet word
+    per series, the standard motif/similarity index key.  Two keyed
+    exchanges, parallel across series; word assembly is an
+    ordered-struct array join, no driver-side loops
+    (operators/resample.py:sax_symbolize)."""
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        sax_symbolize,
+    )
+
+    return _t(spark, sf_dir, "events").transform(
+        sax_symbolize(
+            "value",
+            chunk_size=16,
+            alphabet=4,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q189_keyness",
+    f"""
+    WITH tok AS (SELECT source AS g, unnest({_TOKS_SQL}) AS t
+                 FROM documents),
+    c AS (SELECT g, t, COUNT(*)::BIGINT AS a FROM tok GROUP BY g, t),
+    e AS (SELECT g, t, a,
+                 CAST(SUM(a) OVER (PARTITION BY t) AS BIGINT) AS tt,
+                 CAST(SUM(a) OVER (PARTITION BY g) AS BIGINT) AS ns,
+                 CAST(SUM(a) OVER () AS BIGINT) AS nn
+          FROM c),
+    g2t AS (SELECT g, t, a, tt,
+                   CAST(a AS DOUBLE) AS ad,
+                   CAST(tt - a AS DOUBLE) AS bd,
+                   CAST(tt AS DOUBLE) * CAST(ns AS DOUBLE)
+                     / CAST(nn AS DOUBLE) AS ea,
+                   CAST(tt AS DOUBLE)
+                     * (CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE))
+                     / CAST(nn AS DOUBLE) AS eb
+            FROM e WHERE tt >= 5),
+    sc AS (SELECT g, t, a, tt,
+                  round(2.0 * (ad * ln(ad / ea)
+                    + CASE WHEN bd > 0 THEN bd * ln(bd / eb)
+                      ELSE 0.0 END), 6) AS g2,
+                  ad > ea AS over_represented
+           FROM g2t),
+    r AS (SELECT g, t, a, tt, g2, over_represented,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY g
+                   ORDER BY g2 DESC, t ASC) AS INT) AS rank
+          FROM sc)
+    SELECT g AS source, rank, t AS token, a AS n_in,
+           tt - a AS n_out, g2, over_represented
+    FROM r WHERE rank <= 10
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 log-likelihood keyness (Dunning): the 10 tokens most
+    distinctive of each document source vs the rest — the corpus-
+    comparison statistic that flags boilerplate or contamination
+    concentrated in one slice.  One data-scale shuffle (the token
+    explode+count); totals are keyed windows + one broadcast scalar;
+    G2 rounds to 6 dp BEFORE the rank window so ln's last-ULP libm
+    variance can't reorder near-ties (token-string tiebreak)
+    (operators/text.py:keyness_g2)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import keyness_g2
+
+    return _t(spark, sf_dir, "documents").transform(
+        keyness_g2("text", "source", min_count=5, top_k=10)
+    )
+
+
+def _kcore_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled bounded k-core peel (same unrolled-CTE technique as the
+    PageRank oracle; MATERIALIZED because DuckDB inlines CTEs and each
+    round references the previous one several times)."""
+    parts = [
+        f"""
+    WITH eraw AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+             COUNT(*) AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY a, b),
+    e0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM eraw WHERE c >= 3
+      UNION ALL SELECT b, a FROM eraw WHERE c >= 3)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    k{i + 1} AS MATERIALIZED (
+      SELECT src FROM (SELECT src, COUNT(*) AS d FROM e{i}
+                       GROUP BY src) WHERE d >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i} e
+      JOIN k{i + 1} x ON e.src = x.src
+      JOIN k{i + 1} y ON e.dst = y.src)""")
+    parts.append(f"""
+    SELECT src AS node, COUNT(*)::BIGINT AS degree
+    FROM e{iters} GROUP BY src""")
+    return "".join(parts)
+
+
+@_q("q190_kcore", _kcore_oracle_sql(3, 6))
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peel of the thresholded customer-supplier
+    bipartite graph (edges = pairs with >= 3 lineitems, both
+    directions): 6 rounds of drop-degree-<3 — past the measured
+    3-round fixpoint at this SF, so the output IS the true 3-core;
+    the fixed round count is the operator's semantics (like the
+    engine's PageRank) so an unrolled SQL oracle replays it exactly.
+    Per round: one keyed count + two semi-joins, lineage truncated
+    per round (operators/graph.py:kcore_peel)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eraw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("a", "b")
+    )
+    edges = eraw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        eraw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return kcore_peel(edges, k=3, iterations=6)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -510,3 +510,50 @@ def triangle_count(
     )
     out = attach_scalar(out, nodes, F.col("n_wedges"), F.col("n_nodes"))
     return out.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    iterations: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``iterations`` rounds of "drop every
+    node whose degree within the surviving subgraph is < k", the
+    classic density filter (Seidman 1983) — in a data pipeline, the
+    graph analogue of frequency cutoffs: keep only entities embedded in
+    a mutually-dense neighborhood (spam rings, core contributor sets,
+    well-connected near-dup clusters).
+
+    Like the engine's PageRank, the iteration count is part of the
+    operator's SEMANTICS, not a convergence heuristic: a fixed-round
+    peel is exactly replayable by an unrolled SQL oracle, and once the
+    peel reaches a fixpoint additional rounds are no-ops, so choosing
+    ``iterations`` ≥ the graph's peel depth yields the true k-core.
+
+    ``edges`` must already be SYMMETRIC (both directions present) —
+    degree is computed as a src-keyed count.  Per round: one keyed
+    count aggregation + two semi-joins against the survivor set
+    (broadcast when small, shuffled-hash otherwise — survivor sets
+    only shrink), with ``localCheckpoint`` truncating lineage so the
+    plan does not grow per round.  Nothing is corpus-quadratic.
+
+    Returns the surviving subgraph's degree table: ``(node, degree)``.
+    """
+    alive = edges.localCheckpoint()
+    for _ in range(iterations):
+        deg = alive.groupBy(F.col(src)).agg(
+            F.count(F.lit(1)).alias("_deg")
+        )
+        keep = deg.where(F.col("_deg") >= k).select(src)
+        alive = (
+            alive.join(keep, src, "left_semi")
+            .join(
+                keep.withColumnRenamed(src, dst), dst, "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return alive.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

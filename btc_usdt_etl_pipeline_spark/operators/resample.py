@@ -477,3 +477,113 @@ def finalize_bars(state: DataFrame) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+#: N(0,1) quantile breakpoints for SAX alphabets (Lin et al., DMKD'07
+#: table) — equiprobable regions under the Gaussian assumption of
+#: z-normalized series.
+_SAX_BREAKPOINTS = {
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [
+        -0.8416212335729143,
+        -0.2533471031357997,
+        0.2533471031357997,
+        0.8416212335729143,
+    ],
+}
+
+
+def sax_symbolize(
+    value_col: str,
+    chunk_size: int,
+    alphabet: int = 4,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    out: str = "sax",
+) -> Callable[[DataFrame], DataFrame]:
+    """Symbolic Aggregate approXimation of each series (Lin/Keogh SAX):
+    z-normalize, Piecewise-Aggregate over fixed ``chunk_size``-row
+    chunks, map each chunk mean to a letter via the Gaussian
+    equiprobable breakpoints.  The resulting short string per series is
+    the standard index key for motif discovery / similarity pruning on
+    time series — two series with different SAX words are guaranteed
+    farther apart than the breakpoint resolution (the SAX lower-bound
+    lemma), so downstream matching can prune on a GROUP BY of this
+    column instead of comparing raw series.
+
+    Plan: per-series mean/σ as unordered keyed windows (exact-decimal
+    sums), chunk ids from a keyed row_number (no global sort), PAA as
+    one (series, chunk) aggregation, word assembly as an ordered-struct
+    array join — two keyed exchanges, parallel across series.
+    Constant series (σ = 0) symbolize to the middle letter rather than
+    NaN.  Breakpoint comparisons happen on identically-derived doubles,
+    so the word is bit-stable cross-engine.
+
+    Returns one row per series: ``partition_by…, n_chunks, sax``.
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {set(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        wg = (
+            Window.partitionBy(partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        wo = wg.orderBy(*[F.col(c) for c in order_by])
+        n = F.count(value_col).over(wg).cast("double")
+        sx = F.sum(F.col(value_col).cast(DEC)).over(wg).cast("double")
+        sxx = (
+            F.sum((F.col(value_col) * F.col(value_col)).cast(DEC))
+            .over(wg)
+            .cast("double")
+        )
+        mean = sx / n
+        std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+        z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(
+            F.lit(0.0)
+        )
+        chunk = F.floor((F.row_number().over(wo) - 1) / F.lit(chunk_size))
+        gcols = [partition_by] if partition_by else []
+        paa = (
+            df.withColumn("_z", z)
+            .withColumn("_chunk", chunk)
+            .groupBy(*gcols, "_chunk")
+            .agg(
+                (
+                    F.sum(F.col("_z").cast(DEC)).cast("double")
+                    / F.count("_z")
+                ).alias("_paa")
+            )
+        )
+        sym = F.lit(0)
+        for b in bps:
+            sym = sym + F.when(F.col("_paa") > F.lit(b), 1).otherwise(0)
+        letter = F.char(F.lit(97) + sym)  # 'a' + bucket
+        return (
+            paa.withColumn("_sym", letter)
+            .groupBy(*gcols)
+            .agg(
+                F.count("_sym").alias("n_chunks"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_chunk").alias("c"),
+                                    F.col("_sym").alias("s"),
+                                )
+                            )
+                        ),
+                        lambda p: p.getField("s"),
+                    ),
+                    "",
+                ).alias(out),
+            )
+        )
+
+    return _t

@@ -908,3 +908,94 @@ def resolve_entities(
         )
 
     return _t
+
+
+def keyness_g2(
+    text_col: str = "text",
+    group_col: str = "source",
+    min_count: int = 5,
+    top_k: int = 10,
+) -> Callable[[DataFrame], DataFrame]:
+    """Log-likelihood (G²) keyness: which tokens are most
+    over/under-represented in each corpus slice vs the rest (Dunning
+    1993 / Rayson-Garside 2000) — the standard corpus-comparison
+    statistic for spotting what makes one source's language distinctive
+    (and, in a training-data pipeline, for flagging contamination or
+    template boilerplate concentrated in one slice).
+
+    For token t in slice s: a = count(t in s), b = count(t elsewhere),
+    expected E_a = tot(t)·N_s/N, E_b = tot(t)·(N−N_s)/N,
+    G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)), zero-count terms dropped.
+
+    Plan: one data-scale shuffle (the (slice, token) explode+count);
+    token totals and slice totals are keyed windows over the
+    vocab×slices table; the grand total attaches as an in-plan
+    broadcast scalar; top-k per slice is one keyed rank window.  G² is
+    rounded to 6 dp BEFORE ranking (ln carries last-ULP libm variance —
+    ranking raw doubles could swap near-ties cross-engine) and ties
+    break on the token string, so the top-k set and order are
+    deterministic.
+
+    Returns ``(group_col, rank, token, n_in, n_out, g2,
+    over_represented)``, ``rank`` 1..top_k by G² descending.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        counts = (
+            df.select(
+                F.col(group_col).alias("_g"),
+                F.explode(tokens(text_col)).alias("_tok"),
+            )
+            .groupBy("_g", "_tok")
+            .agg(F.count(F.lit(1)).alias("_a"))
+        )
+        wt = Window.partitionBy("_tok")
+        ws = Window.partitionBy("_g")
+        enriched = counts.withColumn(
+            "_tt", F.sum("_a").over(wt)
+        ).withColumn("_ns", F.sum("_a").over(ws))
+        grand = counts.agg(F.sum("_a").alias("_nn"))
+        x = attach_scalar(enriched, grand, F.col("_a"), F.col("_nn"))
+        a = F.col("_a").cast("double")
+        b = (F.col("_tt") - F.col("_a")).cast("double")
+        ns = F.col("_ns").cast("double")
+        nn = F.col("_nn").cast("double")
+        tt = F.col("_tt").cast("double")
+        ea = tt * ns / nn
+        eb = tt * (nn - ns) / nn
+        g2 = F.round(
+            F.lit(2.0)
+            * (
+                a * F.log(a / ea)
+                + F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+            ),
+            6,
+        )
+        ranked = (
+            x.where(F.col("_tt") >= min_count)
+            .withColumn("_g2", g2)
+            .withColumn(
+                "_rank",
+                F.row_number().over(
+                    Window.partitionBy("_g").orderBy(
+                        F.col("_g2").desc(), F.col("_tok").asc()
+                    )
+                ),
+            )
+            .where(F.col("_rank") <= top_k)
+        )
+        return ranked.select(
+            F.col("_g").alias(group_col),
+            F.col("_rank").alias("rank"),
+            F.col("_tok").alias("token"),
+            F.col("_a").alias("n_in"),
+            (F.col("_tt") - F.col("_a")).alias("n_out"),
+            F.col("_g2").alias("g2"),
+            (a > ea).alias("over_represented"),
+        )
+
+    return _t
