@@ -9371,6 +9371,201 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=3, iterations=6)
 
 
+_FH_SUMS = ",\n      ".join(
+    f"COALESCE(CAST(SUM(CASE WHEN idx = {i} THEN sgn END) AS BIGINT), 0)"
+    for i in range(16)
+)
+
+
+@_q(
+    "q191_feature_hash",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t
+                FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+          FROM ex),
+    s AS (SELECT doc_id, hv & 15 AS idx,
+                 CASE WHEN ((hv >> 4) & 1) = 0 THEN 1 ELSE -1 END
+                   AS sgn
+          FROM h)
+    SELECT doc_id, array_to_string([
+      {_FH_SUMS}
+    ], ',') AS features_csv
+    FROM s GROUP BY doc_id
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens hash into a 16-bucket signed count
+    vector per document — the stateless vectorizer (no vocabulary
+    fit, no dictionary broadcast, no unseen-token problem) for
+    high-cardinality text features.  One explode + 16 conditional
+    codegen'd sums in a single doc-keyed aggregation (map-side
+    partials), portable md5 hash so the oracle replays bucket and
+    sign bits exactly (ml/features.py:feature_hash).  The gate query
+    serializes the vector column to CSV — the driver's pandas
+    canonicalizer cannot sort complex-typed outputs; the operator
+    itself returns the real array<long>."""
+    from btc_usdt_etl_pipeline_spark.ml.features import feature_hash
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .transform(feature_hash("text", "doc_id", dims=16, portable=True))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("features", lambda x: x.cast("string")), ","
+            ).alias("features_csv"),
+        )
+    )
+
+
+@_q(
+    "q192_robust_scale",
+    """
+    WITH s AS (SELECT event_type,
+                      round(quantile_cont(value, 0.5), 6) AS med,
+                      round(quantile_cont(value, 0.75)
+                            - quantile_cont(value, 0.25), 6) AS iqr
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN s.iqr > 0
+                THEN (e.value - s.med) / s.iqr
+                ELSE 0.0 END AS scaled
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of event values per event type — the
+    outlier-resistant twin of q34's min-max scaler: exact type-7
+    quartiles (6 dp pinned idiom) in one grouped aggregation,
+    broadcast back, subtract/divide only (bit-stable, no further
+    rounding); IQR = 0 degenerates to 0.0 not inf
+    (ml/features.py:robust_scale)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import robust_scale
+
+    return (
+        _t(spark, sf_dir, "events")
+        .transform(robust_scale("value", group_by="event_type"))
+        .select("event_id", "event_type", "value", "scaled")
+    )
+
+
+@_q(
+    "q193_rrf_fusion",
+    f"""
+    WITH r1 AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                          doc_id) AS rnk
+                FROM documents
+                ORDER BY n_chars DESC, doc_id LIMIT 50),
+    r2 AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY len({_TOKS_SQL}) DESC,
+                                     doc_id) AS rnk
+           FROM documents
+           ORDER BY len({_TOKS_SQL}) DESC, doc_id LIMIT 50),
+    u AS (SELECT doc_id, 1.0 / (60.0 + rnk) AS term FROM r1
+          UNION ALL
+          SELECT doc_id, 1.0 / (60.0 + rnk) FROM r2),
+    f AS (SELECT doc_id, round(SUM(term), 10) AS rrf_score
+          FROM u GROUP BY doc_id
+          ORDER BY rrf_score DESC, doc_id LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, rrf_score
+    FROM f
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two heterogeneous document rankings
+    (by raw length; by token count) — the standard hybrid-search
+    merge that needs no score calibration: rrf = sum 1/(60+rank).
+    Each input ranking is a distributed TakeOrderedAndProject top-50;
+    the fusion itself runs on those metadata-scale lists (union + one
+    keyed sum + top-20).  1/(k+r) terms are exact IEEE divisions and
+    two-term addition is commutative — bit-stable
+    (operators/similarity.py:rrf_fuse)."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+    from btc_usdt_etl_pipeline_spark.operators.similarity import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r1 = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.row_number().over(w1).alias("rnk"))
+    )
+    ntok = F.size(tokens("text")).alias("_ntok")
+    w2 = Window.orderBy(F.desc("_ntok"), F.asc("doc_id"))
+    r2 = (
+        docs.select("doc_id", ntok)
+        .orderBy(F.desc("_ntok"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.row_number().over(w2).alias("rnk"))
+    )
+    return rrf_fuse([r1, r2], id_col="doc_id", k=60, top_n=20)
+
+
+@_q(
+    "q194_mad_outliers",
+    """
+    WITH e AS (SELECT event_id, event_type, value FROM events
+               WHERE value IS NOT NULL),
+    m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)
+                   AS med
+          FROM e GROUP BY event_type),
+    j AS (SELECT e.event_id, e.event_type, e.value, m.med
+          FROM e JOIN m USING (event_type)),
+    d AS (SELECT event_type,
+                 round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+          FROM j GROUP BY event_type),
+    z AS (SELECT j.event_id, j.event_type, j.value,
+                 round(0.6745 * (j.value - j.med) / d.mad, 6) AS mz
+          FROM j JOIN d USING (event_type)
+          WHERE d.mad > 0)
+    SELECT event_id, event_type, value, mz
+    FROM z WHERE abs(mz) > 3.5
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the modified
+    z-score (Iglewicz-Hoaglin): mz = 0.6745(x - median)/MAD, flag
+    |mz| > 3.5 — median/MAD survive the very outliers that poison a
+    mean/sigma rule.  Two tiny grouped percentile aggregations
+    broadcast back against the fact table (the only data-scale work
+    is the scans); mz rounds at 6 dp so the flag threshold compares
+    identical bits cross-engine."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("_med")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)),
+            6,
+        ).alias("_mad")
+    )
+    mz = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("_med"))
+        / F.col("_mad"),
+        6,
+    )
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .where(F.col("_mad") > 0)
+        .withColumn("mz", mz)
+        .where(F.abs(F.col("mz")) > 3.5)
+        .select("event_id", "event_type", "value", "mz")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -363,3 +363,119 @@ def target_encode_loo(
         )
 
     return _t
+
+
+def feature_hash(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 16,
+    out: str = "features",
+    portable: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """The hashing trick (Weinberger et al., ICML'09): tokens hash
+    straight into a fixed-width signed count vector — the stateless
+    vectorizer for high-cardinality text features.  No vocabulary
+    fit, no dictionary broadcast, no unseen-token problem: bucket =
+    ``hash(token) & (dims−1)``, sign = one extra hash bit (the signed
+    variant keeps collision noise zero-mean).
+
+    Plan: one explode + ``dims`` conditional codegen'd sums in a
+    single ``id_col``-keyed aggregation (map-side partial agg — the
+    same whole-stage-codegen discipline as the SimHash vote), then
+    one array assembly projection.  One data-scale shuffle total.
+
+    ``portable=True`` uses the md5-derived 60-bit hash a SQL oracle
+    can replay; production default should flip to ``xxhash64``
+    (same contract as the dedup family — only bucket assignment
+    changes, not the vectorizer's semantics).
+
+    Returns one row per document: ``(id_col, features)`` with
+    ``features`` a length-``dims`` array<long>.
+    """
+    if dims & (dims - 1):
+        raise ValueError("dims must be a power of two")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.dedup import (
+            portable_hash60,
+            tokens,
+        )
+
+        tok = F.explode(tokens(text_col)).alias("_tok")
+        ex = df.select(F.col(id_col), tok)
+        h = (
+            portable_hash60(F.col("_tok"))
+            if portable
+            else F.abs(F.xxhash64(F.col("_tok")))
+        )
+        idx = h.bitwiseAND(F.lit(dims - 1))
+        sgn = (
+            F.when(
+                F.shiftright(h, dims.bit_length() - 1)
+                .bitwiseAND(F.lit(1))
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+        aggs = [
+            F.coalesce(
+                F.sum(F.when(idx == i, sgn)), F.lit(0).cast("long")
+            ).alias(f"_h{i}")
+            for i in range(dims)
+        ]
+        return (
+            ex.groupBy(id_col)
+            .agg(*aggs)
+            .select(
+                id_col,
+                F.array(*[f"_h{i}" for i in range(dims)]).alias(out),
+            )
+        )
+
+    return _t
+
+
+def robust_scale(
+    value_col: str,
+    group_by: str | None = None,
+    out: str = "scaled",
+) -> Callable[[DataFrame], DataFrame]:
+    """Median/IQR scaler — the outlier-resistant twin of q34's min-max
+    and the z-score: ``(x − median) / (q3 − q1)``, so a handful of
+    extreme values cannot crush the informative range the way they
+    crush mean/σ or min/max scaling.
+
+    Boundaries are exact type-7 percentiles rounded to the pinned 6 dp
+    cross-engine idiom (q55), computed in ONE grouped aggregation and
+    broadcast back; the scale expression is subtract/divide only —
+    bit-stable with no further rounding.  A degenerate group
+    (IQR = 0) scales to 0.0 rather than ±inf.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        stats = df.groupBy(*gcols).agg(
+            F.round(F.percentile(value_col, F.lit(0.5)), 6).alias("_med"),
+            F.round(
+                F.percentile(value_col, F.lit(0.75))
+                - F.percentile(value_col, F.lit(0.25)),
+                6,
+            ).alias("_iqr"),
+        )
+        if gcols:
+            joined = df.join(F.broadcast(stats), gcols)
+        else:
+            joined = attach_scalar(
+                df, stats, F.col(value_col), F.col("_med")
+            )
+        scaled = F.when(
+            F.col("_iqr") > 0,
+            (F.col(value_col) - F.col("_med")) / F.col("_iqr"),
+        ).otherwise(F.lit(0.0))
+        return joined.withColumn(out, scaled).drop("_med", "_iqr")
+
+    return _t

@@ -737,3 +737,55 @@ def lsh_top_k(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine", "rnk")
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    top_n: int = 20,
+    out: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09): merge ranked
+    lists from heterogeneous retrievers (BM25, dense ANN, recency, …)
+    without score calibration —
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    the standard first stage of hybrid search.  Items absent from a
+    list simply contribute nothing (the 1/(k+r) tail makes absence ≈ a
+    very deep rank), which is what makes RRF robust to incomparable
+    score scales.
+
+    Inputs are ALREADY-RANKED lists — top-k outputs, metadata-scale
+    next to the corpora they were retrieved from — so the fusion is a
+    union + one keyed sum + one TakeOrderedAndProject: nothing here is
+    data-scale, and the operator composes with the engine's bm25_top_k
+    / cosine_top_k outputs directly.  1/(k+r) terms are exact-rounded
+    IEEE divisions and FP addition is commutative, so two-list fusion
+    is bit-stable; ranking rounds to 10 dp with an ``id_col`` tiebreak
+    for the many-list case.
+
+    Returns ``(rank, id_col, rrf_score)``, rank 1..top_n.
+    """
+    tagged = None
+    for r in rankings:
+        cur = r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_term"),
+        )
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+    fused = (
+        tagged.groupBy(id_col)
+        .agg(F.round(F.sum("_term"), 10).alias(out))
+        .orderBy(F.col(out).desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col(out).desc(), F.col(id_col).asc())
+    return fused.select(
+        F.row_number().over(w).alias("rank"), id_col, out
+    )
