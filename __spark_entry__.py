@@ -9655,6 +9655,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q26/q30/q132), q175 attribution / q177 session paths (product
 #: composites: q100/q141), q176 target encoding (ML features:
 #: q34/q110).
+#: Final round-7 rotation promoted the three NEW families of the
+#: q180-q194 batch — q180 (CUSUM changepoint / monitoring), q183
+#: (distribution drift: PSI; KS q184 is its family member), q188
+#: (SAX symbolic time-series representation) — demoting q83 (joins
+#: keep q24/q60/q124 in-window), q132 (dedup keeps q26/q30/q62/q66
+#: and similarity keeps q40), q134 (sketches keep q151; CMS heavy
+#: hitters stays judge-covered).  The rest of the batch stays
+#: judge-side by the family rule: q181 MACD / q182 Theil-Sen
+#: (financial composites: q51/q100), q185 ACF / q186 seasonal
+#: decompose (window analytics: q19/q84), q187 RFM (product:
+#: q100/q141), q189 keyness (text: q27/q131/q139), q190 k-core
+#: (graph: q146), q191 feature hash / q192 robust scale (ML
+#: features: q34/q110), q193 RRF fusion (similarity: q40), q194
+#: MAD outliers (drift/monitoring: q180/q183).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -9681,7 +9695,6 @@ _PRIORITY_WINDOW = [
     "q62_dedup_clusters",     # connected components
     "q66_corpus_pipeline",    # corpus filter→cluster→elect→sample
     "q76_kmeans",             # k-means clustering
-    "q83_star_join",          # broadcast star join
     "q84_time_range_frame",   # RANGE interval frame
     "q92_variant_json",       # VARIANT semi-structured
     "q100_dashboard",         # financial composite dashboard
@@ -9692,8 +9705,6 @@ _PRIORITY_WINDOW = [
     "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
     "q131_pii_redact",        # PII detect + redact
-    "q132_semdedup",          # SemDeDup semantic dedup
-    "q134_cms_heavy_hitters", # count-min sketch heavy hitters
     "q136_zorder_layout",     # Z-order layout key
     "q137_data_quality",      # data-quality expectations
     "q135_stream_enrich",     # stream-static broadcast enrichment
@@ -9706,6 +9717,9 @@ _PRIORITY_WINDOW = [
     "q151_hll_distinct",      # HyperLogLog distinct sketch
     "q168_interval_coverage", # interval algebra (merge/coverage sweep)
     "q171_skyline",           # 2-D skyline / Pareto front
+    "q180_cusum",             # CUSUM changepoint (closed-form two-window)
+    "q183_psi",               # PSI distribution drift
+    "q188_sax",               # SAX symbolic series representation
 ]
 
 

@@ -132,6 +132,21 @@ HEADLINE = [
     "q177_session_paths",
     "q178_grid_clusters",
     "q179_streaming_hll",
+    "q180_cusum",
+    "q181_macd",
+    "q182_theil_sen",
+    "q183_psi",
+    "q184_ks_drift",
+    "q185_acf",
+    "q186_seasonal_decompose",
+    "q187_rfm",
+    "q188_sax",
+    "q189_keyness",
+    "q190_kcore",
+    "q191_feature_hash",
+    "q192_robust_scale",
+    "q193_rrf_fusion",
+    "q194_mad_outliers",
 ]
 
 
