@@ -10,6 +10,7 @@ bit-reproducible regardless of execution order.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import tempfile
@@ -9213,9 +9214,13 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
                        wo AS (PARTITION BY user_id
                               ORDER BY ts, event_id)),
     z AS (SELECT user_id, (rn - 1) // 16 AS chunk,
-                 CASE WHEN SQRT((sxx - sx * sx / n) / (n - 1.0)) > 0
+                 CASE WHEN SQRT(CASE WHEN n > 1
+                        THEN (sxx - sx * sx / n) / (n - 1.0)
+                        ELSE 0.0 END) > 0
                       THEN (value - sx / n)
-                           / SQRT((sxx - sx * sx / n) / (n - 1.0))
+                           / SQRT(CASE WHEN n > 1
+                              THEN (sxx - sx * sx / n) / (n - 1.0)
+                              ELSE 0.0 END)
                       ELSE 0.0 END AS zv
           FROM st),
     paa AS (SELECT user_id, chunk,
@@ -9563,6 +9568,284 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mz", mz)
         .where(F.abs(F.col("mz")) > 3.5)
         .select("event_id", "event_type", "value", "mz")
+    )
+
+
+@_q(
+    "q195_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    pr AS (SELECT a.it AS x, c.it AS y, COUNT(*)::BIGINT AS np
+           FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+           GROUP BY x, y HAVING COUNT(*) >= 2),
+    r AS (SELECT x AS antecedent, y AS consequent, np FROM pr
+          UNION ALL SELECT y, x, np FROM pr),
+    it AS (SELECT it, COUNT(*)::BIGINT AS ni FROM b GROUP BY it),
+    nb AS (SELECT COUNT(DISTINCT bk) AS nbk FROM b),
+    s AS (SELECT r.antecedent, r.consequent, r.np,
+                 CAST(r.np AS DOUBLE) / CAST(nb.nbk AS DOUBLE)
+                   AS support,
+                 CAST(r.np AS DOUBLE) / CAST(ia.ni AS DOUBLE)
+                   AS confidence,
+                 (CAST(r.np AS DOUBLE) / CAST(ia.ni AS DOUBLE))
+                   / (CAST(ic.ni AS DOUBLE) / CAST(nb.nbk AS DOUBLE))
+                   AS lift
+          FROM r JOIN it ia ON r.antecedent = ia.it
+                 JOIN it ic ON r.consequent = ic.it
+                 CROSS JOIN nb),
+    t AS (SELECT * FROM s
+          ORDER BY lift DESC, antecedent, consequent LIMIT 50)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent,
+                                   consequent) AS INT) AS rank,
+           antecedent, consequent, np AS n_pair,
+           support, confidence, lift
+    FROM t
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top-50
+    part pairs by lift with support/confidence — the classic
+    co-occurrence analytics surface.  Pair generation is
+    basket-keyed (quadratic per BASKET, never corpus-quadratic;
+    mega-baskets fenced before the join); marginals broadcast;
+    basket total attaches as an in-plan scalar.  Integer counts +
+    single IEEE divisions: bit-stable, no rounding contract
+    (operators/rules.py:association_rules)."""
+    from btc_usdt_etl_pipeline_spark.operators.rules import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_support=2, top_k=50
+    )
+
+
+@_q(
+    "q196_woe_iv",
+    """
+    WITH e AS (SELECT value,
+                      CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT LEAST(9, GREATEST(0,
+                   CAST(FLOOR((value - 0.0) / 50.0) AS INT))) AS bin,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(1 - y) AS BIGINT) AS n_neg
+          FROM e GROUP BY bin),
+    p AS (SELECT bin, n_pos, n_neg,
+                 (n_pos + 0.5)
+                   / (CAST(SUM(n_pos) OVER () AS DOUBLE) + 5.0) AS pp,
+                 (n_neg + 0.5)
+                   / (CAST(SUM(n_neg) OVER () AS DOUBLE) + 5.0) AS pn
+          FROM c),
+    w AS (SELECT bin, n_pos, n_neg,
+                 round(ln(pp / pn), 6) AS woe,
+                 CAST((pp - pn) * round(ln(pp / pn), 6)
+                      AS DECIMAL(38,6)) AS term
+          FROM p)
+    SELECT bin, n_pos, n_neg, woe,
+           CAST(SUM(term) OVER () AS DOUBLE) AS iv
+    FROM w
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence binning + Information Value of the event
+    value against the purchase label — the credit-scoring supervised
+    encoding / feature-strength triage (WOE is the per-bin log term
+    of a PSI between the positive and negative populations; IV is
+    that PSI).  Shares q183's fixed-width clamp bins and Laplace
+    smoothing; one data-scale conditional-count shuffle; ln terms
+    6 dp-rounded (ml/features.py:woe_iv)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import woe_iv
+
+    return _t(spark, sf_dir, "events").transform(
+        woe_iv(
+            "value",
+            label=F.col("event_type") == "purchase",
+            lo=0.0,
+            hi=500.0,
+            n_bins=10,
+            eps=0.5,
+        )
+    )
+
+
+@_q(
+    "q197_ddsketch",
+    f"""
+    WITH c AS (SELECT event_type,
+                      CAST(CEIL(round(ln(value)
+                        / {math.log(1.02)!r}::DOUBLE, 9)) AS BIGINT)
+                        AS b,
+                      COUNT(*)::BIGINT AS c
+               FROM events WHERE value > 0
+               GROUP BY event_type, b),
+    cu AS (SELECT event_type, b, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM c),
+    a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 MIN(CASE WHEN cum >= CEIL(0.5::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b0,
+                 MIN(CASE WHEN cum >= CEIL(0.95::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b1,
+                 MIN(CASE WHEN cum >= CEIL(0.99::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b2
+          FROM cu GROUP BY event_type)
+    SELECT event_type, q, n,
+           round(2.0::DOUBLE * POWER(1.02::DOUBLE, CAST(b AS DOUBLE))
+                 / 2.02::DOUBLE, 6) AS est
+    FROM (SELECT event_type, 0.5::DOUBLE AS q, n, b0 AS b FROM a
+          UNION ALL SELECT event_type, 0.95::DOUBLE, n, b1 FROM a
+          UNION ALL SELECT event_type, 0.99::DOUBLE, n, b2 FROM a)
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile estimation (p50/p95/p99 per event type,
+    γ=1.02 → ~1% relative error): geometric log-buckets make the
+    sketch fixed-size and MERGEABLE — bucket counts just add, so
+    map-side partial aggregation does the distributed merging for
+    free, the percentile path once a 100 TB sort is unaffordable.
+    One data-scale aggregation; readout walks per-group cumulative
+    counts for ALL quantiles in one pass (a per-quantile filter
+    would re-execute the agg per quantile)
+    (operators/sketch.py:dd_sketch)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import dd_sketch
+
+    return _t(spark, sf_dir, "events").transform(
+        dd_sketch(
+            "value",
+            group_by="event_type",
+            gamma=1.02,
+            quantiles=(0.5, 0.95, 0.99),
+        )
+    )
+
+
+@_q(
+    "q198_cramers_v",
+    """
+    WITH e AS (SELECT event_type,
+                      LEAST(3, GREATEST(0,
+                        CAST(FLOOR(value / 125.0) AS INT))) AS band
+               FROM events WHERE value IS NOT NULL),
+    o AS (SELECT event_type, band, COUNT(*)::BIGINT AS obs
+          FROM e GROUP BY event_type, band),
+    m AS (SELECT event_type, band, obs,
+                 CAST(SUM(obs) OVER (PARTITION BY event_type)
+                      AS DOUBLE) AS rt,
+                 CAST(SUM(obs) OVER (PARTITION BY band)
+                      AS DOUBLE) AS ct,
+                 CAST(SUM(obs) OVER () AS DOUBLE) AS nn
+          FROM o),
+    t AS (SELECT nn,
+                 CAST((CAST(obs AS DOUBLE) - rt * ct / nn)
+                      * (CAST(obs AS DOUBLE) - rt * ct / nn)
+                      / (rt * ct / nn) AS DECIMAL(38,6)) AS term
+          FROM m)
+    SELECT CAST(MAX(nn) AS BIGINT) AS n,
+           CAST(SUM(term) AS DOUBLE) AS chi2,
+           SQRT(CAST(SUM(term) AS DOUBLE) / (MAX(nn) * 3.0)) AS v
+    FROM t
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and value band (4
+    fixed bands): chi-squared over the 5×4 contingency table,
+    normalized to [0,1] — the standard categorical-categorical
+    dependence check a feature-selection pass runs over column
+    pairs.  One data-scale cell-count shuffle; row/col totals are
+    keyed windows over the 20-cell table; (O−E)²/E terms go through
+    the exact-decimal sum (order-free), sqrt is IEEE-exact — no
+    rounding contract."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.lit(3),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(F.col("value") / F.lit(125.0)),
+                ),
+            )
+            .cast("int")
+            .alias("band"),
+        )
+    )
+    o = e.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    m = (
+        o.withColumn(
+            "rt",
+            F.sum("obs").over(Window.partitionBy("event_type")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "ct",
+            F.sum("obs").over(Window.partitionBy("band")).cast("double"),
+        )
+        .withColumn(
+            "nn", F.sum("obs").over(Window.partitionBy()).cast("double")
+        )
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("nn")
+    term = (
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp
+    ).cast("decimal(38,6)")
+    chi2 = F.sum(term).cast("double")
+    return m.withColumn("_term", term).agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.sum("_term").cast("double").alias("chi2"),
+        F.sqrt(
+            F.sum("_term").cast("double") / (F.max("nn") * F.lit(3.0))
+        ).alias("v"),
+    )
+
+
+@_q(
+    "q199_weighted_median",
+    """
+    WITH pv AS (SELECT l_returnflag, l_extendedprice AS v,
+                       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+                FROM lineitem GROUP BY l_returnflag, v),
+    cu AS (SELECT l_returnflag, v, w,
+                  SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cw,
+                  SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+           FROM pv)
+    SELECT l_returnflag, CAST(MAX(tw) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cw + cw >= tw THEN v END) AS weighted_median
+    FROM cu GROUP BY l_returnflag
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the lower
+    weighted median (smallest value whose cumulative weight reaches
+    half the total), the estimator behind volume-weighted typical
+    price and size-weighted file stats.  Collapses to per-(group,
+    value) decimal-exact weight sums first so the ordered walk runs
+    over DISTINCT values; the half-total comparison is pure decimal
+    arithmetic — no float boundary can flip the chosen value
+    (operators/relational.py:weighted_median)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_median,
+    )
+
+    return _t(spark, sf_dir, "lineitem").transform(
+        weighted_median(
+            "l_extendedprice", "l_quantity", group_by="l_returnflag"
+        )
     )
 
 

@@ -147,6 +147,11 @@ HEADLINE = [
     "q192_robust_scale",
     "q193_rrf_fusion",
     "q194_mad_outliers",
+    "q195_association_rules",
+    "q196_woe_iv",
+    "q197_ddsketch",
+    "q198_cramers_v",
+    "q199_weighted_median",
 ]
 
 

@@ -529,3 +529,62 @@ def skyline_2d(
         return out
 
     return _t
+
+
+def weighted_median(
+    value_col: str,
+    weight_col: str,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "weighted_median",
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the total — the lower weighted
+    median, the estimator behind volume-weighted "typical price",
+    duration-weighted latency medians, and size-weighted file stats
+    (an unweighted percentile over such data answers a different,
+    usually wrong, question).
+
+    Plan: collapse to per-(group, value) weight sums first (the one
+    data-scale shuffle — ties merge, so the ordered walk runs over
+    DISTINCT values), then one ordered keyed window for the cumulative
+    weight and one conditional aggregation for the readout.  Weight
+    sums run through the exact-decimal idiom, and the half-total
+    threshold is decimal arithmetic too, so the ≥ comparison is exact
+    — no float boundary can flip the chosen value cross-engine.
+
+    Returns one row per group: ``group_by…, total_weight, out``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        per_v = (
+            df.where(
+                F.col(value_col).isNotNull()
+                & F.col(weight_col).isNotNull()
+            )
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(F.sum(F.col(weight_col).cast(DEC)).alias("_w"))
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = per_v.withColumn("_cw", F.sum("_w").over(wo)).withColumn(
+            "_tw", F.sum("_w").over(wg)
+        )
+        # exact decimal compare: 2·cum ≥ total  ⇔  cum ≥ total/2
+        hit = F.when(
+            F.col("_cw") + F.col("_cw") >= F.col("_tw"), F.col("_v")
+        )
+        return cum.groupBy(*gcols).agg(
+            F.max("_tw").cast("double").alias("total_weight"),
+            F.min(hit).alias(out),
+        )
+
+    return _t

@@ -543,7 +543,14 @@ def sax_symbolize(
             .cast("double")
         )
         mean = sx / n
-        std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+        # n=1 series: the sample-variance denominator is 0 and ANSI
+        # mode faults the division even though the z guard below would
+        # discard it — fence it inside the CASE (zipf-hot testdata DOES
+        # produce single-event users at 10×).
+        var = F.when(
+            n > 1, (sxx - sx * sx / n) / (n - F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+        std = F.sqrt(var)
         z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(
             F.lit(0.0)
         )

@@ -671,3 +671,95 @@ def hll_estimate_from_registers(
         F.round(raw, 4).alias("est_raw"),
         F.round(corrected, 4).alias("est"),
     )
+
+
+def dd_sketch(
+    value_col: str,
+    group_by: str | None = None,
+    gamma: float = 1.02,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> Callable[[DataFrame], DataFrame]:
+    """DDSketch quantile estimation (Masson et al., VLDB'19): bucket
+    positive values into geometric bins ``ceil(log_γ x)``, estimate
+    any quantile from bucket counts with RELATIVE-error guarantee
+    (γ−1)/(γ+1) — here ~1% at γ=1.02.  The sketch is what replaces
+    exact percentiles once a sort is unaffordable: fixed-size,
+    mergeable (bucket counts just add, so map-side partial agg does
+    the merging for free), streamable.
+
+    Plan: ONE data-scale aggregation — (group, bucket) counts — then
+    per-group windows over the bucket table (bounded by
+    log_γ(max/min) buckets ≈ a few hundred rows per group).  The
+    quantile readout walks the cumulative count to the first bucket
+    with cum ≥ ⌈q·n⌉ and reports the bucket midpoint 2γ^b/(γ+1).
+
+    Determinism: bucket index and readout both carry transcendentals
+    (ln, power); the log-ratio is rounded to 9 dp before the ceil and
+    the estimate to 6 dp — the engine's transcendental contract.  A
+    flipped borderline bucket moves a value by one γ-step, within the
+    sketch's own error guarantee either way.
+
+    Returns one row per (group, quantile): ``group_by…, q, n, est``.
+    Non-positive values are excluded (DDSketch's domain; keep a
+    negative-store variant upstream if needed).
+    """
+    import math
+
+    gcols = [group_by] if group_by else []
+    lng = math.log(gamma)
+
+    def _t(df: DataFrame) -> DataFrame:
+        bucket = F.ceil(
+            F.round(F.log(F.col(value_col).cast("double")) / F.lit(lng), 9)
+        )
+        counts = (
+            df.where(F.col(value_col) > 0)
+            .groupBy(*gcols, bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = counts.withColumn("_cum", F.sum("_c").over(wo)).withColumn(
+            "_n", F.sum("_c").over(wg)
+        )
+        # All quantile readouts in ONE pass over the bucket table — a
+        # per-quantile filter would re-execute the data-scale count agg
+        # once per quantile (Catalyst does not reuse a subtree consumed
+        # from multiple branches).
+        readouts = [
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.ceil(
+                        F.lit(float(q)) * F.col("_n").cast("double")
+                    ),
+                    F.col("_b"),
+                )
+            ).alias(f"_qb{i}")
+            for i, q in enumerate(quantiles)
+        ]
+        agg = cum.groupBy(*gcols).agg(
+            F.max("_n").alias("n"), *readouts
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.col(f"_qb{i}").alias("b"),
+                )
+                for i, q in enumerate(quantiles)
+            ]
+        )
+        est = F.round(
+            F.lit(2.0)
+            * F.pow(F.lit(float(gamma)), F.col("_e.b").cast("double"))
+            / F.lit(gamma + 1.0),
+            6,
+        )
+        return agg.select(
+            *gcols, "n", F.explode(pairs).alias("_e")
+        ).select(*gcols, F.col("_e.q").alias("q"), "n", est.alias("est"))
+
+    return _t

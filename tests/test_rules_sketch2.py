@@ -1,0 +1,127 @@
+"""Semantic tests for association rules, WOE/IV, DDSketch quantiles,
+and the weighted median: hand-computed references on tiny inputs plus
+the defining invariants (lift symmetry, IV ≥ 0 shape, sketch relative
+error, weighted-vs-unweighted divergence)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_association_rules_hand_computed(spark):
+    from btc_usdt_etl_pipeline_spark.operators.rules import (
+        association_rules,
+    )
+
+    # 4 baskets: {a,b} x3, {a,c} x1 → pair (a,b) n=3, (a,c) n=1.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = association_rules(
+        df, "bk", "it", min_pair_support=1, top_k=10
+    ).collect()
+    got = {(r["antecedent"], r["consequent"]): r for r in out}
+    r = got[("b", "a")]
+    assert r["n_pair"] == 3
+    assert abs(r["support"] - 3 / 4) < 1e-12
+    assert abs(r["confidence"] - 1.0) < 1e-12  # every b-basket has a
+    assert abs(r["lift"] - 1.0 / (4 / 4)) < 1e-12
+    r2 = got[("a", "b")]
+    assert abs(r2["confidence"] - 3 / 4) < 1e-12
+    # lift is symmetric, confidence is not.
+    assert abs(r["lift"] - r2["lift"]) < 1e-12
+    assert r["confidence"] != r2["confidence"]
+
+
+def test_association_rules_min_support_filters(spark):
+    from btc_usdt_etl_pipeline_spark.operators.rules import (
+        association_rules,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = association_rules(df, "bk", "it", min_pair_support=2).collect()
+    pairs = {(r["antecedent"], r["consequent"]) for r in out}
+    assert pairs == {("a", "b"), ("b", "a")}
+
+
+def test_woe_iv_matches_python(spark):
+    from btc_usdt_etl_pipeline_spark.ml.features import woe_iv
+
+    # bin 0: 8 pos / 2 neg; bin 1: 2 pos / 8 neg.
+    rows = [(i, 2.0, 1 if i < 8 else 0) for i in range(10)] + [
+        (100 + i, 7.0, 1 if i < 2 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "i long, value double, y int")
+    out = df.transform(
+        woe_iv("value", label=F.col("y") == 1, lo=0.0, hi=10.0, n_bins=2)
+    ).collect()
+    got = {r["bin"]: r for r in out}
+    pp0 = (8 + 0.5) / (10 + 1.0)
+    pn0 = (2 + 0.5) / (10 + 1.0)
+    woe0 = round(math.log(pp0 / pn0), 6)
+    assert abs(got[0]["woe"] - woe0) < 1e-9
+    assert got[0]["n_pos"] == 8 and got[0]["n_neg"] == 2
+    # symmetric construction → woe1 = −woe0, IV > 0 and shared.
+    assert abs(got[1]["woe"] + woe0) < 1e-9
+    assert got[0]["iv"] == got[1]["iv"] and got[0]["iv"] > 0.5
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    import random
+
+    from btc_usdt_etl_pipeline_spark.operators.sketch import dd_sketch
+
+    rng = random.Random(19)
+    vals = sorted(rng.lognormvariate(3.0, 1.0) for _ in range(4000))
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "i long, k string, value double",
+    )
+    out = df.transform(
+        dd_sketch("value", group_by="k", gamma=1.02,
+                  quantiles=(0.5, 0.95, 0.99))
+    ).collect()
+    gamma_err = (1.02 - 1) / (1.02 + 1)
+    for r in out:
+        exact = vals[math.ceil(r["q"] * len(vals)) - 1]
+        assert abs(r["est"] - exact) / exact <= gamma_err + 1e-6, (
+            r["q"], r["est"], exact,
+        )
+        assert r["n"] == 4000
+
+
+def test_weighted_median_differs_from_plain(spark):
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_median,
+    )
+
+    # values 1..5, weight concentrated on 5: weighted median = 5,
+    # plain median = 3.
+    rows = [(i, "g", float(v), 1.0 if v < 5 else 100.0)
+            for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "i long, k string, v double, w double")
+    (r,) = df.transform(
+        weighted_median("v", "w", group_by="k")
+    ).collect()
+    assert r["weighted_median"] == 5.0
+    assert r["total_weight"] == 104.0
+
+
+def test_weighted_median_half_total_boundary(spark):
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_median,
+    )
+
+    # cum weights 2, 4 of total 4: first value reaching cum*2 >= 4
+    # is v=1 (2*2 >= 4) — the lower weighted median contract.
+    rows = [(1, 1.0, 2.0), (2, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "i long, v double, w double")
+    (r,) = df.transform(weighted_median("v", "w")).collect()
+    assert r["weighted_median"] == 1.0
