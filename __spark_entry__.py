@@ -9849,6 +9849,85 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
+    """Unrolled product-quantization oracle: one q76-style 2-iteration
+    Lloyd chain per subspace (shared lowest-id seeds), joined on
+    vec_id — generated, like the PageRank/k-core oracles, so the SQL
+    replays the engine's exact per-subspace arithmetic."""
+    parts = [
+        f"""
+    WITH seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for s in range(m):
+        off = s * sub
+        parts.append(f""",
+    ex{s} AS (SELECT vec_id, t.i AS i,
+                     CAST(embedding[t.i + {off + 1}] AS DOUBLE) AS x
+              FROM embeddings, range(0, {sub}) AS t(i)),
+    c0{s} AS (SELECT sd.cid, e.i, e.x AS c
+              FROM seed sd JOIN ex{s} e USING (vec_id)),
+    d1{s} AS (SELECT e.vec_id, c.cid,
+                     SUM(CAST((e.x - c.c) * (e.x - c.c)
+                              AS DECIMAL(20,12))) AS dist
+              FROM ex{s} e JOIN c0{s} c ON e.i = c.i
+              GROUP BY e.vec_id, c.cid),
+    a1{s} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS r
+                FROM d1{s}) WHERE r = 1),
+    c1m{s} AS (SELECT a.cid, e.i,
+                      CAST(SUM(CAST(e.x AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*) AS c
+               FROM a1{s} a JOIN ex{s} e USING (vec_id)
+               GROUP BY a.cid, e.i),
+    c1{s} AS (SELECT c0{s}.cid, c0{s}.i,
+                     COALESCE(c1m{s}.c, c0{s}.c) AS c
+              FROM c0{s} LEFT JOIN c1m{s}
+                ON c0{s}.cid = c1m{s}.cid AND c0{s}.i = c1m{s}.i),
+    d2{s} AS (SELECT e.vec_id, c.cid,
+                     SUM(CAST((e.x - c.c) * (e.x - c.c)
+                              AS DECIMAL(20,12))) AS dist
+              FROM ex{s} e JOIN c1{s} c ON e.i = c.i
+              GROUP BY e.vec_id, c.cid),
+    a2{s} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS r
+                FROM d2{s}) WHERE r = 1)""")
+    codes = ",\n           ".join(
+        f"CAST(a2{s}.cid AS INT) AS code_{s}" for s in range(m)
+    )
+    packed = " + ".join(f"a2{s}.cid * {k ** s}" for s in range(m))
+    joins = "".join(
+        f"\n    JOIN a2{s} USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(f"""
+    SELECT vec_id, {codes},
+           CAST({packed} AS INT) AS pq_code
+    FROM a20{joins}""")
+    return "".join(parts)
+
+
+@_q("q200_pq_codes", _pq_oracle_sql(4, 16, 4))
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product Quantization encoding (Jegou TPAMI'11, the FAISS IVF-PQ
+    compression): 64-dim embeddings split into 4×16-dim subspaces,
+    each k-means'd independently (k=4, 2 deterministic Lloyd rounds),
+    vector encoded as its 4 centroid ids + the base-k packed code —
+    256 bytes down to one byte.  Every subspace run is the engine's
+    bit-reproducible k-means (decimal-exact distances, lowest-id
+    init/tie-breaks), so codebook training AND encoding replay in SQL
+    — not true of any RNG-seeded PQ
+    (ml/clustering.py:pq_codes)."""
+    from btc_usdt_etl_pipeline_spark.ml.clustering import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=4, sub_dim=16, k=4, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

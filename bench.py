@@ -152,6 +152,7 @@ HEADLINE = [
     "q197_ddsketch",
     "q198_cramers_v",
     "q199_weighted_median",
+    "q200_pq_codes",
 ]
 
 

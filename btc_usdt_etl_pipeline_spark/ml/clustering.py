@@ -234,3 +234,50 @@ def grid_density_clusters(
         )
 
     return _t
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Product Quantization (Jégou et al., TPAMI'11): split each vector
+    into ``m`` contiguous ``sub_dim``-dim subvectors, k-means each
+    subspace independently, and encode the vector as its m centroid
+    ids — the compression behind every billion-scale ANN index
+    (FAISS IVF-PQ): 64 floats (256 B) become m·log2(k) bits, and
+    asymmetric distances are m table lookups instead of a 64-dim dot.
+
+    Each subspace runs the engine's deterministic Lloyd's
+    (:func:`kmeans_assign`): decimal-exact distances, k-lowest-id
+    init, lowest-id tie-breaks — so the ENTIRE codebook training +
+    encoding is bit-reproducible and SQL-oracle-replayable, which is
+    not true of any RNG-seeded PQ.  Scale shape inherits from
+    kmeans_assign (map-only assignment with centroid literals, KB-
+    scale update shuffles); the m subspace runs are sequential but
+    each touches only its slice, and the final code join is id-keyed.
+
+    Returns ``(id_col, code_0..code_{m-1}, pq_code)`` with ``pq_code``
+    the base-k packed integer.
+    """
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                "_sub"
+            ),
+        )
+        a = kmeans_assign(
+            sub, vec_col="_sub", id_col=id_col, k=k, iters=iters
+        ).withColumnRenamed("cluster", f"code_{s}")
+        out = a if out is None else out.join(a, id_col)
+    packed = None
+    for s in range(m):
+        term = F.col(f"code_{s}") * F.lit(k**s)
+        packed = term if packed is None else packed + term
+    return out.withColumn("pq_code", packed.cast("int"))
