@@ -8814,40 +8814,27 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per user series: the median of all
     pairwise slopes (value per DAY), insensitive to outliers where
     q57's OLS is not — the robust-statistics twin of the grouped
-    regression surface.  Pairs come from a user-keyed self-join
-    (co-partitioned equi-join, pair count bounded by per-key series
-    length squared — a per-GROUP quadratic, never corpus-quadratic;
-    for 100 TB series, sample or window the pairs per key first);
-    the median is the shared type-7 interpolation pinned by q55.
-    Same-timestamp pairs are excluded on both sides (undefined
-    slope)."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("_t"),
-        F.col("value").alias("_v"),
+    regression surface.  The pair join is per-GROUP quadratic, so the
+    operator carries a `max_points` fence (deterministic portable-hash
+    subsample before pairing — the un-fenced version OOM-killed the
+    10x zipf probe on a 100k-event hot user); at this SF every series
+    is under the cap, so the gate semantics are the exact all-pairs
+    estimator.  Median is the shared type-7 interpolation pinned by
+    q55; same-timestamp pairs excluded on both sides
+    (operators/windows.py:theil_sen)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import theil_sen
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_tus", F.unix_micros("ts")
     )
-    a = e.select(
-        F.col("user_id"),
-        F.col("_t").alias("_t1"),
-        F.col("_v").alias("_v1"),
-    )
-    b = e.select(
-        F.col("user_id"),
-        F.col("_t").alias("_t2"),
-        F.col("_v").alias("_v2"),
-    )
-    pairs = a.join(b, "user_id").where(F.col("_t2") > F.col("_t1"))
-    slope = (F.col("_v2") - F.col("_v1")) / (
-        (F.col("_t2") - F.col("_t1")) / F.lit(86400000000.0)
-    )
-    return (
-        pairs.select("user_id", slope.alias("_s"))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.percentile("_s", F.lit(0.5)), 6).alias(
-                "sen_slope"
-            ),
-            F.count(F.lit(1)).alias("n_pairs"),
+    return e.transform(
+        theil_sen(
+            "value",
+            "_tus",
+            id_col="event_id",
+            partition_by="user_id",
+            time_scale=86400000000.0,
+            max_points=500,
         )
     )
 
@@ -9003,12 +8990,14 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(p4) AS DOUBLE) AS n4,
                  CAST(SUM(p5) AS DOUBLE) AS n5
           FROM s GROUP BY user_id)
-    SELECT user_id, lag, acf FROM (
-      SELECT user_id, 1 AS lag, n1 / den AS acf FROM a
-      UNION ALL SELECT user_id, 2, n2 / den FROM a
-      UNION ALL SELECT user_id, 3, n3 / den FROM a
-      UNION ALL SELECT user_id, 4, n4 / den FROM a
-      UNION ALL SELECT user_id, 5, n5 / den FROM a)
+    SELECT user_id, lag,
+           CASE WHEN den != 0 THEN num / den END AS acf
+    FROM (
+      SELECT user_id, 1 AS lag, n1 AS num, den FROM a
+      UNION ALL SELECT user_id, 2, n2, den FROM a
+      UNION ALL SELECT user_id, 3, n3, den FROM a
+      UNION ALL SELECT user_id, 4, n4, den FROM a
+      UNION ALL SELECT user_id, 5, n5, den FROM a)
     """,
 )
 def q185(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -495,11 +495,17 @@ def acf(
                 for k in range(1, max_lag + 1)
             ],
         )
+        # A constant (or single-row) series has Σdev² = 0: ACF is
+        # undefined there and ANSI mode faults the division — emit
+        # NULL instead (zipf-hot testdata produces such users).
         pairs = F.array(
             *[
                 F.struct(
                     F.lit(k).alias("lag"),
-                    (F.col(f"_n{k}") / F.col("_den")).alias(out),
+                    F.when(
+                        F.col("_den") != 0,
+                        F.col(f"_n{k}") / F.col("_den"),
+                    ).alias(out),
                 )
                 for k in range(1, max_lag + 1)
             ]
@@ -598,6 +604,81 @@ def seasonal_decompose(
                 F.col(value_col) - F.col("trend") - F.col("seasonal"),
             )
             .drop("_detr", "_pm")
+        )
+
+    return _t
+
+
+def theil_sen(
+    value_col: str,
+    time_col: str,
+    id_col: str,
+    partition_by: str | None = None,
+    time_scale: float = 1.0,
+    max_points: int = 2000,
+    out: str = "sen_slope",
+) -> Callable[[DataFrame], DataFrame]:
+    """Theil–Sen robust trend per series: the median of all pairwise
+    slopes (per ``time_scale`` units of ``time_col``), insensitive to
+    outliers where OLS is not.
+
+    The pair join is per-KEY quadratic — fine for bounded series,
+    fatal for a zipf-hot key (a 100k-event user is 10^10 pairs; the
+    un-fenced q182 probe OOM-killed the 10× JVM).  ``max_points``
+    fences it the way the dedup family caps band buckets: series
+    longer than the cap are first reduced to a deterministic
+    ``max_points``-row subsample (portable-hash order over ``id_col``
+    — uniform, append-stable, oracle-replayable), bounding pair mass
+    at max_points² per key while remaining a valid Theil–Sen
+    estimator on a uniform subsample of the series.  Same-time pairs
+    are excluded (undefined slope).
+
+    Returns one row per series: ``partition_by…, sen_slope, n_pairs``.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        gcols = [partition_by] if partition_by else []
+        wk = (
+            Window.partitionBy(partition_by)
+            if partition_by
+            else Window.partitionBy()
+        )
+        pick = F.row_number().over(
+            wk.orderBy(
+                F.md5(F.col("_id").cast("string")), F.col("_id")
+            )
+        )
+        base = (
+            df.select(
+                *gcols,
+                F.col(id_col).alias("_id"),
+                F.col(time_col).cast("double").alias("_t"),
+                F.col(value_col).cast("double").alias("_v"),
+            )
+            .withColumn("_pick", pick)
+            .where(F.col("_pick") <= max_points)
+            .drop("_pick", "_id")
+        )
+        a = base.select(
+            *gcols, F.col("_t").alias("_t1"), F.col("_v").alias("_v1")
+        )
+        b = base.select(
+            *gcols, F.col("_t").alias("_t2"), F.col("_v").alias("_v2")
+        )
+        key = gcols if gcols else []
+        pairs = (
+            a.join(b, key) if key else a.crossJoin(b)
+        ).where(F.col("_t2") > F.col("_t1"))
+        slope = (F.col("_v2") - F.col("_v1")) / (
+            (F.col("_t2") - F.col("_t1")) / F.lit(float(time_scale))
+        )
+        return (
+            pairs.select(*gcols, slope.alias("_s"))
+            .groupBy(*gcols)
+            .agg(
+                F.round(F.percentile("_s", F.lit(0.5)), 6).alias(out),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
         )
 
     return _t

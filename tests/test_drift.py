@@ -208,3 +208,38 @@ def test_seasonal_decompose_identity_and_recovery(spark):
         abs(r["seasonal"] - (pat[r["phase"]] - np.mean(pat))) for r in mid
     )
     assert err < 0.05
+
+
+def test_theil_sen_operator_cap_and_slope(spark):
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import theil_sen
+
+    rows = [(k, i, float(i), 3.0 * i + (50.0 if i == 7 else 0.0))
+            for k in range(2) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "k int, event_id long, t double, value double"
+    )
+    # Uncapped: exact slope 3 despite the outlier.
+    full = {
+        r["k"]: (r["sen_slope"], r["n_pairs"])
+        for r in df.transform(
+            theil_sen("value", "t", id_col="event_id",
+                      partition_by="k", max_points=1000)
+        ).collect()
+    }
+    for k in range(2):
+        assert abs(full[k][0] - 3.0) < 1e-6
+        assert full[k][1] == 40 * 39 // 2
+    # Capped: pair mass bounded at cap^2/2, slope still recovered
+    # (uniform hash subsample keeps the trend).
+    capped = {
+        r["k"]: (r["sen_slope"], r["n_pairs"])
+        for r in df.transform(
+            theil_sen("value", "t", id_col="event_id",
+                      partition_by="k", max_points=10)
+        ).collect()
+    }
+    for k in range(2):
+        assert capped[k][1] <= 10 * 9 // 2
+        assert abs(capped[k][0] - 3.0) < 1e-6
