@@ -9917,6 +9917,275 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, m=4, sub_dim=16, k=4, iters=2)
 
 
+_POIS_SQL = (
+    "CASE WHEN u <= 0.36787944117144233::DOUBLE THEN 0 "
+    "WHEN u <= 0.7357588823428847::DOUBLE THEN 1 "
+    "WHEN u <= 0.9196986029286058::DOUBLE THEN 2 "
+    "WHEN u <= 0.9810118431238462::DOUBLE THEN 3 "
+    "WHEN u <= 0.9963401531726563::DOUBLE THEN 4 ELSE 5 END"
+)
+
+
+@_q(
+    "q201_bootstrap_ci",
+    f"""
+    WITH ex AS (SELECT event_type, event_id, value, r.range AS r
+                FROM events, range(40) r WHERE value IS NOT NULL),
+    h AS (SELECT event_type, r, value,
+                 ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM ex),
+    u AS (SELECT event_type, r, value,
+                 CAST(hv & 16777215 AS DOUBLE) / 16777216.0 AS u
+          FROM h),
+    w AS (SELECT event_type, r, value, {_POIS_SQL} AS w FROM u),
+    rep AS (SELECT event_type, r,
+                   CAST(SUM(CAST(w * value AS DECIMAL(38,6)))
+                        AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE) AS m
+            FROM w GROUP BY event_type, r
+            HAVING SUM(w) > 0)
+    SELECT event_type,
+           round(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(m), 6) AS mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi,
+           COUNT(m)::BIGINT AS n_replicates
+    FROM rep GROUP BY event_type
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value per type
+    (Chamandy/Google 2012 — the bootstrap that distributes): each row
+    derives 40 replicate weights from a portable hash of
+    (event_id, replicate) via the Poisson(1) inverse CDF, so the whole
+    resampling procedure is a deterministic map + one (type, replicate)
+    keyed agg with map-side partials — no engine RNG whose stream
+    order would differ per partitioning, fully oracle-replayable.
+    The metric-uncertainty primitive an eval pipeline needs next to
+    every point estimate (operators/stats.py:bootstrap_ci_mean)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bootstrap_ci_mean,
+    )
+
+    return _t(spark, sf_dir, "events").transform(
+        bootstrap_ci_mean(
+            "value", id_col="event_id", group_by="event_type",
+            replicates=40,
+        )
+    )
+
+
+@_q(
+    "q202_trimmed_mean",
+    """
+    WITH src AS (SELECT event_type, value FROM events
+                 WHERE value IS NOT NULL),
+    b AS (SELECT event_type,
+                 round(quantile_cont(value, 0.05), 6) AS lo,
+                 round(quantile_cont(value, 0.95), 6) AS hi
+          FROM src GROUP BY event_type)
+    SELECT s.event_type, COUNT(s.value)::BIGINT AS n_kept,
+           CAST(SUM(CAST(s.value AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(s.value) AS trimmed_mean
+    FROM src s JOIN b USING (event_type)
+    WHERE s.value >= b.lo AND s.value <= b.hi
+    GROUP BY s.event_type
+    """,
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-95% trimmed mean of event values per type — the robust
+    location estimate between the median and the raw mean: one
+    grouped exact-percentile agg (6 dp pinned bounds) broadcast back,
+    one exact-decimal mean over the kept band
+    (operators/stats.py:trimmed_mean)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import trimmed_mean
+
+    return _t(spark, sf_dir, "events").transform(
+        trimmed_mean("value", group_by="event_type")
+    )
+
+
+@_q(
+    "q203_benford",
+    """
+    WITH c AS (SELECT CAST(abs(round(l_extendedprice * 100, 0))
+                           AS BIGINT) AS cents
+               FROM lineitem),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                   AS digit,
+                 COUNT(*)::BIGINT AS n_obs
+          FROM c WHERE cents >= 1
+          GROUP BY digit),
+    m AS (SELECT digit, n_obs,
+                 CAST(SUM(n_obs) OVER () AS DOUBLE) AS n,
+                 CASE digit
+                   WHEN 1 THEN 0.3010299956639812::DOUBLE
+                   WHEN 2 THEN 0.17609125905568124::DOUBLE
+                   WHEN 3 THEN 0.12493873660829992::DOUBLE
+                   WHEN 4 THEN 0.09691001300805642::DOUBLE
+                   WHEN 5 THEN 0.07918124604762482::DOUBLE
+                   WHEN 6 THEN 0.06694678963061322::DOUBLE
+                   WHEN 7 THEN 0.05799194697768673::DOUBLE
+                   WHEN 8 THEN 0.05115252244738129::DOUBLE
+                   ELSE 0.04575749056067514::DOUBLE END AS p_benford
+          FROM d),
+    t AS (SELECT digit, n_obs,
+                 CAST(n_obs AS DOUBLE) / n AS p_obs, p_benford,
+                 CAST((CAST(n_obs AS DOUBLE) - p_benford * n)
+                      * (CAST(n_obs AS DOUBLE) - p_benford * n)
+                      / (p_benford * n) AS DECIMAL(38,6)) AS term
+          FROM m)
+    SELECT digit, n_obs, p_obs, p_benford,
+           CAST(SUM(term) OVER () AS DOUBLE) AS chi2
+    FROM t
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over line-item prices — the
+    forensic check for fabricated or truncated numeric columns.  The
+    leading digit comes from the exact integer-cents decimal string
+    (prices are 2 dp; integer formatting is identical in every
+    engine), NEVER from log10 whose boundary ULPs differ; chi-squared
+    terms run through the exact-decimal sum
+    (operators/stats.py:benford_deviation)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        benford_deviation,
+    )
+
+    return _t(spark, sf_dir, "lineitem").transform(
+        benford_deviation(F.round(F.col("l_extendedprice") * 100, 0))
+    )
+
+
+@_q(
+    "q204_decayed_topk",
+    """
+    WITH e AS (SELECT l_partkey,
+                      epoch_us(l_shipdate) // 86400000000 AS day
+               FROM lineitem),
+    mx AS (SELECT MAX(day) AS mxd FROM e),
+    t AS (SELECT l_partkey,
+                 CAST(POWER(0.5::DOUBLE,
+                   CAST(mxd - day AS DOUBLE) / 7.0)
+                   AS DECIMAL(38,6)) AS term
+          FROM e CROSS JOIN mx),
+    s AS (SELECT l_partkey,
+                 CAST(SUM(term) AS DOUBLE) AS decayed_score,
+                 COUNT(*)::BIGINT AS n_rows
+          FROM t GROUP BY l_partkey
+          ORDER BY decayed_score DESC, l_partkey LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY decayed_score DESC,
+                                   l_partkey) AS INT) AS rank,
+           l_partkey, decayed_score, n_rows
+    FROM s
+    """,
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending parts: score = sum of 0.5^(age_days/7)
+    per part (7-day half-life), top 20 — the recency-weighted
+    frequency behind every 'trending now' surface, as one map +
+    one keyed agg + a distributed TakeOrderedAndProject.  Decay
+    terms round at the decimal cast (pow is libm); ages are exact
+    integer day arithmetic off an in-plan max-date scalar."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " DIV 86400000000"
+        ).alias("_day"),
+    )
+    mx = e.agg(F.max("_day").alias("_mxd"))
+    t = attach_scalar(e, mx, F.col("_day"), F.col("_mxd"))
+    term = F.pow(
+        F.lit(0.5),
+        (F.col("_mxd") - F.col("_day")).cast("double") / F.lit(7.0),
+    ).cast("decimal(38,6)")
+    s = (
+        t.withColumn("_t", term)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("_t").cast("double").alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("decayed_score").desc(), F.col("l_partkey"))
+    return s.select(
+        F.row_number().over(w).alias("rank"),
+        "l_partkey",
+        "decayed_score",
+        "n_rows",
+    )
+
+
+@_q(
+    "q205_assortativity",
+    """
+    WITH eraw AS (SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+                         COUNT(*) AS c
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  GROUP BY a, b),
+    e AS (SELECT a AS src, b AS dst FROM eraw WHERE c >= 3
+          UNION ALL SELECT b, a FROM eraw WHERE c >= 3),
+    deg AS (SELECT src AS n, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+    xy AS (SELECT CAST(dx.d AS DOUBLE) AS x, CAST(dy.d AS DOUBLE) AS y
+           FROM e JOIN deg dx ON e.src = dx.n
+                  JOIN deg dy ON e.dst = dy.n),
+    s AS (SELECT COUNT(*)::BIGINT AS n_edges,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxx,
+                 CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE)
+                   AS syy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxy
+          FROM xy)
+    SELECT n_edges,
+           round((sxy - sx * sy / n)
+                 / (SQRT(sxx - sx * sx / n)
+                    * SQRT(syy - sy * sy / n)), 6) AS assortativity
+    FROM s
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the thresholded customer-
+    supplier graph (q190's edges): Pearson correlation of endpoint
+    degrees over the symmetric edge list — positive means hubs attach
+    to hubs; tells you whether degree-targeted strategies (hub
+    sampling, skew salting) will pay off.  One degree agg + two
+    node-keyed joins + one exact-decimal correlation agg (q25 idiom)
+    (operators/graph.py:degree_assortativity)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eraw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("a", "b")
+    )
+    edges = eraw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        eraw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return degree_assortativity(edges)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -153,6 +153,11 @@ HEADLINE = [
     "q198_cramers_v",
     "q199_weighted_median",
     "q200_pq_codes",
+    "q201_bootstrap_ci",
+    "q202_trimmed_mean",
+    "q203_benford",
+    "q204_decayed_topk",
+    "q205_assortativity",
 ]
 
 

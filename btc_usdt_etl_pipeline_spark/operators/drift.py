@@ -98,16 +98,17 @@ def psi(
             )
         )
         # Densify to the full bin grid per group (groups×n_bins rows —
-        # post-agg metadata scale; broadcast the synthetic grid side).
+        # post-agg metadata scale).  Explode a per-group bin sequence
+        # rather than cross-joining a synthetic range: same rows, no
+        # BroadcastNestedLoopJoin in the plan.
         grid = (
             counts.select(*gcols)
             .distinct()
-            .crossJoin(
-                F.broadcast(
-                    counts.sparkSession.range(n_bins).select(
-                        F.col("id").cast("int").alias("_bin")
-                    )
-                )
+            .select(
+                *gcols,
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_bins - 1))
+                ).alias("_bin"),
             )
         )
         dense = grid.join(counts, [*gcols, "_bin"], "left").select(

@@ -557,3 +557,50 @@ def kcore_peel(
     return alive.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the (symmetric) edge list —
+    positive when hubs attach to hubs (social nets), negative when
+    hubs attach to leaves (the web, biology).  One number that says
+    whether degree-targeted strategies (hub sampling, skew salting)
+    will pay off on this graph.
+
+    Plan: one degree aggregation, two node-keyed joins to decorate
+    each edge with (deg_src, deg_dst), then a single correlation
+    aggregation through the exact-decimal sums — degrees are
+    integer-valued doubles, so every product is exact and the
+    correlation is bit-stable (the engine-wide q25 idiom).
+
+    Returns one row: ``n_edges, assortativity``.
+    """
+    from btc_usdt_etl_pipeline_spark.functions import DEC
+
+    deg = edges.groupBy(F.col(src).alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("_n", src), src)
+        .withColumnRenamed("_d", "_dx")
+        .join(deg.withColumnRenamed("_n", dst), dst)
+        .withColumnRenamed("_d", "_dy")
+        .select(
+            F.col("_dx").cast("double").alias("x"),
+            F.col("_dy").cast("double").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(F.col("x").cast(DEC)).cast("double")
+    sy = F.sum(F.col("y").cast(DEC)).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double")
+    num = sxy - sx * sy / n
+    den = F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    return e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -1,0 +1,243 @@
+"""Distributed statistics beyond point estimates: uncertainty
+(Poisson bootstrap), robust location (trimmed mean), and forensic
+distribution checks (Benford).  All deterministic and SQL-oracle
+replayable — no RNG state, no row-at-a-time Python.
+
+The Poisson bootstrap here is the one that actually distributes
+(Chamandy et al., Google 2012): classic resampling needs n draws WITH
+replacement per replicate — a global operation — but for large n the
+per-row multinomial weight converges to Poisson(1), which is local.
+Each row derives its B replicate weights from a portable hash of
+(id, replicate), so the whole procedure is a deterministic map +
+keyed aggregation, trivially parallel and bit-replayable by the
+oracle — no engine RNG, whose stream order would differ per
+partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from btc_usdt_etl_pipeline_spark.functions import DEC
+
+#: Inverse-CDF thresholds for Poisson(1): P(X<=k) for k = 0..4.
+#: A 24-bit uniform from the portable hash is compared against these
+#: (weights >5 have probability ~1e-4 and truncate to 5 — negligible
+#: and identical on both sides).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _poisson1(u: Column) -> Column:
+    w = F.lit(5)
+    for k in reversed(range(len(_POIS_CDF))):
+        w = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci_mean(
+    value_col: str,
+    id_col: str,
+    group_by: str | None = None,
+    replicates: int = 40,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+) -> Callable[[DataFrame], DataFrame]:
+    """Bootstrap confidence interval for the mean, per group: B
+    Poisson-weighted replicate means, CI = the (lo_q, hi_q) type-7
+    percentiles of the replicate distribution.  The metric-uncertainty
+    primitive an eval pipeline needs next to every point estimate.
+
+    Plan: explode B replicate ids per row (bounded constant blow-up),
+    ONE (group, replicate) keyed aggregation with map-side partials
+    collapsing the blow-up immediately, then a tiny per-group
+    percentile over B rows.  Weighted sums run through the exact-
+    decimal idiom; replicate means are single IEEE divisions; the CI
+    rounds at the pinned 6 dp percentile idiom.
+
+    Returns ``group_by…, mean, ci_lo, ci_hi, n_replicates``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.dedup import (
+            portable_hash60,
+        )
+
+        r = F.explode(
+            F.sequence(F.lit(0), F.lit(replicates - 1))
+        ).alias("_r")
+        ex = df.where(F.col(value_col).isNotNull()).select(
+            *gcols, F.col(id_col).alias("_id"), F.col(value_col).alias("_x"), r
+        )
+        h = portable_hash60(
+            F.concat_ws(":", F.col("_id").cast("string"),
+                        F.col("_r").cast("string"))
+        )
+        # 24 low bits → exact uniform in [0,1): both engines convert
+        # the small integer losslessly.
+        u = (
+            h.bitwiseAND(F.lit(0xFFFFFF)).cast("double")
+            / F.lit(16777216.0)
+        )
+        w = _poisson1(u)
+        rep = (
+            ex.withColumn("_w", w)
+            .groupBy(*gcols, "_r")
+            .agg(
+                F.sum((F.col("_w") * F.col("_x")).cast(DEC))
+                .cast("double")
+                .alias("_swx"),
+                F.sum("_w").alias("_sw"),
+            )
+            .where(F.col("_sw") > 0)
+            .withColumn("_m", F.col("_swx") / F.col("_sw"))
+        )
+        return rep.groupBy(*gcols).agg(
+            F.round(
+                F.sum(F.col("_m").cast(DEC)).cast("double")
+                / F.count("_m"),
+                6,
+            ).alias("mean"),
+            F.round(F.percentile("_m", F.lit(float(lo_q))), 6).alias(
+                "ci_lo"
+            ),
+            F.round(F.percentile("_m", F.lit(float(hi_q))), 6).alias(
+                "ci_hi"
+            ),
+            F.count("_m").alias("n_replicates"),
+        )
+
+    return _t
+
+
+def trimmed_mean(
+    value_col: str,
+    group_by: str | None = None,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out: str = "trimmed_mean",
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-group mean of the values inside the [lo_q, hi_q] exact
+    percentile band — the robust location estimate between the median
+    (too aggressive) and the mean (not robust at all).  One grouped
+    percentile aggregation (bounds rounded at the pinned 6 dp idiom)
+    broadcast back, then one exact-decimal mean over the kept rows.
+
+    Returns ``group_by…, n_kept, out``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        src = df.where(F.col(value_col).isNotNull())
+        bounds = src.groupBy(*gcols).agg(
+            F.round(F.percentile(value_col, F.lit(float(lo_q))), 6).alias(
+                "_lo"
+            ),
+            F.round(F.percentile(value_col, F.lit(float(hi_q))), 6).alias(
+                "_hi"
+            ),
+        )
+        if gcols:
+            joined = src.join(F.broadcast(bounds), gcols)
+        else:
+            joined = attach_scalar(
+                src, bounds, F.col(value_col), F.col("_lo")
+            )
+        kept = joined.where(
+            (F.col(value_col) >= F.col("_lo"))
+            & (F.col(value_col) <= F.col("_hi"))
+        )
+        return kept.groupBy(*gcols).agg(
+            F.count(value_col).alias("n_kept"),
+            (
+                F.sum(F.col(value_col).cast(DEC)).cast("double")
+                / F.count(value_col)
+            ).alias(out),
+        )
+
+    return _t
+
+
+#: Benford's-law expected first-digit proportions log10(1 + 1/d),
+#: d = 1..9 — hardcoded so no cross-engine log10 enters the plan.
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_deviation(
+    cents_col: Column,
+    group_by: Sequence[str] | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """First-digit distribution vs Benford's law — the classic
+    forensic screen for fabricated or truncated numeric columns (a
+    synthetic data source that fails Benford wildly is worth a look
+    before it trains anything).
+
+    ``cents_col`` must be an INTEGER-valued column (e.g. price·100):
+    the leading digit comes from the integer's decimal string, which
+    formats identically in every engine — never from log10, whose
+    boundary ULPs differ.  One data-scale aggregation; χ² terms run
+    through the exact-decimal sum.
+
+    Returns one row per (group, digit): ``group_by…, digit, n_obs,
+    p_obs, p_benford, chi2`` (chi2 repeats per group).
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        digit = F.substring(
+            F.abs(cents_col).cast("bigint").cast("string"), 1, 1
+        ).cast("int")
+        counts = (
+            df.where(F.abs(cents_col) >= 1)
+            .groupBy(*gcols, digit.alias("digit"))
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .where(F.col("digit") >= 1)
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        n = F.sum("n_obs").over(wg).cast("double")
+        p_obs = F.col("n_obs").cast("double") / n
+        p_ben = F.lit(0.0)
+        for d, p in enumerate(BENFORD_P, start=1):
+            p_ben = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_ben)
+        staged = counts.withColumn("p_obs", p_obs).withColumn(
+            "p_benford", p_ben
+        )
+        term = (
+            (F.col("n_obs").cast("double") - F.col("p_benford") * n)
+            * (F.col("n_obs").cast("double") - F.col("p_benford") * n)
+            / (F.col("p_benford") * n)
+        ).cast(DEC)
+        return (
+            staged.withColumn("_t", term)
+            .withColumn("chi2", F.sum("_t").over(wg).cast("double"))
+            .drop("_t")
+        )
+
+    return _t

@@ -1,0 +1,101 @@
+"""Semantic tests for the statistics pack: bootstrap CI coverage
+behavior, trimmed-mean robustness, Benford screens, assortativity on
+graphs with known mixing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bootstrap_ci_mean,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, "g", rng.gauss(50.0, 5.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, k string, value double")
+    (r,) = df.transform(
+        bootstrap_ci_mean("value", id_col="i", group_by="k",
+                          replicates=40)
+    ).collect()
+    sample_mean = sum(v for _, _, v in rows) / len(rows)
+    assert r["ci_lo"] < sample_mean < r["ci_hi"]
+    # CI width ≈ 2·1.96·σ/√n ≈ 0.44 — sanity band, not exactness.
+    assert 0.1 < r["ci_hi"] - r["ci_lo"] < 1.5
+    assert r["n_replicates"] == 40
+    assert abs(r["mean"] - sample_mean) < 0.5
+
+
+def test_bootstrap_is_deterministic(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bootstrap_ci_mean,
+    )
+
+    rows = [(i, float(i % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, value double")
+    t = bootstrap_ci_mean("value", id_col="i", replicates=20)
+    a = df.transform(t).collect()[0]
+    b = df.repartition(7).transform(t).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"], a["mean"]) == (
+        b["ci_lo"], b["ci_hi"], b["mean"],
+    )
+
+
+def test_trimmed_mean_robust_to_outliers(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import trimmed_mean
+
+    vals = [float(v) for v in range(100)] + [1e9, -1e9]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "i long, k string, value double",
+    )
+    (r,) = df.transform(
+        trimmed_mean("value", group_by="k", lo_q=0.05, hi_q=0.95)
+    ).collect()
+    assert abs(r["trimmed_mean"] - 49.5) < 3.0  # raw mean would be ~1e7
+    assert r["n_kept"] < 102
+
+
+def test_benford_chi2_ordering(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        benford_deviation,
+    )
+
+    rng = random.Random(41)
+    # Benford-ish: exp(uniform) spans decades → first digits follow
+    # Benford closely; uniform ints 100-999 do not.
+    benford_vals = [
+        (i, math.exp(rng.uniform(0, 12))) for i in range(4000)
+    ]
+    uniform_vals = [
+        (i, float(rng.randint(100, 999))) for i in range(4000)
+    ]
+    for rows, expect_low in ((benford_vals, True), (uniform_vals, False)):
+        df = spark.createDataFrame(rows, "i long, x double")
+        out = df.transform(
+            benford_deviation(F.round(F.col("x") * 100, 0))
+        ).collect()
+        chi2 = out[0]["chi2"]
+        if expect_low:
+            low_chi2 = chi2
+        else:
+            assert chi2 > 10 * low_chi2
+    assert {r["digit"] for r in out} <= set(range(1, 10))
+
+
+def test_assortativity_star_is_negative(spark):
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # Star graph: hub 0 ↔ leaves 1..20 — maximally disassortative.
+    e = [(0, i) for i in range(1, 21)]
+    sym = e + [(b, a) for a, b in e]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    (r,) = degree_assortativity(df).collect()
+    assert r["assortativity"] == -1.0
+    assert r["n_edges"] == 40

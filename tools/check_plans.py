@@ -447,6 +447,51 @@ def main() -> int:
         "no nested-loop join",
     )
 
+    # Final round-7 operators: the drift/sketch/rules family must stay
+    # join-light — scalars attach as broadcast hash joins (never SMJ,
+    # never nested-loop), and the pure window/agg pipelines must carry
+    # no join at all.
+    df = qs["q183_psi"](spark, SF_DIR)
+    kinds = join_kinds(df)
+    check("q183", "SortMergeJoin" not in kinds, "all attaches broadcast")
+    check(
+        "q183",
+        "BroadcastNestedLoopJoin" not in kinds,
+        "bin grid densified by explode, not cross join",
+    )
+    for name in (
+        "q184_ks_drift",
+        "q192_robust_scale",
+        "q194_mad_outliers",
+    ):
+        kinds = join_kinds(qs[name](spark, SF_DIR))
+        check(name, "SortMergeJoin" not in kinds, "stats attach broadcast")
+    for name in (
+        "q185_acf",
+        "q186_seasonal_decompose",
+        "q188_sax",
+        "q196_woe_iv",
+        "q197_ddsketch",
+        "q199_weighted_median",
+    ):
+        check(
+            name,
+            join_kinds(qs[name](spark, SF_DIR)) == [],
+            "pure window/agg pipeline — no joins",
+        )
+    kinds = join_kinds(qs["q195_association_rules"](spark, SF_DIR))
+    check(
+        "q195",
+        "BroadcastHashJoin" in kinds,
+        "item marginals + basket total attach broadcast",
+    )
+    kinds = join_kinds(qs["q200_pq_codes"](spark, SF_DIR))
+    check(
+        "q200",
+        all(k == "BroadcastHashJoin" for k in kinds),
+        "code joins are id-keyed broadcasts; centroids ride as literals",
+    )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
