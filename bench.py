@@ -158,6 +158,7 @@ HEADLINE = [
     "q203_benford",
     "q204_decayed_topk",
     "q205_assortativity",
+    "q206_kaplan_meier",
 ]
 
 

@@ -241,3 +241,77 @@ def benford_deviation(
         )
 
     return _t
+
+
+def kaplan_meier(
+    duration_col: str,
+    event_col: Column,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Kaplan–Meier survival estimator with right censoring — the
+    churn/retention curve done correctly: censored subjects (still
+    alive at last observation) leave the risk set without counting as
+    deaths, which a naive "fraction retained" silently gets wrong.
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    d_i = events at time t_i, n_i = subjects still at risk.  Plan: one
+    (group, duration) aggregation, then per-group ordered windows —
+    the risk set is group-total minus the cumulative departures, and
+    the product runs in log space (ln terms summed over the same
+    ordered window on both engines; survival rounds at the pinned 6 dp
+    transcendental contract).  A time where the whole risk set dies
+    (frac = 0) zeroes survival via an explicit flag rather than ln(0),
+    which Spark nulls and DuckDB faults.
+
+    Emits one row per EVENT time (d_i > 0): ``group_by…, t, n_risk,
+    n_events, n_censored, survival``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        per_t = (
+            df.where(F.col(duration_col).isNotNull())
+            .groupBy(*gcols, F.col(duration_col).alias("t"))
+            .agg(
+                F.sum(event_col.cast("int")).alias("_d"),
+                F.sum(F.lit(1) - event_col.cast("int")).alias("_c"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        total = F.sum(F.col("_d") + F.col("_c")).over(wg)
+        departed_incl = F.sum(F.col("_d") + F.col("_c")).over(wo)
+        n_risk = total - departed_incl + (F.col("_d") + F.col("_c"))
+        staged = per_t.withColumn("_n", n_risk).withColumn(
+            "_frac",
+            F.lit(1.0)
+            - F.col("_d").cast("double") / F.col("_n").cast("double"),
+        )
+        ln_safe = F.log(
+            F.when(F.col("_frac") > 0, F.col("_frac")).otherwise(
+                F.lit(1.0)
+            )
+        )
+        dead = F.min("_frac").over(wo) <= 0
+        survival = F.when(dead, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(ln_safe).over(wo)), 6)
+        )
+        return (
+            staged.withColumn("survival", survival)
+            .where(F.col("_d") > 0)
+            .select(
+                *gcols,
+                "t",
+                F.col("_n").alias("n_risk"),
+                F.col("_d").alias("n_events"),
+                F.col("_c").alias("n_censored"),
+                "survival",
+            )
+        )
+
+    return _t

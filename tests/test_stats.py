@@ -99,3 +99,57 @@ def test_assortativity_star_is_negative(spark):
     (r,) = degree_assortativity(df).collect()
     assert r["assortativity"] == -1.0
     assert r["n_edges"] == 40
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import kaplan_meier
+
+    # Classic textbook fixture: durations with censoring.
+    #   t=1: d=1 of n=6 → S = 5/6
+    #   t=2: censored (leaves risk set, no step)
+    #   t=3: d=2 of n=4 → S = 5/6 · 2/4
+    #   t=4: censored
+    #   t=5: d=1 of n=1 → S = 0
+    rows = [
+        (1, 1, 1), (2, 2, 0), (3, 3, 1), (4, 3, 1), (5, 4, 0), (6, 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "i long, dur long, ev int")
+    out = {
+        r["t"]: r
+        for r in df.transform(
+            kaplan_meier("dur", event_col=F.col("ev") == 1)
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5}
+    assert (out[1]["n_risk"], out[1]["n_events"]) == (6, 1)
+    assert abs(out[1]["survival"] - 5 / 6) < 1e-6
+    assert (out[3]["n_risk"], out[3]["n_events"]) == (4, 2)
+    assert abs(out[3]["survival"] - (5 / 6) * (2 / 4)) < 1e-6
+    assert out[5]["survival"] == 0.0  # whole risk set dies → flag, not ln(0)
+
+
+def test_kaplan_meier_censoring_changes_curve(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import kaplan_meier
+
+    # Same timeline; flipping the t=7 exits from deaths to censoring
+    # must RAISE the downstream curve (they stop counting as deaths):
+    #   deaths: S(10) = (1-10/40)(1-10/30)(1-10/20) = 0.25
+    #   censor: S(10) = (1-10/40)(1-10/20)          = 0.375
+    def s_at_10(mid_ev):
+        rows = (
+            [(i, 5, 1) for i in range(10)]
+            + [(100 + i, 7, mid_ev) for i in range(10)]
+            + [(200 + i, 10, 1) for i in range(10)]
+            + [(300 + i, 12, 0) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "i long, dur long, ev int")
+        out = {
+            r["t"]: r["survival"]
+            for r in df.transform(
+                kaplan_meier("dur", event_col=F.col("ev") == 1)
+            ).collect()
+        }
+        return out[10]
+
+    assert abs(s_at_10(1) - 0.25) < 1e-6
+    assert abs(s_at_10(0) - 0.375) < 1e-6
