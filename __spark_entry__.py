@@ -10261,6 +10261,244 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q207_readability",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      len({_TOKS_SQL}) AS words,
+                      GREATEST(1, len(list_filter(
+                        string_split_regex(text, '[.!?]+'),
+                        x -> trim(x) != ''))) AS sents,
+                      list_sum(list_transform({_TOKS_SQL},
+                        w -> GREATEST(1, len(list_filter(
+                          string_split_regex(w, '[^aeiouy]+'),
+                          x -> x != ''))))) AS syls
+               FROM documents),
+    f AS (SELECT doc_id, words, sents, syls FROM t WHERE words > 0)
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sents AS BIGINT) AS sents,
+           CAST(syls AS BIGINT) AS syllables,
+           round(206.835::DOUBLE
+                 - 1.015::DOUBLE * (CAST(words AS DOUBLE)
+                                    / CAST(sents AS DOUBLE))
+                 - 84.6::DOUBLE * (CAST(syls AS DOUBLE)
+                                   / CAST(words AS DOUBLE)), 6)
+             AS flesch
+    FROM f
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document — the classic
+    readability quality signal for corpus filtering: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated by vowel-run counts (the standard dictionary-free
+    heuristic).  Pure higher-order array expressions over the shared
+    tokenizer — JVM-side, no UDFs, one scan, no shuffle at all."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    syl = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.filter(
+                    F.split(w, "[^aeiouy]+"), lambda x: x != ""
+                )
+            ),
+        ),
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "[.!?]+"),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+    )
+    staged = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("words"),
+        sents.cast("bigint").alias("sents"),
+        syl.cast("bigint").alias("syllables"),
+    ).where(F.col("words") > 0)
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sents").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("syllables").cast("double")
+            / F.col("words").cast("double")
+        ),
+        6,
+    )
+    return staged.withColumn("flesch", flesch)
+
+
+@_q(
+    "q208_abc_analysis",
+    """
+    WITH r AS (SELECT l_partkey,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6)) AS revenue
+               FROM lineitem GROUP BY l_partkey),
+    c AS (SELECT l_partkey, revenue,
+                 SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                 SUM(revenue) OVER () AS tot
+          FROM r)
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                     <= 0.7 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                     <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: cumulative
+    revenue share over the descending-revenue order, A = first 70% of
+    spend, B = to 90%, C = the long tail — the 80/20 triage behind
+    inventory and storage-tiering decisions.  Revenue stays an exact
+    decimal through the cumulative window (order-free sums, exact
+    compares feeding only the final double share), and the ordered
+    walk runs over the PART catalog (post-agg, item-scale) — not the
+    fact table; at catalog scales beyond one task, range-bucket the
+    revenue domain first (the q199 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+            "decimal(38,6)"
+        ).alias("_rev")
+    )
+    wo = Window.orderBy(
+        F.col("_rev").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy()
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    return (
+        r.withColumn("_cum", F.sum("_rev").over(wo))
+        .withColumn("_tot", F.sum("_rev").over(wg))
+        .select(
+            "l_partkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.7, "A")
+            .when(share <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@_q(
+    "q209_diff_in_diff",
+    """
+    WITH e AS (SELECT user_id, value, epoch_us(ts) AS t
+               FROM events WHERE value IS NOT NULL),
+    bd AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS b FROM e),
+    treated AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'signup'),
+    tagged AS (SELECT CASE WHEN tr.user_id IS NOT NULL
+                           THEN 1 ELSE 0 END AS grp,
+                      CASE WHEN e.t >= bd.b THEN 1 ELSE 0 END AS post,
+                      e.value
+               FROM e CROSS JOIN bd
+               LEFT JOIN treated tr ON e.user_id = tr.user_id),
+    m AS (SELECT grp, post,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(value) AS mean_v,
+                 COUNT(*)::BIGINT AS n
+          FROM tagged GROUP BY grp, post)
+    SELECT MAX(CASE WHEN grp = 1 AND post = 0 THEN mean_v END)
+             AS treat_pre,
+           MAX(CASE WHEN grp = 1 AND post = 1 THEN mean_v END)
+             AS treat_post,
+           MAX(CASE WHEN grp = 0 AND post = 0 THEN mean_v END)
+             AS control_pre,
+           MAX(CASE WHEN grp = 0 AND post = 1 THEN mean_v END)
+             AS control_post,
+           (MAX(CASE WHEN grp = 1 AND post = 1 THEN mean_v END)
+            - MAX(CASE WHEN grp = 1 AND post = 0 THEN mean_v END))
+           - (MAX(CASE WHEN grp = 0 AND post = 1 THEN mean_v END)
+              - MAX(CASE WHEN grp = 0 AND post = 0 THEN mean_v END))
+             AS did,
+           CAST(SUM(n) AS BIGINT) AS n_obs
+    FROM m
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the treatment effect on
+    event values: treatment = users who ever signed up, periods split
+    at the midpoint epoch (q183's in-plan boundary), DiD =
+    (treat_post − treat_pre) − (control_post − control_pre) — the
+    workhorse quasi-experimental estimator for launch analysis.  One
+    (group, period) exact-decimal mean aggregation; the treated-user
+    set attaches as a broadcast semi-tag; all arithmetic is
+    add/sub/divide — bit-stable, no rounding contract."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("_tus", F.unix_micros("ts"))
+    )
+    bounds = e.agg(
+        F.min("_tus").alias("_mn"), F.max("_tus").alias("_mx")
+    )
+    tagged = attach_scalar(e, bounds, F.col("_tus"), F.col("_mn"))
+    treated = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .withColumn("_tr", F.lit(1))
+    )
+    boundary = F.col("_mn") + F.expr("(_mx - _mn) DIV 2")
+    x = (
+        tagged.join(F.broadcast(treated), "user_id", "left")
+        .select(
+            F.coalesce(F.col("_tr"), F.lit(0)).alias("_grp"),
+            (F.col("_tus") >= boundary).cast("int").alias("_post"),
+            "value",
+        )
+    )
+    m = x.groupBy("_grp", "_post").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("_mean"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    def cell(g: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("_grp") == g) & (F.col("_post") == p),
+                F.col("_mean"),
+            )
+        )
+
+    did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+    return m.agg(
+        cell(1, 0).alias("treat_pre"),
+        cell(1, 1).alias("treat_post"),
+        cell(0, 0).alias("control_pre"),
+        cell(0, 1).alias("control_post"),
+        did.alias("did"),
+        F.sum("_n").alias("n_obs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -159,6 +159,9 @@ HEADLINE = [
     "q204_decayed_topk",
     "q205_assortativity",
     "q206_kaplan_meier",
+    "q207_readability",
+    "q208_abc_analysis",
+    "q209_diff_in_diff",
 ]
 
 

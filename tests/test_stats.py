@@ -153,3 +153,83 @@ def test_kaplan_meier_censoring_changes_curve(spark):
 
     assert abs(s_at_10(1) - 0.25) < 1e-6
     assert abs(s_at_10(0) - 0.375) < 1e-6
+
+
+def test_abc_classification_invariants(spark):
+    from pyspark.sql import Window
+
+    # Use the registered query logic indirectly: build revenue table
+    # and class it the same way — invariants: shares monotone, classes
+    # ordered A then B then C along descending revenue, all classes
+    # partition the items.
+    import __spark_entry__ as E
+
+    out = E.queries()["q208_abc_analysis"](
+        spark, "/root/testdata/sf0.001"
+    ).orderBy(F.col("cum_share")).collect()
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    classes = "".join(r["abc_class"] for r in out)
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+    assert set(classes) == {"A", "B", "C"}
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from btc_usdt_etl_pipeline_spark.functions import exact_avg  # noqa: F401
+
+    # Construct a panel with a known +5 treatment effect on top of a
+    # +2 common time trend; DiD must isolate the 5.
+    rows = []
+    for u in range(40):
+        treated = u < 20
+        for t in (0, 1):
+            base = 10.0 + 2.0 * t + (5.0 if treated and t == 1 else 0.0)
+            rows.append((u, t, base, 1 if treated else 0))
+    df = spark.createDataFrame(rows, "user_id long, post int, value double, grp int")
+    m = df.groupBy("grp", "post").agg(F.avg("value").alias("m"))
+    got = {(r["grp"], r["post"]): r["m"] for r in m.collect()}
+    did = (got[(1, 1)] - got[(1, 0)]) - (got[(0, 1)] - got[(0, 0)])
+    assert abs(did - 5.0) < 1e-9
+
+
+def test_readability_orders_simple_vs_complex(spark):
+    import __spark_entry__ as E  # noqa: F401 — idiom reuse
+
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran. It was fun."),
+            (2, "Extraordinarily sophisticated methodological "
+                "considerations necessitate comprehensive "
+                "interdisciplinary collaboration."),
+        ],
+        "doc_id long, text string",
+    )
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+
+    toks = tokens("text")
+    syl = FF.aggregate(
+        toks, FF.lit(0),
+        lambda acc, w: acc + FF.greatest(
+            FF.lit(1),
+            FF.size(FF.filter(FF.split(w, "[^aeiouy]+"),
+                              lambda x: x != "")),
+        ),
+    )
+    sents = FF.greatest(
+        FF.lit(1),
+        FF.size(FF.filter(FF.split(FF.col("text"), "[.!?]+"),
+                          lambda x: FF.trim(x) != "")),
+    )
+    out = df.select(
+        "doc_id",
+        (FF.lit(206.835)
+         - FF.lit(1.015) * (FF.size(toks) / sents)
+         - FF.lit(84.6) * (syl / FF.size(toks))).alias("flesch"),
+    ).collect()
+    scores = {r["doc_id"]: r["flesch"] for r in out}
+    assert scores[1] > 80  # short words, short sentences
+    assert scores[2] < 0   # polysyllabic monster sentence
