@@ -10499,6 +10499,211 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q210_mase",
+    """
+    WITH w AS (SELECT user_id, value,
+                      lag(value, 24) OVER wo AS fc,
+                      lag(value, 1) OVER wo AS nv
+               FROM events
+               WINDOW wo AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+    m AS (SELECT user_id,
+                 COUNT(*)::BIGINT AS n_eval,
+                 CAST(SUM(CAST(abs(value - fc) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*) AS mae_forecast,
+                 CAST(SUM(CAST(abs(value - nv) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*) AS mae_naive
+          FROM w WHERE fc IS NOT NULL AND nv IS NOT NULL
+          GROUP BY user_id)
+    SELECT user_id, n_eval, mae_forecast, mae_naive,
+           CASE WHEN mae_naive > 0 THEN mae_forecast / mae_naive END
+             AS mase
+    FROM m
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE forecast-accuracy baseline per user series (Hyndman &
+    Koehler): evaluate the seasonal-naive forecast (value 24 steps
+    ago) against the one-step-naive scale — MASE < 1 means the
+    seasonal structure is real and worth modeling, the first question
+    any forecasting pipeline asks of a series.  Two lag windows on
+    one keyed ordered pass; exact-decimal MAE sums, one IEEE ratio,
+    zero-denominator → NULL (constant series)."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = e.select(
+        "user_id",
+        "value",
+        F.lag("value", 24).over(wo).alias("_fc"),
+        F.lag("value", 1).over(wo).alias("_nv"),
+    ).where(F.col("_fc").isNotNull() & F.col("_nv").isNotNull())
+    m = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        (
+            F.sum(
+                F.abs(F.col("value") - F.col("_fc")).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_forecast"),
+        (
+            F.sum(
+                F.abs(F.col("value") - F.col("_nv")).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_naive"),
+    )
+    return m.select(
+        "user_id",
+        "n_eval",
+        "mae_forecast",
+        "mae_naive",
+        F.when(
+            F.col("mae_naive") > 0,
+            F.col("mae_forecast") / F.col("mae_naive"),
+        ).alias("mase"),
+    )
+
+
+@_q(
+    "q211_negative_sampling",
+    """
+    WITH pool AS (SELECT vec_id AS nid, label AS nlabel
+                  FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                  LIMIT 64),
+    pl AS (SELECT list(struct_pack(nid := nid, nlabel := nlabel)
+                       ORDER BY md5(CAST(nid AS VARCHAR)), nid) AS p
+           FROM pool),
+    cand AS (SELECT e.vec_id, e.label,
+                    list_filter(pl.p,
+                      s -> s.nid != e.vec_id
+                           AND s.nlabel != e.label) AS negs
+             FROM embeddings e CROSS JOIN pl)
+    SELECT vec_id, CAST(t.i + 1 AS INT) AS neg_rank,
+           negs[t.i + 1].nid AS neg_id
+    FROM cand, range(0, 4) AS t(i)
+    WHERE len(negs) > t.i
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor vector gets 4 negatives drawn from a portable-hash-ordered
+    broadcast pool, filtered to a DIFFERENT label than the anchor —
+    the in-batch-negatives pattern without RNG state, so the pairing
+    is reproducible across runs/partitionings and SQL-replayable.
+    The pool is one 64-row TakeOrderedAndProject collapsed to a
+    single broadcast array; selection is a pure HOF filter+slice per
+    anchor — no join against the corpus, no shuffle beyond the pool
+    agg."""
+    from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pool = (
+        emb.select(
+            F.col("vec_id").alias("_nid"),
+            F.col("label").alias("_nlabel"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_nid")
+        .limit(64)
+    )
+    pool_arr = pool.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_h").alias("h"),
+                    F.col("_nid").alias("nid"),
+                    F.col("_nlabel").alias("nlabel"),
+                )
+            )
+        ).alias("_pool")
+    )
+    x = attach_scalar(
+        emb.select("vec_id", "label"),
+        pool_arr,
+        F.col("vec_id"),
+        F.size("_pool"),
+    )
+    negs = F.slice(
+        F.filter(
+            F.col("_pool"),
+            lambda s: (s.getField("nid") != F.col("vec_id"))
+            & (s.getField("nlabel") != F.col("label")),
+        ),
+        1,
+        4,
+    )
+    ex = x.select(
+        "vec_id", F.posexplode(negs).alias("_i", "_s")
+    )
+    return ex.select(
+        "vec_id",
+        (F.col("_i") + 1).cast("int").alias("neg_rank"),
+        F.col("_s").getField("nid").alias("neg_id"),
+    )
+
+
+@_q(
+    "q212_kanon_rollup",
+    """
+    WITH g AS (SELECT o_orderpriority AS priority,
+                      o_orderstatus AS status,
+                      COUNT(*)::BIGINT AS n,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY priority, status),
+    t AS (SELECT CASE WHEN n >= 10 THEN priority
+                      ELSE 'other' END AS priority,
+                 CASE WHEN n >= 10 THEN status
+                      ELSE 'other' END AS status,
+                 n, revenue
+          FROM g)
+    SELECT priority, status, CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM t GROUP BY priority, status
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity rollup (k=10) of the order summary: groups smaller
+    than k are suppressed into a re-aggregated 'other' bucket rather
+    than published — the governance-safe aggregate export shape
+    (small cells re-identify).  Two metadata-scale aggregations after
+    the one fact-table groupBy; revenue stays exact-decimal through
+    both levels so the suppressed bucket's total is order-free."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    anon = g.select(
+        F.when(F.col("n") >= 10, F.col("priority"))
+        .otherwise(F.lit("other"))
+        .alias("priority"),
+        F.when(F.col("n") >= 10, F.col("status"))
+        .otherwise(F.lit("other"))
+        .alias("status"),
+        "n",
+        "revenue",
+    )
+    return anon.groupBy("priority", "status").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("revenue").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

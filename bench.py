@@ -162,6 +162,9 @@ HEADLINE = [
     "q207_readability",
     "q208_abc_analysis",
     "q209_diff_in_diff",
+    "q210_mase",
+    "q211_negative_sampling",
+    "q212_kanon_rollup",
 ]
 
 

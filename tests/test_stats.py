@@ -233,3 +233,60 @@ def test_readability_orders_simple_vs_complex(spark):
     scores = {r["doc_id"]: r["flesch"] for r in out}
     assert scores[1] > 80  # short words, short sentences
     assert scores[2] < 0   # polysyllabic monster sentence
+
+
+def test_mase_prefers_true_seasonal_series(spark):
+    import __spark_entry__ as E  # noqa: F401
+
+    # Planted period-24 series: seasonal-naive error ~0, naive-1 error
+    # large → MASE ≪ 1. A pure random walk gives MASE near/above 1.
+    import math as _m
+
+    rows = [
+        (1, i, i, 10.0 + 5.0 * _m.sin(2 * _m.pi * (i % 24) / 24))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = df.select(
+        "user_id", "value",
+        F.lag("value", 24).over(wo).alias("fc"),
+        F.lag("value", 1).over(wo).alias("nv"),
+    ).where(F.col("fc").isNotNull())
+    m = staged.agg(
+        (F.avg(F.abs(F.col("value") - F.col("fc")))
+         / F.avg(F.abs(F.col("value") - F.col("nv")))).alias("mase")
+    ).collect()[0]["mase"]
+    assert m < 0.05
+
+
+def test_negative_sampling_labels_and_determinism(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["q211_negative_sampling"](spark, sf)
+    rows = out.collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in rows:
+        assert labels[r["neg_id"]] != labels[r["vec_id"]]
+        assert r["neg_id"] != r["vec_id"]
+        assert 1 <= r["neg_rank"] <= 4
+    # deterministic across re-execution
+    again = {(r["vec_id"], r["neg_rank"]): r["neg_id"] for r in out.collect()}
+    assert all(again[(r["vec_id"], r["neg_rank"])] == r["neg_id"] for r in rows)
+
+
+def test_kanon_no_small_published_cells(spark):
+    import __spark_entry__ as E
+
+    out = E.queries()["q212_kanon_rollup"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    for r in out:
+        if r["priority"] != "other" or r["status"] != "other":
+            assert r["n"] >= 10, r
