@@ -10704,6 +10704,221 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q213_calibration",
+    """
+    WITH s AS (SELECT LEAST(1.0, value / 500.0) AS score,
+                      CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT LEAST(9, GREATEST(0,
+                   CAST(FLOOR(score * 10.0) AS INT))) AS bin,
+                 COUNT(*)::BIGINT AS n,
+                 CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_score,
+                 CAST(SUM(y) AS BIGINT) AS resp
+          FROM s GROUP BY bin),
+    m AS (SELECT bin, n, mean_score,
+                 CAST(resp AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS event_rate,
+                 CAST(SUM(n) OVER () AS DOUBLE) AS nn
+          FROM b),
+    t AS (SELECT bin, n, mean_score, event_rate,
+                 CAST((CAST(n AS DOUBLE) / nn)
+                      * abs(event_rate - mean_score)
+                      AS DECIMAL(38,6)) AS term
+          FROM m)
+    SELECT bin, n, mean_score, event_rate,
+           CAST(SUM(term) OVER () AS DOUBLE) AS ece
+    FROM t
+    """,
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table + Expected Calibration Error
+    over a pseudo-score (value/500 clamped to [0,1]) against the
+    purchase outcome: per score-decile bin, mean predicted score vs
+    observed event rate, ECE = Σ (n/N)·|rate − score| — the standard
+    check that a model's probabilities MEAN something before they
+    gate data or spend.  One conditional-count shuffle; rational
+    arithmetic + decimal-exact ECE terms, no rounding contract."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.least(F.lit(1.0), F.col("value") / F.lit(500.0)).alias(
+                "_score"
+            ),
+            (F.col("event_type") == "purchase")
+            .cast("int")
+            .alias("_y"),
+        )
+    )
+    b = s.groupBy(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("_score") * F.lit(10.0))
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("_score").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+        F.sum("_y").alias("_resp"),
+    )
+    wg = Window.partitionBy()
+    rate = F.col("_resp").cast("double") / F.col("n").cast("double")
+    m = b.withColumn("event_rate", rate).withColumn(
+        "_nn", F.sum("n").over(wg).cast("double")
+    )
+    term = (
+        (F.col("n").cast("double") / F.col("_nn"))
+        * F.abs(F.col("event_rate") - F.col("mean_score"))
+    ).cast("decimal(38,6)")
+    return (
+        m.withColumn("_term", term)
+        .withColumn("ece", F.sum("_term").over(wg).cast("double"))
+        .select("bin", "n", "mean_score", "event_rate", "ece")
+    )
+
+
+@_q(
+    "q214_gains_curve",
+    """
+    WITH src AS (SELECT value,
+                        CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END AS y
+                 FROM events WHERE NOT isnan(value)),
+    bd AS (SELECT [round(quantile_cont(value, 0.1), 6),
+                   round(quantile_cont(value, 0.2), 6),
+                   round(quantile_cont(value, 0.3), 6),
+                   round(quantile_cont(value, 0.4), 6),
+                   round(quantile_cont(value, 0.5), 6),
+                   round(quantile_cont(value, 0.6), 6),
+                   round(quantile_cont(value, 0.7), 6),
+                   round(quantile_cont(value, 0.8), 6),
+                   round(quantile_cont(value, 0.9), 6)] AS bounds
+           FROM src),
+    d AS (SELECT CAST(list_sum(list_transform(bounds,
+                   x -> CASE WHEN value > x THEN 1 ELSE 0 END))
+                 AS INT) AS decile, y
+          FROM src, bd),
+    g AS (SELECT decile, COUNT(*)::BIGINT AS n,
+                 CAST(SUM(y) AS BIGINT) AS resp
+          FROM d GROUP BY decile),
+    c AS (SELECT decile, n, resp,
+                 CAST(SUM(n) OVER wo AS BIGINT) AS cum_n,
+                 CAST(SUM(resp) OVER wo AS BIGINT) AS cum_resp,
+                 CAST(SUM(n) OVER () AS DOUBLE) AS nn,
+                 CAST(SUM(resp) OVER () AS DOUBLE) AS rr
+          FROM g WINDOW wo AS (ORDER BY decile DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+    SELECT decile, n, resp,
+           CAST(cum_resp AS DOUBLE) / rr AS cum_capture,
+           (CAST(cum_resp AS DOUBLE) / rr)
+             / (CAST(cum_n AS DOUBLE) / nn) AS lift
+    FROM c
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / lift curve by score decile (value as the pseudo-score,
+    purchase as the response): cumulative responder capture walking
+    from the top decile down, and its lift over random targeting —
+    the campaign-evaluation standard for 'how much of the response do
+    the top-k% capture'.  Deciles come from the shared quantile-
+    binning boundaries; everything after is integer counts + IEEE
+    divisions over a 10-row table (ml/features.py:quantile_binning)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_binning
+
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "value",
+            (F.col("event_type") == "purchase")
+            .cast("int")
+            .alias("_y"),
+        )
+    )
+    d = src.transform(quantile_binning("value", 10, out="decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("resp")
+    )
+    wo = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy()
+    c = (
+        g.withColumn("_cum_n", F.sum("n").over(wo))
+        .withColumn("_cum_resp", F.sum("resp").over(wo))
+        .withColumn("_nn", F.sum("n").over(wg).cast("double"))
+        .withColumn("_rr", F.sum("resp").over(wg).cast("double"))
+    )
+    capture = F.col("_cum_resp").cast("double") / F.col("_rr")
+    share = F.col("_cum_n").cast("double") / F.col("_nn")
+    return c.select(
+        "decile",
+        "n",
+        "resp",
+        capture.alias("cum_capture"),
+        (capture / share).alias("lift"),
+    )
+
+
+_QN_GRID = ",\n                   ".join(
+    f"round(quantile_cont(value, {i / 100.0!r}::DOUBLE), 6)"
+    for i in range(101)
+)
+
+
+@_q(
+    "q215_quantile_normalize",
+    f"""
+    WITH src AS (SELECT event_id, event_type, value FROM events
+                 WHERE value IS NOT NULL),
+    g AS (SELECT [{_QN_GRID}] AS grid FROM src),
+    r AS (SELECT event_id, event_type, value,
+                 percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS pr
+          FROM src),
+    ix AS (SELECT event_id, event_type, value, pr,
+                  LEAST(CAST(FLOOR(pr * 100.0) AS INT), 99) AS lo
+           FROM r)
+    SELECT event_id, event_type, value,
+           grid[lo + 1]
+             + (pr * 100.0 - CAST(lo AS DOUBLE))
+               * (grid[lo + 2] - grid[lo + 1]) AS qnorm
+    FROM ix CROSS JOIN g
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of event values: map each
+    event_type's values onto the POOLED distribution via exact
+    in-group percent_rank interpolated into a 101-point pooled
+    percentile grid — the distribution-alignment transform that makes
+    scores from heterogeneous sources comparable before mixing or
+    thresholding.  One keyed rank window + one broadcast grid +
+    a pure projection; identical-op-order interpolation over
+    identically-derived doubles — bit-stable
+    (ml/features.py:quantile_normalize)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        quantile_normalize,
+    )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .transform(
+            quantile_normalize("value", group_by="event_type")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -165,6 +165,9 @@ HEADLINE = [
     "q210_mase",
     "q211_negative_sampling",
     "q212_kanon_rollup",
+    "q213_calibration",
+    "q214_gains_curve",
+    "q215_quantile_normalize",
 ]
 
 

@@ -551,3 +551,62 @@ def woe_iv(
         ).drop("_term")
 
     return _t
+
+
+def quantile_normalize(
+    value_col: str,
+    group_by: str,
+    ref_points: int = 101,
+    out: str = "qnorm",
+) -> Callable[[DataFrame], DataFrame]:
+    """Cross-source quantile normalization: map each group's values
+    onto the POOLED distribution, ``out = Q_pool(F_group(x))`` — the
+    distribution-alignment transform (microarray-normalization
+    lineage) that makes scores from heterogeneous sources comparable
+    before mixing, ranking, or thresholding them together.
+
+    F_group is the exact in-group percent_rank (a rational,
+    (rank−1)/(n−1)); Q_pool is a broadcast grid of ``ref_points``
+    exact type-7 pooled percentiles (6 dp pinned idiom) linearly
+    interpolated at the rank.  Plan: one keyed rank window per group,
+    one pooled percentile aggregation attached as an in-plan scalar,
+    one pure-projection interpolation — no data-scale join.  The
+    interpolation arithmetic is identical-op-order double math over
+    identically-derived inputs, so outputs are bit-stable
+    cross-engine.
+
+    Ties share a percent_rank (Spark semantics: rank, not
+    row_number), so equal inputs map to equal outputs.  Singleton
+    groups (n = 1, percent_rank 0) map to the pooled minimum.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        src = df.where(F.col(value_col).isNotNull())
+        ps = [i / (ref_points - 1) for i in range(ref_points)]
+        grid = src.agg(
+            F.transform(
+                F.percentile(value_col, F.lit(ps)),
+                lambda x: F.round(x, 6),
+            ).alias("_grid")
+        )
+        wg = Window.partitionBy(group_by).orderBy(value_col)
+        ranked = src.withColumn("_pr", F.percent_rank().over(wg))
+        x = attach_scalar(
+            ranked, grid, F.col(value_col), F.size("_grid")
+        )
+        idx = F.col("_pr") * F.lit(float(ref_points - 1))
+        lo = F.least(
+            F.floor(idx).cast("int"), F.lit(ref_points - 2)
+        )
+        frac = idx - lo.cast("double")
+        a = F.element_at("_grid", lo + 1)
+        b = F.element_at("_grid", lo + 2)
+        return x.withColumn(out, a + frac * (b - a)).drop(
+            "_grid", "_pr"
+        )
+
+    return _t

@@ -290,3 +290,70 @@ def test_kanon_no_small_published_cells(spark):
     for r in out:
         if r["priority"] != "other" or r["status"] != "other":
             assert r["n"] >= 10, r
+
+
+def test_calibration_perfectly_calibrated_score_has_zero_ece(spark):
+    import random
+
+    # Score IS the true probability: per-bin rate converges to the
+    # bin's mean score → ECE near 0.  Deterministic outcome via a
+    # hash-free threshold construction: y = 1 for the first
+    # round(score·k) of each score's k copies.
+    rows = []
+    i = 0
+    for s10 in range(1, 10):
+        score = s10 / 10.0
+        k = 200
+        for j in range(k):
+            rows.append((i, score, 1 if j < round(score * k) else 0))
+            i += 1
+    df = spark.createDataFrame(rows, "i long, score double, y int")
+    from pyspark.sql import Window, functions as FF
+
+    b = df.groupBy(
+        FF.least(FF.lit(9), FF.floor(FF.col("score") * 10).cast("int")).alias("bin")
+    ).agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.avg("score").alias("ms"),
+        FF.avg("y").alias("rate"),
+    )
+    wg = Window.partitionBy()
+    ece = (
+        b.withColumn("_nn", FF.sum("n").over(wg))
+        .select(
+            FF.sum(
+                (FF.col("n") / FF.col("_nn"))
+                * FF.abs(FF.col("rate") - FF.col("ms"))
+            ).alias("ece")
+        )
+        .collect()[0]["ece"]
+    )
+    assert ece < 1e-9
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    import random
+
+    from btc_usdt_etl_pipeline_spark.ml.features import quantile_normalize
+
+    rng = random.Random(47)
+    # Group B is group A shifted by +100: after normalization both
+    # must land on the same pooled scale with matching quantiles.
+    a = [(i, "A", rng.uniform(0, 50)) for i in range(500)]
+    b = [(1000 + i, "B", v + 100.0) for i, (_, _, v) in enumerate(a)]
+    df = spark.createDataFrame(a + b, "i long, g string, value double")
+    out = df.transform(quantile_normalize("value", group_by="g"))
+    import statistics
+
+    med = {
+        r["g"]: r["m"]
+        for r in out.groupBy("g")
+        .agg(F.expr("percentile(qnorm, 0.5)").alias("m"))
+        .collect()
+    }
+    # Same in-group ranks → same normalized medians.
+    assert abs(med["A"] - med["B"]) < 1e-9
+    # Normalized values live inside the pooled range.
+    mn, mx = out.agg(F.min("qnorm"), F.max("qnorm")).collect()[0]
+    vals = [v for _, _, v in a] + [v for _, _, v in b]
+    assert min(vals) - 1e-6 <= mn and mx <= max(vals) + 1e-6
