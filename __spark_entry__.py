@@ -6705,9 +6705,9 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge AS (SELECT o1._u, o1._v AS _x, o2._v AS _y
               FROM o o1 JOIN o o2 ON o1._u = o2._u AND o1._v < o2._v),
     closed AS (SELECT w._x, w._y,
-                      CASE WHEN oc._u IS NOT NULL THEN 1 ELSE 0 END AS c
+                      CASE WHEN oc._a IS NOT NULL THEN 1 ELSE 0 END AS c
                FROM wedge w
-               LEFT JOIN o oc ON oc._u = w._x AND oc._v = w._y)
+               LEFT JOIN e0 oc ON oc._a = w._x AND oc._b = w._y)
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM e0) AS n_edges,
            COUNT(*) AS n_wedges,
@@ -9049,7 +9049,9 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT *,
                  CAST(SUM(CAST(CASE WHEN rip = 1 THEN pm
                                ELSE 0.0 END AS DECIMAL(38,12)))
-                      OVER wgu AS DOUBLE) / 24.0 AS grand
+                      OVER wgu AS DOUBLE)
+                   / SUM(CASE WHEN rip = 1 THEN 1 ELSE 0 END)
+                       OVER wgu AS grand
           FROM p WINDOW wgu AS (PARTITION BY user_id))
     SELECT event_id, user_id, phase, trend,
            pm - grand AS seasonal,
@@ -9563,8 +9565,10 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q195_association_rules",
     """
-    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-               FROM lineitem),
+    WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem),
+    keep AS (SELECT bk FROM b0 GROUP BY bk HAVING COUNT(*) <= 1000),
+    b AS (SELECT b0.* FROM b0 JOIN keep USING (bk)),
     pr AS (SELECT a.it AS x, c.it AS y, COUNT(*)::BIGINT AS np
            FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
            GROUP BY x, y HAVING COUNT(*) >= 2),

@@ -168,12 +168,22 @@ def ks_statistic(
         wo = wg.orderBy("_v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        gap = F.abs(
-            F.sum("_a").over(wo).cast("double")
-            / F.sum("_a").over(wg).cast("double")
-            - F.sum("_b").over(wo).cast("double")
-            / F.sum("_b").over(wg).cast("double")
+        # ANSI divide-by-zero fence (module convention, cf. acf /
+        # sax_symbolize): a group whose rows are all in ONE sample
+        # (e.g. a segment that only exists in the current batch) has a
+        # zero denominator on the other side — its ECDF is undefined,
+        # so the group reports ks = NULL instead of aborting the job.
+        tot_a = F.sum("_a").over(wg)
+        tot_b = F.sum("_b").over(wg)
+        ecdf_a = F.when(
+            tot_a > 0,
+            F.sum("_a").over(wo).cast("double") / tot_a.cast("double"),
         )
+        ecdf_b = F.when(
+            tot_b > 0,
+            F.sum("_b").over(wo).cast("double") / tot_b.cast("double"),
+        )
+        gap = F.abs(ecdf_a - ecdf_b)
         return (
             counts.withColumn("_gap", gap)
             .groupBy(*gcols)

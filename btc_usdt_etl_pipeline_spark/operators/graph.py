@@ -485,8 +485,13 @@ def triangle_count(
     o1 = oriented.select(F.col("_u"), F.col("_v").alias("_x"))
     o2 = oriented.select(F.col("_u"), F.col("_v").alias("_y"))
     wedges = o1.join(o2, "_u").filter(F.col("_x") < F.col("_y"))
-    closing = oriented.select(
-        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    # closing set must be ID-canonicalized (least/greatest), matching
+    # the wedge pair's _x < _y convention — the (degree, id) oriented
+    # set would miss any triangle whose closing edge orients against
+    # id order (e.g. deg(2) > deg(3) stores 3→2 while the wedge looks
+    # up (2, 3)).  `und` is exactly that set: id-ordered and deduped.
+    closing = und.select(
+        F.col("_a").alias("_x"), F.col("_b").alias("_y")
     ).withColumn("_closed", F.lit(1))
     tri = wedges.join(closing, ["_x", "_y"], "left")
     stats = tri.agg(

@@ -66,8 +66,16 @@ def association_rules(
             "_np",
         )
     )
-    items = b.groupBy(F.col("_it")).agg(F.count(F.lit(1)).alias("_ni"))
-    totals = b.agg(
+    # Marginals and the basket total come from `sized` — the SAME
+    # post-max_basket population as the pair counts — so
+    # support/confidence/lift share one universe.  Computing them from
+    # the unfiltered table would systematically understate confidence
+    # and lift for items appearing in dropped mega-baskets
+    # (n_pair / n(a) with n(a) counting baskets the pairs never saw).
+    items = sized.groupBy(F.col("_it")).agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    totals = sized.agg(
         F.count_distinct(F.col("_bk")).alias("_nbk")
     )
     # item marginals are vocabulary-scale — broadcast both attaches;

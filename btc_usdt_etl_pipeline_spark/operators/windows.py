@@ -587,6 +587,14 @@ def seasonal_decompose(
         # exactly (≤ 7-8 digits) and a repeating one never ties.
         wpo = wp.orderBy(*[F.col(c) for c in order_by])
         first_in_phase = F.row_number().over(wpo) == 1
+        # Divide by the OBSERVED phase count, not the constant period:
+        # a series shorter than `period` realizes fewer phases, and
+        # /period would underestimate the grand mean, mis-centering
+        # seasonal and resid for short series.  For series >= period
+        # rows the two are identical.
+        n_phases = F.sum(
+            F.when(first_in_phase, F.lit(1)).otherwise(F.lit(0))
+        ).over(wg)
         grand = (
             F.sum(
                 F.when(first_in_phase, F.col("_pm"))
@@ -595,7 +603,7 @@ def seasonal_decompose(
             )
             .over(wg)
             .cast("double")
-            / F.lit(float(period))
+            / n_phases.cast("double")
         )
         return (
             d.withColumn("seasonal", F.col("_pm") - grand)

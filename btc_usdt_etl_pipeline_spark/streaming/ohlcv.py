@@ -333,6 +333,19 @@ def incremental_rollup_upsert(
         merge_bar_states,
     )
 
+    # retain=1 would break the documented retry idempotence: after
+    # v{batch_id} commits and its predecessor is deleted, a replayed
+    # batch (sink succeeded, checkpoint commit failed) finds no version
+    # strictly older than batch_id and silently rebuilds state from the
+    # lone micro-batch, dropping all accumulated history.  retain >= 2
+    # guarantees the newest version's predecessor survives the cleanup.
+    if retain < 2:
+        raise ValueError(
+            "retain must be >= 2: the newest version's predecessor is "
+            "what a replayed batch recomputes from (exactly-once "
+            f"discipline); got retain={retain}"
+        )
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch_bars = batch_df.transform(
@@ -397,6 +410,16 @@ def incremental_hll_upsert(
         hll_registers_by,
         merge_hll_registers,
     )
+
+    # same retry-idempotence invariant as incremental_rollup_upsert:
+    # the newest version's predecessor must survive cleanup or a
+    # replayed batch silently drops all accumulated registers.
+    if retain < 2:
+        raise ValueError(
+            "retain must be >= 2: the newest version's predecessor is "
+            "what a replayed batch recomputes from (exactly-once "
+            f"discipline); got retain={retain}"
+        )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -121,6 +121,36 @@ def test_ks_disjoint_supports_is_one(spark):
     assert out[0]["ks"] == 1.0
 
 
+def test_ks_one_sided_group_is_null_not_error(spark):
+    """A group present in only ONE sample (e.g. a segment that exists
+    only in the current batch) has a zero denominator on the other
+    side — the fence must report ks = NULL for that group instead of
+    raising DIVIDE_BY_ZERO under ANSI mode, while two-sided groups in
+    the same frame stay exact."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import ks_statistic
+
+    rows = (
+        # group "both": 3 ref + 3 cur, disjoint supports -> ks = 1
+        [("both", float(i), 0) for i in range(3)]
+        + [("both", 100.0 + i, 1) for i in range(3)]
+        # group "curonly": rows only in the current sample
+        + [("curonly", float(i), 1) for i in range(4)]
+        # group "refonly": rows only in the reference sample
+        + [("refonly", float(i), 0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double, cur int")
+    got = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["ks"])
+        for r in df.transform(
+            ks_statistic("value", is_current=F.col("cur") == 1,
+                         group_by="g")
+        ).collect()
+    }
+    assert got["both"] == (3, 3, 1.0)
+    assert got["curonly"][:2] == (0, 4) and got["curonly"][2] is None
+    assert got["refonly"][:2] == (4, 0) and got["refonly"][2] is None
+
+
 def test_acf_matches_numpy(spark):
     import numpy as np
 
@@ -208,6 +238,49 @@ def test_seasonal_decompose_identity_and_recovery(spark):
         abs(r["seasonal"] - (pat[r["phase"]] - np.mean(pat))) for r in mid
     )
     assert err < 0.05
+
+
+def test_seasonal_decompose_short_series_centering(spark):
+    """A series SHORTER than the period realizes fewer phases; the
+    grand mean must divide by the observed phase count, not the
+    constant period — /period underestimates the grand mean and
+    mis-centers seasonal/resid.  With 4 rows and period 7 the phase
+    means ARE the detrended values, so seasonal must be exactly
+    detr − mean(detr over the 4 observed phases), and the distinct
+    seasonals must sum to 0 (proper centering)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    vals = [10.0, 14.0, 6.0, 12.0]
+    rows = [(i, 1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    out = (
+        df.transform(
+            seasonal_decompose(
+                "value", period=7, trend_halfwidth=2,
+                partition_by="user_id", order_by=("ts",),
+            )
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    # identity always
+    for r in out:
+        assert abs(
+            r["value"] - (r["trend"] + r["seasonal"] + r["resid"])
+        ) < 1e-9
+    # proper centering over OBSERVED phases (4, not 7).  Tolerance is
+    # 1e-6, not 1e-9: the operator's order-free decimal(38,6) sums
+    # quantize the non-terminating trend (32/3) at 6 dp by contract.
+    assert abs(sum(r["seasonal"] for r in out)) < 1e-6
+    # expected seasonal: detr - mean(detr) over observed phases
+    detr = [r["value"] - r["trend"] for r in out]
+    m = sum(detr) / len(detr)
+    for r, d in zip(out, detr):
+        assert abs(r["seasonal"] - (d - m)) < 1e-6
 
 
 def test_theil_sen_operator_cap_and_slope(spark):

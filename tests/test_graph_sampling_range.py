@@ -453,6 +453,20 @@ def test_triangle_count_known_graphs(spark):
     # wedge, so wedges >= triangles always
     assert r.n_wedges >= r.n_triangles
 
+    # regression: the closing-edge lookup must be ID-canonicalized,
+    # not (degree, id)-oriented.  Here deg(2)=4 > deg(3)=2 so the
+    # 2-3 edge orients as 3->2, while the wedge at pivot 1 looks up
+    # (2, 3) — a (degree, id)-oriented closing set misses the
+    # triangle {1,2,3} entirely (returned 0).
+    skew = [(1, 2), (2, 3), (1, 3), (2, 4), (2, 5)]
+    r = tc(skew)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 5, 1)
+
+    # and its mirror where the hub is the LOW id: deg(1)=4 > deg(3)
+    skew2 = [(1, 2), (1, 3), (2, 3), (1, 4), (1, 5)]
+    r = tc(skew2)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 5, 1)
+
 
 def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
     """The node-count auto-switch picks between a broadcast-rank loop

@@ -598,6 +598,29 @@ def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
     assert after_retry == want
 
 
+def test_incremental_upsert_rejects_retain_below_two(spark, tmp_path):
+    """retain=1 breaks retry idempotence (a replayed batch whose
+    predecessor was already deleted rebuilds state from the lone
+    micro-batch, silently dropping history) — both versioned sinks
+    must refuse it at construction."""
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_hll_upsert,
+        incremental_rollup_upsert,
+    )
+
+    for retain in (1, 0):
+        with pytest.raises(ValueError, match="retain"):
+            incremental_rollup_upsert(
+                spark, str(tmp_path / "s1"), retain=retain
+            )
+        with pytest.raises(ValueError, match="retain"):
+            incremental_hll_upsert(
+                spark, str(tmp_path / "s2"), retain=retain
+            )
+
+
 def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     """HLL register state after draining multiple micro-batches ==
     batch recompute (the register merge law over the stream's

@@ -51,6 +51,35 @@ def test_association_rules_min_support_filters(spark):
     assert pairs == {("a", "b"), ("b", "a")}
 
 
+def test_association_rules_fence_denominators_consistent(spark):
+    """When max_basket drops a mega-basket, the item marginals and the
+    basket total must come from the SAME fenced population as the pair
+    counts — otherwise confidence/lift are systematically understated
+    for items that also appear in dropped baskets."""
+    from btc_usdt_etl_pipeline_spark.operators.rules import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "c"),  # size-3 mega-basket: dropped
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = association_rules(
+        df, "bk", "it", min_pair_support=1, top_k=10, max_basket=2
+    ).collect()
+    got = {(r["antecedent"], r["consequent"]): r for r in out}
+    # only the (a,b) pair survives; over the fenced universe of 2
+    # baskets, n(a)=n(b)=2, n_pair=2 → confidence 1, support 1, lift 1.
+    assert set(got) == {("a", "b"), ("b", "a")}
+    r = got[("a", "b")]
+    assert r["n_pair"] == 2
+    assert abs(r["support"] - 1.0) < 1e-12
+    assert abs(r["confidence"] - 1.0) < 1e-12
+    assert abs(r["lift"] - 1.0) < 1e-12
+
+
 def test_woe_iv_matches_python(spark):
     from btc_usdt_etl_pipeline_spark.ml.features import woe_iv
 
