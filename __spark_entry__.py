@@ -8759,38 +8759,29 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence ≤ 4e-14).  The exact recursive form stays the
     grouped-map surface's job (q57) — this is the declarative shape
     you'd run at 100 TB."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import macd_signal
+
     e = _t(spark, sf_dir, "events")
-    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
-
-    def trunc_ema(col: str, wspec, alpha: float, taps: int) -> Column:
-        num: Column = F.col(col)
-        den: Column = F.lit(1.0)
-        wgt = 1.0
-        for i in range(1, taps):
-            wgt *= 1.0 - alpha
-            lagc = F.lag(col, i).over(wspec)
-            num = num + F.when(lagc.isNull(), 0.0).otherwise(
-                F.lit(wgt) * lagc
+    return (
+        e.transform(
+            macd_signal(
+                "value",
+                order_by=("ts", "event_id"),
+                partition_by="user_id",
+                fast_alpha=0.15384615384615385,
+                fast_taps=36,
+                slow_alpha=0.07407407407407407,
+                slow_taps=60,
+                signal_alpha=0.2,
+                signal_taps=27,
             )
-            den = den + F.when(lagc.isNull(), 0.0).otherwise(
-                F.lit(wgt)
-            )
-        return num / den
-
-    m = e.select(
-        "event_id", "user_id", "ts",
-        (
-            trunc_ema("value", wb, 0.15384615384615385, 36)
-            - trunc_ema("value", wb, 0.07407407407407407, 60)
-        ).alias("macd"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sig = trunc_ema("macd", w2, 0.2, 27)
-    return m.select(
-        "event_id", "user_id",
-        F.round("macd", 6).alias("macd"),
-        F.round(sig, 6).alias("signal"),
-        F.round(F.col("macd") - sig, 6).alias("histogram"),
+        )
+        .select(
+            "event_id", "user_id",
+            F.round("macd", 6).alias("macd"),
+            F.round("signal", 6).alias("signal"),
+            F.round("histogram", 6).alias("histogram"),
+        )
     )
 
 
@@ -9975,7 +9966,7 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").transform(
         bootstrap_ci_mean(
             "value", id_col="event_id", group_by="event_type",
-            replicates=40,
+            replicates=40, portable=True,
         )
     )
 
@@ -11026,25 +11017,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (graph: q146), q191 feature hash / q192 robust scale (ML
 #: features: q34/q110), q193 RRF fusion (similarity: q40), q194
 #: MAD outliers (drift/monitoring: q180/q183).
+#: Round-8 rotation (VERDICT r7 ask #3): promoted ten never-windowed
+#: family representatives — q163 bloom pre-join, q165 leakage-safe
+#: split, q167 entity resolution, q174 incremental dedup, q178 grid
+#: clustering, q197 DDSketch, q200 product quantization, q201
+#: bootstrap CI, q207 readability, q213 calibration/ECE — demoting ten
+#: family-redundant rows whose surfaces stay covered in-window:
+#: q19 rolling / q22 resample (q100 dashboard + q84 frame + q149 M4
+#: keep the window/resample machinery), q26 exact dedup (q30/q62/q66
+#: remain), q27 text stats (q131/q139/q161 remain), q33 sliding
+#: sequences (q57 grouped-map + q34 remain), q51 crossover (q100
+#: composes the same rolling+signal stack), q53 mapInPandas (q57
+#: applyInPandas + q58 withState remain), q124 fuzzy join (q167
+#: composes fuzzy blocking), q135 stream enrich (q36/q58 remain),
+#: q147 SCD2 (q150 PIT composes scd2∘asof; q152 CDC remains).  All
+#: demoted rows stay under the judge's full oracle gate.
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
     "q07_topk_per_group",     # sorts / top-k
-    "q19_rolling_avg",        # W2 rolling MA/σ (W3 pct-change: judge gate q18)
-    "q22_resample_count",     # W1 count-based resample (F4 events ts)
     "q24_asof_join",          # as-of join
     "q25_correlation",        # A2 correlation matrix
-    "q26_dedup_exact",        # exact dedup
-    "q27_text_stats",         # text stats
     "q30_minhash_near_dedup", # MinHash+LSH
-    "q33_sliding_sequences",  # W6 ML sequences
     "q34_minmax_scale",       # A5 scaler
     "q36_streaming_ohlcv",    # streaming tumbling
     "q40_simsearch_ivf",      # IVF ANN (scale path)
     "q44_multimodal_features",# multimodal kernel
     "q48_grouping_sets",      # rollup/cube/grouping sets family
-    "q51_crossover_backtest", # W4 crossover
-    "q53_batch_inference",    # mapInPandas UDF surface
     "q54_salted_agg",         # skew-salted aggregation
     "q57_grouped_map_ols",    # applyInPandas grouped-map
     "q58_stateful_extrema",   # applyInPandasWithState
@@ -11058,17 +11057,14 @@ _PRIORITY_WINDOW = [
     "q152_cdc_merge",         # CDC changelog merge (upsert + tombstones)
     "q110_embedding_quantize",# int8 embedding quantization
     "q161_bpe_train",         # BPE tokenizer training (merge table)
-    "q124_fuzzy_join",        # edit-distance-1 fuzzy join
     "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
     "q131_pii_redact",        # PII detect + redact
     "q136_zorder_layout",     # Z-order layout key
     "q137_data_quality",      # data-quality expectations
-    "q135_stream_enrich",     # stream-static broadcast enrichment
     "q139_chunk_documents",   # token-window document chunking
     "q141_funnel",            # ordered conversion funnel
     "q146_pagerank",          # graph power iteration (PageRank)
-    "q147_scd2",              # SCD2 dimension build
     "q149_m4_downsample",     # M4 time-series downsampling
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
     "q151_hll_distinct",      # HyperLogLog distinct sketch
@@ -11077,6 +11073,16 @@ _PRIORITY_WINDOW = [
     "q180_cusum",             # CUSUM changepoint (closed-form two-window)
     "q183_psi",               # PSI distribution drift
     "q188_sax",               # SAX symbolic series representation
+    "q163_bloom_prejoin",     # bloom-filter pre-join (r8 promotion)
+    "q165_leakage_safe_split",# cluster-respecting train/test split
+    "q167_entity_resolution", # blocking+scoring+CC entity resolution
+    "q174_incremental_dedup", # incremental MinHash dedup maintenance
+    "q178_grid_clusters",     # grid-density clustering
+    "q197_ddsketch",          # DDSketch relative-error quantiles
+    "q200_pq_codes",          # product quantization codebooks
+    "q201_bootstrap_ci",      # Poisson-bootstrap CI (portable oracle leg)
+    "q207_readability",       # Flesch readability scoring
+    "q213_calibration",       # calibration table + ECE
 ]
 
 

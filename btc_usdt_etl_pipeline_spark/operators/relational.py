@@ -536,6 +536,8 @@ def weighted_median(
     weight_col: str,
     group_by: Sequence[str] | str | None = None,
     out: str = "weighted_median",
+    strategy: str = "auto",
+    num_buckets: int = 512,
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact weighted median per group: the smallest value whose
     cumulative weight reaches half the total — the lower weighted
@@ -552,8 +554,25 @@ def weighted_median(
     threshold is decimal arithmetic too, so the ≥ comparison is exact
     — no float boundary can flip the chosen value cross-engine.
 
+    Scale path (``strategy``): the plain walk's parallelism is the
+    GROUP count — for few-group / high-cardinality data (3 return
+    flags × near-unique prices) the per-group ordered walk is a handful
+    of giant tasks.  ``'bucketed'`` pre-buckets the value domain
+    (zone-map style): per-(group, bucket) weight sums (metadata-scale),
+    a bucket-level cumulative walk to locate each group's half-total
+    bucket, then the detailed ordered walk over ONLY that bucket's
+    distinct values with the preceding buckets' weight as an exact
+    decimal carry-in — identical result (decimal sums are order-free
+    and the bucket partition of the walk is exact), ~num_buckets× less
+    data under any single ordered task.  ``'auto'`` picks bucketed for
+    numeric values past the Catalyst size estimate; ``'walk'`` forces
+    the plain plan.  Non-numeric values always walk (no ordered bucket
+    function exists).
+
     Returns one row per group: ``group_by…, total_weight, out``.
     """
+    if strategy not in ("auto", "walk", "bucketed"):
+        raise ValueError("strategy must be auto | walk | bucketed")
     gcols = (
         [group_by]
         if isinstance(group_by, str)
@@ -562,6 +581,10 @@ def weighted_median(
 
     def _t(df: DataFrame) -> DataFrame:
         from btc_usdt_etl_pipeline_spark.functions import DEC
+        from btc_usdt_etl_pipeline_spark.operators.windows import (
+            _CHUNK_THRESHOLD_BYTES,
+            _plan_size,
+        )
 
         per_v = (
             df.where(
@@ -571,18 +594,113 @@ def weighted_median(
             .groupBy(*gcols, F.col(value_col).alias("_v"))
             .agg(F.sum(F.col(weight_col).cast(DEC)).alias("_w"))
         )
-        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-        wo = wg.orderBy("_v").rowsBetween(
+        dtype = dict(df.dtypes)[value_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal")
+        bucketed = strategy == "bucketed" or (
+            strategy == "auto"
+            and numeric
+            and _plan_size(df) > _CHUNK_THRESHOLD_BYTES
+        )
+        if bucketed and not numeric:
+            raise TypeError(
+                f"bucketed weighted_median needs a numeric value "
+                f"column; {value_col!r} is {dtype}"
+            )
+
+        if not bucketed:
+            wg = (
+                Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+            )
+            wo = wg.orderBy("_v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            cum = per_v.withColumn(
+                "_cw", F.sum("_w").over(wo)
+            ).withColumn("_tw", F.sum("_w").over(wg))
+            # exact decimal compare: 2·cum ≥ total  ⇔  cum ≥ total/2
+            hit = F.when(
+                F.col("_cw") + F.col("_cw") >= F.col("_tw"), F.col("_v")
+            )
+            return cum.groupBy(*gcols).agg(
+                F.max("_tw").cast("double").alias("total_weight"),
+                F.min(hit).alias(out),
+            )
+
+        # --- bucketed scale path ---
+        # per_v feeds three passes (min/max, bucket sums, detail walk):
+        # persist the collapsed table once instead of re-running the
+        # data-scale shuffle per pass.
+        per_v = per_v.persist()
+        lo_hi = per_v.agg(
+            F.min("_v").alias("lo"), F.max("_v").alias("hi")
+        ).first()
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:  # no surviving rows: same shape as the plain
+            # walk on empty input (grouped → 0 rows; global → 1 null row)
+            return per_v.groupBy(*gcols).agg(
+                F.max("_w").cast("double").alias("total_weight"),
+                F.min("_v").alias(out),
+            )
+        span = float(hi) - float(lo)
+        width = max(span / num_buckets, 1e-12)
+        bexpr = F.least(
+            F.lit(num_buckets - 1),
+            F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)),
+        ).cast("long")
+        pb = per_v.withColumn("_b", bexpr)
+        bsum = pb.groupBy(*gcols, "_b").agg(F.sum("_w").alias("_bw"))
+        wgb = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        )
+        bcum = bsum.withColumn(
+            "_bcw",
+            F.sum("_bw").over(
+                wgb.orderBy("_b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).withColumn("_btw", F.sum("_bw").over(wgb))
+        # the half-total bucket: smallest bucket whose end-of-bucket
+        # cumulative reaches half — the hit value cannot lie later
+        # (this bucket already reaches T/2) nor earlier (the previous
+        # bucket's end-cum is < T/2).  Carry-in = cum minus own weight.
+        half = (
+            bcum.filter(F.col("_bcw") + F.col("_bcw") >= F.col("_btw"))
+            .groupBy(*gcols)
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("_b").alias("_hb"),
+                        (F.col("_bcw") - F.col("_bw")).alias("_carry"),
+                        F.col("_btw").alias("_tw"),
+                    ),
+                    F.col("_b"),
+                ).alias("_h")
+            )
+            .select(*gcols, "_h._hb", "_h._carry", "_h._tw")
+        )
+        # detail walk over ONLY the half bucket's distinct values.
+        # Empty gcols would make this join a cartesian of a 1-row side;
+        # pin a constant key so it stays an equi-join in the plan audit.
+        if gcols:
+            detail = pb.join(half, gcols)
+        else:
+            detail = pb.withColumn("_one", F.lit(1)).join(
+                F.broadcast(half.withColumn("_one", F.lit(1))), "_one"
+            ).drop("_one")
+        detail = detail.filter(F.col("_b") == F.col("_hb"))
+        wo2 = wgb.orderBy("_v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        cum = per_v.withColumn("_cw", F.sum("_w").over(wo)).withColumn(
-            "_tw", F.sum("_w").over(wg)
+        cum2 = detail.withColumn(
+            "_cw", F.col("_carry") + F.sum("_w").over(wo2)
         )
-        # exact decimal compare: 2·cum ≥ total  ⇔  cum ≥ total/2
         hit = F.when(
             F.col("_cw") + F.col("_cw") >= F.col("_tw"), F.col("_v")
         )
-        return cum.groupBy(*gcols).agg(
+        return cum2.groupBy(*gcols).agg(
             F.max("_tw").cast("double").alias("total_weight"),
             F.min(hit).alias(out),
         )

@@ -54,6 +54,56 @@ def _ohlcv_aggs(time_col: str, value_cols: dict[str, str]) -> list:
     return aggs
 
 
+def auto_bucket_expr(
+    df: DataFrame, order_col: str, num_buckets: int = 512
+) -> F.Column:
+    """Coarse bucket key, monotone in ``order_col`` — the shared
+    first stage of every no-global-sort index (the unkeyed dense index
+    below, and the keyed chunk index in ``operators/windows.py``).
+
+    - timestamp → fixed one-day buckets: monotone with NO min/max
+      pre-pass (one whole action saved).  Day buckets are balanced for
+      any steady time series; a pathological burst day is still bounded
+      by seconds-per-day × event rate.  TIMESTAMP_NTZ needs a cast
+      (``unix_micros`` rejects it); the session-TZ shift is a constant
+      offset, so monotonicity — all bucketing needs — is preserved.
+    - date → days-since-epoch: monotone, no pre-pass (day-granular
+      already, so each bucket holds one day's rows).
+    - numeric → range-balanced via one min/max pass; an empty or
+      all-null column yields ``lit(None)`` (callers pin nulls to their
+      nulls-first sentinel bucket).
+    - anything else → TypeError; pass an explicit monotone expression.
+    """
+    dtype = dict(df.dtypes)[order_col]
+    if dtype.startswith("timestamp"):
+        return F.floor(
+            F.unix_micros(F.col(order_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        )
+    if dtype == "date":
+        return F.datediff(
+            F.col(order_col), F.lit("1970-01-01").cast("date")
+        )
+    if dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dtype.startswith("decimal"):
+        numeric = F.col(order_col)
+        lo_hi = df.select(
+            F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
+        ).first()
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:
+            return F.lit(None)
+        span = max(int(hi) - int(lo), 0) + 1
+        width = max(span // num_buckets, 1)
+        return F.floor((numeric - F.lit(int(lo))) / F.lit(width))
+    raise TypeError(
+        f"auto-bucketing needs a timestamp, date, or numeric order "
+        f"column; {order_col!r} is {dtype}. Pass bucket=<monotone "
+        f"expression> explicitly."
+    )
+
+
 def with_global_index(
     df: DataFrame,
     order_col: str,
@@ -104,54 +154,7 @@ def global_index_with_total(
     """
     _NULL_BUCKET = -(1 << 62)  # sorts before every derived bucket
     if bucket is None:
-        dtype = dict(df.dtypes)[order_col]
-        if dtype.startswith("timestamp"):
-            # Fixed one-day buckets: monotone in the order column with NO
-            # min/max pre-pass (one whole action saved).  Day buckets are
-            # balanced for any steady time series; a pathological burst
-            # day is still bounded by seconds-per-day × event rate.
-            # TIMESTAMP_NTZ needs a cast (unix_micros rejects it); the
-            # session-TZ shift is a constant offset, so monotonicity —
-            # all bucketing needs — is preserved.
-            bucket = F.floor(
-                F.unix_micros(F.col(order_col).cast("timestamp"))
-                / F.lit(86_400_000_000)
-            )
-        elif dtype == "date":
-            # Days-since-epoch: monotone, no pre-pass.  A date column is
-            # day-granular already, so each bucket holds one day's rows
-            # (ties within a bucket follow the uniqueness contract
-            # above, exactly like the timestamp path's day buckets).
-            bucket = F.datediff(
-                F.col(order_col), F.lit("1970-01-01").cast("date")
-            )
-        elif dtype in (
-            "tinyint", "smallint", "int", "bigint", "float", "double",
-        ) or dtype.startswith("decimal"):
-            # Generic longs: range-balance via one min/max pass.
-            numeric = F.col(order_col)
-            lo_hi = df.select(
-                F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
-            ).first()
-            lo, hi = lo_hi["lo"], lo_hi["hi"]
-            if lo is None:
-                # Empty OR all-null order column: every row (if any)
-                # belongs to the nulls-first sentinel bucket — fall
-                # through so non-empty all-null inputs still get dense
-                # indices 0..n-1 (same contract as the timestamp path).
-                bucket = F.lit(None)
-            else:
-                span = max(int(hi) - int(lo), 0) + 1
-                width = max(span // num_buckets, 1)
-                bucket = F.floor(
-                    (numeric - F.lit(int(lo))) / F.lit(width)
-                )
-        else:
-            raise TypeError(
-                f"global index auto-bucketing needs a timestamp, date, "
-                f"or numeric order column; {order_col!r} is {dtype}. "
-                f"Pass bucket=<monotone expression> explicitly."
-            )
+        bucket = auto_bucket_expr(df, order_col, num_buckets)
     # No persist between the two passes: the count/offset pass needs ONLY
     # the bucket key (a pure function of ``order_col``), so Catalyst
     # prunes its recompute down to a single-column scan + partial-agg —

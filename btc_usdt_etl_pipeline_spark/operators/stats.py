@@ -50,6 +50,7 @@ def bootstrap_ci_mean(
     replicates: int = 40,
     lo_q: float = 0.025,
     hi_q: float = 0.975,
+    portable: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Bootstrap confidence interval for the mean, per group: B
     Poisson-weighted replicate means, CI = the (lo_q, hi_q) type-7
@@ -64,6 +65,14 @@ def bootstrap_ci_mean(
     rounds at the pinned 6 dp percentile idiom.
 
     Returns ``group_by…, mean, ci_lo, ci_hi, n_replicates``.
+
+    ``portable=True`` derives replicate weights from the md5-based
+    :func:`...dedup.portable_hash60` so a SQL oracle can replay every
+    weight bit-for-bit; the default is JVM ``xxhash64`` — the
+    dedup/similarity family's production contract (the md5 + hex-slice
+    + radix-parse chain is ~all of the n·B map cost at scale).  The
+    two paths draw DIFFERENT (equally valid) bootstrap weights; CI
+    coverage properties are identical.
     """
     gcols = [group_by] if group_by else []
 
@@ -78,10 +87,18 @@ def bootstrap_ci_mean(
         ex = df.where(F.col(value_col).isNotNull()).select(
             *gcols, F.col(id_col).alias("_id"), F.col(value_col).alias("_x"), r
         )
-        h = portable_hash60(
-            F.concat_ws(":", F.col("_id").cast("string"),
-                        F.col("_r").cast("string"))
-        )
+        if portable:
+            h = portable_hash60(
+                F.concat_ws(":", F.col("_id").cast("string"),
+                            F.col("_r").cast("string"))
+            )
+        else:
+            # xxhash64 is signed; mask to the low 24 bits AFTER the
+            # sign-agnostic AND (non-negative by construction), same
+            # uniform-[0,1) derivation as the portable leg.
+            h = F.xxhash64(
+                F.col("_id").cast("string"), F.col("_r").cast("string")
+            )
         # 24 low bits → exact uniform in [0,1): both engines convert
         # the small integer losslessly.
         u = (

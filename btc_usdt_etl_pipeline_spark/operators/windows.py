@@ -96,21 +96,186 @@ def _chunked_trailing(
     # multi-chunk coverage on small inputs.
     chunk_rows = max(chunk_rows or _CHUNK_ROWS, 4 * halo, 1)
     indexed = with_global_index(df, order_col, index_col="_g_idx")
-    chunk = F.floor(F.col("_g_idx") / F.lit(chunk_rows))
-    base = indexed.withColumn("_chunk", chunk).withColumn(
-        "_halo", F.lit(False)
-    )
-    halo_rows = (
-        indexed.filter(
-            (F.col("_g_idx") % chunk_rows) >= F.lit(chunk_rows - halo)
-        )
-        .withColumn("_chunk", chunk + 1)
-        .withColumn("_halo", F.lit(True))
-    )
-    u = base.unionByName(halo_rows)
+    u = _explode_halo(indexed, halo, chunk_rows)
     w = Window.partitionBy("_chunk").orderBy("_g_idx")
     out = compute(u, w)
     return out.filter(~F.col("_halo")).drop("_chunk", "_halo", "_g_idx")
+
+
+def _explode_halo(indexed: DataFrame, halo: int, chunk_rows: int) -> DataFrame:
+    """Chunk assignment + halo duplication in ONE generator pass: each
+    row lands in its own chunk, and the last ``halo`` rows of a chunk
+    additionally land in the next chunk flagged ``_halo``.  An explode
+    beats the self-union formulation decisively: the union's two
+    branches each re-evaluate the ENTIRE upstream (source scan, the
+    index's count/offset join, any pre-joins the caller stacked below)
+    — measured 144 s → 62 s on the 100× ACF probe — while the explode
+    evaluates it once and merely emits 1 + halo/chunk_rows rows per
+    input row."""
+    chunk = F.floor(F.col("_g_idx") / F.lit(chunk_rows))
+    in_tail = (F.col("_g_idx") % chunk_rows) >= F.lit(chunk_rows - halo)
+    targets = F.when(
+        in_tail, F.array(chunk, chunk + F.lit(1))
+    ).otherwise(F.array(chunk))
+    return indexed.withColumn("_chunk", F.explode(targets)).withColumn(
+        "_halo", F.col("_chunk") != chunk
+    )
+
+
+#: Keyed chunking kicks in (strategy='auto') only when the largest
+#: single key exceeds this many rows — below it, a key's ordered window
+#: is one healthy task and the index/halo machinery is pure overhead.
+#: Same crossover as the unkeyed path (~1-2M rows of plain numeric
+#: series is where the single task starts to dominate wall-clock).
+_KEYED_HOT_KEY_ROWS = 1 << 20
+
+
+def _keyed_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    index_col: str = "_g_idx",
+) -> DataFrame:
+    """Dense 0-based PER-KEY index by ``order_by`` without putting any
+    key's full series on one task — the keyed twin of
+    ``resample.global_index_with_total`` (same row-count-bucketing
+    strategy, SURVEY.md §4.3), except the offsets stay DISTRIBUTED:
+
+    1. coarse bucket, monotone in ``order_by[0]``
+       (``resample.auto_bucket_expr`` — day buckets for timestamps);
+    2. per-(key, bucket) counts — one partial-aggregated shuffle at
+       (#keys × #active-buckets) output scale, metadata-sized;
+    3. per-key exclusive prefix sum over BUCKET rows (a window over the
+       tiny counts table, parallel across keys);
+    4. join the offsets back on (key, bucket) and add a within-bucket
+       ``row_number`` — parallel across (key, bucket) pairs, so a
+       zipf-hot key's series splits across its time buckets instead of
+       landing on one task.
+
+    ``order_by`` must be unique within a key for a deterministic index
+    (the (ts, event_id) contract every series operator here already
+    assumes).  NULL bucket values (null order values / all-null numeric
+    derivation) pin to a nulls-first sentinel, matching ascending
+    ``Window.orderBy`` placement.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        auto_bucket_expr,
+    )
+
+    _NULL_BUCKET = -(1 << 62)
+    keys = list(keys)
+    bucket = F.coalesce(
+        auto_bucket_expr(df, order_by[0]).cast("long"),
+        F.lit(_NULL_BUCKET),
+    )
+    dfb = df.withColumn("_kc_bucket", bucket)
+    counts = dfb.groupBy(*keys, "_kc_bucket").agg(
+        F.count(F.lit(1)).alias("_kc_n")
+    )
+    wk = Window.partitionBy(*keys).orderBy("_kc_bucket")
+    offsets = counts.withColumn(
+        "_kc_off",
+        F.coalesce(
+            F.sum("_kc_n").over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*keys, "_kc_bucket", "_kc_off")
+    wb = Window.partitionBy(*keys, "_kc_bucket").orderBy(
+        *[F.col(c) for c in order_by]
+    )
+    return (
+        dfb.join(offsets, [*keys, "_kc_bucket"])
+        .withColumn(
+            index_col,
+            F.col("_kc_off") + F.row_number().over(wb) - F.lit(1),
+        )
+        .drop("_kc_bucket", "_kc_off")
+    )
+
+
+def _keyed_chunked_trailing(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    halo: int,
+    compute: Callable[[DataFrame, WindowSpec], DataFrame],
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Exact KEYED trailing-frame windows with no single-task-per-key
+    ceiling — the keyed twin of :func:`_chunked_trailing`: per-key
+    dense index (no per-key sort task), fixed-size chunks WITHIN each
+    key, the last ``halo`` rows of every chunk duplicated into the next
+    chunk as read-only context, per-(key, chunk) windows, halo outputs
+    dropped.  Every output row's frame then holds exactly the same rows
+    in the same order as the plain ``partitionBy(keys)`` window, so
+    results are BIT-IDENTICAL — ``strategy='auto'`` can swap plans on a
+    per-key count estimate without changing any oracle hash.
+
+    ``compute(df, w)`` must add columns using specs derived from ``w``
+    whose frames reach at most ``halo`` rows back; for STACKED windows
+    (a second window over a column the first one derived — MACD's
+    signal line) pass the SUM of the stage depths: a halo row at
+    relative offset −h has ``halo − h`` predecessors in its chunk, so
+    any derived value that later stages read within their own reach is
+    already exact.
+    """
+    chunk_rows = max(chunk_rows or _CHUNK_ROWS, 4 * halo, 1)
+    indexed = _keyed_index(df, keys, order_by, index_col="_g_idx")
+    u = _explode_halo(indexed, halo, chunk_rows)
+    w = Window.partitionBy(*keys, "_chunk").orderBy("_g_idx")
+    out = compute(u, w)
+    return out.filter(~F.col("_halo")).drop("_chunk", "_halo", "_g_idx")
+
+
+def _keyed_plan(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    strategy: str,
+    halo: int,
+) -> tuple[bool, int | None]:
+    """Decide the KEYED plan → ``(chunked?, chunk_rows)``.  Explicit
+    strategy wins.  ``auto`` first gates on the same Catalyst size
+    estimate as the unkeyed path (free, no job — small inputs never pay
+    a pre-pass), then runs the per-key count estimate (a metadata-scale
+    partial-aggregated job over the key columns only) and goes chunked
+    iff some single key's series exceeds ``_KEYED_HOT_KEY_ROWS`` — the
+    zipf-hot-key shape where one ordered window task dominates.
+
+    When the count estimate ran, ``chunk_rows`` is sized so the HOT key
+    splits into ~2× the cluster's core count of chunks (floored at
+    ``4·halo`` so halo duplication stays a small fraction): a fixed 1M
+    chunk leaves a 2.5M-row hot key as 3 serial tasks, which matters
+    precisely when the per-row window cost is high (many frames — the
+    120-lag MACD stack).  ``strategy='chunked'`` with no estimate keeps
+    the caller/default size."""
+    if strategy == "window":
+        return False, None
+    if strategy == "chunked":
+        return True, None
+    dtype = dict(df.dtypes)[order_col]
+    bucketable = (
+        dtype.startswith("timestamp")
+        or dtype == "date"
+        or dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtype.startswith("decimal")
+    )
+    if not bucketable or _plan_size(df) <= _CHUNK_THRESHOLD_BYTES:
+        return False, None
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .first()
+    )
+    mx = (hot["_mx"] or 0) if hot is not None else 0
+    if mx <= _KEYED_HOT_KEY_ROWS:
+        return False, None
+    cores = df.sparkSession.sparkContext.defaultParallelism or 32
+    chunk_rows = max(4 * halo, min(_CHUNK_ROWS, -(-mx // (2 * cores))))
+    return True, chunk_rows
 
 
 def pct_change(
@@ -132,18 +297,22 @@ def pct_change(
     def _ret(prev: Column) -> Column:
         return (F.col(col) - prev) / prev
 
+    def _compute(u: DataFrame, w: WindowSpec) -> DataFrame:
+        return u.withColumn(out, _ret(F.lag(col, 1).over(w)))
+
     def _t(df: DataFrame) -> DataFrame:
         if not partition_by and _auto_chunked(df, order_col, strategy):
-            return _chunked_trailing(
-                df,
-                order_col,
-                halo=1,
-                compute=lambda u, w: u.withColumn(
-                    out, _ret(F.lag(col, 1).over(w))
-                ),
+            return _chunked_trailing(df, order_col, halo=1, compute=_compute)
+        if partition_by:
+            chunked, cr = _keyed_plan(
+                df, partition_by, order_col, strategy, halo=1
             )
-        w = _window(partition_by, order_col)
-        return df.withColumn(out, _ret(F.lag(col, 1).over(w)))
+            if chunked:
+                return _keyed_chunked_trailing(
+                    df, partition_by, (order_col,), halo=1,
+                    compute=_compute, chunk_rows=cr,
+                )
+        return _compute(df, _window(partition_by, order_col))
 
     return _t
 
@@ -178,6 +347,20 @@ def rolling_mean_std(
             return _chunked_trailing(
                 df, order_col, halo=window_rows - 1, compute=_add
             )
+        if partition_by:
+            chunked, cr = _keyed_plan(
+                df, partition_by, order_col, strategy,
+                halo=window_rows - 1,
+            )
+            if chunked:
+                return _keyed_chunked_trailing(
+                    df,
+                    partition_by,
+                    (order_col,),
+                    halo=window_rows - 1,
+                    compute=_add,
+                    chunk_rows=cr,
+                )
         return _add(df, _window(partition_by, order_col))
 
     return _t
@@ -435,12 +618,97 @@ def cusum(
     return _t
 
 
+def truncated_ema(
+    col: str, w: WindowSpec, alpha: float, taps: int
+) -> Column:
+    """Truncated-EWMA column: the infinite EMA recursion
+    ``y_t = α·x_t + (1−α)·y_{t−1}`` unrolled into a bounded chain of
+    ``taps`` lags with geometric weights and an adaptive head
+    normalizer (missing lags contribute to neither numerator nor
+    denominator, so the series head is the exact finite-history EMA).
+    Declarative and frame-bounded — which is what makes the chunked
+    parallel plan below possible; the exact recursive form stays the
+    grouped-map surface's job (q57)."""
+    num: Column = F.col(col)
+    den: Column = F.lit(1.0)
+    wgt = 1.0
+    for i in range(1, taps):
+        wgt *= 1.0 - alpha
+        lagc = F.lag(col, i).over(w)
+        num = num + F.when(lagc.isNull(), 0.0).otherwise(F.lit(wgt) * lagc)
+        den = den + F.when(lagc.isNull(), 0.0).otherwise(F.lit(wgt))
+    return num / den
+
+
+def macd_signal(
+    value_col: str,
+    order_by: Sequence[str] = ("ts",),
+    partition_by: str | None = None,
+    fast_alpha: float = 2.0 / 13.0,
+    fast_taps: int = 36,
+    slow_alpha: float = 2.0 / 27.0,
+    slow_taps: int = 60,
+    signal_alpha: float = 2.0 / 10.0,
+    signal_taps: int = 27,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """MACD(fast, slow, signal) per series in the truncated-EWMA idiom:
+    adds ``macd`` / ``signal`` / ``histogram`` columns.  Default taps
+    (36/60/27 for the classic 12-26-9 spans) leave <1.3% geometric tail
+    mass.
+
+    Scale path: the stack is two bounded-lag window levels — fast/slow
+    EMAs over the raw series, the signal EMA over the derived ``macd``
+    column — so the chunked-halo decomposition applies with halo =
+    ``(slow_taps−1) + (signal_taps−1)``: a halo row at offset −h inside
+    a chunk has ``halo−h`` predecessors, which covers the signal EMA's
+    reach of ``signal_taps−1`` rows whose own macd values each need
+    ``slow_taps−1`` more.  ``strategy='auto'`` swaps to the chunked
+    plan on the per-key count estimate when a single key's series
+    exceeds the hot-key threshold (the zipf shape where one ordered
+    window task dominates) — BIT-IDENTICAL output, since every output
+    row's frames hold exactly the same rows in the same order.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
+    halo = (slow_taps - 1) + (signal_taps - 1)
+
+    def _compute(u: DataFrame, w: WindowSpec) -> DataFrame:
+        m = u.withColumn(
+            "macd",
+            truncated_ema(value_col, w, fast_alpha, fast_taps)
+            - truncated_ema(value_col, w, slow_alpha, slow_taps),
+        )
+        return m.withColumn(
+            "signal", truncated_ema("macd", w, signal_alpha, signal_taps)
+        ).withColumn("histogram", F.col("macd") - F.col("signal"))
+
+    def _t(df: DataFrame) -> DataFrame:
+        keys = [partition_by] if partition_by else []
+        if keys:
+            chunked, cr = _keyed_plan(
+                df, keys, order_by[0], strategy, halo=halo
+            )
+            if chunked:
+                return _keyed_chunked_trailing(
+                    df, keys, order_by, halo=halo, compute=_compute,
+                    chunk_rows=cr,
+                )
+        w = (
+            Window.partitionBy(*keys) if keys else Window.partitionBy()
+        ).orderBy(*[F.col(c) for c in order_by])
+        return _compute(df, w)
+
+    return _t
+
+
 def acf(
     value_col: str,
     max_lag: int,
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
     out: str = "acf",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Autocorrelation function r_1..r_max_lag per series:
 
@@ -460,34 +728,78 @@ def acf(
     (no transcendentals anywhere).
 
     Returns ``(partition_by…, lag, acf)``, lag ∈ 1..max_lag.
+
+    Scale path (keyed): ``strategy='auto'`` swaps BOTH hot-key shapes
+    when the per-key count estimate finds a series over the hot-key
+    threshold — the unordered per-key mean window becomes a groupBy +
+    equi-join (identical value: the decimal sum is order-free), and the
+    ordered lag-product pass runs under the chunked-halo decomposition
+    with halo = ``max_lag`` — bit-identical, parallel within the hot
+    key.  The final per-series reduction was already a plain
+    aggregation (partial-combined, never single-task).
     """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
 
     def _t(df: DataFrame) -> DataFrame:
         from btc_usdt_etl_pipeline_spark.functions import DEC
 
-        wg = (
-            Window.partitionBy(partition_by)
-            if partition_by
-            else Window.partitionBy()
-        )
-        wo = wg.orderBy(*[F.col(c) for c in order_by])
-        xbar = (
-            F.sum(F.col(value_col).cast(DEC)).over(wg).cast("double")
-            / F.count(value_col).over(wg)
-        )
-        d = df.withColumn("_dev", F.col(value_col) - xbar)
-        lag_prods = [
-            (F.col("_dev") * F.lag("_dev", k).over(wo)).cast(DEC).alias(
-                f"_p{k}"
-            )
-            for k in range(1, max_lag + 1)
-        ]
-        staged = d.select(
-            *( [partition_by] if partition_by else [] ),
-            (F.col("_dev") * F.col("_dev")).cast(DEC).alias("_d2"),
-            *lag_prods,
-        )
         gcols = [partition_by] if partition_by else []
+        chunked, cr = (
+            _keyed_plan(df, gcols, order_by[0], strategy, halo=max_lag)
+            if gcols
+            else (False, None)
+        )
+
+        def _lag_prods(u: DataFrame, w: WindowSpec) -> DataFrame:
+            for k in range(1, max_lag + 1):
+                u = u.withColumn(
+                    f"_p{k}",
+                    (F.col("_dev") * F.lag("_dev", k).over(w)).cast(DEC),
+                )
+            return u
+
+        if chunked:
+            means = df.groupBy(*gcols).agg(
+                (
+                    F.sum(F.col(value_col).cast(DEC)).cast("double")
+                    / F.count(value_col)
+                ).alias("_xbar")
+            )
+            d = df.join(means, gcols).withColumn(
+                "_dev", F.col(value_col) - F.col("_xbar")
+            )
+            staged = _keyed_chunked_trailing(
+                d, gcols, order_by, halo=max_lag, compute=_lag_prods,
+                chunk_rows=cr,
+            ).select(
+                *gcols,
+                (F.col("_dev") * F.col("_dev")).cast(DEC).alias("_d2"),
+                *[F.col(f"_p{k}") for k in range(1, max_lag + 1)],
+            )
+        else:
+            wg = (
+                Window.partitionBy(partition_by)
+                if partition_by
+                else Window.partitionBy()
+            )
+            wo = wg.orderBy(*[F.col(c) for c in order_by])
+            xbar = (
+                F.sum(F.col(value_col).cast(DEC)).over(wg).cast("double")
+                / F.count(value_col).over(wg)
+            )
+            d = df.withColumn("_dev", F.col(value_col) - xbar)
+            lag_prods = [
+                (F.col("_dev") * F.lag("_dev", k).over(wo))
+                .cast(DEC)
+                .alias(f"_p{k}")
+                for k in range(1, max_lag + 1)
+            ]
+            staged = d.select(
+                *gcols,
+                (F.col("_dev") * F.col("_dev")).cast(DEC).alias("_d2"),
+                *lag_prods,
+            )
         agg = staged.groupBy(*gcols).agg(
             F.sum("_d2").cast("double").alias("_den"),
             *[

@@ -436,6 +436,105 @@ def test_unkeyed_window_scale_paths_bit_identical(spark, monkeypatch):
         W.fill_forward(["v"], ["t"], strategy="bogus")
 
 
+def test_keyed_window_scale_paths_bit_identical(spark, monkeypatch):
+    """The round-8 KEYED scale paths — per-key chunked-halo pct_change /
+    rolling_mean_std / macd_signal / acf — must equal the plain
+    partitionBy-window plans BIT-FOR-BIT (the contract that lets
+    strategy='auto' swap plans on the per-key count estimate without
+    moving any oracle hash).  Chunks shrink to 64 rows; the 'hot' key
+    spans ~150 day-buckets and many chunks (MACD's halo of 85 forces
+    340-row chunks — still 4+ chunks); the other keys exercise the
+    degenerate shapes: shorter than one halo, single-row, and constant
+    value (ACF's zero-denominator NULL fence)."""
+    import datetime as dt
+
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "_CHUNK_ROWS", 64)
+    epoch = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(1400):  # hot key: > 4 chunks even at MACD's 340
+        rows.append(
+            ("hot", epoch + dt.timedelta(hours=3 * i), i,
+             100.0 + ((i * 37) % 97) / 7.0 - ((i * 11) % 13))
+        )
+    for i in range(50):  # mid key: crosses 64-row chunks, < MACD halo
+        rows.append(
+            ("mid", epoch + dt.timedelta(hours=5 * i), i,
+             50.0 + ((i * 29) % 31) / 3.0)
+        )
+    rows.append(("single", epoch, 0, 42.0))
+    for i in range(80):  # constant series: ACF NULL fence
+        rows.append(("flat", epoch + dt.timedelta(hours=i), i, 7.0))
+    df = spark.createDataFrame(
+        rows, "k string, t timestamp, i long, x double"
+    )
+
+    def rows_of(out):
+        return sorted(
+            (tuple(r) for r in out.collect()),
+            key=lambda r: (r[0], str(r[1]), str(r[2])),
+        )
+
+    for mk in (
+        lambda s: W.pct_change("x", "t", partition_by=["k"], strategy=s),
+        lambda s: W.rolling_mean_std(
+            "x", "t", 7, partition_by=["k"], strategy=s
+        ),
+        lambda s: W.macd_signal(
+            "x", order_by=("t", "i"), partition_by="k", strategy=s
+        ),
+        lambda s: W.acf(
+            "x", max_lag=5, partition_by="k", order_by=("t", "i"),
+            strategy=s,
+        ),
+    ):
+        a = rows_of(df.transform(mk("window")))
+        b = rows_of(df.transform(mk("chunked")))
+        assert a == b
+
+    # ACF NULL fence survives the chunked plan for the constant key
+    flat = (
+        df.transform(
+            W.acf("x", max_lag=3, partition_by="k", order_by=("t", "i"),
+                  strategy="chunked")
+        )
+        .filter(F.col("k") == "flat")
+        .collect()
+    )
+    assert len(flat) == 3 and all(r["acf"] is None for r in flat)
+
+    import pytest as _pytest
+
+    for bad in (
+        lambda: W.macd_signal("x", strategy="bogus"),
+        lambda: W.acf("x", max_lag=2, strategy="bogus"),
+    ):
+        with _pytest.raises(ValueError, match="strategy"):
+            bad()
+
+
+def test_keyed_index_dense_per_key(spark):
+    """_keyed_index assigns each key a dense 0-based index by the order
+    tuple with no per-key sort task — verify density, ordering, and the
+    null-order nulls-first sentinel."""
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+
+    rows = [
+        ("a", 5, 100.0), ("a", 1, 1.0), ("a", 3, 2.0),
+        ("b", 2, 9.0), ("b", 7, 8.0),
+        ("c", None, 3.0), ("c", 4, 4.0),  # null orders first
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {
+        (r["k"], r["_g_idx"]): r["t"]
+        for r in W._keyed_index(df, ["k"], ("t",)).collect()
+    }
+    assert got[("a", 0)] == 1 and got[("a", 1)] == 3 and got[("a", 2)] == 5
+    assert got[("b", 0)] == 2 and got[("b", 1)] == 7
+    assert got[("c", 0)] is None and got[("c", 1)] == 4
+
+
 def test_cdc_merge_semantics(spark):
     """Latest-wins upsert, delete tombstones drop keys, untouched keys
     pass through, and new keys appearing only in the changelog insert."""

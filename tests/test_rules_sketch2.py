@@ -154,3 +154,64 @@ def test_weighted_median_half_total_boundary(spark):
     df = spark.createDataFrame(rows, "i long, v double, w double")
     (r,) = df.transform(weighted_median("v", "w")).collect()
     assert r["weighted_median"] == 1.0
+
+
+def test_weighted_median_bucketed_equals_walk(spark):
+    """The zone-map bucketed scale path must equal the plain ordered
+    walk EXACTLY (the bucket partition of the cumulative walk is exact
+    decimal arithmetic) — on grouped and global shapes, with ties,
+    negative values, skewed weights, a constant-value group (span 0),
+    and a half-total boundary landing exactly on a bucket edge."""
+    import random
+
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_median,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(3000):
+        k = ("a", "b", "c")[i % 3]
+        v = float(rng.randint(-500, 500)) / 7.0  # ties + negatives
+        w = float(rng.randint(1, 9)) * (100.0 if i % 97 == 0 else 1.0)
+        rows.append((i, k, v, w))
+    rows += [(9000 + j, "flat", 42.0, 1.0) for j in range(5)]
+    df = spark.createDataFrame(rows, "i long, k string, v double, w double")
+
+    for gb in ("k", None):
+        a = sorted(
+            tuple(r)
+            for r in df.transform(
+                weighted_median("v", "w", group_by=gb, strategy="walk")
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in df.transform(
+                weighted_median(
+                    "v", "w", group_by=gb, strategy="bucketed",
+                    num_buckets=16,
+                )
+            ).collect()
+        )
+        assert a == b
+
+    # exact bucket-edge boundary: values 0..15 with num_buckets=16 put
+    # each value in its own bucket; equal weights make the half-total
+    # hit the 8th value's bucket edge exactly.
+    edge = spark.createDataFrame(
+        [(i, float(i), 1.0) for i in range(16)], "i long, v double, w double"
+    )
+    (r1,) = edge.transform(weighted_median("v", "w", strategy="walk")).collect()
+    (r2,) = edge.transform(
+        weighted_median("v", "w", strategy="bucketed", num_buckets=16)
+    ).collect()
+    assert tuple(r1) == tuple(r2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        weighted_median("v", "w", strategy="bogus")
+    s = spark.createDataFrame([(1, "x", 1.0)], "i long, v string, w double")
+    with _pytest.raises(TypeError, match="numeric"):
+        s.transform(weighted_median("v", "w", strategy="bucketed"))

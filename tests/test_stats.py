@@ -45,6 +45,36 @@ def test_bootstrap_is_deterministic(spark):
     )
 
 
+def test_bootstrap_portable_vs_xxhash_legs(spark):
+    """The two hash legs draw DIFFERENT (equally valid) bootstrap
+    weight streams — the CIs must disagree somewhere (proving the flag
+    switches the hash) while both bracket the sample mean with sane
+    width, and each leg stays partitioning-deterministic."""
+    import random
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bootstrap_ci_mean,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, "g", rng.gauss(20.0, 4.0)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "i long, k string, value double")
+    sample_mean = sum(v for _, _, v in rows) / len(rows)
+    out = {}
+    for portable in (False, True):
+        t = bootstrap_ci_mean(
+            "value", id_col="i", group_by="k", replicates=40,
+            portable=portable,
+        )
+        (r,) = df.transform(t).collect()
+        (r2,) = df.repartition(11).transform(t).collect()
+        assert (r["ci_lo"], r["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+        assert r["ci_lo"] < sample_mean < r["ci_hi"]
+        assert 0.05 < r["ci_hi"] - r["ci_lo"] < 1.5
+        out[portable] = (r["ci_lo"], r["ci_hi"])
+    assert out[False] != out[True]
+
+
 def test_trimmed_mean_robust_to_outliers(spark):
     from btc_usdt_etl_pipeline_spark.operators.stats import trimmed_mean
 
