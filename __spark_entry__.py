@@ -8810,8 +8810,18 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsample before pairing — the un-fenced version OOM-killed the
     10x zipf probe on a 100k-event hot user); at this SF every series
     is under the cap, so the gate semantics are the exact all-pairs
-    estimator.  Median is the shared type-7 interpolation pinned by
-    q55; same-timestamp pairs excluded on both sides
+    estimator.
+
+    max_points sizing (SCALE.md §6): this query pins 500 (probe-tuned:
+    430 s at cap 2000 vs 167 s at cap 500 at 10x); the operator default
+    is 2000.  Recall cost of the fence: the estimator becomes Theil-Sen
+    on a uniform deterministic subsample — breakdown point and
+    consistency preserved, slope standard error grows ~1/sqrt(cap) — so
+    a 100 TB user sizes the cap to the error bar needed, never to the
+    series length (pair mass is cap^2 per key).
+
+    Median is the shared type-7 interpolation pinned by q55;
+    same-timestamp pairs excluded on both sides
     (operators/windows.py:theil_sen)."""
     from btc_usdt_etl_pipeline_spark.operators.windows import theil_sen
 

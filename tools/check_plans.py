@@ -492,6 +492,69 @@ def main() -> int:
         "code joins are id-keyed broadcasts; centroids ride as literals",
     )
 
+    # q146/q148: the PageRank loop's rank joins must ALL broadcast
+    # (rank table is node-scale; a sort-merge would shuffle the edge
+    # list per iteration) — r7 VERDICT ask #6.
+    for name in ("q146_pagerank", "q148_pagerank_weighted"):
+        kinds = join_kinds(qs[name](spark, SF_DIR))
+        check(name, len(kinds) > 0, "rank joins present")
+        check(
+            name,
+            all(k == "BroadcastHashJoin" for k in kinds),
+            "every per-iteration rank join broadcasts",
+        )
+
+    # q180: the two stacked CUSUM windows must share ONE user-keyed
+    # exchange (the second window's requirement is satisfied by the
+    # first's partitioning — if a second hash exchange appears, the
+    # stack re-shuffles per level).
+    df = qs["q180_cusum"](spark, SF_DIR)
+    p180 = plan_string(df, mode="simple")
+    check(
+        "q180",
+        p180.count("Exchange hashpartitioning") == 1,
+        "stacked windows share a single user exchange",
+    )
+    check(
+        "q180",
+        "Exchange SinglePartition" not in p180,
+        "no single-partition exchange",
+    )
+
+    # q181-q215 batch: no DATA-SCALE single-partition exchange.  A
+    # SinglePartition exchange is benign exactly when its child is a
+    # partial aggregate (map-side combine already collapsed the data to
+    # per-partition partials — the exchange moves a handful of rows);
+    # anything else funnels real rows through one task.
+    import re as _re
+
+    def _sp_nonpartial(frame) -> list[str]:
+        # benign: an aggregate within a few lines below the exchange —
+        # the data was already collapsed to partials/groups before
+        # crossing SinglePartition (bins, deciles, digits...).  The
+        # hazard caught here is raw scan/join/window output funneling
+        # through one task (an unkeyed Sort/Window/row_number shape).
+        lines = plan_string(frame, mode="simple").splitlines()
+        bad = []
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                below = " ".join(lines[i + 1 : i + 4])
+                if "partial_" not in below and "Aggregate" not in below:
+                    bad.append(lines[i + 1].strip()[:70])
+        return bad
+
+    for name, fn in sorted(qs.items()):
+        m = _re.match(r"q(\d+)", name)
+        if not (m and 181 <= int(m.group(1)) <= 215):
+            continue
+        bad = _sp_nonpartial(fn(spark, SF_DIR))
+        check(
+            name,
+            not bad,
+            "single-partition exchanges only above partial aggregates"
+            + (f" (got: {bad})" if bad else ""),
+        )
+
     # Every query: no cartesian products anywhere; nested-loop joins only
     # where a broadcast cross join IS the algorithm.
     # q132: SemDeDup's centroid-assignment pass broadcasts the (small)
