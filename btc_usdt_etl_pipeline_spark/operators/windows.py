@@ -102,21 +102,38 @@ def _chunked_trailing(
     return out.filter(~F.col("_halo")).drop("_chunk", "_halo", "_g_idx")
 
 
-def _explode_halo(indexed: DataFrame, halo: int, chunk_rows: int) -> DataFrame:
+def _explode_halo(
+    indexed: DataFrame,
+    halo: int,
+    chunk_rows: int,
+    halo_fwd: int = 0,
+) -> DataFrame:
     """Chunk assignment + halo duplication in ONE generator pass: each
-    row lands in its own chunk, and the last ``halo`` rows of a chunk
-    additionally land in the next chunk flagged ``_halo``.  An explode
-    beats the self-union formulation decisively: the union's two
-    branches each re-evaluate the ENTIRE upstream (source scan, the
-    index's count/offset join, any pre-joins the caller stacked below)
-    — measured 144 s → 62 s on the 100× ACF probe — while the explode
-    evaluates it once and merely emits 1 + halo/chunk_rows rows per
-    input row."""
+    row lands in its own chunk, the last ``halo`` rows of a chunk
+    additionally land in the NEXT chunk, and (for CENTERED frames) the
+    first ``halo_fwd`` rows additionally land in the PREVIOUS chunk —
+    all copies flagged ``_halo``.  An explode beats the self-union
+    formulation decisively: the union's branches each re-evaluate the
+    ENTIRE upstream (source scan, the index's count/offset join, any
+    pre-joins the caller stacked below) — measured 144 s → 62 s on the
+    100× ACF probe — while the explode evaluates it once and merely
+    emits ``1 + (halo + halo_fwd)/chunk_rows`` rows per input row."""
     chunk = F.floor(F.col("_g_idx") / F.lit(chunk_rows))
-    in_tail = (F.col("_g_idx") % chunk_rows) >= F.lit(chunk_rows - halo)
+    pos = F.col("_g_idx") % chunk_rows
+    in_tail = pos >= F.lit(chunk_rows - halo)
     targets = F.when(
         in_tail, F.array(chunk, chunk + F.lit(1))
     ).otherwise(F.array(chunk))
+    if halo_fwd > 0:
+        in_head = (pos < F.lit(halo_fwd)) & (chunk > 0)
+        targets = F.when(
+            in_tail & in_head,
+            F.array(chunk - F.lit(1), chunk, chunk + F.lit(1)),
+        ).otherwise(
+            F.when(in_tail, F.array(chunk, chunk + F.lit(1)))
+            .when(in_head, F.array(chunk - F.lit(1), chunk))
+            .otherwise(F.array(chunk))
+        )
     return indexed.withColumn("_chunk", F.explode(targets)).withColumn(
         "_halo", F.col("_chunk") != chunk
     )
@@ -204,6 +221,8 @@ def _keyed_chunked_trailing(
     halo: int,
     compute: Callable[[DataFrame, WindowSpec], DataFrame],
     chunk_rows: int | None = None,
+    halo_fwd: int = 0,
+    keep_index: bool = False,
 ) -> DataFrame:
     """Exact KEYED trailing-frame windows with no single-task-per-key
     ceiling — the keyed twin of :func:`_chunked_trailing`: per-key
@@ -216,19 +235,24 @@ def _keyed_chunked_trailing(
     per-key count estimate without changing any oracle hash.
 
     ``compute(df, w)`` must add columns using specs derived from ``w``
-    whose frames reach at most ``halo`` rows back; for STACKED windows
-    (a second window over a column the first one derived — MACD's
-    signal line) pass the SUM of the stage depths: a halo row at
-    relative offset −h has ``halo − h`` predecessors in its chunk, so
-    any derived value that later stages read within their own reach is
-    already exact.
+    whose frames reach at most ``halo`` rows back (and at most
+    ``halo_fwd`` rows forward — pass it for CENTERED frames like the
+    seasonal trend's ±h moving average); for STACKED windows (a second
+    window over a column the first one derived — MACD's signal line)
+    pass the SUM of the stage depths: a halo row at relative offset −h
+    has ``halo − h`` predecessors in its chunk, so any derived value
+    that later stages read within their own reach is already exact.
     """
-    chunk_rows = max(chunk_rows or _CHUNK_ROWS, 4 * halo, 1)
+    chunk_rows = max(chunk_rows or _CHUNK_ROWS, 4 * max(halo, halo_fwd), 1)
     indexed = _keyed_index(df, keys, order_by, index_col="_g_idx")
-    u = _explode_halo(indexed, halo, chunk_rows)
+    u = _explode_halo(indexed, halo, chunk_rows, halo_fwd=halo_fwd)
     w = Window.partitionBy(*keys, "_chunk").orderBy("_g_idx")
-    out = compute(u, w)
-    return out.filter(~F.col("_halo")).drop("_chunk", "_halo", "_g_idx")
+    out = compute(u, w).filter(~F.col("_halo")).drop("_chunk", "_halo")
+    # keep_index hands the caller the per-key dense position (0-based,
+    # identical to row_number()-1 under the same order) — e.g. the
+    # seasonal phase is just _g_idx % period, saving a second ordered
+    # full-key window.
+    return out if keep_index else out.drop("_g_idx")
 
 
 def _keyed_plan(
@@ -837,6 +861,7 @@ def seasonal_decompose(
     trend_halfwidth: int | None = None,
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Additive seasonal decomposition (STL-lite):
 
@@ -858,27 +883,71 @@ def seasonal_decompose(
     add/subtract/divide only, so outputs are bit-stable cross-engine.
 
     Returns the input plus ``phase, trend, seasonal, resid``.
+
+    ``strategy='chunked'`` (explicit, keyed only) runs the centered ±h
+    trend frame under the chunked-halo plan (``halo = halo_fwd = h``,
+    a two-sided context band) and derives the phase from the chunked
+    plan's per-key dense index (``_g_idx % period`` ≡
+    ``row_number() − 1 mod period``) — bit-identical
+    (pytest-verified).  Unlike MACD/ACF, **'auto' deliberately stays
+    on the plain window**: measured at the 100× corpus (10M rows,
+    2.5M-row hot key) the plain plan runs 38.7 s while the chunked
+    rewrite costs 77.5 s — a ±12-row frame is too cheap per row for
+    the index/explode machinery to pay for itself, the opposite
+    verdict from the 120-lag MACD stack.  The per-(key, phase) mean
+    windows split a hot key ``period``-ways by construction and the
+    grand mean is frameless, so neither is a chunking candidate
+    either.  Revisit only if a real workload concentrates ~10× more
+    rows in one key than the probe corpus.
     """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     h = trend_halfwidth if trend_halfwidth is not None else period // 2
 
     def _t(df: DataFrame) -> DataFrame:
         from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        gcols = [partition_by] if partition_by else []
+        chunked = bool(gcols) and strategy == "chunked"
+        cr = None
 
         wg = (
             Window.partitionBy(partition_by)
             if partition_by
             else Window.partitionBy()
         )
-        wo = wg.orderBy(*[F.col(c) for c in order_by])
-        frame = wo.rowsBetween(-h, h)
-        trend = (
-            F.sum(F.col(value_col).cast(DEC)).over(frame).cast("double")
-            / F.count(value_col).over(frame)
-        )
-        phase = F.pmod(F.row_number().over(wo) - 1, F.lit(period)).cast(
-            "int"
-        )
-        d = df.withColumn("trend", trend).withColumn("phase", phase)
+        if chunked:
+
+            def _trend(u: DataFrame, w: WindowSpec) -> DataFrame:
+                fr = w.rowsBetween(-h, h)
+                return u.withColumn(
+                    "trend",
+                    F.sum(F.col(value_col).cast(DEC)).over(fr).cast(
+                        "double"
+                    )
+                    / F.count(value_col).over(fr),
+                )
+
+            d = _keyed_chunked_trailing(
+                df, gcols, order_by, halo=h, compute=_trend,
+                chunk_rows=cr, halo_fwd=h, keep_index=True,
+            ).withColumn(
+                "phase",
+                F.pmod(F.col("_g_idx"), F.lit(period)).cast("int"),
+            ).drop("_g_idx")
+        else:
+            wo = wg.orderBy(*[F.col(c) for c in order_by])
+            frame = wo.rowsBetween(-h, h)
+            trend = (
+                F.sum(F.col(value_col).cast(DEC)).over(frame).cast(
+                    "double"
+                )
+                / F.count(value_col).over(frame)
+            )
+            phase = F.pmod(
+                F.row_number().over(wo) - 1, F.lit(period)
+            ).cast("int")
+            d = df.withColumn("trend", trend).withColumn("phase", phase)
         d = d.withColumn("_detr", F.col(value_col) - F.col("trend"))
         wp = (
             Window.partitionBy(partition_by, "phase")
@@ -906,6 +975,12 @@ def seasonal_decompose(
         # /period would underestimate the grand mean, mis-centering
         # seasonal and resid for short series.  For series >= period
         # rows the two are identical.
+        # The grand mean stays a WINDOW in both modes: it is frameless
+        # (one accumulate pass per key, cheap even on a hot key), and a
+        # groupBy+join formulation measured no better (74.3 vs 77.5 s
+        # at 100×) while re-evaluating the entire upstream pipeline in
+        # the join's aggregate branch — the consume-a-subtree-twice
+        # trap again.
         n_phases = F.sum(
             F.when(first_in_phase, F.lit(1)).otherwise(F.lit(0))
         ).over(wg)

@@ -488,6 +488,12 @@ def test_keyed_window_scale_paths_bit_identical(spark, monkeypatch):
             "x", max_lag=5, partition_by="k", order_by=("t", "i"),
             strategy=s,
         ),
+        # centered ±h trend frame: exercises the two-sided (halo_fwd)
+        # duplication and the index-derived phase
+        lambda s: W.seasonal_decompose(
+            "x", period=24, trend_halfwidth=12, partition_by="k",
+            order_by=("t", "i"), strategy=s,
+        ),
     ):
         a = rows_of(df.transform(mk("window")))
         b = rows_of(df.transform(mk("chunked")))
@@ -512,6 +518,50 @@ def test_keyed_window_scale_paths_bit_identical(spark, monkeypatch):
     ):
         with _pytest.raises(ValueError, match="strategy"):
             bad()
+
+
+def test_keyed_auto_trigger_swaps_plan_identically(spark, monkeypatch):
+    """strategy='auto' must actually flip to the chunked plan when the
+    hot-key count crosses the (monkeypatched) threshold and the size
+    estimate passes — and the swap must not move a single value.  Also
+    pins the adaptive chunk-size contract: >= 4*halo always."""
+    import datetime as dt
+
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "_KEYED_HOT_KEY_ROWS", 100)
+    monkeypatch.setattr(W, "_CHUNK_THRESHOLD_BYTES", 1)
+    epoch = dt.datetime(2024, 1, 1)
+    rows = [
+        ("hot", epoch + dt.timedelta(hours=2 * i), i,
+         10.0 + ((i * 31) % 23) / 3.0)
+        for i in range(400)
+    ] + [("cold", epoch + dt.timedelta(hours=i), i, 5.0 + i) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "k string, t timestamp, i long, x double"
+    )
+    chunked, cr = W._keyed_plan(df, ["k"], "t", "auto", halo=6)
+    assert chunked and cr >= 4 * 6
+    auto = sorted(
+        tuple(r)
+        for r in df.transform(
+            W.rolling_mean_std("x", "t", 7, partition_by=["k"],
+                               strategy="auto")
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in df.transform(
+            W.rolling_mean_std("x", "t", 7, partition_by=["k"],
+                               strategy="window")
+        ).collect()
+    )
+    assert auto == plain
+    # below the threshold auto stays on the plain window (no count job
+    # dependency): same data, threshold restored
+    monkeypatch.setattr(W, "_KEYED_HOT_KEY_ROWS", 1 << 19)
+    chunked, _ = W._keyed_plan(df, ["k"], "t", "auto", halo=6)
+    assert not chunked
 
 
 def test_keyed_index_dense_per_key(spark):
