@@ -10924,6 +10924,227 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCF_K = 5
+_CCF_PRODS = ",\n".join(
+    f"""          CAST(lag(dx, {k}) OVER wo * dy AS DECIMAL(38,6)) AS pp{k},
+          CAST(dx * lag(dy, {k}) OVER wo AS DECIMAL(38,6)) AS pn{k}"""
+    for k in range(1, _CCF_K + 1)
+)
+_CCF_SUMS = ",\n".join(
+    f"""          CAST(SUM(pp{k}) AS DOUBLE) AS np{k},
+          CAST(SUM(pn{k}) AS DOUBLE) AS nn{k}"""
+    for k in range(1, _CCF_K + 1)
+)
+_CCF_UNION = "\n      UNION ALL ".join(
+    [
+        f"SELECT user_id, {-k} AS lag, nn{k} AS num, da, db FROM a"
+        for k in range(_CCF_K, 0, -1)
+    ]
+    + ["SELECT user_id, 0, n0, da, db FROM a"]
+    + [
+        f"SELECT user_id, {k}, np{k}, da, db FROM a"
+        for k in range(1, _CCF_K + 1)
+    ]
+)
+
+
+@_q(
+    "q216_cross_correlation",
+    f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             COALESCE(lag(value, 3) OVER w, 0.0::DOUBLE) AS y
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    m AS (SELECT user_id, ts, event_id, value, y,
+                 value - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                              OVER wg AS DOUBLE)
+                       / COUNT(value) OVER wg AS dx,
+                 y - CAST(SUM(CAST(y AS DECIMAL(38,6)))
+                          OVER wg AS DOUBLE)
+                   / COUNT(y) OVER wg AS dy
+          FROM base WINDOW wg AS (PARTITION BY user_id)),
+    s AS (SELECT user_id,
+          CAST(dx * dx AS DECIMAL(38,6)) AS dx2,
+          CAST(dy * dy AS DECIMAL(38,6)) AS dy2,
+          CAST(dx * dy AS DECIMAL(38,6)) AS p0,
+{_CCF_PRODS}
+          FROM m WINDOW wo AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    a AS (SELECT user_id,
+          CAST(SUM(dx2) AS DOUBLE) AS da,
+          CAST(SUM(dy2) AS DOUBLE) AS db,
+          CAST(SUM(p0) AS DOUBLE) AS n0,
+{_CCF_SUMS}
+          FROM s GROUP BY user_id)
+    SELECT user_id, lag,
+           CASE WHEN da <> 0 AND db <> 0
+                THEN round(num / sqrt(da * db), 6) END AS ccf
+    FROM ({_CCF_UNION})
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (lead-lag detector) between each
+    user's value series and a 3-step-delayed copy of itself (the
+    deterministic fixture plants a known structure: x leads y by
+    exactly 3, so the CCF must peak at lag +3 — asserted by the
+    pytest; the oracle replays the full ±5 sweep).  One ordered window
+    pass produces all 11 lag products; one aggregation reduces each
+    series to 11 numerators + 2 deviation masses; inline array unpivot
+    — the ACF plan shape with two lagged columns
+    (operators/windows.py:cross_correlation).  sqrt is IEEE
+    exact-rounded (unlike exp/ln), so the only rounding contract is
+    the final 6 dp pin."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        cross_correlation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn(
+        "y", F.coalesce(F.lag("value", 3).over(w), F.lit(0.0))
+    )
+    return d.transform(
+        cross_correlation(
+            "value", "y", max_lag=_CCF_K, partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q217_geo_radius_join",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CAST((c_custkey * 73) % 1700 AS DOUBLE) / 10.0
+                        - 85.0 AS lat,
+                      CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0
+                        - 180.0 AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CAST((s_suppkey * 73) % 1700 AS DOUBLE) / 10.0
+                   - 85.0 AS slat,
+                 CAST((s_suppkey * 131) % 3600 AS DOUBLE) / 10.0
+                   - 180.0 AS slon
+          FROM supplier),
+    p AS (SELECT s_suppkey, c_custkey,
+                 (lat - slat) * (lat - slat)
+                   + (lon - slon) * (lon - slon) AS d2
+          FROM c CROSS JOIN s)
+    SELECT s_suppkey, COUNT(*)::BIGINT AS n_customers,
+           round(MIN(d2), 6) AS min_dist2
+    FROM p WHERE d2 < 25.0
+    GROUP BY s_suppkey
+    """,
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join (the spatial co-location primitive):
+    customers within 5° of each supplier, counted per supplier with the
+    nearest squared distance.  Coordinates are a deterministic
+    arithmetic fixture derived from the keys (the driver tables carry
+    no geo columns — same derived-fixture pattern as q153's
+    co-supplier graph).  The operator snaps points to radius-sized
+    grid cells, explodes ONE side ×9 into its neighbor cells, and
+    equi-joins on the cell key before the exact predicate — candidate
+    pruning only, so the ORACLE can verify semantics with a plain
+    cross-join filter while the Spark plan never goes quadratic.  The
+    planar squared-degree metric is add/multiply only: bit-identical
+    row membership with no rounding contract
+    (operators/geo.py:radius_join)."""
+    from btc_usdt_etl_pipeline_spark.operators.geo import radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("slat"),
+        ((F.col("s_suppkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("slon"),
+    )
+    pairs = radius_join(
+        cust, supp, radius_deg=5.0,
+        left_coords=("lat", "lon"), right_coords=("slat", "slon"),
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("dist2"), 6).alias("min_dist2"),
+    )
+
+
+#: Off-policy fixture: uniform logging over the 5 arms; the target
+#: policy concentrates on purchase.  Weights are computed HERE in
+#: Python and embedded as the same literals in the Spark plan and the
+#: oracle (the float-ratio ambiguity of 0.3/0.2 never crosses engines).
+_IPS_LOG = {a: 0.2 for a in ("click", "error", "purchase", "signup", "view")}
+_IPS_TGT = {"click": 0.1, "purchase": 0.6, "view": 0.3}
+_IPS_CLIP = 2.5
+_IPS_W = {
+    a: min(p / _IPS_LOG[a], _IPS_CLIP) for a, p in _IPS_TGT.items()
+}
+
+
+@_q(
+    "q218_ips_off_policy",
+    f"""
+    WITH s AS (SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      CASE event_type
+           WHEN 'click' THEN {_IPS_W['click']!r}::DOUBLE
+           WHEN 'purchase' THEN {_IPS_W['purchase']!r}::DOUBLE
+           WHEN 'view' THEN {_IPS_W['view']!r}::DOUBLE
+           ELSE 0.0::DOUBLE END AS w,
+      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cl,
+      value
+      FROM events WHERE value IS NOT NULL)
+    SELECT day, COUNT(*)::BIGINT AS n,
+      round(CAST(SUM(CAST(w * value AS DECIMAL(38,6))) AS DOUBLE)
+              / COUNT(*), 6) AS ips,
+      round(CASE WHEN SUM(CAST(w AS DECIMAL(38,6))) > 0
+                 THEN CAST(SUM(CAST(w * value AS DECIMAL(38,6)))
+                           AS DOUBLE)
+                    / CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+            END, 6) AS snips,
+      round(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+              / COUNT(*), 6) AS avg_weight,
+      round(CAST(SUM(cl) AS DOUBLE) / COUNT(*), 6) AS clip_frac
+    FROM s GROUP BY day
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (IPS + SNIPS, Horvitz-Thompson / Li
+    WSDM'11) of a purchase-heavy target policy against uniformly-logged
+    events, per day: the counterfactual "what value would the new
+    policy have earned" estimate every recommender/ranker pipeline
+    needs before an A/B test.  The purchase arm's raw weight (3.0)
+    exceeds the 2.5 clip, so clip_frac reports the touched mass — the
+    variance fence is exercised, not just declared.  One literal CASE
+    projection + one aggregation with map-side partials; exact-decimal
+    sums; weights are Python-computed literals shared verbatim with
+    the oracle (operators/stats.py:ips_policy_value)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("timestamp")
+    )
+    return e.transform(
+        ips_policy_value(
+            "value", "event_type",
+            logging_propensity=_IPS_LOG,
+            target_probability=_IPS_TGT,
+            clip=_IPS_CLIP,
+            group_by="day",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -168,6 +168,9 @@ HEADLINE = [
     "q213_calibration",
     "q214_gains_curve",
     "q215_quantile_normalize",
+    "q216_cross_correlation",
+    "q217_geo_radius_join",
+    "q218_ips_off_policy",
 ]
 
 

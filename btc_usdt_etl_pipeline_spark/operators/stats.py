@@ -136,6 +136,103 @@ def bootstrap_ci_mean(
     return _t
 
 
+def ips_policy_value(
+    reward_col: str,
+    arm_col: str,
+    logging_propensity: dict[str, float],
+    target_probability: dict[str, float],
+    clip: float = 10.0,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Off-policy evaluation by inverse-propensity scoring (Horvitz–
+    Thompson / Li et al. WSDM'11): estimate the value a TARGET policy
+    would have achieved from logs collected under a different LOGGING
+    policy, without deploying it —
+
+        IPS   = (1/n) Σ  r_i · w_i,      w_i = π(a_i) / μ(a_i)
+        SNIPS = Σ r_i·w_i / Σ w_i        (self-normalized variant)
+
+    with weights clipped at ``clip`` (the standard variance/robustness
+    fence — clipping trades a small pessimistic bias for bounded
+    variance when the logging policy rarely plays an arm the target
+    loves).  ``clip_frac`` reports how much mass the fence touched:
+    an estimate with a high clip fraction should not be trusted and
+    the number says so.
+
+    Both policies enter as per-arm probability maps (the logging
+    propensities are LOGGED facts in a real system; here they are
+    declared); unmapped arms get weight 0 — rows from arms outside the
+    target's support contribute nothing, exactly as the estimator
+    requires.
+
+    Plan: one projection (a literal CASE chain — no join, no UDF) and
+    one aggregation with map-side partials.  Exact-decimal sums make
+    IPS/SNIPS order-free; weights are ratios of literals, so every
+    product is the same IEEE double on any engine — the only contract
+    is the final 6 dp pin.
+
+    Returns ``group_by…, n, ips, snips, avg_weight, clip_frac``.
+    """
+    if clip <= 0:
+        raise ValueError("clip must be positive")
+    missing = set(target_probability) - set(logging_propensity)
+    if missing:
+        raise ValueError(
+            f"target arms missing a logging propensity: {sorted(missing)}"
+        )
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        w: Column = F.lit(0.0)
+        for arm, p_t in target_probability.items():
+            mu = logging_propensity[arm]
+            if mu <= 0:
+                raise ValueError(f"non-positive propensity for {arm!r}")
+            w = F.when(
+                F.col(arm_col) == F.lit(arm),
+                F.lit(min(float(p_t) / float(mu), float(clip))),
+            ).otherwise(w)
+        # clip detection: the UNclipped weight per arm is a literal, so
+        # whether it exceeds clip is decidable at plan time per arm.
+        clipped_arms = [
+            arm
+            for arm, p_t in target_probability.items()
+            if float(p_t) / float(logging_propensity[arm]) > float(clip)
+        ]
+        is_clipped = (
+            F.col(arm_col).isin(*clipped_arms)
+            if clipped_arms
+            else F.lit(False)
+        )
+        base = df.where(F.col(reward_col).isNotNull()).select(
+            *gcols,
+            (w * F.col(reward_col)).cast(DEC).alias("_wr"),
+            w.cast(DEC).alias("_w"),
+            is_clipped.cast("int").alias("_cl"),
+        )
+        n = F.count(F.lit(1))
+        sw = F.sum("_w")
+        return base.groupBy(*gcols).agg(
+            n.alias("n"),
+            F.round(
+                F.sum("_wr").cast("double") / n, 6
+            ).alias("ips"),
+            F.round(
+                F.when(
+                    sw > 0,
+                    F.sum("_wr").cast("double") / sw.cast("double"),
+                ),
+                6,
+            ).alias("snips"),
+            F.round(sw.cast("double") / n, 6).alias("avg_weight"),
+            F.round(F.sum("_cl").cast("double") / n, 6).alias(
+                "clip_frac"
+            ),
+        )
+
+    return _t
+
+
 def trimmed_mean(
     value_col: str,
     group_by: str | None = None,

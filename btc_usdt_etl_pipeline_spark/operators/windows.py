@@ -855,6 +855,176 @@ def acf(
     return _t
 
 
+def cross_correlation(
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    out: str = "ccf",
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Cross-correlation function between two aligned series per key —
+    the lead-lag detector (does x anticipate y?):
+
+        r_k = Σ_t (x_{t−k} − x̄)(y_t − ȳ)
+              / sqrt( Σ(x−x̄)² · Σ(y−ȳ)² ),   k ∈ −max_lag..max_lag
+
+    Positive k means x LEADS y by k steps (x's past correlates with
+    y's present); negative k is evaluated as lagging y instead of x,
+    so the full ±K sweep costs ONE ordered window pass that lags both
+    columns.  The denominators are the full-series deviation masses
+    (one shared normalization, so r is comparable across lags — the
+    same estimator choice as :func:`acf` and the signal-processing
+    convention for CCF).
+
+    Plan: exactly the ACF shape — per-key means, one ordered window
+    producing all 2K+1 lag products, one aggregation to 2K+1
+    numerators + 2 denominators per key, inline array unpivot.  Three
+    narrow exchanges, parallel across series.  Determinism: decimal-
+    exact means and order-free decimal product sums; ``sqrt(da·db)``
+    is one transcendental evaluated on 6-dp-quantized integers of the
+    same magnitude on both engines — the final division is rounded to
+    6 dp for the cross-engine contract (same recipe as the bigram-LM
+    family).
+
+    Constant series (zero deviation mass on either side) emit NULL —
+    the ANSI fence this module applies everywhere.
+
+    Returns ``(partition_by…, lag, out)``, lag ∈ −max_lag..max_lag.
+
+    Scale path (keyed): identical to :func:`acf` — ``strategy='auto'``
+    swaps the per-key mean windows for a groupBy + equi-join and the
+    lag products for the chunked-halo plan (halo = ``max_lag``) when
+    the per-key count estimate finds a hot key.  Bit-identical.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        gcols = [partition_by] if partition_by else []
+        chunked, cr = (
+            _keyed_plan(df, gcols, order_by[0], strategy, halo=max_lag)
+            if gcols
+            else (False, None)
+        )
+
+        def _prods(u: DataFrame, w: WindowSpec) -> DataFrame:
+            for k in range(1, max_lag + 1):
+                u = u.withColumn(
+                    f"_pp{k}",
+                    (F.lag("_dx", k).over(w) * F.col("_dy")).cast(DEC),
+                ).withColumn(
+                    f"_pn{k}",
+                    (F.col("_dx") * F.lag("_dy", k).over(w)).cast(DEC),
+                )
+            return u
+
+        base_cols = [
+            (F.col("_dx") * F.col("_dx")).cast(DEC).alias("_dx2"),
+            (F.col("_dy") * F.col("_dy")).cast(DEC).alias("_dy2"),
+            (F.col("_dx") * F.col("_dy")).cast(DEC).alias("_p0"),
+        ]
+        prod_names = [
+            n
+            for k in range(1, max_lag + 1)
+            for n in (f"_pp{k}", f"_pn{k}")
+        ]
+        if chunked:
+            means = df.groupBy(*gcols).agg(
+                (
+                    F.sum(F.col(x_col).cast(DEC)).cast("double")
+                    / F.count(x_col)
+                ).alias("_xb"),
+                (
+                    F.sum(F.col(y_col).cast(DEC)).cast("double")
+                    / F.count(y_col)
+                ).alias("_yb"),
+            )
+            d = (
+                df.join(means, gcols)
+                .withColumn("_dx", F.col(x_col) - F.col("_xb"))
+                .withColumn("_dy", F.col(y_col) - F.col("_yb"))
+            )
+            staged = _keyed_chunked_trailing(
+                d, gcols, order_by, halo=max_lag, compute=_prods,
+                chunk_rows=cr,
+            ).select(
+                *gcols, *base_cols, *[F.col(n) for n in prod_names]
+            )
+        else:
+            wg = (
+                Window.partitionBy(partition_by)
+                if partition_by
+                else Window.partitionBy()
+            )
+            wo = wg.orderBy(*[F.col(c) for c in order_by])
+            xbar = (
+                F.sum(F.col(x_col).cast(DEC)).over(wg).cast("double")
+                / F.count(x_col).over(wg)
+            )
+            ybar = (
+                F.sum(F.col(y_col).cast(DEC)).over(wg).cast("double")
+                / F.count(y_col).over(wg)
+            )
+            d = df.withColumn("_dx", F.col(x_col) - xbar).withColumn(
+                "_dy", F.col(y_col) - ybar
+            )
+            prods = []
+            for k in range(1, max_lag + 1):
+                prods.append(
+                    (F.lag("_dx", k).over(wo) * F.col("_dy"))
+                    .cast(DEC)
+                    .alias(f"_pp{k}")
+                )
+                prods.append(
+                    (F.col("_dx") * F.lag("_dy", k).over(wo))
+                    .cast(DEC)
+                    .alias(f"_pn{k}")
+                )
+            staged = d.select(*gcols, *base_cols, *prods)
+        aggs = [
+            F.sum("_dx2").cast("double").alias("_da"),
+            F.sum("_dy2").cast("double").alias("_db"),
+            F.sum("_p0").cast("double").alias("_n0"),
+        ]
+        for k in range(1, max_lag + 1):
+            aggs.append(F.sum(f"_pp{k}").cast("double").alias(f"_np{k}"))
+            aggs.append(F.sum(f"_pn{k}").cast("double").alias(f"_nn{k}"))
+        agg = staged.groupBy(*gcols).agg(*aggs)
+        den = F.sqrt(F.col("_da") * F.col("_db"))
+
+        def _r(num: Column) -> Column:
+            return F.when(
+                (F.col("_da") != 0) & (F.col("_db") != 0),
+                F.round(num / den, 6),
+            )
+
+        entries = []
+        for k in range(max_lag, 0, -1):
+            entries.append(
+                F.struct(
+                    F.lit(-k).alias("lag"), _r(F.col(f"_nn{k}")).alias(out)
+                )
+            )
+        entries.append(
+            F.struct(F.lit(0).alias("lag"), _r(F.col("_n0")).alias(out))
+        )
+        for k in range(1, max_lag + 1):
+            entries.append(
+                F.struct(
+                    F.lit(k).alias("lag"), _r(F.col(f"_np{k}")).alias(out)
+                )
+            )
+        return agg.select(
+            *gcols, F.explode(F.array(*entries)).alias("_e")
+        ).select(*gcols, "_e.lag", f"_e.{out}")
+
+    return _t
+
+
 def seasonal_decompose(
     value_col: str,
     period: int,

@@ -1,0 +1,201 @@
+"""Semantic tests for the round-8 additions: cross-correlation
+(lead-lag), grid-bucketed radius join, and IPS/SNIPS off-policy
+evaluation — numpy/brute-force references on small inputs plus each
+operator's defining invariants (planted-lag peak, grid == brute force,
+clip accounting)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cross_correlation_matches_numpy_and_planted_lag(spark):
+    import numpy as np
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        cross_correlation,
+    )
+
+    rng = random.Random(5)
+    n, shift = 120, 3
+    x = [rng.gauss(0, 1) for _ in range(n)]
+    # y is x delayed by `shift` plus small noise → CCF peaks at +shift
+    y = [
+        (x[i - shift] if i >= shift else 0.0) + 0.01 * rng.gauss(0, 1)
+        for i in range(n)
+    ]
+    rows = [(1, i, x[i], y[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, t long, x double, y double")
+    got = {
+        r["lag"]: r["ccf"]
+        for r in df.transform(
+            cross_correlation(
+                "x", "y", max_lag=5, partition_by="k", order_by=("t",)
+            )
+        ).collect()
+    }
+    assert set(got) == set(range(-5, 6))
+
+    xa, ya = np.array(x), np.array(y)
+    dx, dy = xa - xa.mean(), ya - ya.mean()
+    den = math.sqrt((dx * dx).sum() * (dy * dy).sum())
+
+    def ref(k: int) -> float:
+        if k >= 0:
+            return float((dx[: n - k] * dy[k:]).sum() / den)
+        return float((dx[-k:] * dy[: n + k]).sum() / den)
+
+    for k in range(-5, 6):
+        assert got[k] == pytest.approx(ref(k), abs=2e-6), k
+    # the planted lead shows up exactly where it was planted
+    assert max(got, key=lambda k: got[k]) == shift
+    assert got[shift] > 0.9
+
+
+def test_cross_correlation_constant_series_is_null(spark):
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        cross_correlation,
+    )
+
+    rows = [(1, i, 7.0, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, t long, x double, y double")
+    out = df.transform(
+        cross_correlation("x", "y", max_lag=2, partition_by="k",
+                          order_by=("t",))
+    ).collect()
+    assert len(out) == 5 and all(r["ccf"] is None for r in out)
+
+
+def test_radius_join_equals_brute_force(spark):
+    from btc_usdt_etl_pipeline_spark.operators.geo import radius_join
+
+    rng = random.Random(17)
+    left = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170))
+            for i in range(150)]
+    right = [(j, rng.uniform(-80, 80), rng.uniform(-170, 170))
+             for j in range(60)]
+    ldf = spark.createDataFrame(left, "lid long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "rid long, rlat double, rlon double")
+    r = 12.0
+    got = {
+        (row["lid"], row["rid"])
+        for row in radius_join(
+            ldf, rdf, radius_deg=r,
+            left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, la, lo) in left
+        for (j, ra, ro) in right
+        if (la - ra) ** 2 + (lo - ro) ** 2 < r * r
+    }
+    assert got == want and len(want) > 50
+
+    # boundary is STRICT: a pair at exactly radius² is excluded
+    l2 = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, lat double, lon double")
+    r2 = spark.createDataFrame([(9, 3.0, 4.0)], "rid long, rlat double, rlon double")
+    assert radius_join(
+        l2, r2, radius_deg=5.0,
+        left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+    ).count() == 0
+    # ...and just inside is kept
+    assert radius_join(
+        l2, r2, radius_deg=5.0001,
+        left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+    ).count() == 1
+
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(ldf, rdf, radius_deg=0.0)
+    with pytest.raises(ValueError, match="cell_size"):
+        radius_join(ldf, rdf, radius_deg=5.0, cell_size_deg=1.0)
+
+
+def test_ips_policy_value_hand_computed(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    # logging uniform over 3 arms; target plays only 'a' (p=1.0) →
+    # raw weight 3.0, clipped at 2.0.  'c' is outside target support
+    # → weight 0.
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0),
+        (3, "b", 100.0), (4, "c", 1000.0),
+    ]
+    df = spark.createDataFrame(rows, "i long, arm string, r double")
+    log_p = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    (out,) = df.transform(
+        ips_policy_value(
+            "r", "arm",
+            logging_propensity=log_p,
+            target_probability={"a": 1.0},
+            clip=2.0,
+        )
+    ).collect()
+    # weights: a→2.0 (clipped from 3.0), b→0, c→0
+    assert out["n"] == 4
+    assert out["ips"] == pytest.approx((2 * 10 + 2 * 20) / 4, abs=1e-6)
+    assert out["snips"] == pytest.approx((2 * 10 + 2 * 20) / 4.0, abs=1e-6)
+    assert out["avg_weight"] == pytest.approx(4.0 / 4, abs=1e-6)
+    assert out["clip_frac"] == pytest.approx(2 / 4, abs=1e-6)
+
+    # unclipped variant: weight 1.5 for 'a' under a milder target
+    (out2,) = df.transform(
+        ips_policy_value(
+            "r", "arm",
+            logging_propensity=log_p,
+            target_probability={"a": 0.5},
+            clip=10.0,
+        )
+    ).collect()
+    assert out2["clip_frac"] == 0.0
+    assert out2["ips"] == pytest.approx((1.5 * 30) / 4, abs=1e-6)
+
+    with pytest.raises(ValueError, match="missing"):
+        ips_policy_value(
+            "r", "arm", logging_propensity={"a": 0.5},
+            target_probability={"zzz": 1.0},
+        )
+    with pytest.raises(ValueError, match="clip"):
+        ips_policy_value(
+            "r", "arm", logging_propensity=log_p,
+            target_probability={"a": 1.0}, clip=0.0,
+        )
+
+
+def test_ips_snips_differ_under_weight_imbalance(spark):
+    """SNIPS renormalizes by the realized weight mass: when the target
+    overweights a rare arm, IPS and SNIPS must diverge (and SNIPS must
+    equal the weighted mean of rewards)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    # 2 rare rows (not the logging-matched 1) so Σw ≠ n — with counts
+    # matching the logging propensities exactly, Σw = n and IPS ≡
+    # SNIPS by construction.
+    rows = [(i, "rare" if i < 2 else "common",
+             50.0 if i < 2 else 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "i long, arm string, r double")
+    (out,) = df.transform(
+        ips_policy_value(
+            "r", "arm",
+            logging_propensity={"rare": 0.1, "common": 0.9},
+            target_probability={"rare": 0.9, "common": 0.1},
+            clip=100.0,
+        )
+    ).collect()
+    w_rare, w_common = 0.9 / 0.1, 0.1 / 0.9
+    sw = 2 * w_rare + 8 * w_common
+    swr = 2 * w_rare * 50.0 + 8 * w_common * 1.0
+    # 1e-4 tolerance, not 1e-6: the operator's order-free decimal sums
+    # quantize each weight at 6 dp by contract (w_common = 0.1̄ →
+    # 0.111111), which shifts the tiny-mass denominators at ~1e-5.
+    assert out["ips"] == pytest.approx(swr / 10, abs=1e-3)
+    assert out["snips"] == pytest.approx(swr / sw, abs=1e-3)
+    assert abs(out["ips"] - out["snips"]) > 1.0

@@ -494,6 +494,11 @@ def test_keyed_window_scale_paths_bit_identical(spark, monkeypatch):
             "x", period=24, trend_halfwidth=12, partition_by="k",
             order_by=("t", "i"), strategy=s,
         ),
+        # two lagged columns + join-based means (x vs a shifted copy)
+        lambda s: W.cross_correlation(
+            "x", "i", max_lag=4, partition_by="k", order_by=("t", "i"),
+            strategy=s,
+        ),
     ):
         a = rows_of(df.transform(mk("window")))
         b = rows_of(df.transform(mk("chunked")))
