@@ -11145,6 +11145,141 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q219_nearest_facility",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CAST((c_custkey * 73) % 1700 AS DOUBLE) / 10.0
+                        - 85.0 AS lat,
+                      CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0
+                        - 180.0 AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CAST((s_suppkey * 73) % 1700 AS DOUBLE) / 10.0
+                   - 85.0 AS slat,
+                 CAST((s_suppkey * 131) % 3600 AS DOUBLE) / 10.0
+                   - 180.0 AS slon
+          FROM supplier),
+    p AS (SELECT c_custkey, s_suppkey,
+                 (lat - slat) * (lat - slat)
+                   + (lon - slon) * (lon - slon) AS d2
+          FROM c CROSS JOIN s),
+    f AS (SELECT * FROM p WHERE d2 < 25.0),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY d2, s_suppkey) AS rn
+          FROM f)
+    SELECT c_custkey, s_suppkey, round(d2, 6) AS dist2,
+           CAST(rn AS INT) AS nn_rank
+    FROM r WHERE rn <= 1
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment: each customer's closest supplier
+    WITHIN 5° (grid-bounded kNN, k=1) — the spatial assignment shape
+    behind store attribution, sensor-to-gateway pairing, nearest-POI
+    enrichment.  The radius bound is the documented semantics (an
+    unbounded distributed kNN needs expanding-ring retries; the
+    operator's contract is "nearest within r, unmatched rows absent"
+    — same explicit-fence philosophy as theil_sen's max_points).
+    Plan: the q217 grid candidate join + one per-customer row_number
+    ordered by (dist2, s_suppkey) — deterministic under ties; never
+    the cross product the oracle uses (operators/geo.py:nearest_join)."""
+    from btc_usdt_etl_pipeline_spark.operators.geo import nearest_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("slat"),
+        ((F.col("s_suppkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("slon"),
+    )
+    nn = nearest_join(
+        cust, supp, left_id="c_custkey", radius_deg=5.0, k=1,
+        left_coords=("lat", "lon"), right_coords=("slat", "slon"),
+        tiebreak="s_suppkey",
+    )
+    return nn.select(
+        "c_custkey", "s_suppkey",
+        F.round("dist2", 6).alias("dist2"), "nn_rank",
+    )
+
+
+@_q(
+    "q220_interpolate_gaps",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, ts, epoch(ts) AS tsec,
+             CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+      FROM events),
+    a AS (SELECT *,
+            last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+              OVER wf AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN tsec END
+                       IGNORE NULLS) OVER wf AS pt,
+            first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+              OVER wb AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN tsec END
+                        IGNORE NULLS) OVER wb AS nt
+          FROM src
+          WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW),
+                 wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        CASE WHEN nt - pt <> 0
+                             THEN pv + (nv - pv) * (tsec - pt)
+                                    / (nt - pt)
+                             ELSE pv END
+                 END, 6) AS filled
+    FROM a
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation per user series (a deterministic 1-in-7
+    mask plants the gaps): interior nulls take the time-weighted line
+    between the nearest non-null anchors; leading/trailing nulls stay
+    null (both anchors required — carry-fill is fill_forward's job,
+    composed explicitly, never silent extrapolation).  Two ordered
+    window passes carrying (value, time) anchor structs + a pure
+    projection — no joins, parallel across users; identical IEEE
+    arithmetic both engines, 6 dp pinned only at the comparison layer
+    (operators/windows.py:interpolate_linear)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        interpolate_linear,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.col("ts").cast("timestamp").cast("double").alias("_tsec"),
+        F.when(F.col("event_id") % 7 == 3, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = e.transform(
+        interpolate_linear(
+            "v", "_tsec", partition_by=["user_id"],
+            order_by=("ts", "event_id"), out="filled",
+        )
+    )
+    return filled.select(
+        "event_id", "user_id",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+        F.round("filled", 6).alias("filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

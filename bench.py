@@ -171,6 +171,8 @@ HEADLINE = [
     "q216_cross_correlation",
     "q217_geo_radius_join",
     "q218_ips_off_policy",
+    "q219_nearest_facility",
+    "q220_interpolate_gaps",
 ]
 
 

@@ -142,18 +142,26 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
+    # BOTH directions run as `last(ignorenulls)` over a GROWING
+    # (unbounded-preceding) frame — the forward direction simply orders
+    # DESCENDING.  The natural forward formulation, `first(ignorenulls)
+    # OVER (CURRENT ROW .. UNBOUNDED FOLLOWING)`, is O(n²) per
+    # partition in Spark's window exec (shrinking frames re-scan the
+    # remaining rows for every row) — the same measured hang class as
+    # interpolate_linear's backward pass (SCALE.md §8, q220 note);
+    # growing frames evaluate incrementally in O(n).
+    frame = (Window.unboundedPreceding, 0)
+    pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     if backward:
-        frame = (Window.unboundedPreceding, 0)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        ocols = [F.col("_t").asc(), F.col("_ord").asc()]
     else:
-        frame = (0, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        ocols = [F.col("_t").desc(), F.col("_ord").desc()]
 
     def _right(c: F.Column) -> F.Column:
         return F.when(F.col("_side") == 0, c)
 
     if by:
-        w = Window.partitionBy(*by).orderBy("_t", "_ord").rowsBetween(*frame)
+        w = Window.partitionBy(*by).orderBy(*ocols).rowsBetween(*frame)
         carried = unioned
         for c in value_cols:
             carried = carried.withColumn(c, pick(_right(F.col(c))).over(w))
@@ -182,14 +190,16 @@ def asof_join(
         aggs.append(last_rt(_right(F.col("_t"))).alias("_cin_rt"))
         bstats = u.groupBy("_bkt").agg(*aggs)
         # Bucket-level carry-in: value from any prior (later, for forward)
-        # bucket.  Global window, but over #buckets rows — metadata scale.
+        # bucket.  Global window, but over #buckets rows — metadata
+        # scale.  Forward uses the same DESC-order growing-frame trick
+        # as the row-level windows (O(#buckets), not O(#buckets²)).
         if backward:
-            cw = Window.orderBy("_bkt").rowsBetween(
+            cw = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
                 Window.unboundedPreceding, -1
             )
         else:
-            cw = Window.orderBy("_bkt").rowsBetween(
-                1, Window.unboundedFollowing
+            cw = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
             )
         carry = bstats.select(
             "_bkt",
@@ -202,7 +212,7 @@ def asof_join(
         u = u.join(F.broadcast(carry), "_bkt")
         w = (
             Window.partitionBy("_bkt")
-            .orderBy("_t", "_ord")
+            .orderBy(*ocols)
             .rowsBetween(*frame)
         )
         carried = u

@@ -104,3 +104,49 @@ def radius_join(
         .filter(F.col(dist_col) < F.lit(r2))
         .drop("_cy", "_cx")
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    radius_deg: float,
+    k: int = 1,
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("lat", "lon"),
+    tiebreak: str | None = None,
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """k nearest ``right`` rows per ``left`` row WITHIN ``radius_deg``
+    — grid-bounded kNN, the facility-assignment / nearest-POI shape.
+
+    The radius bound is the semantics, not a shortcut: a distributed
+    UNBOUNDED nearest-neighbor needs expanding-ring retries for
+    isolated points (each ring a full candidate join), so the honest
+    contract is "nearest within r, unmatched if none" — the caller
+    widens r for the unmatched remainder if needed (same explicit-
+    fence philosophy as theil_sen's ``max_points``).
+
+    One radius join (grid candidates, never quadratic) + one
+    per-left-key ``row_number`` ordered by ``(dist2, tiebreak)`` —
+    deterministic under ties when ``tiebreak`` (a unique right-side
+    column) is given.  Left rows with no candidate in radius are
+    ABSENT from the output (inner semantics — the unmatched set is
+    ``left`` anti-join the result).
+    """
+    from pyspark.sql import Window
+
+    cand = radius_join(
+        left, right, radius_deg,
+        left_coords=left_coords, right_coords=right_coords,
+        dist_col=dist_col,
+    )
+    order = [F.col(dist_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(left_id).orderBy(*order)
+    return (
+        cand.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .withColumnRenamed("_rnk", "nn_rank")
+    )

@@ -578,6 +578,80 @@ def fill_forward(
     return _t
 
 
+def interpolate_linear(
+    value_col: str,
+    time_col: str,
+    partition_by: Sequence[str] | None = None,
+    order_by: Sequence[str] | None = None,
+    out: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Linear interpolation of interior nulls per series — the
+    gap-fill that respects the TIME AXIS where :func:`fill_forward`
+    draws steps:
+
+        y = y_prev + (y_next − y_prev) · (t − t_prev)/(t_next − t_prev)
+
+    anchored at the nearest non-null observations on each side.
+    Leading/trailing nulls (only one anchor exists) stay null —
+    interpolation needs both ends; compose with ``fill_forward`` for
+    a carried tail, explicitly, rather than extrapolating silently.
+
+    Plan: TWO ordered window passes per key — each carries (value,
+    time) as one struct so anchor value and anchor time can never come
+    from different rows.  BOTH passes are ``last ignorenulls`` over an
+    UNBOUNDED-PRECEDING frame (the backward pass simply orders
+    DESCENDING): Spark's window exec evaluates a growing frame
+    incrementally in O(n), whereas the tempting ``first(...) over
+    (current row .. unbounded following)`` formulation re-scans the
+    remaining partition for EVERY row — O(n²) per key, measured as a
+    hang (>580 s) on the 10× zipf corpus vs 17 s for this shape.
+    Then a pure projection; no joins, no iteration; parallel across
+    keys.  ``time_col`` must be numeric or timestamp (cast timestamps
+    up front); a zero time gap (duplicate anchor timestamps) falls
+    back to the previous anchor's value rather than dividing by zero.
+
+    Determinism: identical expression → identical IEEE doubles on any
+    engine; no rounding contract needed (the oracle replays the same
+    arithmetic; pins at 6 dp only at the comparison layer).
+    """
+    ocols = list(order_by) if order_by else [time_col]
+    dst = out or value_col
+
+    def _t(df: DataFrame) -> DataFrame:
+        keys = list(partition_by or [])
+        wbase = (
+            Window.partitionBy(*keys) if keys else Window.partitionBy()
+        )
+        wfwd = wbase.orderBy(*[F.col(c) for c in ocols]).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wbwd = wbase.orderBy(
+            *[F.col(c).desc() for c in ocols]
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t = F.col(time_col).cast("double")
+        anchor = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(value_col).alias("v"), t.alias("t")),
+        )
+        prev = F.last(anchor, ignorenulls=True).over(wfwd)
+        nxt = F.last(anchor, ignorenulls=True).over(wbwd)
+        gap = nxt["t"] - prev["t"]
+        interp = F.when(
+            F.col(value_col).isNotNull(), F.col(value_col)
+        ).otherwise(
+            F.when(
+                prev.isNotNull() & nxt.isNotNull(),
+                F.when(gap != 0,
+                       prev["v"]
+                       + (nxt["v"] - prev["v"]) * (t - prev["t"]) / gap)
+                .otherwise(prev["v"]),
+            )
+        )
+        return df.withColumn(dst, interp)
+
+    return _t
+
+
 def cusum(
     value_col: str,
     target: float,

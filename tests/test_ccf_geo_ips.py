@@ -115,6 +115,123 @@ def test_radius_join_equals_brute_force(spark):
         radius_join(ldf, rdf, radius_deg=5.0, cell_size_deg=1.0)
 
 
+def test_nearest_join_matches_brute_force_and_tiebreak(spark):
+    from btc_usdt_etl_pipeline_spark.operators.geo import nearest_join
+
+    rng = random.Random(23)
+    left = [(i, rng.uniform(-40, 40), rng.uniform(-40, 40))
+            for i in range(80)]
+    right = [(j, rng.uniform(-40, 40), rng.uniform(-40, 40))
+             for j in range(25)]
+    ldf = spark.createDataFrame(left, "lid long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "rid long, rlat double, rlon double")
+    r = 15.0
+    got = {
+        row["lid"]: (row["rid"], row["nn_rank"])
+        for row in nearest_join(
+            ldf, rdf, left_id="lid", radius_deg=r, k=1,
+            left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+            tiebreak="rid",
+        ).collect()
+    }
+    for (i, la, lo) in left:
+        cands = sorted(
+            ((la - ra) ** 2 + (lo - ro) ** 2, j)
+            for (j, ra, ro) in right
+            if (la - ra) ** 2 + (lo - ro) ** 2 < r * r
+        )
+        if not cands:
+            assert i not in got  # unmatched rows are absent
+        else:
+            assert got[i] == (cands[0][1], 1), i
+
+    # k=2 returns ranked pairs
+    two = nearest_join(
+        ldf, rdf, left_id="lid", radius_deg=r, k=2,
+        left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+        tiebreak="rid",
+    ).collect()
+    by_left = {}
+    for row in two:
+        by_left.setdefault(row["lid"], []).append(
+            (row["nn_rank"], row["dist2"])
+        )
+    for ranks in by_left.values():
+        ranks.sort()
+        assert [r0 for r0, _ in ranks] == list(range(1, len(ranks) + 1))
+        dists = [d for _, d in ranks]
+        assert dists == sorted(dists)
+
+    # exact tie broken by the tiebreak column: two candidates at the
+    # same distance -> the lower rid wins
+    l1 = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, lat double, lon double")
+    r1 = spark.createDataFrame(
+        [(7, 3.0, 0.0), (5, -3.0, 0.0)], "rid long, rlat double, rlon double"
+    )
+    (row,) = nearest_join(
+        l1, r1, left_id="lid", radius_deg=4.0, k=1,
+        left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+        tiebreak="rid",
+    ).collect()
+    assert row["rid"] == 5
+
+
+def test_interpolate_linear_matches_reference(spark):
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        interpolate_linear,
+    )
+
+    # irregular time axis, interior gaps of length 1 and 2, leading
+    # and trailing nulls, a second key with no gaps, and a duplicate-
+    # anchor-time fallback.
+    rows = [
+        ("a", 0.0, None),      # leading: stays null
+        ("a", 1.0, 10.0),
+        ("a", 3.0, None),      # interior: 10 + (40-10)*(3-1)/(5-1) = 25
+        ("a", 5.0, 40.0),
+        ("a", 6.0, None),      # 2-gap first: 40 + (10-40)*(6-5)/(9-5)
+        ("a", 7.0, None),      # 2-gap second
+        ("a", 9.0, 10.0),
+        ("a", 11.0, None),     # trailing: stays null
+        ("b", 0.0, 1.0),
+        ("b", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = {
+        (r["k"], r["t"]): r["filled"]
+        for r in df.transform(
+            interpolate_linear(
+                "v", "t", partition_by=["k"], order_by=("t",),
+                out="filled",
+            )
+        ).collect()
+    }
+    assert got[("a", 0.0)] is None
+    assert got[("a", 3.0)] == pytest.approx(25.0, abs=1e-12)
+    assert got[("a", 6.0)] == pytest.approx(40 + (10 - 40) * 1 / 4, abs=1e-12)
+    assert got[("a", 7.0)] == pytest.approx(40 + (10 - 40) * 2 / 4, abs=1e-12)
+    assert got[("a", 11.0)] is None
+    # non-null rows pass through untouched
+    assert got[("a", 1.0)] == 10.0 and got[("b", 0.0)] == 1.0
+
+    # duplicate anchor timestamps: zero gap falls back to prev value
+    dup = spark.createDataFrame(
+        [("c", 1.0, 1, 5.0), ("c", 1.0, 2, None), ("c", 1.0, 3, 9.0)],
+        "k string, t double, seq int, v double",
+    )
+    (mid,) = [
+        r["filled"]
+        for r in dup.transform(
+            interpolate_linear(
+                "v", "t", partition_by=["k"], order_by=("t", "seq"),
+                out="filled",
+            )
+        ).collect()
+        if r["seq"] == 2
+    ]
+    assert mid == 5.0
+
+
 def test_ips_policy_value_hand_computed(spark):
     from btc_usdt_etl_pipeline_spark.operators.stats import (
         ips_policy_value,
