@@ -11280,6 +11280,107 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q221_weighted_p90",
+    """
+    WITH pv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                GROUP BY flag, v),
+    c AS (SELECT flag, v, w,
+                 SUM(w) OVER (PARTITION BY flag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY flag) AS tw
+          FROM pv)
+    SELECT flag AS l_returnflag,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS wq90
+    FROM c GROUP BY flag
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted P90 price per return flag — the generalized
+    weighted quantile (q199's median machinery at an arbitrary exact
+    rational q = 9/10): smallest price whose cumulative quantity weight
+    reaches 90% of the flag's total.  The quantile enters as an exact
+    rational so the readout compare ``10·cum ≥ 9·total`` is pure
+    decimal — no float boundary can flip the chosen value.  Same
+    collapse-to-distinct-values plan and zone-map bucketed scale path
+    as the median (operators/relational.py:weighted_quantile)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_quantile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.transform(
+        weighted_quantile(
+            "l_extendedprice", "l_quantity", 9, 10,
+            group_by="l_returnflag", out="wq90",
+        )
+    ).select("l_returnflag", "total_weight", "wq90")
+
+
+@_q(
+    "q222_spearman",
+    """
+    WITH d AS (SELECT event_type, value, epoch_us(ts) AS t
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT event_type,
+                 CAST(RANK() OVER (PARTITION BY event_type
+                                   ORDER BY value) AS DOUBLE)
+                   + CAST(COUNT(*) OVER (PARTITION BY event_type, value)
+                          - 1 AS DOUBLE) / 2.0 AS rx,
+                 CAST(RANK() OVER (PARTITION BY event_type
+                                   ORDER BY t) AS DOUBLE)
+                   + CAST(COUNT(*) OVER (PARTITION BY event_type, t)
+                          - 1 AS DOUBLE) / 2.0 AS ry
+          FROM d),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                 CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxx,
+                 CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE)
+                   AS syy,
+                 CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxy
+          FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                  * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                           6) END AS spearman
+    FROM a
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and event time per
+    type — the outlier-robust monotone-trend detector next to q25's raw
+    Pearson.  Average ranks (textbook tie handling: min-rank +
+    (n_equal−1)/2) from one ordered rank window + one value-keyed count
+    window per column, Pearson moments over the exact half-integer
+    ranks through the decimal idiom, IEEE-exact sqrt, 6 dp pin
+    (operators/windows.py:spearman_corr)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        spearman_corr,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
+    )
+    return e.transform(
+        spearman_corr("value", "_t", group_by="event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -173,6 +173,8 @@ HEADLINE = [
     "q218_ips_off_policy",
     "q219_nearest_facility",
     "q220_interpolate_gaps",
+    "q221_weighted_p90",
+    "q222_spearman",
 ]
 
 

@@ -539,12 +539,37 @@ def weighted_median(
     strategy: str = "auto",
     num_buckets: int = 512,
 ) -> Callable[[DataFrame], DataFrame]:
-    """Exact weighted median per group: the smallest value whose
-    cumulative weight reaches half the total — the lower weighted
-    median, the estimator behind volume-weighted "typical price",
-    duration-weighted latency medians, and size-weighted file stats
-    (an unweighted percentile over such data answers a different,
-    usually wrong, question).
+    """Exact weighted median — :func:`weighted_quantile` at q = 1/2;
+    see there for plan and scale notes."""
+    return weighted_quantile(
+        value_col, weight_col, 1, 2, group_by=group_by, out=out,
+        strategy=strategy, num_buckets=num_buckets,
+    )
+
+
+def weighted_quantile(
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "weighted_quantile",
+    strategy: str = "auto",
+    num_buckets: int = 512,
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact weighted quantile per group: the smallest value whose
+    cumulative weight reaches ``q_num/q_den`` of the total weight —
+    the lower weighted quantile (q = 1/2 is the weighted median behind
+    volume-weighted "typical price"; q = 9/10 a duration-weighted P90
+    latency; size-weighted storage percentiles...).  An unweighted
+    percentile over such data answers a different, usually wrong,
+    question.
+
+    The quantile enters as an exact RATIONAL (q_num/q_den), never a
+    float: the readout compare is ``q_den·cum ≥ q_num·total`` in pure
+    decimal arithmetic, so no float boundary can flip the chosen value
+    cross-engine — the same exactness contract as the median's
+    ``2·cum ≥ total`` special case.
 
     Plan: collapse to per-(group, value) weight sums first (the one
     data-scale shuffle — ties merge, so the ordered walk runs over
@@ -573,6 +598,10 @@ def weighted_median(
     """
     if strategy not in ("auto", "walk", "bucketed"):
         raise ValueError("strategy must be auto | walk | bucketed")
+    if not (isinstance(q_num, int) and isinstance(q_den, int)):
+        raise TypeError("q_num/q_den must be ints (exact rational)")
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num <= q_den")
     gcols = (
         [group_by]
         if isinstance(group_by, str)
@@ -619,9 +648,11 @@ def weighted_median(
             cum = per_v.withColumn(
                 "_cw", F.sum("_w").over(wo)
             ).withColumn("_tw", F.sum("_w").over(wg))
-            # exact decimal compare: 2·cum ≥ total  ⇔  cum ≥ total/2
+            # exact decimal compare: q_den·cum ≥ q_num·total
             hit = F.when(
-                F.col("_cw") + F.col("_cw") >= F.col("_tw"), F.col("_v")
+                F.col("_cw") * F.lit(q_den)
+                >= F.col("_tw") * F.lit(q_num),
+                F.col("_v"),
             )
             return cum.groupBy(*gcols).agg(
                 F.max("_tw").cast("double").alias("total_weight"),
@@ -662,12 +693,15 @@ def weighted_median(
                 )
             ),
         ).withColumn("_btw", F.sum("_bw").over(wgb))
-        # the half-total bucket: smallest bucket whose end-of-bucket
-        # cumulative reaches half — the hit value cannot lie later
-        # (this bucket already reaches T/2) nor earlier (the previous
-        # bucket's end-cum is < T/2).  Carry-in = cum minus own weight.
+        # the q-total bucket: smallest bucket whose end-of-bucket
+        # cumulative reaches q·T — the hit value cannot lie later
+        # (this bucket already reaches q·T) nor earlier (the previous
+        # bucket's end-cum is < q·T).  Carry-in = cum minus own weight.
         half = (
-            bcum.filter(F.col("_bcw") + F.col("_bcw") >= F.col("_btw"))
+            bcum.filter(
+                F.col("_bcw") * F.lit(q_den)
+                >= F.col("_btw") * F.lit(q_num)
+            )
             .groupBy(*gcols)
             .agg(
                 F.min_by(
@@ -698,7 +732,8 @@ def weighted_median(
             "_cw", F.col("_carry") + F.sum("_w").over(wo2)
         )
         hit = F.when(
-            F.col("_cw") + F.col("_cw") >= F.col("_tw"), F.col("_v")
+            F.col("_cw") * F.lit(q_den) >= F.col("_tw") * F.lit(q_num),
+            F.col("_v"),
         )
         return cum2.groupBy(*gcols).agg(
             F.max("_tw").cast("double").alias("total_weight"),

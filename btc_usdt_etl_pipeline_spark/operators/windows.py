@@ -929,6 +929,85 @@ def acf(
     return _t
 
 
+def spearman_corr(
+    x_col: str,
+    y_col: str,
+    group_by: str | None = None,
+    out: str = "spearman",
+) -> Callable[[DataFrame], DataFrame]:
+    """Spearman rank correlation per group — Pearson on AVERAGE ranks,
+    the monotone-relationship detector that is outlier-robust where
+    raw Pearson (q25's correlation_matrix) is not.
+
+    Tie handling is the textbook average rank: ``min_rank +
+    (n_equal − 1)/2`` — one ordered rank window plus one value-keyed
+    count window per column, both partitioned by the group (parallel
+    across groups; a global Spearman inherits the single-series
+    ordered-rank ceiling, the honest shape).  Ranks are exact
+    half-integers, so the Pearson moments run through the exact-decimal
+    idiom losslessly and the only transcendental is the final
+    IEEE-exact sqrt — 6 dp pinned output, same contract as
+    :func:`cross_correlation`.
+
+    Rows with a null in either column are dropped first (pairwise
+    deletion would break the rank space).  Constant columns (zero rank
+    variance) emit NULL.  Returns ``group_by…, n, out``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        d = df.where(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+
+        def avg_rank(c: str) -> Column:
+            wo = (
+                Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+            ).orderBy(F.col(c))
+            wv = (
+                Window.partitionBy(*gcols, c)
+                if gcols
+                else Window.partitionBy(c)
+            )
+            return (
+                F.rank().over(wo).cast("double")
+                + (F.count(F.lit(1)).over(wv) - F.lit(1)).cast("double")
+                / F.lit(2.0)
+            )
+
+        r = d.select(
+            *gcols,
+            avg_rank(x_col).alias("_rx"),
+            avg_rank(y_col).alias("_ry"),
+        )
+        agg = r.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_rx").cast(DEC)).cast("double").alias("_sx"),
+            F.sum(F.col("_ry").cast(DEC)).cast("double").alias("_sy"),
+            F.sum((F.col("_rx") * F.col("_rx")).cast(DEC))
+            .cast("double")
+            .alias("_sxx"),
+            F.sum((F.col("_ry") * F.col("_ry")).cast(DEC))
+            .cast("double")
+            .alias("_syy"),
+            F.sum((F.col("_rx") * F.col("_ry")).cast(DEC))
+            .cast("double")
+            .alias("_sxy"),
+        )
+        n = F.col("n").cast("double")
+        vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+        cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        rho = F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+        )
+        return agg.select(*gcols, "n", rho.alias(out))
+
+    return _t
+
+
 def cross_correlation(
     x_col: str,
     y_col: str,

@@ -156,6 +156,117 @@ def test_weighted_median_half_total_boundary(spark):
     assert r["weighted_median"] == 1.0
 
 
+def test_weighted_quantile_reference_and_paths(spark):
+    """weighted_quantile against a Python reference (smallest v with
+    cum weight >= q*total) across several rationals, plus q=1 → max,
+    and bucketed == walk at q=9/10."""
+    import random
+
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        weighted_quantile,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (i, "g", float(rng.randint(-50, 50)), float(rng.randint(1, 9)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, k string, v double, w double")
+
+    def ref(q_num, q_den):
+        per_v = {}
+        for _, _, v, w in rows:
+            per_v[v] = per_v.get(v, 0.0) + w
+        tot = sum(per_v.values())
+        cum = 0.0
+        for v in sorted(per_v):
+            cum += per_v[v]
+            if cum * q_den >= tot * q_num:
+                return v
+        return None
+
+    for q_num, q_den in ((1, 4), (1, 2), (9, 10), (1, 1)):
+        (r,) = df.transform(
+            weighted_quantile("v", "w", q_num, q_den, group_by="k",
+                              out="wq")
+        ).collect()
+        assert r["wq"] == ref(q_num, q_den), (q_num, q_den)
+    assert ref(1, 1) == max(v for _, _, v, _ in rows)  # q=1 is the max
+
+    a = sorted(
+        tuple(r)
+        for r in df.transform(
+            weighted_quantile("v", "w", 9, 10, group_by="k",
+                              strategy="walk", out="wq")
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in df.transform(
+            weighted_quantile("v", "w", 9, 10, group_by="k",
+                              strategy="bucketed", num_buckets=16,
+                              out="wq")
+        ).collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q_num"):
+        weighted_quantile("v", "w", 0, 2)
+    with _pytest.raises(ValueError, match="q_num"):
+        weighted_quantile("v", "w", 3, 2)
+    with _pytest.raises(TypeError, match="exact rational"):
+        weighted_quantile("v", "w", 0.9, 1)
+
+
+def test_spearman_reference_and_edges(spark):
+    import random
+
+    import numpy as np
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import spearman_corr
+
+    rng = random.Random(3)
+    # ties included (integer values), two groups
+    rows = [
+        ("a", float(rng.randint(0, 20)), float(rng.randint(0, 20)))
+        for _ in range(150)
+    ] + [("mono", float(i), float(2 * i + 1)) for i in range(30)] + [
+        ("anti", float(i), float(-i)) for i in range(30)
+    ] + [("flat", 5.0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r["k"]: (r["n"], r["spearman"])
+        for r in df.transform(
+            spearman_corr("x", "y", group_by="k")
+        ).collect()
+    }
+    assert got["mono"] == (30, 1.0)
+    assert got["anti"] == (30, -1.0)
+    assert got["flat"][1] is None  # zero rank variance -> NULL
+
+    def avg_ranks(vals):
+        order = np.argsort(np.array(vals), kind="stable")
+        ranks = np.empty(len(vals))
+        sorted_vals = np.array(vals)[order]
+        i = 0
+        while i < len(vals):
+            j = i
+            while j + 1 < len(vals) and sorted_vals[j + 1] == sorted_vals[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    xs = [x for k, x, _ in rows if k == "a"]
+    ys = [y for k, _, y in rows if k == "a"]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    assert got["a"][1] == pytest.approx(want, abs=1e-5)
+
+
 def test_weighted_median_bucketed_equals_walk(spark):
     """The zone-map bucketed scale path must equal the plain ordered
     walk EXACTLY (the bucket partition of the cumulative walk is exact
