@@ -11499,6 +11499,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: composes fuzzy blocking), q135 stream enrich (q36/q58 remain),
 #: q147 SCD2 (q150 PIT composes scd2∘asof; q152 CDC remains).  All
 #: demoted rows stay under the judge's full oracle gate.
+#: Late round 8 added q217 (grid radius join — geo is a brand-NEW
+#: family with no in-window cousin; q219 nearest-facility composes the
+#: same grid machinery) demoting q180 (drift/monitoring keeps q183 PSI
+#: in-window; CUSUM stays judge-covered).  q216 CCF / q222 Spearman
+#: stay judge-side (correlation family: q25), q218 IPS (eval family:
+#: q213 calibration), q220 interpolation (gap-fill family: q68),
+#: q221 weighted P90 (q199's machinery, judge-covered).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -11537,7 +11544,6 @@ _PRIORITY_WINDOW = [
     "q151_hll_distinct",      # HyperLogLog distinct sketch
     "q168_interval_coverage", # interval algebra (merge/coverage sweep)
     "q171_skyline",           # 2-D skyline / Pareto front
-    "q180_cusum",             # CUSUM changepoint (closed-form two-window)
     "q183_psi",               # PSI distribution drift
     "q188_sax",               # SAX symbolic series representation
     "q163_bloom_prejoin",     # bloom-filter pre-join (r8 promotion)
@@ -11550,6 +11556,7 @@ _PRIORITY_WINDOW = [
     "q201_bootstrap_ci",      # Poisson-bootstrap CI (portable oracle leg)
     "q207_readability",       # Flesch readability scoring
     "q213_calibration",       # calibration table + ECE
+    "q217_geo_radius_join",   # geo family representative (r8 NEW family)
 ]
 
 
