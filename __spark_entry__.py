@@ -11362,11 +11362,15 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between event value and event time per
     type — the outlier-robust monotone-trend detector next to q25's raw
-    Pearson.  Average ranks (textbook tie handling: min-rank +
-    (n_equal−1)/2) from one ordered rank window + one value-keyed count
-    window per column, Pearson moments over the exact half-integer
-    ranks through the decimal idiom, IEEE-exact sqrt, 6 dp pin
-    (operators/windows.py:spearman_corr)."""
+    Pearson.  AVERAGE ranks (textbook tie handling: min-rank +
+    (n_equal−1)/2), which is the estimator statistics packages report —
+    distinct from q101's inline variant, whose ties break
+    deterministically by event_id (row_number): on tied data the two
+    give different ρ by design, and the operator form here is the
+    reusable library surface.  One ordered rank window + one
+    value-keyed count window per column, Pearson moments over the exact
+    half-integer ranks through the decimal idiom, IEEE-exact sqrt,
+    6 dp pin (operators/windows.py:spearman_corr)."""
     from btc_usdt_etl_pipeline_spark.operators.windows import (
         spearman_corr,
     )
