@@ -11385,6 +11385,81 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q223_ols_closed_form",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x1,
+                      CAST(EXTRACT(dow FROM ts) + 1 AS DOUBLE) AS x2,
+                      value AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+            CAST(SUM(CAST(x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+            CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+            CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+            CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+            CAST(SUM(CAST(x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+          FROM d GROUP BY event_type),
+    b AS (SELECT *,
+            CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2) AS det
+          FROM a),
+    c AS (SELECT *,
+            CASE WHEN det <> 0 THEN
+              (sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y)) / det END AS b0,
+            CASE WHEN det <> 0 THEN
+              (CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2)) / det END AS b1,
+            CASE WHEN det <> 0 THEN
+              (CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2)) / det END AS b2
+          FROM b)
+    SELECT event_type, n,
+           round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           CASE WHEN syy - sy * sy / CAST(n AS DOUBLE) > 0
+                THEN round(1.0::DOUBLE
+                           - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                             / (syy - sy * sy / CAST(n AS DOUBLE)), 6)
+           END AS r2
+    FROM c
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form grouped OLS (value ~ hour-of-day + day-of-week per
+    event type): the normal equations solved by Cramer's rule on
+    decimal-exact moments — the declarative, JVM-only twin of q57's
+    applyInPandas OLS.  ONE aggregation pass (map-side partials, no
+    hot-key window ceiling, no Python worker) + a handful of scalar
+    expressions; the oracle replays the identical Cramer trees over
+    identical moment doubles, 6 dp pins on coefficients and R²
+    (ml/features.py:ols_closed_form)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import ols_closed_form
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.hour(F.col("ts").cast("timestamp"))
+        .cast("double")
+        .alias("_x1"),
+        F.dayofweek(F.col("ts").cast("timestamp"))
+        .cast("double")
+        .alias("_x2"),
+    )
+    return e.transform(
+        ols_closed_form("value", ["_x1", "_x2"], group_by="event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

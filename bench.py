@@ -175,6 +175,7 @@ HEADLINE = [
     "q220_interpolate_gaps",
     "q221_weighted_p90",
     "q222_spearman",
+    "q223_ols_closed_form",
 ]
 
 

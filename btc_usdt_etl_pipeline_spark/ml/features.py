@@ -134,6 +134,117 @@ def positional_split(
     return _t
 
 
+def ols_closed_form(
+    y_col: str,
+    x_cols: Sequence[str],
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Grouped least-squares fit in CLOSED FORM — the normal equations
+    ``(X'X)β = X'y`` solved by Cramer's rule on decimal-exact moment
+    sums, for one or two regressors plus an intercept.  This is the
+    declarative, JVM-only twin of the grouped-map OLS (q57's
+    ``applyInPandas`` surface): no Python worker, no per-group matrix
+    library — ONE aggregation pass computes every moment with map-side
+    partials, and the solve is a handful of scalar expressions, so it
+    runs at any group count and any group size without a hot-key
+    ceiling (aggregation is partial-combined, unlike an ordered
+    window).
+
+    Determinism: moments go through the exact-decimal idiom
+    (order-free), and the Cramer determinants are fixed expression
+    trees over those identical doubles — the oracle replays the same
+    tree; coefficients and R² are pinned at 6 dp.  A singular system
+    (collinear regressors / constant group, det = 0) yields NULL
+    coefficients, and R² is NULL when the response has zero variance —
+    the module's ANSI fence convention.
+
+    Returns ``group_by…, n, b0, b1[, b2], r2``.
+
+    Moment magnitudes must fit decimal(38,6) — pre-scale huge
+    regressors (epoch micros squared overflows; hour-of-day does not).
+    """
+    if not 1 <= len(x_cols) <= 2:
+        raise ValueError("ols_closed_form supports 1 or 2 regressors")
+    gcols = [group_by] if group_by else []
+    two = len(x_cols) == 2
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        x1 = F.col(x_cols[0]).cast("double")
+        x2 = F.col(x_cols[1]).cast("double") if two else None
+        y = F.col(y_col).cast("double")
+        cond = F.col(y_col).isNotNull() & F.col(x_cols[0]).isNotNull()
+        if two:
+            cond = cond & F.col(x_cols[1]).isNotNull()
+        d = df.where(cond)
+
+        def s(expr, name):
+            return F.sum(expr.cast(DEC)).cast("double").alias(name)
+
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            s(x1, "_s1"), s(y, "_sy"),
+            s(x1 * x1, "_s11"), s(x1 * y, "_s1y"),
+            s(y * y, "_syy"),
+        ]
+        if two:
+            aggs += [
+                s(x2, "_s2"), s(x2 * x2, "_s22"),
+                s(x1 * x2, "_s12"), s(x2 * y, "_s2y"),
+            ]
+        a = d.groupBy(*gcols).agg(*aggs)
+        n = F.col("n").cast("double")
+        s1, sy = F.col("_s1"), F.col("_sy")
+        s11, s1y, syy = F.col("_s11"), F.col("_s1y"), F.col("_syy")
+        if two:
+            s2, s22 = F.col("_s2"), F.col("_s22")
+            s12, s2y = F.col("_s12"), F.col("_s2y")
+            det = (
+                n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)
+            )
+            b0n = (
+                sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)
+            )
+            b1n = (
+                n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)
+            )
+            b2n = (
+                n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)
+            )
+            b0 = F.when(det != 0, b0n / det)
+            b1 = F.when(det != 0, b1n / det)
+            b2 = F.when(det != 0, b2n / det)
+            sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+            betas = [
+                F.round(b0, 6).alias("b0"),
+                F.round(b1, 6).alias("b1"),
+                F.round(b2, 6).alias("b2"),
+            ]
+        else:
+            det = n * s11 - s1 * s1
+            b0 = F.when(det != 0, (sy * s11 - s1 * s1y) / det)
+            b1 = F.when(det != 0, (n * s1y - s1 * sy) / det)
+            sse = syy - b0 * sy - b1 * s1y
+            betas = [
+                F.round(b0, 6).alias("b0"),
+                F.round(b1, 6).alias("b1"),
+            ]
+        sst = syy - sy * sy / n
+        r2 = F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, 6))
+        return a.select(*gcols, "n", *betas, r2.alias("r2"))
+
+    return _t
+
+
 def regression_metrics(
     df: DataFrame, y_col: str, yhat_col: str
 ) -> DataFrame:

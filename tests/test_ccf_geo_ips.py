@@ -232,6 +232,65 @@ def test_interpolate_linear_matches_reference(spark):
     assert mid == 5.0
 
 
+def test_ols_closed_form_matches_numpy(spark):
+    import numpy as np
+
+    from btc_usdt_etl_pipeline_spark.ml.features import ols_closed_form
+
+    rng = random.Random(29)
+    rows = []
+    # group "exact": planted y = 3 + 2*x1 - 0.5*x2, zero noise -> exact
+    # recovery, r2 = 1
+    for i in range(60):
+        x1, x2 = float(i % 13), float((i * 7) % 5)
+        rows.append(("exact", x1, x2, 3.0 + 2.0 * x1 - 0.5 * x2))
+    # group "noisy": numpy lstsq reference
+    for i in range(200):
+        x1 = float(rng.randint(0, 23))
+        x2 = float(rng.randint(1, 7))
+        y = 1.5 + 0.3 * x1 - 0.2 * x2 + rng.gauss(0, 1)
+        rows.append(("noisy", x1, x2, round(y, 6)))
+    # group "singular": x2 = 2*x1 (collinear) -> NULL betas
+    for i in range(40):
+        x1 = float(i % 9)
+        rows.append(("singular", x1, 2.0 * x1, float(i)))
+    df = spark.createDataFrame(rows, "k string, x1 double, x2 double, y double")
+    got = {
+        r["k"]: r
+        for r in df.transform(
+            ols_closed_form("y", ["x1", "x2"], group_by="k")
+        ).collect()
+    }
+    e = got["exact"]
+    assert (e["b0"], e["b1"], e["b2"], e["r2"]) == (3.0, 2.0, -0.5, 1.0)
+    s = got["singular"]
+    assert s["b0"] is None and s["b1"] is None and s["b2"] is None
+
+    sub = [(x1, x2, y) for k, x1, x2, y in rows if k == "noisy"]
+    X = np.array([[1.0, a, b] for a, b, _ in sub])
+    Y = np.array([y for _, _, y in sub])
+    beta, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    nz = got["noisy"]
+    assert nz["b0"] == pytest.approx(beta[0], abs=1e-4)
+    assert nz["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert nz["b2"] == pytest.approx(beta[2], abs=1e-4)
+    pred = X @ beta
+    sst = ((Y - Y.mean()) ** 2).sum()
+    r2_ref = 1 - ((Y - pred) ** 2).sum() / sst
+    assert nz["r2"] == pytest.approx(r2_ref, abs=1e-4)
+
+    # one-regressor variant vs numpy polyfit
+    one = df.filter(F.col("k") == "noisy").transform(
+        ols_closed_form("y", ["x1"], group_by="k")
+    ).collect()[0]
+    m, c = np.polyfit([a for a, _, _ in sub], Y, 1)
+    assert one["b1"] == pytest.approx(m, abs=1e-4)
+    assert one["b0"] == pytest.approx(c, abs=1e-4)
+
+    with pytest.raises(ValueError, match="regressors"):
+        ols_closed_form("y", ["a", "b", "c"])
+
+
 def test_ips_policy_value_hand_computed(spark):
     from btc_usdt_etl_pipeline_spark.operators.stats import (
         ips_policy_value,
