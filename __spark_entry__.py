@@ -11460,6 +11460,46 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q224_segment_overlap",
+    """
+    WITH m AS (SELECT DISTINCT event_type AS seg, user_id AS mem
+               FROM events),
+    sz AS (SELECT seg, COUNT(*)::BIGINT AS n FROM m GROUP BY seg),
+    keep AS (SELECT seg FROM sz WHERE n >= 1),
+    f AS (SELECT m.* FROM m JOIN keep USING (seg)),
+    p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                 COUNT(*)::BIGINT AS n_common
+          FROM f a JOIN f b ON a.mem = b.mem AND a.seg < b.seg
+          GROUP BY seg_a, seg_b)
+    SELECT p.seg_a, p.seg_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+           CAST(p.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard,
+           CAST(p.n_common AS DOUBLE)
+             / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS overlap
+    FROM p JOIN sz sa ON p.seg_a = sa.seg
+           JOIN sz sb ON p.seg_b = sb.seg
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap matrix: Jaccard + overlap coefficient between
+    every pair of event-type audiences over their distinct user sets —
+    the audience-overlap / cohort-containment analytics surface (the
+    overlap coefficient catches a small segment living inside a big
+    one, which Jaccard dilutes).  Distinct (segment, member) collapse,
+    member-keyed self-join (work = Σ degree², bounded by segments per
+    member), broadcast size attach; all-integer counts, single IEEE
+    divisions — bit-stable, no rounding contract
+    (operators/relational.py:segment_overlap)."""
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        segment_overlap,
+    )
+
+    return _t(spark, sf_dir, "events").transform(
+        segment_overlap("event_type", "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

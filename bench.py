@@ -176,6 +176,7 @@ HEADLINE = [
     "q221_weighted_p90",
     "q222_spearman",
     "q223_ols_closed_form",
+    "q224_segment_overlap",
 ]
 
 

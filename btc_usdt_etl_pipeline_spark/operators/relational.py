@@ -531,6 +531,88 @@ def skyline_2d(
     return _t
 
 
+def segment_overlap(
+    segment_col: str,
+    member_col: str,
+    min_members: int = 1,
+) -> Callable[[DataFrame], DataFrame]:
+    """Pairwise set-similarity matrix between segments (audience
+    overlap, cohort containment, label co-occurrence): for every pair
+    of segments A < B over their member sets,
+
+        jaccard = |A∩B| / |A∪B|,   overlap = |A∩B| / min(|A|,|B|)
+
+    (the overlap coefficient catches containment that Jaccard dilutes
+    — a small segment fully inside a big one scores 1.0 overlap but
+    tiny Jaccard).
+
+    Plan: collapse to DISTINCT (segment, member) first (the one
+    data-scale shuffle), then a member-keyed self-join produces each
+    co-membership exactly once (``A < B``), one pair-level count, and
+    a broadcast attach of the segment sizes — intersection work is
+    Σ_member degree², bounded by the SEGMENT count per member (tiny:
+    a member belongs to few segments), never corpus-quadratic.
+    Segments with fewer than ``min_members`` members are dropped
+    BEFORE pairing (noise fence; sizes and denominators come from the
+    same fenced population — the q195 lesson).
+
+    All-integer counts + single IEEE divisions: bit-stable, no
+    rounding contract.  Returns ``seg_a, seg_b, n_a, n_b, n_common,
+    jaccard, overlap`` for pairs with ``n_common > 0``.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        m = df.select(
+            F.col(segment_col).alias("_seg"),
+            F.col(member_col).alias("_mem"),
+        ).distinct()
+        sizes = m.groupBy("_seg").agg(F.count(F.lit(1)).alias("_n"))
+        keep = sizes.filter(F.col("_n") >= min_members)
+        fenced = m.join(
+            F.broadcast(keep.select("_seg")), "_seg"
+        )
+        a = fenced.select(F.col("_mem"), F.col("_seg").alias("seg_a"))
+        b = fenced.select(F.col("_mem"), F.col("_seg").alias("seg_b"))
+        pairs = (
+            a.join(b, "_mem")
+            .where(F.col("seg_a") < F.col("seg_b"))
+            .groupBy("seg_a", "seg_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        out = (
+            pairs.join(
+                F.broadcast(
+                    keep.select(
+                        F.col("_seg").alias("seg_a"),
+                        F.col("_n").alias("n_a"),
+                    )
+                ),
+                "seg_a",
+            )
+            .join(
+                F.broadcast(
+                    keep.select(
+                        F.col("_seg").alias("seg_b"),
+                        F.col("_n").alias("n_b"),
+                    )
+                ),
+                "seg_b",
+            )
+        )
+        union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+        return out.select(
+            "seg_a", "seg_b", "n_a", "n_b", "n_common",
+            (F.col("n_common").cast("double") / union.cast("double"))
+            .alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap"),
+        )
+
+    return _t
+
+
 def weighted_median(
     value_col: str,
     weight_col: str,

@@ -232,6 +232,42 @@ def test_interpolate_linear_matches_reference(spark):
     assert mid == 5.0
 
 
+def test_segment_overlap_hand_computed(spark):
+    from btc_usdt_etl_pipeline_spark.operators.relational import (
+        segment_overlap,
+    )
+
+    # A={1,2,3,4}, B={3,4,5}, C={3}  (C ⊂ A ∩ B), D={9} (disjoint)
+    rows = (
+        [("A", m) for m in (1, 2, 3, 4)]
+        + [("B", m) for m in (3, 4, 5)]
+        + [("C", m) for m in (3,)]
+        + [("D", m) for m in (9,)]
+        + [("A", 1)]  # duplicate membership must not inflate counts
+    )
+    df = spark.createDataFrame(rows, "seg string, mem long")
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in df.transform(segment_overlap("seg", "mem")).collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (4, 3, 2)
+    assert ab["jaccard"] == 2 / 5 and ab["overlap"] == 2 / 3
+    ac = got[("A", "C")]
+    assert ac["overlap"] == 1.0  # containment: C inside A
+    assert ac["jaccard"] == 1 / 4
+    # disjoint D produces no row with anyone
+    assert all("D" not in k for k in got)
+    # min_members fence drops the singletons BEFORE pairing
+    fenced = {
+        (r["seg_a"], r["seg_b"])
+        for r in df.transform(
+            segment_overlap("seg", "mem", min_members=2)
+        ).collect()
+    }
+    assert fenced == {("A", "B")}
+
+
 def test_ols_closed_form_matches_numpy(spark):
     import numpy as np
 

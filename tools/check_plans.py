@@ -545,7 +545,7 @@ def main() -> int:
 
     for name, fn in sorted(qs.items()):
         m = _re.match(r"q(\d+)", name)
-        if not (m and 181 <= int(m.group(1)) <= 223):
+        if not (m and 181 <= int(m.group(1)) <= 224):
             continue
         bad = _sp_nonpartial(fn(spark, SF_DIR))
         check(
