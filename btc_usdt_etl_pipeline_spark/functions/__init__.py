@@ -75,6 +75,34 @@ def attach_scalar(df, one_row, left_probe, right_probe):
     return left.join(F.broadcast(right), "_one").drop("_one")
 
 
+def null_safe_join(left, right, on, how: str = "inner"):
+    """Equi-join on ``on`` columns where NULL matches NULL — the
+    groupBy-then-join-back idiom's missing half.  ``groupBy`` keeps a
+    NULL key as a real group, but a plain ``join(on=cols)`` compiles to
+    ``EqualTo`` conditions and silently drops every NULL-keyed row, so
+    any "aggregate per key, join the aggregate back" plan loses NULL
+    groups.  ``eqNullSafe`` (``<=>``) fixes that AND stays an equi-join:
+    Catalyst's ``ExtractEquiJoinKeys`` recognizes ``EqualNullSafe`` as a
+    hash/sort-merge key (it wraps both sides in null-coalescing structs),
+    so the plan is still SMJ/BHJ, never a nested loop.
+
+    Right-side join columns are deduplicated (renamed, joined, dropped)
+    so the result has ONE copy of each key column — same shape as
+    ``left.join(right, on)``.
+    """
+    r = right
+    renamed = []
+    for c in on:
+        rc = f"_nsj_{c}"
+        r = r.withColumnRenamed(c, rc)
+        renamed.append(rc)
+    cond = None
+    for c, rc in zip(on, renamed):
+        term = left[c].eqNullSafe(r[rc])
+        cond = term if cond is None else (cond & term)
+    return left.join(r, cond, how).drop(*renamed)
+
+
 def oracle_sum_sql(expr: str) -> str:
     """DuckDB-side mirror of :func:`exact_sum`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

@@ -458,8 +458,12 @@ def target_encode_loo(
         glob = df.agg(
             (exact_sum(target_col) / F.count(target_col)).alias("_g")
         )
+        # null-safe join-back: a NULL category is a real group out of
+        # groupBy; a plain equi-join would drop its rows un-encoded.
+        from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+
         joined = attach_scalar(
-            df.join(F.broadcast(cats), cat_col),
+            null_safe_join(df, F.broadcast(cats), [cat_col]),
             glob,
             F.col(target_col),
             F.col("_g"),
@@ -578,7 +582,15 @@ def robust_scale(
             ).alias("_iqr"),
         )
         if gcols:
-            joined = df.join(F.broadcast(stats), gcols)
+            # null-safe: a NULL group is a real group out of groupBy;
+            # a plain equi-join would silently drop its rows instead
+            # of scaling them.  The broadcast hint survives the rename
+            # projection null_safe_join applies.
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
+            joined = null_safe_join(df, F.broadcast(stats), gcols)
         else:
             joined = attach_scalar(
                 df, stats, F.col(value_col), F.col("_med")
@@ -669,6 +681,7 @@ def quantile_normalize(
     group_by: str,
     ref_points: int = 101,
     out: str = "qnorm",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Cross-source quantile normalization: map each group's values
     onto the POOLED distribution, ``out = Q_pool(F_group(x))`` — the
@@ -689,12 +702,31 @@ def quantile_normalize(
     Ties share a percent_rank (Spark semantics: rank, not
     row_number), so equal inputs map to equal outputs.  Singleton
     groups (n = 1, percent_rank 0) map to the pooled minimum.
+
+    Two BIT-IDENTICAL plans for F_group (``strategy`` = ``auto`` |
+    ``window`` | ``counts``): the ``window`` plan is one keyed
+    percent_rank window — parallel across groups but a hot group's
+    full series sorts on ONE task (the r8-measured 100× ceiling);
+    the ``counts`` plan derives ``percent_rank = (min_rank−1)/(n−1)``
+    from ``operators.windows._bucketed_rank`` (range-bucketed offsets
+    + within-(group, bucket) rank — one row-scale shuffle, no
+    full-group sort task, no join-back).
+    Same integer operands, same double division → identical bits;
+    ``auto`` flips on the Catalyst size estimate, so oracle-scale
+    inputs keep the window plan and hashes never move.
     """
+    if strategy not in ("auto", "window", "counts"):
+        raise ValueError("strategy must be auto | window | counts")
 
     def _t(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
         from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+        from btc_usdt_etl_pipeline_spark.operators.windows import (
+            _CHUNK_THRESHOLD_BYTES,
+            _bucketed_rank,
+            _plan_size,
+        )
 
         src = df.where(F.col(value_col).isNotNull())
         ps = [i / (ref_points - 1) for i in range(ref_points)]
@@ -704,8 +736,41 @@ def quantile_normalize(
                 lambda x: F.round(x, 6),
             ).alias("_grid")
         )
-        wg = Window.partitionBy(group_by).orderBy(value_col)
-        ranked = src.withColumn("_pr", F.percent_rank().over(wg))
+        dtype = dict(df.dtypes)[value_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal")
+        use_counts = strategy == "counts" or (
+            strategy == "auto"
+            and numeric
+            and _plan_size(df) > _CHUNK_THRESHOLD_BYTES
+        )
+        if use_counts and not numeric:
+            raise TypeError(
+                "counts-path quantile_normalize needs a numeric "
+                f"value column; {value_col!r} is {dtype}"
+            )
+        if use_counts:
+            # Spark's PercentRank: (rank−1)/(n−1) in double, 0.0 for
+            # the n=1 singleton — replicated operand-for-operand
+            ranked = (
+                _bucketed_rank(
+                    src, [group_by], value_col, rank_col="_mrk",
+                    cnt_col="_ct", n_col="_gn",
+                )
+                .withColumn(
+                    "_pr",
+                    F.when(
+                        F.col("_gn") > 1,
+                        (F.col("_mrk") - F.lit(1)).cast("double")
+                        / (F.col("_gn") - F.lit(1)).cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+                .drop("_mrk", "_ct", "_gn")
+            )
+        else:
+            wg = Window.partitionBy(group_by).orderBy(value_col)
+            ranked = src.withColumn("_pr", F.percent_rank().over(wg))
         x = attach_scalar(
             ranked, grid, F.col(value_col), F.size("_grid")
         )

@@ -743,9 +743,18 @@ def weighted_quantile(
 
         # --- bucketed scale path ---
         # per_v feeds three passes (min/max, bucket sums, detail walk):
-        # persist the collapsed table once instead of re-running the
-        # data-scale shuffle per pass.
-        per_v = per_v.persist()
+        # materialize the collapsed table once instead of re-running
+        # the data-scale shuffle per pass.  localCheckpoint, NOT
+        # persist(): a persisted DataFrame stays in the cache manager
+        # until an explicit unpersist (which nothing here can issue —
+        # the caller materializes the returned plan later), so repeated
+        # calls (every bench round) would accumulate cached partitions
+        # for the app's lifetime.  localCheckpoint blocks are
+        # RDD-scoped: the ContextCleaner frees them when the plan is
+        # garbage-collected.  The eager materialization is work we do
+        # anyway — the lo/hi .first() on the next line needs the full
+        # aggregate.
+        per_v = per_v.localCheckpoint(eager=True)
         lo_hi = per_v.agg(
             F.min("_v").alias("lo"), F.max("_v").alias("hi")
         ).first()
@@ -801,7 +810,13 @@ def weighted_quantile(
         # Empty gcols would make this join a cartesian of a 1-row side;
         # pin a constant key so it stays an equi-join in the plan audit.
         if gcols:
-            detail = pb.join(half, gcols)
+            # null-safe: groupBy keeps a NULL group, a plain equi-join
+            # would drop it — the walk path emits it, so bucketed must.
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
+            detail = null_safe_join(pb, half, gcols)
         else:
             detail = pb.withColumn("_one", F.lit(1)).join(
                 F.broadcast(half.withColumn("_one", F.lit(1))), "_one"

@@ -204,13 +204,99 @@ def _keyed_index(
     wb = Window.partitionBy(*keys, "_kc_bucket").orderBy(
         *[F.col(c) for c in order_by]
     )
+    from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+
+    # null_safe_join, not join(on=cols): a plain equi-join drops rows
+    # whose PARTITION KEY is NULL, but the window plan keeps NULL keys
+    # as a real group — bit-identity requires the chunked plan to, too.
     return (
-        dfb.join(offsets, [*keys, "_kc_bucket"])
+        null_safe_join(dfb, offsets, [*keys, "_kc_bucket"])
         .withColumn(
             index_col,
             F.col("_kc_off") + F.row_number().over(wb) - F.lit(1),
         )
         .drop("_kc_bucket", "_kc_off")
+    )
+
+
+def _bucketed_rank(
+    df: DataFrame,
+    gcols: Sequence[str],
+    value_col: str,
+    rank_col: str = "_mrk",
+    cnt_col: str = "_cnt",
+    n_col: str = "_n",
+) -> DataFrame:
+    """Per-row full-group MIN-rank (+ tie count + group size) WITHOUT
+    sorting any group's full series on one task — closing the last
+    whole-class keyed scale ceiling (ordered rank windows:
+    ``rank().over(partitionBy(g).orderBy(v))`` serializes a zipf-hot
+    group onto one straggler task at 100 TB).  The q199 two-level
+    decomposition applied to RANK:
+
+    1. coarse range bucket over the value (``auto_bucket_expr`` — one
+       scan-only min/max pre-pass for numerics).  The bucket is a
+       FUNCTION OF THE VALUE, so a tie block can never straddle a
+       bucket boundary — every cross-bucket comparison is strict;
+    2. per-(group, bucket) counts → per-group EXCLUSIVE prefix sum
+       (= rows in strictly-smaller buckets) + group total ``n_col``,
+       one tiny window over the METADATA-scale bucket table;
+    3. broadcast the offsets back (null-safe — NULL groups are real
+       groups) and rank WITHIN each (group, bucket) ordered by value:
+       ``min_rank = offset + rank()``, with the tie count from a
+       (group, bucket, value) partition — parallel across buckets, so
+       a hot group splits across its value range instead of one task.
+
+    ONE row-scale shuffle total (the within-bucket window); the offset
+    join is a broadcast of a ≤ #groups × n_buckets table.  The outputs
+    are integers ≤ group size, exact in double, so the textbook
+    tie-averaged rank ``min_rank + (cnt − 1)/2`` and
+    ``percent_rank = (min_rank − 1)/(n − 1)`` are reproducible
+    BIT-FOR-BIT against the full-group window plan — ``strategy='auto'``
+    swaps plans without moving oracle hashes.  Residual skew: a single
+    massive tie VALUE shares one bucket by construction (rank within it
+    is trivial, but the task holds the block) — the q199 tradeoff.
+    NULL values are not special-cased: callers filter them first (all
+    current callers do).
+    """
+    from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        auto_bucket_expr,
+    )
+
+    _NULL_BUCKET = -(1 << 62)
+    gcols = list(gcols)
+    bucket = F.coalesce(
+        auto_bucket_expr(df, value_col).cast("long"),
+        F.lit(_NULL_BUCKET),
+    )
+    b = df.withColumn("_rb", bucket)
+    bsum = b.groupBy(*gcols, "_rb").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    wg = Window.partitionBy(*gcols)
+    off = (
+        bsum.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bn").over(
+                    wg.orderBy("_rb").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(n_col, F.sum("_bn").over(wg))
+        .select(*gcols, "_rb", "_off", n_col)
+    )
+    wb = Window.partitionBy(*gcols, "_rb").orderBy(value_col)
+    wv = Window.partitionBy(*gcols, "_rb", value_col)
+    return (
+        null_safe_join(b, F.broadcast(off), [*gcols, "_rb"])
+        .withColumn(rank_col, F.col("_off") + F.rank().over(wb))
+        .withColumn(cnt_col, F.count(F.lit(1)).over(wv))
+        .drop("_rb", "_off")
     )
 
 
@@ -866,7 +952,11 @@ def acf(
                     / F.count(value_col)
                 ).alias("_xbar")
             )
-            d = df.join(means, gcols).withColumn(
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
+            d = null_safe_join(df, means, gcols).withColumn(
                 "_dev", F.col(value_col) - F.col("_xbar")
             )
             staged = _keyed_chunked_trailing(
@@ -934,25 +1024,40 @@ def spearman_corr(
     y_col: str,
     group_by: str | None = None,
     out: str = "spearman",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Spearman rank correlation per group — Pearson on AVERAGE ranks,
     the monotone-relationship detector that is outlier-robust where
     raw Pearson (q25's correlation_matrix) is not.
 
     Tie handling is the textbook average rank: ``min_rank +
-    (n_equal − 1)/2`` — one ordered rank window plus one value-keyed
-    count window per column, both partitioned by the group (parallel
-    across groups; a global Spearman inherits the single-series
-    ordered-rank ceiling, the honest shape).  Ranks are exact
-    half-integers, so the Pearson moments run through the exact-decimal
-    idiom losslessly and the only transcendental is the final
-    IEEE-exact sqrt — 6 dp pinned output, same contract as
+    (n_equal − 1)/2``.  Two plans, BIT-IDENTICAL by construction:
+
+    - ``window`` — one ordered rank window plus one value-keyed count
+      window per column, both partitioned by the group.  Parallel
+      across groups, but a hot group's full series sorts on ONE task —
+      the r8-measured 100× ceiling (42.8 s, one straggler at 100 TB).
+    - ``counts`` — :func:`_bucketed_rank` per column: range-bucketed
+      offsets + within-(group, bucket) rank, ONE row-scale shuffle per
+      column and no join-back.  Every stage splits a hot group across
+      its value range.
+
+    ``auto`` gates on the same Catalyst size estimate as the chunked
+    window family — small inputs (every oracle run) keep the window
+    plan; the swap cannot move an oracle hash because both plans emit
+    exact half-integer ranks and identical-op-order double moments.
+
+    Ranks are exact half-integers, so the Pearson moments run through
+    the exact-decimal idiom losslessly and the only transcendental is
+    the final IEEE-exact sqrt — 6 dp pinned output, same contract as
     :func:`cross_correlation`.
 
     Rows with a null in either column are dropped first (pairwise
     deletion would break the rank space).  Constant columns (zero rank
     variance) emit NULL.  Returns ``group_by…, n, out``.
     """
+    if strategy not in ("auto", "window", "counts"):
+        raise ValueError("strategy must be auto | window | counts")
     gcols = [group_by] if group_by else []
 
     def _t(df: DataFrame) -> DataFrame:
@@ -961,27 +1066,73 @@ def spearman_corr(
         d = df.where(
             F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
         )
-
-        def avg_rank(c: str) -> Column:
-            wo = (
-                Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-            ).orderBy(F.col(c))
-            wv = (
-                Window.partitionBy(*gcols, c)
-                if gcols
-                else Window.partitionBy(c)
-            )
-            return (
-                F.rank().over(wo).cast("double")
-                + (F.count(F.lit(1)).over(wv) - F.lit(1)).cast("double")
-                / F.lit(2.0)
-            )
-
-        r = d.select(
-            *gcols,
-            avg_rank(x_col).alias("_rx"),
-            avg_rank(y_col).alias("_ry"),
+        dtypes = dict(df.dtypes)
+        numeric = all(
+            dtypes[c]
+            in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or dtypes[c].startswith("decimal")
+            for c in (x_col, y_col)
         )
+        use_counts = strategy == "counts" or (
+            strategy == "auto"
+            and numeric
+            and _plan_size(df) > _CHUNK_THRESHOLD_BYTES
+        )
+        if use_counts and not numeric:
+            raise TypeError(
+                "counts-path spearman needs numeric x/y columns"
+            )
+
+        if use_counts:
+            base = d.select(*gcols, x_col, y_col)
+
+            # same double ops as the window plan: rank→double,
+            # (cnt−1)→double, /2.0 — exact half-integers either way
+            def avg_of(rk: str, ct: str) -> Column:
+                return (
+                    F.col(rk).cast("double")
+                    + (F.col(ct) - F.lit(1)).cast("double")
+                    / F.lit(2.0)
+                )
+
+            rx = _bucketed_rank(
+                base, gcols, x_col, rank_col="_mx", cnt_col="_cx",
+                n_col="_nx",
+            ).select(
+                *gcols, y_col, avg_of("_mx", "_cx").alias("_rx")
+            )
+            r = _bucketed_rank(
+                rx, gcols, y_col, rank_col="_my", cnt_col="_cy",
+                n_col="_ny",
+            ).select(
+                *gcols, "_rx", avg_of("_my", "_cy").alias("_ry")
+            )
+        else:
+
+            def avg_rank(c: str) -> Column:
+                wo = (
+                    Window.partitionBy(*gcols)
+                    if gcols
+                    else Window.partitionBy()
+                ).orderBy(F.col(c))
+                wv = (
+                    Window.partitionBy(*gcols, c)
+                    if gcols
+                    else Window.partitionBy(c)
+                )
+                return (
+                    F.rank().over(wo).cast("double")
+                    + (F.count(F.lit(1)).over(wv) - F.lit(1)).cast(
+                        "double"
+                    )
+                    / F.lit(2.0)
+                )
+
+            r = d.select(
+                *gcols,
+                avg_rank(x_col).alias("_rx"),
+                avg_rank(y_col).alias("_ry"),
+            )
         agg = r.groupBy(*gcols).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("_rx").cast(DEC)).cast("double").alias("_sx"),
@@ -1096,8 +1247,12 @@ def cross_correlation(
                     / F.count(y_col)
                 ).alias("_yb"),
             )
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
             d = (
-                df.join(means, gcols)
+                null_safe_join(df, means, gcols)
                 .withColumn("_dx", F.col(x_col) - F.col("_xb"))
                 .withColumn("_dy", F.col(y_col) - F.col("_yb"))
             )

@@ -740,3 +740,137 @@ def test_cdc_merge_property_vs_python_model(spark):
         assert got == model
 
     run()
+
+
+def test_null_partition_keys_survive_scale_paths(spark, monkeypatch):
+    """Round-9 advisor regression: every keyed scale path must KEEP
+    rows whose partition key is NULL.  groupBy / Window.partitionBy
+    treat NULL as a real group, but a plain join(on=cols) compiles to
+    EqualTo and silently drops NULL-keyed rows — so the chunked /
+    bucketed plans lost them while the window / walk plans kept them,
+    breaking the bit-identical strategy-swap contract.  All join-backs
+    now go through functions.null_safe_join (eqNullSafe, still an
+    equi-join for Catalyst)."""
+    import datetime as dt
+
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+    from btc_usdt_etl_pipeline_spark.ml import features as MF
+    from btc_usdt_etl_pipeline_spark.operators import relational as R
+
+    monkeypatch.setattr(W, "_CHUNK_ROWS", 32)
+    epoch = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):  # NULL key: a real series, > 1 chunk
+        rows.append(
+            (None, epoch + dt.timedelta(hours=2 * i), i,
+             10.0 + ((i * 17) % 23) / 3.0)
+        )
+    for i in range(90):
+        rows.append(
+            ("k1", epoch + dt.timedelta(hours=3 * i), i,
+             5.0 + ((i * 7) % 11))
+        )
+    df = spark.createDataFrame(
+        rows, "k string, t timestamp, i long, x double"
+    )
+
+    def rows_of(out):
+        return sorted(
+            (tuple(r) for r in out.collect()),
+            key=lambda r: tuple(str(c) for c in r),
+        )
+
+    for mk in (
+        lambda s: W.pct_change("x", "t", partition_by=["k"], strategy=s),
+        lambda s: W.rolling_mean_std(
+            "x", "t", 7, partition_by=["k"], strategy=s
+        ),
+        lambda s: W.macd_signal(
+            "x", order_by=("t", "i"), partition_by="k", strategy=s
+        ),
+        lambda s: W.acf(
+            "x", max_lag=4, partition_by="k", order_by=("t", "i"),
+            strategy=s,
+        ),
+        lambda s: W.cross_correlation(
+            "x", "i", max_lag=3, partition_by="k", order_by=("t", "i"),
+            strategy=s,
+        ),
+        lambda s: W.seasonal_decompose(
+            "x", period=12, trend_halfwidth=6, partition_by="k",
+            order_by=("t", "i"), strategy=s,
+        ),
+    ):
+        a = rows_of(df.transform(mk("window")))
+        b = rows_of(df.transform(mk("chunked")))
+        assert a == b and len(a) > 0
+
+    # weighted_quantile: bucketed plan must emit the NULL group too
+    wdf = df.withColumn("w", F.col("i") % 5 + 1)
+    walk = rows_of(wdf.transform(R.weighted_quantile(
+        "x", "w", 1, 2, group_by="k", strategy="walk")))
+    buck = rows_of(wdf.transform(R.weighted_quantile(
+        "x", "w", 1, 2, group_by="k", strategy="bucketed")))
+    assert walk == buck and len(walk) == 2
+
+    # robust_scale / target_encode_loo: NULL-group rows stay, scaled
+    scaled = df.transform(MF.robust_scale("x", group_by="k"))
+    assert scaled.count() == df.count()
+    assert scaled.filter(F.col("k").isNull()).count() == 120
+    te = df.transform(MF.target_encode_loo("k", "x"))
+    assert te.count() == df.count()
+    assert te.filter(F.col("k").isNull()).count() == 120
+
+
+def test_rank_from_counts_bit_identical(spark):
+    """Round-9 rank-from-counts scale path: spearman_corr and
+    quantile_normalize must produce BIT-identical results under
+    strategy='counts' vs strategy='window' — ties (average ranks /
+    shared percent_rank), NULL groups, singleton groups (percent_rank
+    0 → pooled minimum), and negative values all covered.  That is the
+    contract that lets strategy='auto' swap plans on the Catalyst size
+    estimate without moving any oracle hash."""
+    import btc_usdt_etl_pipeline_spark.operators.windows as W
+    from btc_usdt_etl_pipeline_spark.ml import features as MF
+
+    rows = []
+    for i in range(500):
+        g = [None, "a", "b", "c"][i % 4]
+        x = float((i * 37) % 83) - 11.0
+        if i % 7 == 0:
+            x = 13.0  # heavy tie block
+        y = ((i * 53) % 97) / 3.0
+        rows.append((g, x, y))
+    rows.append(("solo", 5.0, 1.0))  # singleton group
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    def rows_of(out):
+        return sorted(
+            (tuple(r) for r in out.collect()),
+            key=lambda r: tuple(str(c) for c in r),
+        )
+
+    a = rows_of(df.transform(
+        W.spearman_corr("x", "y", group_by="g", strategy="window")))
+    b = rows_of(df.transform(
+        W.spearman_corr("x", "y", group_by="g", strategy="counts")))
+    assert a == b and len(a) == 5
+
+    qa = rows_of(df.transform(
+        MF.quantile_normalize("x", group_by="g", strategy="window")))
+    qb = rows_of(df.transform(
+        MF.quantile_normalize("x", group_by="g", strategy="counts")))
+    assert qa == qb and len(qa) == len(rows)
+
+    # global (ungrouped) spearman also swaps exactly
+    ga = rows_of(df.transform(
+        W.spearman_corr("x", "y", strategy="window")))
+    gb = rows_of(df.transform(
+        W.spearman_corr("x", "y", strategy="counts")))
+    assert ga == gb and len(ga) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        W.spearman_corr("x", "y", strategy="bogus")
+    with _pytest.raises(ValueError, match="strategy"):
+        MF.quantile_normalize("x", group_by="g", strategy="bogus")

@@ -545,7 +545,9 @@ def main() -> int:
 
     for name, fn in sorted(qs.items()):
         m = _re.match(r"q(\d+)", name)
-        if not (m and 181 <= int(m.group(1)) <= 224):
+        # open-ended (>= 181, no upper cap): new rounds' queries are
+        # audited by default instead of silently skipped
+        if not (m and int(m.group(1)) >= 181):
             continue
         bad = _sp_nonpartial(fn(spark, SF_DIR))
         check(
