@@ -11621,18 +11621,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Late round 8 added q217 (grid radius join — geo is a brand-NEW
 #: family with no in-window cousin; q219 nearest-facility composes the
 #: same grid machinery) demoting q180 (drift/monitoring keeps q183 PSI
-#: in-window; CUSUM stays judge-covered).  q216 CCF / q222 Spearman
-#: stay judge-side (correlation family: q25), q218 IPS (eval family:
-#: q213 calibration), q220 interpolation (gap-fill family: q68),
-#: q221 weighted P90 (q199's machinery, judge-covered).
+#: in-window; CUSUM stays judge-covered).
+#: Round-9 rotation (VERDICT r8 ask #3): promoted twelve never-windowed
+#: queries — the whole r8 batch minus q217 (q216 CCF, q218 IPS, q219
+#: nearest facility, q220 interpolation, q221 weighted P90, q222
+#: Spearman, q223 closed-form OLS, q224 segment overlap) plus q181
+#: MACD / q185 ACF (their green rows now also witness the keyed
+#: chunked-halo plans), q195 association rules, and q199 weighted
+#: median (witnesses the bucketed scale path).  Demoted twelve
+#: family-redundant rows whose surfaces stay under the judge's full
+#: gate: q25 correlation (q216/q222 are the correlation family now),
+#: q30 minhash (q174 incremental + q62 CC remain), q34 minmax (ML
+#: scalers: q200 PQ + q223 OLS remain; q192 judge-side), q84 RANGE
+#: frame (window family: q181/q185/q100 remain), q110 int8 quantize
+#: (q200 PQ remains), q127 mix plan (q129 packing remains), q149 M4
+#: (resample: q36 + q100 remain), q163 bloom pre-join (sketch: q151
+#: HLL + q197 DDSketch remain), q178 grid clusters (q76 k-means
+#: remains), q188 SAX, q201 bootstrap CI (eval: q213 + q218 remain),
+#: q207 readability (text: q131/q139/q161 remain).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
     "q07_topk_per_group",     # sorts / top-k
     "q24_asof_join",          # as-of join
-    "q25_correlation",        # A2 correlation matrix
-    "q30_minhash_near_dedup", # MinHash+LSH
-    "q34_minmax_scale",       # A5 scaler
     "q36_streaming_ohlcv",    # streaming tumbling
     "q40_simsearch_ivf",      # IVF ANN (scale path)
     "q44_multimodal_features",# multimodal kernel
@@ -11644,13 +11655,10 @@ _PRIORITY_WINDOW = [
     "q62_dedup_clusters",     # connected components
     "q66_corpus_pipeline",    # corpus filter→cluster→elect→sample
     "q76_kmeans",             # k-means clustering
-    "q84_time_range_frame",   # RANGE interval frame
     "q92_variant_json",       # VARIANT semi-structured
     "q100_dashboard",         # financial composite dashboard
     "q152_cdc_merge",         # CDC changelog merge (upsert + tombstones)
-    "q110_embedding_quantize",# int8 embedding quantization
     "q161_bpe_train",         # BPE tokenizer training (merge table)
-    "q127_mix_plan",          # mixture planning (training export)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
     "q131_pii_redact",        # PII detect + redact
     "q136_zorder_layout",     # Z-order layout key
@@ -11658,24 +11666,30 @@ _PRIORITY_WINDOW = [
     "q139_chunk_documents",   # token-window document chunking
     "q141_funnel",            # ordered conversion funnel
     "q146_pagerank",          # graph power iteration (PageRank)
-    "q149_m4_downsample",     # M4 time-series downsampling
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
     "q151_hll_distinct",      # HyperLogLog distinct sketch
     "q168_interval_coverage", # interval algebra (merge/coverage sweep)
     "q171_skyline",           # 2-D skyline / Pareto front
     "q183_psi",               # PSI distribution drift
-    "q188_sax",               # SAX symbolic series representation
-    "q163_bloom_prejoin",     # bloom-filter pre-join (r8 promotion)
     "q165_leakage_safe_split",# cluster-respecting train/test split
     "q167_entity_resolution", # blocking+scoring+CC entity resolution
     "q174_incremental_dedup", # incremental MinHash dedup maintenance
-    "q178_grid_clusters",     # grid-density clustering
     "q197_ddsketch",          # DDSketch relative-error quantiles
     "q200_pq_codes",          # product quantization codebooks
-    "q201_bootstrap_ci",      # Poisson-bootstrap CI (portable oracle leg)
-    "q207_readability",       # Flesch readability scoring
     "q213_calibration",       # calibration table + ECE
     "q217_geo_radius_join",   # geo family representative (r8 NEW family)
+    "q181_macd",              # keyed chunked-halo stacked windows (r9 promotion)
+    "q185_acf",               # keyed chunked-halo lag products
+    "q195_association_rules", # market-basket support/confidence/lift
+    "q199_weighted_median",   # bucketed weighted-quantile scale path
+    "q216_cross_correlation", # lead-lag CCF (correlation family rep)
+    "q218_ips_off_policy",    # IPS/SNIPS off-policy value
+    "q219_nearest_facility",  # grid-bounded kNN geo join
+    "q220_interpolate_gaps",  # linear gap interpolation
+    "q221_weighted_p90",      # exact rational-q weighted quantile
+    "q222_spearman",          # avg-rank Spearman (bucketed-rank scale path)
+    "q223_ols_closed_form",   # closed-form grouped OLS
+    "q224_segment_overlap",   # segment Jaccard/overlap matrix
 ]
 
 
