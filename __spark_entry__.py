@@ -11500,6 +11500,248 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Equirectangular fixture: ONE driver-side trig call, embedded as the
+#: same double literal in the Spark plan and the oracle — every per-row
+#: op stays add/multiply (the module's no-libm membership contract).
+_GEO_LON_SCALE = __import__("math").cos(__import__("math").radians(45.0))
+#: Expanding-ring radii for q226: 1.5° doubling twice — squared-strict
+#: thresholds computed HERE so both engines compare the same literals.
+_GEO_RING_R = [1.5 * (2.0 ** i) for i in range(3)]
+_GEO_RING_R2 = [r * r for r in _GEO_RING_R]
+
+
+@_q(
+    "q225_geo_equirectangular",
+    f"""
+    WITH c AS (SELECT c_custkey,
+                      CAST((c_custkey * 73) % 1700 AS DOUBLE) / 10.0
+                        - 85.0 AS lat,
+                      (CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0
+                        - 180.0) * {_GEO_LON_SCALE!r} AS slon_l
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CAST((s_suppkey * 97) % 1700 AS DOUBLE) / 10.0
+                   - 85.0 AS slat,
+                 (CAST((s_suppkey * 59) % 3600 AS DOUBLE) / 10.0
+                   - 180.0) * {_GEO_LON_SCALE!r} AS slon_r
+          FROM supplier),
+    p AS (SELECT s_suppkey, c_custkey,
+                 (lat - slat) * (lat - slat)
+                   + (slon_l - slon_r) * (slon_l - slon_r) AS d2
+          FROM c CROSS JOIN s)
+    SELECT s_suppkey, COUNT(*)::BIGINT AS n_customers,
+           round(MIN(d2), 6) AS min_dist2
+    FROM p WHERE d2 < 25.0
+    GROUP BY s_suppkey
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q217's radius join under the cos(lat₀) EQUIRECTANGULAR metric:
+    longitudes pre-scaled by cos(45°) (one driver-side trig call,
+    embedded as the same double literal in both engines), so a degree
+    of longitude stops overcounting distance at mid latitudes while
+    every per-row op stays add/multiply — the honest-distance option
+    the geo module docstring promises, with the grid keys computed in
+    the scaled plane (coverage stays exact).  The oracle is the plain
+    cross-join filter under the identical scaled metric, proving the
+    grid remains candidate-pruning-only
+    (operators/geo.py:radius_join lon_scale)."""
+    from btc_usdt_etl_pipeline_spark.operators.geo import radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 97 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("slat"),
+        ((F.col("s_suppkey") * 59 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("slon"),
+    )
+    pairs = radius_join(
+        cust, supp, radius_deg=5.0,
+        left_coords=("lat", "lon"), right_coords=("slat", "slon"),
+        lon_scale=_GEO_LON_SCALE,
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("dist2"), 6).alias("min_dist2"),
+    )
+
+
+@_q(
+    "q226_geo_expanding_rings",
+    f"""
+    WITH c AS (SELECT c_custkey,
+                      CAST((c_custkey * 73) % 1700 AS DOUBLE) / 10.0
+                        - 85.0 AS lat,
+                      CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0
+                        - 180.0 AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CAST((s_suppkey * 73) % 1700 AS DOUBLE) / 10.0
+                   - 85.0 AS slat,
+                 CAST((s_suppkey * 131) % 3600 AS DOUBLE) / 10.0
+                   - 180.0 AS slon
+          FROM supplier),
+    p AS (SELECT c_custkey, s_suppkey,
+                 (lat - slat) * (lat - slat)
+                   + (lon - slon) * (lon - slon) AS d2
+          FROM c CROSS JOIN s),
+    rp AS (SELECT *,
+                  CASE WHEN d2 < {_GEO_RING_R2[0]!r} THEN 0
+                       WHEN d2 < {_GEO_RING_R2[1]!r} THEN 1
+                       ELSE 2 END AS ring
+           FROM p WHERE d2 < {_GEO_RING_R2[2]!r}),
+    m AS (SELECT *, MIN(ring) OVER (PARTITION BY c_custkey) AS mr
+          FROM rp),
+    r AS (SELECT c_custkey, s_suppkey, d2, ring,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                    ORDER BY d2, s_suppkey) AS rn
+          FROM m WHERE ring = mr)
+    SELECT c_custkey, s_suppkey, round(d2, 6) AS dist2,
+           CAST(rn AS INT) AS nn_rank, CAST(ring AS INT) AS ring
+    FROM r WHERE rn <= 1
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q219's nearest-facility with EXPANDING-RING retries: nearest
+    supplier within 1.5°, else within 3°, else within 6° (max_rings=3,
+    strict < at every ring) — the bounded answer to the operator's
+    documented contract gap ("the caller widens r for the unmatched
+    remainder").  Each retry is its own grid candidate join over the
+    shrinking anti-joined remainder; a customer matched at ring i takes
+    its nearest within THAT radius and never reappears.  The oracle
+    replays the semantics as pair-ring classification: a pair's ring is
+    the smallest radius containing it, each customer keeps only pairs
+    at its MIN ring, then ranks by (dist2, s_suppkey) — provably equal
+    because a customer reaching ring i has no candidate under any
+    smaller radius (operators/geo.py:nearest_join max_rings)."""
+    from btc_usdt_etl_pipeline_spark.operators.geo import nearest_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("lat"),
+        ((F.col("c_custkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 73 % 1700).cast("double") / 10.0 - 85.0)
+        .alias("slat"),
+        ((F.col("s_suppkey") * 131 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("slon"),
+    )
+    nn = nearest_join(
+        cust, supp, left_id="c_custkey", radius_deg=_GEO_RING_R[0],
+        k=1, left_coords=("lat", "lon"), right_coords=("slat", "slon"),
+        tiebreak="s_suppkey", max_rings=3,
+    )
+    return nn.select(
+        "c_custkey", "s_suppkey",
+        F.round("dist2", 6).alias("dist2"), "nn_rank", "ring",
+    )
+
+
+#: q227's oracle replays the GENERATED Gaussian-elimination schedule —
+#: the same (name, formula) list the Spark plan consumes via chained
+#: withColumn(F.expr(text)), rendered as DuckDB lateral column aliases.
+#: Bit-identity between engines is structural: one generator, two
+#: renderers (ml/features.py:ols_elimination_formulas).
+def _ols3_lateral() -> str:
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        ols_elimination_formulas,
+    )
+
+    return ",\n           ".join(
+        f"{t} AS {n}" for n, t in ols_elimination_formulas(3)
+    )
+
+
+@_q(
+    "q227_ols_three_regressors",
+    f"""
+    WITH d AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x1,
+                      CAST(EXTRACT(dow FROM ts) + 1 AS DOUBLE) AS x2,
+                      CAST(EXTRACT(minute FROM ts) AS DOUBLE) AS x3,
+                      value AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+      CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS _sy,
+      CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS _syy,
+      CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1,
+      CAST(SUM(CAST(x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS _sx1y,
+      CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_1,
+      CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_2,
+      CAST(SUM(CAST(x1 * x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_3,
+      CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2,
+      CAST(SUM(CAST(x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS _sx2y,
+      CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2_2,
+      CAST(SUM(CAST(x2 * x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2_3,
+      CAST(SUM(CAST(x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx3,
+      CAST(SUM(CAST(x3 * y AS DECIMAL(38,6))) AS DOUBLE) AS _sx3y,
+      CAST(SUM(CAST(x3 * x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx3_3
+          FROM d GROUP BY event_type),
+    e AS (SELECT *,
+           {{_OLS3_LATERAL}}
+          FROM a)
+    SELECT event_type, n,
+           round(_beta0, 6) AS b0, round(_beta1, 6) AS b1,
+           round(_beta2, 6) AS b2, round(_beta3, 6) AS b3,
+           CASE WHEN _syy - _sy * _sy / CAST(n AS DOUBLE) > 0
+                THEN round(1.0::DOUBLE
+                  - (_syy - (_beta0 * _sy + _beta1 * _sx1y
+                             + _beta2 * _sx2y + _beta3 * _sx3y))
+                    / (_syy - _sy * _sy / CAST(n AS DOUBLE)), 6)
+           END AS r2
+    FROM e
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form grouped OLS at THREE regressors (value ~ hour +
+    day-of-week + minute per event type) — the r9 generalization of
+    q223 past Cramer's rule: the moments aggregation stays ONE
+    partial-combined pass, and the solve is the GENERATED
+    Gaussian-elimination schedule run as chained projections over the
+    one-row-per-group aggregate (metadata-scale arithmetic, zero
+    Python workers, k ≤ 6).  The oracle consumes the IDENTICAL
+    generated (name, formula) steps as DuckDB lateral column aliases —
+    one generator, two renderers, structural bit-identity
+    (ml/features.py:ols_elimination_formulas)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import ols_closed_form
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.hour(F.col("ts").cast("timestamp"))
+        .cast("double")
+        .alias("_x1"),
+        F.dayofweek(F.col("ts").cast("timestamp"))
+        .cast("double")
+        .alias("_x2"),
+        F.minute(F.col("ts").cast("timestamp"))
+        .cast("double")
+        .alias("_x3"),
+    )
+    return e.transform(
+        ols_closed_form(
+            "value", ["_x1", "_x2", "_x3"], group_by="event_type"
+        )
+    )
+
+
+_ORACLES["q227_ols_three_regressors"] = _ORACLES[
+    "q227_ols_three_regressors"
+].replace("{_OLS3_LATERAL}", _ols3_lateral())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

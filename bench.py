@@ -177,6 +177,9 @@ HEADLINE = [
     "q222_spearman",
     "q223_ols_closed_form",
     "q224_segment_overlap",
+    "q225_geo_equirectangular",
+    "q226_geo_expanding_rings",
+    "q227_ols_three_regressors",
 ]
 
 

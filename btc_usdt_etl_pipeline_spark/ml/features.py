@@ -134,6 +134,80 @@ def positional_split(
     return _t
 
 
+def ols_elimination_formulas(k: int) -> list[tuple[str, str]]:
+    """The shared Gaussian-elimination schedule for
+    :func:`ols_closed_form` with ``k`` regressors — an ordered list of
+    ``(column_name, formula_text)`` steps over the normal-equation
+    moment columns, where each formula references only moment columns
+    and PREVIOUSLY emitted names.
+
+    The text is plain arithmetic + ``CASE WHEN`` — valid in BOTH Spark
+    SQL (consumed via chained ``withColumn(F.expr(text))``) and DuckDB
+    (consumed via lateral column aliases in one SELECT), so the Spark
+    plan and the differential oracle execute the IDENTICAL operation
+    tree: bit-identity is structural, not hoped-for.  Forward
+    elimination runs in fixed order WITHOUT pivoting (every division is
+    fenced by ``CASE WHEN pivot <> 0``; a zero pivot — singular or
+    pathologically ordered system — propagates NULL into every β, the
+    module's fence convention), then back-substitution emits
+    ``_beta0.._betak`` (``_beta0`` = intercept).  The fence catches
+    EXACT zeros only: a structurally duplicated regressor zeroes its
+    pivot bit-for-bit (identical rows stay identical through every
+    update), but a merely collinear combination leaves a ~1e-6 residual
+    pivot after the 6 dp decimal moment rounding and solves to
+    large-magnitude coefficients — the standard unpivoted-elimination
+    caveat; drop near-duplicate features upstream (q191's hash check or
+    the correlation matrix) rather than expecting a rank test here.
+
+    Moment column naming contract (what the caller's aggregation must
+    produce): ``n`` (BIGINT count), ``_sx{i}`` = Σxᵢ, ``_sx{i}_{j}`` =
+    Σxᵢxⱼ (i ≤ j), ``_sy`` = Σy, ``_sx{i}y`` = Σxᵢy — all through the
+    exact-decimal idiom, so the double inputs are order-free.
+    """
+    m = k + 1  # intercept row 0 + k regressors
+
+    def a0(i: int, j: int) -> str:
+        if j < i:
+            i, j = j, i
+        if i == 0 and j == 0:
+            return "CAST(n AS DOUBLE)"
+        if i == 0:
+            return f"_sx{j}"
+        return f"_sx{i}_{j}"
+
+    def rhs0(i: int) -> str:
+        return "_sy" if i == 0 else f"_sx{i}y"
+
+    cur: dict[tuple[int, int], str] = {}
+    for i in range(m):
+        for j in range(m):
+            cur[(i, j)] = a0(i, j)
+        cur[(i, m)] = rhs0(i)
+    steps: list[tuple[str, str]] = []
+    for s in range(m - 1):
+        for i in range(s + 1, m):
+            r = f"_r{i}_{s}"
+            steps.append((
+                r,
+                f"CASE WHEN {cur[(s, s)]} <> 0 THEN "
+                f"{cur[(i, s)]} / {cur[(s, s)]} ELSE NULL END",
+            ))
+            for j in range(s + 1, m + 1):
+                nm = f"_a{i}_{j}_{s}"
+                steps.append((nm, f"{cur[(i, j)]} - {r} * {cur[(s, j)]}"))
+                cur[(i, j)] = nm
+    for i in range(m - 1, -1, -1):
+        acc = cur[(i, m)]
+        for j in range(i + 1, m):
+            acc = f"({acc} - {cur[(i, j)]} * _beta{j})"
+        steps.append((
+            f"_beta{i}",
+            f"CASE WHEN {cur[(i, i)]} <> 0 THEN "
+            f"{acc} / {cur[(i, i)]} ELSE NULL END",
+        ))
+    return steps
+
+
 def ols_closed_form(
     y_col: str,
     x_cols: Sequence[str],
@@ -158,15 +232,68 @@ def ols_closed_form(
     coefficients, and R² is NULL when the response has zero variance —
     the module's ANSI fence convention.
 
-    Returns ``group_by…, n, b0, b1[, b2], r2``.
+    Returns ``group_by…, n, b0, b1[, b2…], r2``.
+
+    1–2 regressors solve by Cramer's rule (the original fixed
+    expression tree — oracle hashes pinned since r8); 3–6 regressors
+    solve by the GENERATED Gaussian-elimination schedule
+    (:func:`ols_elimination_formulas`): one moments aggregation pass
+    (map-side partials, no hot-key ceiling), then the elimination runs
+    as chained projections over the ONE-ROW-PER-GROUP aggregate —
+    metadata-scale arithmetic, still zero Python workers at any k.
+    Above 6 the closed form loses to q57's ``applyInPandas`` OLS
+    (which fits arbitrary k at the cost of Python workers) — the cap
+    keeps the moment matrix well inside decimal(38,6) discipline.
 
     Moment magnitudes must fit decimal(38,6) — pre-scale huge
     regressors (epoch micros squared overflows; hour-of-day does not).
     """
-    if not 1 <= len(x_cols) <= 2:
-        raise ValueError("ols_closed_form supports 1 or 2 regressors")
+    if not 1 <= len(x_cols) <= 6:
+        raise ValueError("ols_closed_form supports 1 to 6 regressors")
     gcols = [group_by] if group_by else []
-    two = len(x_cols) == 2
+    k = len(x_cols)
+    two = k == 2
+
+    def _t_elim(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        xs = [F.col(c).cast("double") for c in x_cols]
+        y = F.col(y_col).cast("double")
+        cond = F.col(y_col).isNotNull()
+        for c in x_cols:
+            cond = cond & F.col(c).isNotNull()
+        d = df.where(cond)
+
+        def s(expr, name):
+            return F.sum(expr.cast(DEC)).cast("double").alias(name)
+
+        aggs = [F.count(F.lit(1)).alias("n"), s(y, "_sy"),
+                s(y * y, "_syy")]
+        for i in range(1, k + 1):
+            aggs.append(s(xs[i - 1], f"_sx{i}"))
+            aggs.append(s(xs[i - 1] * y, f"_sx{i}y"))
+            for j in range(i, k + 1):
+                aggs.append(s(xs[i - 1] * xs[j - 1], f"_sx{i}_{j}"))
+        a = d.groupBy(*gcols).agg(*aggs)
+        for name, text in ols_elimination_formulas(k):
+            a = a.withColumn(name, F.expr(text))
+        sse = F.col("_syy") - sum(
+            (F.col(f"_beta{i}")
+             * F.col("_sy" if i == 0 else f"_sx{i}y"))
+            for i in range(k + 1)
+        )
+        n = F.col("n").cast("double")
+        sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+        r2 = F.when(sst > 0, F.round(F.lit(1.0) - sse / sst, 6))
+        return a.select(
+            *gcols, "n",
+            *[F.round(F.col(f"_beta{i}"), 6).alias(f"b{i}")
+              for i in range(k + 1)],
+            r2.alias("r2"),
+        )
+
+    if k > 2:
+        return _t_elim
 
     def _t(df: DataFrame) -> DataFrame:
         from btc_usdt_etl_pipeline_spark.functions import DEC

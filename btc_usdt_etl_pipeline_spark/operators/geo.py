@@ -51,6 +51,7 @@ def radius_join(
     right_coords: tuple[str, str] = ("lat", "lon"),
     cell_size_deg: float | None = None,
     dist_col: str = "dist2",
+    lon_scale: float | None = None,
 ) -> DataFrame:
     """All (left, right) row pairs whose planar squared-degree distance
     is STRICTLY under ``radius_deg²``, via the 3×3 grid candidate join.
@@ -61,6 +62,17 @@ def radius_join(
     ``left.* , right.* , dist_col`` (callers project).  Column names
     must not collide across sides (select/alias first — the engine's
     join-hygiene convention everywhere else).
+
+    ``lon_scale`` — the mid-latitude honesty knob the module docstring
+    promises: pass ``cos(lat₀)`` of the region (ONE driver-side trig
+    call) and the metric becomes the equirectangular
+    ``(Δlat)² + (cos(lat₀)·Δlon)²``, so a degree of longitude stops
+    overcounting distance away from the equator while every per-row op
+    stays add/multiply (bit-identical cross-engine, no libm in the
+    membership boundary).  Each longitude is scaled FIRST
+    (``lon·scale``), then differenced — the op order the oracle twin
+    replicates.  The grid keys use the scaled longitude, so cell
+    coverage is exact in the scaled plane.
     """
     if radius_deg <= 0:
         raise ValueError("radius_deg must be positive")
@@ -69,11 +81,21 @@ def radius_join(
         raise ValueError(
             "cell_size_deg must be >= radius_deg (3x3 coverage bound)"
         )
+    if lon_scale is not None and not 0.0 < lon_scale <= 1.0:
+        raise ValueError("lon_scale must be in (0, 1] (cos of a latitude)")
     llat, llon = left_coords
     rlat, rlon = right_coords
+
+    def slon(c: str) -> F.Column:
+        return (
+            F.col(c) * F.lit(float(lon_scale))
+            if lon_scale is not None
+            else F.col(c)
+        )
+
     # exploded side: each left point lands in its 9 neighbor cells
     lcy = F.floor(F.col(llat) / F.lit(cell))
-    lcx = F.floor(F.col(llon) / F.lit(cell))
+    lcx = F.floor(slon(llon) / F.lit(cell))
     nb = F.explode(
         F.array(*[F.lit(i) for i in (-1, 0, 1)])
     ).alias("_dy")
@@ -92,10 +114,10 @@ def radius_join(
     rx = right.select(
         "*",
         F.floor(F.col(rlat) / F.lit(cell)).alias("_cy"),
-        F.floor(F.col(rlon) / F.lit(cell)).alias("_cx"),
+        F.floor(slon(rlon) / F.lit(cell)).alias("_cx"),
     )
     dlat = F.col(llat) - F.col(rlat)
-    dlon = F.col(llon) - F.col(rlon)
+    dlon = slon(llon) - slon(rlon)
     d2 = dlat * dlat + dlon * dlon
     r2 = float(radius_deg) * float(radius_deg)
     return (
@@ -116,6 +138,8 @@ def nearest_join(
     right_coords: tuple[str, str] = ("lat", "lon"),
     tiebreak: str | None = None,
     dist_col: str = "dist2",
+    lon_scale: float | None = None,
+    max_rings: int = 1,
 ) -> DataFrame:
     """k nearest ``right`` rows per ``left`` row WITHIN ``radius_deg``
     — grid-bounded kNN, the facility-assignment / nearest-POI shape.
@@ -123,30 +147,65 @@ def nearest_join(
     The radius bound is the semantics, not a shortcut: a distributed
     UNBOUNDED nearest-neighbor needs expanding-ring retries for
     isolated points (each ring a full candidate join), so the honest
-    contract is "nearest within r, unmatched if none" — the caller
-    widens r for the unmatched remainder if needed (same explicit-
-    fence philosophy as theil_sen's ``max_points``).
+    contract is "nearest within r, unmatched if none".  ``max_rings``
+    makes the retry explicit AND bounded: ring ``i`` re-runs the grid
+    join for the still-unmatched remainder at radius ``radius_deg·2^i``
+    (strict ``<`` at every ring), up to ``max_rings`` rings total — a
+    left row matched at ring ``i`` takes its k nearest within THAT
+    radius and never reappears (anti-join between rings).  The
+    remainder shrinks every ring and each retry is its own grid join
+    (cells sized to that ring's radius), so no ring is ever quadratic;
+    the documented contract gap — "the caller widens r for the
+    unmatched remainder" — is now a parameter with a hard ceiling
+    (same explicit-fence philosophy as theil_sen's ``max_points``).
 
-    One radius join (grid candidates, never quadratic) + one
-    per-left-key ``row_number`` ordered by ``(dist2, tiebreak)`` —
-    deterministic under ties when ``tiebreak`` (a unique right-side
-    column) is given.  Left rows with no candidate in radius are
-    ABSENT from the output (inner semantics — the unmatched set is
-    ``left`` anti-join the result).
+    Per ring: one radius join (grid candidates) + one per-left-key
+    ``row_number`` ordered by ``(dist2, tiebreak)`` — deterministic
+    under ties when ``tiebreak`` (a unique right-side column) is
+    given.  Left rows with no candidate within the LAST ring's radius
+    are ABSENT from the output (inner semantics).  ``lon_scale``
+    passes through to :func:`radius_join` (cos-latitude
+    equirectangular metric).  Output adds ``nn_rank`` and ``ring``
+    (0-based ring index that matched).
     """
     from pyspark.sql import Window
 
-    cand = radius_join(
-        left, right, radius_deg,
-        left_coords=left_coords, right_coords=right_coords,
-        dist_col=dist_col,
-    )
-    order = [F.col(dist_col)]
-    if tiebreak:
-        order.append(F.col(tiebreak))
-    w = Window.partitionBy(left_id).orderBy(*order)
-    return (
-        cand.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") <= k)
-        .withColumnRenamed("_rnk", "nn_rank")
-    )
+    if max_rings < 1:
+        raise ValueError("max_rings must be >= 1")
+
+    def ring(points: DataFrame, r: float, idx: int) -> DataFrame:
+        cand = radius_join(
+            points, right, r,
+            left_coords=left_coords, right_coords=right_coords,
+            dist_col=dist_col, lon_scale=lon_scale,
+        )
+        order = [F.col(dist_col)]
+        if tiebreak:
+            order.append(F.col(tiebreak))
+        w = Window.partitionBy(left_id).orderBy(*order)
+        return (
+            cand.withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= k)
+            .withColumnRenamed("_rnk", "nn_rank")
+            .withColumn("ring", F.lit(idx))
+        )
+
+    # chain each ring's remainder off the PREVIOUS ring only (it already
+    # excludes all earlier matches) — anti-joining the growing union
+    # would re-evaluate every prior ring's candidate join per ring.
+    # Each ring's plan is still referenced twice (union output +
+    # remainder anti-join); max_rings is small by contract, and the
+    # remainder shrinks every ring.
+    rings_out = []
+    remaining = left
+    for i in range(max_rings):
+        cur = ring(remaining, float(radius_deg) * (2.0 ** i), i)
+        rings_out.append(cur)
+        if i < max_rings - 1:
+            remaining = remaining.join(
+                cur.select(left_id).distinct(), left_id, "left_anti"
+            )
+    out = rings_out[0]
+    for cur in rings_out[1:]:
+        out = out.unionByName(cur)
+    return out

@@ -324,7 +324,111 @@ def test_ols_closed_form_matches_numpy(spark):
     assert one["b0"] == pytest.approx(c, abs=1e-4)
 
     with pytest.raises(ValueError, match="regressors"):
-        ols_closed_form("y", ["a", "b", "c"])
+        ols_closed_form("y", ["a", "b", "c", "d", "e", "f", "g"])
+
+
+def test_ols_elimination_matches_numpy_k3_to_k6(spark):
+    """Round-9 generalization: 3-6 regressors solve by the GENERATED
+    Gaussian-elimination schedule (one generator feeding both the Spark
+    withColumn chain and the DuckDB oracle).  numpy lstsq is the
+    reference at every k; a collinear system yields NULL betas through
+    the zero-pivot fence."""
+    import numpy as np
+
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        ols_closed_form,
+        ols_elimination_formulas,
+    )
+
+    rng = np.random.default_rng(43)
+    for k in (3, 4, 5, 6):
+        X = rng.normal(size=(300, k)) * 3.0
+        beta = np.arange(k + 1, dtype=float) - k / 2.0
+        Y = beta[0] + X @ beta[1:] + rng.normal(scale=0.05, size=300)
+        cols = [f"x{i+1}" for i in range(k)]
+        rows = [
+            tuple(float(v) for v in X[i]) + (float(Y[i]),)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, ", ".join(f"{c} double" for c in cols) + ", y double"
+        )
+        got = df.transform(ols_closed_form("y", cols)).collect()[0]
+        A = np.column_stack([np.ones(300), X])
+        ref, *_ = np.linalg.lstsq(A, Y, rcond=None)
+        for i in range(k + 1):
+            assert got[f"b{i}"] == pytest.approx(ref[i], abs=1e-4), (
+                k, i,
+            )
+        pred = A @ ref
+        r2_ref = 1 - ((Y - pred) ** 2).sum() / ((Y - Y.mean()) ** 2).sum()
+        assert got["r2"] == pytest.approx(r2_ref, abs=1e-4)
+
+    # DUPLICATE column (x3 = x2 bit-for-bit): rows 2 and 3 of the
+    # system stay identical through every elimination update, so the
+    # final pivot is EXACTLY zero -> every beta NULL.  (A merely
+    # collinear combination like x3 = x1 + x2 leaves a ~1e-6 pivot
+    # after the 6 dp decimal moment rounding — the documented limit of
+    # the exact-zero fence.)
+    Xc = rng.normal(size=(100, 2))
+    rows = [
+        (float(a), float(b), float(b), float(a - b)) for a, b in Xc
+    ]
+    dfc = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y double"
+    )
+    sing = dfc.transform(
+        ols_closed_form("y", ["x1", "x2", "x3"])
+    ).collect()[0]
+    assert all(sing[f"b{i}"] is None for i in range(4))
+
+    # the schedule itself is engine-agnostic text: replay it in DuckDB
+    # over the same moments and compare to Spark bit-for-bit at 6 dp
+    import duckdb
+
+    k = 3
+    X = rng.normal(size=(150, k))
+    Y = 2.0 - X[:, 0] + 0.5 * X[:, 1] + 3.0 * X[:, 2]
+    rows = [
+        tuple(float(v) for v in X[i]) + (float(Y[i]),)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y double"
+    )
+    got = df.transform(ols_closed_form("y", ["x1", "x2", "x3"]))
+    gr = got.collect()[0]
+    lateral = ", ".join(
+        f"{t} AS {n}" for n, t in ols_elimination_formulas(3)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (x1 DOUBLE, x2 DOUBLE, x3 DOUBLE, y DOUBLE)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
+    moments = """
+      SELECT COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS _sy,
+        CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1,
+        CAST(SUM(CAST(x1*y AS DECIMAL(38,6))) AS DOUBLE) AS _sx1y,
+        CAST(SUM(CAST(x1*x1 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_1,
+        CAST(SUM(CAST(x1*x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_2,
+        CAST(SUM(CAST(x1*x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx1_3,
+        CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2,
+        CAST(SUM(CAST(x2*y AS DECIMAL(38,6))) AS DOUBLE) AS _sx2y,
+        CAST(SUM(CAST(x2*x2 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2_2,
+        CAST(SUM(CAST(x2*x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx2_3,
+        CAST(SUM(CAST(x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx3,
+        CAST(SUM(CAST(x3*y AS DECIMAL(38,6))) AS DOUBLE) AS _sx3y,
+        CAST(SUM(CAST(x3*x3 AS DECIMAL(38,6))) AS DOUBLE) AS _sx3_3
+      FROM d
+    """
+    duck = con.execute(
+        f"SELECT round(_beta0,6) b0, round(_beta1,6) b1, "
+        f"round(_beta2,6) b2, round(_beta3,6) b3 "
+        f"FROM (SELECT *, {lateral} FROM ({moments}))"
+    ).fetchone()
+    assert tuple(gr[f"b{i}"] for i in range(4)) == duck
 
 
 def test_ips_policy_value_hand_computed(spark):
@@ -411,3 +515,105 @@ def test_ips_snips_differ_under_weight_imbalance(spark):
     assert out["ips"] == pytest.approx(swr / 10, abs=1e-3)
     assert out["snips"] == pytest.approx(swr / sw, abs=1e-3)
     assert abs(out["ips"] - out["snips"]) > 1.0
+
+
+def test_radius_join_lon_scale_equals_brute_force(spark):
+    """Round-9 equirectangular option: lon pre-scaled by cos(lat0),
+    membership equals the brute-force scaled metric — each lon scaled
+    FIRST, then differenced (the documented op order)."""
+    import math
+
+    from btc_usdt_etl_pipeline_spark.operators.geo import radius_join
+
+    rng = random.Random(41)
+    sc = math.cos(math.radians(60.0))  # 0.5 exactly-ish
+    left = [(i, rng.uniform(40, 80), rng.uniform(-170, 170))
+            for i in range(120)]
+    right = [(j, rng.uniform(40, 80), rng.uniform(-170, 170))
+             for j in range(50)]
+    ldf = spark.createDataFrame(left, "lid long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "rid long, rlat double, rlon double")
+    r = 10.0
+    got = {
+        (row["lid"], row["rid"])
+        for row in radius_join(
+            ldf, rdf, radius_deg=r,
+            left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+            lon_scale=sc,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, la, lo) in left
+        for (j, ra, ro) in right
+        if (la - ra) ** 2 + (lo * sc - ro * sc) ** 2 < r * r
+    }
+    assert got == want and len(want) > 20
+    # the scaled set genuinely differs from the unscaled one
+    unscaled = {
+        (i, j)
+        for (i, la, lo) in left
+        for (j, ra, ro) in right
+        if (la - ra) ** 2 + (lo - ro) ** 2 < r * r
+    }
+    assert got != unscaled
+
+    with pytest.raises(ValueError, match="lon_scale"):
+        radius_join(ldf, rdf, radius_deg=r, lon_scale=1.5)
+    with pytest.raises(ValueError, match="lon_scale"):
+        radius_join(ldf, rdf, radius_deg=r, lon_scale=0.0)
+
+
+def test_nearest_join_expanding_rings(spark):
+    """Round-9 max_rings: unmatched remainder retries at doubled radii;
+    a row matched at ring i takes its k nearest within THAT radius and
+    never reappears; rows beyond the last ring stay absent."""
+    from btc_usdt_etl_pipeline_spark.operators.geo import nearest_join
+
+    left = [
+        (1, 0.0, 0.0),    # ring 0: facility at d=1
+        (2, 50.0, 50.0),  # ring 1: nearest at d=3 (needs r=4)
+        (3, -50.0, -50.0),  # ring 2: nearest at d=6 (needs r=8)
+        (4, 80.0, 80.0),  # no facility within 8 -> absent
+    ]
+    right = [
+        (10, 1.0, 0.0), (11, 0.0, 1.5),
+        (20, 53.0, 50.0), (21, 50.0, 53.5),
+        (30, -56.0, -50.0),
+        (40, 80.0, 95.0),
+    ]
+    ldf = spark.createDataFrame(left, "lid long, lat double, lon double")
+    rdf = spark.createDataFrame(right, "rlat_id long, rlat double, rlon double")
+    out = {
+        r["lid"]: (r["rlat_id"], r["ring"], r["nn_rank"])
+        for r in nearest_join(
+            ldf, rdf, left_id="lid", radius_deg=2.0, k=1,
+            left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+            tiebreak="rlat_id", max_rings=3,
+        ).collect()
+    }
+    assert out == {1: (10, 0, 1), 2: (20, 1, 1), 3: (30, 2, 1)}
+
+    # k=2 at ring 1: BOTH in-radius facilities of the matched ring
+    out2 = sorted(
+        (r["rlat_id"], r["nn_rank"])
+        for r in nearest_join(
+            ldf.filter("lid = 2"), rdf, left_id="lid", radius_deg=2.0,
+            k=2, left_coords=("lat", "lon"),
+            right_coords=("rlat", "rlon"), tiebreak="rlat_id",
+            max_rings=2,
+        ).collect()
+    )
+    assert out2 == [(20, 1), (21, 2)]
+
+    # max_rings=1 keeps the old single-ring contract (schema + rows)
+    one = nearest_join(
+        ldf, rdf, left_id="lid", radius_deg=2.0, k=1,
+        left_coords=("lat", "lon"), right_coords=("rlat", "rlon"),
+        tiebreak="rlat_id", max_rings=1,
+    ).collect()
+    assert {r["lid"] for r in one} == {1} and one[0]["ring"] == 0
+
+    with pytest.raises(ValueError, match="max_rings"):
+        nearest_join(ldf, rdf, left_id="lid", radius_deg=2.0,
+                     max_rings=0)

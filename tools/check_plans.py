@@ -521,6 +521,21 @@ def main() -> int:
         "no single-partition exchange",
     )
 
+    # Geo family (q217/q219/q225/q226): the facility/supplier side is
+    # dim-sized, so the grid candidate equi-join must BROADCAST it —
+    # a sort-merge here would shuffle the ×9-exploded fact side by cell
+    # key for nothing.  The explode is bounded (×9, fact side only);
+    # CartesianProduct is already forbidden globally below.
+    for gname in (
+        "q217_geo_radius_join",
+        "q219_nearest_facility",
+        "q225_geo_equirectangular",
+        "q226_geo_expanding_rings",
+    ):
+        gkinds = join_kinds(qs[gname](spark, SF_DIR))
+        check(gname, "BroadcastHashJoin" in gkinds,
+              "facility side broadcasts")
+
     # q181-q215 batch: no DATA-SCALE single-partition exchange.  A
     # SinglePartition exchange is benign exactly when its child is a
     # partial aggregate (map-side combine already collapsed the data to
