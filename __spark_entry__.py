@@ -11742,6 +11742,50 @@ _ORACLES["q227_ols_three_regressors"] = _ORACLES[
 ].replace("{_OLS3_LATERAL}", _ols3_lateral())
 
 
+@_q(
+    "q228_group_ranks",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK() OVER w AS min_rank,
+           CAST(RANK() OVER w AS DOUBLE)
+             + (COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal)
+                - 1) / 2.0 AS avg_rank,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_dist,
+           ROW_NUMBER() OVER wt AS row_num,
+           NTILE(10) OVER wt AS ntile
+    FROM customer
+    WHERE c_acctbal IS NOT NULL
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal),
+           wt AS (PARTITION BY c_nationkey ORDER BY c_acctbal,
+                  c_custkey)
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-rank feature family as an OPERATOR (min/avg rank,
+    percent_rank, cume_dist, row_number, decile ntile per nation) —
+    q85's surface productized with the r9 bucketed-rank scale path:
+    strategy='auto' swaps the classic keyed window (one task per hot
+    group) for range-bucket offsets + within-bucket ranks (ONE
+    row-scale shuffle, no full-group sort task) with bit-identical
+    output, Spark's exact ntile distribution rule included.  The
+    oracle is the standard SQL window-function battery — an
+    independent semantics check of the rank arithmetic
+    (operators/windows.py:group_ranks, _bucketed_rank)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .transform(
+            group_ranks(
+                "c_acctbal", group_by="c_nationkey",
+                tiebreak="c_custkey", n_tiles=10,
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -180,6 +180,7 @@ HEADLINE = [
     "q225_geo_equirectangular",
     "q226_geo_expanding_rings",
     "q227_ols_three_regressors",
+    "q228_group_ranks",
 ]
 
 

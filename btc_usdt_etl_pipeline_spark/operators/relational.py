@@ -741,21 +741,34 @@ def weighted_quantile(
                 F.min(hit).alias(out),
             )
 
-        # --- bucketed scale path ---
-        # per_v feeds three passes (min/max, bucket sums, detail walk):
-        # materialize the collapsed table once instead of re-running
-        # the data-scale shuffle per pass.  localCheckpoint, NOT
-        # persist(): a persisted DataFrame stays in the cache manager
-        # until an explicit unpersist (which nothing here can issue —
-        # the caller materializes the returned plan later), so repeated
-        # calls (every bench round) would accumulate cached partitions
-        # for the app's lifetime.  localCheckpoint blocks are
-        # RDD-scoped: the ContextCleaner frees them when the plan is
-        # garbage-collected.  The eager materialization is work we do
-        # anyway — the lo/hi .first() on the next line needs the full
-        # aggregate.
-        per_v = per_v.localCheckpoint(eager=True)
-        lo_hi = per_v.agg(
+        # --- bucketed scale path (r9 redesign: NO collapse, NO cache)
+        # ---
+        # The r8 design collapsed to per-(group, value) sums first and
+        # fed that table to three passes, which forced materializing a
+        # near-row-scale shuffle output (27M rows at 100× lineitem) —
+        # measured: eager localCheckpoint 234 s, persist cache-fill
+        # 68 s, and persist leaked across calls (the r9 advisor item).
+        # None of it is necessary, because decimal sums are order-free:
+        #   1. lo/hi — min/max on the RAW filtered rows: a scan-only
+        #      aggregation, no shuffle (same extremes as the collapsed
+        #      values by definition);
+        #   2. bucket sums — aggregate RAW rows straight to
+        #      (group, bucket): map-side partials, metadata-scale
+        #      output, bit-equal to summing the collapsed sums;
+        #   3. detail walk — broadcast the half-bucket row back, filter
+        #      RAW rows to that bucket FIRST (~1/num_buckets of the
+        #      data), and only then collapse to per-(group, value) sums
+        #      for the ordered cumulative readout.
+        # Three cheap scans instead of one expensive materialization;
+        # nothing persists, so nothing can leak.
+        src = df.where(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(value_col).alias("_v"),
+            F.col(weight_col).cast(DEC).alias("_wr"),
+        )
+        lo_hi = src.agg(
             F.min("_v").alias("lo"), F.max("_v").alias("hi")
         ).first()
         lo, hi = lo_hi["lo"], lo_hi["hi"]
@@ -771,8 +784,8 @@ def weighted_quantile(
             F.lit(num_buckets - 1),
             F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)),
         ).cast("long")
-        pb = per_v.withColumn("_b", bexpr)
-        bsum = pb.groupBy(*gcols, "_b").agg(F.sum("_w").alias("_bw"))
+        pb = src.withColumn("_b", bexpr)
+        bsum = pb.groupBy(*gcols, "_b").agg(F.sum("_wr").alias("_bw"))
         wgb = (
             Window.partitionBy(*gcols) if gcols else Window.partitionBy()
         )
@@ -806,7 +819,10 @@ def weighted_quantile(
             )
             .select(*gcols, "_h._hb", "_h._carry", "_h._tw")
         )
-        # detail walk over ONLY the half bucket's distinct values.
+        # detail walk over ONLY the half bucket: broadcast the
+        # group-scale half row, filter the RAW rows down to
+        # ~1/num_buckets of the data, and only then collapse to
+        # per-(group, value) sums for the ordered readout.
         # Empty gcols would make this join a cartesian of a 1-row side;
         # pin a constant key so it stays an equi-join in the plan audit.
         if gcols:
@@ -816,12 +832,16 @@ def weighted_quantile(
                 null_safe_join,
             )
 
-            detail = null_safe_join(pb, half, gcols)
+            detail = null_safe_join(pb, F.broadcast(half), gcols)
         else:
             detail = pb.withColumn("_one", F.lit(1)).join(
                 F.broadcast(half.withColumn("_one", F.lit(1))), "_one"
             ).drop("_one")
-        detail = detail.filter(F.col("_b") == F.col("_hb"))
+        detail = (
+            detail.filter(F.col("_b") == F.col("_hb"))
+            .groupBy(*gcols, "_v", "_carry", "_tw")
+            .agg(F.sum("_wr").alias("_w"))
+        )
         wo2 = wgb.orderBy("_v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )

@@ -226,6 +226,8 @@ def _bucketed_rank(
     rank_col: str = "_mrk",
     cnt_col: str = "_cnt",
     n_col: str = "_n",
+    tiebreak: str | None = None,
+    row_col: str = "_rn",
 ) -> DataFrame:
     """Per-row full-group MIN-rank (+ tie count + group size) WITHOUT
     sorting any group's full series on one task — closing the last
@@ -292,12 +294,21 @@ def _bucketed_rank(
     )
     wb = Window.partitionBy(*gcols, "_rb").orderBy(value_col)
     wv = Window.partitionBy(*gcols, "_rb", value_col)
-    return (
+    out = (
         null_safe_join(b, F.broadcast(off), [*gcols, "_rb"])
         .withColumn(rank_col, F.col("_off") + F.rank().over(wb))
         .withColumn(cnt_col, F.count(F.lit(1)).over(wv))
-        .drop("_rb", "_off")
     )
+    if tiebreak is not None:
+        # full-group row_number = min_rank + rank within the tie block
+        # (ties cannot straddle a bucket, and the tie-block window's
+        # partition keys EXTEND the (group, bucket) clustering, so it
+        # rides the same shuffle)
+        out = out.withColumn(
+            row_col,
+            F.col(rank_col) + F.rank().over(wv.orderBy(tiebreak)) - 1,
+        )
+    return out.drop("_rb", "_off")
 
 
 def _keyed_chunked_trailing(
@@ -1155,6 +1166,166 @@ def spearman_corr(
             (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
         )
         return agg.select(*gcols, "n", rho.alias(out))
+
+    return _t
+
+
+def group_ranks(
+    value_col: str,
+    group_by: str | None = None,
+    tiebreak: str | None = None,
+    n_tiles: int | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """The full ordered-rank feature family per group — ``min_rank``,
+    ``avg_rank``, ``pct_rank``, ``cume_dist`` (+ ``row_num`` and
+    ``ntile`` when ``tiebreak``, a unique order-completing column, is
+    given) — with a scale path that never sorts a full group on one
+    task.  This productizes :func:`_bucketed_rank` for the q85/q96/q118
+    rank-window family the way ``strategy='auto'`` productized the
+    chunked-halo plans for MACD/ACF.
+
+    Two BIT-IDENTICAL plans:
+
+    - ``window`` — the classic single keyed window
+      (``rank/percent_rank/cume_dist/row_number/ntile .over(w)``): one
+      shuffle on the group, but a zipf-hot group's ordered sort is ONE
+      task — the 100 TB straggler.
+    - ``counts`` — ONE row-scale shuffle on (group, range-bucket):
+      every statistic is rank arithmetic over ``_bucketed_rank``'s
+      outputs, evaluated with the same integer operands and double
+      divisions as Spark's window functions —
+      ``pct_rank = (min_rank−1)/(n−1)`` (0.0 for n=1),
+      ``cume_dist = (min_rank+cnt−1)/n``,
+      ``row_num = min_rank + rank-within-ties(tiebreak) − 1`` (ties
+      cannot straddle a bucket, so the tie-local window rides the same
+      shuffle), and ``ntile`` by Spark's exact distribution rule
+      (first ``n mod b`` tiles take one extra row) as closed-form
+      integer arithmetic on ``row_num``.
+
+    ``auto`` gates on the Catalyst size estimate (oracle-scale inputs
+    keep the window plan; hashes never move) and requires a numeric
+    value column for range bucketing.  NULL ``value_col`` rows are
+    dropped (rank space contract); NULL groups are real groups.
+    Output ranks are BIGINT on both plans.
+    """
+    if strategy not in ("auto", "window", "counts"):
+        raise ValueError("strategy must be auto | window | counts")
+    if n_tiles is not None and (n_tiles < 1 or tiebreak is None):
+        raise ValueError(
+            "n_tiles needs a tiebreak column (ntile is row-order "
+            "dependent) and must be >= 1"
+        )
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(value_col).isNotNull())
+        dtype = dict(df.dtypes)[value_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal")
+        use_counts = strategy == "counts" or (
+            strategy == "auto"
+            and numeric
+            and _plan_size(df) > _CHUNK_THRESHOLD_BYTES
+        )
+        if use_counts and not numeric:
+            raise TypeError(
+                f"counts-path group_ranks needs a numeric value "
+                f"column; {value_col!r} is {dtype}"
+            )
+
+        if use_counts:
+            r = _bucketed_rank(
+                d, gcols, value_col, rank_col="_mrk", cnt_col="_ct",
+                n_col="_gn", tiebreak=tiebreak, row_col="_rw",
+            )
+            if tiebreak is not None:
+                r = r.withColumn(
+                    "row_num", F.col("_rw").cast("bigint")
+                ).drop("_rw")
+            out = (
+                r.withColumn("min_rank", F.col("_mrk").cast("bigint"))
+                .withColumn(
+                    "avg_rank",
+                    F.col("_mrk").cast("double")
+                    + (F.col("_ct") - F.lit(1)).cast("double")
+                    / F.lit(2.0),
+                )
+                .withColumn(
+                    "pct_rank",
+                    F.when(
+                        F.col("_gn") > 1,
+                        (F.col("_mrk") - F.lit(1)).cast("double")
+                        / (F.col("_gn") - F.lit(1)).cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+                .withColumn(
+                    "cume_dist",
+                    (F.col("_mrk") + F.col("_ct") - F.lit(1))
+                    .cast("double")
+                    / F.col("_gn").cast("double"),
+                )
+            )
+            if n_tiles is not None:
+                # Spark's NTile distribution: q = n div b, r = n mod b;
+                # the first r tiles hold q+1 rows
+                n, b = F.col("_gn"), F.lit(n_tiles)
+                q = (n / b).cast("bigint")
+                rem = n % b
+                boundary = rem * (q + 1)
+                rn1 = F.col("row_num") - F.lit(1)
+                out = out.withColumn(
+                    "ntile",
+                    F.when(
+                        F.col("row_num") <= boundary,
+                        (rn1 / (q + 1)).cast("bigint") + 1,
+                    )
+                    .otherwise(
+                        rem + ((rn1 - boundary) / q).cast("bigint") + 1
+                    )
+                    .cast("bigint"),
+                )
+            # same column order as the window plan
+            extra = ["min_rank", "avg_rank", "pct_rank", "cume_dist"]
+            if tiebreak is not None:
+                extra.append("row_num")
+            if n_tiles is not None:
+                extra.append("ntile")
+            return out.select(*d.columns, *extra)
+
+        wg = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        )
+        w = wg.orderBy(value_col)
+        out = (
+            d.withColumn("min_rank", F.rank().over(w).cast("bigint"))
+            .withColumn(
+                "avg_rank",
+                F.rank().over(w).cast("double")
+                + (
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy(*gcols, value_col)
+                        if gcols
+                        else Window.partitionBy(value_col)
+                    )
+                    - F.lit(1)
+                ).cast("double")
+                / F.lit(2.0),
+            )
+            .withColumn("pct_rank", F.percent_rank().over(w))
+            .withColumn("cume_dist", F.cume_dist().over(w))
+        )
+        if tiebreak is not None:
+            wt = wg.orderBy(value_col, tiebreak)
+            out = out.withColumn(
+                "row_num", F.row_number().over(wt).cast("bigint")
+            )
+            if n_tiles is not None:
+                out = out.withColumn(
+                    "ntile", F.ntile(n_tiles).over(wt).cast("bigint")
+                )
+        return out
 
     return _t
 

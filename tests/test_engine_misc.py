@@ -874,3 +874,78 @@ def test_rank_from_counts_bit_identical(spark):
         W.spearman_corr("x", "y", strategy="bogus")
     with _pytest.raises(ValueError, match="strategy"):
         MF.quantile_normalize("x", group_by="g", strategy="bogus")
+
+
+def test_group_ranks_bit_identical_and_matches_duckdb(spark):
+    """Round-9 group_ranks: the rank-feature family under
+    strategy='counts' must equal the classic window plan BIT-FOR-BIT
+    (ties, NULL groups, singleton groups, n < n_tiles), and both must
+    equal DuckDB's standard window functions — the independent
+    semantics check for the bucketed rank arithmetic (incl. Spark's
+    ntile distribution rule)."""
+    import duckdb
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    rows = []
+    for i in range(400):
+        g = [None, "a", "b"][i % 3]
+        v = float((i * 29) % 37)
+        if i % 5 == 0:
+            v = 11.0  # tie block
+        rows.append((g, v, i))
+    rows.append(("solo", 3.0, 9001))  # singleton: pct_rank 0, 1 tile
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+
+    def rows_of(out):
+        return sorted(
+            (tuple(r) for r in out.collect()),
+            key=lambda r: tuple(str(c) for c in r),
+        )
+
+    mk = lambda s: group_ranks(
+        "v", group_by="g", tiebreak="id", n_tiles=7, strategy=s
+    )
+    a = rows_of(df.transform(mk("window")))
+    b = rows_of(df.transform(mk("counts")))
+    assert a == b and len(a) == len(rows)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    duck = con.execute("""
+        SELECT g, v, id,
+               RANK() OVER w AS min_rank,
+               CAST(RANK() OVER w AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY g, v) - 1) / 2.0
+                 AS avg_rank,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist,
+               ROW_NUMBER() OVER wt AS row_num,
+               NTILE(7) OVER wt AS ntile
+        FROM t
+        WINDOW w AS (PARTITION BY g ORDER BY v),
+               wt AS (PARTITION BY g ORDER BY v, id)
+    """).fetchall()
+    want = sorted(
+        (tuple(r) for r in duck),
+        key=lambda r: tuple(str(c) for c in r),
+    )
+    got = rows_of(
+        df.transform(mk("counts")).select(
+            "g", "v", "id", "min_rank", "avg_rank", "pct_rank",
+            "cume_dist", "row_num", "ntile",
+        )
+    )
+    assert got == want
+
+    # global (ungrouped) ranks, no tiebreak surface
+    ga = rows_of(df.transform(group_ranks("v", strategy="window")))
+    gb = rows_of(df.transform(group_ranks("v", strategy="counts")))
+    assert ga == gb
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        group_ranks("v", strategy="bogus")
+    with _pytest.raises(ValueError, match="tiebreak"):
+        group_ranks("v", n_tiles=4)
