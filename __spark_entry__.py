@@ -3792,18 +3792,26 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges — the quantile summary a cost optimizer or drift monitor
     wants, with q74's equi-WIDTH histogram as the fixed-bin
     counterpart.  The unique-key tiebreaker makes ntile's row
-    assignment total-ordered, hence reproducible.  Parallelism is
-    bounded by |groups| (each group is one sorted partition) — the
-    exact-edges tradeoff; at billions of rows per group swap ntile for
-    approx_percentile edges (one pass, no sort) and keep the agg."""
+    assignment total-ordered, hence reproducible.  r9: routed through
+    group_ranks, so strategy='auto' swaps the one-sorted-partition-
+    per-group ntile window for the bucketed-rank plan past the size
+    gate — EXACT deciles with no per-group sort task (the old
+    docstring's "swap for approx_percentile at billions of rows"
+    tradeoff is no longer needed).  NULL values would be dropped by the
+    operator's rank-space contract (the fixture has none; ntile over
+    NULLs is meaningless anyway)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
-        e.select(
-            "event_type",
-            "value",
-            F.ntile(10).over(w).alias("dec"),
+        e.select("event_type", "value", "event_id")
+        .transform(
+            group_ranks(
+                "value", group_by="event_type", tiebreak="event_id",
+                n_tiles=10,
+            )
         )
+        .select("event_type", "value", F.col("ntile").alias("dec"))
         .groupBy("event_type", "dec")
         .agg(
             F.count(F.lit(1)).alias("n"),
