@@ -538,28 +538,43 @@ def kcore_peel(
     ``iterations`` ≥ the graph's peel depth yields the true k-core.
 
     ``edges`` must already be SYMMETRIC (both directions present) —
-    degree is computed as a src-keyed count.  Per round: one keyed
-    count aggregation + two semi-joins against the survivor set
-    (broadcast when small, shuffled-hash otherwise — survivor sets
-    only shrink), with ``localCheckpoint`` truncating lineage so the
-    plan does not grow per round.  Nothing is corpus-quadratic.
+    degree is computed as a src-keyed count.
+
+    r9 plan: materialize the edge relation ONCE, then peel on the NODE
+    table.  The r8 version ``localCheckpoint``ed the surviving EDGE set
+    EVERY round (each round reads it twice), paying ``iterations``
+    edge-scale materializations — the q199-class cost.  Now round ``i``
+    re-filters the one checkpointed edge table with two semi-joins
+    against the ALIVE NODE set and re-counts degrees; only the
+    node-scale survivor set is checkpointed per round (lineage stays
+    flat, AQE broadcast-converts the semi-joins off the node side's
+    actual size).  The up-front edge checkpoint also shields the rounds
+    from an EXPENSIVE edge derivation (q190's edges are a
+    lineitem⋈orders co-occurrence aggregate — without materialization
+    each round would re-run that join).  Semantics are identical by
+    definition: an edge survives iff both endpoints survive.
+    Oracle hash unchanged; 100× measurement in SCALE.md §8.
 
     Returns the surviving subgraph's degree table: ``(node, degree)``.
     """
-    alive = edges.localCheckpoint()
+    edges = edges.localCheckpoint()
+    alive = None  # None = every node alive (round 1 reads raw edges)
+
+    def surviving(e: DataFrame) -> DataFrame:
+        if alive is None:
+            return e
+        return e.join(alive, src, "left_semi").join(
+            alive.withColumnRenamed(src, dst), dst, "left_semi"
+        )
+
     for _ in range(iterations):
-        deg = alive.groupBy(F.col(src)).agg(
+        deg = surviving(edges).groupBy(F.col(src)).agg(
             F.count(F.lit(1)).alias("_deg")
         )
-        keep = deg.where(F.col("_deg") >= k).select(src)
         alive = (
-            alive.join(keep, src, "left_semi")
-            .join(
-                keep.withColumnRenamed(src, dst), dst, "left_semi"
-            )
-            .localCheckpoint()
+            deg.where(F.col("_deg") >= k).select(src).localCheckpoint()
         )
-    return alive.groupBy(F.col(src).alias("node")).agg(
+    return surviving(edges).groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 
