@@ -949,3 +949,37 @@ def test_group_ranks_bit_identical_and_matches_duckdb(spark):
         group_ranks("v", strategy="bogus")
     with _pytest.raises(ValueError, match="tiebreak"):
         group_ranks("v", n_tiles=4)
+
+
+def test_bucketed_rank_plan_shape(spark):
+    """The counts-path rank plans must keep their scale promises in the
+    PHYSICAL plan: no Exchange SinglePartition anywhere (the ceiling
+    they exist to remove), the offsets join a broadcast, and the
+    row-scale data crossing exactly one hash exchange per ranked
+    column (plus the map-side-combined metadata aggregations)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+    from btc_usdt_etl_pipeline_spark.plans import join_kinds, plan_string
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 41), i) for i in range(500)],
+        "g string, v double, id long",
+    )
+    out = df.transform(
+        group_ranks("v", group_by="g", tiebreak="id", n_tiles=4,
+                    strategy="counts")
+    )
+    p = plan_string(out, mode="simple")
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastHashJoin" in join_kinds(out)
+    assert "CartesianProduct" not in p
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        spearman_corr,
+    )
+
+    sp = df.transform(
+        spearman_corr("v", "id", group_by="g", strategy="counts")
+    )
+    ps = plan_string(sp, mode="simple")
+    assert "Exchange SinglePartition" not in ps
+    assert "CartesianProduct" not in ps
