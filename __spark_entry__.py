@@ -11794,6 +11794,74 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q229_mann_whitney",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g, value AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT dow, g, v,
+                 RANK() OVER (PARTITION BY dow ORDER BY v) AS mr,
+                 COUNT(*) OVER (PARTITION BY dow, v) AS c
+          FROM d),
+    a AS (SELECT dow,
+                 COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_a,
+                 CAST(SUM(CAST(CASE WHEN g = 'purchase'
+                      THEN CAST(mr AS DOUBLE) + (c - 1) / 2.0
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+                 CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                      - 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS ties
+          FROM a0) ,
+    f AS (SELECT dow, n, n_a, ra, ties,
+                 CAST(n_a AS DOUBLE) AS na,
+                 CAST(n - n_a AS DOUBLE) AS nb,
+                 CAST(n AS DOUBLE) AS nd,
+                 ra - CAST(n_a AS DOUBLE)
+                      * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a
+          FROM a)
+    SELECT dow, n_a, (n - n_a)::BIGINT AS n_b, u_a,
+           na * nb - u_a AS u_b,
+           CASE WHEN n_a > 0 AND n > n_a
+                     AND na * nb / 12.0
+                         * ((nd + 1.0) - ties / (nd * (nd - 1.0))) > 0
+                THEN round((u_a - na * nb / 2.0)
+                           / sqrt(na * nb / 12.0
+                                  * ((nd + 1.0)
+                                     - ties / (nd * (nd - 1.0)))), 6)
+           END AS z
+    FROM f
+    """.replace("FROM a0)", "FROM r GROUP BY dow)"),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per day-of-week: do purchase
+    events carry larger values than the rest of the traffic, without a
+    normality assumption — the nonparametric A/B surface next to q213's
+    calibration and q218's off-policy value.  Tie-averaged combined
+    ranks delegate to group_ranks, so the same strategy='auto'
+    bucketed-rank scale path applies (no single-partition sort task at
+    scale); the tie correction needs no second pass (Σ_rows(cnt²−1) =
+    Σ_blocks(t³−t)).  Rank sums through the decimal idiom; z pinned at
+    6 dp; degenerate partitions (one-sided / all-tied) emit NULL z
+    (operators/stats.py:mann_whitney_u)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+        "value",
+    )
+    return e.transform(
+        mann_whitney_u(
+            "value", "event_type", "purchase", partition_by="dow"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ HEADLINE = [
     "q226_geo_expanding_rings",
     "q227_ols_three_regressors",
     "q228_group_ranks",
+    "q229_mann_whitney",
 ]
 
 

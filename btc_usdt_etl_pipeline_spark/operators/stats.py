@@ -429,3 +429,106 @@ def kaplan_meier(
         )
 
     return _t
+
+
+def mann_whitney_u(
+    value_col: str,
+    group_col: str,
+    group_a,
+    partition_by: str | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test per
+    partition — the NONPARAMETRIC A/B detector: does sample A tend to
+    produce larger values than everything else, without assuming
+    normality (the assumption that makes t-tests lie about latency or
+    revenue tails)?  ``group_a`` marks the A side; every other non-null
+    group row is B.
+
+        U_A = R_A − n_A(n_A+1)/2,   R_A = Σ avg_rank over A rows
+        z = (U_A − n_A·n_B/2) / σ,
+        σ² = n_A·n_B/12 · [ (n+1) − Σ(t³−t) / (n(n−1)) ]   (tie-corrected)
+
+    Ranks are the textbook tie-averaged ranks over the COMBINED sample,
+    delegated to :func:`btc_usdt_etl_pipeline_spark.operators.windows.
+    group_ranks` — so the same ``strategy`` contract applies: the
+    ``window`` plan is one ordered window per partition (hot-partition
+    single-task ceiling), ``counts`` is the bucketed-rank plan (one
+    row-scale shuffle, no full-partition sort task), ``auto`` swaps on
+    the Catalyst size estimate with BIT-IDENTICAL output.  The tie term
+    needs no second pass: a tie block of size t contributes t rows each
+    carrying ``cnt = t``, so Σ_rows(cnt² − 1) = Σ_blocks(t³ − t), and
+    ``cnt`` is recovered exactly from the half-integer identity
+    ``cnt = 2·(avg_rank − min_rank) + 1``.
+
+    Rank sums are exact half-integers through the decimal idiom; the
+    only transcendental is the final IEEE sqrt, z pinned at 6 dp.
+    Degenerate partitions (either side empty, or all values tied →
+    σ = 0) emit NULL z.  Rows with a NULL value or NULL group are
+    dropped.  Returns ``partition…, n_a, n_b, u_a, u_b, z``.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(*gcols, value_col, group_col)
+        r = d.transform(
+            group_ranks(
+                value_col,
+                group_by=partition_by,
+                strategy=strategy,
+            )
+        )
+        is_a = F.col(group_col) == F.lit(group_a)
+        cnt = (
+            F.lit(2.0)
+            * (F.col("avg_rank") - F.col("min_rank").cast("double"))
+            + F.lit(1.0)
+        )
+        agg = r.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(is_a.cast("long")).alias("n_a"),
+            F.sum(
+                F.when(is_a, F.col("avg_rank")).otherwise(F.lit(0.0))
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("_ra"),
+            # Σ_rows(cnt²−1) = Σ_tie-blocks(t³−t); integers < 2^53
+            F.sum((cnt * cnt - F.lit(1.0)).cast(DEC))
+            .cast("double")
+            .alias("_ties"),
+        )
+        n = F.col("_n").cast("double")
+        na = F.col("n_a").cast("double")
+        nb = (F.col("_n") - F.col("n_a")).cast("double")
+        u_a = F.col("_ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+        u_b = na * nb - u_a
+        var = (
+            na
+            * nb
+            / F.lit(12.0)
+            * (
+                (n + F.lit(1.0))
+                - F.col("_ties") / (n * (n - F.lit(1.0)))
+            )
+        )
+        z = F.when(
+            (F.col("n_a") > 0) & (F.col("_n") > F.col("n_a")) & (var > 0),
+            F.round(
+                (u_a - na * nb / F.lit(2.0)) / F.sqrt(var), 6
+            ),
+        )
+        return agg.select(
+            *gcols,
+            "n_a",
+            (F.col("_n") - F.col("n_a")).alias("n_b"),
+            u_a.alias("u_a"),
+            u_b.alias("u_b"),
+            z.alias("z"),
+        )
+
+    return _t

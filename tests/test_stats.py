@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -387,3 +388,90 @@ def test_quantile_normalize_aligns_shifted_groups(spark):
     mn, mx = out.agg(F.min("qnorm"), F.max("qnorm")).collect()[0]
     vals = [v for _, _, v in a] + [v for _, _, v in b]
     assert min(vals) - 1e-6 <= mn and mx <= max(vals) + 1e-6
+
+
+def test_mann_whitney_u_matches_reference(spark):
+    """mann_whitney_u vs a pure-Python tie-corrected reference
+    (textbook formulas), plus window-vs-counts bit-identity, degenerate
+    fences (one-sided partition, all-tied values -> NULL z)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    rng = _r.Random(57)
+    rows = []
+    for p in ("x", "y"):
+        shift = 3 if p == "y" else 0
+        for i in range(240):
+            grp = "A" if i % 3 == 0 else "B"
+            v = float(rng.randint(0, 30) + (shift if grp == "A" else 0))
+            rows.append((p, grp, v))
+    rows += [("onlyA", "A", 1.0), ("onlyA", "A", 2.0)]
+    rows += [("tied", "A", 5.0), ("tied", "B", 5.0), ("tied", "B", 5.0)]
+    df = spark.createDataFrame(rows, "p string, g string, v double")
+
+    def ref(part):
+        sub = [(g, v) for (pp, g, v) in rows if pp == part]
+        vals = sorted(v for _, v in sub)
+        n = len(vals)
+        # tie-averaged rank per value
+        import collections
+        cnt = collections.Counter(vals)
+        min_rank, acc = {}, 0
+        for v in sorted(cnt):
+            min_rank[v] = acc + 1
+            acc += cnt[v]
+        avg = {v: min_rank[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+        na = sum(1 for g, _ in sub if g == "A")
+        nb = n - na
+        ra = sum(avg[v] for g, v in sub if g == "A")
+        ua = ra - na * (na + 1) / 2.0
+        ties = sum(t ** 3 - t for t in cnt.values())
+        if na == 0 or nb == 0:
+            return na, nb, ua, None
+        var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        if var <= 0:
+            return na, nb, ua, None
+        z = round((ua - na * nb / 2.0) / var ** 0.5, 6)
+        return na, nb, ua, z
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            mann_whitney_u("v", "g", "A", partition_by="p")
+        ).collect()
+    }
+    assert set(got) == {"x", "y", "onlyA", "tied"}
+    for part in ("x", "y", "onlyA", "tied"):
+        na, nb, ua, z = ref(part)
+        g = got[part]
+        assert (g["n_a"], g["n_b"]) == (na, nb), part
+        assert abs(g["u_a"] - ua) < 1e-9, part
+        assert abs(g["u_b"] - (na * nb - ua)) < 1e-9, part
+        if z is None:
+            assert g["z"] is None, part
+        else:
+            assert g["z"] == pytest.approx(z, abs=2e-6), part
+    # the shifted partition must show a significant positive z
+    assert got["y"]["z"] > 3.0 and abs(got["x"]["z"]) < 3.0
+
+    # strategy swap is bit-identical
+    a = sorted(
+        tuple(r)
+        for r in df.transform(
+            mann_whitney_u("v", "g", "A", partition_by="p",
+                           strategy="window")
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in df.transform(
+            mann_whitney_u("v", "g", "A", partition_by="p",
+                           strategy="counts")
+        ).collect()
+    )
+    assert a == b
