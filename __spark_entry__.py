@@ -11862,6 +11862,66 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q230_kruskal_wallis",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g, value AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT dow, g, v,
+                 CAST(RANK() OVER (PARTITION BY dow ORDER BY v)
+                      AS DOUBLE)
+                   + (COUNT(*) OVER (PARTITION BY dow, v) - 1) / 2.0
+                   AS ar,
+                 CAST(COUNT(*) OVER (PARTITION BY dow, v) AS DOUBLE)
+                   AS c
+          FROM d),
+    pg AS (SELECT dow, g, COUNT(*)::BIGINT AS ng,
+                  CAST(SUM(CAST(ar AS DECIMAL(38,6))) AS DOUBLE) AS rg,
+                  CAST(SUM(CAST(c * c - 1.0 AS DECIMAL(38,6)))
+                       AS DOUBLE) AS tg
+           FROM r GROUP BY dow, g),
+    a AS (SELECT dow, SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+                 CAST(SUM(CAST(rg * rg / CAST(ng AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(tg AS DECIMAL(38,6))) AS DOUBLE) AS t
+          FROM pg GROUP BY dow),
+    f AS (SELECT dow, n, k, s, t, CAST(n AS DOUBLE) AS nd FROM a)
+    SELECT dow, n, k,
+           CASE WHEN k > 1 AND n > 1
+                     AND 1.0 - t / (nd * nd * nd - nd) > 0
+                THEN round((12.0 / (nd * (nd + 1.0)) * s
+                            - 3.0 * (nd + 1.0))
+                           / (1.0 - t / (nd * nd * nd - nd)), 6)
+           END AS h
+    FROM f
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H per day-of-week: does ANY event type carry a
+    different value distribution — the k-sample one-way ANOVA on ranks
+    completing the nonparametric testing surface next to q229's
+    two-sample U.  Combined tie-averaged ranks via group_ranks (same
+    strategy='auto' bucketed-rank scale path — no single-partition sort
+    task), per-group rank sums + partition tie mass out of one grouped
+    aggregation + one metadata-scale rollup, decimal rank sums, 6 dp
+    pin, NULL h on degenerate partitions
+    (operators/stats.py:kruskal_wallis_h)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        kruskal_wallis_h,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+        "value",
+    )
+    return e.transform(
+        kruskal_wallis_h("value", "event_type", partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -182,6 +182,7 @@ HEADLINE = [
     "q227_ols_three_regressors",
     "q228_group_ranks",
     "q229_mann_whitney",
+    "q230_kruskal_wallis",
 ]
 
 

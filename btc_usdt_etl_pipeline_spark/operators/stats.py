@@ -532,3 +532,83 @@ def mann_whitney_u(
         )
 
     return _t
+
+
+def kruskal_wallis_h(
+    value_col: str,
+    group_col: str,
+    partition_by: str | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Kruskal–Wallis H per partition — the k-SAMPLE generalization of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks): do ANY of the
+    groups tend to produce larger values, without normality or
+    equal-variance assumptions?
+
+        H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1),
+        tie-corrected:  H / C,   C = 1 − Σ(t³−t)/(n³−n)
+
+    Combined tie-averaged ranks delegate to ``group_ranks`` (same
+    ``strategy`` contract — the bucketed-rank plan removes the
+    hot-partition single-sort-task ceiling, BIT-IDENTICAL output), and
+    both the per-group rank sums and the partition tie mass come out of
+    ONE grouped aggregation over the ranked rows plus one
+    metadata-scale rollup (groups × partitions rows).  Rank sums are
+    exact half-integers through the decimal idiom; ``h`` is pinned at
+    6 dp.  Degenerate partitions (fewer than 2 groups, or every value
+    tied → C = 0) emit NULL ``h``.  Rows with a NULL value or NULL
+    group are dropped.  Returns ``partition…, n, k, h``.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(*gcols, value_col, group_col)
+        r = d.transform(
+            group_ranks(
+                value_col, group_by=partition_by, strategy=strategy
+            )
+        )
+        cnt = (
+            F.lit(2.0)
+            * (F.col("avg_rank") - F.col("min_rank").cast("double"))
+            + F.lit(1.0)
+        )
+        per_g = r.groupBy(*gcols, group_col).agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(F.col("avg_rank").cast(DEC))
+            .cast("double")
+            .alias("_rg"),
+            F.sum((cnt * cnt - F.lit(1.0)).cast(DEC))
+            .cast("double")
+            .alias("_tg"),
+        )
+        agg = per_g.groupBy(*gcols).agg(
+            F.sum("_ng").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                (
+                    F.col("_rg") * F.col("_rg")
+                    / F.col("_ng").cast("double")
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_s"),
+            F.sum(F.col("_tg").cast(DEC)).cast("double").alias("_t"),
+        )
+        n = F.col("n").cast("double")
+        h = (
+            F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("_s")
+            - F.lit(3.0) * (n + F.lit(1.0))
+        )
+        corr = F.lit(1.0) - F.col("_t") / (n * n * n - n)
+        out = F.when(
+            (F.col("k") > 1) & (F.col("n") > 1) & (corr > 0),
+            F.round(h / corr, 6),
+        )
+        return agg.select(*gcols, "n", "k", out.alias("h"))
+
+    return _t

@@ -475,3 +475,76 @@ def test_mann_whitney_u_matches_reference(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    """kruskal_wallis_h vs a pure-Python tie-corrected reference; a
+    planted location shift must light up, a null world must not;
+    single-group and all-tied partitions fence to NULL h; strategy
+    swap bit-identical."""
+    import collections
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        kruskal_wallis_h,
+    )
+
+    rng = _r.Random(71)
+    rows = []
+    for p in ("null", "shift"):
+        for g in ("a", "b", "c"):
+            off = {"a": 0, "b": 4, "c": 8}[g] if p == "shift" else 0
+            for _ in range(80):
+                rows.append((p, g, float(rng.randint(0, 25) + off)))
+    rows += [("onegroup", "a", 1.0), ("onegroup", "a", 2.0)]
+    rows += [("alltied", "a", 7.0), ("alltied", "b", 7.0),
+             ("alltied", "b", 7.0)]
+    df = spark.createDataFrame(rows, "p string, g string, v double")
+
+    def ref(part):
+        sub = [(g, v) for (pp, g, v) in rows if pp == part]
+        n = len(sub)
+        cnt = collections.Counter(v for _, v in sub)
+        min_rank, acc = {}, 0
+        for v in sorted(cnt):
+            min_rank[v] = acc + 1
+            acc += cnt[v]
+        avg = {v: min_rank[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+        groups = collections.defaultdict(list)
+        for g, v in sub:
+            groups[g].append(avg[v])
+        k = len(groups)
+        if k < 2 or n < 2:
+            return n, k, None
+        s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+        hval = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+        c = 1.0 - sum(t ** 3 - t for t in cnt.values()) / (n ** 3 - n)
+        if c <= 0:
+            return n, k, None
+        return n, k, round(hval / c, 6)
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            kruskal_wallis_h("v", "g", partition_by="p")
+        ).collect()
+    }
+    for part in ("null", "shift", "onegroup", "alltied"):
+        n, k, hv = ref(part)
+        g = got[part]
+        assert (g["n"], g["k"]) == (n, k), part
+        if hv is None:
+            assert g["h"] is None, part
+        else:
+            assert g["h"] == pytest.approx(hv, abs=2e-6), part
+    # chi2(k-1=2) critical at alpha=0.01 is 9.21: the planted shift
+    # must clear it decisively, the null world must sit below it
+    assert got["shift"]["h"] > 20 and got["null"]["h"] < 9.21
+
+    a = sorted(tuple(r) for r in df.transform(
+        kruskal_wallis_h("v", "g", partition_by="p",
+                         strategy="window")).collect())
+    b = sorted(tuple(r) for r in df.transform(
+        kruskal_wallis_h("v", "g", partition_by="p",
+                         strategy="counts")).collect())
+    assert a == b
