@@ -12061,6 +12061,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: HLL + q197 DDSketch remain), q178 grid clusters (q76 k-means
 #: remains), q188 SAX, q201 bootstrap CI (eval: q213 + q218 remain),
 #: q207 readability (text: q131/q139/q161 remain).
+#: Late round 9 added q229 Mann-Whitney (the nonparametric rank-test
+#: family is NEW — q230 Kruskal-Wallis composes the same machinery),
+#: demoting q141 funnel (product family keeps q100 dashboard in-window;
+#: q141/q230 stay under the judge's full gate).
 _PRIORITY_WINDOW = [
     "q01_pricing_summary",    # flagship scan→filter→agg (A3, exact sums)
     "q02_revenue_filter",     # pushdown filter battery (P1-P5)
@@ -12086,7 +12090,6 @@ _PRIORITY_WINDOW = [
     "q136_zorder_layout",     # Z-order layout key
     "q137_data_quality",      # data-quality expectations
     "q139_chunk_documents",   # token-window document chunking
-    "q141_funnel",            # ordered conversion funnel
     "q146_pagerank",          # graph power iteration (PageRank)
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
     "q151_hll_distinct",      # HyperLogLog distinct sketch
@@ -12112,6 +12115,7 @@ _PRIORITY_WINDOW = [
     "q222_spearman",          # avg-rank Spearman (bucketed-rank scale path)
     "q223_ols_closed_form",   # closed-form grouped OLS
     "q224_segment_overlap",   # segment Jaccard/overlap matrix
+    "q229_mann_whitney",      # nonparametric rank-test family (r9 NEW)
 ]
 
 
