@@ -11922,6 +11922,63 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q231_brown_forsythe",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g, value AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    m AS (SELECT dow, g, round(quantile_cont(v, 0.5), 6) AS med
+          FROM d GROUP BY dow, g),
+    z AS (SELECT d.dow, d.g, ABS(d.v - m.med) AS z
+          FROM d JOIN m ON d.dow = m.dow AND d.g = m.g),
+    pg AS (SELECT dow, g, COUNT(*)::BIGINT AS ng,
+                  CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+                  CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE)
+                    AS szz
+           FROM z GROUP BY dow, g),
+    a AS (SELECT dow, SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+                 CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS tz,
+                 CAST(SUM(CAST(sz * sz / CAST(ng AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+                 CAST(SUM(CAST(szz AS DECIMAL(38,6))) AS DOUBLE) AS tzz
+          FROM pg GROUP BY dow),
+    f AS (SELECT dow, n, k,
+                 CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                 sb - tz * tz / CAST(n AS DOUBLE) AS ssb,
+                 tzz - sb AS ssw
+          FROM a)
+    SELECT dow, n, k, (k - 1)::BIGINT AS dof1, (n - k)::BIGINT AS dof2,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6)
+           END AS f
+    FROM f
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test per day-of-week: does
+    any event type's VALUE SPREAD differ — the scale-side complement of
+    q229/q230's location tests (a cohort whose metric variance drifted
+    passes a rank test and fails this).  One grouped exact-median agg
+    (6 dp pinned idiom) broadcast back null-safely, both sums of
+    squares from per-group decimal (n, Σz, Σz²) moments — two
+    partial-combined aggregations + a metadata rollup, no window, no
+    sort (operators/stats.py:brown_forsythe_f)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        brown_forsythe_f,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+        "value",
+    )
+    return e.transform(
+        brown_forsythe_f("value", "event_type", partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

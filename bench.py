@@ -183,6 +183,7 @@ HEADLINE = [
     "q228_group_ranks",
     "q229_mann_whitney",
     "q230_kruskal_wallis",
+    "q231_brown_forsythe",
 ]
 
 

@@ -612,3 +612,85 @@ def kruskal_wallis_h(
         return agg.select(*gcols, "n", "k", out.alias("h"))
 
     return _t
+
+
+def brown_forsythe_f(
+    value_col: str,
+    group_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Brown–Forsythe test per partition — variance-HOMOGENEITY across
+    k groups (Levene's test centered at the MEDIAN, the robust
+    variant): one-way ANOVA on the absolute deviations
+    ``z = |x − median_g|``.  The scale-side complement of the location
+    tests (:func:`mann_whitney_u` / :func:`kruskal_wallis_h`): a cohort
+    whose metric VARIANCE drifted fails this while passing a mean or
+    rank test.
+
+        F = [(N−k)/(k−1)] · Σ n_g (z̄_g − z̄)² / Σ (z_gi − z̄_g)²
+
+    Plan: one grouped exact-median aggregation (6 dp pinned idiom)
+    broadcast back null-safely, then BOTH sums of squares come out of
+    per-group (n_g, Σz, Σz²) decimal moments — two partial-combined
+    aggregations and a metadata-scale rollup, no window, no sort, no
+    Python.  SSB = Σ(Σz_g)²/n_g − (Σz)²/N and SSW = Σz² − Σ(Σz_g)²/n_g
+    over identically-derived doubles; the oracle replays the identical
+    tree; ``f`` pinned at 6 dp.  Degenerate partitions (k < 2, N ≤ k,
+    or SSW = 0 — all deviations equal) emit NULL ``f``.  Returns
+    ``partition…, n, k, dof1, dof2, f``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(*gcols, group_col, value_col)
+        med = d.groupBy(*gcols, group_col).agg(
+            F.round(F.percentile(value_col, F.lit(0.5)), 6).alias("_med")
+        )
+        z = F.abs(F.col(value_col) - F.col("_med"))
+        per_g = (
+            null_safe_join(d, F.broadcast(med), [*gcols, group_col])
+            .groupBy(*gcols, group_col)
+            .agg(
+                F.count(F.lit(1)).alias("_ng"),
+                F.sum(z.cast(DEC)).cast("double").alias("_sz"),
+                F.sum((z * z).cast(DEC)).cast("double").alias("_szz"),
+            )
+        )
+        agg = per_g.groupBy(*gcols).agg(
+            F.sum("_ng").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("_sz").cast(DEC)).cast("double").alias("_tz"),
+            F.sum(
+                (
+                    F.col("_sz") * F.col("_sz")
+                    / F.col("_ng").cast("double")
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_sb"),
+            F.sum(F.col("_szz").cast(DEC)).cast("double").alias("_tzz"),
+        )
+        n = F.col("n").cast("double")
+        k = F.col("k").cast("double")
+        ssb = F.col("_sb") - F.col("_tz") * F.col("_tz") / n
+        ssw = F.col("_tzz") - F.col("_sb")
+        fstat = F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round(
+                (ssb / (k - F.lit(1.0))) / (ssw / (n - k)), 6
+            ),
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            "k",
+            (F.col("k") - 1).alias("dof1"),
+            (F.col("n") - F.col("k")).alias("dof2"),
+            fstat.alias("f"),
+        )
+
+    return _t

@@ -548,3 +548,69 @@ def test_kruskal_wallis_matches_reference(spark):
         kruskal_wallis_h("v", "g", partition_by="p",
                          strategy="counts")).collect())
     assert a == b
+
+
+def test_brown_forsythe_matches_reference(spark):
+    """brown_forsythe_f vs a pure-Python reference (median-centered
+    Levene): a planted variance difference must light up, equal-spread
+    groups must not; degenerate fences (single group, zero SSW)."""
+    import random as _r
+    import statistics as _st
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        brown_forsythe_f,
+    )
+
+    rng = _r.Random(83)
+    rows = []
+    for p in ("same", "hetero"):
+        for g in ("a", "b"):
+            spread = 9 if (p == "hetero" and g == "b") else 2
+            for _ in range(150):
+                rows.append(
+                    (p, g, round(rng.gauss(10.0, spread), 4))
+                )
+    rows += [("onegroup", "a", 1.0), ("onegroup", "a", 5.0)]
+    rows += [("zerossw", "a", 1.0), ("zerossw", "a", 1.0),
+             ("zerossw", "b", 2.0), ("zerossw", "b", 2.0)]
+    df = spark.createDataFrame(rows, "p string, g string, v double")
+
+    def ref(part):
+        sub = [(g, v) for (pp, g, v) in rows if pp == part]
+        groups = {}
+        for g, v in sub:
+            groups.setdefault(g, []).append(v)
+        k, n = len(groups), len(sub)
+        if k < 2 or n <= k:
+            return n, k, None
+        zs = {
+            g: [abs(v - round(_st.median(vs), 6)) for v in vs]
+            for g, vs in groups.items()
+        }
+        allz = [z for zz in zs.values() for z in zz]
+        zbar = sum(allz) / n
+        ssb = sum(len(zz) * (sum(zz) / len(zz) - zbar) ** 2
+                  for zz in zs.values())
+        ssw = sum((z - sum(zz) / len(zz)) ** 2
+                  for zz in zs.values() for z in zz)
+        if ssw <= 0:
+            return n, k, None
+        return n, k, round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            brown_forsythe_f("v", "g", partition_by="p")
+        ).collect()
+    }
+    for part in ("same", "hetero", "onegroup", "zerossw"):
+        n, k, fv = ref(part)
+        g = got[part]
+        assert (g["n"], g["k"]) == (n, k), part
+        assert (g["dof1"], g["dof2"]) == (k - 1, n - k), part
+        if fv is None:
+            assert g["f"] is None, part
+        else:
+            assert g["f"] == pytest.approx(fv, rel=1e-6, abs=1e-5), part
+    # F(1, 298) critical at alpha=0.01 is ~6.7
+    assert got["hetero"]["f"] > 30 and got["same"]["f"] < 6.7
