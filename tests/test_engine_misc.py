@@ -983,3 +983,51 @@ def test_bucketed_rank_plan_shape(spark):
     ps = plan_string(sp, mode="simple")
     assert "Exchange SinglePartition" not in ps
     assert "CartesianProduct" not in ps
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from([None, "a", "b", "c"]),
+            # small int domain -> heavy random tie structure
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=9),
+)
+def test_group_ranks_property_counts_equals_window(spark, data, n_tiles):
+    """PROPERTY: for ANY group/value/tie structure (NULL groups, heavy
+    ties from a tiny value domain, singleton groups, arbitrary
+    tiebreaks) and ANY tile count, the bucketed-counts plan equals the
+    window plan bit-for-bit across every emitted rank statistic."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    rows = [
+        (g, float(v), 1_000_003 * i + t)  # unique tiebreak per row
+        for i, (g, v, t) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+
+    def rows_of(s):
+        return sorted(
+            (
+                tuple(r)
+                for r in df.transform(
+                    group_ranks(
+                        "v", group_by="g", tiebreak="id",
+                        n_tiles=n_tiles, strategy=s,
+                    )
+                ).collect()
+            ),
+            key=lambda r: tuple(str(c) for c in r),
+        )
+
+    assert rows_of("window") == rows_of("counts")
