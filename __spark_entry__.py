@@ -11979,6 +11979,71 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q232_welch_t",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type = 'purchase' AS is_a, value AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    a AS (SELECT dow,
+            COUNT(CASE WHEN is_a THEN v END)::BIGINT AS n_a,
+            CAST(SUM(CAST(CASE WHEN is_a THEN v END AS DECIMAL(38,6)))
+                 AS DOUBLE) AS sa,
+            CAST(SUM(CAST(CASE WHEN is_a THEN v END
+                 * CASE WHEN is_a THEN v END AS DECIMAL(38,6)))
+                 AS DOUBLE) AS qa,
+            COUNT(CASE WHEN NOT is_a THEN v END)::BIGINT AS n_b,
+            CAST(SUM(CAST(CASE WHEN NOT is_a THEN v END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+            CAST(SUM(CAST(CASE WHEN NOT is_a THEN v END
+                 * CASE WHEN NOT is_a THEN v END AS DECIMAL(38,6)))
+                 AS DOUBLE) AS qb
+          FROM d GROUP BY dow),
+    f AS (SELECT dow, n_a, n_b,
+            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+            sa / CAST(n_a AS DOUBLE) AS ma,
+            sb / CAST(n_b AS DOUBLE) AS mb,
+            (qa - sa * sa / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+            (qb - sb * sb / CAST(n_b AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+          FROM a),
+    g AS (SELECT *, va / na AS pa, vb / nb AS pb,
+                 va / na + vb / nb AS se2
+          FROM f)
+    SELECT dow, n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round((ma - mb) / sqrt(se2), 6) END AS t,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round(se2 * se2
+                           / (pa * pa / (na - 1.0)
+                              + pb * pb / (nb - 1.0)), 6) END AS dof
+    FROM g
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per day-of-week (purchase vs
+    rest on value): the PARAMETRIC two-sample location test completing
+    the battery — q229's U for rank robustness, q231's Brown–Forsythe
+    for spread, Welch when the mean IS the metric.  One
+    conditional-moment aggregation (n, Σx, Σx² per side through the
+    exact-decimal idiom) + scalar arithmetic; no window, no sort, no
+    Python; t and the Welch–Satterthwaite dof pinned at 6 dp
+    (operators/stats.py:welch_t)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import welch_t
+
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+        "value",
+    )
+    return e.transform(
+        welch_t("value", "event_type", "purchase", partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

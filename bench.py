@@ -184,6 +184,7 @@ HEADLINE = [
     "q229_mann_whitney",
     "q230_kruskal_wallis",
     "q231_brown_forsythe",
+    "q232_welch_t",
 ]
 
 

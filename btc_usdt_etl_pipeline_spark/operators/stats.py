@@ -694,3 +694,86 @@ def brown_forsythe_f(
         )
 
     return _t
+
+
+def welch_t(
+    value_col: str,
+    group_col: str,
+    group_a,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Welch's unequal-variance t-test per partition — the PARAMETRIC
+    two-sample location test completing the battery next to
+    :func:`mann_whitney_u` (use Welch when means are the business
+    metric and samples are large enough for the CLT; use the U test
+    when tails/outliers rule means out).  Never assumes equal
+    variances (the classic pooled t-test's trap):
+
+        t = (x̄_A − x̄_B) / sqrt(s²_A/n_A + s²_B/n_B)
+        ν = (s²_A/n_A + s²_B/n_B)² /
+            [ (s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1) ]   (dof)
+
+    ONE conditional-moment aggregation (n, Σx, Σx² per side through
+    the exact-decimal idiom — order-free doubles both engines agree
+    on), then scalar arithmetic; no window, no sort, no Python.
+    Sample variances are the n−1 form computed as
+    (Σx² − (Σx)²/n)/(n−1) — the identical tree the oracle replays.
+    ``t`` and ``dof`` pinned at 6 dp; degenerate partitions (either
+    side n < 2, or both variances zero) emit NULLs.  Returns
+    ``partition…, n_a, n_b, mean_a, mean_b, t, dof``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        is_a = F.col(group_col) == F.lit(group_a)
+        x = F.col(value_col).cast("double")
+
+        def side(cond, suffix):
+            xa = F.when(cond, x)
+            return [
+                F.count(xa).alias(f"_n{suffix}"),
+                F.sum(xa.cast(DEC)).cast("double").alias(f"_s{suffix}"),
+                F.sum((xa * xa).cast(DEC))
+                .cast("double")
+                .alias(f"_q{suffix}"),
+            ]
+
+        agg = d.groupBy(*gcols).agg(*side(is_a, "a"), *side(~is_a, "b"))
+        na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+        ma = F.col("_sa") / na
+        mb = F.col("_sb") / nb
+        va = (F.col("_qa") - F.col("_sa") * F.col("_sa") / na) / (
+            na - F.lit(1.0)
+        )
+        vb = (F.col("_qb") - F.col("_sb") * F.col("_sb") / nb) / (
+            nb - F.lit(1.0)
+        )
+        sa, sb = va / na, vb / nb
+        se2 = sa + sb
+        ok = (F.col("_na") > 1) & (F.col("_nb") > 1) & (se2 > 0)
+        t = F.when(ok, F.round((ma - mb) / F.sqrt(se2), 6))
+        dof = F.when(
+            ok,
+            F.round(
+                se2 * se2
+                / (
+                    sa * sa / (na - F.lit(1.0))
+                    + sb * sb / (nb - F.lit(1.0))
+                ),
+                6,
+            ),
+        )
+        return agg.select(
+            *gcols,
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            t.alias("t"),
+            dof.alias("dof"),
+        )
+
+    return _t

@@ -614,3 +614,62 @@ def test_brown_forsythe_matches_reference(spark):
             assert g["f"] == pytest.approx(fv, rel=1e-6, abs=1e-5), part
     # F(1, 298) critical at alpha=0.01 is ~6.7
     assert got["hetero"]["f"] > 30 and got["same"]["f"] < 6.7
+
+
+def test_welch_t_matches_reference(spark):
+    """welch_t vs a pure-Python Welch reference (t and
+    Welch-Satterthwaite dof); planted mean shift lights up; degenerate
+    fences (side with n<2, zero-variance pair)."""
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import welch_t
+
+    rng = _r.Random(97)
+    rows = []
+    for p in ("null", "shift"):
+        for g in ("A", "B"):
+            mu = 12.0 if (p == "shift" and g == "A") else 10.0
+            sd = 3.0 if g == "A" else 1.0
+            for _ in range(120):
+                rows.append((p, g, round(rng.gauss(mu, sd), 4)))
+    rows += [("tiny", "A", 1.0), ("tiny", "B", 2.0), ("tiny", "B", 3.0)]
+    rows += [("const", "A", 4.0), ("const", "A", 4.0),
+             ("const", "B", 4.0), ("const", "B", 4.0)]
+    df = spark.createDataFrame(rows, "p string, g string, v double")
+
+    def ref(part):
+        a = [v for (pp, g, v) in rows if pp == part and g == "A"]
+        b = [v for (pp, g, v) in rows if pp == part and g == "B"]
+        na, nb = len(a), len(b)
+        if na < 2 or nb < 2:
+            return na, nb, None, None
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        se2 = va / na + vb / nb
+        if se2 <= 0:
+            return na, nb, None, None
+        t = round((ma - mb) / se2 ** 0.5, 6)
+        dof = round(
+            se2 ** 2
+            / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)),
+            6,
+        )
+        return na, nb, t, dof
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            welch_t("v", "g", "A", partition_by="p")
+        ).collect()
+    }
+    for part in ("null", "shift", "tiny", "const"):
+        na, nb, t, dof = ref(part)
+        g = got[part]
+        assert (g["n_a"], g["n_b"]) == (na, nb), part
+        if t is None:
+            assert g["t"] is None and g["dof"] is None, part
+        else:
+            assert g["t"] == pytest.approx(t, abs=2e-5), part
+            assert g["dof"] == pytest.approx(dof, rel=1e-5), part
+    assert got["shift"]["t"] > 5 and abs(got["null"]["t"]) < 4
