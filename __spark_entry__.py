@@ -3782,7 +3782,8 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type, value,
                  ntile(10) OVER (PARTITION BY event_type
                                  ORDER BY value, event_id) AS dec
-          FROM events)
+          FROM events
+          WHERE value IS NOT NULL)
     GROUP BY event_type, dec
     """,
 )
@@ -3797,9 +3798,10 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group ntile window for the bucketed-rank plan past the size
     gate — EXACT deciles with no per-group sort task (the old
     docstring's "swap for approx_percentile at billions of rows"
-    tradeoff is no longer needed).  NULL values would be dropped by the
-    operator's rank-space contract (the fixture has none; ntile over
-    NULLs is meaningless anyway)."""
+    tradeoff is no longer needed).  NULL values are dropped by the
+    operator's rank-space contract — the oracle's WHERE value IS NOT
+    NULL shares that contract explicitly, so equivalence no longer
+    rests on the fixture happening to contain no NULLs."""
     from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
 
     e = _t(spark, sf_dir, "events")

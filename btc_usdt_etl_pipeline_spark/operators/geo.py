@@ -193,18 +193,23 @@ def nearest_join(
     # chain each ring's remainder off the PREVIOUS ring only (it already
     # excludes all earlier matches) — anti-joining the growing union
     # would re-evaluate every prior ring's candidate join per ring.
-    # Each ring's plan is still referenced twice (union output +
-    # remainder anti-join); max_rings is small by contract, and the
-    # remainder shrinks every ring.
+    # Each non-final ring is localCheckpoint'd: its output is referenced
+    # twice (union output + remainder anti-join), and without the
+    # checkpoint ring i's remainder plan embeds every earlier ring's
+    # candidate join — work roughly doubles per ring.  The checkpoint
+    # truncates lineage so every candidate join is evaluated exactly
+    # once regardless of max_rings; the materialized set is small
+    # (≤ k matches per still-unmatched left row, shrinking per ring).
     rings_out = []
     remaining = left
     for i in range(max_rings):
         cur = ring(remaining, float(radius_deg) * (2.0 ** i), i)
-        rings_out.append(cur)
         if i < max_rings - 1:
+            cur = cur.localCheckpoint()
             remaining = remaining.join(
                 cur.select(left_id).distinct(), left_id, "left_anti"
             )
+        rings_out.append(cur)
     out = rings_out[0]
     for cur in rings_out[1:]:
         out = out.unionByName(cur)

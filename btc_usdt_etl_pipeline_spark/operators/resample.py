@@ -69,9 +69,18 @@ def auto_bucket_expr(
       offset, so monotonicity — all bucketing needs — is preserved.
     - date → days-since-epoch: monotone, no pre-pass (day-granular
       already, so each bucket holds one day's rows).
-    - numeric → range-balanced via one min/max pass; an empty or
-      all-null column yields ``lit(None)`` (callers pin nulls to their
-      nulls-first sentinel bucket).
+    - numeric → range-balanced via one min/max pass over the FINITE
+      values, fractional constant width ``(hi − lo) / num_buckets``
+      with an epsilon floor (an integer width would collapse any
+      column whose whole range spans under ~2 units — probabilities,
+      rates, normalized scores — into ONE bucket, silently handing the
+      counts scale paths a single full-group task).  NaN / ±Infinity
+      map to fixed sentinel buckets matching Spark's sort order
+      (−Inf first, +Inf after every finite, NaN last), so a stray
+      non-finite value can neither crash the driver-side min/max nor
+      break monotonicity.  An empty or all-null column yields
+      ``lit(None)`` (callers pin nulls to their nulls-first sentinel
+      bucket).
     - anything else → TypeError; pass an explicit monotone expression.
     """
     dtype = dict(df.dtypes)[order_col]
@@ -87,16 +96,45 @@ def auto_bucket_expr(
     if dtype in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
     ) or dtype.startswith("decimal"):
+        import math
+
         numeric = F.col(order_col)
+        is_float = dtype in ("float", "double")
+        finite = numeric
+        if is_float:
+            # min/max propagate NaN (Spark treats NaN as the largest
+            # double), and ±Inf would make the span infinite — exclude
+            # them from the range pass and route them to sentinels.
+            finite = F.when(
+                ~F.isnan(numeric)
+                & (numeric != F.lit(float("inf")))
+                & (numeric != F.lit(float("-inf"))),
+                numeric,
+            )
         lo_hi = df.select(
-            F.min(numeric).alias("lo"), F.max(numeric).alias("hi")
+            F.min(finite).alias("lo"), F.max(finite).alias("hi")
         ).first()
         lo, hi = lo_hi["lo"], lo_hi["hi"]
-        if lo is None:
-            return F.lit(None)
-        span = max(int(hi) - int(lo), 0) + 1
-        width = max(span // num_buckets, 1)
-        return F.floor((numeric - F.lit(int(lo))) / F.lit(width))
+        # sentinels sized so floor((v-lo)/width) of any finite v (≤
+        # ~num_buckets) can never collide with them
+        _POS = 1 << 60
+        if lo is None or (
+            is_float
+            and not (math.isfinite(float(lo)) and math.isfinite(float(hi)))
+        ):
+            base = F.lit(None).cast("long")
+        else:
+            span = float(hi) - float(lo)
+            width = max(span / num_buckets, 1e-12)
+            base = F.floor((numeric - F.lit(float(lo))) / F.lit(width))
+        if not is_float:
+            return base
+        return (
+            F.when(F.isnan(numeric), F.lit(_POS + 1))
+            .when(numeric == F.lit(float("inf")), F.lit(_POS))
+            .when(numeric == F.lit(float("-inf")), F.lit(-_POS))
+            .otherwise(base)
+        )
     raise TypeError(
         f"auto-bucketing needs a timestamp, date, or numeric order "
         f"column; {order_col!r} is {dtype}. Pass bucket=<monotone "

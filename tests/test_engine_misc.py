@@ -1031,3 +1031,68 @@ def test_group_ranks_property_counts_equals_window(spark, data, n_tiles):
         )
 
     assert rows_of("window") == rows_of("counts")
+
+
+def test_auto_bucket_narrow_range_and_nonfinite(spark):
+    """r10 advisor fixes for auto_bucket_expr's numeric branch:
+
+    1. a column whose whole range spans < 2 units (probabilities)
+       must still fan out across many buckets — the old integer
+       bucket width collapsed it to ONE bucket, silently handing the
+       counts rank path a single full-group sort task;
+    2. NaN / ±Infinity must neither crash the driver-side min/max
+       (Spark max propagates NaN) nor break monotonicity — they map
+       to sentinel buckets in Spark sort order (−Inf < finite < +Inf
+       < NaN), and group_ranks stays bit-identical to the window plan.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        auto_bucket_expr,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    # (1) narrow range: 10k probabilities in [0, 1)
+    probs = spark.range(10_000).select(
+        (F.col("id") % 997 / 997.0).alias("v")
+    )
+    n_buckets = probs.select(
+        auto_bucket_expr(probs, "v").alias("b")
+    ).agg(F.countDistinct("b")).first()[0]
+    assert n_buckets > 100  # was exactly 1 with integer width
+
+    # monotonicity: bucket order agrees with value order
+    pairs = (
+        probs.select("v", auto_bucket_expr(probs, "v").alias("b"))
+        .distinct().orderBy("v").collect()
+    )
+    assert all(
+        pairs[i].b <= pairs[i + 1].b for i in range(len(pairs) - 1)
+    )
+
+    # (2) non-finite values: counts plan must build AND match window
+    nan, inf = float("nan"), float("inf")
+    rows = [("a", float(v), i) for i, v in enumerate(range(50))]
+    rows += [("a", nan, 100), ("a", inf, 101), ("a", -inf, 102),
+             ("b", nan, 103), ("b", 2.5, 104), ("b", nan, 105)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+
+    def rows_of(frame, s):
+        # stringify: Python tuple equality would fail on NaN != NaN
+        return sorted(
+            tuple(str(c) for c in r)
+            for r in frame.transform(
+                group_ranks(
+                    "v", group_by="g", tiebreak="id",
+                    n_tiles=4, strategy=s,
+                )
+            ).collect()
+        )
+
+    assert rows_of(df, "counts") == rows_of(df, "window")
+
+    # all-non-finite column: no crash, still bit-identical
+    df2 = spark.createDataFrame(
+        [("a", nan, 1), ("a", inf, 2), ("a", -inf, 3)],
+        "g string, v double, id long",
+    )
+    a = rows_of(df2, "counts")
+    assert a == rows_of(df2, "window") and len(a) == 3
