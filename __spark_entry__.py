@@ -4298,16 +4298,26 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     trending).  Pearson between the return series and itself shifted
     one tick: two stacked lags build the pair, decimal-exact sums feed
     an engine-identical correlation tail, 6dp rounding absorbs the
-    nothing that's left."""
+    nothing that's left.  r10: the stacked lags are flattened to
+    direct lag-1/lag-2 of the source (``lag(ret) = (lag1−lag2)/lag2``
+    on identical doubles — bit-identical IEEE ops) and routed through
+    keyed_lags, so a zipf-hot user splits across chunked-halo tasks
+    instead of one sort task."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import keyed_lags
+
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
-    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("value").over(wb)
-    ret = (F.col("value") - prev) / prev
-    paired = (
-        e.select("user_id", "ts", "event_id", ret.alias("ret"))
-        .withColumn("ret_1", F.lag("ret").over(wb))
-        .filter(F.col("ret").isNotNull() & F.col("ret_1").isNotNull())
+    lagged = e.select("user_id", "ts", "event_id", "value").transform(
+        keyed_lags(
+            [("value", 1, "_l1"), ("value", 2, "_l2")],
+            order_by=("ts", "event_id"),
+            partition_by=("user_id",),
+        )
     )
+    paired = lagged.select(
+        "user_id",
+        ((F.col("value") - F.col("_l1")) / F.col("_l1")).alias("ret"),
+        ((F.col("_l1") - F.col("_l2")) / F.col("_l2")).alias("ret_1"),
+    ).filter(F.col("ret").isNotNull() & F.col("ret_1").isNotNull())
 
     def dsum(c: Column) -> Column:
         return F.sum(c.cast("decimal(38,12)")).cast("double")
@@ -10544,15 +10554,26 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal structure is real and worth modeling, the first question
     any forecasting pipeline asks of a series.  Two lag windows on
     one keyed ordered pass; exact-decimal MAE sums, one IEEE ratio,
-    zero-denominator → NULL (constant series)."""
+    zero-denominator → NULL (constant series).  r10: the lag pair is
+    routed through keyed_lags (halo = 24, the seasonal offset), so
+    strategy='auto' swaps the one-sort-task-per-user window for the
+    chunked-halo plan on a zipf-hot user — the last named hot-key
+    ordered-window composite (SCALE.md's "hot-key ceiling as q185"),
+    bit-identical output."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import keyed_lags
+
     e = _t(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    staged = e.select(
-        "user_id",
-        "value",
-        F.lag("value", 24).over(wo).alias("_fc"),
-        F.lag("value", 1).over(wo).alias("_nv"),
-    ).where(F.col("_fc").isNotNull() & F.col("_nv").isNotNull())
+    staged = (
+        e.select("user_id", "ts", "event_id", "value")
+        .transform(
+            keyed_lags(
+                [("value", 24, "_fc"), ("value", 1, "_nv")],
+                order_by=("ts", "event_id"),
+                partition_by=("user_id",),
+            )
+        )
+        .where(F.col("_fc").isNotNull() & F.col("_nv").isNotNull())
+    )
     m = staged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_eval"),
         (

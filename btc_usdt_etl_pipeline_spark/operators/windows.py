@@ -440,6 +440,69 @@ def pct_change(
     return _t
 
 
+def keyed_lags(
+    lags: Sequence[tuple[str, int, str]],
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Bounded multi-lag feature columns per key series —
+    ``lags = [(src_col, offset, out_col), ...]`` adds every
+    ``out_col = lag(src_col, offset)`` over ONE shared keyed ordered
+    window, with the chunked-halo scale path (halo = max offset)
+    swapped in by ``strategy='auto'`` when a single key's series
+    exceeds the hot-key threshold.  This is the one-call route for the
+    entry composites that stack a few fixed lags on a zipf-hot key
+    (MASE's seasonal-24 + naive-1 pair, lag-k autocorrelation pairs):
+    a plain ``Window.partitionBy(k).orderBy(...)`` serializes the hot
+    key's whole series onto one sort task at 100 TB, while the chunked
+    plan splits it into ~2×cores chunks with ``halo`` duplicated
+    context rows and stays BIT-IDENTICAL (every output row's frame
+    holds exactly the same rows in the same order).
+
+    Stacked/derived lags (a lag OF a lagged expression) are expressible
+    as deeper direct lags of the source — ``lag(ret, 1)`` where
+    ``ret = f(v, lag(v, 1))`` equals ``f(lag(v, 1), lag(v, 2))``
+    evaluated on identical doubles, so callers should flatten to direct
+    lags and keep halo = the deepest source offset.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
+    if not partition_by:
+        raise ValueError("keyed_lags needs partition keys; use a plain "
+                         "window (or _chunked_trailing) for global lags")
+    lags = [(c, int(k), o) for c, k, o in lags]
+    if any(k < 1 for _, k, _ in lags):
+        raise ValueError("lag offsets must be >= 1")
+    halo = max(k for _, k, _ in lags)
+
+    def _compute(u: DataFrame, w: WindowSpec) -> DataFrame:
+        return u.select(
+            "*", *[F.lag(c, k).over(w).alias(o) for c, k, o in lags]
+        )
+
+    def _t(df: DataFrame) -> DataFrame:
+        chunked, cr = _keyed_plan(
+            df, partition_by, order_by[0], strategy, halo=halo
+        )
+        if chunked:
+            return _keyed_chunked_trailing(
+                df, partition_by, order_by, halo=halo,
+                compute=_compute, chunk_rows=cr,
+            )
+        return _compute(df, _window_multi(partition_by, order_by))
+
+    return _t
+
+
+def _window_multi(
+    partition_by: Sequence[str], order_by: Sequence[str]
+) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(
+        *[F.col(c) for c in order_by]
+    )
+
+
 def rolling_mean_std(
     col: str,
     order_col: str,

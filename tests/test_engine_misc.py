@@ -1096,3 +1096,40 @@ def test_auto_bucket_narrow_range_and_nonfinite(spark):
     )
     a = rows_of(df2, "counts")
     assert a == rows_of(df2, "window") and len(a) == 3
+
+
+def test_keyed_lags_bit_identical_and_null_keys(spark):
+    """r10 keyed_lags (the q210/q104 reroute): the chunked-halo plan
+    must equal the plain keyed window BIT-FOR-BIT for a multi-lag set
+    (1, 2, 24), including NULL partition keys (a real group in window
+    semantics) and series shorter than the deepest lag."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import keyed_lags
+
+    rows = []
+    for u in [None, "u1", "u2"]:
+        n = {None: 60, "u1": 3, "u2": 130}[u]
+        for i in range(n):
+            rows.append((u, i, float((i * 7) % 23)))
+    df = spark.createDataFrame(rows, "user_id string, ts long, v double")
+
+    mk = lambda s: keyed_lags(
+        [("v", 1, "l1"), ("v", 2, "l2"), ("v", 24, "l24")],
+        order_by=("ts",), partition_by=("user_id",), strategy=s,
+    )
+
+    def rows_of(s):
+        return sorted(
+            tuple(str(c) for c in r)
+            for r in df.transform(mk(s)).collect()
+        )
+
+    a, b = rows_of("window"), rows_of("chunked")
+    assert a == b and len(a) == len(rows)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        keyed_lags([("v", 1, "l1")], ("ts",), ("u",), strategy="bogus")
+    with _pytest.raises(ValueError, match="partition"):
+        keyed_lags([("v", 1, "l1")], ("ts",), ())
+    with _pytest.raises(ValueError, match="offsets"):
+        keyed_lags([("v", 0, "l0")], ("ts",), ("u",))
