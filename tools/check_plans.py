@@ -536,6 +536,63 @@ def main() -> int:
         check(gname, "BroadcastHashJoin" in gkinds,
               "facility side broadcasts")
 
+    # r10 (VERDICT r9 ask #3): the nonparametric rank tests must pick
+    # the bucketed-counts rank path past the size gate.  Two layers:
+    # (a) forced strategy='counts' keeps the q228 plan promises on the
+    #     oracle fixture — no single-partition exchange, the rank
+    #     offsets join a broadcast, no cartesian;
+    # (b) strategy='auto' on a past-the-gate input (the local 100×
+    #     corpus, >32MB Catalyst estimate) actually routes to counts —
+    #     witnessed by the BroadcastHashJoin the window plan lacks.
+    import os as _os
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        kruskal_wallis_h,
+        mann_whitney_u,
+    )
+
+    from pyspark.sql import functions as _F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "dow", _F.dayofweek("ts")
+    )
+    for label, op in [
+        ("mann_whitney", mann_whitney_u(
+            "value", "event_type", "purchase", partition_by="dow",
+            strategy="counts")),
+        ("kruskal_wallis", kruskal_wallis_h(
+            "value", "event_type", partition_by="dow",
+            strategy="counts")),
+    ]:
+        out = ev.transform(op)
+        p = plan_string(out, mode="simple")
+        check(label, "Exchange SinglePartition" not in p,
+              "counts path: no single-partition exchange")
+        check(label, "BroadcastHashJoin" in join_kinds(out),
+              "counts path: rank offsets join broadcasts")
+        check(label, "CartesianProduct" not in p,
+              "counts path: no cartesian")
+    _scale_dir = "/root/repo/.scale100x"
+    if _os.path.isdir(_scale_dir):
+        ev_big = spark.read.parquet(
+            f"{_scale_dir}/events.parquet"
+        ).withColumn("dow", _F.dayofweek("ts"))
+        for label, op in [
+            ("mann_whitney_auto", mann_whitney_u(
+                "value", "event_type", "purchase",
+                partition_by="dow")),
+            ("kruskal_wallis_auto", kruskal_wallis_h(
+                "value", "event_type", partition_by="dow")),
+        ]:
+            out = ev_big.transform(op)
+            check(label,
+                  "BroadcastHashJoin" in join_kinds(out),
+                  "auto routes to the bucketed-counts plan past the "
+                  "size gate (offsets broadcast join present)")
+    else:
+        print("note mann_whitney_auto/kruskal_wallis_auto: .scale100x "
+              "corpus absent (local-only); auto-gate check skipped")
+
     # q181-q215 batch: no DATA-SCALE single-partition exchange.  A
     # SinglePartition exchange is benign exactly when its child is a
     # partial aggregate (map-side combine already collapsed the data to
