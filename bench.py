@@ -185,6 +185,12 @@ HEADLINE = [
     "q230_kruskal_wallis",
     "q231_brown_forsythe",
     "q232_welch_t",
+    # r10 (VERDICT r9 ask #4): the last >1s batch queries previously
+    # unbenched — every multi-second batch query now has a recorded
+    # median (remaining unbenched = sub-second primitives + streaming)
+    "q114_keyed_resample",
+    "q119_dedup_clusters_star",
+    "q121_hierarchical_rollup",
 ]
 
 
