@@ -12067,6 +12067,99 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q233 synthetic image corpus: one 16×16 binary PGM (P5) per document,
+#: pixel(r, c) = (class·37 + (r·11 + c·5 + class)·(r + c + 1)) mod 80
+#: + 10 where class = doc_id mod 97 (the (r+c+1) factor decorrelates
+#: gradient-sign patterns ACROSS classes — a purely linear formula
+#: made most classes share one hash) — documents sharing a class are
+#: EXACT duplicates — plus a +30 bump at pixel (2, 3) for doc_id % 7 == 0
+#: (planted NEAR-duplicates: the bump lands on a dHash sample point and
+#: flips at most 2 gradient bits).  All byte values ≤ 127 so the
+#: raster round-trips through encode(, 'utf-8') byte-for-byte.
+_Q233_PIX = (
+    "(mod(doc_id, 97) * 37"
+    " + (({r}) * 11 + ({c}) * 5 + mod(doc_id, 97))"
+    "   * (({r}) + ({c}) + 1)) % 80 + 10"
+    " + (CASE WHEN doc_id % 7 = 0 AND ({r}) = 2 AND ({c}) = 3"
+    "    THEN 30 ELSE 0 END)"
+)
+
+
+@_q(
+    "q233_image_dhash_neardup",
+    f"""
+    WITH g AS (
+      SELECT doc_id, r.r AS r, c.c AS c,
+             {_Q233_PIX.format(r="r.r * 2", c="(c.c * 16) // 9")} AS gv
+      FROM documents, range(0, 8) r(r), range(0, 9) c(c)),
+    bits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS b,
+             CASE WHEN a.gv > t.gv THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g t ON a.doc_id = t.doc_id AND a.r = t.r
+                        AND t.c = a.c + 1
+      WHERE a.c < 8),
+    words AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN b // 16 = {j} "
+                 f"THEN bit << (b % 16) ELSE 0 END) AS BIGINT) AS dh{j}"
+                 for j in range(4))}
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh0, b.dh0)) + bit_count(xor(a.dh1, b.dh1))
+              + bit_count(xor(a.dh2, b.dh2)) + bit_count(xor(a.dh3, b.dh3))
+              AS BIGINT) AS hamming
+    FROM words a, words b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.dh0, b.dh0)) + bit_count(xor(a.dh1, b.dh1))
+        + bit_count(xor(a.dh2, b.dh2)) + bit_count(xor(a.dh3, b.dh3)) <= 3
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-duplicate pairs — dHash over REAL
+    decoded PGM bytes (the dependency-free P5 reader,
+    operators/multimodal.py), then the band-bucket Hamming join
+    (operators/dedup.py:hamming_near_pairs): image dedup for multimodal
+    training corpora, the image twin of q37/q38 text dedup.
+
+    The corpus is synthesized deterministically from documents (one
+    16×16 PGM per doc; header + raster built JVM-side with char/encode,
+    planted exact-dup classes and bump near-dups — see _Q233_PIX), so
+    the oracle replays the WHOLE pipeline arithmetically: the same
+    9×8 nearest-neighbor sample grid (rr = 2r, cc = 16c//9), the same
+    gradient-sign bits, the same four 16-bit band words, brute-forced
+    all-pairs Hamming ≤ 3.  Spark's banded join is pruning-only at
+    k=3 < 4 bands (pigeonhole: ≤3 flips cannot miss every band), so
+    oracle equality proves BOTH the kernel's bit arithmetic AND the
+    LSH no-false-negative property.  Hot path: Arrow-batched decode
+    kernel + one (band, value)-keyed self-join; melt rows carry their
+    own words, so the verify needs no join-back."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pix = _Q233_PIX.format(r="i div 16", c="i % 16")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('P5 16 16 255\\n', concat_ws('',"
+                f" transform(sequence(0, 255), i -> char({pix}))))"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return (
+        media.transform(image_dhash())
+        .transform(hamming_near_pairs("asset_id", ["dh0", "dh1", "dh2", "dh3"], 3))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -191,6 +191,7 @@ HEADLINE = [
     "q114_keyed_resample",
     "q119_dedup_clusters_star",
     "q121_hierarchical_rollup",
+    "q233_image_dhash_neardup",
 ]
 
 

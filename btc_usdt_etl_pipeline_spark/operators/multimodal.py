@@ -382,3 +382,89 @@ def frame_sample_plan(
         )
 
     return _t
+
+
+#: dHash output: four 16-bit band words (bits 0–15 → dh0, … 48–63 →
+#: dh3).  Words, not one packed BIGINT: bit 63 would be the sign bit
+#: (DuckDB raises on 1::BIGINT << 63 — portable-oracle hazard), and the
+#: words double as the LSH band keys for :func:`btc_usdt_etl_pipeline_spark.
+#: operators.dedup.hamming_near_pairs`.
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("dh0", LongType(), True),
+        StructField("dh1", LongType(), True),
+        StructField("dh2", LongType(), True),
+        StructField("dh3", LongType(), True),
+    ]
+)
+
+
+def _dhash_words(payload, grid: int = 8) -> list[int] | None:
+    """Difference hash of one image payload via the built-in decoder:
+    grayscale → nearest-neighbor resample to ``(grid+1) × grid`` →
+    horizontal gradient sign bits (``1`` iff left pixel > right),
+    row-major bit order, packed into ``grid²/16`` 16-bit words.
+
+    The classic perceptual hash for image near-dup (dHash): invariant
+    to uniform brightness/contrast changes (signs only), robust to
+    small re-encodes, 64 bits at the default grid=8.  Returns ``None``
+    for undecodable payloads (caller surfaces NULL words).
+    """
+    if payload is None:
+        return None
+    decoded = _decode_builtin(bytes(payload))
+    if decoded is None:
+        return None
+    w, h, px = decoded
+    rows, cols = grid, grid + 1
+    g = [
+        [px[(r * h // rows) * w + (c * w // cols)] for c in range(cols)]
+        for r in range(rows)
+    ]
+    words = [0] * ((grid * grid + 15) // 16)
+    for r in range(rows):
+        for c in range(grid):
+            if g[r][c] > g[r][c + 1]:
+                b = r * grid + c
+                words[b // 16] |= 1 << (b % 16)
+    return words
+
+
+def image_dhash(grid: int = 8) -> Callable[[DataFrame], DataFrame]:
+    """Perceptual dHash per image asset — Arrow-batched ``mapInPandas``
+    over ``(asset_id, payload)``, REAL decode via the dependency-free
+    PPM/PGM/BMP reader (no codec gate to stub: these formats always
+    decode deterministically on every executor).  Output is
+    :data:`DHASH_SCHEMA`; compose with
+    :func:`~btc_usdt_etl_pipeline_spark.operators.dedup.hamming_near_pairs`
+    for Hamming-≤k near-duplicate pairs (image dedup for multimodal
+    training corpora — the image twin of SimHash text dedup).
+
+    Pure per-row kernel: partitioning is irrelevant to correctness;
+    size partitions for payload bytes × Arrow batch rows.  Undecodable
+    or NULL payloads emit NULL words (filter before pairing).
+    """
+    if grid != 8:
+        # 16-bit words assume grid² divisible by 16; 8 is the standard
+        raise ValueError("image_dhash supports grid=8 (64-bit dHash)")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = [_dhash_words(p, grid) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dh0": [w[0] if w else None for w in words],
+                    "dh1": [w[1] if w else None for w in words],
+                    "dh2": [w[2] if w else None for w in words],
+                    "dh3": [w[3] if w else None for w in words],
+                }
+            )
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.select("asset_id", "payload").mapInPandas(
+            kernel, DHASH_SCHEMA
+        )
+
+    return _t

@@ -224,3 +224,85 @@ def test_wav_decoder_stereo_and_rejects_nonpcm():
     assert out[0] == pytest.approx(0.5, abs=1e-3)
     # non-RIFF rejected
     assert _decode_wav_pcm(b"OggS....") is None
+
+
+def _pgm(gray, w, h):
+    """Binary P5 bytes from flat grayscale row-major list."""
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(gray)
+
+
+def test_image_dhash_planted_duplicates(spark):
+    """r10 image perceptual-hash near-dup: dHash over real decoded
+    bytes + the band-bucket Hamming join must (a) give identical hashes
+    to exact duplicate images ACROSS formats encoding the same pixels,
+    (b) pair a one-region perturbation at small Hamming, (c) exclude
+    unrelated images and undecodable payloads, and (d) equal the
+    brute-force all-pairs at k=3 (the pigeonhole exactness the q233
+    oracle relies on)."""
+    import itertools
+
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        _dhash_words,
+        image_dhash,
+    )
+
+    w = h = 16
+    base = [((r * 7) % 13) * 17 + ((c * 5) % 11) for r in range(h)
+            for c in range(w)]
+    near = list(base)
+    near[2 * w + 3] = min(near[2 * w + 3] + 60, 255)  # one sample point
+    noise = [((r * r * 31 + c * c * 17 + r * c) % 251)
+             for r in range(h) for c in range(w)]
+
+    rows = [
+        (1, _pgm(base, w, h)),
+        (2, _ppm([(v, v, v) for v in base], w, h)),   # same pixels, P6
+        (3, _bmp24([(v, v, v) for v in base], w, h)), # same pixels, BMP
+        (4, _pgm(near, w, h)),
+        (5, _pgm(noise, w, h)),
+        (6, b"not an image"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = {r.asset_id: (r.dh0, r.dh1, r.dh2, r.dh3)
+              for r in df.transform(image_dhash()).collect()}
+
+    # (a) exact duplicates across formats
+    assert hashes[1] == hashes[2] == hashes[3]
+    assert None not in hashes[1]
+    # (c) undecodable → NULL words
+    assert hashes[6] == (None, None, None, None)
+    assert hashes[7] == (None, None, None, None)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    # (b) the perturbation is a near-dup of the base family
+    assert 1 <= ham(hashes[1], hashes[4]) <= 3
+    assert ham(hashes[1], hashes[5]) > 3  # unrelated stays out
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in df.transform(image_dhash())
+        .transform(hamming_near_pairs(
+            "asset_id", ["dh0", "dh1", "dh2", "dh3"], 3))
+        .collect()
+    )
+    # (d) brute force over decodable assets
+    want = sorted(
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if None not in hashes[a] and None not in hashes[b]
+        and ham(hashes[a], hashes[b]) <= 3
+    )
+    assert got == want
+    assert (1, 2, 0) in got and (1, 3, 0) in got  # planted exact dups
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="grid"):
+        image_dhash(grid=4)
+    with _pytest.raises(ValueError, match="band_cols"):
+        hamming_near_pairs("asset_id", [], 3)
