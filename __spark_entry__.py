@@ -12160,6 +12160,115 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q234_compare_groups",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g, value AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    pg AS (SELECT dow, g, COUNT(*)::BIGINT AS ng,
+                  CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE)
+                    AS sxx,
+                  round(quantile_cont(v, 0.5), 6) AS med
+           FROM d GROUP BY dow, g),
+    z AS (SELECT d.dow, d.g, ABS(d.v - pg.med) AS z
+          FROM d JOIN pg ON d.dow = pg.dow AND d.g = pg.g),
+    pz AS (SELECT dow, g,
+                  CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+                  CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE)
+                    AS szz
+           FROM z GROUP BY dow, g),
+    t AS (SELECT pg.dow, pg.ng, pz.sz, pz.szz,
+                 CAST(pg.ng AS DOUBLE) AS ngd,
+                 pg.sx / CAST(pg.ng AS DOUBLE) AS mean,
+                 (pg.sxx - pg.sx * pg.sx / CAST(pg.ng AS DOUBLE))
+                   / (CAST(pg.ng AS DOUBLE) - 1.0) AS var
+          FROM pg JOIN pz ON pg.dow = pz.dow AND pg.g = pz.g),
+    terms AS (SELECT dow, ng, sz, szz,
+                     CASE WHEN ng > 1 AND var > 0 THEN 1 ELSE 0 END
+                       AS okg,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN ngd / var END AS DECIMAL(38,12)) AS w,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN (ngd / var) * mean END
+                          AS DECIMAL(38,12)) AS wm,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN (ngd / var) * mean * mean END
+                          AS DECIMAL(38,12)) AS wmm,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN 1.0 / (ngd - 1.0) END
+                          AS DECIMAL(38,12)) AS t0,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN (ngd / var) / (ngd - 1.0) END
+                          AS DECIMAL(38,12)) AS t1,
+                     CAST(CASE WHEN ng > 1 AND var > 0
+                          THEN (ngd / var) * (ngd / var) / (ngd - 1.0)
+                          END AS DECIMAL(38,12)) AS t2
+              FROM t),
+    a AS (SELECT dow, SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+                 MIN(okg) AS ok,
+                 CAST(SUM(w) AS DOUBLE) AS sw,
+                 CAST(SUM(wm) AS DOUBLE) AS swm,
+                 CAST(SUM(wmm) AS DOUBLE) AS swmm,
+                 CAST(SUM(t0) AS DOUBLE) AS st0,
+                 CAST(SUM(t1) AS DOUBLE) AS st1,
+                 CAST(SUM(t2) AS DOUBLE) AS st2,
+                 CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS tz,
+                 CAST(SUM(CAST(sz * sz / CAST(ng AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+                 CAST(SUM(CAST(szz AS DECIMAL(38,6))) AS DOUBLE) AS tzz
+          FROM terms GROUP BY dow),
+    f AS (SELECT dow, n, k, ok,
+                 CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                 (swmm - swm * swm / sw) / (CAST(k AS DOUBLE) - 1.0)
+                   AS a_num,
+                 st0 - 2.0 * st1 / sw + st2 / (sw * sw) AS bsum,
+                 sb - tz * tz / CAST(n AS DOUBLE) AS ssb,
+                 tzz - sb AS ssw
+          FROM a)
+    SELECT dow, n, k,
+           CASE WHEN ok = 1 AND k > 1 AND bsum > 0
+                THEN round(a_num / (1.0 + 2.0 * (kd - 2.0)
+                           / (kd * kd - 1.0) * bsum), 6)
+           END AS welch_f,
+           (k - 1)::BIGINT AS welch_dof1,
+           CASE WHEN ok = 1 AND k > 1 AND bsum > 0
+                THEN round((kd * kd - 1.0) / (3.0 * bsum), 6)
+           END AS welch_dof2,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6)
+           END AS bf_f,
+           (k - 1)::BIGINT AS bf_dof1,
+           (n - k)::BIGINT AS bf_dof2
+    FROM f
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call group-comparison ANOVA table per day-of-week: Welch's
+    heteroscedastic one-way ANOVA F (k-sample location — q232's t
+    generalized past two samples, never assuming equal variances) AND
+    Brown–Forsythe F (scale) from SHARED moment aggregations — the
+    "did any cohort move, in mean or in spread?" table an eval
+    pipeline wants as one operator instead of the q229–q232 battery
+    re-scanning the corpus per test
+    (operators/stats.py:compare_groups).  Across-group sums of derived
+    terms ride DECIMAL(38,12) so both engines sum order-free."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        compare_groups,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        "event_type",
+        "value",
+    )
+    return e.transform(
+        compare_groups("value", "event_type", partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -12324,6 +12433,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (q137 keeps the scalar battery), q146 PageRank (q153 is the graph
 #: rep; q62 CC stays), q151 HLL (q197 keeps sketches), q213
 #: calibration (eval keeps q218/q229 + the promoted q230-q232).
+#: Late round 10 added the two r10-new operators — q233 image dHash
+#: near-dup (real decode → band-bucket Hamming join) and q234
+#: one-call Welch+Brown-Forsythe ANOVA table — demoting q44 (the
+#: multimodal family keeps a driver row via q233's real-decode
+#: kernel path; q44's stub mode stays judge-covered) and q174
+#: (dedup keeps q62/q66 + the new q233 in-window).
 _PRIORITY_WINDOW = [
     "q45_session_windows",    # streaming session windows (r10: clears stale r3 FAIL)
     "q49_streaming_sliding",  # streaming sliding windows (r10: clears stale r3 FAIL)
@@ -12339,7 +12454,8 @@ _PRIORITY_WINDOW = [
     "q230_kruskal_wallis",    # k-sample rank test
     "q231_brown_forsythe",    # variance-homogeneity test
     "q232_welch_t",           # unequal-variance t-test
-    "q44_multimodal_features",# multimodal kernel
+    "q233_image_dhash_neardup", # image dHash near-dup (r10 NEW op; real decode path)
+    "q234_compare_groups",    # one-call Welch+BF ANOVA table (r10 NEW op)
     "q48_grouping_sets",      # rollup/cube/grouping sets family
     "q58_stateful_extrema",   # applyInPandasWithState
     "q62_dedup_clusters",     # connected components
@@ -12358,7 +12474,6 @@ _PRIORITY_WINDOW = [
     "q183_psi",               # PSI distribution drift
     "q165_leakage_safe_split",# cluster-respecting train/test split
     "q167_entity_resolution", # blocking+scoring+CC entity resolution
-    "q174_incremental_dedup", # incremental MinHash dedup maintenance
     "q197_ddsketch",          # DDSketch relative-error quantiles
     "q200_pq_codes",          # product quantization codebooks
     "q217_geo_radius_join",   # geo family representative (r8 NEW family)

@@ -192,6 +192,7 @@ HEADLINE = [
     "q119_dedup_clusters_star",
     "q121_hierarchical_rollup",
     "q233_image_dhash_neardup",
+    "q234_compare_groups",
 ]
 
 

@@ -777,3 +777,170 @@ def welch_t(
         )
 
     return _t
+
+
+def compare_groups(
+    value_col: str,
+    group_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """One-call k-sample comparison table per partition — LOCATION
+    (Welch's heteroscedastic one-way ANOVA F, the k-sample
+    generalization of :func:`welch_t`: never assumes equal variances)
+    and SCALE (Brown–Forsythe F, Levene centered at the median) in a
+    single operator, the way eval pipelines actually consume the
+    battery: "did any cohort move, in mean or in spread?".
+
+        w_g = n_g/s²_g,  W = Σw,  x̄_w = Σ(w·x̄)/W
+        A = [Σ w·x̄² − (Σ w·x̄)²/W] / (k−1)
+        Bsum = Σ (1 − w_g/W)²/(n_g−1)
+             = Σ 1/(n_g−1) − (2/W)·Σ w/(n_g−1) + (1/W²)·Σ w²/(n_g−1)
+        F_welch = A / (1 + 2(k−2)/(k²−1)·Bsum)       (Welch 1951)
+        dof2 = (k²−1) / (3·Bsum)
+
+    Cost: the moment aggregations COEXIST — pass 1 is one grouped agg
+    producing n_g, Σx, Σx² AND the exact median; pass 2 adds the
+    |x − med| deviation moments (the unavoidable second scan any
+    median-centered statistic needs, exactly :func:`brown_forsythe_f`'s
+    plan); everything above group granularity is metadata-scale.  So
+    the combined table costs ONE grouped agg more than Brown–Forsythe
+    alone — running welch_t per group pair would rescan the corpus
+    O(k) times.
+
+    Parity discipline: per-group doubles derive from exact decimal row
+    sums (identical on both engines); the ACROSS-GROUP sums of derived
+    terms (w, w·x̄, …) are order-dependent in IEEE, so each term is
+    cast to DECIMAL(38,12) before summing (exact, order-free) — the
+    q186 idiom.  Welch terms are fenced per group (n_g ≥ 2 AND
+    s²_g > 0) and the partition emits NULL welch columns unless EVERY
+    group passes (a zero-variance group makes w undefined); BF
+    degenerates (k < 2, N ≤ k, SSW = 0) emit NULL bf columns, as in
+    :func:`brown_forsythe_f`.  Returns ``partition…, n, k, welch_f,
+    welch_dof1, welch_dof2, bf_f, bf_dof1, bf_dof2`` (F/dof2 at 6 dp).
+    """
+    gcols = [partition_by] if partition_by else []
+    DEC12 = "decimal(38,12)"
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(*gcols, group_col, F.col(value_col).alias("_v"))
+        x = F.col("_v").cast("double")
+        # pass 1: location moments + exact median, one grouped agg
+        pg = d.groupBy(*gcols, group_col).agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("_sxx"),
+            F.round(F.percentile("_v", F.lit(0.5)), 6).alias("_med"),
+        )
+        # pass 2: median-centered deviation moments (BF's z pass)
+        z = F.abs(x - F.col("_med"))
+        pz = (
+            null_safe_join(
+                d,
+                F.broadcast(pg.select(*gcols, group_col, "_med")),
+                [*gcols, group_col],
+            )
+            .groupBy(*gcols, group_col)
+            .agg(
+                F.sum(z.cast(DEC)).cast("double").alias("_sz"),
+                F.sum((z * z).cast(DEC)).cast("double").alias("_szz"),
+            )
+        )
+        per_g = null_safe_join(pg, pz, [*gcols, group_col])
+        ng = F.col("_ng").cast("double")
+        mean = F.col("_sx") / ng
+        var = (
+            F.col("_sxx") - F.col("_sx") * F.col("_sx") / ng
+        ) / (ng - F.lit(1.0))
+        ok_g = (F.col("_ng") > 1) & (var > 0)
+        w = F.when(ok_g, ng / var)
+        terms = per_g.select(
+            *gcols,
+            "_ng",
+            "_sz",
+            "_szz",
+            ok_g.cast("int").alias("_okg"),
+            w.cast(DEC12).alias("_w"),
+            (w * mean).cast(DEC12).alias("_wm"),
+            (w * mean * mean).cast(DEC12).alias("_wmm"),
+            F.when(ok_g, F.lit(1.0) / (ng - F.lit(1.0)))
+            .cast(DEC12)
+            .alias("_t0"),
+            F.when(ok_g, w / (ng - F.lit(1.0)))
+            .cast(DEC12)
+            .alias("_t1"),
+            F.when(ok_g, w * w / (ng - F.lit(1.0)))
+            .cast(DEC12)
+            .alias("_t2"),
+        )
+        agg = terms.groupBy(*gcols).agg(
+            F.sum("_ng").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.min("_okg").alias("_ok"),
+            F.sum("_w").cast("double").alias("_W"),
+            F.sum("_wm").cast("double").alias("_Swm"),
+            F.sum("_wmm").cast("double").alias("_Swmm"),
+            F.sum("_t0").cast("double").alias("_T0"),
+            F.sum("_t1").cast("double").alias("_T1"),
+            F.sum("_t2").cast("double").alias("_T2"),
+            # BF rollup — identical tree to brown_forsythe_f
+            F.sum(F.col("_sz").cast(DEC)).cast("double").alias("_tz"),
+            F.sum(
+                (F.col("_sz") * F.col("_sz") / F.col("_ng").cast("double"))
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("_sb"),
+            F.sum(F.col("_szz").cast(DEC)).cast("double").alias("_tzz"),
+        )
+        n = F.col("n").cast("double")
+        k = F.col("k").cast("double")
+        a_num = (
+            F.col("_Swmm") - F.col("_Swm") * F.col("_Swm") / F.col("_W")
+        ) / (k - F.lit(1.0))
+        bsum = (
+            F.col("_T0")
+            - F.lit(2.0) * F.col("_T1") / F.col("_W")
+            + F.col("_T2") / (F.col("_W") * F.col("_W"))
+        )
+        ok_w = (
+            (F.col("_ok") == 1) & (F.col("k") > 1) & (bsum > 0)
+        )
+        welch_f = F.when(
+            ok_w,
+            F.round(
+                a_num
+                / (
+                    F.lit(1.0)
+                    + F.lit(2.0) * (k - F.lit(2.0)) / (k * k - F.lit(1.0))
+                    * bsum
+                ),
+                6,
+            ),
+        )
+        welch_dof2 = F.when(
+            ok_w,
+            F.round((k * k - F.lit(1.0)) / (F.lit(3.0) * bsum), 6),
+        )
+        ssb = F.col("_sb") - F.col("_tz") * F.col("_tz") / n
+        ssw = F.col("_tzz") - F.col("_sb")
+        bf_f = F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round((ssb / (k - F.lit(1.0))) / (ssw / (n - k)), 6),
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            "k",
+            welch_f.alias("welch_f"),
+            (F.col("k") - 1).alias("welch_dof1"),
+            welch_dof2.alias("welch_dof2"),
+            bf_f.alias("bf_f"),
+            (F.col("k") - 1).alias("bf_dof1"),
+            (F.col("n") - F.col("k")).alias("bf_dof2"),
+        )
+
+    return _t

@@ -673,3 +673,113 @@ def test_welch_t_matches_reference(spark):
             assert g["t"] == pytest.approx(t, abs=2e-5), part
             assert g["dof"] == pytest.approx(dof, rel=1e-5), part
     assert got["shift"]["t"] > 5 and abs(got["null"]["t"]) < 4
+
+
+def test_compare_groups_matches_reference_and_components(spark):
+    """r10 compare_groups (one-call ANOVA table): (a) Welch's
+    heteroscedastic F vs a pure-Python reference (Welch 1951) with a
+    planted mean shift detected and a null case quiet; (b) its bf_f
+    equals brown_forsythe_f run standalone on the same data; (c) at
+    k = 2 welch_f = welch_t's t² and welch_dof2 = its dof (the F(1, ν)
+    identity); (d) degenerate fences (zero-variance group → NULL welch
+    columns, single group → all NULL)."""
+    import random as _r
+    import statistics as _st
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        brown_forsythe_f,
+        compare_groups,
+        welch_t,
+    )
+
+    rng = _r.Random(29)
+    rows = []
+    for p in ("null3", "shift3"):
+        for gi, g in enumerate(("a", "b", "c")):
+            mu = 10.0 + (3.0 * gi if p == "shift3" else 0.0)
+            for _ in range(120):
+                rows.append((p, g, round(rng.gauss(mu, 2 + gi), 4)))
+    for p in ("two",):
+        for g in ("a", "b"):
+            mu = 10.0 if g == "a" else 11.5
+            for _ in range(90):
+                rows.append((p, g, round(rng.gauss(mu, 3.0), 4)))
+    rows += [("zerovar", "a", 5.0), ("zerovar", "a", 5.0),
+             ("zerovar", "b", 1.0), ("zerovar", "b", 2.0),
+             ("zerovar", "b", 4.0)]
+    rows += [("onegroup", "a", 1.0), ("onegroup", "a", 5.0)]
+    df = spark.createDataFrame(rows, "p string, g string, v double")
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            compare_groups("v", "g", partition_by="p")
+        ).collect()
+    }
+
+    def ref_welch(part):
+        groups = {}
+        for pp, g, v in rows:
+            if pp == part:
+                groups.setdefault(g, []).append(v)
+        k = len(groups)
+        if k < 2:
+            return None, None
+        stats = []
+        for vs in groups.values():
+            n = len(vs)
+            if n < 2:
+                return None, None
+            m = sum(vs) / n
+            var = sum((v - m) ** 2 for v in vs) / (n - 1)
+            if var <= 0:
+                return None, None
+            stats.append((n, m, var))
+        w = [n / var for n, m, var in stats]
+        W = sum(w)
+        xw = sum(wi * m for wi, (n, m, var) in zip(w, stats)) / W
+        a = sum(wi * (m - xw) ** 2
+                for wi, (n, m, var) in zip(w, stats)) / (k - 1)
+        bsum = sum((1 - wi / W) ** 2 / (n - 1)
+                   for wi, (n, m, var) in zip(w, stats))
+        fstat = a / (1 + 2 * (k - 2) / (k * k - 1) * bsum)
+        dof2 = (k * k - 1) / (3 * bsum)
+        return fstat, dof2
+
+    # (a) reference parity + planted effect polarity
+    for part in ("null3", "shift3", "two"):
+        fv, d2 = ref_welch(part)
+        assert got[part]["welch_f"] == pytest.approx(fv, rel=1e-5), part
+        assert got[part]["welch_dof2"] == pytest.approx(d2, rel=1e-5)
+    assert got["shift3"]["welch_f"] > 30 and got["null3"]["welch_f"] < 4.7
+
+    # (b) bf_f identical to the standalone operator
+    bf = {
+        r["p"]: r["f"]
+        for r in df.transform(
+            brown_forsythe_f("v", "g", partition_by="p")
+        ).collect()
+    }
+    for part, row in got.items():
+        assert row["bf_f"] == bf[part], part
+
+    # (c) k=2: F(1, nu) = t^2, dof2 = nu
+    wt = {
+        r["p"]: r
+        for r in df.transform(
+            welch_t("v", "g", "a", partition_by="p")
+        ).collect()
+    }
+    assert got["two"]["welch_f"] == pytest.approx(
+        wt["two"]["t"] ** 2, rel=1e-4
+    )
+    assert got["two"]["welch_dof2"] == pytest.approx(
+        wt["two"]["dof"], rel=1e-6
+    )
+
+    # (d) fences
+    assert got["zerovar"]["welch_f"] is None
+    assert got["zerovar"]["welch_dof2"] is None
+    assert got["zerovar"]["bf_f"] is not None  # BF is still defined
+    assert got["onegroup"]["welch_f"] is None
+    assert got["onegroup"]["bf_f"] is None
