@@ -12269,6 +12269,150 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q235_cuped",
+    """
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+    u AS (SELECT user_id,
+                 COUNT(CASE WHEN epoch_us(e.ts) < b.mn + (b.mx - b.mn) // 2
+                       THEN value END)::BIGINT AS np,
+                 CAST(SUM(CASE WHEN epoch_us(e.ts) < b.mn + (b.mx - b.mn) // 2
+                      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                   AS sp,
+                 COUNT(CASE WHEN epoch_us(e.ts) >= b.mn + (b.mx - b.mn) // 2
+                       THEN value END)::BIGINT AS nq,
+                 CAST(SUM(CASE WHEN epoch_us(e.ts) >= b.mn + (b.mx - b.mn) // 2
+                      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                   AS sq
+          FROM events e, b
+          WHERE value IS NOT NULL
+          GROUP BY user_id),
+    units AS (SELECT user_id % 3 AS cohort,
+                     CASE WHEN (user_id // 3) % 2 = 1 THEN 1 ELSE 0 END
+                       AS trt,
+                     sp / CAST(np AS DOUBLE) AS x,
+                     sq / CAST(nq AS DOUBLE) AS y
+              FROM u WHERE np > 0 AND nq > 0),
+    m AS (SELECT cohort,
+                 COUNT(CASE WHEN trt = 1 THEN y END)::BIGINT AS cnt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxyt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x * x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxxt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN y * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syyt,
+                 COUNT(CASE WHEN trt = 0 THEN y END)::BIGINT AS cnc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxyc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x * x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxxc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN y * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syyc
+          FROM units GROUP BY cohort),
+    f AS (SELECT cohort, cnt, cnc,
+                 CAST(cnt AS DOUBLE) AS nt, CAST(cnc AS DOUBLE) AS nc,
+                 CAST(cnt AS DOUBLE) + CAST(cnc AS DOUBLE) AS n,
+                 sxt + sxc AS sx, syt + syc AS sy, sxyt + sxyc AS sxy,
+                 sxxt + sxxc AS sxx, syyt + syyc AS syy,
+                 sxt, syt, sxyt, sxxt, syyt, sxc, syc, sxyc, sxxc, syyc
+          FROM m),
+    g AS (SELECT *,
+                 sxy - sx * sy / n AS cov,
+                 sxx - sx * sx / n AS vx,
+                 syy - sy * sy / n AS vy,
+                 syt / nt - syc / nc AS draw
+          FROM f),
+    h AS (SELECT *,
+                 cov / vx AS theta,
+                 draw - cov / vx * (sxt / nt - sxc / nc) AS dcuped,
+                 (syyt - syt * syt / nt) / (nt - 1.0)
+                   - 2.0 * (cov / vx)
+                     * ((sxyt - sxt * syt / nt) / (nt - 1.0))
+                   + (cov / vx) * (cov / vx)
+                     * ((sxxt - sxt * sxt / nt) / (nt - 1.0)) AS vat,
+                 (syyc - syc * syc / nc) / (nc - 1.0)
+                   - 2.0 * (cov / vx)
+                     * ((sxyc - sxc * syc / nc) / (nc - 1.0))
+                   + (cov / vx) * (cov / vx)
+                     * ((sxxc - sxc * sxc / nc) / (nc - 1.0)) AS vac
+          FROM g)
+    SELECT cohort, cnt AS n_t, cnc AS n_c,
+           CASE WHEN vx > 0 AND vy > 0 AND cnt > 0 AND cnc > 0
+                THEN round(theta, 6) END AS theta,
+           CASE WHEN cnt > 0 AND cnc > 0
+                THEN round(draw, 6) END AS diff_raw,
+           CASE WHEN vx > 0 AND vy > 0 AND cnt > 0 AND cnc > 0
+                THEN round(dcuped, 6) END AS diff_cuped,
+           CASE WHEN vx > 0 AND vy > 0 AND cnt > 0 AND cnc > 0
+                THEN round(cov * cov / (vx * vy), 6)
+           END AS var_reduction,
+           CASE WHEN vx > 0 AND vy > 0 AND cnt > 1 AND cnc > 1
+                     AND vat / nt + vac / nc > 0
+                THEN round(dcuped / sqrt(vat / nt + vac / nc), 6)
+           END AS t_cuped
+    FROM h
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    per-user pre-period mean value (covariate x) and post-period mean
+    (metric y) split at the global time midpoint, treatment from the
+    user id, three experiment cohorts — θ, raw vs adjusted diff,
+    variance-reduction ρ², and the Welch-form t on the adjusted
+    metric, all from ONE conditional-moment aggregation per cohort
+    (operators/stats.py:cuped_adjusted_diff).  Unit-level x/y are
+    exact-decimal mean ratios (identical doubles on both engines);
+    across-unit moment sums ride DECIMAL(38,12).  The boundary is the
+    q209 min+span/2 idiom — no data-dependent quantile, so the oracle
+    replays it closed-form."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        cuped_adjusted_diff,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(
+        F.min(us).alias("_mn"), F.max(us).alias("_mx")
+    )
+    pre = us < F.col("_mn") + F.expr("(_mx - _mn) DIV 2")
+    per_user = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(pre, F.col("value"))).alias("_np"),
+            F.sum(
+                F.when(pre, F.col("value")).cast("decimal(38,6)")
+            ).cast("double").alias("_sp"),
+            F.count(F.when(~pre, F.col("value"))).alias("_nq"),
+            F.sum(
+                F.when(~pre, F.col("value")).cast("decimal(38,6)")
+            ).cast("double").alias("_sq"),
+        )
+    )
+    units = per_user.where(
+        (F.col("_np") > 0) & (F.col("_nq") > 0)
+    ).select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.when(F.expr("(user_id DIV 3) % 2") == 1, 1)
+        .otherwise(0)
+        .alias("trt"),
+        (F.col("_sp") / F.col("_np").cast("double")).alias("x"),
+        (F.col("_sq") / F.col("_nq").cast("double")).alias("y"),
+    )
+    return units.transform(
+        cuped_adjusted_diff("y", "x", "trt", partition_by="cohort")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -193,6 +193,7 @@ HEADLINE = [
     "q121_hierarchical_rollup",
     "q233_image_dhash_neardup",
     "q234_compare_groups",
+    "q235_cuped",
 ]
 
 

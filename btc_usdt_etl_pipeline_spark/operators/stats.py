@@ -944,3 +944,128 @@ def compare_groups(
         )
 
     return _t
+
+
+def cuped_adjusted_diff(
+    y_col: str,
+    x_col: str,
+    treat_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """CUPED variance-reduced treatment-effect estimate per partition
+    (Deng, Xu, Kohavi & Walker, WSDM 2013 — the industry-standard A/B
+    adjustment): given one row per experimental UNIT with metric ``y``,
+    pre-period covariate ``x``, and a 0/1 treatment flag,
+
+        θ = cov(x, y) / var(x)          (pooled over all units)
+        y_adj = y − θ·(x − x̄)
+        diff_cuped = ȳ_T − ȳ_C − θ·(x̄_T − x̄_C)
+        Var_g(y_adj) = Var_g(y) − 2θ·Cov_g(x, y) + θ²·Var_g(x)
+        t_cuped = diff_cuped / sqrt(v_T/n_T + v_C/n_C)   (Welch form)
+        var_reduction = ρ² = cov² / (var_x · var_y)
+
+    Everything is ONE conditional-moment aggregation per partition —
+    per-side n, Σx, Σy, Σxy, Σx², Σy² through the exact-decimal idiom
+    (each product cast to DECIMAL(38,12) before summing: unit-level
+    x/y are derived doubles, so their ACROSS-UNIT sums must be
+    order-free for oracle parity) — plus scalar arithmetic.  No second
+    scan: adjusted group means and variances are closed forms of the
+    raw moments.  Degenerate fences: var(x) ≤ 0 (θ undefined) or
+    var(y) ≤ 0 emit NULL θ/adjusted columns while ``diff_raw``
+    survives; either side n < 2 emits NULL ``t_cuped``.  Returns
+    ``partition…, n_t, n_c, theta, diff_raw, diff_cuped,
+    var_reduction, t_cuped`` (6 dp pins on the derived statistics).
+    """
+    gcols = [partition_by] if partition_by else []
+    DEC12 = "decimal(38,12)"
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+        )
+        x = F.col(x_col).cast("double")
+        y = F.col(y_col).cast("double")
+        is_t = F.col(treat_col).cast("int") == 1
+
+        def side(cond, s):
+            xa = F.when(cond, x)
+            ya = F.when(cond, y)
+            return [
+                F.count(ya).alias(f"_n{s}"),
+                F.sum(xa.cast(DEC12)).cast("double").alias(f"_sx{s}"),
+                F.sum(ya.cast(DEC12)).cast("double").alias(f"_sy{s}"),
+                F.sum((xa * ya).cast(DEC12))
+                .cast("double")
+                .alias(f"_sxy{s}"),
+                F.sum((xa * xa).cast(DEC12))
+                .cast("double")
+                .alias(f"_sxx{s}"),
+                F.sum((ya * ya).cast(DEC12))
+                .cast("double")
+                .alias(f"_syy{s}"),
+            ]
+
+        agg = d.groupBy(*gcols).agg(*side(is_t, "t"), *side(~is_t, "c"))
+        nt, nc = F.col("_nt").cast("double"), F.col("_nc").cast("double")
+        n = nt + nc
+        sx = F.col("_sxt") + F.col("_sxc")
+        sy = F.col("_syt") + F.col("_syc")
+        sxy = F.col("_sxyt") + F.col("_sxyc")
+        sxx = F.col("_sxxt") + F.col("_sxxc")
+        syy = F.col("_syyt") + F.col("_syyc")
+        # pooled covariance / variances (n-denominator cancels in θ, ρ²)
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        ok = (vx > 0) & (vy > 0) & (F.col("_nt") > 0) & (F.col("_nc") > 0)
+        # ANSI discipline: every denominator is fenced in its OWN
+        # conditional (x / NULL = NULL) — a downstream CASE does NOT
+        # stop ANSI from faulting a zero divisor inside the expression
+        # (constant covariate → vx = 0, empty/singleton side → n = 0
+        # or n − 1 = 0).
+        ntf = F.when(F.col("_nt") > 0, nt)
+        ncf = F.when(F.col("_nc") > 0, nc)
+        theta = cov / F.when(vx > 0, vx)
+        diff_raw = F.col("_syt") / ntf - F.col("_syc") / ncf
+        diff_cuped = diff_raw - theta * (
+            F.col("_sxt") / ntf - F.col("_sxc") / ncf
+        )
+
+        def vadj(s):
+            ns = F.col(f"_n{s}").cast("double")
+            nsf = F.when(F.col(f"_n{s}") > 0, ns)
+            ns1 = F.when(F.col(f"_n{s}") > 1, ns - F.lit(1.0))
+            vy_g = (
+                F.col(f"_syy{s}")
+                - F.col(f"_sy{s}") * F.col(f"_sy{s}") / nsf
+            ) / ns1
+            cov_g = (
+                F.col(f"_sxy{s}")
+                - F.col(f"_sx{s}") * F.col(f"_sy{s}") / nsf
+            ) / ns1
+            vx_g = (
+                F.col(f"_sxx{s}")
+                - F.col(f"_sx{s}") * F.col(f"_sx{s}") / nsf
+            ) / ns1
+            return vy_g - F.lit(2.0) * theta * cov_g + theta * theta * vx_g
+
+        se2 = vadj("t") / ntf + vadj("c") / ncf
+        ok_t = ok & (F.col("_nt") > 1) & (F.col("_nc") > 1) & (se2 > 0)
+        return agg.select(
+            *gcols,
+            F.col("_nt").alias("n_t"),
+            F.col("_nc").alias("n_c"),
+            F.when(ok, F.round(theta, 6)).alias("theta"),
+            F.round(diff_raw, 6).alias("diff_raw"),
+            F.when(ok, F.round(diff_cuped, 6)).alias("diff_cuped"),
+            F.when(
+                ok, F.round(cov * cov / F.when(ok, vx * vy), 6)
+            ).alias("var_reduction"),
+            F.when(ok_t, F.round(diff_cuped / F.sqrt(se2), 6)).alias(
+                "t_cuped"
+            ),
+        )
+
+    return _t

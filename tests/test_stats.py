@@ -783,3 +783,68 @@ def test_compare_groups_matches_reference_and_components(spark):
     assert got["zerovar"]["bf_f"] is not None  # BF is still defined
     assert got["onegroup"]["welch_f"] is None
     assert got["onegroup"]["bf_f"] is None
+
+
+def test_cuped_matches_reference(spark):
+    """r10 cuped_adjusted_diff vs a pure-Python reference: θ = cov/var,
+    adjusted diff removes the covariate imbalance, ρ² matches, and the
+    adjusted t grows vs the raw t when the covariate is predictive;
+    zero-variance covariate → NULL θ/adjusted columns with diff_raw
+    surviving."""
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        cuped_adjusted_diff,
+    )
+
+    rng = _r.Random(41)
+    rows = []
+    # y = x + effect·trt + noise: strongly predictive covariate
+    for i in range(400):
+        trt = i % 2
+        x = rng.gauss(50.0, 10.0)
+        y = x + 2.0 * trt + rng.gauss(0.0, 1.0)
+        rows.append(("p", trt, round(x, 4), round(y, 4)))
+    rows += [("degenerate", t, 7.0, float(v))
+             for t, v in ((1, 3), (1, 4), (0, 1), (0, 2))]
+    df = spark.createDataFrame(rows, "p string, trt int, x double, y double")
+
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            cuped_adjusted_diff("y", "x", "trt", partition_by="p")
+        ).collect()
+    }
+
+    sub = [(t, x, y) for (p, t, x, y) in rows if p == "p"]
+    n = len(sub)
+    sx = sum(x for _, x, _ in sub)
+    sy = sum(y for _, _, y in sub)
+    cov = sum(x * y for _, x, y in sub) - sx * sy / n
+    vx = sum(x * x for _, x, _ in sub) - sx * sx / n
+    vy = sum(y * y for _, _, y in sub) - sy * sy / n
+    theta = cov / vx
+    t_side = [(x, y) for t, x, y in sub if t == 1]
+    c_side = [(x, y) for t, x, y in sub if t == 0]
+    draw = (sum(y for _, y in t_side) / len(t_side)
+            - sum(y for _, y in c_side) / len(c_side))
+    dadj = draw - theta * (
+        sum(x for x, _ in t_side) / len(t_side)
+        - sum(x for x, _ in c_side) / len(c_side)
+    )
+    g = got["p"]
+    assert g["theta"] == pytest.approx(theta, rel=1e-5)
+    assert g["diff_raw"] == pytest.approx(draw, rel=1e-5)
+    assert g["diff_cuped"] == pytest.approx(dadj, rel=1e-5)
+    assert g["var_reduction"] == pytest.approx(cov * cov / (vx * vy),
+                                               rel=1e-5)
+    # the covariate explains ~99% of variance here: the adjusted diff
+    # must recover the planted +2 effect far more tightly than raw
+    assert abs(g["diff_cuped"] - 2.0) < 0.5
+    assert g["var_reduction"] > 0.9
+    assert g["t_cuped"] is not None and abs(g["t_cuped"]) > 5
+
+    d = got["degenerate"]
+    assert d["theta"] is None and d["diff_cuped"] is None
+    assert d["var_reduction"] is None and d["t_cuped"] is None
+    assert d["diff_raw"] == pytest.approx(3.5 - 1.5, rel=1e-9)
