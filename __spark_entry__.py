@@ -12413,6 +12413,104 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q236 synthetic audio corpus: one 260-sample 8-bit PCM WAV per
+#: document, sample(i) = (class·53 + (i·7 + class)·(i mod 13 + 1))
+#: mod 100 + 5 with class = doc_id mod 89 (exact-dup classes), plus a
+#: +15 gain bump on samples 40–43 (= envelope frame 10) for
+#: doc_id % 7 == 0 (planted near-dups, ≤ 2 bit flips).  All payload
+#: bytes ≤ 127 — header sizes chosen so every header byte is ≤ 127
+#: too — so the whole WAV round-trips through encode(, 'utf-8').
+#: 8-bit norm = (s−128)/128 is dyadic-exact, and 65 frames × 4
+#: samples divide exactly, so envelope comparisons reduce to integer
+#: frame-sum comparisons (e_f > e_{f+1} ⟺ Σs_f < Σs_{f+1}) — which is
+#: how the oracle replays the kernel bit-for-bit.
+_Q236_SAMP = (
+    "(mod(doc_id, 89) * 53"
+    " + (({i}) * 7 + mod(doc_id, 89)) * (mod(({i}), 13) + 1)) % 100 + 5"
+    " + (CASE WHEN doc_id % 7 = 0 AND ({i}) >= 40 AND ({i}) < 44"
+    "    THEN 15 ELSE 0 END)"
+)
+
+_Q236_HDR = (
+    "'RIFF', char(40), char(1), char(0), char(0), 'WAVE', 'fmt ',"
+    " char(16), char(0), char(0), char(0), char(1), char(0),"
+    " char(1), char(0), char(64), char(31), char(0), char(0),"
+    " char(64), char(31), char(0), char(0), char(1), char(0),"
+    " char(8), char(0), 'data', char(4), char(1), char(0), char(0)"
+)
+
+
+@_q(
+    "q236_audio_fingerprint_neardup",
+    f"""
+    WITH s AS (
+      SELECT doc_id, i.i AS i, {_Q236_SAMP.format(i="i.i")} AS v
+      FROM documents, range(0, 260) i(i)),
+    fr AS (SELECT doc_id, i // 4 AS f, SUM(v)::BIGINT AS sv
+           FROM s GROUP BY doc_id, i // 4),
+    bits AS (
+      SELECT a.doc_id, a.f AS b,
+             CASE WHEN a.sv < t.sv THEN 1 ELSE 0 END AS bit
+      FROM fr a JOIN fr t ON a.doc_id = t.doc_id AND t.f = a.f + 1
+      WHERE a.f < 64),
+    words AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN b // 16 = {j} "
+                 f"THEN bit << (b % 16) ELSE 0 END) AS BIGINT) AS dh{j}"
+                 for j in range(4))}
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh0, b.dh0)) + bit_count(xor(a.dh1, b.dh1))
+              + bit_count(xor(a.dh2, b.dh2)) + bit_count(xor(a.dh3, b.dh3))
+              AS BIGINT) AS hamming
+    FROM words a, words b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.dh0, b.dh0)) + bit_count(xor(a.dh1, b.dh1))
+        + bit_count(xor(a.dh2, b.dh2)) + bit_count(xor(a.dh3, b.dh3)) <= 3
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual-fingerprint near-duplicate pairs — the audio
+    twin of q233: energy-envelope gradient fingerprint over REAL
+    decoded PCM WAV bytes (operators/multimodal.py:audio_fingerprint),
+    then the same band-bucket Hamming join
+    (operators/dedup.py:hamming_near_pairs, k = 3 < 4 bands →
+    pruning-only, oracle brute-force provable).  The corpus is
+    synthesized WAVs (see _Q236_SAMP: planted exact-dup gain classes +
+    a one-frame gain bump), and because 8-bit PCM envelope arithmetic
+    is dyadic-exact the oracle replays the float kernel with INTEGER
+    frame-sum comparisons — engine-independent by construction."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    samp = _Q236_SAMP.format(i="i")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                f"concat({_Q236_HDR}, concat_ws('',"
+                f" transform(sequence(0, 259), i -> char({samp}))))"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return (
+        media.transform(audio_fingerprint())
+        .transform(
+            hamming_near_pairs("asset_id", ["dh0", "dh1", "dh2", "dh3"], 3)
+        )
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -194,6 +194,7 @@ HEADLINE = [
     "q233_image_dhash_neardup",
     "q234_compare_groups",
     "q235_cuped",
+    "q236_audio_fingerprint_neardup",
 ]
 
 

@@ -468,3 +468,73 @@ def image_dhash(grid: int = 8) -> Callable[[DataFrame], DataFrame]:
         )
 
     return _t
+
+
+def _audio_fingerprint_words(payload, frames: int = 65) -> list[int] | None:
+    """Energy-envelope fingerprint of one PCM WAV payload: decode →
+    ``frames`` equal cells of mean ABSOLUTE amplitude (the
+    :func:`_builtin_audio_feature` envelope) → temporal gradient sign
+    bits (``1`` iff cell f louder than cell f+1), packed into
+    ``(frames−1)/16`` 16-bit words.
+
+    The audio twin of :func:`_dhash_words`: invariant to uniform gain
+    (signs only), robust to re-encodes that preserve the envelope.
+    All envelope arithmetic on 8/16-bit PCM is DYADIC-exact in double
+    (sample norms have power-of-two denominators; cell means divide by
+    the cell length — exact for the power-of-two cell sizes the
+    fixtures use, and deterministic regardless), so a SQL oracle can
+    replay the bits via integer sample sums.  ``None`` for
+    undecodable payloads.
+    """
+    if payload is None:
+        return None
+    samples = _decode_wav_pcm(bytes(payload))
+    if samples is None or len(samples) < frames:
+        return None
+    n = len(samples)
+    env = []
+    for f in range(frames):
+        lo, hi = f * n // frames, max((f + 1) * n // frames, f * n // frames + 1)
+        cell = samples[lo:hi]
+        env.append(sum(abs(s) for s in cell) / len(cell))
+    bits = frames - 1
+    words = [0] * ((bits + 15) // 16)
+    for b in range(bits):
+        if env[b] > env[b + 1]:
+            words[b // 16] |= 1 << (b % 16)
+    return words
+
+
+def audio_fingerprint(frames: int = 65) -> Callable[[DataFrame], DataFrame]:
+    """Perceptual audio fingerprint per asset — Arrow-batched
+    ``mapInPandas`` over ``(asset_id, payload)``, real PCM WAV decode
+    (dependency-free).  Emits the same ``dh0..dh3`` band-word layout as
+    :func:`image_dhash`, so
+    :func:`~btc_usdt_etl_pipeline_spark.operators.dedup.hamming_near_pairs`
+    composes unchanged — audio near-duplicate detection for multimodal
+    training corpora.  Undecodable/short payloads emit NULL words.
+    """
+    if frames != 65:
+        raise ValueError("audio_fingerprint supports frames=65 "
+                         "(64-bit fingerprint, four 16-bit bands)")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws = [_audio_fingerprint_words(p, frames)
+                  for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dh0": [w[0] if w else None for w in ws],
+                    "dh1": [w[1] if w else None for w in ws],
+                    "dh2": [w[2] if w else None for w in ws],
+                    "dh3": [w[3] if w else None for w in ws],
+                }
+            )
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.select("asset_id", "payload").mapInPandas(
+            kernel, DHASH_SCHEMA
+        )
+
+    return _t

@@ -306,3 +306,85 @@ def test_image_dhash_planted_duplicates(spark):
         image_dhash(grid=4)
     with _pytest.raises(ValueError, match="band_cols"):
         hamming_near_pairs("asset_id", [], 3)
+
+
+def _wav8(samples, rate=8000):
+    data = bytes(samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_fingerprint_planted_duplicates(spark):
+    """r10 audio fingerprint near-dup: (a) identical WAVs hash equal
+    and a uniform gain change (exact halving toward the 128 midpoint)
+    leaves the gradient-sign fingerprint unchanged, (b) a one-frame
+    gain bump pairs at small Hamming, (c) unrelated/undecodable/short
+    payloads stay out, (d) the band join equals brute force at k=3."""
+    import itertools
+
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        _audio_fingerprint_words,
+        audio_fingerprint,
+    )
+
+    n = 260
+    base = [128 - 2 * (((i * 7) % 50) + ((i // 13) % 9) + 1)
+            for i in range(n)]          # even offsets below 128
+    half = [128 - (128 - s) // 2 for s in base]  # exact uniform gain
+    near = list(base)
+    for i in range(40, 44):              # quiet envelope frame 10
+        near[i] = 128 - (128 - near[i]) // 4
+    noise = [(i * i * 37 + i * 11) % 256 for i in range(n)]
+
+    rows = [
+        (1, _wav8(base)),
+        (2, _wav8(base)),          # byte-identical duplicate
+        (3, _wav8(half)),          # uniform gain
+        (4, _wav8(near)),          # one-frame bump
+        (5, _wav8(noise)),         # unrelated
+        (6, b"RIFFjunk"),          # undecodable
+        (7, _wav8(base[:32])),     # shorter than 65 frames
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = {r.asset_id: (r.dh0, r.dh1, r.dh2, r.dh3)
+              for r in df.transform(audio_fingerprint()).collect()}
+
+    assert hashes[1] == hashes[2] == hashes[3]
+    assert None not in hashes[1]
+    for bad in (6, 7, 8):
+        assert hashes[bad] == (None, None, None, None)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert 1 <= ham(hashes[1], hashes[4]) <= 3
+    assert ham(hashes[1], hashes[5]) > 3
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in df.transform(audio_fingerprint())
+        .transform(hamming_near_pairs(
+            "asset_id", ["dh0", "dh1", "dh2", "dh3"], 3))
+        .collect()
+    )
+    want = sorted(
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if None not in hashes[a] and None not in hashes[b]
+        and ham(hashes[a], hashes[b]) <= 3
+    )
+    assert got == want and (1, 2, 0) in got and (1, 3, 0) in got
+
+    # kernel-level: in-process words equal the Spark-side words
+    assert list(hashes[1]) == _audio_fingerprint_words(_wav8(base))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frames"):
+        audio_fingerprint(frames=33)
