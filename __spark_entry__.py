@@ -12511,6 +12511,159 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q237_srm_check",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE user_id IS NOT NULL),
+    a AS (SELECT user_id % 3 AS cohort,
+                 CASE WHEN (user_id // 3) % 2 = 1 THEN 1 ELSE 0 END
+                   AS trt
+          FROM u),
+    m AS (SELECT cohort,
+                 SUM(CASE WHEN trt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+                 SUM(CASE WHEN trt = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c
+          FROM a GROUP BY cohort),
+    f AS (SELECT cohort, n_t, n_c,
+                 CAST(n_t + n_c AS DOUBLE) * CAST(0.5 AS DOUBLE) AS et,
+                 CAST(n_t + n_c AS DOUBLE)
+                   * (1.0 - CAST(0.5 AS DOUBLE)) AS ec
+          FROM m)
+    SELECT cohort, n_t, n_c,
+           CAST(0.5 AS DOUBLE) AS expected_share,
+           round((CAST(n_t AS DOUBLE) - et) * (CAST(n_t AS DOUBLE) - et)
+                   / et
+                 + (CAST(n_c AS DOUBLE) - ec) * (CAST(n_c AS DOUBLE) - ec)
+                   / ec, 6) AS chi2,
+           round((CAST(n_t AS DOUBLE) - et) * (CAST(n_t AS DOUBLE) - et)
+                   / et
+                 + (CAST(n_c AS DOUBLE) - ec) * (CAST(n_c AS DOUBLE) - ec)
+                   / ec, 6) > 3.841459 AS srm_flag
+    FROM f
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for the q235 experiment design: per
+    cohort, does the realized treatment/control unit split match the
+    designed 50/50 (1-dof chi² against the expected counts, flag at
+    the 95th-percentile constant 3.841459)?  The first validity check
+    every A/B readout runs — a failed SRM invalidates q235/q238 before
+    any metric is read (operators/stats.py:sample_ratio_check).  One
+    distinct-unit projection + one count agg."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        sample_ratio_check,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    units = e.select("user_id").distinct().select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.when(F.expr("(user_id DIV 3) % 2") == 1, 1)
+        .otherwise(0)
+        .alias("trt"),
+    )
+    return units.transform(
+        sample_ratio_check("trt", expected=0.5, partition_by="cohort")
+    )
+
+
+@_q(
+    "q238_ratio_metric_delta",
+    """
+    WITH u AS (SELECT user_id,
+                      COUNT(*)::BIGINT AS x,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END)::BIGINT AS y
+               FROM events
+               WHERE user_id IS NOT NULL
+               GROUP BY user_id),
+    a AS (SELECT user_id % 3 AS cohort,
+                 CASE WHEN (user_id // 3) % 2 = 1 THEN 1 ELSE 0 END
+                   AS trt,
+                 CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+          FROM u),
+    m AS (SELECT cohort,
+                 COUNT(CASE WHEN trt = 1 THEN y END)::BIGINT AS cnt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxyt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN x * x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxxt,
+                 CAST(SUM(CAST(CASE WHEN trt = 1 THEN y * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syyt,
+                 COUNT(CASE WHEN trt = 0 THEN y END)::BIGINT AS cnc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxyc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN x * x END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxxc,
+                 CAST(SUM(CAST(CASE WHEN trt = 0 THEN y * y END
+                      AS DECIMAL(38,12))) AS DOUBLE) AS syyc
+          FROM a GROUP BY cohort),
+    g AS (SELECT cohort, cnt, cnc,
+                 CAST(cnt AS DOUBLE) AS nt, CAST(cnc AS DOUBLE) AS nc,
+                 syt / sxt AS rt, syc / sxc AS rc,
+                 sxt, syt, sxyt, sxxt, syyt,
+                 sxc, syc, sxyc, sxxc, syyc
+          FROM m),
+    v AS (SELECT *,
+                 ((syyt - syt * syt / nt) / (nt - 1.0)
+                  - 2.0 * rt * ((sxyt - sxt * syt / nt) / (nt - 1.0))
+                  + rt * rt * ((sxxt - sxt * sxt / nt) / (nt - 1.0)))
+                 / (nt * (sxt / nt) * (sxt / nt)) AS vrt,
+                 ((syyc - syc * syc / nc) / (nc - 1.0)
+                  - 2.0 * rc * ((sxyc - sxc * syc / nc) / (nc - 1.0))
+                  + rc * rc * ((sxxc - sxc * sxc / nc) / (nc - 1.0)))
+                 / (nc * (sxc / nc) * (sxc / nc)) AS vrc
+          FROM g)
+    SELECT cohort, cnt AS n_t, cnc AS n_c,
+           round(rt, 6) AS ratio_t, round(rc, 6) AS ratio_c,
+           round(rt - rc, 6) AS diff,
+           CASE WHEN cnt > 1 AND cnc > 1 AND sxt > 0 AND sxc > 0
+                     AND vrt + vrc > 0
+                THEN round((rt - rc) / sqrt(vrt + vrc), 6)
+           END AS t
+    FROM v
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric readout for the q235 experiment:
+    purchases-per-event (Σy/Σx over users) compared treatment vs
+    control per cohort — the CORRECT machinery for ratio metrics
+    (per-unit means answer a different question; unit ratios are
+    undefined at zero denominators).  One conditional-moment agg over
+    per-user (events, purchases) counts; the delta-method variance and
+    Welch-form t replayed as the identical tree
+    (operators/stats.py:ratio_metric_diff)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        ratio_metric_diff,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("y"),
+    )
+    units = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.when(F.expr("(user_id DIV 3) % 2") == 1, 1)
+        .otherwise(0)
+        .alias("trt"),
+        "x",
+        "y",
+    )
+    return units.transform(
+        ratio_metric_diff("y", "x", "trt", partition_by="cohort")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -195,6 +195,8 @@ HEADLINE = [
     "q234_compare_groups",
     "q235_cuped",
     "q236_audio_fingerprint_neardup",
+    "q237_srm_check",
+    "q238_ratio_metric_delta",
 ]
 
 

@@ -1069,3 +1069,161 @@ def cuped_adjusted_diff(
         )
 
     return _t
+
+
+def sample_ratio_check(
+    treat_col: str,
+    expected: float = 0.5,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Sample-ratio-mismatch (SRM) check per experiment partition —
+    the first gate every A/B readout must pass (Fabijan et al., KDD
+    2019 diagnosis practice): if the realized treatment share differs
+    from the DESIGNED split, the assignment machinery is broken and
+    every downstream statistic is invalid.  One count aggregation over
+    unit rows:
+
+        chi² = (n_T − n·p)²/(n·p) + (n_C − n·(1−p))²/(n·(1−p)),  1 dof
+
+    ``srm_flag`` is chi² > 3.841459 (the 1-dof 95th percentile —
+    a constant, so no CDF is needed; the statistic itself is what the
+    oracle pins).  Expects ONE ROW PER UNIT (dedupe upstream —
+    counting events would overweight active users).  Degenerate
+    partitions (n = 0 after filters — unreachable via groupBy — or
+    p outside (0,1)) are the caller's contract; chi² pinned at 6 dp.
+    Returns ``partition…, n_t, n_c, expected_share, chi2, srm_flag``.
+    """
+    if not 0.0 < expected < 1.0:
+        raise ValueError("expected share must be in (0, 1)")
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(treat_col).isNotNull())
+        is_t = F.col(treat_col).cast("int") == 1
+        agg = d.groupBy(*gcols).agg(
+            F.sum(is_t.cast("long")).alias("n_t"),
+            F.sum((~is_t).cast("long")).alias("n_c"),
+        )
+        n = (F.col("n_t") + F.col("n_c")).cast("double")
+        p = F.lit(float(expected))
+        et = n * p
+        ec = n * (F.lit(1.0) - p)
+        dt = F.col("n_t").cast("double") - et
+        dc = F.col("n_c").cast("double") - ec
+        chi2 = F.round(dt * dt / et + dc * dc / ec, 6)
+        return agg.select(
+            *gcols,
+            "n_t",
+            "n_c",
+            p.alias("expected_share"),
+            chi2.alias("chi2"),
+            (chi2 > F.lit(3.841459)).alias("srm_flag"),
+        )
+
+    return _t
+
+
+def ratio_metric_diff(
+    num_col: str,
+    den_col: str,
+    treat_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Delta-method comparison of a RATIO metric per partition — the
+    correct A/B machinery when the metric is Σnumerator/Σdenominator
+    over units (CTR, revenue-per-session, tokens-per-doc): the naive
+    per-unit-mean t-test answers a different question, and unit ratios
+    are undefined for zero denominators.  Per side (Deng et al.,
+    KDD 2018 "Applying the Delta Method in Metric Analytics"):
+
+        R = Σy/Σx,   x̄ = Σx/n
+        Var(R) ≈ [Var(y) − 2R·Cov(y,x) + R²·Var(x)] / (n·x̄²)
+        t = (R_T − R_C) / sqrt(Var(R_T) + Var(R_C))
+
+    ONE conditional-moment aggregation (per-side n, Σx, Σy, Σxy, Σx²,
+    Σy² — unit-level values ride DECIMAL(38,12) so across-unit sums
+    are order-free), then scalar arithmetic with every denominator
+    ANSI-fenced.  Degenerates: a side with n < 2, Σx ≤ 0, or a
+    non-positive variance estimate emits NULL ``t`` (ratios that
+    exist still emit).  Returns ``partition…, n_t, n_c, ratio_t,
+    ratio_c, diff, t`` (6 dp pins).
+    """
+    gcols = [partition_by] if partition_by else []
+    DEC12 = "decimal(38,12)"
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(num_col).isNotNull()
+            & F.col(den_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+        )
+        y = F.col(num_col).cast("double")
+        x = F.col(den_col).cast("double")
+        is_t = F.col(treat_col).cast("int") == 1
+
+        def side(cond, s):
+            xa, ya = F.when(cond, x), F.when(cond, y)
+            return [
+                F.count(ya).alias(f"_n{s}"),
+                F.sum(xa.cast(DEC12)).cast("double").alias(f"_sx{s}"),
+                F.sum(ya.cast(DEC12)).cast("double").alias(f"_sy{s}"),
+                F.sum((xa * ya).cast(DEC12))
+                .cast("double")
+                .alias(f"_sxy{s}"),
+                F.sum((xa * xa).cast(DEC12))
+                .cast("double")
+                .alias(f"_sxx{s}"),
+                F.sum((ya * ya).cast(DEC12))
+                .cast("double")
+                .alias(f"_syy{s}"),
+            ]
+
+        agg = d.groupBy(*gcols).agg(*side(is_t, "t"), *side(~is_t, "c"))
+
+        def ratio(s):
+            sxf = F.when(F.col(f"_sx{s}") > 0, F.col(f"_sx{s}"))
+            return F.col(f"_sy{s}") / sxf
+
+        def var_r(s):
+            ns = F.col(f"_n{s}").cast("double")
+            nsf = F.when(F.col(f"_n{s}") > 0, ns)
+            ns1 = F.when(F.col(f"_n{s}") > 1, ns - F.lit(1.0))
+            r = ratio(s)
+            vy = (
+                F.col(f"_syy{s}")
+                - F.col(f"_sy{s}") * F.col(f"_sy{s}") / nsf
+            ) / ns1
+            cv = (
+                F.col(f"_sxy{s}")
+                - F.col(f"_sx{s}") * F.col(f"_sy{s}") / nsf
+            ) / ns1
+            vx = (
+                F.col(f"_sxx{s}")
+                - F.col(f"_sx{s}") * F.col(f"_sx{s}") / nsf
+            ) / ns1
+            xbar = F.col(f"_sx{s}") / nsf
+            core = vy - F.lit(2.0) * r * cv + r * r * vx
+            return core / (
+                F.when(F.col(f"_n{s}") > 0, ns * xbar * xbar)
+            )
+
+        se2 = var_r("t") + var_r("c")
+        diff = ratio("t") - ratio("c")
+        ok_t = (
+            (F.col("_nt") > 1)
+            & (F.col("_nc") > 1)
+            & (F.col("_sxt") > 0)
+            & (F.col("_sxc") > 0)
+            & (se2 > 0)
+        )
+        return agg.select(
+            *gcols,
+            F.col("_nt").alias("n_t"),
+            F.col("_nc").alias("n_c"),
+            F.round(ratio("t"), 6).alias("ratio_t"),
+            F.round(ratio("c"), 6).alias("ratio_c"),
+            F.round(diff, 6).alias("diff"),
+            F.when(ok_t, F.round(diff / F.sqrt(se2), 6)).alias("t"),
+        )
+
+    return _t

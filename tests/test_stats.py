@@ -848,3 +848,83 @@ def test_cuped_matches_reference(spark):
     assert d["theta"] is None and d["diff_cuped"] is None
     assert d["var_reduction"] is None and d["t_cuped"] is None
     assert d["diff_raw"] == pytest.approx(3.5 - 1.5, rel=1e-9)
+
+
+def test_srm_and_ratio_metric_reference(spark):
+    """r10 experiment-validity pair: sample_ratio_check flags a
+    planted 90/10 assignment corruption and passes a fair split (chi²
+    hand-checked); ratio_metric_diff matches a pure-Python delta-method
+    reference, detects a planted ratio lift, and fences degenerates."""
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        ratio_metric_diff,
+        sample_ratio_check,
+    )
+
+    # --- SRM ---
+    units = [("fair", 1 if i % 2 else 0) for i in range(1000)]
+    units += [("broken", 1 if i % 10 == 0 else 0) for i in range(1000)]
+    df = spark.createDataFrame(units, "p string, trt int")
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            sample_ratio_check("trt", partition_by="p")
+        ).collect()
+    }
+    assert got["fair"]["chi2"] == 0.0 and not got["fair"]["srm_flag"]
+    # hand chi²: (100-500)²/500 + (900-500)²/500 = 640
+    assert got["broken"]["chi2"] == pytest.approx(640.0)
+    assert got["broken"]["srm_flag"]
+    assert (got["broken"]["n_t"], got["broken"]["n_c"]) == (100, 900)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="expected"):
+        sample_ratio_check("trt", expected=1.5)
+
+    # --- delta-method ratio metric ---
+    rng = _r.Random(61)
+    rows = []
+    for i in range(600):
+        trt = i % 2
+        x = float(rng.randint(5, 50))            # denominator (events)
+        rate = 0.30 if trt else 0.20             # planted lift
+        y = float(sum(rng.random() < rate for _ in range(int(x))))
+        rows.append(("p", trt, x, y))
+    rows += [("thin", 1, 3.0, 1.0), ("thin", 0, 4.0, 1.0)]  # n=1 sides
+    df2 = spark.createDataFrame(rows, "p string, trt int, x double, y double")
+    got2 = {
+        r["p"]: r
+        for r in df2.transform(
+            ratio_metric_diff("y", "x", "trt", partition_by="p")
+        ).collect()
+    }
+
+    sub = [(t, x, y) for (p, t, x, y) in rows if p == "p"]
+
+    def side_stats(tv):
+        s = [(x, y) for t, x, y in sub if t == tv]
+        n = len(s)
+        sx = sum(x for x, _ in s)
+        sy = sum(y for _, y in s)
+        r = sy / sx
+        vy = (sum(y * y for _, y in s) - sy * sy / n) / (n - 1)
+        cv = (sum(x * y for x, y in s) - sx * sy / n) / (n - 1)
+        vx = (sum(x * x for x, _ in s) - sx * sx / n) / (n - 1)
+        xbar = sx / n
+        return r, (vy - 2 * r * cv + r * r * vx) / (n * xbar * xbar)
+
+    rt, vt = side_stats(1)
+    rc, vc = side_stats(0)
+    g = got2["p"]
+    # operator pins at 6 dp; compare with matching absolute tolerance
+    assert g["ratio_t"] == pytest.approx(rt, abs=1e-6)
+    assert g["ratio_c"] == pytest.approx(rc, abs=1e-6)
+    assert g["diff"] == pytest.approx(rt - rc, abs=2e-6)
+    assert g["t"] == pytest.approx((rt - rc) / (vt + vc) ** 0.5, rel=1e-4)
+    assert g["t"] > 5  # the planted +0.10 rate lift is unmissable
+
+    thin = got2["thin"]
+    assert thin["t"] is None  # n=1 sides: no variance estimate
+    assert thin["ratio_t"] == pytest.approx(1 / 3, rel=1e-5)
+    assert thin["ratio_c"] == pytest.approx(0.25, rel=1e-5)
