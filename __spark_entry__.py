@@ -12664,6 +12664,110 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q239_image_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    g AS (
+      SELECT doc_id, r.r AS r, c.c AS c,
+             {_Q233_PIX.format(r="r.r * 2", c="(c.c * 16) // 9")} AS gv
+      FROM documents, range(0, 8) r(r), range(0, 9) c(c)),
+    bits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS b,
+             CASE WHEN a.gv > t.gv THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g t ON a.doc_id = t.doc_id AND a.r = t.r
+                        AND t.c = a.c + 1
+      WHERE a.c < 8),
+    words AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN b // 16 = {j} "
+                 f"THEN bit << (b % 16) ELSE 0 END) AS BIGINT) AS dh{j}"
+                 for j in range(4))}
+      FROM bits GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM words a, words b
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.dh0, b.dh0)) + bit_count(xor(a.dh1, b.dh1))
+          + bit_count(xor(a.dh2, b.dh2)) + bit_count(xor(a.dh3, b.dh3))
+          <= 3),
+    bi AS (SELECT id_a AS u, id_b AS v FROM p
+           UNION SELECT id_b, id_a FROM p),
+    walk(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM bi)
+        UNION
+        SELECT b.v, w.label FROM walk w JOIN bi b ON w.node = b.u
+    ),
+    comp AS (SELECT node, MIN(label) AS component
+             FROM walk GROUP BY node),
+    lab AS (SELECT d.doc_id,
+                   COALESCE(comp.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           doc_id = component AS keep
+    FROM lab
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup END-TO-END: q233's dHash Hamming-≤3 pairs → min-label
+    connected components (q62 machinery) → representative election
+    (keep = the min doc_id of each cluster) + cluster size — the full
+    near-dup REMOVAL decision for a multimodal training corpus, same
+    end-state the text side reaches via q62/q66.  Singleton images
+    (no near-dup) are their own component via a left join; the cluster
+    size rides a frameless unordered window (O(n) single pass — the
+    groupBy+join-back rewrite measured worse, SCALE.md §8)."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pix = _Q233_PIX.format(r="i div 16", c="i % 16")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.expr(
+                "concat('P5 16 16 255\\n', concat_ws('',"
+                f" transform(sequence(0, 255), i -> char({pix}))))"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    pairs = (
+        media.transform(image_dhash())
+        .transform(
+            hamming_near_pairs("asset_id", ["dh0", "dh1", "dh2", "dh3"], 3)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    lab = (
+        d.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    w = Window.partitionBy("component")
+    return lab.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -197,6 +197,7 @@ HEADLINE = [
     "q236_audio_fingerprint_neardup",
     "q237_srm_check",
     "q238_ratio_metric_delta",
+    "q239_image_dedup_clusters",
 ]
 
 

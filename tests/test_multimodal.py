@@ -388,3 +388,25 @@ def test_audio_fingerprint_planted_duplicates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="frames"):
         audio_fingerprint(frames=33)
+
+
+def test_image_dedup_clusters_invariants(spark):
+    """r10 q239 composition invariants at sf0.001: every doc labeled
+    exactly once, component labels are cluster minima, exactly one
+    keep per component, cluster_size consistent with the labeling."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q239_image_dedup_clusters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs))
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        assert sum(m.keep for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # the planted duplicate classes guarantee some multi-doc cluster
+    assert any(len(m) > 1 for m in by_comp.values())
