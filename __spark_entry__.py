@@ -12768,6 +12768,56 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q240_containment_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS s
+          FROM tok WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+    dfq AS (SELECT gram, COUNT(*) AS gram_df FROM ex GROUP BY gram),
+    kept AS (SELECT ex.doc_id, ex.gram
+             FROM ex JOIN dfq USING (gram) WHERE dfq.gram_df <= 50),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kept a JOIN kept b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    p AS (SELECT cand.id_a, cand.id_b,
+                 len(list_intersect(ga.s, gb.s))::DOUBLE / len(ga.s)
+                   AS containment_a,
+                 len(list_intersect(ga.s, gb.s))::DOUBLE / len(gb.s)
+                   AS containment_b
+          FROM cand
+          JOIN g ga ON ga.doc_id = cand.id_a
+          JOIN g gb ON gb.doc_id = cand.id_b)
+    SELECT id_a, id_b, containment_a, containment_b
+    FROM p WHERE greatest(containment_a, containment_b) >= 0.9
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (token-3-gram
+    ``|A∩B|/|A|`` ≥ 0.9 in EITHER direction, ``max_df=50``-capped
+    candidates) — the subset-duplicate detector symmetric Jaccard
+    structurally misses: a 100-gram doc quoted inside a 10,000-gram
+    doc has J ≈ 0.01 but containment 1.0, and such quote-inclusions
+    are exactly what leaks eval data into training corpora.  Same
+    machinery and cap contract as q125 (the uncapped leg measured
+    204.6 s on the 10× boilerplate corpus vs ~12 s capped — the df²
+    blowup q125 documents), exact verify over FULL gram sets
+    (operators/dedup.py:ngram_jaccard_pairs, metric='containment');
+    the oracle replays the cap + exact divisions, no rounding pin
+    needed."""
+    d = _t(spark, sf_dir, "documents")
+    return d.transform(
+        ngram_jaccard_pairs(
+            text_col="text", id_col="doc_id", n=3, threshold=0.9,
+            unit="token", metric="containment", max_df=50,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -198,6 +198,7 @@ HEADLINE = [
     "q237_srm_check",
     "q238_ratio_metric_delta",
     "q239_image_dedup_clusters",
+    "q240_containment_pairs",
 ]
 
 

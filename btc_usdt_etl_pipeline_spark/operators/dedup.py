@@ -407,6 +407,7 @@ def ngram_jaccard_pairs(
     unit: str = "char",
     prefix_filter: bool = False,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> Callable[[DataFrame], DataFrame]:
     """Exact n-gram Jaccard similar pairs ≥ ``threshold`` — ``unit`` is
     ``'char'`` (substring grams) or ``'token'`` (word-shingle grams,
@@ -449,11 +450,28 @@ def ngram_jaccard_pairs(
     guarantee is stated over the full gram set, and re-deriving it over
     a capped set while verifying on the full set would silently change
     which pairs the cap semantics admit.
+
+    ``metric='containment'`` (r10) scores the ASYMMETRIC overlap
+    instead — ``containment_a = |A∩B|/|A|`` and the mirror — emitting
+    pairs where EITHER direction ≥ ``threshold``: the subset-duplicate
+    detector (a doc quoted inside a larger one, boilerplate + payload,
+    chunk re-exports) that symmetric Jaccard structurally dilutes
+    (a 100-gram doc inside a 10,000-gram doc has J ≈ 0.01 but
+    containment 1.0).  Same candidate machinery, same ``max_df``
+    contract; the pre-verify upper bound becomes ``ub/min(|A|,|B|)``
+    (still monotone in the intersection).  Returns
+    ``(id_a, id_b, containment_a, containment_b)``.
     """
     if unit not in ("char", "token"):
         raise ValueError("unit must be 'char' or 'token'")
     if prefix_filter and max_df is not None:
         raise ValueError("prefix_filter and max_df are mutually exclusive")
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be 'jaccard' or 'containment'")
+    if metric == "containment" and prefix_filter:
+        # the prefix theorem is stated for symmetric Jaccard; its
+        # no-false-negative guarantee does not transfer to max-containment
+        raise ValueError("prefix_filter requires metric='jaccard'")
 
     def _t(df: DataFrame) -> DataFrame:
         c = F.col(text_col)
@@ -577,14 +595,24 @@ def ngram_jaccard_pairs(
                 F.col("_hc").alias("_hcb"),
             )
             ub = F.col("_ik") + F.least(F.col("_hca"), F.col("_hcb"))
-            cand = (
-                inter_kept.join(sta, "id_a")
-                .join(stb, "id_b")
-                .filter(
+            # metric-specific monotone upper bound on the final score:
+            # both are increasing in |A∩B| ≤ ub, so a pair whose bound
+            # misses the threshold can never survive the exact verify.
+            if metric == "containment":
+                bound_ok = (
+                    ub.cast("double") / F.least(F.col("_bna"), F.col("_bnb"))
+                    >= threshold
+                )
+            else:
+                bound_ok = (
                     ub.cast("double")
                     / (F.col("_bna") + F.col("_bnb") - ub)
                     >= threshold
                 )
+            cand = (
+                inter_kept.join(sta, "id_a")
+                .join(stb, "id_b")
+                .filter(bound_ok)
                 .select("id_a", "id_b", "_ik")
             )
             ha = hot_ex.select(F.col("_h"), F.col("_id").alias("id_a"))
@@ -651,10 +679,27 @@ def ngram_jaccard_pairs(
             )
         na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
         nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+        scored = inter.join(na, "id_a").join(nb, "id_b")
+        if metric == "containment":
+            # asymmetric overlap: |A∩B|/|A| catches a document CONTAINED
+            # in a larger one (quotes, boilerplate-plus-payload, chunk
+            # re-exports) that symmetric Jaccard dilutes below any
+            # threshold; emitted when EITHER direction clears it.
+            ca = F.col("_inter").cast("double") / F.col("_na")
+            cb = F.col("_inter").cast("double") / F.col("_nb")
+            return (
+                scored.withColumn("containment_a", ca)
+                .withColumn("containment_b", cb)
+                .filter(
+                    F.greatest(
+                        F.col("containment_a"), F.col("containment_b")
+                    )
+                    >= threshold
+                )
+                .select("id_a", "id_b", "containment_a", "containment_b")
+            )
         return (
-            inter.join(na, "id_a")
-            .join(nb, "id_b")
-            .withColumn(
+            scored.withColumn(
                 "jaccard",
                 F.col("_inter").cast("double")
                 / (F.col("_na") + F.col("_nb") - F.col("_inter")),

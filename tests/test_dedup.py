@@ -365,3 +365,47 @@ def test_incremental_minhash_equals_filtered_full(spark):
     assert got == want and len(want) > 0
     for a, b in got:
         assert a % 4 == 3 or b % 4 == 3
+
+
+def test_containment_catches_subset_duplicates(spark):
+    """r10 metric='containment': a short doc quoted verbatim inside a
+    much larger one must pair at containment 1.0 while symmetric
+    Jaccard stays far below any threshold; the capped leg (max_df)
+    agrees with the uncapped one on a boilerplate-free corpus; and the
+    asymmetry is reported per direction."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(30))
+    big = quote + " " + " ".join(f"filler{i} pad{i}" for i in range(300))
+    other = " ".join(f"alien{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, big), (3, other)], "doc_id long, text string"
+    )
+
+    mk = lambda **kw: ngram_jaccard_pairs(
+        text_col="text", id_col="doc_id", n=3, unit="token", **kw
+    )
+    cont = df.transform(mk(threshold=0.9, metric="containment")).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a == 1.0       # the quote is fully contained
+    assert r.containment_b < 0.1        # ...but is a sliver of the host
+
+    # symmetric Jaccard on the same pair is diluted to ~|A|/|B|
+    jac = df.transform(mk(threshold=0.5, metric="jaccard")).collect()
+    assert jac == []
+
+    # capped leg: same emitted set when no gram crosses the cap
+    capped = df.transform(
+        mk(threshold=0.9, metric="containment", max_df=50)
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, cont))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="metric"):
+        mk(metric="dice")
+    with _pytest.raises(ValueError, match="prefix_filter"):
+        mk(metric="containment", prefix_filter=True)
