@@ -12818,6 +12818,64 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q241_cohens_kappa",
+    """
+    WITH d AS (SELECT source, lang AS a,
+                      CASE WHEN doc_id % 7 = 0 THEN 'mislabeled'
+                           ELSE lang END AS b
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+    base AS (SELECT source, COUNT(*)::BIGINT AS n,
+                    SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                      AS agree
+             FROM d GROUP BY source),
+    ma AS (SELECT source, a AS lbl, COUNT(*)::BIGINT AS ca
+           FROM d GROUP BY source, a),
+    mb AS (SELECT source, b AS lbl, COUNT(*)::BIGINT AS cb
+           FROM d GROUP BY source, b),
+    pe AS (SELECT ma.source,
+                  SUM(ma.ca * COALESCE(mb.cb, 0))::BIGINT AS pe_num
+           FROM ma LEFT JOIN mb
+             ON ma.source = mb.source AND ma.lbl = mb.lbl
+           GROUP BY ma.source),
+    f AS (SELECT base.source, base.n,
+                 CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                 CAST(COALESCE(pe_num, 0) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          FROM base JOIN pe ON base.source = pe.source)
+    SELECT source, n, round(po, 6) AS po, round(pe, 6) AS pe,
+           CASE WHEN pe < 1.0
+                THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+    FROM f
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-annotator agreement per source — the
+    label-quality statistic for annotation pipelines (human vs human,
+    model vs human, two model versions): rater A is the stored lang
+    label, rater B replays it with a planted 1-in-7 corruption, so κ
+    measures the chance-corrected agreement the corruption leaves.
+    One agreement agg + two label-marginal aggs + a metadata rollup,
+    all integer counts — the only pin is the final 6 dp
+    (operators/stats.py:cohens_kappa)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    rated = d.select(
+        "source",
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("mislabeled"))
+        .otherwise(F.col("lang"))
+        .alias("rater_b"),
+    )
+    return rated.transform(
+        cohens_kappa("rater_a", "rater_b", partition_by="source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

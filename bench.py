@@ -199,6 +199,7 @@ HEADLINE = [
     "q238_ratio_metric_delta",
     "q239_image_dedup_clusters",
     "q240_containment_pairs",
+    "q241_cohens_kappa",
 ]
 
 

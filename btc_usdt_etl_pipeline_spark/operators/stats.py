@@ -1227,3 +1227,86 @@ def ratio_metric_diff(
         )
 
     return _t
+
+
+def cohens_kappa(
+    rater_a_col: str,
+    rater_b_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Cohen's κ inter-annotator agreement per partition — the
+    label-QUALITY statistic for any labeling/annotation pipeline
+    (human raters, model-vs-human, two model versions): raw percent
+    agreement is inflated by class imbalance, κ subtracts the
+    agreement two independent raters with these marginals would reach
+    by chance:
+
+        p_o = Σ 1[a = b] / n
+        p_e = Σ_labels (n_a(ℓ)/n) · (n_b(ℓ)/n)
+        κ = (p_o − p_e) / (1 − p_e)
+
+    Plan: one agreement aggregation (n, n_agree), two label-marginal
+    aggregations inner-joined on (partition, label) — a label whose
+    mass is one-sided contributes 0 to p_e, so the inner join is
+    exact — and a metadata-scale rollup.  Everything is integer
+    counts (< 2⁵³, exact in double), so the only pin is the final
+    6 dp rounding of κ.  Rows with a NULL label on either side are
+    dropped (standard practice: un-rated items carry no agreement
+    evidence).  p_e = 1 (both raters constant and identical) emits
+    NULL κ — agreement is trivially perfect and the statistic is
+    undefined.  Returns ``partition…, n, po, pe, kappa``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        a, b = F.col(rater_a_col), F.col(rater_b_col)
+        d = df.where(a.isNotNull() & b.isNotNull()).select(
+            *gcols, a.alias("_a"), b.alias("_b")
+        )
+        base = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_a") == F.col("_b")).cast("long")).alias(
+                "_agree"
+            ),
+        )
+        ma = d.groupBy(*gcols, F.col("_a").alias("_lbl")).agg(
+            F.count(F.lit(1)).alias("_ca")
+        )
+        mb = d.groupBy(*gcols, F.col("_b").alias("_lbl")).agg(
+            F.count(F.lit(1)).alias("_cb")
+        )
+        # LEFT join from rater-A's marginals: a label the other rater
+        # never used contributes 0 to p_e, and the aggregate keeps one
+        # row per partition even when the raters' label sets are
+        # disjoint (an inner join would drop the partition entirely).
+        pe_tab = (
+            ma.join(mb, [*gcols, "_lbl"], "left")
+            .groupBy(*gcols)
+            .agg(
+                F.sum(
+                    F.col("_ca") * F.coalesce(F.col("_cb"), F.lit(0))
+                ).alias("_pe_num")
+            )
+        )
+        joined = (
+            base.join(pe_tab, gcols)
+            if gcols
+            else base.crossJoin(pe_tab)
+        )
+        n = F.col("n").cast("double")
+        po = F.col("_agree").cast("double") / n
+        pe = F.coalesce(F.col("_pe_num"), F.lit(0)).cast("double") / (
+            n * n
+        )
+        kappa = F.when(
+            pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)
+        )
+        return joined.select(
+            *gcols,
+            "n",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            kappa.alias("kappa"),
+        )
+
+    return _t

@@ -928,3 +928,45 @@ def test_srm_and_ratio_metric_reference(spark):
     assert thin["t"] is None  # n=1 sides: no variance estimate
     assert thin["ratio_t"] == pytest.approx(1 / 3, rel=1e-5)
     assert thin["ratio_c"] == pytest.approx(0.25, rel=1e-5)
+
+
+def test_cohens_kappa_matches_reference(spark):
+    """r10 cohens_kappa vs hand computation: the textbook 2×2 fixture,
+    perfect agreement on balanced labels (κ = 1), agreement-by-
+    imbalance exposed (high po, low κ), identical-constant raters
+    (pe = 1 → NULL), disjoint label sets (po = 0, pe = 0, κ = 0)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import cohens_kappa
+
+    rows = []
+    # textbook: a=yes 25+5, a=no 10+60 → po=.85, pe=.3*.35+.7*.65=.56
+    rows += [("text", "yes", "yes")] * 25
+    rows += [("text", "yes", "no")] * 5
+    rows += [("text", "no", "yes")] * 10
+    rows += [("text", "no", "no")] * 60
+    rows += [("perfect", l, l) for l in ("a", "b") for _ in range(10)]
+    # imbalance trap: 90 agree on majority + both always-majority raters
+    rows += [("imb", "maj", "maj")] * 90
+    rows += [("imb", "min", "maj")] * 5
+    rows += [("imb", "maj", "min")] * 5
+    rows += [("const", "same", "same")] * 8
+    rows += [("disjoint", "l", "r")] * 6
+    df = spark.createDataFrame(rows, "p string, a string, b string")
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            cohens_kappa("a", "b", partition_by="p")
+        ).collect()
+    }
+
+    t = got["text"]
+    assert (t["n"], t["po"]) == (100, 0.85)
+    assert t["pe"] == pytest.approx(0.30 * 0.35 + 0.70 * 0.65)
+    assert t["kappa"] == pytest.approx(
+        (0.85 - t["pe"]) / (1 - t["pe"]), abs=1e-6
+    )
+    assert got["perfect"]["kappa"] == 1.0
+    imb = got["imb"]
+    assert imb["po"] == 0.9 and imb["kappa"] < 0.0  # worse than chance
+    assert got["const"]["pe"] == 1.0 and got["const"]["kappa"] is None
+    dis = got["disjoint"]
+    assert (dis["po"], dis["pe"], dis["kappa"]) == (0.0, 0.0, 0.0)
