@@ -12380,12 +12380,13 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    b = e.agg(
-        F.min(us).alias("_mn"), F.max(us).alias("_mx")
-    )
-    pre = us < F.col("_mn") + F.expr("(_mx - _mn) DIV 2")
+    # metadata-scale collect (two scalars — the min/max-scaler-fit
+    # class): inlining the boundary as a literal keeps the per-user
+    # agg a pure scan+agg with no 1-row broadcast join in the plan
+    mn, mx = e.agg(F.min(us), F.max(us)).first()
+    pre = us < F.lit(int(mn) + (int(mx) - int(mn)) // 2)
     per_user = (
-        e.crossJoin(F.broadcast(b))
+        e
         .groupBy("user_id")
         .agg(
             F.count(F.when(pre, F.col("value"))).alias("_np"),
