@@ -12877,6 +12877,109 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q242 Bradley–Terry fixture: the fixed event-type catalog; each
+#: event row yields one synthetic comparison — opponent
+#: b = catalog[event_id mod 5], a wins iff
+#: (event_id mod 10) < 5 + rank(a) − rank(b) — planting win
+#: probabilities from 0.1 to 0.9 by rank gap, all integer arithmetic
+#: both engines replay exactly.
+_BT_ITEMS = ["click", "error", "purchase", "signup", "view"]
+_BT_ITERS = 20
+
+
+def _bt_oracle_sql() -> str:
+    from btc_usdt_etl_pipeline_spark.operators.stats import bt_schedule
+
+    k = len(_BT_ITEMS)
+    lst = "['" + "','".join(_BT_ITEMS) + "']"
+    waggs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN winner = '{_BT_ITEMS[i]}' AND "
+        f"loser = '{_BT_ITEMS[j]}' THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"AS w_{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+        if i != j
+    )
+    base, rounds = bt_schedule(_BT_ITEMS, _BT_ITERS)
+    ctes = [
+        "bt0 AS MATERIALIZED (SELECT *, "
+        + ", ".join(f"{e} AS {c}" for c, e in base)
+        + " FROM agg)"
+    ]
+    prev = "bt0"
+    for r, stage in enumerate(rounds, 1):
+        ctes.append(
+            f"bt{r} AS MATERIALIZED (SELECT *, "
+            + ", ".join(f"{e} AS {c}" for c, e in stage)
+            + f" FROM {prev})"
+        )
+        prev = f"bt{r}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS item, round(q{_BT_ITERS}_{i}, 6) AS strength, "
+        f"CAST(bt_w_{i} AS BIGINT) AS wins, "
+        f"CAST(bt_l_{i} AS BIGINT) AS losses FROM {prev}"
+        for i, name in enumerate(_BT_ITEMS)
+    )
+    ctes_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH comp AS MATERIALIZED (
+      SELECT CASE WHEN win_a THEN a ELSE b END AS winner,
+             CASE WHEN win_a THEN b ELSE a END AS loser
+      FROM (SELECT event_type AS a,
+                   {lst}[event_id % 5 + 1] AS b,
+                   (event_id % 10) < 5
+                     + (list_position({lst}, event_type) - 1)
+                     - (event_id % 5) AS win_a
+            FROM events WHERE event_type IS NOT NULL)
+      WHERE a != b),
+    agg AS MATERIALIZED (SELECT {waggs} FROM comp),
+    {ctes_sql}
+    {finals}
+    """
+
+
+@_q("q242_bradley_terry", _bt_oracle_sql())
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths from pairwise preferences — the
+    preference-data statistic behind reward-model corpora and ranked
+    evals (chosen/rejected pairs → latent item strengths).  The
+    fixture synthesizes one comparison per event with rank-gap win
+    probabilities (see _BT_ITEMS note); the distributed work is ONE
+    conditional-count aggregation collapsing the corpus to the
+    k(k−1) pair-count row, then 20 MM iterations run as generated
+    column expressions over that metadata row — the SAME schedule
+    text the DuckDB oracle evaluates CTE-by-CTE
+    (operators/stats.py:bradley_terry / bt_schedule, the q227
+    generated-elimination idiom), so every double matches
+    bit-for-bit and only the final 6 dp pin is stated."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import bradley_terry
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    tarr = F.array(*[F.lit(t) for t in _BT_ITEMS])
+    b = F.element_at(tarr, (F.col("event_id") % 5).cast("int") + 1)
+    ra = F.array_position(tarr, F.col("event_type")) - 1
+    rb = F.col("event_id") % 5
+    win_a = (F.col("event_id") % 10) < (F.lit(5) + ra - rb)
+    comp = (
+        e.select(
+            F.col("event_type").alias("a"), b.alias("b"),
+            win_a.alias("win_a"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.when(F.col("win_a"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("winner"),
+            F.when(F.col("win_a"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("loser"),
+        )
+    )
+    return comp.transform(
+        bradley_terry("winner", "loser", _BT_ITEMS, iterations=_BT_ITERS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -200,6 +200,7 @@ HEADLINE = [
     "q239_image_dedup_clusters",
     "q240_containment_pairs",
     "q241_cohens_kappa",
+    "q242_bradley_terry",
 ]
 
 

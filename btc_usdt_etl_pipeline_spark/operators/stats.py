@@ -1310,3 +1310,151 @@ def cohens_kappa(
         )
 
     return _t
+
+
+def bt_schedule(
+    items: Sequence[str], iterations: int
+) -> tuple[list[tuple[str, str]], list[list[tuple[str, str]]]]:
+    """The Bradley–Terry MM iteration schedule as (column, SQL-expr)
+    steps — ONE generator rendered into BOTH engines (the q227
+    generated-elimination idiom), so every +, /, and CASE parses to
+    the identical tree and the doubles match bit-for-bit.
+
+    Step 0 defines the win-total/loss-total columns ``bt_w_i`` /
+    ``bt_l_i`` from the pivoted pair counts ``w_i_j`` (wins of item i
+    over item j); each round r emits the raw MM update
+
+        p{r}_i = bt_w_i / Σ_{j≠i} (w_i_j + w_j_i) / (q{r-1}_i + q{r-1}_j)
+
+    (every denominator fenced in its own CASE — a pair of zero-mass
+    strengths contributes 0, a zero denominator yields strength 0)
+    followed by the normalization columns ``q{r}_i = p{r}_i / Σ p{r}``
+    that pin the scale invariance.  Term order is the generation
+    order, fixed and identical on both sides.
+    """
+    k = len(items)
+    zero, one = "CAST(0 AS DOUBLE)", "CAST(1.0 AS DOUBLE)"
+    base: list[tuple[str, str]] = []
+    for i in range(k):
+        wins = " + ".join(f"w_{i}_{j}" for j in range(k) if j != i)
+        loss = " + ".join(f"w_{j}_{i}" for j in range(k) if j != i)
+        base.append((f"bt_w_{i}", f"({wins})"))
+        base.append((f"bt_l_{i}", f"({loss})"))
+    base.extend((f"q0_{i}", one) for i in range(k))
+    rounds: list[list[tuple[str, str]]] = []
+    for r in range(1, iterations + 1):
+        step: list[tuple[str, str]] = []
+        for i in range(k):
+            terms = []
+            for j in range(k):
+                if j == i:
+                    continue
+                pij = f"(q{r-1}_{i} + q{r-1}_{j})"
+                terms.append(
+                    f"(CASE WHEN {pij} > {zero} THEN "
+                    f"(w_{i}_{j} + w_{j}_{i}) / {pij} ELSE {zero} END)"
+                )
+            d = " + ".join(terms)
+            step.append(
+                (
+                    f"p{r}_{i}",
+                    f"(CASE WHEN ({d}) > {zero} THEN "
+                    f"bt_w_{i} / ({d}) ELSE {zero} END)",
+                )
+            )
+        s = " + ".join(f"p{r}_{i}" for i in range(k))
+        norm = [
+            (
+                f"q{r}_{i}",
+                f"(CASE WHEN ({s}) > {zero} THEN "
+                f"p{r}_{i} / ({s}) ELSE {zero} END)",
+            )
+            for i in range(k)
+        ]
+        # two stages per round: the normalization references the raw
+        # p{r}_* columns, so it must live in its own SELECT/CTE (no
+        # reliance on lateral column aliases in either engine)
+        rounds.append(step)
+        rounds.append(norm)
+    return base, rounds
+
+
+def bradley_terry(
+    winner_col: str,
+    loser_col: str,
+    items: Sequence[str],
+    iterations: int = 20,
+) -> Callable[[DataFrame], DataFrame]:
+    """Bradley–Terry strength estimation from pairwise comparisons —
+    the preference-data statistic behind reward-model corpora and
+    ranked evals (chosen/rejected pairs → per-item latent strengths;
+    Bradley & Terry 1952, MM iteration per Hunter 2004):
+
+        P(i beats j) = π_i / (π_i + π_j)
+        π_i ← W_i / Σ_{j≠i} n_ij / (π_i + π_j),  normalized per round
+
+    Plan: the DISTRIBUTED work is one conditional-count aggregation
+    collapsing billions of comparisons to the k(k−1) pair-count row
+    (map-side combined, one shuffle of partials); the MM iterations
+    run as generated column expressions over that ONE metadata row
+    (:func:`bt_schedule` — no driver loop on the data path, no
+    Python), so the oracle replays the identical expression text.
+    ``items`` is the declared catalog (comparisons outside it are
+    ignored); fenced at ≤ 32 items — at catalog scale use a
+    broadcast-iteration loop (the PageRank shape) instead of a
+    generated schedule.  Converged strengths sum to 1; ties in input
+    produce equal strengths; zero-win items converge to 0.  Returns
+    ``(item, strength, wins, losses)`` with strength pinned at 6 dp.
+    """
+    items = list(items)
+    if not 2 <= len(items) <= 32:
+        raise ValueError("bradley_terry needs 2..32 declared items")
+    if len(set(items)) != len(items):
+        raise ValueError("items must be unique")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    k = len(items)
+
+    def _t(df: DataFrame) -> DataFrame:
+        w, l = F.col(winner_col), F.col(loser_col)
+        aggs = []
+        for i in range(k):
+            for j in range(k):
+                if i == j:
+                    continue
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (w == items[i]) & (l == items[j]), 1
+                        ).otherwise(0)
+                    )
+                    .cast("double")
+                    .alias(f"w_{i}_{j}")
+                )
+        row = df.agg(*aggs)
+        base, rounds = bt_schedule(items, iterations)
+        row = row.select(
+            "*", *[F.expr(e).alias(c) for c, e in base]
+        )
+        for step in rounds:
+            row = row.select(
+                "*", *[F.expr(e).alias(c) for c, e in step]
+            )
+        cells = []
+        for i, name in enumerate(items):
+            cells.extend(
+                [
+                    f"'{name}'",
+                    f"round(q{iterations}_{i}, 6)",
+                    f"CAST(bt_w_{i} AS BIGINT)",
+                    f"CAST(bt_l_{i} AS BIGINT)",
+                ]
+            )
+        return row.select(
+            F.expr(
+                f"stack({k}, {', '.join(cells)}) AS "
+                "(item, strength, wins, losses)"
+            )
+        )
+
+    return _t

@@ -970,3 +970,80 @@ def test_cohens_kappa_matches_reference(spark):
     assert got["const"]["pe"] == 1.0 and got["const"]["kappa"] is None
     dis = got["disjoint"]
     assert (dis["po"], dis["pe"], dis["kappa"]) == (0.0, 0.0, 0.0)
+
+
+def test_bradley_terry_recovers_planted_strengths(spark):
+    """r10 bradley_terry: on comparisons drawn from a known BT model
+    the MM estimate must recover the strength ORDERING and approximate
+    ratios; symmetric data gives equal strengths; zero-win items go to
+    0; strengths sum to 1; validation errors fire."""
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bradley_terry,
+        bt_schedule,
+    )
+
+    items = ["a", "b", "c"]
+    true_p = {"a": 0.6, "b": 0.3, "c": 0.1}
+    rng = _r.Random(17)
+    rows = []
+    for _ in range(4000):
+        i, j = rng.sample(items, 2)
+        pi, pj = true_p[i], true_p[j]
+        if rng.random() < pi / (pi + pj):
+            rows.append((i, j))
+        else:
+            rows.append((j, i))
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {
+        r["item"]: r
+        for r in df.transform(
+            bradley_terry("winner", "loser", items, iterations=50)
+        ).collect()
+    }
+    s = [got[i]["strength"] for i in items]
+    assert abs(sum(s) - 1.0) < 1e-4
+    assert s[0] > s[1] > s[2]
+    assert got["a"]["strength"] == pytest.approx(0.6, abs=0.06)
+    assert got["c"]["strength"] == pytest.approx(0.1, abs=0.05)
+    assert got["a"]["wins"] + got["a"]["losses"] == sum(
+        1 for w, l in rows if "a" in (w, l)
+    )
+
+    # symmetric data -> equal strengths; absent-from-wins item -> 0
+    sym = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"),
+         ("y", "z"), ("z", "y")],
+        "winner string, loser string",
+    )
+    eq = {
+        r["item"]: r["strength"]
+        for r in sym.transform(
+            bradley_terry("winner", "loser", ["x", "y", "z"])
+        ).collect()
+    }
+    assert all(v == pytest.approx(1 / 3, abs=1e-6) for v in eq.values())
+
+    lose_all = spark.createDataFrame(
+        [("x", "z"), ("y", "z"), ("x", "y"), ("y", "x")],
+        "winner string, loser string",
+    )
+    z = {
+        r["item"]: r["strength"]
+        for r in lose_all.transform(
+            bradley_terry("winner", "loser", ["x", "y", "z"])
+        ).collect()
+    }
+    assert z["z"] == 0.0 and z["x"] > 0 and z["y"] > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="items"):
+        bradley_terry("w", "l", ["only_one"])
+    with _pytest.raises(ValueError, match="unique"):
+        bradley_terry("w", "l", ["a", "a"])
+    with _pytest.raises(ValueError, match="iterations"):
+        bradley_terry("w", "l", ["a", "b"], iterations=0)
+    # schedule shape: 2 stages per round
+    base, rounds = bt_schedule(["a", "b"], 3)
+    assert len(rounds) == 6 and len(base) == 2 * 2 + 2
