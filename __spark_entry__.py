@@ -12980,6 +12980,89 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q243_fleiss_kappa",
+    """
+    WITH base AS (SELECT source, doc_id, lang FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL),
+    r AS (
+      SELECT source, doc_id AS it, lang AS lb FROM base
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'x7' ELSE lang END
+      FROM base
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'x11' ELSE lang END
+      FROM base),
+    cell AS (SELECT source, it, lb, COUNT(*)::BIGINT AS nij
+             FROM r GROUP BY source, it, lb),
+    pi AS (SELECT source, it, SUM(nij)::BIGINT AS n,
+                  SUM(nij * nij)::BIGINT AS sq
+           FROM cell GROUP BY source, it),
+    roll AS (SELECT source, COUNT(*)::BIGINT AS n_items,
+                    MIN(n) AS nmin, MAX(n) AS nmax,
+                    SUM(sq)::BIGINT AS sqsum
+             FROM pi GROUP BY source),
+    marg AS (SELECT source, lb, SUM(nij)::BIGINT AS cj
+             FROM cell GROUP BY source, lb),
+    pe AS (SELECT source, SUM(cj * cj)::BIGINT AS pe_num
+           FROM marg GROUP BY source),
+    f AS (SELECT roll.source, n_items, nmin, nmax,
+                 CAST(nmin AS DOUBLE) AS n,
+                 CAST(n_items AS DOUBLE) AS ni,
+                 CAST(sqsum AS DOUBLE) AS sq,
+                 CAST(pe_num AS DOUBLE) AS pn
+          FROM roll JOIN pe ON roll.source = pe.source)
+    SELECT source, n_items,
+           CASE WHEN nmin = nmax AND nmin > 1 THEN nmin END AS n_ratings,
+           CASE WHEN nmin = nmax AND nmin > 1
+                THEN round((sq - ni * n) / (ni * n * (n - 1.0)), 6)
+           END AS p_bar,
+           CASE WHEN nmin = nmax AND nmin > 1
+                THEN round(pn / (ni * n * ni * n), 6) END AS p_e,
+           CASE WHEN nmin = nmax AND nmin > 1
+                     AND pn / (ni * n * ni * n) < 1.0
+                THEN round(((sq - ni * n) / (ni * n * (n - 1.0))
+                            - pn / (ni * n * ni * n))
+                           / (1.0 - pn / (ni * n * ni * n)), 6)
+           END AS kappa
+    FROM f
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ multi-rater agreement per source — Cohen's κ (q241)
+    generalized to anonymous rater panels, the crowd-annotation
+    quality gate: three synthetic raters per document (the stored
+    lang label plus 1-in-7 and 1-in-11 corruptions) rated in LONG
+    form.  Three count aggregations + a metadata rollup, all
+    integer-exact; the constant-rating-count contract is verified
+    in-operator (operators/stats.py:fleiss_kappa)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    ratings = d.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("x7")).otherwise(
+                    F.col("lang")
+                ),
+                F.when(F.col("doc_id") % 11 == 0, F.lit("x11")).otherwise(
+                    F.col("lang")
+                ),
+            )
+        ).alias("label"),
+    )
+    return ratings.transform(
+        fleiss_kappa("item", "label", partition_by="source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -201,6 +201,7 @@ HEADLINE = [
     "q240_containment_pairs",
     "q241_cohens_kappa",
     "q242_bradley_terry",
+    "q243_fleiss_kappa",
 ]
 
 

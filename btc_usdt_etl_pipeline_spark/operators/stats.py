@@ -1458,3 +1458,87 @@ def bradley_terry(
         )
 
     return _t
+
+
+def fleiss_kappa(
+    item_col: str,
+    label_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Fleiss' κ multi-rater agreement per partition — Cohen's κ
+    generalized past two raters (Fleiss 1971): the label-quality gate
+    for crowd-annotated training data, where each item is labeled by
+    n ≥ 2 interchangeable raters.  Input is LONG form — one row per
+    (item, rating); raters are anonymous (Fleiss' model).
+
+        P_i = [Σ_j n_ij² − n] / [n(n−1)]        (per-item agreement)
+        P̄  = mean_i P_i
+        P̄e = Σ_j p_j²,   p_j = Σ_i n_ij / (N·n)
+        κ  = (P̄ − P̄e) / (1 − P̄e)
+
+    Requires a CONSTANT rating count n per item within a partition —
+    the operator verifies it and emits NULL κ (with ``n_ratings``
+    NULL) for partitions violating the contract rather than silently
+    averaging apples and oranges.  Plan: one (item, label) count agg →
+    one per-item agg → one partition rollup, plus a label-marginal
+    agg — all integer counts (exact in double); κ pinned at 6 dp;
+    P̄e = 1 (all raters one label everywhere) emits NULL κ.  Returns
+    ``partition…, n_items, n_ratings, p_bar, p_e, kappa``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(*gcols, F.col(item_col).alias("_it"),
+                 F.col(label_col).alias("_lb"))
+        cell = d.groupBy(*gcols, "_it", "_lb").agg(
+            F.count(F.lit(1)).alias("_nij")
+        )
+        per_item = cell.groupBy(*gcols, "_it").agg(
+            F.sum("_nij").alias("_n"),
+            F.sum(F.col("_nij") * F.col("_nij")).alias("_sq"),
+        )
+        roll = per_item.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("_n").alias("_nmin"),
+            F.max("_n").alias("_nmax"),
+            F.sum("_sq").alias("_sqsum"),
+            F.sum("_n").alias("_ntot"),
+        )
+        marg = cell.groupBy(*gcols, "_lb").agg(
+            F.sum("_nij").alias("_cj")
+        )
+        pe_tab = marg.groupBy(*gcols).agg(
+            F.sum(F.col("_cj") * F.col("_cj")).alias("_pe_num")
+        )
+        joined = (
+            roll.join(pe_tab, gcols) if gcols
+            else roll.crossJoin(pe_tab)
+        )
+        const_n = (F.col("_nmin") == F.col("_nmax")) & (
+            F.col("_nmin") > 1
+        )
+        n = F.col("_nmin").cast("double")
+        ni = F.col("n_items").cast("double")
+        # P̄ = [Σ_i Σ_j n_ij² − N·n] / [N·n·(n−1)]; the divisor is
+        # fenced in its own conditional — ANSI faults a zero divisor
+        # (single-rating items, n = 1) even under the downstream gate
+        p_bar = (
+            F.col("_sqsum").cast("double") - ni * n
+        ) / F.when(const_n, ni * n * (n - F.lit(1.0)))
+        p_e = F.col("_pe_num").cast("double") / (ni * n * ni * n)
+        kappa = F.when(
+            const_n & (p_e < 1.0),
+            F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6),
+        )
+        return joined.select(
+            *gcols,
+            "n_items",
+            F.when(const_n, F.col("_nmin")).alias("n_ratings"),
+            F.when(const_n, F.round(p_bar, 6)).alias("p_bar"),
+            F.when(const_n, F.round(p_e, 6)).alias("p_e"),
+            kappa.alias("kappa"),
+        )
+
+    return _t

@@ -1047,3 +1047,54 @@ def test_bradley_terry_recovers_planted_strengths(spark):
     # schedule shape: 2 stages per round
     base, rounds = bt_schedule(["a", "b"], 3)
     assert len(rounds) == 6 and len(base) == 2 * 2 + 2
+
+
+def test_fleiss_kappa_matches_reference(spark):
+    """r10 fleiss_kappa vs the worked Wikipedia/Fleiss-1971 example
+    (14 items × 5 raters × 5 categories, κ ≈ 0.2099), plus perfect
+    agreement (κ = 1), uniform disagreement (κ < 0), the
+    constant-n contract violation (NULL), and the pe = 1 fence."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import fleiss_kappa
+
+    # the classic 14×5 table: rows are per-item category counts
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for it, counts in enumerate(table):
+        for cat, c in enumerate(counts):
+            rows += [("fleiss", it, f"c{cat}")] * c
+    rows += [("perfect", i, "same" if i % 2 else "also")
+             for i in range(6) for _ in range(3)]
+    # ragged: one item has 2 ratings, another 3 → contract violation
+    rows += [("ragged", 1, "a"), ("ragged", 1, "b"),
+             ("ragged", 2, "a"), ("ragged", 2, "a"), ("ragged", 2, "b")]
+    rows += [("allsame", i, "only") for i in range(4) for _ in range(2)]
+    df = spark.createDataFrame(rows, "p string, item long, label string")
+    got = {
+        r["p"]: r
+        for r in df.transform(
+            fleiss_kappa("item", "label", partition_by="p")
+        ).collect()
+    }
+
+    # hand-computed reference for the 10×14 subtable above
+    n, ni = 14.0, float(len(table))
+    sq = sum(c * c for row in table for c in row)
+    p_bar = (sq - ni * n) / (ni * n * (n - 1.0))
+    cj = [sum(row[j] for row in table) for j in range(5)]
+    p_e = sum(c * c for c in cj) / (ni * n * ni * n)
+    want = (p_bar - p_e) / (1 - p_e)
+    g = got["fleiss"]
+    assert (g["n_items"], g["n_ratings"]) == (10, 14)
+    assert g["kappa"] == pytest.approx(want, abs=1e-6)
+    assert g["p_bar"] == pytest.approx(p_bar, abs=1e-6)
+
+    assert got["perfect"]["kappa"] == 1.0
+    r = got["ragged"]
+    assert r["n_ratings"] is None and r["kappa"] is None
+    a = got["allsame"]
+    assert a["p_e"] == 1.0 and a["kappa"] is None
