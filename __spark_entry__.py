@@ -13235,7 +13235,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (dedup keeps q62/q66 + the new q233 in-window).
 #: End of round 10 promoted the remaining five r10-new operators
 #: (q235 CUPED, q237 SRM, q238 delta-method ratio, q240 containment,
-#: q241 Cohen's κ — every one oracle-green this session), demoting
+#: q241 Cohen's κ — every one oracle-green this session; q242
+#: Bradley–Terry joined late, a brand-NEW preference-data family with
+#: no in-window cousin, demoting q218 IPS whose eval family holds ten
+#: in-window reps), demoting
 #: five long-green family-redundant rows: q66 (dedup composites keep
 #: q62 + q233/q239-family; q240 adds containment in-window), q100
 #: (financial keeps q181/q216), q139 (text keeps q131/q143-q145/
@@ -13264,6 +13267,7 @@ _PRIORITY_WINDOW = [
     "q238_ratio_metric_delta",# delta-method ratio metric (r10 NEW op)
     "q240_containment_pairs", # asymmetric containment dedup (r10 NEW op)
     "q241_cohens_kappa",      # inter-annotator agreement (r10 NEW op)
+    "q242_bradley_terry",     # preference-strength MM (r10 NEW family)
     "q48_grouping_sets",      # rollup/cube/grouping sets family
     "q58_stateful_extrema",   # applyInPandasWithState
     "q62_dedup_clusters",     # connected components
@@ -13285,7 +13289,6 @@ _PRIORITY_WINDOW = [
     "q195_association_rules", # market-basket support/confidence/lift
     "q199_weighted_median",   # bucketed weighted-quantile scale path
     "q216_cross_correlation", # lead-lag CCF (correlation family rep)
-    "q218_ips_off_policy",    # IPS/SNIPS off-policy value
     "q219_nearest_facility",  # grid-bounded kNN geo join
     "q220_interpolate_gaps",  # linear gap interpolation
     "q221_weighted_p90",      # exact rational-q weighted quantile
