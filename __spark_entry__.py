@@ -13063,6 +13063,412 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q244_retrieval_metrics",
+    """
+    WITH d AS (SELECT user_id % 50 AS qid, event_id, value,
+                      CASE WHEN event_id % 7 = 0 THEN 3.0
+                           WHEN event_id % 5 = 0 THEN 1.0
+                           ELSE 0.0 END AS rel
+               FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL
+                     AND event_id IS NOT NULL),
+    r AS (SELECT qid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY value DESC, event_id) AS i
+          FROM d),
+    r2 AS (SELECT qid, rel, i,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, i) AS ii,
+                  SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY qid ORDER BY i) AS cum_rel
+           FROM r),
+    t AS (SELECT qid, i,
+                 CASE WHEN rel > 0 THEN 1 ELSE 0 END AS hit,
+                 CAST(CASE WHEN i <= 10
+                           THEN (POWER(2.0, rel) - 1.0)
+                                / LOG2(CAST(i AS DOUBLE) + 1.0)
+                           ELSE 0.0 END AS DECIMAL(38,6)) AS dcg,
+                 CAST(CASE WHEN ii <= 10
+                           THEN (POWER(2.0, rel) - 1.0)
+                                / LOG2(CAST(ii AS DOUBLE) + 1.0)
+                           ELSE 0.0 END AS DECIMAL(38,6)) AS idcg,
+                 CAST(CASE WHEN rel > 0
+                           THEN CAST(cum_rel AS DOUBLE)
+                                / CAST(i AS DOUBLE)
+                           ELSE 0.0 END AS DECIMAL(38,6)) AS apt
+          FROM r2),
+    a AS (SELECT qid, COUNT(*)::BIGINT AS n_docs,
+                 SUM(hit)::BIGINT AS n_rel,
+                 CAST(SUM(dcg) AS DOUBLE) AS sdcg,
+                 CAST(SUM(idcg) AS DOUBLE) AS sidcg,
+                 CAST(SUM(apt) AS DOUBLE) AS sap,
+                 MIN(CASE WHEN hit = 1 THEN i END) AS fh
+          FROM t GROUP BY qid)
+    SELECT qid, n_docs, n_rel,
+           CASE WHEN sidcg > 0 THEN round(sdcg / sidcg, 6) END
+             AS ndcg_10,
+           CASE WHEN fh IS NOT NULL
+                THEN 1.0 / CAST(fh AS DOUBLE) END AS rr,
+           CASE WHEN n_rel > 0
+                THEN round(sap / CAST(n_rel AS DOUBLE), 6) END AS ap
+    FROM a
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval — NDCG@10 / reciprocal rank / average precision
+    per query, the search/RAG/recommender scorecard.  Fixture: events
+    bucketed into 50 queries (user_id mod 50), ranked by value with
+    event_id as the unique tiebreaker, graded relevance planted from
+    event_id residues (3 for mod-7 hits, 1 for mod-5).  Two windows
+    keyed by the query id (many small partitions — no global sort)
+    plus one agg; DCG/AP terms 6 dp-decimal-rounded before the
+    order-free sum per the drift-module contract
+    (operators/ranking.py:retrieval_metrics)."""
+    from btc_usdt_etl_pipeline_spark.operators.ranking import (
+        retrieval_metrics,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 50).alias("qid"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(3.0))
+        .when(F.col("event_id") % 5 == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rel"),
+    )
+    return d.transform(
+        retrieval_metrics(
+            "qid",
+            [F.col("value").desc(), F.col("event_id")],
+            "rel",
+            k=10,
+        )
+    ).orderBy("qid")
+
+
+@_q(
+    "q245_roc_auc",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS pos,
+                      CAST(event_id % 100
+                           + CASE WHEN event_id % 5 = 0 THEN 50
+                                  ELSE 0 END AS DOUBLE) AS score
+               FROM events
+               WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+    r AS (SELECT seg, pos,
+                 RANK() OVER (PARTITION BY seg ORDER BY score) AS mr,
+                 COUNT(*) OVER (PARTITION BY seg, score) AS c
+          FROM d),
+    a AS (SELECT seg, SUM(pos)::BIGINT AS n_pos,
+                 SUM(1 - pos)::BIGINT AS n_neg,
+                 CAST(SUM(CAST(CASE WHEN pos = 1
+                      THEN CAST(mr AS DOUBLE) + (c - 1) / 2.0
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+                   AS rpos
+          FROM r GROUP BY seg),
+    f AS (SELECT seg, n_pos, n_neg,
+                 CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN round((rpos - CAST(n_pos AS DOUBLE)
+                                  * (CAST(n_pos AS DOUBLE) + 1.0)
+                                  / 2.0)
+                                 / (CAST(n_pos AS DOUBLE)
+                                    * CAST(n_neg AS DOUBLE)), 6)
+                 END AS auc
+          FROM a)
+    SELECT seg, n_pos, n_neg, auc,
+           round(2.0 * auc - 1.0, 6) AS gini
+    FROM f
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per segment from raw (score, label) rows — the
+    threshold-free quality-scorer metric, computed by the rank-sum
+    identity AUC = U⁺/(n⁺n⁻) with tie-averaged ranks (ties planted:
+    integer scores, positives shifted +50 so the fixture AUC is
+    well above 0.5).  Ranks ride group_ranks' strategy machinery —
+    window plan here, bucketed-counts plan past the size gate,
+    bit-identical — then one agg and one exact division, 6 dp pinned
+    (operators/stats.py:roc_auc)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import roc_auc
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("seg"),
+        (F.col("event_id") % 5 == 0).alias("pos"),
+        (
+            (F.col("event_id") % 100)
+            + F.when(F.col("event_id") % 5 == 0, F.lit(50)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("double")
+        .alias("score"),
+    )
+    return d.transform(roc_auc("score", "pos", partition_by="seg"))
+
+
+@_q(
+    "q246_js_divergence",
+    """
+    WITH d AS (SELECT source,
+                      CASE WHEN doc_id % 9 = 0 THEN 'xx'
+                           ELSE lang END AS cat,
+                      CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT source, cat, SUM(1 - cur)::BIGINT AS nr,
+                 SUM(cur)::BIGINT AS nc
+          FROM d GROUP BY source, cat),
+    w AS (SELECT source, cat, nr, nc,
+                 CAST(SUM(nr) OVER (PARTITION BY source) AS BIGINT)
+                   AS tr,
+                 CAST(SUM(nc) OVER (PARTITION BY source) AS BIGINT)
+                   AS tc
+          FROM c),
+    t AS (SELECT source, tr, tc,
+                 CAST(
+                   CASE WHEN nr > 0
+                        THEN 0.5 * (CAST(nr AS DOUBLE)
+                                    / NULLIF(CAST(tr AS DOUBLE), 0))
+                             * ln((CAST(nr AS DOUBLE)
+                                   / NULLIF(CAST(tr AS DOUBLE), 0))
+                                  / ((CAST(nr AS DOUBLE)
+                                      / NULLIF(CAST(tr AS DOUBLE), 0)
+                                      + CAST(nc AS DOUBLE)
+                                      / NULLIF(CAST(tc AS DOUBLE), 0))
+                                     / 2.0))
+                        ELSE 0.0 END
+                 + CASE WHEN nc > 0
+                        THEN 0.5 * (CAST(nc AS DOUBLE)
+                                    / NULLIF(CAST(tc AS DOUBLE), 0))
+                             * ln((CAST(nc AS DOUBLE)
+                                   / NULLIF(CAST(tc AS DOUBLE), 0))
+                                  / ((CAST(nr AS DOUBLE)
+                                      / NULLIF(CAST(tr AS DOUBLE), 0)
+                                      + CAST(nc AS DOUBLE)
+                                      / NULLIF(CAST(tc AS DOUBLE), 0))
+                                     / 2.0))
+                        ELSE 0.0 END
+                 AS DECIMAL(38,6)) AS term
+          FROM w)
+    SELECT source, MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+           CASE WHEN MAX(tr) > 0 AND MAX(tc) > 0
+                THEN CAST(SUM(term) AS DOUBLE) END AS jsd
+    FROM t GROUP BY source
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence per source between the reference and
+    current document-language distributions — the categorical drift
+    statistic beside PSI (q183, binned scalar) and KS (q184,
+    continuous): symmetric, bounded by ln 2, no smoothing needed
+    because the mixture is positive wherever either side has mass.
+    Fixture plants drift by relabeling the mod-9 slice of the
+    current (mod-3) side.  One (source, cat, side) count shuffle,
+    then proportions + ln terms on the reduced table, 6 dp-decimal
+    term rounding (operators/drift.py:js_divergence)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import js_divergence
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    rows = d.select(
+        "source",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("cat"),
+        (F.col("doc_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        js_divergence("cat", F.col("is_cur"), group_by="source")
+    )
+
+
+@_q(
+    "q247_chi_square",
+    """
+    WITH d AS (SELECT doc_id % 4 AS fold, lang AS a,
+                      CASE WHEN doc_id % 6 = 0 THEN 'dep_' || lang
+                           ELSE source END AS b
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+    cells AS (SELECT fold, a, b, COUNT(*)::BIGINT AS o
+              FROM d GROUP BY fold, a, b),
+    grid AS (SELECT ga.fold, ga.a, gb.b
+             FROM (SELECT DISTINCT fold, a FROM cells) ga
+             JOIN (SELECT DISTINCT fold, b FROM cells) gb
+               ON ga.fold = gb.fold),
+    dense AS (SELECT grid.fold, grid.a, grid.b,
+                     COALESCE(o, 0)::BIGINT AS o
+              FROM grid LEFT JOIN cells
+                ON grid.fold = cells.fold AND grid.a = cells.a
+                   AND grid.b = cells.b),
+    m AS (SELECT fold, a, b, o,
+                 CAST(SUM(o) OVER (PARTITION BY fold) AS BIGINT)
+                   AS nn,
+                 CAST(SUM(o) OVER (PARTITION BY fold, a) AS DOUBLE)
+                   AS ra,
+                 CAST(SUM(o) OVER (PARTITION BY fold, b) AS DOUBLE)
+                   AS cb
+          FROM dense),
+    t AS (SELECT fold, nn, a, b,
+                 CAST(CASE WHEN ra * cb / CAST(nn AS DOUBLE) > 0
+                      THEN (CAST(o AS DOUBLE)
+                            - ra * cb / CAST(nn AS DOUBLE))
+                           * (CAST(o AS DOUBLE)
+                              - ra * cb / CAST(nn AS DOUBLE))
+                           / (ra * cb / CAST(nn AS DOUBLE))
+                      ELSE 0.0 END AS DECIMAL(38,6)) AS term
+          FROM m),
+    agg AS (SELECT fold, MAX(nn) AS n,
+                   COUNT(DISTINCT a)::BIGINT AS r,
+                   COUNT(DISTINCT b)::BIGINT AS c,
+                   CAST(SUM(term) AS DOUBLE) AS chi2r
+            FROM t GROUP BY fold)
+    SELECT fold, n, r, c, (r - 1) * (c - 1) AS dof,
+           CASE WHEN (r - 1) * (c - 1) > 0 THEN round(chi2r, 6) END
+             AS chi2,
+           CASE WHEN (r - 1) * (c - 1) > 0
+                THEN round(sqrt(chi2r / (CAST(n AS DOUBLE)
+                                         * least(r - 1, c - 1))), 6)
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test + Cramér's V per fold — the
+    label-vs-slice bias detector (is language independent of source?).
+    Fixture plants dependence by rewriting the mod-6 slice's source
+    to a lang-derived value.  One cell-count shuffle; the r×c grid is
+    densified per fold (observed-zero cells still contribute their
+    expected mass) at categories×categories metadata scale; per-cell
+    terms 6 dp-decimal-rounded before the order-free sum
+    (operators/stats.py:chi_square_independence)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    rows = d.select(
+        (F.col("doc_id") % 4).alias("fold"),
+        F.col("lang").alias("a"),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.lit("dep_"), F.col("lang"))
+        )
+        .otherwise(F.col("source"))
+        .alias("b"),
+    )
+    return rows.transform(
+        chi_square_independence("a", "b", partition_by="fold")
+    )
+
+
+@_q(
+    "q248_krippendorff_alpha",
+    """
+    WITH base AS (SELECT source, doc_id, lang FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL),
+    r AS (
+      SELECT source, doc_id AS it, lang AS lb FROM base
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'x7' ELSE lang END
+      FROM base
+      UNION ALL
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'x11' ELSE lang END
+      FROM base WHERE doc_id % 4 != 0),
+    nic AS (SELECT source, it, lb, COUNT(*)::BIGINT AS nic
+            FROM r GROUP BY source, it, lb),
+    ni AS (SELECT source, it, lb, nic,
+                  CAST(SUM(nic) OVER (PARTITION BY source, it)
+                       AS BIGINT) AS ni
+           FROM nic),
+    p AS (SELECT * FROM ni WHERE ni >= 2),
+    terms AS (SELECT source, it, lb, nic, ni,
+                     CAST(CAST(nic AS DOUBLE)
+                          * CAST(ni - nic AS DOUBLE)
+                          / CAST(ni - 1 AS DOUBLE)
+                          AS DECIMAL(38,6)) AS dot
+              FROM p),
+    do_ AS (SELECT source, COUNT(DISTINCT it)::BIGINT AS n_pairable,
+                   CAST(SUM(dot) AS DOUBLE) AS do_num
+            FROM terms GROUP BY source),
+    marg AS (SELECT source, lb, SUM(nic)::BIGINT AS ncnt
+             FROM terms GROUP BY source, lb),
+    de AS (SELECT source,
+                  CAST(SUM(ncnt * (tot - ncnt)) AS BIGINT) AS de_num,
+                  MAX(tot)::BIGINT AS n
+           FROM (SELECT source, lb, ncnt,
+                        CAST(SUM(ncnt) OVER (PARTITION BY source)
+                             AS BIGINT) AS tot
+                 FROM marg)
+           GROUP BY source),
+    items AS (SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_items
+              FROM base GROUP BY source)
+    SELECT items.source, n_items, n_pairable,
+           CASE WHEN de_num > 0 AND n_pairable > 0
+                THEN round(1.0 - (do_num / CAST(n AS DOUBLE))
+                           / (CAST(de_num AS DOUBLE)
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0))), 6)
+           END AS alpha
+    FROM items
+    JOIN do_ ON items.source = do_.source
+    JOIN de ON items.source = de.source
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α (nominal) per source — the agreement
+    coefficient for annotation batches with MISSING ratings, which is
+    how real multi-rater data arrives (Fleiss q243 requires a
+    constant panel).  Fixture: the q243 three-rater replay, but the
+    third rater skips the mod-4 slice, so items carry 2 or 3 ratings
+    and the pairable-count machinery is exercised.  Two count
+    shuffles; per-item disagreement terms 6 dp-decimal-rounded, the
+    expected-disagreement side pure integer until one division
+    (operators/stats.py:krippendorff_alpha)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    ratings = d.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("x7")).otherwise(
+                    F.col("lang")
+                ),
+                F.when(F.col("doc_id") % 4 != 0,
+                       F.when(F.col("doc_id") % 11 == 0, F.lit("x11"))
+                       .otherwise(F.col("lang"))),
+            )
+        ).alias("label"),
+    )
+    return ratings.transform(
+        krippendorff_alpha("item", "label", partition_by="source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

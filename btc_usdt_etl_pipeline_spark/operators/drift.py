@@ -195,3 +195,85 @@ def ks_statistic(
         )
 
     return _t
+
+
+def js_divergence(
+    cat_col: str,
+    is_current: Column,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "jsd",
+) -> Callable[[DataFrame], DataFrame]:
+    """Jensen–Shannon divergence per group between the reference
+    sample (``is_current`` false) and the current sample
+    (``is_current`` true) over a CATEGORICAL column — the third drift
+    statistic alongside :func:`psi` (binned scalar) and
+    :func:`ks_statistic` (continuous): symmetric, bounded in
+    [0, ln 2], and defined without smoothing because the mixture
+    m = (p+q)/2 is positive wherever either side has mass
+    (0·ln 0 ≡ 0 handles the rest).
+
+        JSD = ½ Σ_c p_c ln(p_c/m_c) + ½ Σ_c q_c ln(q_c/m_c)
+
+    One data-scale shuffle (the (group, category, side) count agg);
+    proportions and terms run on the reduced categories×groups table
+    via one per-group window.  Groups with either side empty emit
+    NULL (no distribution to compare).  NULL categories are dropped.
+    Same determinism contract as PSI: each ln term is rounded to 6 dp
+    via the exact-decimal cast before the order-free sum.  Returns
+    one row per group: ``group_by…, n_ref, n_cur, jsd``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(cat_col).isNotNull())
+            .groupBy(*gcols, F.col(cat_col).alias("_cat"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_n_ref"),
+                F.sum(cur).alias("_n_cur"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        tot_ref = F.sum("_n_ref").over(wg)
+        tot_cur = F.sum("_n_cur").over(wg)
+        # try_divide: an empty side (total 0) yields NULL proportions →
+        # NULL terms → the when-gate below emits NULL, instead of an
+        # ANSI divide-by-zero fault.
+        p = F.try_divide(
+            F.col("_n_ref").cast("double"), tot_ref.cast("double")
+        )
+        q = F.try_divide(
+            F.col("_n_cur").cast("double"), tot_cur.cast("double")
+        )
+        m = (p + q) / F.lit(2.0)
+        term = (
+            F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+                F.lit(0.0)
+            )
+            + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+                F.lit(0.0)
+            )
+        )
+        per_cat = counts.select(
+            *gcols,
+            term.cast(DEC).alias("_term"),
+            tot_ref.alias("_tr"),
+            tot_cur.alias("_tc"),
+        )
+        agg = per_cat.groupBy(*gcols).agg(
+            F.first("_tr").alias("n_ref"),
+            F.first("_tc").alias("n_cur"),
+            F.sum("_term").cast("double").alias("_jsd"),
+        )
+        return agg.select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.col("_jsd"),
+            ).alias(out),
+        )
+
+    return _t

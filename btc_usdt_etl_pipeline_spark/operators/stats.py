@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.functions import DEC
@@ -1539,6 +1539,290 @@ def fleiss_kappa(
             F.when(const_n, F.round(p_bar, 6)).alias("p_bar"),
             F.when(const_n, F.round(p_e, 6)).alias("p_e"),
             kappa.alias("kappa"),
+        )
+
+    return _t
+
+
+def roc_auc(
+    score_col: str,
+    label_col: str,
+    partition_by: str | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """ROC AUC per partition from raw (score, binary label) rows — the
+    threshold-free classifier metric an eval pipeline reports for every
+    quality / toxicity / relevance scorer.  Uses the rank identity
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    with tie-AVERAGED ranks over the combined sample (the Mann–Whitney
+    U statistic normalized by the pair count — ties contribute the
+    textbook 0.5).  Gini = 2·AUC − 1 rides along.
+
+    Ranks are delegated to :func:`…operators.windows.group_ranks`, so
+    the ``strategy`` contract applies: ``window`` is one ordered window
+    per partition, ``counts`` the bucketed-rank plan with no
+    full-partition sort task, ``auto`` swaps on the Catalyst size
+    estimate with bit-identical output.  Rank sums are exact
+    half-integers through the decimal idiom; AUC is then ONE exact IEEE
+    division, pinned at 6 dp.  Degenerate partitions (all-positive or
+    all-negative) emit NULL.  NULL score / NULL label rows are dropped.
+    Returns ``partition…, n_pos, n_neg, auc, gini``.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(
+            *gcols,
+            score_col,
+            F.col(label_col).cast("boolean").alias("_pos"),
+        )
+        r = d.transform(
+            group_ranks(
+                score_col, group_by=partition_by, strategy=strategy
+            )
+        )
+        agg = r.groupBy(*gcols).agg(
+            F.sum(F.col("_pos").cast("long")).alias("n_pos"),
+            F.sum((~F.col("_pos")).cast("long")).alias("n_neg"),
+            F.sum(
+                F.when(F.col("_pos"), F.col("avg_rank"))
+                .otherwise(F.lit(0.0))
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("_rpos"),
+        )
+        npos = F.col("n_pos").cast("double")
+        nneg = F.col("n_neg").cast("double")
+        u_pos = F.col("_rpos") - npos * (npos + F.lit(1.0)) / F.lit(2.0)
+        auc = F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(u_pos / (npos * nneg), 6),
+        )
+        return agg.select(
+            *gcols,
+            "n_pos",
+            "n_neg",
+            auc.alias("auc"),
+            F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+        )
+
+    return _t
+
+
+def chi_square_independence(
+    col_a: str,
+    col_b: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Pearson χ² test of independence between two categorical columns
+    per partition, with Cramér's V effect size — the drift / bias
+    detector for label-vs-slice contingency (is quality grade
+    independent of source?  is refusal label independent of language?).
+
+        χ² = Σ_cells (o − e)² / e,   e = row_total · col_total / N
+        V  = sqrt(χ² / (N · min(r−1, c−1)))
+
+    Every cell of the r×c grid contributes — including observed-zero
+    cells (o = 0, e > 0 ⇒ term = e) — so the observed (a, b) counts are
+    densified against the per-partition distinct-a × distinct-b grid
+    (metadata scale: categories × categories) before the term sum.
+    One data-scale shuffle (the cell-count agg); marginals and the
+    grid run on the reduced table.
+
+    Per-cell terms carry a division, so each is rounded to 6 dp via the
+    exact-decimal cast before the order-free sum; χ² and V are pinned
+    at 6 dp.  Degenerate partitions (r < 2 or c < 2 ⇒ dof = 0) emit
+    NULL χ².  NULL category rows are dropped.  Returns
+    ``partition…, n, r, c, dof, chi2, cramers_v``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+        cells = d.groupBy(*gcols, col_a, col_b).agg(
+            F.count(F.lit(1)).alias("_o")
+        )
+        grid = (
+            cells.select(*gcols, col_a)
+            .distinct()
+            .join(cells.select(*gcols, col_b).distinct(), gcols or None)
+            if gcols
+            else cells.select(col_a)
+            .distinct()
+            .crossJoin(cells.select(col_b).distinct())
+        )
+        dense = grid.join(cells, [*gcols, col_a, col_b], "left").select(
+            *gcols,
+            col_a,
+            col_b,
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wa = (
+            Window.partitionBy(*gcols, col_a)
+            if gcols
+            else Window.partitionBy(col_a)
+        )
+        wb = (
+            Window.partitionBy(*gcols, col_b)
+            if gcols
+            else Window.partitionBy(col_b)
+        )
+        n = F.sum("_o").over(wg)
+        ra = F.sum("_o").over(wa)
+        cb = F.sum("_o").over(wb)
+        e = ra.cast("double") * cb.cast("double") / n.cast("double")
+        o = F.col("_o").cast("double")
+        term = F.when(e > 0, (o - e) * (o - e) / e).otherwise(
+            F.lit(0.0)
+        )
+        per_cell = dense.select(
+            *gcols,
+            term.cast(DEC).alias("_term"),
+            n.alias("_n"),
+            F.col(col_a).alias("_a"),
+            F.col(col_b).alias("_b"),
+        )
+        agg = per_cell.groupBy(*gcols).agg(
+            F.first("_n").alias("n"),
+            F.countDistinct("_a").alias("r"),
+            F.countDistinct("_b").alias("c"),
+            F.sum("_term").cast("double").alias("_chi2"),
+        )
+        dof = (F.col("r") - 1) * (F.col("c") - 1)
+        mind = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        chi2 = F.when(dof > 0, F.round(F.col("_chi2"), 6))
+        v = F.when(
+            dof > 0,
+            F.round(
+                F.sqrt(
+                    F.col("_chi2") / (F.col("n").cast("double") * mind)
+                ),
+                6,
+            ),
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            "r",
+            "c",
+            dof.alias("dof"),
+            chi2.alias("chi2"),
+            v.alias("cramers_v"),
+        )
+
+    return _t
+
+
+def krippendorff_alpha(
+    item_col: str,
+    label_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Krippendorff's α (nominal) per partition from long-form
+    (item, label) rating rows — the agreement coefficient that, unlike
+    Fleiss' κ (fleiss_kappa above), tolerates MISSING ratings: items
+    may carry any number of ratings ≥ 2, which is how real annotation
+    batches arrive (overlap subsets, dropped raters).
+
+        D_o = (1/n) Σ_items Σ_c n_ic (n_i − n_ic) / (n_i − 1)
+        D_e = (1/(n(n−1))) Σ_c n_c (n − n_c)
+        α   = 1 − D_o / D_e
+
+    where n_ic counts label c on item i, n_i = Σ_c n_ic (items with
+    n_i < 2 are unpairable and EXCLUDED everywhere, per the textbook
+    definition), and n_c / n are the totals over pairable items.
+
+    Two shuffles: the (item, label) count agg (data scale) and the
+    label-marginal rollup (reduced scale).  Per-item disagreement
+    terms divide by (n_i − 1), so each is rounded to 6 dp via the
+    exact-decimal cast before the order-free sum; D_e is integer
+    arithmetic over label totals with ONE exact division.  α pinned at
+    6 dp; NULL when D_e = 0 (all pairable ratings share one label) or
+    no pairable item exists.  NULL item / label rows are dropped.
+    Returns ``partition…, n_items, n_pairable, alpha``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        nic = d.groupBy(*gcols, item_col, label_col).agg(
+            F.count(F.lit(1)).alias("_nic")
+        )
+        wi = (
+            Window.partitionBy(*gcols, item_col)
+            if gcols
+            else Window.partitionBy(item_col)
+        )
+        ni = F.sum("_nic").over(wi)
+        pairable = nic.withColumn("_ni", ni).where(F.col("_ni") >= 2)
+        # per-(item,label) observed-disagreement term
+        t = (
+            F.col("_nic").cast("double")
+            * (F.col("_ni") - F.col("_nic")).cast("double")
+            / (F.col("_ni") - F.lit(1)).cast("double")
+        )
+        terms = pairable.select(
+            *gcols,
+            item_col,
+            F.col(label_col).alias("_lbl"),
+            "_nic",
+            "_ni",
+            t.cast(DEC).alias("_do_term"),
+        )
+        # label marginals over pairable items (reduced scale)
+        marg = terms.groupBy(*gcols, "_lbl").agg(
+            F.sum("_nic").alias("_nc")
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        de = marg.select(
+            *gcols,
+            (F.col("_nc") * (F.sum("_nc").over(wg) - F.col("_nc")))
+            .alias("_de_term"),
+            F.sum("_nc").over(wg).alias("_n"),
+        ).groupBy(*gcols).agg(
+            F.sum("_de_term").alias("_de_num"),
+            F.first("_n").alias("_n"),
+        )
+        do = terms.groupBy(*gcols).agg(
+            F.countDistinct(item_col).alias("n_pairable"),
+            F.sum("_do_term").cast("double").alias("_do_num"),
+        )
+        n_items = d.groupBy(*gcols).agg(
+            F.countDistinct(item_col).alias("n_items")
+        )
+        # Left joins: a partition with NO pairable item still emits its
+        # row (NULL alpha) instead of vanishing.
+        joined = (
+            n_items.join(do, gcols, "left").join(de, gcols, "left")
+            if gcols
+            else n_items.crossJoin(do).crossJoin(de)
+        )
+        nn = F.col("_n").cast("double")
+        d_o = F.col("_do_num") / nn
+        d_e = F.col("_de_num").cast("double") / (
+            nn * (nn - F.lit(1.0))
+        )
+        alpha = F.when(
+            (F.col("_de_num") > 0) & (F.col("n_pairable") > 0),
+            F.round(F.lit(1.0) - d_o / d_e, 6),
+        )
+        return joined.select(
+            *gcols,
+            "n_items",
+            F.coalesce("n_pairable", F.lit(0)).alias("n_pairable"),
+            alpha.alias("alpha"),
         )
 
     return _t
