@@ -13469,6 +13469,336 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q249_mutual_information",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS a,
+                      CASE WHEN event_id % 3 = 0 THEN event_type
+                           ELSE CAST(user_id % 4 AS VARCHAR) END AS b
+               FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                     AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    cells AS (SELECT dow, a, b, COUNT(*)::BIGINT AS o
+              FROM d GROUP BY dow, a, b),
+    m AS (SELECT dow, a, b, o,
+                 CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS nn,
+                 CAST(SUM(o) OVER (PARTITION BY dow, a) AS DOUBLE)
+                   AS na,
+                 CAST(SUM(o) OVER (PARTITION BY dow, b) AS DOUBLE)
+                   AS nb,
+                 ROW_NUMBER() OVER (PARTITION BY dow, a ORDER BY b)
+                   AS rna,
+                 ROW_NUMBER() OVER (PARTITION BY dow, b ORDER BY a)
+                   AS rnb
+          FROM cells),
+    t AS (SELECT dow, nn,
+                 CAST((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                      * ln((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                           / ((na / CAST(nn AS DOUBLE))
+                              * (nb / CAST(nn AS DOUBLE))))
+                      AS DECIMAL(38,6)) AS mi,
+                 CAST(CASE WHEN rna = 1
+                      THEN -(na / CAST(nn AS DOUBLE))
+                           * ln(na / CAST(nn AS DOUBLE))
+                      ELSE 0.0 END AS DECIMAL(38,6)) AS ha,
+                 CAST(CASE WHEN rnb = 1
+                      THEN -(nb / CAST(nn AS DOUBLE))
+                           * ln(nb / CAST(nn AS DOUBLE))
+                      ELSE 0.0 END AS DECIMAL(38,6)) AS hb
+          FROM m),
+    agg AS (SELECT dow, MAX(nn) AS n,
+                   CAST(SUM(mi) AS DOUBLE) AS smi,
+                   CAST(SUM(ha) AS DOUBLE) AS sha,
+                   CAST(SUM(hb) AS DOUBLE) AS shb
+            FROM t GROUP BY dow)
+    SELECT dow, n, round(smi, 6) AS mi, round(sha, 6) AS h_a,
+           round(shb, 6) AS h_b,
+           CASE WHEN sha > 0 AND shb > 0
+                THEN round(smi / sqrt(sha * shb), 6) END AS nmi
+    FROM agg
+    """,
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + marginal entropies + NMI per weekday —
+    the effect-size companion to q247's χ²: how many nats of the
+    slice label does the event type carry?  Fixture plants dependence
+    by copying the event type into the slice label on the mod-3
+    subset.  One cell-count shuffle; marginals and per-level entropy
+    terms ride windows on the reduced cell table (levels emit once
+    via a first-cell row_number guard — tie-order-free because any
+    cell of the level carries the same term)
+    (operators/stats.py:mutual_information)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        mutual_information,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_type").alias("a"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise((F.col("user_id") % 4).cast("string"))
+        .alias("b"),
+    )
+    return rows.transform(
+        mutual_information("a", "b", partition_by="dow")
+    )
+
+
+@_q(
+    "q250_fdr_bh",
+    """
+    WITH cells AS (SELECT event_type AS family, user_id % 40 AS unit,
+                          CAST(SUM(event_id) % 9973 AS DOUBLE)
+                            / 9973.0 AS p
+                   FROM events
+                   WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL
+                         AND event_id IS NOT NULL
+                   GROUP BY event_type, user_id % 40),
+    r AS (SELECT family, unit, p,
+                 ROW_NUMBER() OVER (PARTITION BY family
+                                    ORDER BY p, unit) AS bh_rank,
+                 CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT)
+                   AS m_tests
+          FROM cells)
+    SELECT family, unit, p, bh_rank, m_tests,
+           round(least(1.0,
+                 MIN(p * CAST(m_tests AS DOUBLE)
+                     / CAST(bh_rank AS DOUBLE))
+                   OVER (PARTITION BY family ORDER BY bh_rank
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)), 6) AS q_value,
+           round(least(1.0,
+                 MIN(p * CAST(m_tests AS DOUBLE)
+                     / CAST(bh_rank AS DOUBLE))
+                   OVER (PARTITION BY family ORDER BY bh_rank
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)), 6) <= 0.05
+             AS rejected
+    FROM r
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a per-(family, slice)
+    p-value battery — the multiple-testing guard for eval pipelines
+    running one test per slice (this engine ships a dozen test
+    statistics; 5% over hundreds of slices WILL return false
+    discoveries).  Fixture: 40 pseudo-uniform p-values per event-type
+    family, derived from an integer hash both engines replay exactly.
+    The p-table is one row per TEST — metadata scale by construction
+    — so the per-family ordered reverse-cummin window is the right
+    plan outright (operators/stats.py:fdr_bh)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import fdr_bh
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    cells = e.groupBy(
+        F.col("event_type").alias("family"),
+        (F.col("user_id") % 40).alias("unit"),
+    ).agg(
+        ((F.sum("event_id") % 9973).cast("double") / F.lit(9973.0))
+        .alias("p")
+    )
+    return cells.transform(
+        fdr_bh("p", tiebreak="unit", group_by="family", alpha=0.05)
+    )
+
+
+@_q(
+    "q251_mantel_haenszel",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(EXTRACT(dow FROM ts) + 1 AS INT)
+                        AS stratum,
+                      (event_id % 2 = 0) AS ex,
+                      ((event_id // 2) % 10)
+                        < (CASE WHEN event_id % 2 = 0 THEN 5
+                                ELSE 3 END) AS oc
+               FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                     AND event_id IS NOT NULL),
+    per_s AS (SELECT seg, stratum,
+                     SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END)
+                       ::BIGINT AS a,
+                     SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+                       ::BIGINT AS b,
+                     SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+                       ::BIGINT AS c,
+                     SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0
+                         END)::BIGINT AS dd
+              FROM d GROUP BY seg, stratum),
+    t AS (SELECT seg, a + b + c + dd AS n_cnt,
+                 CAST(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                         + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                      AS DECIMAL(38,6)) AS ad,
+                 CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                         + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                      AS DECIMAL(38,6)) AS bc,
+                 CAST(CAST(a AS DOUBLE)
+                      - (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                        * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                           + CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                      AS DECIMAL(38,6)) AS dev,
+                 CAST(CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                                 + CAST(c AS DOUBLE)
+                                 + CAST(dd AS DOUBLE)) > 1
+                      THEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                           * (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+                           * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                           * (CAST(b AS DOUBLE) + CAST(dd AS DOUBLE))
+                           / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                               + CAST(c AS DOUBLE)
+                               + CAST(dd AS DOUBLE))
+                              * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                                 + CAST(c AS DOUBLE)
+                                 + CAST(dd AS DOUBLE))
+                              * ((CAST(a AS DOUBLE)
+                                  + CAST(b AS DOUBLE)
+                                  + CAST(c AS DOUBLE)
+                                  + CAST(dd AS DOUBLE)) - 1.0))
+                      ELSE 0.0 END AS DECIMAL(38,6)) AS v
+          FROM per_s),
+    agg AS (SELECT seg, COUNT(*)::BIGINT AS n_strata,
+                   SUM(n_cnt)::BIGINT AS n,
+                   CAST(SUM(ad) AS DOUBLE) AS sad,
+                   CAST(SUM(bc) AS DOUBLE) AS sbc,
+                   CAST(SUM(dev) AS DOUBLE) AS sdev,
+                   CAST(SUM(v) AS DOUBLE) AS sv
+            FROM t GROUP BY seg)
+    SELECT seg, n_strata, n,
+           CASE WHEN sbc > 0 THEN round(sad / sbc, 6) END AS or_mh,
+           CASE WHEN sv > 0 THEN round(sdev * sdev / sv, 6) END
+             AS cmh_chi2
+    FROM agg
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel common odds ratio + CMH test per event type,
+    stratified by weekday — the Simpson's-paradox guard: the crude
+    exposed-vs-outcome odds ratio pooled over strata is confounded;
+    MH combines the per-stratum 2×2 tables instead.  Fixture plants
+    a true effect (exposure raises the outcome probability 0.3→0.5
+    via integer residues both engines replay).  ONE conditional-count
+    aggregation collapses the corpus to (seg, stratum) cell rows —
+    map-side combined — then metadata-scale term sums
+    (operators/stats.py:mantel_haenszel)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        mantel_haenszel,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        F.dayofweek("ts").alias("stratum"),
+        (F.col("event_id") % 2 == 0).alias("ex"),
+        (
+            F.expr("(event_id DIV 2) % 10")
+            < F.when(F.col("event_id") % 2 == 0, F.lit(5)).otherwise(
+                F.lit(3)
+            )
+        ).alias("oc"),
+    )
+    return rows.transform(
+        mantel_haenszel(
+            "stratum", F.col("ex"), F.col("oc"), partition_by="seg"
+        )
+    )
+
+
+@_q(
+    "q252_nelson_aalen",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t0,
+                      MIN(CASE WHEN event_type = 'purchase'
+                          THEN ts END) AS p,
+                      MAX(ts) AS last
+               FROM events GROUP BY user_id),
+    subj AS (SELECT CAST(date_trunc('month', t0) AS TIMESTAMP)
+                      AS cohort,
+                    (epoch_us(COALESCE(p, last)) - epoch_us(t0))
+                      // 86400000000 AS dur,
+                    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM s),
+    per_t AS (SELECT cohort, dur AS t,
+                     CAST(SUM(ev) AS BIGINT) AS d,
+                     CAST(SUM(1 - ev) AS BIGINT) AS c
+              FROM subj GROUP BY cohort, dur),
+    w AS (SELECT cohort, t, d, c,
+                 CAST(SUM(d + c) OVER wg AS BIGINT)
+                   - CAST(SUM(d + c) OVER wo AS BIGINT) + d + c AS n
+          FROM per_t
+          WINDOW wg AS (PARTITION BY cohort),
+                 wo AS (PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    h AS (SELECT cohort, t, d, c, n,
+                 CAST(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                      AS DECIMAL(38,6)) AS hterm,
+                 CAST(CAST(d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                      AS DECIMAL(38,6)) AS vterm
+          FROM w),
+    g AS (SELECT cohort, t, d, c, n,
+                 CAST(SUM(hterm) OVER wo AS DOUBLE) AS cum_hazard,
+                 CAST(SUM(vterm) OVER wo AS DOUBLE) AS var_hazard
+          FROM h WINDOW wo AS (PARTITION BY cohort ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+    SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
+           cum_hazard, var_hazard,
+           round(exp(-cum_hazard), 6) AS fh_survival
+    FROM g WHERE d > 0
+    """,
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard per signup cohort on the q206
+    time-to-first-purchase fixture — the additive dual of
+    Kaplan–Meier, the quantity hazard-rate monitoring and survival
+    regression consume, plus Klein's variance and the
+    Fleming–Harrington survival.  Same risk-set window algebra as
+    q206; the per-time increments are exact rationals 6 dp-decimal-
+    rounded BEFORE the ordered cumulative sum, so both engines replay
+    the same running values (operators/stats.py:nelson_aalen)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import nelson_aalen
+
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_p"),
+        F.max("ts").alias("_last"),
+    )
+    subj = s.select(
+        F.date_trunc("month", F.col("_t0")).alias("cohort"),
+        F.expr(
+            "(unix_micros(coalesce(_p, _last)) - unix_micros(_t0))"
+            " DIV 86400000000"
+        ).alias("_dur"),
+        F.col("_p").isNotNull().alias("_ev"),
+    )
+    return subj.transform(
+        nelson_aalen("_dur", event_col=F.col("_ev"), group_by="cohort")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1826,3 +1826,327 @@ def krippendorff_alpha(
         )
 
     return _t
+
+
+def mutual_information(
+    col_a: str,
+    col_b: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Mutual information between two categorical columns per
+    partition, with marginal entropies and the normalized MI — the
+    effect-size companion to :func:`chi_square_independence` (χ² says
+    "dependent"; MI says how many nats of one label the other
+    carries, and NMI = MI/√(H_a·H_b) puts it on [0, 1]).
+
+        MI  = Σ_{a,b} p_ab · ln( p_ab / (p_a · p_b) )
+        H_x = − Σ p_x ln p_x
+
+    Observed cells only — an unobserved (a, b) cell has p_ab = 0 and
+    contributes nothing (0·ln 0 ≡ 0), so unlike χ² there is NO grid
+    densification.  One data-scale shuffle (the cell-count agg);
+    marginals via per-partition windows on the reduced cell table.
+    Per-cell/per-level terms are rounded to 6 dp via the exact-decimal
+    cast before the order-free sums; MI/entropies/NMI pinned at 6 dp.
+    NMI is NULL when either entropy is 0 (a constant column).  NULL
+    category rows are dropped.  Returns
+    ``partition…, n, mi, h_a, h_b, nmi``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+        cells = d.groupBy(*gcols, col_a, col_b).agg(
+            F.count(F.lit(1)).alias("_o")
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wa = (
+            Window.partitionBy(*gcols, col_a)
+            if gcols
+            else Window.partitionBy(col_a)
+        )
+        wb = (
+            Window.partitionBy(*gcols, col_b)
+            if gcols
+            else Window.partitionBy(col_b)
+        )
+        n = F.sum("_o").over(wg).cast("double")
+        p_ab = F.col("_o").cast("double") / n
+        p_a = F.sum("_o").over(wa).cast("double") / n
+        p_b = F.sum("_o").over(wb).cast("double") / n
+        mi_term = (p_ab * F.log(p_ab / (p_a * p_b))).cast(DEC)
+        # marginal-entropy terms must count each level once, not once
+        # per cell — emit them only on the level's first cell
+        ha_term = F.when(
+            F.row_number().over(wa.orderBy(col_b)) == 1,
+            (-p_a * F.log(p_a)).cast(DEC),
+        ).otherwise(F.lit(0.0).cast(DEC))
+        hb_term = F.when(
+            F.row_number().over(wb.orderBy(col_a)) == 1,
+            (-p_b * F.log(p_b)).cast(DEC),
+        ).otherwise(F.lit(0.0).cast(DEC))
+        staged = cells.select(
+            *gcols,
+            F.sum("_o").over(wg).alias("_n"),
+            mi_term.alias("_mi"),
+            ha_term.alias("_ha"),
+            hb_term.alias("_hb"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_n").alias("n"),
+            F.sum("_mi").cast("double").alias("_smi"),
+            F.sum("_ha").cast("double").alias("_sha"),
+            F.sum("_hb").cast("double").alias("_shb"),
+        )
+        nmi = F.when(
+            (F.col("_sha") > 0) & (F.col("_shb") > 0),
+            F.round(
+                F.col("_smi")
+                / F.sqrt(F.col("_sha") * F.col("_shb")),
+                6,
+            ),
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            F.round("_smi", 6).alias("mi"),
+            F.round("_sha", 6).alias("h_a"),
+            F.round("_shb", 6).alias("h_b"),
+            nmi.alias("nmi"),
+        )
+
+    return _t
+
+
+def fdr_bh(
+    p_col: str,
+    tiebreak: Sequence[str] | str,
+    group_by: str | None = None,
+    alpha: float = 0.05,
+) -> Callable[[DataFrame], DataFrame]:
+    """Benjamini–Hochberg FDR correction per family — the multiple-
+    testing guard an eval pipeline needs the moment it runs one test
+    per slice (this engine now ships a dozen test statistics; a 5%
+    threshold over hundreds of slices WILL hand back false
+    discoveries).
+
+        q_(i) = min_{j ≥ i} ( p_(j) · m / j ),  clamped to 1
+
+    where p_(1..m) are the family's p-values ascending.  The reverse
+    running-min runs as one ordered window per family with a
+    current-row→unbounded-following frame; ``tiebreak`` column(s) pin
+    a total order (equal p-values provably receive equal q, so the
+    tiebreak only fixes the emitted rank).
+
+    Scale shape: a p-value table is one row per TEST — metadata scale
+    by construction (the data-scale work happened inside the tests
+    that produced it) — so the per-family ordered window is the right
+    plan outright; families parallelize across the cluster.  The
+    per-row p·m/j division is exact IEEE, replayed identically by the
+    oracle; q is pinned at 6 dp.  NULL p rows are dropped.  Appends
+    ``bh_rank, m_tests, q_value, rejected`` to the input rows.
+    """
+    tcols = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(p_col).isNotNull())
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy(p_col, *tcols)
+        wrev = wg.orderBy(p_col, *tcols).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        m = F.count(F.lit(1)).over(wg)
+        rank = F.row_number().over(wo)
+        q_raw = (
+            F.col(p_col).cast("double")
+            * m.cast("double")
+            / rank.cast("double")
+        )
+        staged = d.withColumn("bh_rank", rank).withColumn(
+            "m_tests", m
+        ).withColumn("_qraw", q_raw)
+        q = F.round(
+            F.least(F.lit(1.0), F.min("_qraw").over(wrev)), 6
+        )
+        return (
+            staged.withColumn("q_value", q)
+            .withColumn("rejected", F.col("q_value") <= F.lit(alpha))
+            .drop("_qraw")
+        )
+
+    return _t
+
+
+def mantel_haenszel(
+    stratum_col: str,
+    exposed_col: Column,
+    outcome_col: Column,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Mantel–Haenszel stratified 2×2 analysis per partition — the
+    common odds ratio across strata plus the CMH association test,
+    i.e. the Simpson's-paradox guard: a crude exposed-vs-outcome odds
+    ratio confounded by a stratum variable (weekday, country, cohort)
+    is corrected by combining the per-stratum tables instead of
+    pooling rows.
+
+        OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+        CMH   = ( Σ_i (a_i − E_i) )² / Σ_i V_i            (1 dof)
+        E_i   = (a+b)(a+c)/n
+        V_i   = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))
+
+    One conditional-count aggregation collapses the corpus to one
+    (partition, stratum) row with the four cells — map-side combined,
+    data-scale — then the stratum sums are a metadata rollup.
+    Per-stratum terms carry divisions, so each is rounded to 6 dp via
+    the exact-decimal cast before the order-free sums; OR and CMH are
+    pinned at 6 dp.  Strata with n < 2 contribute count mass but no
+    variance term (V's n−1 divisor); OR is NULL when Σ(b·c/n) = 0,
+    CMH NULL when ΣV = 0.  NULL stratum rows are dropped.  Returns
+    ``partition…, n_strata, n, or_mh, cmh_chi2``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        ex = exposed_col.cast("boolean")
+        oc = outcome_col.cast("boolean")
+        per_s = (
+            df.where(F.col(stratum_col).isNotNull())
+            .groupBy(*gcols, stratum_col)
+            .agg(
+                F.sum((ex & oc).cast("long")).alias("_a"),
+                F.sum((ex & ~oc).cast("long")).alias("_b"),
+                F.sum((~ex & oc).cast("long")).alias("_c"),
+                F.sum((~ex & ~oc).cast("long")).alias("_d"),
+            )
+        )
+        a = F.col("_a").cast("double")
+        b = F.col("_b").cast("double")
+        c = F.col("_c").cast("double")
+        dd = F.col("_d").cast("double")
+        n = a + b + c + dd
+        e = (a + b) * (a + c) / n
+        v = F.when(
+            n > 1,
+            (a + b) * (c + dd) * (a + c) * (b + dd)
+            / (n * n * (n - F.lit(1.0))),
+        ).otherwise(F.lit(0.0))
+        terms = per_s.select(
+            *gcols,
+            (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+            .alias("_n"),
+            (a * dd / n).cast(DEC).alias("_ad"),
+            (b * c / n).cast(DEC).alias("_bc"),
+            (a - e).cast(DEC).alias("_dev"),
+            v.cast(DEC).alias("_v"),
+        )
+        agg = terms.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_strata"),
+            F.sum("_n").alias("n"),
+            F.sum("_ad").cast("double").alias("_sad"),
+            F.sum("_bc").cast("double").alias("_sbc"),
+            F.sum("_dev").cast("double").alias("_sdev"),
+            F.sum("_v").cast("double").alias("_sv"),
+        )
+        or_mh = F.when(
+            F.col("_sbc") > 0, F.round(F.col("_sad") / F.col("_sbc"), 6)
+        )
+        cmh = F.when(
+            F.col("_sv") > 0,
+            F.round(
+                F.col("_sdev") * F.col("_sdev") / F.col("_sv"), 6
+            ),
+        )
+        return agg.select(
+            *gcols,
+            "n_strata",
+            "n",
+            or_mh.alias("or_mh"),
+            cmh.alias("cmh_chi2"),
+        )
+
+    return _t
+
+
+def nelson_aalen(
+    duration_col: str,
+    event_col: Column,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Nelson–Aalen cumulative-hazard estimator with right censoring —
+    the additive dual of :func:`kaplan_meier`: instead of the survival
+    product it accumulates the hazard increments directly, which is
+    the quantity survival-regression and hazard-rate monitoring
+    consume, and it is better-behaved on small risk sets.
+
+        H(t)   = Σ_{t_i ≤ t} d_i / n_i
+        Var(t) = Σ_{t_i ≤ t} d_i / n_i²          (Klein's estimator)
+
+    plus the Fleming–Harrington survival S̃(t) = exp(−H(t)).  Same
+    plan as kaplan_meier (same risk-set window algebra): one
+    (group, duration) aggregation, per-group ordered windows on the
+    reduced event-time table.  The per-time increments are exact
+    rationals rounded to 6 dp via the decimal cast before the ordered
+    cumulative sum, so both engines replay the same running values;
+    S̃ carries the one exp() under the 6 dp transcendental contract.
+    Emits one row per EVENT time: ``group_by…, t, n_risk, n_events,
+    n_censored, cum_hazard, var_hazard, fh_survival``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        per_t = (
+            df.where(F.col(duration_col).isNotNull())
+            .groupBy(*gcols, F.col(duration_col).alias("t"))
+            .agg(
+                F.sum(event_col.cast("int")).alias("_d"),
+                F.sum(F.lit(1) - event_col.cast("int")).alias("_c"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        total = F.sum(F.col("_d") + F.col("_c")).over(wg)
+        departed_incl = F.sum(F.col("_d") + F.col("_c")).over(wo)
+        n_risk = total - departed_incl + (F.col("_d") + F.col("_c"))
+        staged = per_t.withColumn("_n", n_risk).withColumn(
+            "_h",
+            (
+                F.col("_d").cast("double")
+                / F.col("_n").cast("double")
+            ).cast(DEC),
+        ).withColumn(
+            "_vh",
+            (
+                F.col("_d").cast("double")
+                / (
+                    F.col("_n").cast("double")
+                    * F.col("_n").cast("double")
+                )
+            ).cast(DEC),
+        )
+        ch = F.sum("_h").over(wo).cast("double")
+        vh = F.sum("_vh").over(wo).cast("double")
+        return (
+            staged.withColumn("cum_hazard", ch)
+            .withColumn("var_hazard", vh)
+            .where(F.col("_d") > 0)
+            .select(
+                *gcols,
+                "t",
+                F.col("_n").alias("n_risk"),
+                F.col("_d").alias("n_events"),
+                F.col("_c").alias("n_censored"),
+                "cum_hazard",
+                "var_hazard",
+                F.round(F.exp(-F.col("cum_hazard")), 6).alias(
+                    "fh_survival"
+                ),
+            )
+        )
+
+    return _t

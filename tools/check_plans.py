@@ -549,19 +549,23 @@ def main() -> int:
     from btc_usdt_etl_pipeline_spark.operators.stats import (
         kruskal_wallis_h,
         mann_whitney_u,
+        roc_auc,
     )
 
     from pyspark.sql import functions as _F
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
         "dow", _F.dayofweek("ts")
-    )
+    ).withColumn("pos", _F.col("event_type") == "purchase")
     for label, op in [
         ("mann_whitney", mann_whitney_u(
             "value", "event_type", "purchase", partition_by="dow",
             strategy="counts")),
         ("kruskal_wallis", kruskal_wallis_h(
             "value", "event_type", partition_by="dow",
+            strategy="counts")),
+        ("roc_auc", roc_auc(
+            "value", "pos", partition_by="dow",
             strategy="counts")),
     ]:
         out = ev.transform(op)
@@ -576,13 +580,16 @@ def main() -> int:
     if _os.path.isdir(_scale_dir):
         ev_big = spark.read.parquet(
             f"{_scale_dir}/events.parquet"
-        ).withColumn("dow", _F.dayofweek("ts"))
+        ).withColumn("dow", _F.dayofweek("ts")).withColumn(
+            "pos", _F.col("event_type") == "purchase")
         for label, op in [
             ("mann_whitney_auto", mann_whitney_u(
                 "value", "event_type", "purchase",
                 partition_by="dow")),
             ("kruskal_wallis_auto", kruskal_wallis_h(
                 "value", "event_type", partition_by="dow")),
+            ("roc_auc_auto", roc_auc(
+                "value", "pos", partition_by="dow")),
         ]:
             out = ev_big.transform(op)
             check(label,
