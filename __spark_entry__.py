@@ -13981,6 +13981,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q161), q152 (streaming keeps q45/q49/q58), q183 (drift keeps the
 #: newly-windowed q145 vocab-KL).  All demoted rows stay under the
 #: judge's full oracle gate.
+#: The second r10 batch (eval-metrics family) promoted its seven new
+#: operators — q244 retrieval NDCG/RR/AP, q245 ROC AUC, q248
+#: Krippendorff α, q249 mutual information, q250 BH FDR, q251
+#: Mantel–Haenszel, q252 Nelson–Aalen — demoting seven rows whose
+#: families keep stronger or more general in-window reps: q231/q232
+#: (q234 compare_groups EMITS both statistics; q229/q230 keep ranks),
+#: q237 (experiment family keeps q235/q238/q251), q241 (q248 is the
+#: strict generalization; q243 stays judge-covered), q225 (geo keeps
+#: q226/q217/q219), q223 (q227 is the generalized OLS), q220
+#: (windows keep q181/q185/q216/q222/q228).
 _PRIORITY_WINDOW = [
     "q45_session_windows",    # streaming session windows (r10: clears stale r3 FAIL)
     "q49_streaming_sliding",  # streaming sliding windows (r10: clears stale r3 FAIL)
@@ -13989,20 +13999,20 @@ _PRIORITY_WINDOW = [
     "q144_pmi_collocations",  # PMI collocation mining
     "q145_vocab_drift",       # vocabulary KL drift
     "q153_triangle_count",    # graph triangle counting (graph rep)
-    "q225_geo_equirectangular", # lon-scaled geo metric
+    "q250_fdr_bh",            # Benjamini-Hochberg FDR (r10 NEW op)
     "q226_geo_expanding_rings", # bounded expanding-ring nearest
     "q227_ols_three_regressors", # generated-elimination multi-OLS
     "q228_group_ranks",       # bucketed-rank counts plan (scale path)
     "q230_kruskal_wallis",    # k-sample rank test
-    "q231_brown_forsythe",    # variance-homogeneity test
-    "q232_welch_t",           # unequal-variance t-test
+    "q244_retrieval_metrics", # NDCG@10/RR/AP retrieval eval (r10 NEW family)
+    "q245_roc_auc",           # rank-sum ROC AUC (r10 NEW op, counts-path asserted)
     "q233_image_dhash_neardup", # image dHash near-dup (r10 NEW op; real decode path)
     "q234_compare_groups",    # one-call Welch+BF ANOVA table (r10 NEW op)
     "q235_cuped",             # CUPED variance reduction (r10 NEW op)
-    "q237_srm_check",         # sample-ratio-mismatch gate (r10 NEW op)
+    "q249_mutual_information",# MI/entropy/NMI effect size (r10 NEW op)
     "q238_ratio_metric_delta",# delta-method ratio metric (r10 NEW op)
     "q240_containment_pairs", # asymmetric containment dedup (r10 NEW op)
-    "q241_cohens_kappa",      # inter-annotator agreement (r10 NEW op)
+    "q248_krippendorff_alpha",# missing-ratings agreement (r10 NEW op, generalizes q241/q243)
     "q242_bradley_terry",     # preference-strength MM (r10 NEW family)
     "q48_grouping_sets",      # rollup/cube/grouping sets family
     "q58_stateful_extrema",   # applyInPandasWithState
@@ -14026,10 +14036,10 @@ _PRIORITY_WINDOW = [
     "q199_weighted_median",   # bucketed weighted-quantile scale path
     "q216_cross_correlation", # lead-lag CCF (correlation family rep)
     "q219_nearest_facility",  # grid-bounded kNN geo join
-    "q220_interpolate_gaps",  # linear gap interpolation
+    "q252_nelson_aalen",      # cumulative hazard (r10 NEW op)
     "q221_weighted_p90",      # exact rational-q weighted quantile
     "q222_spearman",          # avg-rank Spearman (bucketed-rank scale path)
-    "q223_ols_closed_form",   # closed-form grouped OLS
+    "q251_mantel_haenszel",   # stratified OR + CMH (r10 NEW op)
     "q224_segment_overlap",   # segment Jaccard/overlap matrix
     "q229_mann_whitney",      # nonparametric rank-test family (r9 NEW)
 ]

@@ -202,6 +202,15 @@ HEADLINE = [
     "q241_cohens_kappa",
     "q242_bradley_terry",
     "q243_fleiss_kappa",
+    "q244_retrieval_metrics",
+    "q245_roc_auc",
+    "q246_js_divergence",
+    "q247_chi_square",
+    "q248_krippendorff_alpha",
+    "q249_mutual_information",
+    "q250_fdr_bh",
+    "q251_mantel_haenszel",
+    "q252_nelson_aalen",
 ]
 
 
