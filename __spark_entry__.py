@@ -13799,6 +13799,175 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q253_kendall_tau",
+    """
+    WITH d AS (SELECT event_type AS seg, event_id % 8 AS x,
+                      CASE WHEN event_id % 3 = 0 THEN event_id % 8
+                           ELSE user_id % 5 END AS y
+               FROM events
+               WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                     AND user_id IS NOT NULL),
+    cells AS (SELECT seg, x, y, COUNT(*)::BIGINT AS o
+              FROM d GROUP BY seg, x, y),
+    grid AS (SELECT gx.seg, gx.x, gy.y
+             FROM (SELECT DISTINCT seg, x FROM cells) gx
+             JOIN (SELECT DISTINCT seg, y FROM cells) gy
+               ON gx.seg = gy.seg),
+    dense AS (SELECT grid.seg, grid.x, grid.y,
+                     COALESCE(o, 0)::BIGINT AS o
+              FROM grid LEFT JOIN cells
+                ON grid.seg = cells.seg AND grid.x = cells.x
+                   AND grid.y = cells.y),
+    b AS (SELECT seg, x, y, o,
+                 COALESCE(CAST(SUM(o) OVER (PARTITION BY seg, y
+                       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS below
+          FROM dense),
+    t AS (SELECT seg, o,
+                 o * COALESCE(CAST(SUM(below) OVER (PARTITION BY seg,
+                       x ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cterm,
+                 o * COALESCE(CAST(SUM(below) OVER (PARTITION BY seg,
+                       x ORDER BY y DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                   AS dterm,
+                 CAST(SUM(o) OVER (PARTITION BY seg, x) AS BIGINT)
+                   AS rx,
+                 CAST(SUM(o) OVER (PARTITION BY seg, y) AS BIGINT)
+                   AS cy,
+                 ROW_NUMBER() OVER (PARTITION BY seg, x ORDER BY y)
+                   AS rnx,
+                 ROW_NUMBER() OVER (PARTITION BY seg, y ORDER BY x)
+                   AS rny
+          FROM b),
+    agg AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(SUM(cterm) AS BIGINT) AS concordant,
+                   CAST(SUM(dterm) AS BIGINT) AS discordant,
+                   CAST(SUM(CASE WHEN rnx = 1 THEN rx * (rx - 1)
+                            ELSE 0 END) AS BIGINT) AS n1x2,
+                   CAST(SUM(CASE WHEN rny = 1 THEN cy * (cy - 1)
+                            ELSE 0 END) AS BIGINT) AS n2x2
+            FROM t GROUP BY seg)
+    SELECT seg, n, concordant, discordant,
+           CASE WHEN CAST(n * (n - 1) - n1x2 AS DOUBLE) / 2.0 > 0
+                     AND CAST(n * (n - 1) - n2x2 AS DOUBLE) / 2.0 > 0
+                THEN round(CAST(concordant - discordant AS DOUBLE)
+                     / (sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE) / 2.0)
+                        * sqrt(CAST(n * (n - 1) - n2x2 AS DOUBLE)
+                               / 2.0)), 6)
+           END AS tau_b
+    FROM agg
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b per event type over planted ordinal pairs — the
+    tie-corrected concordance coefficient beside q222's Spearman,
+    computed WITHOUT an O(n²) pair join: one contingency-cell shuffle,
+    then concordant/discordant masses as two chained strict-frame
+    prefix-sum windows over the densified categories² grid — pure
+    64-bit integer arithmetic until one √/division.  Fixture copies x
+    into y on the mod-3 subset (planted positive association, heavy
+    ties) (operators/stats.py:kendall_tau_b)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import kendall_tau_b
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        (F.col("event_id") % 8).alias("x"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_id") % 8)
+        .otherwise(F.col("user_id") % 5)
+        .alias("y"),
+    )
+    return rows.transform(kendall_tau_b("x", "y", partition_by="seg"))
+
+
+@_q(
+    "q254_isotonic_calibration",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(event_id % 100 AS DOUBLE) / 100.0 AS score,
+                      CASE WHEN ((event_id // 100) % 100)
+                                < (10 + ((event_id % 100) * 4) // 5)
+                           THEN 1 ELSE 0 END AS lbl
+               FROM events
+               WHERE event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    pb AS (SELECT seg,
+                  CAST(LEAST(19, GREATEST(0,
+                       CAST(FLOOR((score - 0.0)
+                                  / CAST(0.05 AS DOUBLE)) AS BIGINT)))
+                       AS INT) AS bin,
+                  COUNT(*)::BIGINT AS w, SUM(lbl)::BIGINT AS s
+           FROM d GROUP BY 1, 2),
+    pref AS (SELECT seg, bin, w, s,
+                    SUM(w) OVER (PARTITION BY seg ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cw,
+                    SUM(s) OVER (PARTITION BY seg ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cs
+             FROM pb),
+    pairs AS (SELECT l.seg, l.bin AS j, r.bin AS k,
+                     CAST(r.cs - (l.cs - l.s) AS DOUBLE)
+                       / CAST(r.cw - (l.cw - l.w) AS DOUBLE) AS m
+              FROM pref l JOIN pref r
+                ON l.seg = r.seg AND l.bin <= r.bin),
+    suff AS (SELECT seg, j, k,
+                    MIN(m) OVER (PARTITION BY seg, j ORDER BY k
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS sm
+             FROM pairs),
+    fit AS (SELECT seg, k AS bin, MAX(sm) AS f
+            FROM suff GROUP BY seg, k)
+    SELECT pb.seg, pb.bin,
+           0.0 + CAST(pb.bin AS DOUBLE) * CAST(0.05 AS DOUBLE)
+             AS bin_lo,
+           w AS n,
+           round(CAST(s AS DOUBLE) / CAST(w AS DOUBLE), 6) AS rate,
+           round(f, 6) AS calibrated
+    FROM pb JOIN fit ON pb.seg = fit.seg AND pb.bin = fit.bin
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed isotonic calibration per event type — PAV
+    over 20 fixed-width score bins via the interval-minimax
+    characterization: fit_i = max_{j≤i} min_{k≥i} mean(bin_j..bin_k),
+    run as ONE (seg, bin) count/sum shuffle + a bins² metadata
+    self-join + a suffix-min window + one group-max — no iteration,
+    no driver loop.  Fixture: scores from event_id residues with a
+    planted mostly-increasing label rate (pseudo-noise from an
+    independent residue), so PAV genuinely pools violating bins
+    (ml/features.py:isotonic_calibration)."""
+    from btc_usdt_etl_pipeline_spark.ml.features import (
+        isotonic_calibration,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        ((F.col("event_id") % 100).cast("double") / F.lit(100.0))
+        .alias("score"),
+        (
+            F.expr("(event_id DIV 100) % 100")
+            < (F.lit(10) + F.expr("((event_id % 100) * 4) DIV 5"))
+        )
+        .cast("int")
+        .alias("lbl"),
+    )
+    return rows.transform(
+        isotonic_calibration(
+            "score", "lbl", lo=0.0, hi=1.0, n_bins=20, group_by="seg"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -211,6 +211,8 @@ HEADLINE = [
     "q250_fdr_bh",
     "q251_mantel_haenszel",
     "q252_nelson_aalen",
+    "q253_kendall_tau",
+    "q254_isotonic_calibration",
 ]
 
 

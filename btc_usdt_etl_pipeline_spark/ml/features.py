@@ -913,3 +913,133 @@ def quantile_normalize(
         )
 
     return _t
+
+
+def isotonic_calibration(
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact isotonic (monotone non-decreasing) probability calibration
+    per group — pool-adjacent-violators over a fixed-width score
+    binning, the standard post-hoc calibrator for quality / relevance
+    scorers (the measurement half is q213's reliability table; this is
+    the FIX).  Distributed exactly via the interval-minimax
+    characterization of isotonic regression (Robertson–Wright–Dykstra):
+
+        fit_i = max_{j ≤ i} min_{k ≥ i} mean(bin_j .. bin_k)
+
+    Plan: ONE data-scale shuffle (the (group, bin) count/sum agg)
+    collapses the corpus to ≤ n_bins rows per group; the (j, k)
+    interval table is a bins×bins self-join (≤ n_bins² metadata rows
+    per group, fenced at n_bins ≤ 64), interval means come from
+    prefix sums, the inner min is a suffix-min window per (group, j),
+    and the outer max is one groupBy(group, k).  No iteration, no
+    driver loop — the textbook iterative PAV is replaced by a
+    closed-form plan.
+
+    Interval means are exact-integer sums divided once (labels are
+    cast to long 0/1; score bins clamp under/overflow like PSI), so
+    both engines replay identical IEEE doubles; the fit is pinned at
+    6 dp.  Bins with no rows are skipped (they carry no mass — the
+    PAV solution over observed bins is identical).  NULL score/label
+    rows are dropped.  Returns one row per observed (group, bin):
+    ``group_by…, bin, bin_lo, n, rate, calibrated`` with
+    ``calibrated`` monotone non-decreasing in ``bin`` within each
+    group.
+    """
+    if n_bins > 64:
+        raise ValueError("isotonic_calibration: n_bins must be <= 64 "
+                         "(bins^2 interval table)")
+    from btc_usdt_etl_pipeline_spark.functions import DEC  # noqa: F401
+
+    gcols = [group_by] if group_by else []
+    width = (hi - lo) / n_bins
+
+    def _t(df: DataFrame) -> DataFrame:
+        raw_bin = F.floor(
+            (F.col(score_col).cast("double") - F.lit(float(lo)))
+            / F.lit(float(width))
+        )
+        bin_ = F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)
+        ).cast("int")
+        per_bin = (
+            df.where(
+                F.col(score_col).isNotNull()
+                & F.col(label_col).isNotNull()
+            )
+            .groupBy(*gcols, bin_.alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("_w"),
+                F.sum(F.col(label_col).cast("long")).alias("_s"),
+            )
+        )
+        wo = (
+            Window.partitionBy(*gcols)
+            if gcols
+            else Window.partitionBy()
+        ).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        pref = per_bin.select(
+            *gcols,
+            "bin",
+            "_w",
+            "_s",
+            F.sum("_w").over(wo).alias("_cw"),
+            F.sum("_s").over(wo).alias("_cs"),
+        )
+        left = pref.select(
+            *gcols,
+            F.col("bin").alias("_j"),
+            (F.col("_cw") - F.col("_w")).alias("_cwj"),
+            (F.col("_cs") - F.col("_s")).alias("_csj"),
+        )
+        right = pref.select(
+            *gcols,
+            F.col("bin").alias("_k"),
+            F.col("_cw").alias("_cwk"),
+            F.col("_cs").alias("_csk"),
+        )
+        pairs = (
+            left.join(right, gcols) if gcols else left.crossJoin(right)
+        ).where(F.col("_j") <= F.col("_k"))
+        mean = (F.col("_csk") - F.col("_csj")).cast("double") / (
+            F.col("_cwk") - F.col("_cwj")
+        ).cast("double")
+        wj = (
+            Window.partitionBy(*gcols, "_j")
+            if gcols
+            else Window.partitionBy("_j")
+        ).orderBy("_k").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        suff = pairs.select(
+            *gcols,
+            "_j",
+            "_k",
+            F.min(mean).over(wj).alias("_suffmin"),
+        )
+        fit = suff.groupBy(*gcols, F.col("_k").alias("bin")).agg(
+            F.max("_suffmin").alias("_fit")
+        )
+        out = per_bin.join(fit, [*gcols, "bin"]).select(
+            *gcols,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(float(width)))
+            .alias("bin_lo"),
+            F.col("_w").alias("n"),
+            F.round(
+                F.col("_s").cast("double")
+                / F.col("_w").cast("double"),
+                6,
+            ).alias("rate"),
+            F.round("_fit", 6).alias("calibrated"),
+        )
+        return out
+
+    return _t

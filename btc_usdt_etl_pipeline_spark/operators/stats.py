@@ -2150,3 +2150,148 @@ def nelson_aalen(
         )
 
     return _t
+
+
+def kendall_tau_b(
+    col_x: str,
+    col_y: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Kendall's τ-b rank correlation per partition over DISCRETE
+    (x, y) pairs — the tie-corrected concordance coefficient beside
+    Spearman (operators/windows.py:spearman_corr): more robust on
+    heavily tied ordinal data (star ratings, quality grades, bucketed
+    scores), which is exactly where Spearman's rank averages wash out.
+
+        τ_b = (C − D) / √( (n₀ − n₁)(n₀ − n₂) )
+        n₀ = n(n−1)/2,  n₁ = Σ_x r_x(r_x−1)/2,  n₂ = Σ_y c_y(c_y−1)/2
+
+    C / D (concordant / discordant pair counts) come from the
+    contingency table, NOT from an O(n²) pair join: one cell-count
+    shuffle collapses the data to (x, y, count) cells, the grid is
+    densified per partition (categories² metadata scale, the
+    chi_square_independence idiom), and the strictly-dominated /
+    strictly-discordant masses are TWO chained strict-frame window
+    prefix sums over the grid — C = Σ n_ij·S_ij with
+    S_ij = Σ_{k<i,l<j} n_kl via a per-y cumsum over x then a per-x
+    cumsum over y (and the mirror with y descending for D).
+
+    Everything is 64-bit integer arithmetic until the final
+    √ / division (exact longs: C, D, n₀ < 2⁵³ at any plausible
+    partition size), computed as (C−D)/(√(n₀−n₁)·√(n₀−n₂)) — both
+    engines evaluate the identical IEEE sequence; τ pinned at 6 dp.
+    Degenerate partitions (all x tied or all y tied → a zero factor)
+    emit NULL.  Continuous inputs should be bucketed by the caller
+    first (the counts-plan contract: cells ≈ levels², not rows).
+    NULL x/y rows are dropped.  Returns
+    ``partition…, n, concordant, discordant, tau_b``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+        )
+        cells = d.groupBy(*gcols, col_x, col_y).agg(
+            F.count(F.lit(1)).alias("_o")
+        )
+        grid = (
+            cells.select(*gcols, col_x)
+            .distinct()
+            .join(cells.select(*gcols, col_y).distinct(), gcols or None)
+            if gcols
+            else cells.select(col_x)
+            .distinct()
+            .crossJoin(cells.select(col_y).distinct())
+        )
+        dense = grid.join(cells, [*gcols, col_x, col_y], "left").select(
+            *gcols,
+            col_x,
+            col_y,
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+        )
+        wy = (
+            Window.partitionBy(*gcols, col_y)
+            if gcols
+            else Window.partitionBy(col_y)
+        )
+        wx = (
+            Window.partitionBy(*gcols, col_x)
+            if gcols
+            else Window.partitionBy(col_x)
+        )
+        below = F.coalesce(
+            F.sum("_o").over(
+                wy.orderBy(col_x).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        staged = dense.withColumn("_below", below)
+        sw = F.coalesce(
+            F.sum("_below").over(
+                wx.orderBy(col_y).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        ew = F.coalesce(
+            F.sum("_below").over(
+                wx.orderBy(F.col(col_y).desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        terms = staged.select(
+            *gcols,
+            col_x,
+            col_y,
+            "_o",
+            (F.col("_o") * sw).alias("_c"),
+            (F.col("_o") * ew).alias("_d"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        rx = F.sum("_o").over(wx)
+        cy = F.sum("_o").over(wy)
+        # marginal tie masses, each level counted once via a
+        # first-cell guard (order-free: every cell of the level
+        # carries the same marginal)
+        n1t = F.when(
+            F.row_number().over(wx.orderBy(col_y)) == 1,
+            rx * (rx - 1),
+        ).otherwise(F.lit(0))
+        n2t = F.when(
+            F.row_number().over(wy.orderBy(col_x)) == 1,
+            cy * (cy - 1),
+        ).otherwise(F.lit(0))
+        per_cell = terms.withColumn("_n1t", n1t).withColumn(
+            "_n2t", n2t
+        )
+        agg = per_cell.groupBy(*gcols).agg(
+            F.sum("_o").alias("n"),
+            F.sum("_c").alias("concordant"),
+            F.sum("_d").alias("discordant"),
+            F.sum("_n1t").alias("_n1x2"),
+            F.sum("_n2t").alias("_n2x2"),
+        )
+        n = F.col("n")
+        n0x2 = n * (n - 1)  # 2·n₀, keeping everything integer
+        f1 = (n0x2 - F.col("_n1x2")).cast("double") / F.lit(2.0)
+        f2 = (n0x2 - F.col("_n2x2")).cast("double") / F.lit(2.0)
+        tau = F.when(
+            (f1 > 0) & (f2 > 0),
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                .cast("double")
+                / (F.sqrt(f1) * F.sqrt(f2)),
+                6,
+            ),
+        )
+        return agg.select(
+            *gcols, "n", "concordant", "discordant", tau.alias("tau_b")
+        )
+
+    return _t
