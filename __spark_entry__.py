@@ -13968,6 +13968,165 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q255_wasserstein",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CASE WHEN event_id % 3 = 0
+                           THEN value * CAST(1.1 AS DOUBLE)
+                           ELSE value END AS v,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    c AS (SELECT seg, v, SUM(1 - cur)::BIGINT AS nr,
+                 SUM(cur)::BIGINT AS nc
+          FROM d GROUP BY seg, v),
+    w AS (SELECT seg, v, nr, nc,
+                 CAST(SUM(nr) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tr,
+                 CAST(SUM(nc) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tc,
+                 CAST(SUM(nr) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cr,
+                 CAST(SUM(nc) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cc,
+                 LEAD(v) OVER (PARTITION BY seg ORDER BY v) AS nv
+          FROM c),
+    t AS (SELECT seg, tr, tc,
+                 COALESCE(CAST(abs(CAST(cr AS DOUBLE)
+                                   / NULLIF(CAST(tr AS DOUBLE), 0)
+                                   - CAST(cc AS DOUBLE)
+                                   / NULLIF(CAST(tc AS DOUBLE), 0))
+                               * (nv - v) AS DECIMAL(38,6)),
+                          CAST(0.0 AS DECIMAL(38,6))) AS term
+          FROM w)
+    SELECT seg, MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+           CASE WHEN MAX(tr) > 0 AND MAX(tc) > 0
+                THEN CAST(SUM(term) AS DOUBLE) END AS w1
+    FROM t GROUP BY seg
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover's) drift per event type — the
+    displacement-weighing fourth of the drift family (PSI q183, KS
+    q184, JSD q246): the fixture multiplies the current side's values
+    by 1.1, a uniform shift KS saturates on but W₁ scores
+    proportionally.  Same plan shape as KS: one (seg, value) count
+    agg, ordered windows over each group's distinct values, per-gap
+    terms 6 dp-decimal-rounded (operators/drift.py:wasserstein_1d)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import wasserstein_1d
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value") * F.lit(1.1)
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        wasserstein_1d("v", F.col("is_cur"), group_by="seg")
+    )
+
+
+@_q(
+    "q256_zipf_fit",
+    """
+    WITH toks AS (SELECT source,
+                         unnest(list_filter(string_split_regex(trim(
+                           regexp_replace(lower(text),
+                             '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+                           t -> t != '')) AS tok
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    cnts AS (SELECT source, tok, COUNT(*)::BIGINT AS cnt
+             FROM toks GROUP BY source, tok),
+    ranked AS (SELECT source, cnt,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY cnt DESC) AS r
+               FROM cnts),
+    terms AS (SELECT source,
+                     CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(38,6))
+                       AS x,
+                     CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,6))
+                       AS y,
+                     CAST(ln(CAST(r AS DOUBLE))
+                          * ln(CAST(cnt AS DOUBLE))
+                          AS DECIMAL(38,6)) AS xy,
+                     CAST(ln(CAST(r AS DOUBLE))
+                          * ln(CAST(r AS DOUBLE))
+                          AS DECIMAL(38,6)) AS xx,
+                     CAST(ln(CAST(cnt AS DOUBLE))
+                          * ln(CAST(cnt AS DOUBLE))
+                          AS DECIMAL(38,6)) AS yy
+              FROM ranked WHERE r <= 100),
+    agg AS (SELECT source, COUNT(*)::BIGINT AS n_terms,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(xy) AS DOUBLE) AS sxy,
+                   CAST(SUM(xx) AS DOUBLE) AS sxx,
+                   CAST(SUM(yy) AS DOUBLE) AS syy
+            FROM terms GROUP BY source),
+    f AS (SELECT source, n_terms, sx, sy, sxy, sxx, syy,
+                 CAST(n_terms AS DOUBLE) AS nd
+          FROM agg)
+    SELECT source, n_terms,
+           CASE WHEN n_terms >= 3 AND nd * sxx - sx * sx > 0
+                THEN round((nd * sxy - sx * sy)
+                           / (nd * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n_terms >= 3 AND nd * sxx - sx * sx > 0
+                THEN round((sy - ((nd * sxy - sx * sy)
+                                  / (nd * sxx - sx * sx)) * sx)
+                           / nd, 6) END AS intercept,
+           CASE WHEN n_terms >= 3 AND nd * sxx - sx * sx > 0
+                     AND nd * syy - sy * sy > 0
+                THEN round((nd * sxy - sx * sy)
+                           * (nd * sxy - sx * sy)
+                           / ((nd * sxx - sx * sx)
+                              * (nd * syy - sy * sy)), 6)
+           END AS r2
+    FROM f
+    """,
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the top-100 term frequencies per source —
+    the vocabulary-health diagnostic for training corpora (natural
+    text: slope ≈ −1, high R²; boilerplate domination: steeper;
+    shredded/synthetic text: flatter or low R²).  One token-count
+    shuffle (the q27/q43 tokenizer), a per-source top-k window on the
+    reduced TERM table, then a metadata-scale closed-form OLS over
+    6 dp-decimal ln moments; the rank tiebreak among equal counts is
+    provably irrelevant to every fitted sum (y is constant within a
+    tied block and the x-rank multiset is fixed)
+    (operators/text.py:zipf_fit)."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+    from btc_usdt_etl_pipeline_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    counts = (
+        d.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.transform(
+        zipf_fit("cnt", group_by="source", top_r=100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -213,6 +213,8 @@ HEADLINE = [
     "q252_nelson_aalen",
     "q253_kendall_tau",
     "q254_isotonic_calibration",
+    "q255_wasserstein",
+    "q256_zipf_fit",
 ]
 
 

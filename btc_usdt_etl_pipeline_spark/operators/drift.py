@@ -277,3 +277,84 @@ def js_divergence(
         )
 
     return _t
+
+
+def wasserstein_1d(
+    value_col: str,
+    is_current: Column,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "w1",
+) -> Callable[[DataFrame], DataFrame]:
+    """1-D Wasserstein-1 (earth-mover's) distance per group between
+    the reference (``is_current`` false) and current samples — the
+    fourth drift statistic here: unlike KS's max-gap it weighs the
+    WHOLE displacement (a small shift of all mass scores
+    proportionally to the shift, where KS saturates), and unlike PSI
+    it needs no bins.  For 1-D empirical distributions it is exact:
+
+        W₁ = Σ_i |F_ref(v_i) − F_cur(v_i)| · (v_{i+1} − v_i)
+
+    over the sorted distinct values of the combined sample.
+
+    Same scale shape as :func:`ks_statistic`: one (group, value)
+    count aggregation (data scale, map-side combined), then ordered
+    windows over each group's DISTINCT values (already deduplicated).
+    ECDFs are integer cumsums with one try_divide each; the per-gap
+    term carries the products, so it is rounded to 6 dp via the
+    exact-decimal cast before the order-free sum.  Groups with an
+    empty side emit NULL.  NULL values are dropped.  Returns one row
+    per group: ``group_by…, n_ref, n_cur, w1``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_n_ref"),
+                F.sum(cur).alias("_n_cur"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tr = F.sum("_n_ref").over(wg)
+        tc = F.sum("_n_cur").over(wg)
+        f_ref = F.try_divide(
+            F.sum("_n_ref").over(wo).cast("double"), tr.cast("double")
+        )
+        f_cur = F.try_divide(
+            F.sum("_n_cur").over(wo).cast("double"), tc.cast("double")
+        )
+        gap = F.lead("_v").over(wg.orderBy("_v")).cast("double") - F.col(
+            "_v"
+        ).cast("double")
+        term = F.coalesce(
+            (F.abs(f_ref - f_cur) * gap).cast(DEC),
+            F.lit(0.0).cast(DEC),
+        )
+        staged = counts.select(
+            *gcols,
+            term.alias("_term"),
+            tr.alias("_tr"),
+            tc.alias("_tc"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_tr").alias("n_ref"),
+            F.first("_tc").alias("n_cur"),
+            F.sum("_term").cast("double").alias("_w1"),
+        )
+        return agg.select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.col("_w1"),
+            ).alias(out),
+        )
+
+    return _t

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from btc_usdt_etl_pipeline_spark.operators.dedup import shingles, tokens
@@ -996,6 +996,96 @@ def keyness_g2(
             (F.col("_tt") - F.col("_a")).alias("n_out"),
             F.col("_g2").alias("g2"),
             (a > ea).alias("over_represented"),
+        )
+
+    return _t
+
+
+def zipf_fit(
+    count_col: str,
+    group_by: str | None = None,
+    top_r: int = 100,
+) -> Callable[[DataFrame], DataFrame]:
+    """Zipf power-law fit per group over a term-frequency table — the
+    vocabulary-health diagnostic for training corpora: natural text
+    follows freq ∝ rank^(−s) with s ≈ 1; a much steeper slope flags
+    boilerplate/template domination, a much flatter one flags
+    shredded or synthetic text, and a low R² flags a mixture.
+
+    Fits ln(count) = intercept + slope·ln(rank) by closed-form OLS
+    over the ``top_r`` highest-count terms (rank by count desc with
+    the term column implied by input order? no — the caller's row
+    identity is irrelevant: rank is assigned here by count desc with
+    a deterministic tiebreak on every remaining column being
+    unnecessary since ties share the count and ln(count); equal
+    counts at different ranks DO contribute different x = ln(rank),
+    so the tiebreak among tied counts provably does not change any of
+    the fitted sums: the multiset of (x positions) for a tied block
+    is fixed, and y is constant within the block).
+
+    One data-scale shuffle produced the count table upstream; this
+    operator adds one per-group top-k window over the count table
+    (reduced scale: terms, not tokens) and a metadata-scale moment
+    aggregation.  The ln terms and their products are rounded to 6 dp
+    via the exact-decimal cast before the order-free sums (the
+    transcendental contract); slope/intercept/R² are pinned at 6 dp.
+    Groups with < 3 ranked terms or zero x-variance emit NULLs.
+    Returns ``group_by…, n_terms, slope, intercept, r2``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import DEC
+
+        wg = (
+            Window.partitionBy(*gcols)
+            if gcols
+            else Window.partitionBy()
+        ).orderBy(F.col(count_col).desc())
+        ranked = (
+            df.where(F.col(count_col) > 0)
+            .withColumn("_rank", F.row_number().over(wg))
+            .where(F.col("_rank") <= top_r)
+        )
+        x = F.log(F.col("_rank").cast("double"))
+        y = F.log(F.col(count_col).cast("double"))
+        terms = ranked.select(
+            *gcols,
+            x.cast(DEC).alias("_x"),
+            y.cast(DEC).alias("_y"),
+            (x * y).cast(DEC).alias("_xy"),
+            (x * x).cast(DEC).alias("_xx"),
+            (y * y).cast(DEC).alias("_yy"),
+        )
+        agg = terms.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_x").cast("double").alias("_sx"),
+            F.sum("_y").cast("double").alias("_sy"),
+            F.sum("_xy").cast("double").alias("_sxy"),
+            F.sum("_xx").cast("double").alias("_sxx"),
+            F.sum("_yy").cast("double").alias("_syy"),
+        )
+        n = F.col("n_terms").cast("double")
+        sxx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        sxy = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        syy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+        ok = (F.col("n_terms") >= 3) & (sxx > 0)
+        slope = F.when(ok, F.round(sxy / sxx, 6))
+        intercept = F.when(
+            ok,
+            F.round(
+                (F.col("_sy") - (sxy / sxx) * F.col("_sx")) / n, 6
+            ),
+        )
+        r2 = F.when(
+            ok & (syy > 0), F.round(sxy * sxy / (sxx * syy), 6)
+        )
+        return agg.select(
+            *gcols,
+            "n_terms",
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
         )
 
     return _t
