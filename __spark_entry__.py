@@ -14127,6 +14127,107 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q257 Markov fixture: per-user event sequences ordered by
+#: (ts, event_id) — the unique event_id tiebreak makes the lag pairs a
+#: total-order replay in both engines.
+_MK_STATES = ["click", "error", "purchase", "signup", "view"]
+_MK_ITERS = 15
+
+
+def _markov_oracle_sql() -> str:
+    from btc_usdt_etl_pipeline_spark.operators.stats import markov_schedule
+
+    k = len(_MK_STATES)
+    caggs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN prv = '{_MK_STATES[i]}' AND "
+        f"nxt = '{_MK_STATES[j]}' THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"AS c_{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+    )
+    base, rounds = markov_schedule(_MK_STATES, _MK_ITERS)
+    ctes = [
+        "mk0 AS MATERIALIZED (SELECT *, "
+        + ", ".join(f"{e} AS {c}" for c, e in base)
+        + " FROM agg)"
+    ]
+    prev = "mk0"
+    for r, stage in enumerate(rounds, 1):
+        ctes.append(
+            f"mk{r} AS MATERIALIZED (SELECT *, "
+            + ", ".join(f"{e} AS {c}" for c, e in stage)
+            + f" FROM {prev})"
+        )
+        prev = f"mk{r}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS state, CAST(mk_r_{i} AS BIGINT) AS n_out, "
+        + "CAST(("
+        + " + ".join(f"c_{j}_{i}" for j in range(k))
+        + ") AS BIGINT) AS n_in, "
+        + f"round(v{_MK_ITERS}_{i}, 6) AS stationary FROM {prev}"
+        for i, name in enumerate(_MK_STATES)
+    )
+    ctes_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH seq AS MATERIALIZED (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prv,
+             event_type AS nxt
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND ts IS NOT NULL AND event_id IS NOT NULL),
+    pairs AS MATERIALIZED (SELECT prv, nxt FROM seq
+                           WHERE prv IS NOT NULL),
+    agg AS MATERIALIZED (SELECT {caggs} FROM pairs),
+    {ctes_sql}
+    {finals}
+    """
+
+
+@_q("q257_markov_stationary", _markov_oracle_sql())
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix + stationary distribution over the
+    event-type catalog — the user-journey summary (where does the
+    session process spend its time?) behind funnel baselines and
+    behavioral drift monitors.  Per-user lag pairs come from one
+    (user, ts, event_id)-ordered window (many small partitions); the
+    distributed work then collapses to ONE conditional-count
+    aggregation (k² pair counts, map-side combined), and the
+    15-round renormalized power iteration runs as generated column
+    expressions over that metadata row — the SAME schedule text the
+    DuckDB oracle evaluates CTE-by-CTE, bit-identical
+    (operators/stats.py:markov_stationary / markov_schedule)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        markov_stationary,
+    )
+
+    from btc_usdt_etl_pipeline_spark.operators.windows import keyed_lags
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    # keyed chunked-halo lag (halo 1): a zipf-hot user must not
+    # serialize its whole event series onto one sort task
+    seq = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .transform(
+            keyed_lags(
+                [("event_type", 1, "prv")],
+                order_by=["ts", "event_id"],
+                partition_by=["user_id"],
+            )
+        )
+        .where(F.col("prv").isNotNull())
+        .select("prv", F.col("event_type").alias("nxt"))
+    )
+    return seq.transform(
+        markov_stationary("prv", "nxt", _MK_STATES, iterations=_MK_ITERS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

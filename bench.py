@@ -215,6 +215,7 @@ HEADLINE = [
     "q254_isotonic_calibration",
     "q255_wasserstein",
     "q256_zipf_fit",
+    "q257_markov_stationary",
 ]
 
 

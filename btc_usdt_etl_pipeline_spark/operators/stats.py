@@ -2295,3 +2295,140 @@ def kendall_tau_b(
         )
 
     return _t
+
+
+def markov_schedule(
+    states: Sequence[str], iterations: int
+) -> tuple[list[tuple[str, str]], list[list[tuple[str, str]]]]:
+    """Power-iteration schedule for the Markov stationary distribution
+    as (column, SQL-expr) steps — ONE generator rendered into BOTH
+    engines (the bt_schedule / q227 generated-elimination idiom).
+
+    Step 0 defines row totals ``mk_r_i`` and row-normalized transition
+    probabilities ``t_i_j`` from the pivoted transition counts
+    ``c_i_j`` (zero-row states get all-zero outgoing probabilities);
+    each round r emits the raw propagation
+
+        u{r}_j = Σ_i v{r-1}_i · t_i_j
+
+    followed by a renormalization ``v{r}_j = u{r}_j / Σ u{r}`` that
+    reinjects the mass lost to zero-out-degree states (the PageRank
+    dangling-mass treatment, without teleportation).  Term order is
+    the generation order, fixed and identical on both sides.
+    """
+    k = len(states)
+    zero = "CAST(0 AS DOUBLE)"
+    base: list[tuple[str, str]] = []
+    for i in range(k):
+        row = " + ".join(f"c_{i}_{j}" for j in range(k))
+        base.append((f"mk_r_{i}", f"({row})"))
+    for i in range(k):
+        for j in range(k):
+            base.append(
+                (
+                    f"t_{i}_{j}",
+                    f"(CASE WHEN mk_r_{i} > {zero} THEN "
+                    f"c_{i}_{j} / mk_r_{i} ELSE {zero} END)",
+                )
+            )
+    inv_k = f"(CAST(1.0 AS DOUBLE) / CAST({k} AS DOUBLE))"
+    base.extend((f"v0_{i}", inv_k) for i in range(k))
+    rounds: list[list[tuple[str, str]]] = []
+    for r in range(1, iterations + 1):
+        step = [
+            (
+                f"u{r}_{j}",
+                "("
+                + " + ".join(f"v{r-1}_{i} * t_{i}_{j}" for i in range(k))
+                + ")",
+            )
+            for j in range(k)
+        ]
+        s = " + ".join(f"u{r}_{j}" for j in range(k))
+        norm = [
+            (
+                f"v{r}_{j}",
+                f"(CASE WHEN ({s}) > {zero} THEN "
+                f"u{r}_{j} / ({s}) ELSE {zero} END)",
+            )
+            for j in range(k)
+        ]
+        rounds.append(step)
+        rounds.append(norm)
+    return base, rounds
+
+
+def markov_stationary(
+    prev_col: str,
+    next_col: str,
+    states: Sequence[str],
+    iterations: int = 15,
+) -> Callable[[DataFrame], DataFrame]:
+    """First-order Markov chain over a declared state catalog: the
+    row-normalized transition matrix and its stationary distribution —
+    the user-journey summary (where does the session process spend its
+    time?) and the independence baseline for funnel analysis.
+
+    Plan: the DISTRIBUTED work is one conditional-count aggregation
+    collapsing billions of (prev → next) transitions to the k²
+    pair-count row (map-side combined, one shuffle of partials); the
+    power iteration runs as generated column expressions over that ONE
+    metadata row (:func:`markov_schedule` — no driver loop, no
+    Python), renormalizing per round so zero-out-degree states don't
+    leak mass.  Fenced at ≤ 32 states — at catalog scale use a
+    broadcast-iteration loop (the PageRank shape) instead.
+
+    The expression text is rendered identically into the DuckDB
+    oracle, so every double matches bit-for-bit; only the final 6 dp
+    pin is stated.  Returns one row per state:
+    ``(state, n_out, n_in, stationary)``.
+    """
+    states = list(states)
+    if not 2 <= len(states) <= 32:
+        raise ValueError("markov_stationary needs 2..32 states")
+    if len(set(states)) != len(states):
+        raise ValueError("states must be unique")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    k = len(states)
+
+    def _t(df: DataFrame) -> DataFrame:
+        p, n = F.col(prev_col), F.col(next_col)
+        aggs = []
+        for i in range(k):
+            for j in range(k):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (p == states[i]) & (n == states[j]), 1
+                        ).otherwise(0)
+                    )
+                    .cast("double")
+                    .alias(f"c_{i}_{j}")
+                )
+        row = df.agg(*aggs)
+        base, rounds = markov_schedule(states, iterations)
+        row = row.select("*", *[F.expr(e).alias(c) for c, e in base])
+        for step in rounds:
+            row = row.select(
+                "*", *[F.expr(e).alias(c) for c, e in step]
+            )
+        cells = []
+        for i, name in enumerate(states):
+            col_in = " + ".join(f"c_{j}_{i}" for j in range(k))
+            cells.extend(
+                [
+                    f"'{name}'",
+                    f"CAST(mk_r_{i} AS BIGINT)",
+                    f"CAST(({col_in}) AS BIGINT)",
+                    f"round(v{iterations}_{i}, 6)",
+                ]
+            )
+        return row.select(
+            F.expr(
+                f"stack({k}, {', '.join(cells)}) AS "
+                "(state, n_out, n_in, stationary)"
+            )
+        )
+
+    return _t
