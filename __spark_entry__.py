@@ -14228,6 +14228,78 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        "os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_suppkey AS s FROM lineitem WHERE l_orderkey % 20 = 0)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.s AS _a, b.s AS _b "
+        "FROM os a JOIN os b ON a.o = b.o AND a.s < b.s)",
+        "sym AS MATERIALIZED (SELECT _a AS s, _b AS d FROM e0 "
+        "UNION SELECT _b, _a FROM e0)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl "
+        "FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"cnt{r} AS MATERIALIZED (SELECT sym.d AS node, l.lbl, "
+            f"COUNT(*)::BIGINT AS c FROM sym JOIN lbl{r-1} l "
+            f"ON sym.s = l.node GROUP BY sym.d, l.lbl)"
+        )
+        ctes.append(
+            f"pick{r} AS MATERIALIZED (SELECT node, lbl FROM "
+            f"(SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM cnt{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"lbl{r} AS MATERIALIZED (SELECT p.node, "
+            f"COALESCE(k.lbl, p.lbl) AS lbl FROM lbl{r-1} p "
+            f"LEFT JOIN pick{r} k ON p.node = k.node)"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, lbl AS community FROM lbl{rounds}\n    "
+    )
+
+
+@_q("q258_label_propagation", _lpa_oracle_sql())
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the q153 co-supplier graph —
+    the bounded-round community sketch between connected components
+    (q62: merges everything reachable) and modularity methods: each
+    of 3 rounds every node adopts its neighbors' most frequent
+    previous-round label, smallest-label tiebreak (fully
+    deterministic, unlike randomized textbook LPA), so the DuckDB
+    oracle replays the rounds as unrolled MATERIALIZED CTEs (the
+    k-core/PageRank fixed-rounds-are-the-semantics idiom).  Per
+    round: one edge-scale join + two hash aggs, label tables
+    localCheckpoint-truncated (operators/graph.py:label_propagation)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("s").alias("src"))
+    b = li.select(F.col("o"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -216,6 +216,7 @@ HEADLINE = [
     "q255_wasserstein",
     "q256_zipf_fit",
     "q257_markov_stationary",
+    "q258_label_propagation",
 ]
 
 

@@ -624,3 +624,72 @@ def degree_assortativity(
         F.count(F.lit(1)).alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by semi-synchronous label propagation over
+    an undirected edge list — the cheap community sketch between
+    connected components (which merges everything reachable) and
+    modularity methods (which don't fit a bounded-round data-parallel
+    plan).  Labels start as the node id; each round every node adopts
+    the most frequent label among its NEIGHBORS' previous-round labels
+    (ties broken by the smallest label — fully deterministic, unlike
+    the randomized textbook LPA), isolated nodes keep their label.
+    Like :func:`kcore_peel` and PageRank here, the FIXED round count
+    is the declared semantics, which is what lets a SQL oracle replay
+    the rounds as unrolled CTEs.
+
+    Per round: one edge-scale join (previous labels onto the
+    symmetrized edges) + one (node, label) count + one per-node argmax
+    — all hash aggregations, no ordered windows; the per-round label
+    table is ``localCheckpoint``-truncated so round r's plan does not
+    re-evaluate rounds 1..r−1 (the expanding-ring lesson,
+    operators/geo.py:nearest_join).  The argmax is
+    ``min(struct(−count, label))`` — pure integer lexicographic
+    selection, bit-exact in any engine.
+
+    Returns one row per node: ``node, community`` (the round-R label).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("_s").alias("node"))
+        .distinct()
+        .withColumn("_lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("n2"), "_lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        pick = cnt.groupBy("n2").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("nc"), F.col("_lbl").alias("l")
+                )
+            )["l"].alias("_new")
+        )
+        labels = (
+            labels.join(pick, labels["node"] == pick["n2"], "left")
+            .select(
+                "node",
+                F.coalesce("_new", "_lbl").alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("_lbl").alias("community"))
