@@ -14300,6 +14300,201 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=_LPA_ROUNDS)
 
 
+@_q(
+    "q259_brier_decomposition",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(event_id % 100 AS DOUBLE) / 100.0 AS f,
+                      CASE WHEN ((event_id // 100) % 100)
+                                < (10 + ((event_id % 100) * 4) // 5)
+                           THEN 1 ELSE 0 END AS o
+               FROM events
+               WHERE event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    pb AS (SELECT seg,
+                  CAST(LEAST(19, GREATEST(0,
+                       CAST(FLOOR((f - 0.0)
+                                  / CAST(0.05 AS DOUBLE)) AS BIGINT)))
+                       AS INT) AS bin,
+                  COUNT(*)::BIGINT AS nk,
+                  SUM(CAST(f AS DECIMAL(38,6))) AS sf,
+                  SUM(o)::BIGINT AS so,
+                  SUM(CAST((f - o) * (f - o) AS DECIMAL(38,6))) AS sq
+           FROM d GROUP BY 1, 2),
+    w AS (SELECT seg, bin, nk, sf, so, sq,
+                 CAST(SUM(nk) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tot,
+                 CAST(SUM(so) OVER (PARTITION BY seg) AS DOUBLE)
+                   / CAST(SUM(nk) OVER (PARTITION BY seg) AS DOUBLE)
+                   AS obar
+          FROM pb),
+    t AS (SELECT seg, tot, obar, sq,
+                 CAST(CAST(nk AS DOUBLE)
+                      * (CAST(sf AS DOUBLE) / CAST(nk AS DOUBLE)
+                         - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+                      * (CAST(sf AS DOUBLE) / CAST(nk AS DOUBLE)
+                         - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+                      AS DECIMAL(38,6)) AS rel,
+                 CAST(CAST(nk AS DOUBLE)
+                      * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+                         - obar)
+                      * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+                         - obar)
+                      AS DECIMAL(38,6)) AS res
+          FROM w),
+    agg AS (SELECT seg, MAX(tot) AS n, MAX(obar) AS ob,
+                   CAST(SUM(sq) AS DOUBLE) AS ssq,
+                   CAST(SUM(rel) AS DOUBLE) AS srel,
+                   CAST(SUM(res) AS DOUBLE) AS sres
+            FROM t GROUP BY seg)
+    SELECT seg, n,
+           round(ssq / CAST(n AS DOUBLE), 6) AS brier,
+           round(srel / CAST(n AS DOUBLE), 6) AS reliability,
+           round(sres / CAST(n AS DOUBLE), 6) AS resolution,
+           round(ob * (1.0 - ob), 6) AS uncertainty
+    FROM agg
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition per event type on the q254
+    forecast fixture — the probability-forecast scorecard splitting
+    error into the calibration gap (reliability), discrimination
+    (resolution), and base-rate entropy (uncertainty); the diagnostic
+    that says whether to fix a scorer with recalibration (q254) or
+    with better features.  ONE (seg, bin) aggregation carrying count,
+    Σf, Σo, and the Σ(f−o)² decimal moment; everything after runs on
+    the bins×groups table (operators/stats.py:brier_decomposition)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        brier_decomposition,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        ((F.col("event_id") % 100).cast("double") / F.lit(100.0))
+        .alias("score"),
+        (
+            F.expr("(event_id DIV 100) % 100")
+            < (F.lit(10) + F.expr("((event_id % 100) * 4) DIV 5"))
+        )
+        .cast("int")
+        .alias("lbl"),
+    )
+    return rows.transform(
+        brier_decomposition(
+            "score", "lbl", lo=0.0, hi=1.0, n_bins=20, group_by="seg"
+        )
+    )
+
+
+@_q(
+    "q260_conformal_quantile",
+    """
+    WITH d AS (SELECT event_type AS seg, value AS v FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT seg, v,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY seg) AS n
+          FROM d),
+    k AS (SELECT seg, CAST(n AS BIGINT) AS n,
+                 CAST(CEIL((CAST(n AS DOUBLE) + 1.0)
+                           * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k
+          FROM r GROUP BY seg, n),
+    q AS (SELECT r.seg, MIN(CASE WHEN rn = k.k THEN v END) AS qh
+          FROM r JOIN k ON r.seg = k.seg GROUP BY r.seg)
+    SELECT k.seg, k.n, k.k,
+           CASE WHEN k.k <= k.n THEN qh END AS q_hat
+    FROM k JOIN q ON k.seg = q.seg
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration quantile per event type (α = 0.1)
+    — the finite-sample-valid prediction-interval radius: q̂ is the
+    ⌈(n+1)·0.9⌉-th smallest nonconformity score, giving ≥ 90%
+    coverage distribution-free.  The order statistic rides
+    group_ranks' strategy machinery (bucketed-counts plan past the
+    size gate — no per-group sort task) and is selected by the
+    tie-block-spans-k rule, tie-invariant by construction; q̂ is a
+    selected input value, bit-exact
+    (operators/stats.py:conformal_quantile)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        conformal_quantile,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    rows = e.select(F.col("event_type").alias("seg"), "value")
+    return rows.transform(
+        conformal_quantile("value", alpha=0.1, group_by="seg")
+    )
+
+
+@_q(
+    "q261_poisson_rate_ratio",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      (event_id % 2 = 0) AS a,
+                      (event_type = 'error') AS ev
+               FROM events
+               WHERE ts IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+    agg AS (SELECT dow,
+                   SUM(CASE WHEN a AND ev THEN 1 ELSE 0 END)::BIGINT
+                     AS c_a,
+                   SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS t_a,
+                   SUM(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END)
+                     ::BIGINT AS c_b,
+                   SUM(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT
+                     AS t_b
+            FROM d GROUP BY dow),
+    f AS (SELECT dow, c_a, t_a, c_b, t_b,
+                 (CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE))
+                   / (CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+                   AS rr,
+                 sqrt(1.0 / CAST(c_a AS DOUBLE)
+                      + 1.0 / CAST(c_b AS DOUBLE)) AS se,
+                 (c_a > 0 AND c_b > 0 AND t_a > 0 AND t_b > 0) AS ok
+          FROM agg)
+    SELECT dow, c_a, t_a, c_b, t_b,
+           CASE WHEN ok THEN round(rr, 6) END AS rate_ratio,
+           CASE WHEN ok THEN round(ln(rr) / se, 6) END AS z,
+           CASE WHEN ok THEN round(exp(ln(rr) - 1.96 * se), 6) END
+             AS ci_lo,
+           CASE WHEN ok THEN round(exp(ln(rr) + 1.96 * se), 6) END
+             AS ci_hi
+    FROM f
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio A/B per weekday — error-rate comparison
+    between the even/odd event-id cohorts with the Wald interval on
+    the log scale, the event-rate readout next to the mean tests
+    (q229/q232) and the proportion machinery (q237/q238).  ONE
+    conditional-count aggregation, map-side combined; ln/exp under
+    the 6 dp pin (operators/stats.py:poisson_rate_ratio)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        poisson_rate_ratio,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"),
+        (F.col("event_id") % 2 == 0).alias("a"),
+        (F.col("event_type") == "error").alias("ev"),
+    )
+    return rows.transform(
+        poisson_rate_ratio(F.col("a"), F.col("ev"), partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -217,6 +217,9 @@ HEADLINE = [
     "q256_zipf_fit",
     "q257_markov_stationary",
     "q258_label_propagation",
+    "q259_brier_decomposition",
+    "q260_conformal_quantile",
+    "q261_poisson_rate_ratio",
 ]
 
 

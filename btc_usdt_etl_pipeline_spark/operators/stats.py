@@ -2432,3 +2432,247 @@ def markov_stationary(
         )
 
     return _t
+
+
+def brier_decomposition(
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Brier score with the Murphy decomposition per group — the
+    probability-forecast scorecard that says not just HOW wrong a
+    scorer is but WHY:
+
+        BS          = (1/N) Σ (f_i − o_i)²
+        reliability = (1/N) Σ_k n_k (f̄_k − ō_k)²   (calibration gap)
+        resolution  = (1/N) Σ_k n_k (ō_k − ō)²      (discrimination)
+        uncertainty = ō (1 − ō)
+
+    with forecasts clamped into ``n_bins`` fixed-width bins on
+    [lo, hi) (PSI's clamp rule).  The exact identity
+    ``BS_binned = reliability − resolution + uncertainty`` holds for
+    the BINNED score; the raw BS is reported alongside (the gap is the
+    within-bin forecast variance).  One data-scale shuffle: a single
+    (group, bin) aggregation carrying count, Σf, Σo, and the Σ(f−o)²
+    decimal moment; everything after runs on the bins×groups table.
+    Per-bin terms are rounded to 6 dp via the exact-decimal cast
+    before the order-free sums; outputs pinned at 6 dp.  NULL
+    score/label rows are dropped.  Returns ``group_by…, n, brier,
+    reliability, resolution, uncertainty``.
+    """
+    gcols = [group_by] if group_by else []
+    width = (hi - lo) / n_bins
+
+    def _t(df: DataFrame) -> DataFrame:
+        f = F.col(score_col).cast("double")
+        o = F.col(label_col).cast("double")
+        raw_bin = F.floor((f - F.lit(float(lo))) / F.lit(float(width)))
+        bin_ = F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)
+        ).cast("int")
+        per_bin = (
+            df.where(
+                F.col(score_col).isNotNull()
+                & F.col(label_col).isNotNull()
+            )
+            .groupBy(*gcols, bin_.alias("_bin"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(f.cast(DEC)).alias("_sf"),
+                F.sum(o.cast("long")).alias("_so"),
+                F.sum(((f - o) * (f - o)).cast(DEC)).alias("_sq"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        n = F.sum("_n").over(wg)
+        obar = F.sum("_so").over(wg).cast("double") / n.cast("double")
+        fbar_k = F.col("_sf").cast("double") / F.col("_n").cast(
+            "double"
+        )
+        obar_k = F.col("_so").cast("double") / F.col("_n").cast(
+            "double"
+        )
+        rel_t = (
+            F.col("_n").cast("double")
+            * (fbar_k - obar_k)
+            * (fbar_k - obar_k)
+        ).cast(DEC)
+        res_t = (
+            F.col("_n").cast("double")
+            * (obar_k - obar)
+            * (obar_k - obar)
+        ).cast(DEC)
+        staged = per_bin.select(
+            *gcols,
+            n.alias("_tot"),
+            obar.alias("_obar"),
+            F.col("_sq"),
+            rel_t.alias("_rel"),
+            res_t.alias("_res"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_tot").alias("n"),
+            F.first("_obar").alias("_ob"),
+            F.sum("_sq").cast("double").alias("_ssq"),
+            F.sum("_rel").cast("double").alias("_srel"),
+            F.sum("_res").cast("double").alias("_sres"),
+        )
+        nd = F.col("n").cast("double")
+        return agg.select(
+            *gcols,
+            "n",
+            F.round(F.col("_ssq") / nd, 6).alias("brier"),
+            F.round(F.col("_srel") / nd, 6).alias("reliability"),
+            F.round(F.col("_sres") / nd, 6).alias("resolution"),
+            F.round(
+                F.col("_ob") * (F.lit(1.0) - F.col("_ob")), 6
+            ).alias("uncertainty"),
+        )
+
+    return _t
+
+
+def conformal_quantile(
+    score_col: str,
+    alpha: float = 0.1,
+    group_by: str | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Split-conformal calibration quantile per group — the
+    finite-sample-valid prediction-interval radius: given held-out
+    nonconformity scores, q̂ is the ⌈(n+1)(1−α)⌉-th smallest score,
+    and intervals of that radius cover with probability ≥ 1−α
+    (distribution-free).  The eval-pipeline primitive behind
+    "guaranteed coverage" serving.
+
+    The k-th order statistic is computed WITHOUT an ordered-window
+    sort task: ranks come from
+    :func:`…operators.windows.group_ranks` (the ``strategy`` contract
+    — bucketed-counts plan past the size gate, bit-identical), and
+    the k-th value is the row whose tie block spans rank k
+    (``min_rank ≤ k < min_rank + cnt``) — tie-invariant by
+    construction, since every row of the block carries the same
+    value.  One extra per-group count join (metadata scale).  q̂ is a
+    selected input value — no arithmetic, bit-exact.  Groups with
+    k > n (too few calibration points for the requested coverage)
+    emit NULL q̂.  Returns ``group_by…, n, k, q_hat``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from btc_usdt_etl_pipeline_spark.operators.windows import group_ranks
+
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(score_col).isNotNull()).select(
+            *gcols, score_col
+        )
+        r = d.transform(
+            group_ranks(
+                score_col, group_by=group_by or None, strategy=strategy
+            )
+        )
+        cnt = (
+            F.lit(2.0)
+            * (F.col("avg_rank") - F.col("min_rank").cast("double"))
+            + F.lit(1.0)
+        ).cast("long")
+        n = F.count(F.lit(1)).over(
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        )
+        k = F.ceil(
+            (n.cast("double") + F.lit(1.0)) * F.lit(1.0 - float(alpha))
+        )
+        staged = r.select(
+            *gcols,
+            F.col(score_col).alias("_v"),
+            "min_rank",
+            cnt.alias("_cnt"),
+            n.alias("_n"),
+            k.alias("_k"),
+        )
+        hit = (F.col("min_rank") <= F.col("_k")) & (
+            F.col("_k") < F.col("min_rank") + F.col("_cnt")
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_n").alias("n"),
+            F.first("_k").alias("k"),
+            F.min(F.when(hit, F.col("_v"))).alias("_q"),
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            "k",
+            F.when(F.col("k") <= F.col("n"), F.col("_q")).alias(
+                "q_hat"
+            ),
+        )
+
+    return _t
+
+
+def poisson_rate_ratio(
+    is_a: Column,
+    is_event: Column,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Poisson rate-ratio comparison per partition — the event-rate
+    A/B readout (error rates, incident rates, click rates per
+    exposure) with the Wald interval on the log scale:
+
+        RR = (c_a / t_a) / (c_b / t_b)
+        se = √(1/c_a + 1/c_b)
+        z  = ln(RR) / se,   CI = exp(ln RR ∓ 1.96·se)
+
+    where c is the event count and t the exposure (row count) per
+    side.  ONE conditional-count aggregation per partition — map-side
+    combined, the cheapest shape in the battery.  ln/exp are pinned
+    at 6 dp per the transcendental contract; zero events or zero
+    exposure on either side emit NULL statistics (the Wald
+    approximation is undefined there).  Returns ``partition…, c_a,
+    t_a, c_b, t_b, rate_ratio, z, ci_lo, ci_hi``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        a = is_a.cast("boolean")
+        ev = is_event.cast("boolean")
+        agg = df.groupBy(*gcols).agg(
+            F.sum((a & ev).cast("long")).alias("c_a"),
+            F.sum(a.cast("long")).alias("t_a"),
+            F.sum((~a & ev).cast("long")).alias("c_b"),
+            F.sum((~a).cast("long")).alias("t_b"),
+        )
+        ca = F.col("c_a").cast("double")
+        ta = F.col("t_a").cast("double")
+        cb = F.col("c_b").cast("double")
+        tb = F.col("t_b").cast("double")
+        ok = (
+            (F.col("c_a") > 0)
+            & (F.col("c_b") > 0)
+            & (F.col("t_a") > 0)
+            & (F.col("t_b") > 0)
+        )
+        rr = (ca / ta) / (cb / tb)
+        lnrr = F.log(rr)
+        se = F.sqrt(F.lit(1.0) / ca + F.lit(1.0) / cb)
+        return agg.select(
+            *gcols,
+            "c_a",
+            "t_a",
+            "c_b",
+            "t_b",
+            F.when(ok, F.round(rr, 6)).alias("rate_ratio"),
+            F.when(ok, F.round(lnrr / se, 6)).alias("z"),
+            F.when(
+                ok, F.round(F.exp(lnrr - F.lit(1.96) * se), 6)
+            ).alias("ci_lo"),
+            F.when(
+                ok, F.round(F.exp(lnrr + F.lit(1.96) * se), 6)
+            ).alias("ci_hi"),
+        )
+
+    return _t
