@@ -14495,6 +14495,109 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q262_mcnemar",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      ((event_id % 10) < 7) AS ca,
+                      (((event_id // 10) % 10) < 6) AS cb
+               FROM events
+               WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+    agg AS (SELECT seg, COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END)::BIGINT
+                     AS n_both,
+                   SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                     ::BIGINT AS b,
+                   SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+                     ::BIGINT AS c
+            FROM d GROUP BY seg)
+    SELECT seg, n, n_both, b, c,
+           CASE WHEN b + c > 0
+                THEN round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                           * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                           / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)),
+                           6) END AS chi2
+    FROM agg
+    """,
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test per event type — comparing two models on
+    the SAME examples (the eval-pipeline statistic a two-sample
+    proportion test gets wrong by diluting with the shared concordant
+    mass): per-item verdicts for 'model A' (70% planted accuracy) and
+    'model B' (60%, from an independent residue).  ONE
+    conditional-count aggregation, integer-exact until the final
+    division (operators/stats.py:mcnemar_test)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import mcnemar_test
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        ((F.col("event_id") % 10) < 7).alias("ca"),
+        (F.expr("(event_id DIV 10) % 10") < 6).alias("cb"),
+    )
+    return rows.transform(
+        mcnemar_test(F.col("ca"), F.col("cb"), partition_by="seg")
+    )
+
+
+@_q(
+    "q263_ngram_diversity",
+    """
+    WITH toks AS (SELECT source,
+                         list_filter(string_split_regex(trim(
+                           regexp_replace(lower(text),
+                             '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+                           t -> t != '') AS tok
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    tc AS (SELECT source, SUM(len(tok))::BIGINT AS tokens
+           FROM toks GROUP BY source),
+    g1 AS (SELECT source, unnest(tok) AS g FROM toks),
+    r1 AS (SELECT source, COUNT(DISTINCT g)::BIGINT AS t1,
+                  COUNT(*)::BIGINT AS o1
+           FROM g1 GROUP BY source),
+    bgl AS (SELECT source,
+                   list_transform(range(1, len(tok)),
+                     i -> tok[i] || ' ' || tok[i+1]) AS bgs
+            FROM toks WHERE len(tok) >= 2),
+    g2 AS (SELECT source, unnest(bgs) AS g FROM bgl),
+    r2 AS (SELECT source, COUNT(DISTINCT g)::BIGINT AS t2,
+                  COUNT(*)::BIGINT AS o2
+           FROM g2 GROUP BY source)
+    SELECT tc.source, tc.tokens,
+           CASE WHEN o1 > 0
+                THEN round(CAST(t1 AS DOUBLE) / CAST(o1 AS DOUBLE), 6)
+           END AS distinct_1,
+           CASE WHEN o2 > 0
+                THEN round(CAST(t2 AS DOUBLE) / CAST(o2 AS DOUBLE), 6)
+           END AS distinct_2
+    FROM tc
+    LEFT JOIN r1 ON tc.source = r1.source
+    LEFT JOIN r2 ON tc.source = r2.source
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 n-gram diversity per source — the
+    corpus-level generation-diversity metric (Li et al. 2016): the
+    fraction of n-gram occurrences that are distinct types; low
+    distinct-2 flags mode collapse on model outputs and boilerplate
+    domination on training corpora.  One explode + (source, gram)
+    count per order (map-side combined), then a rollup on the reduced
+    gram table; exact integer divisions
+    (operators/text.py:ngram_diversity)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    return d.transform(
+        ngram_diversity("text", group_by="source", ns=(1, 2))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -14687,6 +14790,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: strict generalization; q243 stays judge-covered), q225 (geo keeps
 #: q226/q217/q219), q223 (q227 is the generalized OLS), q220
 #: (windows keep q181/q185/q216/q222/q228).
+#: The third r10 batch promoted q254 isotonic, q257 Markov, q258 LPA,
+#: q259 Brier, q260 conformal — all brand-new families/ops with no
+#: driver row — demoting the five longest-green remaining rows (green
+#: count in parens): q48 (9; rollup family stays judge-covered), q62
+#: (6; CC machinery stays in-window via q165/q167/q258), q131 (5;
+#: text keeps q143-q145/q161), q137 (5; scalar battery judge-covered),
+#: q136 (5; layout family judge-covered).  q253/q255/q256/q261 wait
+#: for the next rotation — their families hold in-window reps
+#: (q222 ranks, q145 drift-adjacent, q229-family rates).
 _PRIORITY_WINDOW = [
     "q45_session_windows",    # streaming session windows (r10: clears stale r3 FAIL)
     "q49_streaming_sliding",  # streaming sliding windows (r10: clears stale r3 FAIL)
@@ -14710,14 +14822,14 @@ _PRIORITY_WINDOW = [
     "q240_containment_pairs", # asymmetric containment dedup (r10 NEW op)
     "q248_krippendorff_alpha",# missing-ratings agreement (r10 NEW op, generalizes q241/q243)
     "q242_bradley_terry",     # preference-strength MM (r10 NEW family)
-    "q48_grouping_sets",      # rollup/cube/grouping sets family
+    "q254_isotonic_calibration", # interval-minimax PAV (r10 NEW family)
     "q58_stateful_extrema",   # applyInPandasWithState
-    "q62_dedup_clusters",     # connected components
+    "q257_markov_stationary", # transition matrix + stationary dist (r10 NEW family)
     "q161_bpe_train",         # BPE tokenizer training (merge table)
     "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
-    "q131_pii_redact",        # PII detect + redact
-    "q136_zorder_layout",     # Z-order layout key
-    "q137_data_quality",      # data-quality expectations
+    "q258_label_propagation", # bounded-round LPA communities (r10 NEW op)
+    "q260_conformal_quantile",# split-conformal order statistic (r10 NEW family)
+    "q259_brier_decomposition", # Brier + Murphy decomposition (r10 NEW op)
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
     "q168_interval_coverage", # interval algebra (merge/coverage sweep)
     "q171_skyline",           # 2-D skyline / Pareto front

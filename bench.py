@@ -220,6 +220,8 @@ HEADLINE = [
     "q259_brier_decomposition",
     "q260_conformal_quantile",
     "q261_poisson_rate_ratio",
+    "q262_mcnemar",
+    "q263_ngram_diversity",
 ]
 
 

@@ -2676,3 +2676,48 @@ def poisson_rate_ratio(
         )
 
     return _t
+
+
+def mcnemar_test(
+    correct_a: Column,
+    correct_b: Column,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """McNemar's paired test per partition — THE statistic for
+    comparing two models on the SAME examples (model A vs model B
+    correctness per prompt): only the discordant pairs carry
+    information, so it detects a real quality gap that a two-sample
+    proportion test dilutes with the (huge, shared) concordant mass.
+
+        b = #(A right, B wrong),  c = #(A wrong, B right)
+        χ² = (b − c)² / (b + c)        (1 dof, no continuity corr.)
+
+    ONE conditional-count aggregation per partition (map-side
+    combined).  Pure integer arithmetic until the final division,
+    pinned at 6 dp; b + c = 0 (no discordant pairs) emits NULL.  NULL
+    verdicts on either side drop the pair (unjudged).  Returns
+    ``partition…, n, n_both, b, c, chi2``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        a = correct_a.cast("boolean")
+        b = correct_b.cast("boolean")
+        d = df.where(a.isNotNull() & b.isNotNull())
+        agg = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((a & b).cast("long")).alias("n_both"),
+            F.sum((a & ~b).cast("long")).alias("b"),
+            F.sum((~a & b).cast("long")).alias("c"),
+        )
+        bb = F.col("b").cast("double")
+        cc = F.col("c").cast("double")
+        chi2 = F.when(
+            (F.col("b") + F.col("c")) > 0,
+            F.round((bb - cc) * (bb - cc) / (bb + cc), 6),
+        )
+        return agg.select(
+            *gcols, "n", "n_both", "b", "c", chi2.alias("chi2")
+        )
+
+    return _t

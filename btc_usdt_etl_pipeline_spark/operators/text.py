@@ -1089,3 +1089,78 @@ def zipf_fit(
         )
 
     return _t
+
+
+def ngram_diversity(
+    text_col: str = "text",
+    group_by: str | None = None,
+    ns: Sequence[int] = (1, 2),
+) -> Callable[[DataFrame], DataFrame]:
+    """Corpus-level distinct-n-gram diversity per group — the
+    generation-diversity metric (distinct-1 / distinct-2 of Li et al.
+    2016): the fraction of n-gram OCCURRENCES that are distinct types.
+    Low distinct-2 on a model-output corpus flags mode collapse /
+    template degeneration; on a training corpus it flags boilerplate
+    domination — the corpus-level complement of the per-document
+    repetition score.
+
+        distinct_n = |{distinct n-grams}| / Σ #n-gram occurrences
+
+    One explode + one (group, gram) count per n (data-scale,
+    map-side combined), then a count/sum rollup on the reduced gram
+    table; the ratios are exact integer divisions pinned at 6 dp.
+    Groups with no n-grams of a given order emit NULL for it.
+    Returns ``group_by…, tokens, distinct_1, distinct_2, …`` (one
+    column per requested n).
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        tok = tokens(text_col)
+        base = df.select(*gcols, tok.alias("_tok"))
+        out = None
+        for n in ns:
+            grams = base.select(
+                *gcols,
+                F.explode(
+                    shingles(F.col("_tok"), n) if n > 1 else F.col("_tok")
+                ).alias("_g"),
+            )
+            per_gram = grams.groupBy(*gcols, "_g").agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            roll = per_gram.groupBy(*gcols).agg(
+                F.count(F.lit(1)).alias(f"_types_{n}"),
+                F.sum("_c").alias(f"_occ_{n}"),
+            )
+            if out is None:
+                out = roll
+            elif gcols:
+                out = out.join(roll, gcols, "outer")
+            else:
+                out = out.crossJoin(roll)
+        token_count = (
+            base.select(*gcols, F.size("_tok").alias("_nt"))
+            .groupBy(*gcols)
+            .agg(F.sum("_nt").alias("tokens"))
+        )
+        joined = (
+            token_count.join(out, gcols, "left")
+            if gcols
+            else token_count.crossJoin(out)
+        )
+        cols = [*gcols, "tokens"]
+        for n in ns:
+            cols.append(
+                F.when(
+                    F.col(f"_occ_{n}") > 0,
+                    F.round(
+                        F.col(f"_types_{n}").cast("double")
+                        / F.col(f"_occ_{n}").cast("double"),
+                        6,
+                    ),
+                ).alias(f"distinct_{n}")
+            )
+        return joined.select(*cols)
+
+    return _t
