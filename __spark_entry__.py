@@ -14598,6 +14598,173 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q264_cochran_q",
+    """
+    WITH base AS (SELECT source, doc_id FROM documents
+                  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+    lng AS (
+      SELECT source, doc_id AS item, 'm0' AS tr,
+             CASE WHEN (doc_id % 10) < 7 THEN 1 ELSE 0 END AS s
+      FROM base
+      UNION ALL
+      SELECT source, doc_id, 'm1',
+             CASE WHEN ((doc_id // 10) % 10) < 6 THEN 1 ELSE 0 END
+      FROM base
+      UNION ALL
+      SELECT source, doc_id, 'm2',
+             CASE WHEN ((doc_id // 100) % 10) < 5 THEN 1 ELSE 0 END
+      FROM base WHERE doc_id % 17 != 0),
+    pi AS (SELECT source, item, COUNT(*)::BIGINT AS cnt,
+                  SUM(s)::BIGINT AS li
+           FROM lng GROUP BY source, item),
+    comp AS (SELECT * FROM pi WHERE cnt = 3),
+    iside AS (SELECT source, COUNT(*)::BIGINT AS n_items,
+                     SUM(li)::BIGINT AS t,
+                     SUM(li * li)::BIGINT AS sli2
+              FROM comp GROUP BY source),
+    drp AS (SELECT source, COUNT(*)::BIGINT AS n_dropped
+            FROM pi WHERE cnt != 3 GROUP BY source),
+    g AS (SELECT l.source, l.tr, SUM(l.s)::BIGINT AS gj
+          FROM lng l JOIN comp
+            ON l.source = comp.source AND l.item = comp.item
+          GROUP BY l.source, l.tr),
+    tside AS (SELECT source, SUM(gj * gj)::BIGINT AS sgj2
+              FROM g GROUP BY source)
+    SELECT iside.source, n_items,
+           COALESCE(n_dropped, 0)::BIGINT AS n_dropped,
+           CAST(3 AS BIGINT) AS k, t,
+           CASE WHEN 3 * t - sli2 > 0
+                THEN round(CAST((3 - 1) * (3 * sgj2 - t * t)
+                                AS DOUBLE)
+                           / CAST(3 * t - sli2 AS DOUBLE), 6)
+           END AS q_stat
+    FROM iside
+    JOIN tside ON iside.source = tside.source
+    LEFT JOIN drp ON iside.source = drp.source
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q omnibus per source — q262's McNemar generalized to
+    THREE models judged on the same documents (complete blocks): the
+    gate an eval pipeline runs before pairwise McNemars.  Fixture
+    plants 70/60/50% accuracies from independent doc_id residues,
+    with the third model skipping the mod-17 slice so the
+    complete-block filter (and n_dropped) is exercised.  Two
+    data-scale shuffles (per-item rollup, per-treatment sum over a
+    semi-join of complete items), integer-exact until one division
+    (operators/stats.py:cochran_q)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import cochran_q
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    lng = d.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("m0").alias("tr"),
+                    ((F.col("doc_id") % 10) < 7).alias("s"),
+                ),
+                F.struct(
+                    F.lit("m1").alias("tr"),
+                    (F.expr("(doc_id DIV 10) % 10") < 6).alias("s"),
+                ),
+                F.when(
+                    F.col("doc_id") % 17 != 0,
+                    F.struct(
+                        F.lit("m2").alias("tr"),
+                        (F.expr("(doc_id DIV 100) % 10") < 5).alias(
+                            "s"
+                        ),
+                    ),
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        "source", "item", F.col("_e.tr").alias("tr"),
+        F.col("_e.s").alias("s"),
+    )
+    return lng.transform(
+        cochran_q(
+            "item", "tr", F.col("s"), ["m0", "m1", "m2"],
+            partition_by="source",
+        )
+    )
+
+
+@_q(
+    "q265_good_turing",
+    """
+    WITH toks AS (SELECT source,
+                         unnest(list_filter(string_split_regex(trim(
+                           regexp_replace(lower(text),
+                             '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'),
+                           t -> t != '')) AS tok
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    cnts AS (SELECT source, tok, COUNT(*)::BIGINT AS cnt
+             FROM toks GROUP BY source, tok),
+    fof AS (SELECT source, cnt AS r, COUNT(*)::BIGINT AS nr
+            FROM cnts GROUP BY source, cnt),
+    agg AS (SELECT source,
+                   SUM(nr)::BIGINT AS n_types,
+                   SUM(r * nr)::BIGINT AS n_tokens,
+                   SUM(CASE WHEN r = 1 THEN nr ELSE 0 END)::BIGINT
+                     AS n1,
+                   SUM(CASE WHEN r = 2 THEN nr ELSE 0 END)::BIGINT
+                     AS n2,
+                   SUM(CASE WHEN r = 3 THEN nr ELSE 0 END)::BIGINT
+                     AS n3,
+                   SUM(CASE WHEN r = 4 THEN nr ELSE 0 END)::BIGINT
+                     AS n4
+            FROM fof GROUP BY source)
+    SELECT source, n_types, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(n1 AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 6) END
+             AS p_unseen,
+           CASE WHEN n1 > 0
+                THEN round(2.0 * CAST(n2 AS DOUBLE)
+                           / CAST(n1 AS DOUBLE), 6) END AS r_star_1,
+           CASE WHEN n2 > 0
+                THEN round(3.0 * CAST(n3 AS DOUBLE)
+                           / CAST(n2 AS DOUBLE), 6) END AS r_star_2,
+           CASE WHEN n3 > 0
+                THEN round(4.0 * CAST(n4 AS DOUBLE)
+                           / CAST(n3 AS DOUBLE), 6) END AS r_star_3
+    FROM agg
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass estimation per source — the corpus
+    coverage question (how much probability belongs to vocabulary this
+    sample never saw?): P(unseen) = singletons/N plus the smoothed
+    counts r* for r ≤ 3, the stopping signal for corpus collection
+    and the foundation of count-LM smoothing.  One token-count
+    shuffle (the q27 tokenizer) + a count-of-counts rollup on the
+    reduced term table; exact integer divisions
+    (operators/text.py:good_turing)."""
+    from btc_usdt_etl_pipeline_spark.operators.dedup import tokens
+    from btc_usdt_etl_pipeline_spark.operators.text import good_turing
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    counts = (
+        d.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.transform(
+        good_turing("cnt", group_by="source", max_r=3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -222,6 +222,8 @@ HEADLINE = [
     "q261_poisson_rate_ratio",
     "q262_mcnemar",
     "q263_ngram_diversity",
+    "q264_cochran_q",
+    "q265_good_turing",
 ]
 
 

@@ -2721,3 +2721,104 @@ def mcnemar_test(
         )
 
     return _t
+
+
+def cochran_q(
+    item_col: str,
+    treatment_col: str,
+    success_col: Column,
+    treatments: Sequence[str],
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Cochran's Q per partition — :func:`mcnemar_test` generalized to
+    k treatments: did ANY of k models/prompts/configurations differ in
+    per-item success rate, judged on the SAME items (complete blocks)?
+    The omnibus gate an eval pipeline runs before pairwise McNemars.
+
+        Q = (k−1) · [k·Σ_j G_j² − T²] / [k·T − Σ_i L_i²],   dof = k−1
+
+    with G_j = successes of treatment j, L_i = successes on item i,
+    T = Σ G_j = Σ L_i, over items rated by ALL k declared treatments
+    (incomplete items are dropped — the textbook complete-block
+    requirement — and reported in ``n_dropped``).
+
+    Two data-scale shuffles: the per-(partition, item) rollup and the
+    per-(partition, treatment) conditional sum over complete items
+    (both map-side combined; the completeness filter is a broadcast of
+    per-item counts already reduced to item scale).  Pure 64-bit
+    integer arithmetic until ONE division, pinned at 6 dp; an all-0 or
+    all-1 board (zero denominator) emits NULL.  Returns
+    ``partition…, n_items, n_dropped, k, t, q_stat``.
+    """
+    treatments = list(treatments)
+    if not 2 <= len(treatments) <= 64:
+        raise ValueError("cochran_q needs 2..64 declared treatments")
+    if len(set(treatments)) != len(treatments):
+        raise ValueError("treatments must be unique")
+    k = len(treatments)
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        s = success_col.cast("boolean")
+        d = df.where(
+            F.col(item_col).isNotNull()
+            & F.col(treatment_col).isin(treatments)
+            & s.isNotNull()
+        ).select(
+            *gcols,
+            item_col,
+            treatment_col,
+            s.cast("long").alias("_s"),
+        )
+        per_item = d.groupBy(*gcols, item_col).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_s").alias("_li"),
+        )
+        complete = per_item.where(F.col("_cnt") == k)
+        item_side = complete.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_li").alias("t"),
+            F.sum(F.col("_li") * F.col("_li")).alias("_sli2"),
+        )
+        dropped = per_item.where(F.col("_cnt") != k).groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_dropped")
+        )
+        g = (
+            d.join(
+                complete.select(*gcols, item_col),
+                [*gcols, item_col],
+                "left_semi",
+            )
+            .groupBy(*gcols, treatment_col)
+            .agg(F.sum("_s").alias("_gj"))
+        )
+        treat_side = g.groupBy(*gcols).agg(
+            F.sum(F.col("_gj") * F.col("_gj")).alias("_sgj2")
+        )
+        joined = item_side.join(treat_side, gcols) if gcols else (
+            item_side.crossJoin(treat_side)
+        )
+        # the global (no-partition) dropped agg always yields one row
+        # (count 0 on empty input), so a plain crossJoin is safe
+        joined = (
+            joined.join(dropped, gcols, "left")
+            if gcols
+            else joined.crossJoin(dropped)
+        )
+        kk = F.lit(k).cast("long")
+        num = (kk - 1) * (kk * F.col("_sgj2") - F.col("t") * F.col("t"))
+        den = kk * F.col("t") - F.col("_sli2")
+        q = F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        )
+        return joined.select(
+            *gcols,
+            "n_items",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            kk.alias("k"),
+            "t",
+            q.alias("q_stat"),
+        )
+
+    return _t

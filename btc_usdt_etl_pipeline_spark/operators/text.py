@@ -1164,3 +1164,74 @@ def ngram_diversity(
         return joined.select(*cols)
 
     return _t
+
+
+def good_turing(
+    count_col: str,
+    group_by: str | None = None,
+    max_r: int = 3,
+) -> Callable[[DataFrame], DataFrame]:
+    """Good–Turing frequency estimation per group over a term-count
+    table — the coverage question for a corpus or vocabulary: how much
+    probability mass belongs to types NEVER seen in this sample?
+
+        P(unseen) = n₁ / N        (Good's estimator)
+        r*        = (r+1) · n_{r+1} / n_r    for r = 1..max_r
+
+    where n_r counts types observed exactly r times and N is total
+    occurrences.  The singleton fraction is the standard stopping
+    signal for corpus collection and the smoothing foundation for
+    count-based LMs.
+
+    One count-of-counts rollup over the (already reduced) term table:
+    group → (count, #types) → one row per group.  Exact integer
+    divisions pinned at 6 dp; groups with n_r = 0 emit NULL for that
+    r* (and p_unseen NULL when N = 0).  Returns ``group_by…, n_types,
+    n_tokens, p_unseen, r_star_1..r_star_{max_r}``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(count_col) > 0)
+        fof = d.groupBy(*gcols, F.col(count_col).alias("_r")).agg(
+            F.count(F.lit(1)).alias("_nr")
+        )
+        aggs = [
+            F.sum("_nr").alias("n_types"),
+            F.sum(F.col("_r") * F.col("_nr")).alias("n_tokens"),
+        ]
+        for r in range(1, max_r + 2):
+            aggs.append(
+                F.sum(
+                    F.when(F.col("_r") == r, F.col("_nr")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"_n{r}")
+            )
+        agg = fof.groupBy(*gcols).agg(*aggs)
+        cols = [*gcols, "n_types", "n_tokens"]
+        cols.append(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("_n1").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("p_unseen")
+        )
+        for r in range(1, max_r + 1):
+            cols.append(
+                F.when(
+                    F.col(f"_n{r}") > 0,
+                    F.round(
+                        F.lit(float(r + 1))
+                        * F.col(f"_n{r+1}").cast("double")
+                        / F.col(f"_n{r}").cast("double"),
+                        6,
+                    ),
+                ).alias(f"r_star_{r}")
+            )
+        return agg.select(*cols)
+
+    return _t
