@@ -14765,6 +14765,118 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q266_permutation_test",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_id AS id,
+                      value + CASE WHEN event_id % 2 = 0 THEN 1.0
+                                   ELSE 0.0 END AS x,
+                      (event_id % 2 = 0) AS a
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL
+                     AND event_id IS NOT NULL),
+    obs AS (SELECT dow, COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   CAST(SUM(CAST(CASE WHEN a THEN x END
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+                   CAST(SUM(CAST(CASE WHEN NOT a THEN x END
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sb
+            FROM d GROUP BY dow),
+    obs2 AS (SELECT dow, n, n_a,
+                    CASE WHEN n_a > 0 AND n > n_a
+                         THEN sa / CAST(n_a AS DOUBLE)
+                              - sb / CAST(n - n_a AS DOUBLE) END
+                      AS dobs,
+                    CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE) AS pa
+             FROM obs),
+    ex AS (SELECT d.dow, d.id, d.x, r.range AS r, obs2.pa
+           FROM d, range(40) r, obs2 WHERE d.dow = obs2.dow),
+    h AS (SELECT dow, r, x, pa,
+                 ('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM ex),
+    u AS (SELECT dow, r, x,
+                 (CAST(hv & 16777215 AS DOUBLE) / 16777216.0) < pa
+                   AS pa2
+          FROM h),
+    rep AS (SELECT dow, r,
+                   CAST(SUM(CAST(CASE WHEN pa2 THEN x END
+                        AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+                   SUM(CASE WHEN pa2 THEN 1 ELSE 0 END)::BIGINT
+                     AS ca,
+                   CAST(SUM(CAST(CASE WHEN NOT pa2 THEN x END
+                        AS DECIMAL(38,6))) AS DOUBLE) AS rb,
+                   SUM(CASE WHEN NOT pa2 THEN 1 ELSE 0 END)::BIGINT
+                     AS cb
+            FROM u GROUP BY dow, r
+            HAVING SUM(CASE WHEN pa2 THEN 1 ELSE 0 END) > 0
+                   AND SUM(CASE WHEN NOT pa2 THEN 1 ELSE 0 END) > 0),
+    dr AS (SELECT dow, r,
+                  ra / CAST(ca AS DOUBLE) - rb / CAST(cb AS DOUBLE)
+                    AS dr
+           FROM rep),
+    fin AS (SELECT dr.dow, COUNT(*)::BIGINT AS n_replicates,
+                   CAST(SUM(CASE WHEN abs(dr.dr) >= abs(obs2.dobs)
+                            THEN 1 END) AS BIGINT) AS n_extreme
+            FROM dr JOIN obs2 ON dr.dow = obs2.dow GROUP BY dr.dow)
+    SELECT obs2.dow, obs2.n, obs2.n_a,
+           round(obs2.dobs, 6) AS diff_obs,
+           COALESCE(n_replicates, 0) AS n_replicates,
+           CASE WHEN obs2.dobs IS NOT NULL
+                     AND COALESCE(n_replicates, 0) > 0
+                THEN COALESCE(n_extreme, 0) END AS n_extreme,
+           CASE WHEN obs2.dobs IS NOT NULL
+                     AND COALESCE(n_replicates, 0) > 0
+                THEN round(CAST(COALESCE(n_extreme, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(n_replicates, 0) + 1
+                                  AS DOUBLE), 6)
+           END AS p_value
+    FROM obs2 LEFT JOIN fin ON obs2.dow = fin.dow
+    """,
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test per weekday — the
+    assumption-free p-value beside Welch (q232) and Mann–Whitney
+    (q229): 40 deterministic hash-driven relabelings of the
+    even/odd event-id cohorts, with a +1.0 shift planted on the even
+    side so every weekday's observed gap beats all null replicates
+    (p = 1/41).  The bootstrap_ci_mean plan shape: bounded replicate
+    explode collapsed by ONE map-side-combined aggregation, portable
+    md5 hashing so the oracle replays every relabel bit-for-bit
+    (operators/stats.py:permutation_test_diff)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        permutation_test_diff,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_id").alias("id"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("x"),
+        (F.col("event_id") % 2 == 0).alias("a"),
+    )
+    return rows.transform(
+        permutation_test_diff(
+            "x",
+            "id",
+            F.col("a"),
+            partition_by="dow",
+            replicates=40,
+            portable=True,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -224,6 +224,7 @@ HEADLINE = [
     "q263_ngram_diversity",
     "q264_cochran_q",
     "q265_good_turing",
+    "q266_permutation_test",
 ]
 
 

@@ -2822,3 +2822,167 @@ def cochran_q(
         )
 
     return _t
+
+
+def permutation_test_diff(
+    value_col: str,
+    id_col: str,
+    is_a: Column,
+    partition_by: str | None = None,
+    replicates: int = 40,
+    portable: bool = False,
+) -> Callable[[DataFrame], DataFrame]:
+    """Randomization test for a difference in means per partition —
+    the assumption-free p-value beside the parametric (welch_t) and
+    rank (mann_whitney_u) tests: relabel units at random B times and
+    ask how often the null relabeling produces a gap as large as the
+    observed one.
+
+        p = (1 + #{ |diff_r| ≥ |diff_obs| }) / (B' + 1)
+
+    Labels are redrawn per replicate as pseudo-A with probability
+    p̂ = n_A/n from a deterministic per-(unit, replicate) hash —
+    binomial relabeling rather than an exact permutation (group sizes
+    vary hypergeometrically around n_A; the test is still exact-in-
+    distribution under the null for large n, and it is the only
+    relabeling that needs NO global shuffle of labels).  Replicates
+    where either pseudo-side is empty are dropped (B′ counts the
+    valid ones).
+
+    Plan: the bootstrap_ci_mean shape — explode B replicate ids
+    (bounded constant blow-up collapsed immediately by ONE
+    (partition, replicate) map-side-combined aggregation), a
+    metadata-scale join of the observed moments, one count.  Means
+    ride the exact-decimal idiom; the |diff_r| ≥ |diff_obs|
+    comparison runs on bit-identical doubles in both engines.
+    ``portable=True`` derives the relabeling from the md5-based
+    :func:`…dedup.portable_hash60` (oracle-replayable);
+    the default is JVM ``xxhash64``.  Returns ``partition…, n, n_a,
+    diff_obs, n_replicates, n_extreme, p_value``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.operators.dedup import (
+            portable_hash60,
+        )
+
+        a = is_a.cast("boolean")
+        d = df.where(F.col(value_col).isNotNull() & a.isNotNull()).select(
+            *gcols,
+            F.col(id_col).alias("_id"),
+            F.col(value_col).cast("double").alias("_x"),
+            a.alias("_a"),
+        )
+        obs = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_a").cast("long")).alias("n_a"),
+            F.sum(F.when(F.col("_a"), F.col("_x")).cast(DEC))
+            .cast("double")
+            .alias("_sa"),
+            F.sum(F.when(~F.col("_a"), F.col("_x")).cast(DEC))
+            .cast("double")
+            .alias("_sb"),
+        )
+        na = F.col("n_a").cast("double")
+        nb = (F.col("n") - F.col("n_a")).cast("double")
+        obs = obs.withColumn(
+            "_dobs",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n") > F.col("n_a")),
+                F.col("_sa") / na - F.col("_sb") / nb,
+            ),
+        ).withColumn("_pa", na / F.col("n").cast("double"))
+        r = F.explode(
+            F.sequence(F.lit(0), F.lit(replicates - 1))
+        ).alias("_r")
+        ex = d.select(*gcols, "_id", "_x", r).join(
+            F.broadcast(obs.select(*gcols, "_pa")), gcols or None
+        ) if gcols else d.select("_id", "_x", r).crossJoin(
+            F.broadcast(obs.select("_pa"))
+        )
+        if portable:
+            h = portable_hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("_id").cast("string"),
+                    F.col("_r").cast("string"),
+                )
+            )
+        else:
+            h = F.xxhash64(
+                F.col("_id").cast("string"), F.col("_r").cast("string")
+            )
+        u = (
+            h.bitwiseAND(F.lit(0xFFFFFF)).cast("double")
+            / F.lit(16777216.0)
+        )
+        rep = (
+            ex.withColumn("_pa2", u < F.col("_pa"))
+            .groupBy(*gcols, "_r")
+            .agg(
+                F.sum(F.when(F.col("_pa2"), F.col("_x")).cast(DEC))
+                .cast("double")
+                .alias("_ra"),
+                F.sum(F.col("_pa2").cast("long")).alias("_ca"),
+                F.sum(F.when(~F.col("_pa2"), F.col("_x")).cast(DEC))
+                .cast("double")
+                .alias("_rb"),
+                F.sum((~F.col("_pa2")).cast("long")).alias("_cb"),
+            )
+            .where((F.col("_ca") > 0) & (F.col("_cb") > 0))
+            .withColumn(
+                "_dr",
+                F.col("_ra") / F.col("_ca").cast("double")
+                - F.col("_rb") / F.col("_cb").cast("double"),
+            )
+        )
+        joined = (
+            rep.join(F.broadcast(obs.select(*gcols, "_dobs")), gcols)
+            if gcols
+            else rep.crossJoin(
+                F.broadcast(obs.select("_dobs"))
+            )
+        )
+        repagg = joined.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.sum(
+                (F.abs(F.col("_dr")) >= F.abs(F.col("_dobs")))
+                .cast("long")
+            ).alias("n_extreme"),
+        )
+        # left join from obs: a degenerate partition (one side empty →
+        # zero valid replicates) still emits its row with NULL stats
+        out = (
+            obs.join(repagg, gcols, "left")
+            if gcols
+            else obs.crossJoin(repagg)
+        )
+        ok = F.col("_dobs").isNotNull() & (
+            F.coalesce("n_replicates", F.lit(0)) > 0
+        )
+        return out.select(
+            *gcols,
+            "n",
+            "n_a",
+            F.round("_dobs", 6).alias("diff_obs"),
+            F.coalesce("n_replicates", F.lit(0)).alias(
+                "n_replicates"
+            ),
+            F.when(ok, F.coalesce("n_extreme", F.lit(0))).alias(
+                "n_extreme"
+            ),
+            F.when(
+                ok,
+                F.round(
+                    (F.coalesce("n_extreme", F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("n_replicates") + F.lit(1)).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            ).alias("p_value"),
+        )
+
+    return _t
