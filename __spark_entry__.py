@@ -14877,6 +14877,118 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q267_friedman",
+    """
+    WITH base AS (SELECT source, doc_id FROM documents
+                  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+    lng AS (
+      SELECT source, doc_id AS item, 'm0' AS tr,
+             CAST((doc_id * 31) % 97 AS DOUBLE) AS v
+      FROM base
+      UNION ALL
+      SELECT source, doc_id, 'm1',
+             CAST((doc_id * 17) % 89 + 8 AS DOUBLE)
+      FROM base
+      UNION ALL
+      SELECT source, doc_id, 'm2',
+             CAST((doc_id * 13) % 101 AS DOUBLE)
+      FROM base WHERE doc_id % 17 != 0),
+    cnt AS (SELECT source, item, COUNT(*) AS c
+            FROM lng GROUP BY source, item),
+    comp AS (SELECT source, item FROM cnt WHERE c = 3),
+    drp AS (SELECT source, COUNT(*)::BIGINT AS n_dropped
+            FROM cnt WHERE c != 3 GROUP BY source),
+    dd AS (SELECT lng.* FROM lng JOIN comp
+             ON lng.source = comp.source AND lng.item = comp.item),
+    r AS (SELECT source, item, tr,
+                 CAST(RANK() OVER (PARTITION BY source, item
+                                   ORDER BY v) AS DOUBLE)
+                 + (CAST(COUNT(*) OVER (PARTITION BY source, item, v)
+                         AS DOUBLE) - 1.0) / 2.0 AS rr
+          FROM dd),
+    pt AS (SELECT source, tr,
+                  CAST(SUM(CAST(rr AS DECIMAL(38,6))) AS DOUBLE)
+                    AS rj
+           FROM r GROUP BY source, tr),
+    ts AS (SELECT source,
+                  CAST(SUM(CAST(rj * rj AS DECIMAL(38,12)))
+                       AS DOUBLE) AS srj2
+           FROM pt GROUP BY source),
+    isd AS (SELECT source, COUNT(DISTINCT item)::BIGINT AS n_items,
+                   CAST(SUM(CAST(rr * rr AS DECIMAL(38,6)))
+                        AS DOUBLE) AS a
+            FROM r GROUP BY source),
+    f AS (SELECT isd.source, n_items, a, srj2,
+                 CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+                 * CAST(3 AS DOUBLE) * CAST(4 AS DOUBLE)
+                 * CAST(4 AS DOUBLE) / CAST(4 AS DOUBLE) AS bn,
+                 CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE)
+                 * CAST(4 AS DOUBLE) * CAST(4 AS DOUBLE)
+                 / CAST(4 AS DOUBLE) AS bd
+          FROM isd JOIN ts ON isd.source = ts.source)
+    SELECT f.source, n_items,
+           COALESCE(n_dropped, 0)::BIGINT AS n_dropped,
+           CAST(3 AS BIGINT) AS k,
+           CASE WHEN a - bd > 0
+                THEN round(CAST(2 AS DOUBLE) * (srj2 - bn) / (a - bd),
+                           6) END AS t_stat
+    FROM f LEFT JOIN drp ON f.source = drp.source
+    """,
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (Conover squared-rank form) per source — the
+    rank analogue of q264's Cochran Q for CONTINUOUS paired scores:
+    three synthetic models score each document, the middle one
+    shifted +8 so within-item ranks detect it; the third model skips
+    the mod-17 slice (complete-block drop exercised).  Within-item
+    ranks run over k-row micro-partitions (no hot-partition hazard by
+    construction); exact half-integer ranks through decimal sums,
+    one final division (operators/stats.py:friedman_test)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import friedman_test
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    lng = d.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("m0").alias("tr"),
+                    ((F.col("doc_id") * 31) % 97)
+                    .cast("double")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit("m1").alias("tr"),
+                    ((F.col("doc_id") * 17) % 89 + 8)
+                    .cast("double")
+                    .alias("v"),
+                ),
+                F.when(
+                    F.col("doc_id") % 17 != 0,
+                    F.struct(
+                        F.lit("m2").alias("tr"),
+                        ((F.col("doc_id") * 13) % 101)
+                        .cast("double")
+                        .alias("v"),
+                    ),
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        "source", "item", F.col("_e.tr").alias("tr"),
+        F.col("_e.v").alias("v"),
+    )
+    return lng.transform(
+        friedman_test(
+            "item", "tr", "v", ["m0", "m1", "m2"], partition_by="source"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -225,6 +225,7 @@ HEADLINE = [
     "q264_cochran_q",
     "q265_good_turing",
     "q266_permutation_test",
+    "q267_friedman",
 ]
 
 

@@ -2986,3 +2986,120 @@ def permutation_test_diff(
         )
 
     return _t
+
+
+def friedman_test(
+    item_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatments: Sequence[str],
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Friedman test per partition — the rank analogue of Cochran's Q
+    for CONTINUOUS paired responses: k models/configs scored on the
+    same items (latency, loss, judge score), ranked WITHIN each item
+    so between-item scale differences cancel.  Conover's squared-rank
+    form, which absorbs ties without a separate correction factor:
+
+        T = (k−1) · [ Σ_j R_j² − n·k·(k+1)²/4 ]
+                  / [ A − n·k·(k+1)²/4 ],        dof = k−1
+        A = Σ_items Σ_j r_ij²,   R_j = Σ_items r_ij
+
+    with r_ij the tie-AVERAGED within-item rank.  Complete blocks
+    only (items missing any declared treatment are dropped and
+    counted, the cochran_q contract).
+
+    Ranks come from one window over (partition, item) — items are
+    k-row micro-partitions, so the "sort" is k elements and
+    parallelism is item-count wide; no hot-partition hazard by
+    construction.  Ranks are exact half-integers, their squares exact
+    quarters, both summed via the decimal idiom; ONE final division,
+    pinned at 6 dp.  An all-tied board (zero denominator) emits NULL.
+    Returns ``partition…, n_items, n_dropped, k, t_stat``.
+    """
+    treatments = list(treatments)
+    if not 2 <= len(treatments) <= 64:
+        raise ValueError("friedman_test needs 2..64 declared treatments")
+    if len(set(treatments)) != len(treatments):
+        raise ValueError("treatments must be unique")
+    k = len(treatments)
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(item_col).isNotNull()
+            & F.col(treatment_col).isin(treatments)
+            & F.col(value_col).isNotNull()
+        ).select(
+            *gcols,
+            item_col,
+            treatment_col,
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        per_item_cnt = d.groupBy(*gcols, item_col).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        complete = per_item_cnt.where(F.col("_cnt") == k).select(
+            *gcols, item_col
+        )
+        dropped = (
+            per_item_cnt.where(F.col("_cnt") != k)
+            .groupBy(*gcols)
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
+        )
+        dd = d.join(complete, [*gcols, item_col], "left_semi")
+        wi = Window.partitionBy(*gcols, item_col).orderBy("_v")
+        wt = Window.partitionBy(*gcols, item_col, "_v")
+        mr = F.rank().over(wi)
+        c = F.count(F.lit(1)).over(wt)
+        avg_rank = (
+            mr.cast("double")
+            + (c.cast("double") - F.lit(1.0)) / F.lit(2.0)
+        )
+        ranked = dd.withColumn("_r", avg_rank)
+        per_treat = ranked.groupBy(*gcols, treatment_col).agg(
+            F.sum(F.col("_r").cast(DEC)).cast("double").alias("_rj")
+        )
+        treat_side = per_treat.groupBy(*gcols).agg(
+            F.sum(
+                (F.col("_rj") * F.col("_rj")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("_srj2")
+        )
+        item_side = ranked.groupBy(*gcols).agg(
+            (F.countDistinct(item_col)).alias("n_items"),
+            F.sum((F.col("_r") * F.col("_r")).cast(DEC))
+            .cast("double")
+            .alias("_a"),
+        )
+        joined = (
+            item_side.join(treat_side, gcols)
+            if gcols
+            else item_side.crossJoin(treat_side)
+        )
+        joined = (
+            joined.join(dropped, gcols, "left")
+            if gcols
+            else joined.crossJoin(dropped)
+        )
+        n = F.col("n_items").cast("double")
+        kk = F.lit(float(k))
+        # numerator centers ΣR_j² at its null value — the R_j are SUMS
+        # over n items, so the centering constant carries n²; the
+        # denominator's A is per-rank, carrying n (Conover 1999, T2
+        # numerator identity Σ(R_j − n(k+1)/2)² = ΣR_j² − n²k(k+1)²/4)
+        base_num = n * n * kk * (kk + 1) * (kk + 1) / F.lit(4.0)
+        base_den = n * kk * (kk + 1) * (kk + 1) / F.lit(4.0)
+        num = (kk - 1) * (F.col("_srj2") - base_num)
+        den = F.col("_a") - base_den
+        t = F.when(den > 0, F.round(num / den, 6))
+        return joined.select(
+            *gcols,
+            "n_items",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.lit(k).cast("long").alias("k"),
+            t.alias("t_stat"),
+        )
+
+    return _t
