@@ -14989,6 +14989,184 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q268_mann_kendall",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(EXTRACT(day FROM ts) AS INT) AS day,
+                      value + CAST(0.3 AS DOUBLE)
+                              * CAST(EXTRACT(day FROM ts) AS DOUBLE)
+                        AS x
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    daily AS (SELECT seg, day,
+                     CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM d GROUP BY seg, day),
+    p AS (SELECT a.seg, CAST(sign(b.m - a.m) AS BIGINT) AS sgn,
+                 (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.seg = b.seg AND a.day < b.day),
+    ps AS (SELECT seg, SUM(sgn)::BIGINT AS s_stat,
+                  quantile_cont(slope, 0.5) AS sen
+           FROM p GROUP BY seg),
+    ties AS (SELECT seg, m, COUNT(*)::BIGINT AS tc
+             FROM daily GROUP BY seg, m),
+    tagg AS (SELECT seg, SUM(tc)::BIGINT AS n_points,
+                    SUM(tc * (tc - 1) * (2 * tc + 5))::BIGINT AS tsum
+             FROM ties GROUP BY seg),
+    f AS (SELECT tagg.seg, n_points, s_stat, sen,
+                 (CAST(n_points AS DOUBLE)
+                  * (CAST(n_points AS DOUBLE) - 1)
+                  * (2 * CAST(n_points AS DOUBLE) + 5)
+                  - CAST(tsum AS DOUBLE)) / 18.0 AS v
+          FROM tagg JOIN ps ON tagg.seg = ps.seg)
+    SELECT seg, n_points, s_stat,
+           CASE WHEN n_points >= 3 AND v > 0
+                THEN round(CASE WHEN s_stat > 0
+                                THEN (CAST(s_stat AS DOUBLE) - 1)
+                                     / sqrt(v)
+                                WHEN s_stat < 0
+                                THEN (CAST(s_stat AS DOUBLE) + 1)
+                                     / sqrt(v)
+                                ELSE 0.0 END, 6) END AS z,
+           CASE WHEN n_points >= 3 THEN round(sen, 6) END
+             AS sen_slope
+    FROM f
+    """,
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Sen's slope per event type on the
+    DAILY mean series — the nonparametric metric-drift monitor with
+    its robust slope, the time-ordered complement of the drift
+    distances (q183/q184/q246/q255).  Fixture plants a +0.3/day
+    trend.  The pair set is points² over the REDUCED 30-point daily
+    series (435 pairs per segment — metadata by the bucketing
+    contract), never raw rows; S and ties are pure integers, Sen is
+    the exact interpolated median
+    (operators/stats.py:mann_kendall)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import mann_kendall
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    daily = (
+        e.select(
+            F.col("event_type").alias("seg"),
+            F.dayofmonth("ts").alias("day"),
+            (
+                F.col("value")
+                + F.lit(0.3) * F.dayofmonth("ts").cast("double")
+            ).alias("x"),
+        )
+        .groupBy("seg", "day")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    return daily.transform(
+        mann_kendall("day", "m", partition_by="seg")
+    )
+
+
+@_q(
+    "q269_changepoint",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(EXTRACT(day FROM ts) AS INT) AS day,
+                      value + CASE WHEN EXTRACT(day FROM ts) >= 16
+                                   THEN CAST(5.0 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS x
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    daily AS (SELECT seg, day,
+                     CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM d GROUP BY seg, day),
+    w AS (SELECT seg, day, m,
+                 SUM(CAST(m AS DECIMAL(38,6))) OVER (PARTITION BY seg
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cs,
+                 ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day)
+                   AS i,
+                 COUNT(*) OVER (PARTITION BY seg) AS n,
+                 SUM(CAST(m AS DECIMAL(38,6))) OVER (PARTITION BY seg)
+                   AS tot
+          FROM daily),
+    g AS (SELECT seg, day, CAST(n AS BIGINT) AS n,
+                 CAST(cs AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+                 CAST(tot - cs AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mr,
+                 sqrt(CAST(i AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                 * abs(CAST(cs AS DOUBLE) / CAST(i AS DOUBLE)
+                       - CAST(tot - cs AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)))
+                   AS gs
+          FROM w WHERE i < n),
+    best AS (SELECT seg, day, n, gs, ml, mr,
+                    ROW_NUMBER() OVER (PARTITION BY seg
+                                       ORDER BY gs DESC, day ASC)
+                      AS rn
+             FROM g)
+    SELECT seg, n AS n_points,
+           CASE WHEN n >= 4 THEN day END AS cp_time,
+           CASE WHEN n >= 4 THEN round(gs, 6) END AS g_stat,
+           CASE WHEN n >= 4 THEN round(ml, 6) END AS mean_left,
+           CASE WHEN n >= 4 THEN round(mr, 6) END AS mean_right,
+           CASE WHEN n >= 4 THEN round(mr - ml, 6) END AS shift
+    FROM best WHERE rn = 1
+    """,
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift changepoint per event type — binary
+    segmentation's first step over the daily mean series, with a +5.0
+    jump planted mid-month so every segment's argmax lands on day 15.
+    One ordered prefix-sum window over the 30-point reduced series +
+    a lexicographic argmax (earliest-split tiebreak) — no self-join;
+    the raw data is touched exactly once by the daily aggregation
+    (operators/stats.py:binary_changepoint)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        binary_changepoint,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    daily = (
+        e.select(
+            F.col("event_type").alias("seg"),
+            F.dayofmonth("ts").alias("day"),
+            (
+                F.col("value")
+                + F.when(
+                    F.dayofmonth("ts") >= 16, F.lit(5.0)
+                ).otherwise(F.lit(0.0))
+            ).alias("x"),
+        )
+        .groupBy("seg", "day")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    return daily.transform(
+        binary_changepoint("day", "m", partition_by="seg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

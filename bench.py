@@ -226,6 +226,8 @@ HEADLINE = [
     "q265_good_turing",
     "q266_permutation_test",
     "q267_friedman",
+    "q268_mann_kendall",
+    "q269_changepoint",
 ]
 
 

@@ -3103,3 +3103,197 @@ def friedman_test(
         )
 
     return _t
+
+
+def mann_kendall(
+    time_col: str,
+    value_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Mann–Kendall trend test + Sen's slope per partition over an
+    AGGREGATED series (one row per time point — the caller buckets
+    raw data first, e.g. daily means): the nonparametric "is this
+    metric drifting?" monitor that needs no linearity or normality,
+    plus the robust slope estimate.
+
+        S   = Σ_{i<j} sign(x_j − x_i)
+        Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (value ties)
+        z   = (S∓1)/√Var  (continuity-corrected; 0 when S = 0)
+        Sen = median of the pairwise slopes (x_j − x_i)/(t_j − t_i)
+
+    The pair set is a per-partition self-join of the REDUCED series —
+    points² pairs, metadata scale by the bucketing contract (30 daily
+    points → 435 pairs), never raw-row scale.  S and the tie term are
+    pure integers; Sen's median uses the exact interpolated
+    percentile (the engine's percentile ↔ quantile_cont pairing);
+    z pinned at 6 dp.  Partitions with < 3 points emit NULL z/slope.
+    Returns ``partition…, n_points, s_stat, z, sen_slope``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(time_col).alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        a = d.select(
+            *gcols, F.col("_t").alias("_ta"), F.col("_x").alias("_xa")
+        )
+        b = d.select(
+            *gcols, F.col("_t").alias("_tb"), F.col("_x").alias("_xb")
+        )
+        pairs = (
+            (a.join(b, gcols) if gcols else a.crossJoin(b))
+            .where(F.col("_ta") < F.col("_tb"))
+            .select(
+                *gcols,
+                F.signum(F.col("_xb") - F.col("_xa"))
+                .cast("long")
+                .alias("_sgn"),
+                (
+                    (F.col("_xb") - F.col("_xa"))
+                    / (F.col("_tb") - F.col("_ta")).cast("double")
+                ).alias("_slope"),
+            )
+        )
+        psums = pairs.groupBy(*gcols).agg(
+            F.sum("_sgn").alias("s_stat"),
+            F.percentile("_slope", F.lit(0.5)).alias("_sen"),
+        )
+        ties = (
+            d.groupBy(*gcols, "_x")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .groupBy(*gcols)
+            .agg(
+                F.count(F.lit(1)).alias("_nvals"),
+                F.sum(F.col("_tc")).alias("n_points"),
+                F.sum(
+                    F.col("_tc")
+                    * (F.col("_tc") - 1)
+                    * (2 * F.col("_tc") + 5)
+                ).alias("_tsum"),
+            )
+        )
+        joined = (
+            ties.join(psums, gcols)
+            if gcols
+            else ties.crossJoin(psums)
+        )
+        n = F.col("n_points").cast("double")
+        var = (
+            n * (n - 1) * (2 * n + 5)
+            - F.col("_tsum").cast("double")
+        ) / F.lit(18.0)
+        s = F.col("s_stat").cast("double")
+        z = F.when(
+            (F.col("n_points") >= 3) & (var > 0),
+            F.round(
+                F.when(F.col("s_stat") > 0, (s - 1) / F.sqrt(var))
+                .when(F.col("s_stat") < 0, (s + 1) / F.sqrt(var))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        sen = F.when(
+            F.col("n_points") >= 3, F.round("_sen", 6)
+        )
+        return joined.select(
+            *gcols, "n_points", "s_stat", z.alias("z"),
+            sen.alias("sen_slope"),
+        )
+
+    return _t
+
+
+def binary_changepoint(
+    time_col: str,
+    value_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Single most-likely level-shift changepoint per partition over an
+    AGGREGATED series (caller buckets first — the mann_kendall
+    contract): the first step of binary segmentation, maximizing the
+    scaled mean-difference statistic over every split point
+
+        G(t) = √( t·(n−t)/n ) · | mean(x₁..x_t) − mean(x_{t+1}..x_n) |
+
+    — the CUSUM-equivalent form whose argmax is the maximum-likelihood
+    shift location under a constant-variance model.  The split scan is
+    ONE ordered prefix-sum window over the reduced series plus a
+    lexicographic max (ties broken to the EARLIEST split, both engines
+    replaying the same double), no self-join at all.
+
+    Means ride the exact-decimal prefix sums; G carries one sqrt,
+    outputs pinned at 6 dp.  Partitions with < 4 points emit a NULL
+    changepoint.  Returns ``partition…, n_points, cp_time, g_stat,
+    mean_left, mean_right, shift`` where ``cp_time`` is the LAST time
+    of the left segment.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(time_col).alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        staged = d.select(
+            *gcols,
+            "_t",
+            F.sum(F.col("_x").cast(DEC)).over(wo).alias("_cs"),
+            F.row_number().over(wg.orderBy("_t")).alias("_i"),
+            F.count(F.lit(1)).over(wg).alias("_n"),
+            F.sum(F.col("_x").cast(DEC)).over(wg).alias("_tot"),
+        )
+        t = F.col("_i").cast("double")
+        n = F.col("_n").cast("double")
+        ml = F.col("_cs").cast("double") / t
+        mr = (F.col("_tot") - F.col("_cs")).cast("double") / (n - t)
+        g = F.sqrt(t * (n - t) / n) * F.abs(ml - mr)
+        splits = staged.where(F.col("_i") < F.col("_n")).select(
+            *gcols,
+            "_t",
+            "_i",
+            "_n",
+            g.alias("_g"),
+            ml.alias("_ml"),
+            mr.alias("_mr"),
+        )
+        # argmax with earliest-split tiebreak: lexicographic max over
+        # (g, -row_index) — type-agnostic in the time column; the
+        # oracle replays via ROW_NUMBER(g DESC, t ASC)
+        best = splits.groupBy(*gcols).agg(
+            F.first("_n").alias("n_points"),
+            F.max(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    (-F.col("_i")).alias("negi"),
+                    F.col("_t").alias("t"),
+                    F.col("_ml").alias("ml"),
+                    F.col("_mr").alias("mr"),
+                )
+            ).alias("_b"),
+        )
+        ok = F.col("n_points") >= 4
+        return best.select(
+            *gcols,
+            "n_points",
+            F.when(ok, F.col("_b.t")).alias("cp_time"),
+            F.when(ok, F.round(F.col("_b.g"), 6)).alias("g_stat"),
+            F.when(ok, F.round(F.col("_b.ml"), 6)).alias("mean_left"),
+            F.when(ok, F.round(F.col("_b.mr"), 6)).alias("mean_right"),
+            F.when(
+                ok, F.round(F.col("_b.mr") - F.col("_b.ml"), 6)
+            ).alias("shift"),
+        )
+
+    return _t
