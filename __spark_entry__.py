@@ -15167,6 +15167,121 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q270_dunn_posthoc",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g,
+                      value + CAST(0.5 AS DOUBLE)
+                              * CAST(list_position(
+                                  ['click','error','purchase',
+                                   'signup','view'], event_type)
+                                AS DOUBLE) AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    r AS (SELECT dow, g, v,
+                 RANK() OVER (PARTITION BY dow ORDER BY v) AS mr,
+                 COUNT(*) OVER (PARTITION BY dow, v) AS c
+          FROM d),
+    pg AS (SELECT dow, g, COUNT(*)::BIGINT AS ni,
+                  CAST(SUM(CAST(CAST(mr AS DOUBLE) + (c - 1) / 2.0
+                       AS DECIMAL(38,6))) AS DOUBLE) AS ri
+           FROM r GROUP BY dow, g),
+    pt AS (SELECT dow, COUNT(*)::BIGINT AS n,
+                  CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                       - 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS ties
+           FROM r GROUP BY dow),
+    pr AS (SELECT a.dow, a.g AS group_i, b.g AS group_j,
+                  a.ni AS n_i, b.ni AS n_j, a.ri AS ri, b.ri AS rj,
+                  pt.n, pt.ties
+           FROM pg a
+           JOIN pg b ON a.dow = b.dow AND a.g < b.g
+           JOIN pt ON a.dow = pt.dow),
+    zz AS (SELECT dow, group_i, group_j, n_i, n_j,
+                  (ri / CAST(n_i AS DOUBLE)
+                   - rj / CAST(n_j AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 1) / 12.0
+                          - ties / (12.0 * (CAST(n AS DOUBLE) - 1)))
+                         * (1.0 / CAST(n_i AS DOUBLE)
+                            + 1.0 / CAST(n_j AS DOUBLE))) AS zr,
+                  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12.0
+                  - ties / (12.0 * (CAST(n AS DOUBLE) - 1)) AS sig2
+           FROM pr),
+    pv0 AS (SELECT dow, group_i, group_j, n_i, n_j, zr,
+                   abs(zr) / sqrt(2.0) AS x
+            FROM zz WHERE sig2 > 0),
+    pv1 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM pv0),
+    pv AS (SELECT dow, group_i, group_j, n_i, n_j,
+                  round(zr, 6) AS z,
+                  round(t * (0.254829592
+                             + t * (-0.284496736
+                                    + t * (1.421413741
+                                           + t * (-1.453152027
+                                                  + t * 1.061405429))))
+                        * exp(-(x * x)), 6) AS p
+           FROM pv1),
+    bh AS (SELECT dow, group_i, group_j, n_i, n_j, z, p,
+                  ROW_NUMBER() OVER (PARTITION BY dow
+                      ORDER BY p, group_i, group_j) AS bh_rank,
+                  CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
+                    AS m_tests
+           FROM pv)
+    SELECT dow, group_i, group_j, n_i, n_j, z, p, bh_rank, m_tests,
+           round(least(1.0,
+                 MIN(p * CAST(m_tests AS DOUBLE)
+                     / CAST(bh_rank AS DOUBLE))
+                   OVER (PARTITION BY dow ORDER BY bh_rank
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)), 6) AS q_value,
+           round(least(1.0,
+                 MIN(p * CAST(m_tests AS DOUBLE)
+                     / CAST(bh_rank AS DOUBLE))
+                   OVER (PARTITION BY dow ORDER BY bh_rank
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING)), 6) <= 0.05
+             AS rejected
+    FROM bh
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test with BH correction per weekday —
+    the composed omnibus→pairwise→FDR pipeline that follows a
+    significant Kruskal–Wallis (q230): which event types differ, at a
+    controlled false-discovery rate?  Fixture plants per-type +0.5·k
+    shifts so near-adjacent pairs land on both sides of the
+    threshold.  Shared combined-sample ranks ride group_ranks'
+    strategy machinery; everything after the per-(dow, type)
+    rank-mean rollup is metadata scale (10 pairs per dow); the
+    two-sided normal p uses the Abramowitz–Stegun erfc polynomial
+    rendered identically into both engines; the BH leg IS q250's
+    operator (operators/stats.py:dunn_posthoc ∘ fdr_bh)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import dunn_posthoc
+
+    cat = F.array(
+        *[F.lit(t) for t in
+          ["click", "error", "purchase", "signup", "view"]]
+    )
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_type").alias("g"),
+        (
+            F.col("value")
+            + F.lit(0.5)
+            * F.array_position(cat, F.col("event_type")).cast("double")
+        ).alias("v"),
+    )
+    return rows.transform(
+        dunn_posthoc("v", "g", partition_by="dow", alpha=0.05)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -228,6 +228,7 @@ HEADLINE = [
     "q267_friedman",
     "q268_mann_kendall",
     "q269_changepoint",
+    "q270_dunn_posthoc",
 ]
 
 
