@@ -15282,6 +15282,124 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q271_log_rank",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t0,
+                      MIN(CASE WHEN event_type = 'purchase'
+                          THEN ts END) AS p,
+                      MAX(ts) AS last
+               FROM events GROUP BY user_id),
+    subj AS (SELECT user_id % 3 AS region, (user_id % 2 = 0) AS a,
+                    CASE WHEN user_id % 2 = 0
+                         THEN ((epoch_us(COALESCE(p, last))
+                                - epoch_us(t0)) // 86400000000) // 2
+                         ELSE (epoch_us(COALESCE(p, last))
+                               - epoch_us(t0)) // 86400000000
+                    END AS dur,
+                    (p IS NOT NULL) AS ev
+             FROM s),
+    per_t AS (SELECT region, dur AS t,
+                     SUM(CASE WHEN a AND ev THEN 1 ELSE 0 END)
+                       ::BIGINT AS d1,
+                     SUM(CASE WHEN a AND NOT ev THEN 1 ELSE 0 END)
+                       ::BIGINT AS c1,
+                     SUM(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END)
+                       ::BIGINT AS d2,
+                     SUM(CASE WHEN NOT a AND NOT ev THEN 1 ELSE 0
+                         END)::BIGINT AS c2
+              FROM subj GROUP BY region, dur),
+    w AS (SELECT region, t, d1, d2, d1 + c1 AS dep1, d2 + c2 AS dep2,
+                 CAST(SUM(d1 + c1) OVER wg AS BIGINT)
+                   - CAST(SUM(d1 + c1) OVER wo AS BIGINT)
+                   + d1 + c1 AS n1,
+                 CAST(SUM(d2 + c2) OVER wg AS BIGINT)
+                   - CAST(SUM(d2 + c2) OVER wo AS BIGINT)
+                   + d2 + c2 AS n2
+          FROM per_t
+          WINDOW wg AS (PARTITION BY region),
+                 wo AS (PARTITION BY region ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    tm AS (SELECT region, d1, d2, dep1, dep2,
+                  CAST(CAST(d1 + d2 AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE))
+                       AS DECIMAL(38,6)) AS e1,
+                  CAST(CASE WHEN n1 + n2 > 1
+                       THEN CAST(d1 + d2 AS DOUBLE)
+                            * (CAST(n1 AS DOUBLE)
+                               / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 - CAST(n1 AS DOUBLE)
+                                     / CAST(n1 + n2 AS DOUBLE))
+                            * ((CAST(n1 + n2 AS DOUBLE)
+                                - CAST(d1 + d2 AS DOUBLE))
+                               / (CAST(n1 + n2 AS DOUBLE) - 1.0))
+                       ELSE 0.0 END AS DECIMAL(38,6)) AS vv
+           FROM w),
+    agg AS (SELECT region, SUM(dep1)::BIGINT AS n_a,
+                   SUM(dep2)::BIGINT AS n_b,
+                   SUM(d1)::BIGINT AS o_a, SUM(d2)::BIGINT AS o2,
+                   CAST(SUM(e1) AS DOUBLE) AS se1,
+                   CAST(SUM(vv) AS DOUBLE) AS sv
+            FROM tm GROUP BY region)
+    SELECT region, n_a, n_b, o_a, round(se1, 6) AS e_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND sv > 0
+                THEN round((CAST(o_a AS DOUBLE) - se1)
+                           * (CAST(o_a AS DOUBLE) - se1) / sv, 6)
+           END AS chi2,
+           CASE WHEN n_a > 0 AND n_b > 0 AND sv > 0 AND se1 > 0
+                     AND (CAST(o_a AS DOUBLE) + CAST(o2 AS DOUBLE))
+                         - se1 > 0
+                     AND o2 > 0
+                THEN round((CAST(o_a AS DOUBLE) / se1)
+                           / (CAST(o2 AS DOUBLE)
+                              / ((CAST(o_a AS DOUBLE)
+                                  + CAST(o2 AS DOUBLE)) - se1)), 6)
+           END AS rate_ratio
+    FROM agg
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test per region — comparing survival
+    curves between the even/odd user cohorts on the q206
+    time-to-first-purchase fixture, with the even cohort's durations
+    halved (planted acceleration the test must flag).  Completes the
+    survival family: KM (q206) estimates, Nelson–Aalen (q252)
+    accumulates, log-rank COMPARES.  One conditional-count agg +
+    per-arm reverse-cumulative risk-set windows on the reduced
+    event-time table; E/V terms 6 dp-decimal-rounded
+    (operators/stats.py:log_rank_test)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import log_rank_test
+
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_p"),
+        F.max("ts").alias("_last"),
+    )
+    raw = F.expr(
+        "(unix_micros(coalesce(_p, _last)) - unix_micros(_t0))"
+        " DIV 86400000000"
+    )
+    subj = s.select(
+        (F.col("user_id") % 3).alias("region"),
+        (F.col("user_id") % 2 == 0).alias("a"),
+        F.when(F.col("user_id") % 2 == 0, raw / F.lit(2))
+        .otherwise(raw)
+        .cast("long")
+        .alias("dur"),
+        F.col("_p").isNotNull().alias("ev"),
+    )
+    return subj.transform(
+        log_rank_test(
+            "dur", F.col("ev"), F.col("a"), group_by="region"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

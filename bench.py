@@ -229,6 +229,7 @@ HEADLINE = [
     "q268_mann_kendall",
     "q269_changepoint",
     "q270_dunn_posthoc",
+    "q271_log_rank",
 ]
 
 

@@ -3443,3 +3443,122 @@ def dunn_posthoc(
         )
 
     return _t
+
+
+def log_rank_test(
+    duration_col: str,
+    event_col: Column,
+    is_a: Column,
+    group_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Two-sample log-rank test per group — the standard comparison of
+    two survival curves (treatment vs control churn, cohort A vs B
+    time-to-conversion), completing the survival family next to
+    Kaplan–Meier (q206) and Nelson–Aalen (q252):
+
+        O₁ = Σ_t d₁t,   E₁ = Σ_t d_t·n₁t/n_t
+        V  = Σ_t d_t·(n₁t/n_t)·(1 − n₁t/n_t)·(n_t − d_t)/(n_t − 1)
+        χ² = (O₁ − E₁)² / V                 (1 dof)
+
+    with per-arm risk sets n₁t/n₂t from the same reverse-cumulative
+    window algebra kaplan_meier uses, evaluated at the combined event
+    times.  The rate-ratio estimate (O₁/E₁)/(O₂/E₂) rides along.
+
+    One (group, duration) aggregation with four conditional sums
+    (data scale, map-side combined), then ordered windows over the
+    reduced event-time table.  Per-time E and V terms carry divisions,
+    so each is rounded to 6 dp via the exact-decimal cast before the
+    order-free sums; χ² and the rate ratio are pinned at 6 dp.
+    Groups with either arm empty, or V = 0, emit NULL χ².  Returns
+    ``group_by…, n_a, n_b, o_a, e_a, chi2, rate_ratio``.
+    """
+    gcols = [group_by] if group_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        a = is_a.cast("boolean")
+        ev = event_col.cast("boolean")
+        d = df.where(
+            F.col(duration_col).isNotNull()
+            & a.isNotNull()
+            & ev.isNotNull()
+        ).select(
+            *gcols,
+            F.col(duration_col).alias("_t"),
+            a.alias("_a"),
+            ev.alias("_e"),
+        )
+        per_t = d.groupBy(*gcols, "_t").agg(
+            F.sum((F.col("_a") & F.col("_e")).cast("long")).alias("_d1"),
+            F.sum((F.col("_a") & ~F.col("_e")).cast("long")).alias(
+                "_c1"
+            ),
+            F.sum((~F.col("_a") & F.col("_e")).cast("long")).alias(
+                "_d2"
+            ),
+            F.sum((~F.col("_a") & ~F.col("_e")).cast("long")).alias(
+                "_c2"
+            ),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        dep1 = F.col("_d1") + F.col("_c1")
+        dep2 = F.col("_d2") + F.col("_c2")
+        n1 = F.sum(dep1).over(wg) - F.sum(dep1).over(wo) + dep1
+        n2 = F.sum(dep2).over(wg) - F.sum(dep2).over(wo) + dep2
+        dt = (F.col("_d1") + F.col("_d2")).cast("double")
+        n1d = n1.cast("double")
+        ntd = (n1 + n2).cast("double")
+        frac = n1d / ntd
+        e1 = (dt * frac).cast(DEC)
+        v = F.when(
+            (n1 + n2) > 1,
+            dt
+            * frac
+            * (F.lit(1.0) - frac)
+            * ((ntd - dt) / (ntd - F.lit(1.0))),
+        ).otherwise(F.lit(0.0)).cast(DEC)
+        staged = per_t.select(
+            *gcols,
+            "_d1",
+            "_d2",
+            dep1.alias("_dep1"),
+            dep2.alias("_dep2"),
+            e1.alias("_e1"),
+            v.alias("_v"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.sum("_dep1").alias("n_a"),
+            F.sum("_dep2").alias("n_b"),
+            F.sum("_d1").alias("o_a"),
+            F.sum("_d2").alias("_o2"),
+            F.sum("_e1").cast("double").alias("_se1"),
+            F.sum("_v").cast("double").alias("_sv"),
+        )
+        o1 = F.col("o_a").cast("double")
+        o2 = F.col("_o2").cast("double")
+        e1s = F.col("_se1")
+        etot = o1 + o2  # ΣE₁ + ΣE₂ = Σd_t, so E₂ = total deaths − E₁
+        e2s = etot - e1s
+        ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (
+            F.col("_sv") > 0
+        )
+        chi2 = F.when(
+            ok, F.round((o1 - e1s) * (o1 - e1s) / F.col("_sv"), 6)
+        )
+        rr = F.when(
+            ok & (e1s > 0) & (e2s > 0) & (o2 > 0),
+            F.round((o1 / e1s) / (o2 / e2s), 6),
+        )
+        return agg.select(
+            *gcols,
+            "n_a",
+            "n_b",
+            "o_a",
+            F.round(e1s, 6).alias("e_a"),
+            chi2.alias("chi2"),
+            rr.alias("rate_ratio"),
+        )
+
+    return _t
