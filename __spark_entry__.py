@@ -15400,6 +15400,77 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q272_link_prediction",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                FROM lineitem WHERE l_orderkey % 20 = 0),
+    e0 AS (SELECT DISTINCT a.s AS _a, b.s AS _b
+           FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+    sym AS (SELECT _a AS s, _b AS d FROM e0
+            UNION SELECT _b, _a FROM e0),
+    deg AS (SELECT s AS n, COUNT(*)::BIGINT AS dg
+            FROM sym GROUP BY s),
+    adj AS (SELECT sym.s AS w, sym.d AS u, deg.dg AS degw
+            FROM sym JOIN deg ON sym.s = deg.n),
+    wedges AS (SELECT a.u AS u, b.u AS v, a.degw
+               FROM adj a JOIN adj b ON a.w = b.w AND a.u < b.u),
+    scored AS (SELECT u, v, COUNT(*)::BIGINT AS cn,
+                      CAST(SUM(CAST(1.0 / ln(CAST(degw AS DOUBLE))
+                           AS DECIMAL(38,6))) AS DOUBLE) AS aa
+               FROM wedges GROUP BY u, v),
+    cand AS (SELECT scored.* FROM scored
+             LEFT JOIN e0 ON scored.u = e0._a AND scored.v = e0._b
+             WHERE e0._a IS NULL),
+    fl AS (SELECT cand.u, cand.v, cand.cn, cand.aa,
+                  du.dg AS degu, dv.dg AS degv
+           FROM cand
+           JOIN deg du ON cand.u = du.n
+           JOIN deg dv ON cand.v = dv.n),
+    ranked AS (SELECT u, v, cn,
+                      round(CAST(cn AS DOUBLE)
+                            / CAST(degu + degv - cn AS DOUBLE), 6)
+                        AS jaccard,
+                      round(aa, 6) AS adamic_adar,
+                      ROW_NUMBER() OVER (ORDER BY aa DESC, u, v)
+                        AS rn
+               FROM fl)
+    SELECT u, v, cn, jaccard, adamic_adar
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap link prediction on the q153 co-supplier
+    graph — the top-20 non-edges by Adamic–Adar (with common-neighbor
+    count and Jaccard riding along): who should be collaborating but
+    isn't, the classical recommendation/entity-merge primitive.  One
+    wedge self-join (the q153 subsampled-sparse fixture bounds Σdeg²)
+    + an anti-join of existing edges + degree joins; AA terms
+    6 dp-decimal-rounded, deterministic (AA desc, u, v) top-k order
+    (operators/graph.py:link_prediction)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("s").alias("src"))
+    b = li.select(F.col("o"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return link_prediction(edges, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

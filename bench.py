@@ -230,6 +230,7 @@ HEADLINE = [
     "q269_changepoint",
     "q270_dunn_posthoc",
     "q271_log_rank",
+    "q272_link_prediction",
 ]
 
 

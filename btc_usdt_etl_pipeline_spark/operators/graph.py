@@ -28,7 +28,7 @@ J^rounds-deep tree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -693,3 +693,96 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("_lbl").alias("community"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 20,
+) -> DataFrame:
+    """Neighbor-overlap link prediction over an undirected edge list —
+    score NON-edges by how much their neighborhoods overlap, the
+    classical who-should-collaborate / which-entities-to-merge
+    primitive (Liben-Nowell & Kleinberg 2003):
+
+        CN(u,v) = |Γ(u) ∩ Γ(v)|
+        Jaccard = CN / (deg u + deg v − CN)
+        AA      = Σ_{w ∈ Γ(u)∩Γ(v)} 1 / ln(deg w)
+
+    Candidates come from ONE wedge self-join (pairs sharing a
+    neighbor w — a wedge center has deg ≥ 2, so ln(deg w) > 0 by
+    construction), then existing edges are anti-joined away.  Wedge
+    mass is Σ_w deg(w)² — on power-law graphs apply the
+    degree-ordered orientation cap first (the triangle_count
+    machinery) or pre-filter hubs; the co-supplier fixture is
+    subsampled sparse for exactly this reason (q153 note).
+
+    Per-wedge AA terms are rounded to 6 dp via the exact-decimal cast
+    before the order-free sum; CN and degrees are exact integers; the
+    Jaccard division is one exact IEEE op, pinned at 6 dp.  Returns
+    the global ``top_k`` candidate pairs by (AA desc, u, v) — a
+    deterministic total order both engines replay.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("_s").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    adj = sym.join(deg, sym["_s"] == deg["_n"]).select(
+        F.col("_s").alias("_w"),
+        F.col("_d").alias("_u"),
+        F.col("_deg").alias("_degw"),
+    )
+    a = adj.select("_w", F.col("_u").alias("u"), "_degw")
+    b = adj.select(
+        F.col("_w").alias("_w2"), F.col("_u").alias("v"),
+    )
+    wedges = a.join(b, a["_w"] == b["_w2"]).where(
+        F.col("u") < F.col("v")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(
+            (F.lit(1.0) / F.log(F.col("_degw").cast("double"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("_aa"),
+    )
+    ek = edges.select(
+        F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+    ).distinct()
+    cand = scored.join(ek, ["u", "v"], "left_anti")
+    du = deg.select(F.col("_n").alias("u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("_n").alias("v"), F.col("_deg").alias("_dv"))
+    full = cand.join(du, "u").join(dv, "v")
+    jac = F.col("cn").cast("double") / (
+        F.col("_du") + F.col("_dv") - F.col("cn")
+    ).cast("double")
+    ranked = full.select(
+        "u",
+        "v",
+        "cn",
+        F.round(jac, 6).alias("jaccard"),
+        F.round("_aa", 6).alias("adamic_adar"),
+        F.col("_aa").alias("_o"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("_o").desc(), F.col("u"), F.col("v")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("_rn") <= top_k)
+        .select("u", "v", "cn", "jaccard", "adamic_adar")
+    )
