@@ -15672,6 +15672,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q136 (5; layout family judge-covered).  q253/q255/q256/q261 wait
 #: for the next rotation — their families hold in-window reps
 #: (q222 ranks, q145 drift-adjacent, q229-family rates).
+#: The final r10 batch promoted q266 permutation, q270 Dunn post-hoc,
+#: q271 log-rank, q272 link prediction (all new families/ops,
+#: oracle-green this session), demoting the four longest-green
+#: remaining rows: q58 (6 greens; the pandas-UDF/stateful surface
+#: stays judge-covered and streaming keeps q45/q49), q129 (5; export
+#: family judge-covered), q168 (3) and q171 (3) (interval/skyline
+#: stay under the full gate; both rest one round after three straight
+#: greens).
 _PRIORITY_WINDOW = [
     "q45_session_windows",    # streaming session windows (r10: clears stale r3 FAIL)
     "q49_streaming_sliding",  # streaming sliding windows (r10: clears stale r3 FAIL)
@@ -15696,16 +15704,16 @@ _PRIORITY_WINDOW = [
     "q248_krippendorff_alpha",# missing-ratings agreement (r10 NEW op, generalizes q241/q243)
     "q242_bradley_terry",     # preference-strength MM (r10 NEW family)
     "q254_isotonic_calibration", # interval-minimax PAV (r10 NEW family)
-    "q58_stateful_extrema",   # applyInPandasWithState
+    "q266_permutation_test",  # hash-driven randomization test (r10 NEW family)
     "q257_markov_stationary", # transition matrix + stationary dist (r10 NEW family)
     "q161_bpe_train",         # BPE tokenizer training (merge table)
-    "q129_pack_sequences",    # concat-and-chunk packing (two-pass tape)
+    "q270_dunn_posthoc",      # omnibus->pairwise->FDR composite (r10 NEW op)
     "q258_label_propagation", # bounded-round LPA communities (r10 NEW op)
     "q260_conformal_quantile",# split-conformal order statistic (r10 NEW family)
     "q259_brier_decomposition", # Brier + Murphy decomposition (r10 NEW op)
     "q150_pit_join",          # point-in-time join (scd2 ∘ asof)
-    "q168_interval_coverage", # interval algebra (merge/coverage sweep)
-    "q171_skyline",           # 2-D skyline / Pareto front
+    "q271_log_rank",          # survival-curve comparison (r10 NEW op)
+    "q272_link_prediction",   # Adamic-Adar wedge scoring (r10 NEW op)
     "q165_leakage_safe_split",# cluster-respecting train/test split
     "q167_entity_resolution", # blocking+scoring+CC entity resolution
     "q197_ddsketch",          # DDSketch relative-error quantiles
