@@ -15471,6 +15471,89 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, top_k=20)
 
 
+@_q(
+    "q273_cvm",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      value + CASE WHEN event_id % 3 = 0
+                                   THEN CAST(0.5 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS v,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    c AS (SELECT seg, v, SUM(1 - cur)::BIGINT AS a,
+                 SUM(cur)::BIGINT AS b
+          FROM d GROUP BY seg, v),
+    w AS (SELECT seg, v, a, b,
+                 CAST(SUM(a) OVER (PARTITION BY seg) AS BIGINT)
+                   AS ta,
+                 CAST(SUM(b) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tb,
+                 CAST(SUM(a) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS ca,
+                 CAST(SUM(b) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cb
+          FROM c),
+    t AS (SELECT seg, ta, tb,
+                 CAST(CAST(a + b AS DOUBLE)
+                      * (CAST(ca AS DOUBLE)
+                         / NULLIF(CAST(ta AS DOUBLE), 0)
+                         - CAST(cb AS DOUBLE)
+                           / NULLIF(CAST(tb AS DOUBLE), 0))
+                      * (CAST(ca AS DOUBLE)
+                         / NULLIF(CAST(ta AS DOUBLE), 0)
+                         - CAST(cb AS DOUBLE)
+                           / NULLIF(CAST(tb AS DOUBLE), 0))
+                      AS DECIMAL(38,6)) AS term
+          FROM w)
+    SELECT seg, MAX(ta) AS n_ref, MAX(tb) AS n_cur,
+           CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+                THEN round(CAST(MAX(ta) AS DOUBLE)
+                           * CAST(MAX(tb) AS DOUBLE)
+                           / ((CAST(MAX(ta) AS DOUBLE)
+                               + CAST(MAX(tb) AS DOUBLE))
+                              * (CAST(MAX(ta) AS DOUBLE)
+                                 + CAST(MAX(tb) AS DOUBLE)))
+                           * CAST(SUM(term) AS DOUBLE), 6) END
+             AS cvm
+    FROM t GROUP BY seg
+    """,
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift per event type — the
+    integrated-squared-gap fifth of the drift family (PSI q183, KS
+    q184, JSD q246, W₁ q255): sums the SQUARED ECDF gap over the
+    combined sample, catching distributed small deviations a single
+    max misses.  Fixture plants a +0.5 shift on the mod-3 current
+    side.  KS's exact plan shape: one (seg, value) count agg +
+    ordered windows over distinct values, w·gap² terms
+    6 dp-decimal-rounded (operators/drift.py:cvm_statistic)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import cvm_statistic
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        cvm_statistic("v", F.col("is_cur"), group_by="seg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -231,6 +231,7 @@ HEADLINE = [
     "q270_dunn_posthoc",
     "q271_log_rank",
     "q272_link_prediction",
+    "q273_cvm",
 ]
 
 

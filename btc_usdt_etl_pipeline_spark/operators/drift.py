@@ -358,3 +358,80 @@ def wasserstein_1d(
         )
 
     return _t
+
+
+def cvm_statistic(
+    value_col: str,
+    is_current: Column,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "cvm",
+) -> Callable[[DataFrame], DataFrame]:
+    """Two-sample Cramér–von Mises statistic per group — the
+    integrated-squared-gap member of the drift family: where KS
+    (q184) takes the MAX ECDF gap and W₁ (q255) weighs gaps by value
+    spacing, CvM sums the SQUARED gap over the combined sample,
+
+        T = (n·m/(n+m)²) · Σ_z w_z · (F_ref(z) − F_cur(z))²
+
+    (w_z = combined multiplicity at z) — sensitive to distributed
+    small deviations a single max misses, scale-free unlike W₁.
+
+    Identical plan to :func:`ks_statistic`: one (group, value) count
+    aggregation, ordered windows over each group's distinct values.
+    ECDFs are integer cumsums with try_divide fences; the per-value
+    w·gap² terms are rounded to 6 dp via the exact-decimal cast
+    before the order-free sum, then ONE scale multiplication.  Groups
+    with an empty side emit NULL.  Returns ``group_by…, n_ref,
+    n_cur, cvm``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_a"),
+                F.sum(cur).alias("_b"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot_a = F.sum("_a").over(wg)
+        tot_b = F.sum("_b").over(wg)
+        f_a = F.try_divide(
+            F.sum("_a").over(wo).cast("double"), tot_a.cast("double")
+        )
+        f_b = F.try_divide(
+            F.sum("_b").over(wo).cast("double"), tot_b.cast("double")
+        )
+        w = (F.col("_a") + F.col("_b")).cast("double")
+        term = (w * (f_a - f_b) * (f_a - f_b)).cast(DEC)
+        staged = counts.select(
+            *gcols,
+            term.alias("_term"),
+            tot_a.alias("_ta"),
+            tot_b.alias("_tb"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_ta").alias("n_ref"),
+            F.first("_tb").alias("n_cur"),
+            F.sum("_term").cast("double").alias("_s"),
+        )
+        na = F.col("n_ref").cast("double")
+        nb = F.col("n_cur").cast("double")
+        scale = na * nb / ((na + nb) * (na + nb))
+        return agg.select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(scale * F.col("_s"), 6),
+            ).alias(out),
+        )
+
+    return _t

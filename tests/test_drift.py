@@ -7,6 +7,8 @@ component identity x = trend + seasonal + resid)."""
 from __future__ import annotations
 
 import math
+
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -316,3 +318,51 @@ def test_theil_sen_operator_cap_and_slope(spark):
     for k in range(2):
         assert capped[k][1] <= 10 * 9 // 2
         assert abs(capped[k][0] - 3.0) < 1e-6
+
+
+def test_cvm_matches_python_reference(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import cvm_statistic
+
+    import random as _random
+    from collections import Counter
+
+    rng = _random.Random(157)
+    ref = [round(rng.gauss(0, 1), 2) for _ in range(300)]
+    cur = [round(rng.gauss(0.4, 1), 2) for _ in range(200)]
+    rows = [("g", v, False) for v in ref] + [("g", v, True) for v in cur]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    r = df.transform(
+        cvm_statistic("v", F.col("cur"), group_by="g")
+    ).collect()[0]
+    cr = Counter(ref)
+    cc = Counter(cur)
+    vals = sorted(set(ref) | set(cur))
+    fa = fb = 0.0
+    s = 0.0
+    for v in vals:
+        fa += cr.get(v, 0) / len(ref)
+        fb += cc.get(v, 0) / len(cur)
+        w = cr.get(v, 0) + cc.get(v, 0)
+        s += w * (fa - fb) ** 2
+    want = len(ref) * len(cur) / (len(ref) + len(cur)) ** 2 * s
+    assert r["n_ref"] == 300 and r["n_cur"] == 200
+    assert r["cvm"] == pytest.approx(want, abs=1e-3)
+    assert r["cvm"] > 1.0  # planted shift clearly visible
+
+
+def test_cvm_identical_zero_and_empty_null(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import cvm_statistic
+
+    same = [("g", float(v), b) for v in range(30) for b in (True, False)]
+    df = spark.createDataFrame(same, "g string, v double, cur boolean")
+    r = df.transform(
+        cvm_statistic("v", F.col("cur"), group_by="g")
+    ).collect()[0]
+    assert r["cvm"] == pytest.approx(0.0, abs=1e-9)
+
+    onesided = [("g", float(v), True) for v in range(5)]
+    df2 = spark.createDataFrame(onesided, "g string, v double, cur boolean")
+    r2 = df2.transform(
+        cvm_statistic("v", F.col("cur"), group_by="g")
+    ).collect()[0]
+    assert r2["cvm"] is None and r2["n_ref"] == 0
