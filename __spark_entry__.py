@@ -15554,6 +15554,144 @@ def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q274_drift_report",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      value + CASE WHEN event_id % 3 = 0
+                                   THEN CAST(0.5 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS v,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    pc AS (SELECT seg,
+                  LEAST(9, GREATEST(0,
+                    CAST(FLOOR((v - 0.0) / 50.0) AS INT))) AS bin,
+                  SUM(1 - cur)::BIGINT AS nr,
+                  SUM(cur)::BIGINT AS nc
+           FROM d GROUP BY 1, 2),
+    pdense AS (SELECT g.seg, CAST(r.range AS INT) AS bin,
+                      COALESCE(pc.nr, 0) AS nr,
+                      COALESCE(pc.nc, 0) AS nc
+               FROM (SELECT DISTINCT seg FROM pc) g
+               CROSS JOIN range(10) r
+               LEFT JOIN pc ON pc.seg = g.seg
+                    AND pc.bin = CAST(r.range AS INT)),
+    ptot AS (SELECT seg, bin, nr, nc,
+                    SUM(nr) OVER (PARTITION BY seg) AS tr,
+                    SUM(nc) OVER (PARTITION BY seg) AS tc
+             FROM pdense),
+    pterm AS (SELECT seg,
+                     CAST(((nc + 0.5) / (tc + 5.0)
+                           - (nr + 0.5) / (tr + 5.0))
+                          * ln(((nc + 0.5) / (tc + 5.0))
+                               / ((nr + 0.5) / (tr + 5.0)))
+                          AS DECIMAL(38,6)) AS term
+              FROM ptot),
+    c AS (SELECT seg, v, SUM(1 - cur)::BIGINT AS a,
+                 SUM(cur)::BIGINT AS b
+          FROM d GROUP BY seg, v),
+    w AS (SELECT seg, v, a, b,
+                 CAST(SUM(a) OVER (PARTITION BY seg) AS BIGINT)
+                   AS ta,
+                 CAST(SUM(b) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tb,
+                 CAST(SUM(a) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS ca,
+                 CAST(SUM(b) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cb,
+                 LEAD(v) OVER (PARTITION BY seg ORDER BY v) AS nv
+          FROM c),
+    t AS (SELECT seg, ta, tb,
+                 abs(CAST(ca AS DOUBLE)
+                     / NULLIF(CAST(ta AS DOUBLE), 0)
+                     - CAST(cb AS DOUBLE)
+                       / NULLIF(CAST(tb AS DOUBLE), 0)) AS ksgap,
+                 COALESCE(CAST(abs(CAST(ca AS DOUBLE)
+                       / NULLIF(CAST(ta AS DOUBLE), 0)
+                       - CAST(cb AS DOUBLE)
+                         / NULLIF(CAST(tb AS DOUBLE), 0))
+                     * (nv - v) AS DECIMAL(38,6)),
+                   CAST(0.0 AS DECIMAL(38,6))) AS w1t,
+                 CAST(CAST(a + b AS DOUBLE)
+                      * (CAST(ca AS DOUBLE)
+                         / NULLIF(CAST(ta AS DOUBLE), 0)
+                         - CAST(cb AS DOUBLE)
+                           / NULLIF(CAST(tb AS DOUBLE), 0))
+                      * (CAST(ca AS DOUBLE)
+                         / NULLIF(CAST(ta AS DOUBLE), 0)
+                         - CAST(cb AS DOUBLE)
+                           / NULLIF(CAST(tb AS DOUBLE), 0))
+                      AS DECIMAL(38,6)) AS cvmt
+          FROM w),
+    e AS (SELECT seg, MAX(ta) AS na, MAX(tb) AS nb,
+                 MAX(ksgap) AS ks,
+                 CAST(SUM(w1t) AS DOUBLE) AS sw1,
+                 CAST(SUM(cvmt) AS DOUBLE) AS scvm
+          FROM t GROUP BY seg)
+    SELECT seg, 'psi' AS metric,
+           CAST(SUM(term) AS DOUBLE) AS statistic
+    FROM pterm GROUP BY seg
+    UNION ALL
+    SELECT seg, 'ks', CASE WHEN na > 0 AND nb > 0 THEN ks END FROM e
+    UNION ALL
+    SELECT seg, 'w1', CASE WHEN na > 0 AND nb > 0 THEN sw1 END
+    FROM e
+    UNION ALL
+    SELECT seg, 'cvm',
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                           / ((CAST(na AS DOUBLE)
+                               + CAST(nb AS DOUBLE))
+                              * (CAST(na AS DOUBLE)
+                                 + CAST(nb AS DOUBLE))) * scvm, 6)
+           END
+    FROM e
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call drift panel per event type — PSI, KS, W₁, and CvM
+    side by side in long format on the q273 split, the view every
+    feature-drift review actually asks for.  PSI keeps its bin agg;
+    the three ECDF statistics come from ONE shared (seg, value) count
+    shuffle and ONE window pass (max |gap|, Δv-weighted gap sum, and
+    weighted squared-gap sum over the same cumulative columns, melted
+    via a single explode — union branches would re-evaluate the
+    subtree, the association_rules lesson)
+    (operators/drift.py:drift_report)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import drift_report
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        drift_report(
+            "v",
+            F.col("is_cur"),
+            lo=0.0,
+            hi=500.0,
+            n_bins=10,
+            group_by="seg",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

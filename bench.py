@@ -232,6 +232,7 @@ HEADLINE = [
     "q271_log_rank",
     "q272_link_prediction",
     "q273_cvm",
+    "q274_drift_report",
 ]
 
 

@@ -435,3 +435,136 @@ def cvm_statistic(
         )
 
     return _t
+
+
+def drift_report(
+    value_col: str,
+    is_current: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    group_by: Sequence[str] | str | None = None,
+    eps: float = 0.5,
+) -> Callable[[DataFrame], DataFrame]:
+    """One-call numeric drift panel per group — all four scalar drift
+    statistics (PSI, KS, W₁, CvM) over the same reference/current
+    split, in the LONG format a monitoring dashboard consumes:
+    ``group_by…, metric, statistic`` with one row per (group, metric).
+    The convenience composite (the compare_groups idiom) for the
+    question every feature-drift review actually asks: "all four,
+    side by side".
+
+    Plan: PSI keeps its bin aggregation; the three ECDF statistics
+    are computed from ONE shared (group, value) count shuffle and ONE
+    ordered window pass — KS is the running max of the |gap|, W₁ the
+    Δv-weighted gap sum, CvM the multiplicity-weighted squared-gap
+    sum, all over the same cumulative columns — so the whole panel
+    costs one bin agg + one value-level count shuffle, NOT four
+    independent aggregations (Catalyst does not deduplicate the
+    exchanges across union branches; sharing must be structural).
+    Per-statistic determinism contracts and empty-side NULL fences
+    match the standalone operators (q184/q255/q273 semantics).
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        p = df.transform(
+            psi(
+                value_col,
+                is_current,
+                lo=lo,
+                hi=hi,
+                n_bins=n_bins,
+                group_by=group_by,
+                eps=eps,
+            )
+        ).select(
+            *gcols,
+            F.lit("psi").alias("metric"),
+            F.col("psi").cast("double").alias("statistic"),
+        )
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_a"),
+                F.sum(cur).alias("_b"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot_a = F.sum("_a").over(wg)
+        tot_b = F.sum("_b").over(wg)
+        f_a = F.try_divide(
+            F.sum("_a").over(wo).cast("double"), tot_a.cast("double")
+        )
+        f_b = F.try_divide(
+            F.sum("_b").over(wo).cast("double"), tot_b.cast("double")
+        )
+        gap = f_a - f_b
+        dv = F.lead("_v").over(wg.orderBy("_v")).cast("double") - F.col(
+            "_v"
+        ).cast("double")
+        w1_term = F.coalesce(
+            (F.abs(gap) * dv).cast(DEC), F.lit(0.0).cast(DEC)
+        )
+        wmult = (F.col("_a") + F.col("_b")).cast("double")
+        cvm_term = (wmult * gap * gap).cast(DEC)
+        staged = counts.select(
+            *gcols,
+            F.abs(gap).alias("_ksgap"),
+            w1_term.alias("_w1"),
+            cvm_term.alias("_cvm"),
+            tot_a.alias("_ta"),
+            tot_b.alias("_tb"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_ta").alias("_na"),
+            F.first("_tb").alias("_nb"),
+            F.max("_ksgap").alias("_ks"),
+            F.sum("_w1").cast("double").alias("_sw1"),
+            F.sum("_cvm").cast("double").alias("_scvm"),
+        )
+        na = F.col("_na").cast("double")
+        nb = F.col("_nb").cast("double")
+        ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+        scale = na * nb / ((na + nb) * (na + nb))
+        # melt via ONE explode, not three union branches — union
+        # branches would re-evaluate the counts+window subtree per
+        # metric (the association_rules re-evaluation trap)
+        melted = agg.select(
+            *gcols,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("ks").alias("metric"),
+                        F.when(ok, F.col("_ks"))
+                        .cast("double")
+                        .alias("statistic"),
+                    ),
+                    F.struct(
+                        F.lit("w1").alias("metric"),
+                        F.when(ok, F.col("_sw1"))
+                        .cast("double")
+                        .alias("statistic"),
+                    ),
+                    F.struct(
+                        F.lit("cvm").alias("metric"),
+                        F.when(
+                            ok, F.round(scale * F.col("_scvm"), 6)
+                        )
+                        .cast("double")
+                        .alias("statistic"),
+                    ),
+                )
+            ).alias("_m"),
+        ).select(
+            *gcols, F.col("_m.metric").alias("metric"),
+            F.col("_m.statistic").alias("statistic"),
+        )
+        return p.unionByName(melted)
+
+    return _t

@@ -366,3 +366,70 @@ def test_cvm_identical_zero_and_empty_null(spark):
         cvm_statistic("v", F.col("cur"), group_by="g")
     ).collect()[0]
     assert r2["cvm"] is None and r2["n_ref"] == 0
+
+
+def test_drift_report_components_match_standalone_ops(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        cvm_statistic,
+        drift_report,
+        ks_statistic,
+        psi,
+        wasserstein_1d,
+    )
+
+    import random as _random
+
+    rng = _random.Random(163)
+    rows = [
+        ("g", round(rng.uniform(0, 100), 2) + (3.0 if i % 2 else 0.0),
+         i % 2 == 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    panel = {
+        r["metric"]: r["statistic"]
+        for r in df.transform(
+            drift_report(
+                "v", F.col("cur"), lo=0.0, hi=100.0, n_bins=8,
+                group_by="g",
+            )
+        ).collect()
+    }
+    assert set(panel) == {"psi", "ks", "w1", "cvm"}
+    want_psi = df.transform(
+        psi("v", F.col("cur"), lo=0.0, hi=100.0, n_bins=8, group_by="g")
+    ).collect()[0]["psi"]
+    want_ks = df.transform(
+        ks_statistic("v", F.col("cur"), group_by="g")
+    ).collect()[0]["ks"]
+    want_w1 = df.transform(
+        wasserstein_1d("v", F.col("cur"), group_by="g")
+    ).collect()[0]["w1"]
+    want_cvm = df.transform(
+        cvm_statistic("v", F.col("cur"), group_by="g")
+    ).collect()[0]["cvm"]
+    assert panel["psi"] == pytest.approx(want_psi, abs=1e-9)
+    assert panel["ks"] == pytest.approx(want_ks, abs=1e-9)
+    assert panel["w1"] == pytest.approx(want_w1, abs=1e-9)
+    assert panel["cvm"] == pytest.approx(want_cvm, abs=1e-9)
+
+
+def test_drift_report_single_shared_ecdf_shuffle(spark):
+    """The three ECDF metrics must share ONE (group, value) count
+    aggregation — the panel's plan may contain exactly two data-scale
+    hash aggregations over the raw input (PSI's bins + the shared
+    value counts), not four."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import drift_report
+
+    df = spark.createDataFrame(
+        [("g", float(i % 40), i % 2 == 0) for i in range(200)],
+        "g string, v double, cur boolean",
+    )
+    out = df.transform(
+        drift_report("v", F.col("cur"), lo=0.0, hi=40.0, group_by="g")
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # raw-scan leaves: PSI contributes two (its grid branch re-derives
+    # from the counts subtree — the operator's longstanding shape) and
+    # the ECDF trio must contribute exactly ONE shared leaf, not three
+    assert plan.count("LogicalRDD") <= 3
