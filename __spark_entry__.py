@@ -15692,6 +15692,73 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q275_link_prediction_fenced",
+    """
+    WITH e0 AS (SELECT DISTINCT user_id AS _a,
+                       1000000 + event_id % 4999 AS _b FROM events),
+    sym AS (SELECT _a AS s, _b AS d FROM e0
+            UNION SELECT _b, _a FROM e0),
+    deg AS (SELECT s AS n, COUNT(*)::BIGINT AS dg
+            FROM sym GROUP BY s),
+    drops AS (SELECT COUNT(*)::BIGINT AS centers_dropped,
+                     COALESCE(SUM(dg * (dg - 1) // 2), 0)::BIGINT
+                       AS wedges_dropped
+              FROM deg WHERE dg > 64),
+    adj AS (SELECT sym.s AS w, sym.d AS u, deg.dg AS degw
+            FROM sym JOIN deg ON sym.s = deg.n
+            WHERE deg.dg <= 64),
+    wedges AS (SELECT a.u AS u, b.u AS v, a.degw
+               FROM adj a JOIN adj b ON a.w = b.w AND a.u < b.u),
+    scored AS (SELECT u, v, COUNT(*)::BIGINT AS cn,
+                      CAST(SUM(CAST(1.0 / ln(CAST(degw AS DOUBLE))
+                           AS DECIMAL(38,6))) AS DOUBLE) AS aa
+               FROM wedges GROUP BY u, v),
+    cand AS (SELECT scored.* FROM scored
+             LEFT JOIN e0 ON scored.u = e0._a AND scored.v = e0._b
+             WHERE e0._a IS NULL),
+    fl AS (SELECT cand.u, cand.v, cand.cn, cand.aa,
+                  du.dg AS degu, dv.dg AS degv
+           FROM cand
+           JOIN deg du ON cand.u = du.n
+           JOIN deg dv ON cand.v = dv.n),
+    ranked AS (SELECT u, v, cn,
+                      round(CAST(cn AS DOUBLE)
+                            / CAST(degu + degv - cn AS DOUBLE), 6)
+                        AS jaccard,
+                      round(aa, 6) AS adamic_adar,
+                      ROW_NUMBER() OVER (ORDER BY aa DESC, u, v)
+                        AS rn
+               FROM fl)
+    SELECT u, v, cn, jaccard, adamic_adar,
+           centers_dropped, wedges_dropped
+    FROM ranked CROSS JOIN drops WHERE rn <= 15
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-fenced link prediction on the zipf-hot user→item bipartite
+    graph (events: user_id is zipf-1.3-skewed, items are
+    event_id % 4999) — the fixture q272's subsampled co-supplier
+    graph structurally cannot provide: hot users reach thousands of
+    items, so the unfenced wedge join is Σdeg² with a power-law head.
+    ``max_center_degree=64`` drops those hub centers from candidate
+    generation (degrees/Jaccard stay full-graph exact) and
+    ``report_drops=True`` rides the refused wedge mass on every row —
+    the no-silent-caps audit (operators/graph.py:link_prediction)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("user_id").alias("src"),
+        (F.lit(1000000) + F.col("event_id") % 4999).alias("dst"),
+    ).distinct()
+    return link_prediction(
+        edges, top_k=15, max_center_degree=64, report_drops=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -233,6 +233,7 @@ HEADLINE = [
     "q272_link_prediction",
     "q273_cvm",
     "q274_drift_report",
+    "q275_link_prediction_fenced",
 ]
 
 

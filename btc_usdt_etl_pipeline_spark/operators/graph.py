@@ -700,6 +700,8 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     top_k: int = 20,
+    max_center_degree: int | None = None,
+    report_drops: bool = False,
 ) -> DataFrame:
     """Neighbor-overlap link prediction over an undirected edge list —
     score NON-edges by how much their neighborhoods overlap, the
@@ -713,10 +715,26 @@ def link_prediction(
     Candidates come from ONE wedge self-join (pairs sharing a
     neighbor w — a wedge center has deg ≥ 2, so ln(deg w) > 0 by
     construction), then existing edges are anti-joined away.  Wedge
-    mass is Σ_w deg(w)² — on power-law graphs apply the
-    degree-ordered orientation cap first (the triangle_count
-    machinery) or pre-filter hubs; the co-supplier fixture is
-    subsampled sparse for exactly this reason (q153 note).
+    mass is Σ_w deg(w)² — on a power-law graph one deg-10⁶ hub yields
+    10¹² wedges, so the scale path MUST set ``max_center_degree``:
+    wedge centers with degree above the fence are dropped from
+    candidate generation (their AA weight 1/ln(deg) is the smallest
+    anyway, and common-neighbor evidence via mega-hubs is the least
+    informative — the standard practitioner cut).  Degrees, the
+    Jaccard denominator, and the anti-join all still use the TRUE
+    full-graph values; only the candidate/evidence enumeration is
+    fenced, so kept pairs lose at most the hub terms of their AA sum.
+    The fence is a pure degree predicate — deterministic under any
+    partitioning and replayable by an oracle applying the same
+    ``deg(w) <= max_center_degree`` filter.
+
+    No-silent-caps: with ``report_drops=True`` every output row
+    carries ``centers_dropped`` (fenced hub count) and
+    ``wedges_dropped`` (Σ d·(d−1)/2 over fenced centers — the exact
+    unordered-pair mass the fence refused to materialize), attached
+    as a broadcast one-row scalar.  ``max_center_degree=None``
+    (default) keeps the exact unfenced semantics for sparse graphs
+    (q272's subsampled co-supplier fixture).
 
     Per-wedge AA terms are rounded to 6 dp via the exact-decimal cast
     before the order-free sum; CN and degrees are exact integers; the
@@ -740,6 +758,24 @@ def link_prediction(
         F.col("_d").alias("_u"),
         F.col("_deg").alias("_degw"),
     )
+    drops = None
+    if max_center_degree is not None:
+        if max_center_degree < 2:
+            raise ValueError("max_center_degree must be >= 2 (or None)")
+        if report_drops:
+            # d*(d-1) is always even -> DIV 2 is exact; integer DIV
+            # (not /) so a deg-10^6 hub's 5*10^11 pairs never round
+            # through a double.
+            drops = deg.filter(
+                F.col("_deg") > max_center_degree
+            ).agg(
+                F.count(F.lit(1)).alias("centers_dropped"),
+                F.coalesce(
+                    F.sum(F.expr("_deg * (_deg - 1) DIV 2")),
+                    F.lit(0).cast("long"),
+                ).alias("wedges_dropped"),
+            )
+        adj = adj.filter(F.col("_degw") <= max_center_degree)
     a = adj.select("_w", F.col("_u").alias("u"), "_degw")
     b = adj.select(
         F.col("_w").alias("_w2"), F.col("_u").alias("v"),
@@ -782,7 +818,16 @@ def link_prediction(
             )
         ),
     )
-    return (
-        ranked.where(F.col("_rn") <= top_k)
-        .select("u", "v", "cn", "jaccard", "adamic_adar")
+    out = ranked.where(F.col("_rn") <= top_k).select(
+        "u", "v", "cn", "jaccard", "adamic_adar"
     )
+    if drops is not None:
+        # one-row scalar attach as a BroadcastHashJoin (attach_scalar
+        # derives the key from data so Catalyst never degrades to a
+        # nested loop) — the engine's audit-column pattern
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        out = attach_scalar(
+            out, drops, F.col("cn"), F.col("centers_dropped")
+        )
+    return out

@@ -69,6 +69,92 @@ def test_link_prediction_matches_python(spark):
         assert r["adamic_adar"] == pytest.approx(aa, abs=1e-5)
 
 
+def _lp_py_fenced(edges, top_k, cap):
+    """Python reference for the hub fence: centers above ``cap`` are
+    excluded from candidate/evidence enumeration; degrees, Jaccard,
+    and the anti-join keep full-graph values."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = {(min(a, b), max(a, b)) for a, b in edges}
+    scores = {}
+    for w, ns in adj.items():
+        if len(ns) > cap:
+            continue
+        nss = sorted(ns)
+        for i, u in enumerate(nss):
+            for v in nss[i + 1:]:
+                if (u, v) in eset:
+                    continue
+                cn, aa = scores.get((u, v), (0, 0.0))
+                scores[(u, v)] = (
+                    cn + 1,
+                    aa + round(1.0 / math.log(len(ns)), 6),
+                )
+    full = {
+        p: (
+            cn,
+            cn / (len(adj[p[0]]) + len(adj[p[1]]) - cn),
+            aa,
+        )
+        for p, (cn, aa) in scores.items()
+    }
+    ranked = sorted(full.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    dropped = [len(ns) for ns in adj.values() if len(ns) > cap]
+    return (
+        dict(ranked[:top_k]),
+        len(dropped),
+        sum(d * (d - 1) // 2 for d in dropped),
+    )
+
+
+def test_link_prediction_hub_fence_planted(spark):
+    """A planted deg-200 hub: the fence drops it from candidate
+    generation, the report columns carry the exact refused wedge
+    mass, and the survivors match the python fenced reference."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    hub = [(0, i) for i in range(1, 201)]
+    ring = [(i, i + 1) for i in range(1, 40)]  # kept wedge centers
+    edges = hub + ring
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = link_prediction(
+        df, top_k=25, max_center_degree=50, report_drops=True
+    ).collect()
+    want, n_drop, wedge_drop = _lp_py_fenced(edges, 25, 50)
+    out = {(r["u"], r["v"]): r for r in rows}
+    assert set(out) == set(want)
+    for r in rows:
+        assert r["centers_dropped"] == n_drop == 1
+        assert r["wedges_dropped"] == wedge_drop == 200 * 199 // 2
+    for pair, (cn, jac, aa) in want.items():
+        r = out[pair]
+        assert r["cn"] == cn
+        assert r["jaccard"] == pytest.approx(jac, abs=1e-6)
+        assert r["adamic_adar"] == pytest.approx(aa, abs=1e-5)
+    # hub-only candidates (e.g. leaves 100,150 share ONLY node 0)
+    assert (100, 150) not in out
+    # fence off on the same graph still scores the hub pairs
+    unfenced = {
+        (r["u"], r["v"])
+        for r in link_prediction(df, top_k=30000).collect()
+    }
+    assert (100, 150) in unfenced
+
+
+def test_link_prediction_fence_validates(spark):
+    from btc_usdt_etl_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        link_prediction(df, max_center_degree=1)
+
+
 def test_link_prediction_hand_checked(spark):
     from btc_usdt_etl_pipeline_spark.operators.graph import (
         link_prediction,
