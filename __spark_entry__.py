@@ -15759,6 +15759,101 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL12_M = 4096
+_HLL12_ALPHA = 0.7213 / (1.0 + 1.079 / 4096)
+_HLL12_SCALE = float(1 << 49)
+
+
+def _hll12_est_sql(grams_cte: str) -> str:
+    """Render the b=12 register→estimate CTE chain over a
+    ``(source, g)`` gram stream — ONE definition shared by both
+    orders of q276 so the estimator math can never diverge from
+    sketch.py's ``hll_estimate_from_registers`` twin."""
+    return f"""
+      (SELECT source,
+              round(CASE WHEN raw <= {2.5 * _HLL12_M!r}::DOUBLE
+                          AND v_zero > 0
+                    THEN {float(_HLL12_M)!r}::DOUBLE
+                         * ln({float(_HLL12_M)!r}::DOUBLE
+                              / CAST(v_zero AS DOUBLE))
+                    ELSE raw END, 4) AS est
+       FROM (SELECT source,
+                    CAST({_HLL12_M} - COUNT(*) AS BIGINT) AS v_zero,
+                    {_HLL12_ALPHA!r}::DOUBLE
+                      * {float(_HLL12_M)!r}::DOUBLE
+                      * {float(_HLL12_M)!r}::DOUBLE
+                      * {_HLL12_SCALE!r}::DOUBLE
+                      / CAST(SUM((1::BIGINT << CAST(49 - mr AS INT)))
+                             + ({_HLL12_M} - COUNT(*))
+                               * (1::BIGINT << 49) AS DOUBLE) AS raw
+             FROM (SELECT source, h % {_HLL12_M} AS bucket,
+                          MAX(CASE WHEN h // {_HLL12_M} = 0 THEN 49
+                              ELSE bit_count(((h // {_HLL12_M})
+                                              & -(h // {_HLL12_M}))
+                                             - 1) + 1 END) AS mr
+                   FROM (SELECT source,
+                                ('0x' || substr(md5(g), 1, 15))::BIGINT
+                                  AS h
+                         FROM {grams_cte})
+                   GROUP BY source, h % {_HLL12_M})
+             GROUP BY source))
+    """
+
+
+@_q(
+    "q276_ngram_diversity_hll",
+    f"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS tok
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+    tc AS (SELECT source, SUM(len(tok))::BIGINT AS tokens,
+                  SUM(greatest(len(tok), 0))::BIGINT AS occ_1,
+                  SUM(greatest(len(tok) - 1, 0))::BIGINT AS occ_2
+           FROM toks GROUP BY source),
+    g1 AS (SELECT source, unnest(tok) AS g FROM toks),
+    bgl AS (SELECT source,
+                   list_transform(range(1, len(tok)),
+                     i -> tok[i] || ' ' || tok[i+1]) AS bgs
+            FROM toks WHERE len(tok) >= 2),
+    g2 AS (SELECT source, unnest(bgs) AS g FROM bgl),
+    e1 AS {_hll12_est_sql("g1")},
+    e2 AS {_hll12_est_sql("g2")}
+    SELECT tc.source, tc.tokens,
+           tc.occ_1, e1.est AS types_est_1,
+           CASE WHEN occ_1 > 0
+                THEN round(e1.est / CAST(occ_1 AS DOUBLE), 6)
+           END AS distinct_1,
+           tc.occ_2, e2.est AS types_est_2,
+           CASE WHEN occ_2 > 0
+                THEN round(e2.est / CAST(occ_2 AS DOUBLE), 6)
+           END AS distinct_2
+    FROM tc
+    LEFT JOIN e1 ON tc.source = e1.source
+    LEFT JOIN e2 ON tc.source = e2.source
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-backed n-gram diversity per source — q263's open-vocabulary
+    scale path (VERDICT r10 ask #3): distinct-gram TYPE counts route
+    through b=12 HyperLogLog registers (per n: one (source, bucket)
+    max-rank agg, map-side survivors ≤ |sources|·4096 regardless of
+    vocabulary — no gram-type-scale state), occurrence totals are
+    exact row arithmetic Σ max(|tok|−n+1, 0), and the estimator is
+    the shared integer-denominator + linear-counting machinery of
+    q151/q154, register-replayed by the oracle
+    (operators/text.py:ngram_diversity approximate=True)."""
+    from btc_usdt_etl_pipeline_spark.operators.text import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    return d.transform(
+        ngram_diversity(
+            "text", group_by="source", ns=(1, 2), approximate=True, b=12
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -234,6 +234,7 @@ HEADLINE = [
     "q273_cvm",
     "q274_drift_report",
     "q275_link_prediction_fenced",
+    "q276_ngram_diversity_hll",
 ]
 
 

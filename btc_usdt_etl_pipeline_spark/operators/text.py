@@ -1095,6 +1095,8 @@ def ngram_diversity(
     text_col: str = "text",
     group_by: str | None = None,
     ns: Sequence[int] = (1, 2),
+    approximate: bool = False,
+    b: int = 12,
 ) -> Callable[[DataFrame], DataFrame]:
     """Corpus-level distinct-n-gram diversity per group — the
     generation-diversity metric (distinct-1 / distinct-2 of Li et al.
@@ -1112,8 +1114,29 @@ def ngram_diversity(
     Groups with no n-grams of a given order emit NULL for it.
     Returns ``group_by…, tokens, distinct_1, distinct_2, …`` (one
     column per requested n).
+
+    ``approximate=True`` is the open-vocabulary scale path: the exact
+    per-gram count table is gram-TYPE-scale state (Heaps' law says
+    vocab ∝ corpus^β on real text — at 100 TB the distinct-bigram
+    table alone is billions of rows), so the type counts route
+    through the engine's HyperLogLog registers instead
+    (:func:`~btc_usdt_etl_pipeline_spark.operators.sketch.hll_distinct_by`
+    machinery, register-wise mergeable): per n, one
+    ``(group, bucket)`` max-rank aggregation whose map-side survivors
+    are capped at ``|groups| · 2^b`` REGARDLESS of vocabulary size —
+    the state no longer grows with the corpus at all.  Occurrence
+    totals don't need the gram table: ``occ_n = Σ max(|tok|−n+1, 0)``
+    is exact row arithmetic.  The portable md5 hash keeps registers
+    oracle-replayable (the sketch.py contract; production swaps in
+    ``approx_count_distinct``/xxhash64 for ~3× digest throughput, the
+    q266 A/B).  Approximate output adds per-n audit columns:
+    ``occ_n`` (exact), ``types_est_n`` (HLL estimate, ±1.04/√2^b
+    relative), with ``distinct_n = types_est_n / occ_n``, and rides a
+    standard-error column contract of b=12 → ~1.6%.
     """
     gcols = [group_by] if group_by else []
+    if approximate:
+        return _ngram_diversity_hll(text_col, gcols, ns, b)
 
     def _t(df: DataFrame) -> DataFrame:
         tok = tokens(text_col)
@@ -1162,6 +1185,108 @@ def ngram_diversity(
                 ).alias(f"distinct_{n}")
             )
         return joined.select(*cols)
+
+    return _t
+
+
+def _ngram_diversity_hll(
+    text_col: str,
+    gcols: "list[str]",
+    ns: Sequence[int],
+    b: int,
+) -> Callable[[DataFrame], DataFrame]:
+    """HLL-backed :func:`ngram_diversity` (``approximate=True``).
+
+    Per requested n: explode grams → portable 60-bit hash → bucket /
+    max-rank registers per group (ONE data-scale agg each, map-side
+    partial, ≤ |groups|·2^b survivors) → the shared
+    ``hll_estimate_from_registers`` estimator (integer-exact
+    denominator + linear-counting correction, est pinned at 4 dp so a
+    SQL oracle replays it).  Token/occurrence totals come from one
+    row-arithmetic agg — no gram-type-scale state anywhere.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        portable_hash60,
+        shingles,
+        tokens,
+    )
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+    )
+
+    if not 4 <= b <= 18:
+        raise ValueError("b must be in [4, 18]")
+    m = 1 << b
+    rem = 60 - b
+
+    def _t(df: DataFrame) -> DataFrame:
+        tok = tokens(text_col)
+        base = df.select(*gcols, tok.alias("_tok"))
+        aggs = [F.sum(F.size("_tok")).alias("tokens")]
+        for n in ns:
+            aggs.append(
+                F.sum(
+                    F.greatest(
+                        F.size("_tok") - F.lit(n - 1), F.lit(0)
+                    )
+                ).alias(f"occ_{n}")
+            )
+        out = base.groupBy(*gcols).agg(*aggs)
+        for n in ns:
+            grams = base.select(
+                *gcols,
+                F.explode(
+                    shingles(F.col("_tok"), n)
+                    if n > 1
+                    else F.col("_tok")
+                ).alias("_g"),
+            )
+            keyed = grams.select(
+                *gcols, portable_hash60(F.col("_g")).alias("_h")
+            ).select(
+                *gcols,
+                (F.col("_h") % m).alias("_bucket"),
+                F.expr(f"_h DIV {m}").alias("_w"),
+            )
+            rho = F.when(F.col("_w") == 0, F.lit(rem + 1)).otherwise(
+                F.bit_count(F.expr("(_w & -_w) - 1")) + F.lit(1)
+            )
+            regs = (
+                keyed.withColumn("_rho", rho)
+                .groupBy(*gcols, "_bucket")
+                .agg(F.max("_rho").alias("_mr"))
+            )
+            est = hll_estimate_from_registers(regs, gcols, b).select(
+                *gcols, F.col("est").alias(f"types_est_{n}")
+            )
+            if gcols:
+                out = out.join(est, gcols, "left")
+            else:
+                from btc_usdt_etl_pipeline_spark.functions import (
+                    attach_scalar,
+                )
+
+                out = attach_scalar(
+                    out,
+                    est,
+                    F.col("tokens"),
+                    F.col(f"types_est_{n}"),
+                )
+        cols = [*gcols, "tokens"]
+        for n in ns:
+            cols.append(f"occ_{n}")
+            cols.append(f"types_est_{n}")
+            cols.append(
+                F.when(
+                    F.col(f"occ_{n}") > 0,
+                    F.round(
+                        F.col(f"types_est_{n}")
+                        / F.col(f"occ_{n}").cast("double"),
+                        6,
+                    ),
+                ).alias(f"distinct_{n}")
+            )
+        return out.select(*cols)
 
     return _t
 

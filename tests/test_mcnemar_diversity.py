@@ -99,3 +99,69 @@ def test_ngram_diversity_degenerate_and_bounds(spark):
         ngram_diversity("text", group_by="g", ns=(1, 2))
     ).collect()[0]
     assert r3["distinct_1"] == 1.0 and r3["distinct_2"] == 1.0
+
+
+def test_ngram_diversity_hll_close_to_exact(spark):
+    """The b=12 HLL path must land within a few standard errors
+    (~1.6% at b=12) of the exact type counts, and the exact
+    occurrence arithmetic must equal the exact path's totals."""
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    # 400 docs, ~3.2k distinct unigram types via numbered words
+    rows = [
+        (i % 4, " ".join(f"w{(i * 17 + j) % 3200}" for j in range(30)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g int, text string")
+    exact = {
+        r["g"]: r
+        for r in df.transform(
+            ngram_diversity("text", group_by="g", ns=(1, 2))
+        ).collect()
+    }
+    approx = {
+        r["g"]: r
+        for r in df.transform(
+            ngram_diversity(
+                "text", group_by="g", ns=(1, 2), approximate=True, b=12
+            )
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for g, a in approx.items():
+        e = exact[g]
+        assert a["tokens"] == e["tokens"]
+        # exact occurrence arithmetic: occ_1 = tokens, occ_2 = tokens - docs
+        assert a["occ_1"] == e["tokens"]
+        exact_types_1 = round(e["distinct_1"] * a["occ_1"])
+        assert a["types_est_1"] == pytest.approx(
+            exact_types_1, rel=0.06
+        )
+        assert a["distinct_1"] == pytest.approx(
+            e["distinct_1"], rel=0.06
+        )
+        assert a["distinct_2"] == pytest.approx(
+            e["distinct_2"], rel=0.06
+        )
+
+
+def test_ngram_diversity_hll_ungrouped_and_bounds(spark):
+    from btc_usdt_etl_pipeline_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha beta",)], "text string"
+    )
+    out = df.transform(
+        ngram_diversity("text", ns=(1,), approximate=True, b=10)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["tokens"] == 5
+    assert out[0]["occ_1"] == 5
+    # 3 distinct types; HLL at this cardinality is linear-counting exact
+    assert out[0]["types_est_1"] == pytest.approx(3.0, abs=0.01)
+    with pytest.raises(ValueError):
+        ngram_diversity("text", approximate=True, b=2)

@@ -24,10 +24,21 @@ Generation is mapInPandas over spark.range slices — executor-side,
 partition-parallel, deterministic per row id (numpy seeded by block),
 no driver materialization.  Usage:
 
-    python tools/gen_scale.py [mult] [out_dir] [tables]
+    python tools/gen_scale.py [mult] [out_dir] [tables] [--vocab-growth]
 
 defaults: mult=10, out_dir=/root/repo/.scale{mult}x, tables=all
 (``tables`` is a comma list, e.g. ``documents,embeddings,supplier``).
+
+``--vocab-growth`` switches ``documents`` to an OPEN vocabulary:
+words are zipf-1.5 ranks (``w1, w2, …`` unbounded), so distinct gram
+types grow with the corpus as Heaps' law predicts (V ∝ N^(1/s) ≈
+N^0.67) instead of saturating at the 30-word fixed vocab.  The fixed
+vocab deliberately stresses SKEW (boilerplate-degenerate buckets,
+sum(df²) blowup); it also saturates distinct gram types, which makes
+every token-explode probe (Zipf fit, diversity, Good–Turing, PMI)
+look sublinear when the real cost driver is gram-TYPE growth — use
+this knob for those probes (VERDICT r10 ask #4).  Duplicate /
+near-duplicate / boilerplate planting is unchanged.
 """
 
 from __future__ import annotations
@@ -53,19 +64,25 @@ def _doc_text(rng, n_words: int) -> str:
     return " ".join(rng.choice(VOCAB, size=n_words))
 
 
-def gen_documents(spark, n: int, n_parts: int):
+def gen_documents(spark, n: int, n_parts: int, open_vocab: bool = False):
     import pandas as pd
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
 
     def base_stored(i: int):
         """Stored text of a NON-duplicate doc i (kind 0-6), replayable
-        from any executor: word salad + boilerplate when i%10 < 3."""
+        from any executor: word salad + boilerplate when i%10 < 3.
+        ``open_vocab`` swaps the 30-word fixed vocab for zipf-1.5 rank
+        words (unbounded type space, Heaps-law distinct-gram growth)."""
         import numpy as np
 
         rng = np.random.default_rng(42 + i)
         n_words = int(10 + rng.integers(0, 60))
-        text = " ".join(rng.choice(VOCAB, size=n_words))
+        if open_vocab:
+            ranks = rng.zipf(1.5, size=n_words)
+            text = " ".join(f"w{int(r)}" for r in ranks)
+        else:
+            text = " ".join(rng.choice(VOCAB, size=n_words))
         if i % 10 < 3:
             text = text + " " + BOILERPLATE
         return text
@@ -361,13 +378,11 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else f"/root/repo/.scale{mult}x"
-    )
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    argv = [a for a in sys.argv[1:] if a != "--vocab-growth"]
+    open_vocab = "--vocab-growth" in sys.argv[1:]
+    mult = int(argv[0]) if len(argv) > 0 else 10
+    out = argv[1] if len(argv) > 1 else f"/root/repo/.scale{mult}x"
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("gen-scale")
@@ -379,7 +394,10 @@ def main() -> int:
     parts = 32
     n_orders = 150_000 * mult
     jobs = [
-        ("documents", gen_documents(spark, 5_000 * mult, parts)),
+        (
+            "documents",
+            gen_documents(spark, 5_000 * mult, parts, open_vocab),
+        ),
         ("embeddings", gen_embeddings(spark, 2_000 * mult, parts)),
         ("events", gen_events(spark, 100_000 * mult, parts, 1_500 * mult)),
         ("supplier", gen_supplier(spark, 1_000 * mult, parts)),
