@@ -1,0 +1,113 @@
+"""Streaming-drain benchmark: time each availableNow streaming query at
+a chosen SF (default sf0.1) and write a check_bench-comparable JSON.
+
+The 8 streaming queries (q36/q46/q49/q50/q65/q135/q166/q179) are
+excluded from bench.py's headline BY DESIGN — they drain availableNow
+streams through stateful operators, not batch plans, so interleaved
+batch rounds would mis-attribute their fixed drain latency.  That
+exclusion also made a streaming-drain regression invisible
+(VERDICT r10 ask #5); this tool closes the gap.
+
+Methodology: N_RUNS (default 3) sequential rounds per query — each
+round executes the registered query callable end-to-end (building the
+stream, draining it availableNow, returning the final DataFrame, which
+is counted through the noop sink) — reported number is the MEDIAN.
+Streaming drains are dominated by per-microbatch fixed costs, so the
+spread is small; the median still absorbs a cold first round.
+
+    python tools/bench_streaming.py [sf_dir] [out_json]
+
+Prints ONE JSON line:
+  {"metric": "streaming_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": 0.1}
+and writes it (plus per-query spreads) to out_json
+(default bench_streaming_out.json).  Compare round-over-round with:
+
+    python tools/check_bench.py bench_streaming_out.json BENCH_STREAMING_r{N-1}.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+STREAMING = [
+    "q36_streaming_ohlcv",
+    "q46_streaming_dedup",
+    "q49_streaming_sliding",
+    "q50_streaming_sessions",
+    "q65_stream_interval_join",
+    "q135_stream_enrich",
+    "q166_streaming_rollup",
+    "q179_streaming_hll",
+]
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = (
+        sys.argv[2] if len(sys.argv) > 2 else "bench_streaming_out.json"
+    )
+    sf = float(
+        os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+    )
+
+    import __spark_entry__ as entry
+    from btc_usdt_etl_pipeline_spark.session import build_session
+
+    spark = build_session(
+        "bench-streaming",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    names = [n for n in STREAMING if n in qs]
+    missing = [n for n in STREAMING if n not in qs]
+    if missing:
+        print(f"WARNING: not registered, skipped: {missing}",
+              file=sys.stderr)
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(N_RUNS):
+        for name in names:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+            print(
+                f"  run{r + 1} {name}: {samples[name][-1]:.1f}s",
+                file=sys.stderr,
+            )
+
+    queries = {
+        n: round(statistics.median(s), 3) for n, s in samples.items()
+    }
+    spreads = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items()
+    }
+    result = {
+        "metric": "streaming_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "spreads": spreads,
+        "runs": N_RUNS,
+        "sf": sf,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("metric", "value", "unit", "queries", "sf")}))
+
+
+if __name__ == "__main__":
+    main()
