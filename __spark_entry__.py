@@ -15854,6 +15854,541 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q277_bfs_distances",
+    """
+    WITH RECURSIVE
+    os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+           FROM lineitem WHERE l_orderkey % 20 = 0),
+    e0 AS (SELECT DISTINCT a.s AS _a, b.s AS _b
+           FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+    sym AS (SELECT _a AS s, _b AS d FROM e0
+            UNION SELECT _b, _a FROM e0),
+    seeds AS (SELECT DISTINCT s AS node FROM sym WHERE s % 50 = 0),
+    walk(node, dist) AS (
+        SELECT node, 0 AS dist FROM seeds
+        UNION
+        SELECT sym.d, w.dist + 1 FROM walk w
+        JOIN sym ON w.node = sym.s
+        WHERE w.dist < 6
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances on the q153/q272 co-supplier
+    graph — exact minimum hops from the seed set (suppliers ≡ 0 mod
+    50) for every node within 6 rounds: the reachability /
+    blast-radius primitive.  Pregel-style bounded frontier expansion
+    (per round: one frontier⋈edges equi-join + one anti-join, edges
+    touched once per round — O(rounds·m), hub-proof), lineage
+    checkpointed per round; the oracle replays it as a recursive CTE
+    with set semantics (operators/graph.py:bfs_distances)."""
+    from btc_usdt_etl_pipeline_spark.operators.graph import bfs_distances
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("s").alias("src"))
+    b = li.select(F.col("o"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 50 == 0)
+    )
+    return bfs_distances(edges, sources, max_rounds=6)
+
+
+@_q(
+    "q278_anderson_darling",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      value + CASE WHEN event_id % 3 = 0
+                                   THEN CAST(0.5 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS v,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    c AS (SELECT seg, v, SUM(1 - cur)::BIGINT AS a,
+                 SUM(cur)::BIGINT AS b
+          FROM d GROUP BY seg, v),
+    w AS (SELECT seg, a, b,
+                 CAST(SUM(a) OVER (PARTITION BY seg) AS BIGINT)
+                   AS ta,
+                 CAST(SUM(b) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tb,
+                 CAST(SUM(a) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS ca,
+                 CAST(SUM(b) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cb
+          FROM c),
+    t AS (SELECT seg, ta, tb,
+                 CASE WHEN CAST(ca + cb AS DOUBLE)
+                           < CAST(ta + tb AS DOUBLE)
+                      THEN CAST(CAST(a + b AS DOUBLE)
+                           * (CAST(ca AS DOUBLE)
+                                * CAST(ta + tb AS DOUBLE)
+                              - CAST(ca + cb AS DOUBLE)
+                                * CAST(ta AS DOUBLE))
+                           * (CAST(ca AS DOUBLE)
+                                * CAST(ta + tb AS DOUBLE)
+                              - CAST(ca + cb AS DOUBLE)
+                                * CAST(ta AS DOUBLE))
+                           / (CAST(ca + cb AS DOUBLE)
+                              * (CAST(ta + tb AS DOUBLE)
+                                 - CAST(ca + cb AS DOUBLE)))
+                           AS DECIMAL(38,6)) END AS term
+          FROM w)
+    SELECT seg, MAX(ta) AS n_ref, MAX(tb) AS n_cur,
+           CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+                THEN round(CAST(SUM(term) AS DOUBLE)
+                           / (CAST(MAX(ta) AS DOUBLE)
+                              * CAST(MAX(tb) AS DOUBLE)), 6) END
+             AS ad
+    FROM t GROUP BY seg
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling drift per event type — the
+    TAIL-weighted sixth member of the drift family (PSI q183, KS
+    q184, JSD q246, W₁ q255, CvM q273): the B(N−B) weight diverges at
+    the distribution tails, so it fires on p99/extreme-value drift
+    that uniform-weight statistics wash out.  Same fixture (+0.5
+    shift on the mod-3 current side), same one (seg, value) count agg
+    + ordered-window plan; Pettitt's tie-safe rank form with
+    double-exact terms 6 dp-decimal-rounded before the order-free sum
+    (operators/drift.py:anderson_darling)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        anderson_darling,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        anderson_darling("v", F.col("is_cur"), group_by="seg")
+    )
+
+
+@_q(
+    "q279_jarque_bera",
+    """
+    WITH a AS (SELECT event_type,
+                      COUNT(*)::BIGINT AS n,
+                      CAST(SUM(CAST(CAST(value AS DOUBLE)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                      CAST(SUM(CAST(CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                      CAST(SUM(CAST(CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           * CAST(value AS DOUBLE)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s4
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY event_type),
+    b AS (SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mu,
+                 s2, s3, s4
+          FROM a),
+    c AS (SELECT event_type, n, mu,
+                 s2 / CAST(n AS DOUBLE) - mu * mu AS m2,
+                 s3 / CAST(n AS DOUBLE)
+                   - CAST(3.0 AS DOUBLE) * mu
+                     * (s2 / CAST(n AS DOUBLE))
+                   + CAST(2.0 AS DOUBLE) * mu * mu * mu AS m3,
+                 s4 / CAST(n AS DOUBLE)
+                   - CAST(4.0 AS DOUBLE) * mu
+                     * (s3 / CAST(n AS DOUBLE))
+                   + CAST(6.0 AS DOUBLE) * mu * mu
+                     * (s2 / CAST(n AS DOUBLE))
+                   - CAST(3.0 AS DOUBLE) * mu * mu * mu * mu AS m4
+          FROM b),
+    e AS (SELECT event_type, n, m2,
+                 m3 / (m2 * sqrt(m2)) AS skew,
+                 m4 / (m2 * m2) - CAST(3.0 AS DOUBLE) AS kurt
+          FROM c)
+    SELECT event_type, n,
+           CASE WHEN n >= 3 AND m2 > 0 THEN round(skew, 6) END
+             AS skewness,
+           CASE WHEN n >= 3 AND m2 > 0 THEN round(kurt, 6) END
+             AS kurtosis_excess,
+           CASE WHEN n >= 3 AND m2 > 0
+                THEN round(CAST(n AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                           * (skew * skew
+                              + kurt * kurt / CAST(4.0 AS DOUBLE)),
+                           6) END AS jb
+    FROM e
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type — the moment gate
+    before trusting any t-test / OLS / control chart on the metric
+    (events.value is lognormal by construction, so JB must fire
+    hard).  ONE aggregation of decimal power sums (n, Σx…Σx⁴) then
+    the binomial central-moment tree, replayed identically by the
+    oracle (operators/stats.py:jarque_bera)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import jarque_bera
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return e.transform(jarque_bera("value", partition_by="event_type"))
+
+
+@_q(
+    "q280_bartlett_levene",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      event_type AS g, CAST(value AS DOUBLE) AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    pg AS (SELECT dow, g, COUNT(*)::BIGINT AS ng,
+                  CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE)
+                    AS qx
+           FROM d GROUP BY dow, g),
+    gs AS (SELECT dow, g, ng,
+                  CASE WHEN ng >= 2
+                       THEN (qx - sx * sx / CAST(ng AS DOUBLE))
+                            / (CAST(ng AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) END AS vi,
+                  round(sx / CAST(ng AS DOUBLE), 6) AS meang
+           FROM pg),
+    bart AS (SELECT dow, SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+                    MIN(ng)::BIGINT AS minng,
+                    MIN(CASE WHEN ng >= 2 THEN vi END) AS minvi,
+                    CAST(SUM(CAST((CAST(ng AS DOUBLE)
+                         - CAST(1.0 AS DOUBLE)) * vi
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                    CAST(SUM(CASE WHEN ng >= 2 AND vi > 0
+                         THEN CAST((CAST(ng AS DOUBLE)
+                              - CAST(1.0 AS DOUBLE)) * ln(vi)
+                              AS DECIMAL(38,6)) END) AS DOUBLE)
+                      AS slnv,
+                    CAST(SUM(CASE WHEN ng >= 2
+                         THEN CAST(CAST(1.0 AS DOUBLE)
+                              / (CAST(ng AS DOUBLE)
+                                 - CAST(1.0 AS DOUBLE))
+                              AS DECIMAL(38,6)) END) AS DOUBLE)
+                      AS srec
+             FROM gs GROUP BY dow),
+    zt AS (SELECT d.dow, d.g,
+                  abs(d.v - gs.meang) AS z
+           FROM d JOIN gs ON d.dow = gs.dow AND d.g = gs.g),
+    lg AS (SELECT dow, g, COUNT(*)::BIGINT AS lng,
+                  CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+                  CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE)
+                    AS szz
+           FROM zt GROUP BY dow, g),
+    lev AS (SELECT dow,
+                   CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE)
+                     AS tz,
+                   CAST(SUM(CAST(sz * sz / CAST(lng AS DOUBLE)
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+                   CAST(SUM(CAST(szz AS DECIMAL(38,6))) AS DOUBLE)
+                     AS tzz
+            FROM lg GROUP BY dow),
+    j AS (SELECT bart.*, lev.tz, lev.sb, lev.tzz
+          FROM bart JOIN lev ON bart.dow = lev.dow)
+    SELECT dow, n, k,
+           CASE WHEN k > 1 AND n > k AND minng >= 2
+                     AND minvi IS NOT NULL AND minvi > 0
+                THEN round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                            * ln(sv / (CAST(n AS DOUBLE)
+                                       - CAST(k AS DOUBLE)))
+                            - slnv)
+                           / (CAST(1.0 AS DOUBLE)
+                              + (srec - CAST(1.0 AS DOUBLE)
+                                        / (CAST(n AS DOUBLE)
+                                           - CAST(k AS DOUBLE)))
+                                / (CAST(3.0 AS DOUBLE)
+                                   * (CAST(k AS DOUBLE)
+                                      - CAST(1.0 AS DOUBLE)))),
+                           6) END AS bartlett_chi2,
+           CASE WHEN k > 1 AND n > k THEN k - 1 END AS bartlett_dof,
+           CASE WHEN k > 1 AND n > k
+                     AND tzz - sb > 0
+                THEN round(((sb - tz * tz / CAST(n AS DOUBLE))
+                            / (CAST(k AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)))
+                           / ((tzz - sb)
+                              / (CAST(n AS DOUBLE)
+                                 - CAST(k AS DOUBLE))), 6) END
+             AS levene_f,
+           CASE WHEN k > 1 AND n > k THEN k - 1 END AS dof1,
+           CASE WHEN k > 1 AND n > k THEN n - k END AS dof2
+    FROM j
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett + mean-centered Levene variance-homogeneity panel per
+    weekday across event types — one call, both statistics, because
+    the Bartlett-fires / Levene-quiet split is itself the diagnostic
+    (heavy tails vs real variance drift).  Bartlett comes entirely
+    out of the per-group decimal moments (NO second data pass);
+    Levene reuses the Brown–Forsythe (q231) two-pass shape centered
+    at the 6 dp-pinned MEAN; ln/reciprocal terms decimal-rounded
+    before order-free sums (operators/stats.py:bartlett_levene)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bartlett_levene,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"), "event_type", "value"
+    )
+    return rows.transform(
+        bartlett_levene("value", "event_type", partition_by="dow")
+    )
+
+
+@_q(
+    "q281_cliffs_delta",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END AS isa,
+                      CAST(value AS DOUBLE) AS v
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    c AS (SELECT dow, v, SUM(isa)::BIGINT AS ca,
+                 SUM(1 - isa)::BIGINT AS cb
+          FROM d GROUP BY dow, v),
+    w AS (SELECT dow, ca, cb,
+                 CAST(SUM(ca) OVER (PARTITION BY dow) AS BIGINT)
+                   AS ta,
+                 CAST(SUM(cb) OVER (PARTITION BY dow) AS BIGINT)
+                   AS tb,
+                 CAST(SUM(cb) OVER (PARTITION BY dow ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cble
+          FROM c),
+    t AS (SELECT dow, ta, tb,
+                 CAST(CAST(ca AS DOUBLE)
+                      * CAST(cble - cb AS DOUBLE)
+                      AS DECIMAL(38,6)) AS gt,
+                 CAST(CAST(ca AS DOUBLE)
+                      * CAST(tb - cble AS DOUBLE)
+                      AS DECIMAL(38,6)) AS lt,
+                 CAST(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                      AS DECIMAL(38,6)) AS tie
+          FROM w)
+    SELECT dow, MAX(ta) AS n_a, MAX(tb) AS n_b,
+           CAST(SUM(gt) AS DOUBLE) AS pairs_gt,
+           CAST(SUM(lt) AS DOUBLE) AS pairs_lt,
+           CAST(SUM(tie) AS DOUBLE) AS pairs_tied,
+           CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+                THEN round((CAST(SUM(gt) AS DOUBLE)
+                            - CAST(SUM(lt) AS DOUBLE))
+                           / (CAST(MAX(ta) AS DOUBLE)
+                              * CAST(MAX(tb) AS DOUBLE)), 6) END
+             AS delta
+    FROM t GROUP BY dow
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's δ per weekday: purchase values vs all other event
+    types — the −1…+1 effect size that belongs next to every
+    Mann–Whitney z (q229).  NO pair join: one (dow, value)
+    conditional-count agg + exclusive cumulative windows count the
+    n_A·n_B pair space exactly
+    (operators/stats.py:cliffs_delta)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import cliffs_delta
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"), "event_type", "value"
+    )
+    return rows.transform(
+        cliffs_delta(
+            "value", "event_type", "purchase", partition_by="dow"
+        )
+    )
+
+
+@_q(
+    "q282_wilson_proportions",
+    """
+    WITH a AS (SELECT event_type AS variant,
+                      COUNT(*)::BIGINT AS n,
+                      SUM(CASE WHEN CAST(value AS DOUBLE)
+                               > CAST(20.0 AS DOUBLE)
+                          THEN 1 ELSE 0 END)::BIGINT AS conversions
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY event_type),
+    b AS (SELECT variant, n, conversions,
+                 CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS p,
+                 CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+                 CAST(1.0 AS DOUBLE)
+                   + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS den
+          FROM a),
+    c AS (SELECT variant, n, conversions, p,
+                 (p + z2 / (CAST(2.0 AS DOUBLE)
+                            * CAST(n AS DOUBLE))) / den AS center,
+                 CAST(1.96 AS DOUBLE)
+                   * sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+                            / CAST(n AS DOUBLE)
+                          + z2 / (CAST(4.0 AS DOUBLE)
+                                  * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE))) / den
+                   AS half
+          FROM b),
+    ctrl AS (SELECT n AS nc, conversions AS cc FROM a
+             WHERE variant = 'view')
+    SELECT c.variant, c.n, c.conversions,
+           round(c.p, 6) AS rate,
+           round(c.center - c.half, 6) AS wilson_lo,
+           round(c.center + c.half, 6) AS wilson_hi,
+           CASE WHEN c.variant != 'view' AND ctrl.nc IS NOT NULL
+                     AND c.n > 0 AND ctrl.nc > 0
+                     AND (CAST(c.conversions + ctrl.cc AS DOUBLE)
+                          / CAST(c.n + ctrl.nc AS DOUBLE))
+                        * (CAST(1.0 AS DOUBLE)
+                           - CAST(c.conversions + ctrl.cc AS DOUBLE)
+                             / CAST(c.n + ctrl.nc AS DOUBLE))
+                        * (CAST(1.0 AS DOUBLE) / CAST(c.n AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE)
+                             / CAST(ctrl.nc AS DOUBLE)) > 0
+                THEN round((CAST(c.conversions AS DOUBLE)
+                              / CAST(c.n AS DOUBLE)
+                            - CAST(ctrl.cc AS DOUBLE)
+                              / CAST(ctrl.nc AS DOUBLE))
+                           / sqrt((CAST(c.conversions + ctrl.cc
+                                        AS DOUBLE)
+                                   / CAST(c.n + ctrl.nc AS DOUBLE))
+                                  * (CAST(1.0 AS DOUBLE)
+                                     - CAST(c.conversions + ctrl.cc
+                                            AS DOUBLE)
+                                       / CAST(c.n + ctrl.nc
+                                              AS DOUBLE))
+                                  * (CAST(1.0 AS DOUBLE)
+                                     / CAST(c.n AS DOUBLE)
+                                     + CAST(1.0 AS DOUBLE)
+                                       / CAST(ctrl.nc AS DOUBLE))),
+                           6) END AS z_vs_control
+    FROM c CROSS JOIN ctrl
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant conversion readout — Wilson 95% score intervals
+    (never the collapsing Wald interval) plus pooled two-proportion
+    z vs the 'view' control, success = value > 20: the table every
+    A/B dashboard renders.  One conditional-count agg + a broadcast
+    control join; all inputs exact integers so both engines run the
+    identical scalar IEEE tree
+    (operators/stats.py:wilson_proportions)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        wilson_proportions,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return e.transform(
+        wilson_proportions(
+            F.col("value").cast("double") > F.lit(20.0),
+            "event_type",
+            "view",
+        )
+    )
+
+
+@_q(
+    "q283_hill_tail",
+    """
+    WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0
+                     AND lang IS NOT NULL),
+    r AS (SELECT lang, x,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY x DESC) AS rn
+          FROM d),
+    a AS (SELECT lang, COUNT(*)::BIGINT AS n_top,
+                 CAST(SUM(CASE WHEN rn <= 30
+                      THEN CAST(ln(x) AS DECIMAL(38,6)) END)
+                      AS DOUBLE) AS slog,
+                 MIN(CASE WHEN rn = 31 THEN x END) AS x_k1
+          FROM r WHERE rn <= 31 GROUP BY lang)
+    SELECT lang, n_top, x_k1,
+           CASE WHEN n_top = 31 AND x_k1 IS NOT NULL
+                     AND slog - CAST(30.0 AS DOUBLE) * ln(x_k1) > 0
+                THEN round(CAST(30.0 AS DOUBLE)
+                           / (slog - CAST(30.0 AS DOUBLE)
+                                     * ln(x_k1)), 6) END AS alpha
+    FROM a
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of document lengths per language
+    (k = 30 top order statistics) — the heavy-tail detector: α ≲ 2
+    means infinite variance and every mean-based length stat lies.
+    Tie-safe rank window (row_number cuts inside tie blocks keep the
+    same VALUE multiset), ln terms decimal-rounded before the
+    order-free sum; the prefilter_threshold contract in the
+    docstring is the petabyte path
+    (operators/stats.py:hill_tail_index)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        hill_tail_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+        & F.col("lang").isNotNull()
+    )
+    return d.transform(
+        hill_tail_index("n_chars", k=30, partition_by="lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -235,6 +235,13 @@ HEADLINE = [
     "q274_drift_report",
     "q275_link_prediction_fenced",
     "q276_ngram_diversity_hll",
+    "q277_bfs_distances",
+    "q278_anderson_darling",
+    "q279_jarque_bera",
+    "q280_bartlett_levene",
+    "q281_cliffs_delta",
+    "q282_wilson_proportions",
+    "q283_hill_tail",
 ]
 
 

@@ -437,6 +437,101 @@ def cvm_statistic(
     return _t
 
 
+def anderson_darling(
+    value_col: str,
+    is_current: Column,
+    group_by: Sequence[str] | str | None = None,
+    out: str = "ad",
+) -> Callable[[DataFrame], DataFrame]:
+    """Two-sample Anderson–Darling statistic per group — the
+    TAIL-weighted member of the drift family: where CvM (q273)
+    weights every ECDF gap equally, AD divides by B(N−B), which
+    diverges at the distribution tails — the test that fires when
+    drift lives in the extremes (latency p99 regressions, fraud-value
+    tails) that KS/CvM wash out.  Pettitt (1976) rank form over the
+    pooled sample, tie-safe via distinct-value blocks:
+
+        A² = (1/(m·n)) · Σ_{j: B_j < N} l_j · (M_j·N − B_j·m)²
+                                          / (B_j·(N − B_j))
+
+    with j over distinct pooled values ascending, l_j the pooled
+    multiplicity at j, B_j the cumulative pooled count through j,
+    M_j the cumulative REF-side count through j, m = n_ref,
+    n = n_cur, N = m + n (all-l_j = 1 reduces it to the classical
+    continuous formula).  The last block (B = N) is excluded — its
+    weight denominator is 0 and its gap is identically 0.
+
+    Identical plan to :func:`ks_statistic`/:func:`cvm_statistic`:
+    ONE (group, value) count aggregation + ordered windows over each
+    group's distinct values.  Counts are exact integers; the per-block
+    term is evaluated in double (M·N at petabyte group sizes
+    overflows a long, and both engines run the identical IEEE tree on
+    identical integers) and rounded to 6 dp via the exact-decimal
+    cast before the order-free sum; the final 1/(m·n) scale is one
+    multiplication, pinned at 6 dp.  Groups with an empty side emit
+    NULL.  Returns ``group_by…, n_ref, n_cur, ad``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        cur = is_current.cast("int")
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols, F.col(value_col).alias("_v"))
+            .agg(
+                F.sum(F.lit(1) - cur).alias("_a"),
+                F.sum(cur).alias("_b"),
+            )
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot_a = F.sum("_a").over(wg)
+        tot_b = F.sum("_b").over(wg)
+        big_n = (tot_a + tot_b).cast("double")
+        m_d = tot_a.cast("double")
+        cum_m = F.sum("_a").over(wo).cast("double")
+        cum_b = (F.sum("_a").over(wo) + F.sum("_b").over(wo)).cast(
+            "double"
+        )
+        l_d = (F.col("_a") + F.col("_b")).cast("double")
+        gap = cum_m * big_n - cum_b * m_d
+        term = F.when(
+            cum_b < big_n,
+            (l_d * gap * gap / (cum_b * (big_n - cum_b))).cast(DEC),
+        )
+        staged = counts.select(
+            *gcols,
+            term.alias("_term"),
+            tot_a.alias("_ta"),
+            tot_b.alias("_tb"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_ta").alias("n_ref"),
+            F.first("_tb").alias("n_cur"),
+            F.sum("_term").cast("double").alias("_s"),
+        )
+        return agg.select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(
+                    F.col("_s")
+                    / (
+                        F.col("n_ref").cast("double")
+                        * F.col("n_cur").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias(out),
+        )
+
+    return _t
+
+
 def drift_report(
     value_col: str,
     is_current: Column,

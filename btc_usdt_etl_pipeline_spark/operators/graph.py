@@ -831,3 +831,67 @@ def link_prediction(
             out, drops, F.col("cn"), F.col("centers_dropped")
         )
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected edge list —
+    the reachability / blast-radius / "how far is every entity from
+    the seed set" primitive (seed-set expansion, contamination
+    spread, org-chart distance).  Returns ``(node, dist)`` for every
+    node within ``max_rounds`` hops of ANY source, where ``dist`` is
+    the exact minimum hop count (sources themselves at 0).
+
+    Pregel-style frontier expansion, the cluster-scale shape: each
+    round is ONE frontier⋈edges equi-join (shuffle keyed on the
+    frontier node — frontier-sized, never all-pairs) plus one
+    anti-join against the visited set; a node is labeled the FIRST
+    round it appears, which IS its minimum distance, so no per-node
+    min aggregation is ever needed.  ``visited`` is
+    ``localCheckpoint``-ed per round (the PageRank lineage
+    discipline — each round's plan reads a materialized table, not a
+    growing join tree).  Rounds are FIXED at ``max_rounds``: the
+    loop does no driver-side convergence count, so the job is a
+    deterministic DAG replayable by a recursive-CTE oracle; an empty
+    frontier makes the remaining rounds no-op joins on empty
+    (seconds, not stages that matter).
+
+    Wedge/hub hazards don't apply — per round each EDGE is touched at
+    most once (frontier semi-side), so total work is O(rounds · m)
+    worst case, the BFS lower bound.
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.filter(a != b)
+        .select(a.alias("_s"), b.alias("_d"))
+        .union(edges.filter(a != b).select(b.alias("_s"), a.alias("_d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        sources.select(F.col(node_col).alias("_n"))
+        .distinct()
+        .withColumn("_dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("_n")
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["_n"] == sym["_s"])
+            .select(F.col("_d").alias("_n"))
+            .distinct()
+        )
+        new = nxt.join(
+            visited.select("_n"), "_n", "left_anti"
+        ).withColumn("_dist", F.lit(r))
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new.select("_n")
+    return visited.select(
+        F.col("_n").alias("node"), F.col("_dist").alias("dist")
+    )

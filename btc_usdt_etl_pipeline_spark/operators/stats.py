@@ -3562,3 +3562,503 @@ def log_rank_test(
         )
 
     return _t
+
+
+def jarque_bera(
+    value_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Jarque–Bera normality test per partition — the moment-based
+    gate every parametric pipeline should run before trusting a
+    t-test / OLS residual / control chart: JB blows up when the
+    sample's skewness or excess kurtosis says "not Gaussian".
+
+        S  = m₃ / m₂^{3/2},   K = m₄ / m₂² − 3
+        JB = n/6 · (S² + K²/4)        ~ χ²(2) under normality
+
+    with mₖ the central sample moments.  ONE aggregation: raw power
+    sums (n, Σx, Σx², Σx³, Σx⁴) through the exact-decimal idiom
+    (order-free doubles both engines agree on), then the central
+    moments by the binomial expansion — the identical scalar tree the
+    oracle replays.  No window, no sort, no second pass.  Skewness,
+    excess kurtosis, and JB pinned at 6 dp; degenerate partitions
+    (n < 3 or m₂ ≤ 0) emit NULLs.  Returns ``partition…, n, skewness,
+    kurtosis_excess, jb``.
+
+    Scale note: Σx⁴ through DECIMAL(38,6) caps |x| around 10⁶·rows⁻¹ᐟ⁴
+    headroom-wise — standardize or clip heavy-tailed metrics first
+    (the same contract as every moment aggregate in this module).
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        d = df.where(F.col(value_col).isNotNull())
+        agg = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(DEC)).cast("double").alias("_s1"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("_s2"),
+            F.sum((x * x * x).cast(DEC)).cast("double").alias("_s3"),
+            F.sum((x * x * x * x).cast(DEC))
+            .cast("double")
+            .alias("_s4"),
+        )
+        n = F.col("n").cast("double")
+        mu = F.col("_s1") / n
+        m2 = F.col("_s2") / n - mu * mu
+        m3 = (
+            F.col("_s3") / n
+            - F.lit(3.0) * mu * (F.col("_s2") / n)
+            + F.lit(2.0) * mu * mu * mu
+        )
+        m4 = (
+            F.col("_s4") / n
+            - F.lit(4.0) * mu * (F.col("_s3") / n)
+            + F.lit(6.0) * mu * mu * (F.col("_s2") / n)
+            - F.lit(3.0) * mu * mu * mu * mu
+        )
+        ok = (F.col("n") >= 3) & (m2 > 0)
+        skew = m3 / (m2 * F.sqrt(m2))
+        kurt = m4 / (m2 * m2) - F.lit(3.0)
+        jb = (
+            n
+            / F.lit(6.0)
+            * (skew * skew + kurt * kurt / F.lit(4.0))
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            F.when(ok, F.round(skew, 6)).alias("skewness"),
+            F.when(ok, F.round(kurt, 6)).alias("kurtosis_excess"),
+            F.when(ok, F.round(jb, 6)).alias("jb"),
+        )
+
+    return _t
+
+
+def bartlett_levene(
+    value_col: str,
+    group_col: str,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Variance-homogeneity PANEL per partition: Bartlett's χ² and
+    Levene's F (mean-centered) side by side — completing the scale
+    battery around :func:`brown_forsythe_f` (Levene at the MEDIAN).
+    Bartlett is the most powerful of the three when groups are
+    near-normal and the most fragile otherwise; a Bartlett-fires /
+    Levene-quiet split is itself the diagnostic (heavy tails, not
+    variance drift), which is why the panel ships as one call.
+
+        Bartlett: χ² = [(N−k)·ln s²_p − Σ(n_i−1)·ln s²_i] / C
+                  C  = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))
+                  s²_p = Σ(n_i−1)s²_i / (N−k)
+        Levene:   one-way ANOVA F on z = |x − x̄_g|
+
+    Plan: Bartlett needs NO second data pass — per-group decimal
+    moments (n, Σx, Σx²) give every s²_i, and the ln / reciprocal
+    terms are 6 dp-decimal-rounded before their order-free sums (the
+    transcendental-term rule).  Levene reuses the Brown–Forsythe
+    two-pass shape with group MEANS (pinned at 6 dp) broadcast back
+    null-safely.  Degenerate partitions: k < 2 or N ≤ k → all NULL;
+    any group with n_i < 2 or s²_i ≤ 0 → Bartlett NULL (its logs are
+    undefined) while Levene still reports; SSW = 0 → Levene NULL.
+    Returns ``partition…, n, k, bartlett_chi2, bartlett_dof,
+    levene_f, dof1, dof2``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        from btc_usdt_etl_pipeline_spark.functions import null_safe_join
+
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(*gcols, group_col, value_col)
+        x = F.col(value_col).cast("double")
+        per_g = d.groupBy(*gcols, group_col).agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(x.cast(DEC)).cast("double").alias("_sx"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("_qx"),
+        )
+        ng = F.col("_ng").cast("double")
+        # singleton-group guard: (ng-1) = 0 divides would FAULT under
+        # ANSI; a NULL vi drops the group from every Bartlett sum and
+        # bart_ok (min n_i >= 2) nulls the statistic anyway
+        vi = F.when(
+            F.col("_ng") >= 2,
+            (F.col("_qx") - F.col("_sx") * F.col("_sx") / ng)
+            / (ng - F.lit(1.0)),
+        )
+        gstats = per_g.select(
+            *gcols,
+            group_col,
+            "_ng",
+            vi.alias("_vi"),
+            F.round(F.col("_sx") / ng, 6).alias("_mean"),
+        )
+        bart = gstats.groupBy(*gcols).agg(
+            F.sum("_ng").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.min(F.col("_ng")).alias("_minng"),
+            F.min(
+                F.when(F.col("_ng") >= 2, F.col("_vi"))
+            ).alias("_minvi"),
+            F.sum(
+                ((ng - F.lit(1.0)) * F.col("_vi")).cast(DEC)
+            )
+            .cast("double")
+            .alias("_sv"),
+            F.sum(
+                F.when(
+                    (F.col("_ng") >= 2) & (F.col("_vi") > 0),
+                    ((ng - F.lit(1.0)) * F.log(F.col("_vi"))).cast(
+                        DEC
+                    ),
+                )
+            )
+            .cast("double")
+            .alias("_slnv"),
+            F.sum(
+                F.when(
+                    F.col("_ng") >= 2,
+                    (F.lit(1.0) / (ng - F.lit(1.0))).cast(DEC),
+                )
+            )
+            .cast("double")
+            .alias("_srec"),
+        )
+        # Levene second pass: |x - mean_g| ANOVA
+        z = F.abs(x - F.col("_mean"))
+        lev_g = (
+            null_safe_join(
+                d,
+                F.broadcast(
+                    gstats.select(*gcols, group_col, "_mean")
+                ),
+                [*gcols, group_col],
+            )
+            .groupBy(*gcols, group_col)
+            .agg(
+                F.count(F.lit(1)).alias("_lng"),
+                F.sum(z.cast(DEC)).cast("double").alias("_sz"),
+                F.sum((z * z).cast(DEC)).cast("double").alias("_szz"),
+            )
+        )
+        lev = lev_g.groupBy(*gcols).agg(
+            F.sum(F.col("_sz").cast(DEC)).cast("double").alias("_tz"),
+            F.sum(
+                (
+                    F.col("_sz") * F.col("_sz")
+                    / F.col("_lng").cast("double")
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_sb"),
+            F.sum(F.col("_szz").cast(DEC)).cast("double").alias("_tzz"),
+        )
+        joined = (
+            bart.join(lev, gcols)
+            if gcols
+            else bart.crossJoin(lev)
+        )
+        n = F.col("n").cast("double")
+        k = F.col("k").cast("double")
+        base_ok = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+        sp2 = F.col("_sv") / (n - k)
+        c = F.lit(1.0) + (
+            F.col("_srec") - F.lit(1.0) / (n - k)
+        ) / (F.lit(3.0) * (k - F.lit(1.0)))
+        chi2 = ((n - k) * F.log(sp2) - F.col("_slnv")) / c
+        bart_ok = (
+            base_ok
+            & (F.col("_minng") >= 2)
+            & F.col("_minvi").isNotNull()
+            & (F.col("_minvi") > 0)
+        )
+        ssb = F.col("_sb") - F.col("_tz") * F.col("_tz") / n
+        ssw = F.col("_tzz") - F.col("_sb")
+        lev_f = F.when(
+            base_ok & (ssw > 0),
+            F.round((ssb / (k - F.lit(1.0))) / (ssw / (n - k)), 6),
+        )
+        return joined.select(
+            *gcols,
+            "n",
+            "k",
+            F.when(bart_ok, F.round(chi2, 6)).alias("bartlett_chi2"),
+            F.when(base_ok, F.col("k") - 1).alias("bartlett_dof"),
+            lev_f.alias("levene_f"),
+            F.when(base_ok, F.col("k") - 1).alias("dof1"),
+            F.when(base_ok, F.col("n") - F.col("k")).alias("dof2"),
+        )
+
+    return _t
+
+
+def cliffs_delta(
+    value_col: str,
+    group_col: str,
+    group_a,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Cliff's δ per partition — the EFFECT-SIZE companion to the
+    Mann–Whitney test (:func:`mann_whitney_u` answers "is A shifted
+    vs B?"; δ answers "by how much, on a −1…+1 scale"):
+
+        δ = [#(a > b) − #(a < b)] / (n_A·n_B)
+
+    over all cross pairs — equal to 2·U/(n_A n_B) − 1 and to the
+    rank-biserial correlation, the standard reportable next to any
+    rank test (|δ| ≳ 0.147/0.33/0.474 ≈ small/medium/large).
+
+    NO pair join: one (partition, value) conditional-count
+    aggregation, then exclusive cumulative windows over each
+    partition's DISTINCT values give, for every value v, how many B
+    rows fall strictly below / strictly above it — Σ c_A(v)·c_B(<v)
+    and Σ c_A(v)·c_B(>v) count the n_A·n_B pair space without
+    materializing it.  Counts are exact integers; products are
+    evaluated in double (identical IEEE tree both engines — pair
+    counts overflow a long at petabyte group sizes) and
+    6 dp-decimal-rounded before the order-free sums; δ is one final
+    division pinned at 6 dp.  Empty sides emit NULL.  Returns
+    ``partition…, n_a, n_b, pairs_gt, pairs_lt, pairs_tied, delta``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        is_a = (F.col(group_col) == F.lit(group_a)).cast("int")
+        counts = d.groupBy(*gcols, F.col(value_col).alias("_v")).agg(
+            F.sum(is_a).alias("_ca"),
+            F.sum(F.lit(1) - is_a).alias("_cb"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot_a = F.sum("_ca").over(wg)
+        tot_b = F.sum("_cb").over(wg)
+        cb_le = F.sum("_cb").over(wo)
+        cb_lt = (cb_le - F.col("_cb")).cast("double")
+        cb_gt = (tot_b - cb_le).cast("double")
+        ca_d = F.col("_ca").cast("double")
+        staged = counts.select(
+            *gcols,
+            (ca_d * cb_lt).cast(DEC).alias("_gt"),
+            (ca_d * cb_gt).cast(DEC).alias("_lt"),
+            (ca_d * F.col("_cb").cast("double")).cast(DEC).alias("_tie"),
+            tot_a.alias("_ta"),
+            tot_b.alias("_tb"),
+        )
+        agg = staged.groupBy(*gcols).agg(
+            F.first("_ta").alias("n_a"),
+            F.first("_tb").alias("n_b"),
+            F.sum("_gt").cast("double").alias("pairs_gt"),
+            F.sum("_lt").cast("double").alias("pairs_lt"),
+            F.sum("_tie").cast("double").alias("pairs_tied"),
+        )
+        ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        delta = (F.col("pairs_gt") - F.col("pairs_lt")) / (
+            F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        )
+        return agg.select(
+            *gcols,
+            "n_a",
+            "n_b",
+            "pairs_gt",
+            "pairs_lt",
+            "pairs_tied",
+            F.when(ok, F.round(delta, 6)).alias("delta"),
+        )
+
+    return _t
+
+
+def wilson_proportions(
+    success: Column,
+    variant_col: str,
+    control,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-variant conversion rates with Wilson 95% score intervals
+    and a pooled two-proportion z-test vs the control — the standard
+    A/B conversion readout.  Wilson, not Wald: the Wald interval
+    collapses to zero width at p̂ ∈ {0,1} and undercovers small n —
+    exactly the segments experiments care about.
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+        z_test = (p̂_v − p̂_c) / sqrt(p̂_pool(1−p̂_pool)(1/n_v + 1/n_c))
+
+    with z = 1.96.  ONE conditional-count aggregation per
+    (partition, variant) — counts are exact integers — then the
+    control row joins back broadcast; every downstream expression is
+    the identical scalar IEEE tree in both engines (integer inputs →
+    deterministic doubles; sqrt is a single op), outputs pinned at
+    6 dp.  The control variant's own ``z_vs_control`` is NULL, as is
+    any variant's when either side has n = 0 or the pooled variance
+    is 0.  Returns ``partition…, variant, n, conversions, rate,
+    wilson_lo, wilson_hi, z_vs_control``.
+    """
+    gcols = [partition_by] if partition_by else []
+    zc = F.lit(1.96)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(variant_col).isNotNull())
+        agg = d.groupBy(*gcols, variant_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(success.cast("int")).alias("conversions"),
+        )
+        n = F.col("n").cast("double")
+        c = F.col("conversions").cast("double")
+        p = c / n
+        z2 = zc * zc
+        denom = F.lit(1.0) + z2 / n
+        center = (p + z2 / (F.lit(2.0) * n)) / denom
+        half = (
+            zc
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / n
+                + z2 / (F.lit(4.0) * n * n)
+            )
+            / denom
+        )
+        base = agg.select(
+            *gcols,
+            variant_col,
+            "n",
+            "conversions",
+            F.round(p, 6).alias("rate"),
+            F.round(center - half, 6).alias("wilson_lo"),
+            F.round(center + half, 6).alias("wilson_hi"),
+        )
+        # conditional aggregate, not a filter: ALWAYS exactly one row
+        # (per partition), with NULL counts when the control variant is
+        # absent — so the attach below never drops variants
+        is_ctrl = F.col(variant_col) == F.lit(control)
+        ctrl = agg.groupBy(*gcols).agg(
+            F.sum(F.when(is_ctrl, F.col("n"))).alias("_nc"),
+            F.sum(F.when(is_ctrl, F.col("conversions"))).alias("_cc"),
+        )
+        if gcols:
+            joined = base.join(F.broadcast(ctrl), gcols, "left")
+        else:
+            # 1-row scalar attach as a BroadcastHashJoin (a bare
+            # crossJoin degrades to a nested loop)
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(
+                base, ctrl, F.col("n"), F.col("_nc")
+            )
+        nv = F.col("n").cast("double")
+        cv = F.col("conversions").cast("double")
+        nc = F.col("_nc").cast("double")
+        cc = F.col("_cc").cast("double")
+        pool = (cv + cc) / (nv + nc)
+        se2 = (
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / nv + F.lit(1.0) / nc)
+        )
+        zt = F.when(
+            (F.col(variant_col) != F.lit(control))
+            & F.col("_nc").isNotNull()
+            & (F.col("n") > 0)
+            & (F.col("_nc") > 0)
+            & (se2 > 0),
+            F.round((cv / nv - cc / nc) / F.sqrt(se2), 6),
+        )
+        return joined.select(
+            *gcols,
+            F.col(variant_col).alias("variant"),
+            "n",
+            "conversions",
+            "rate",
+            "wilson_lo",
+            "wilson_hi",
+            zt.alias("z_vs_control"),
+        )
+
+    return _t
+
+
+def hill_tail_index(
+    value_col: str,
+    k: int,
+    partition_by: str | None = None,
+    prefilter_threshold: float | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Hill estimator of the power-law tail index per partition — the
+    heavy-tail detector for metric distributions (doc lengths,
+    session values, degree sequences): α ≲ 2 means infinite variance
+    (means/CIs lie), α ≲ 1 means even the mean diverges.
+
+        α̂ = k / Σ_{i=1..k} [ln x_(i) − ln x_(k+1)]
+
+    over the top k+1 ORDER STATISTICS (descending).  Tie-safe without
+    a tiebreak column: ``row_number`` cuts arbitrarily inside a tie
+    block, but every cut keeps the same VALUE multiset, and only
+    values enter the sum — so the result is deterministic on any
+    engine/partitioning.  ln terms are 6 dp-decimal-rounded before
+    the order-free sum (the transcendental rule); α pinned at 6 dp.
+
+    Plan: one per-partition descending rank window over rows
+    surviving the positivity filter.  At petabyte scale don't sort
+    whole partitions for a top-101: pass ``prefilter_threshold`` (any
+    lower bound you know for x_(k+1) — e.g. yesterday's x_(k+1), or a
+    sketch quantile) and the window runs on the tiny surviving head
+    only; the result is EXACT whenever the threshold truly is a lower
+    bound (≥ k+1 survivors — the ``n_top`` output column witnesses
+    it: n_top < k+1 means the fence was too aggressive, lower it and
+    re-run).  Partitions with fewer than k+1 positive rows emit NULL
+    α.  Returns ``partition…, n_top, x_k1, alpha``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        d = df.where(F.col(value_col).isNotNull() & (x > 0))
+        if prefilter_threshold is not None:
+            d = d.where(x >= F.lit(float(prefilter_threshold)))
+        w = (
+            Window.partitionBy(*gcols)
+            if gcols
+            else Window.partitionBy()
+        ).orderBy(F.col("_x").desc())
+        r = d.select(*gcols, x.alias("_x")).withColumn(
+            "_rn", F.row_number().over(w)
+        )
+        top = r.where(F.col("_rn") <= k + 1)
+        agg = top.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum(
+                F.when(
+                    F.col("_rn") <= k, F.log(F.col("_x"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_slog"),
+            F.min(
+                F.when(F.col("_rn") == k + 1, F.col("_x"))
+            ).alias("x_k1"),
+        )
+        kd = F.lit(float(k))
+        den = F.col("_slog") - kd * F.log(F.col("x_k1"))
+        ok = (
+            (F.col("n_top") == k + 1)
+            & F.col("x_k1").isNotNull()
+            & (den > 0)
+        )
+        return agg.select(
+            *gcols,
+            "n_top",
+            "x_k1",
+            F.when(ok, F.round(kd / den, 6)).alias("alpha"),
+        )
+
+    return _t

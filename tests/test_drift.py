@@ -433,3 +433,78 @@ def test_drift_report_single_shared_ecdf_shuffle(spark):
     # from the counts subtree — the operator's longstanding shape) and
     # the ECDF trio must contribute exactly ONE shared leaf, not three
     assert plan.count("LogicalRDD") <= 3
+
+
+def _ad_py(ref, cur):
+    """Pettitt two-sample AD via distinct-value blocks (tie-safe)."""
+    from collections import Counter
+
+    m, n = len(ref), len(cur)
+    big_n = m + n
+    ca, cb = Counter(ref), Counter(cur)
+    s = 0.0
+    cum_m = cum_b = 0
+    for v in sorted(set(ref) | set(cur)):
+        l = ca[v] + cb[v]
+        cum_m += ca[v]
+        cum_b += l
+        if cum_b < big_n:
+            gap = cum_m * big_n - cum_b * m
+            s += round(l * gap * gap / (cum_b * (big_n - cum_b)), 6)
+    return round(s / (m * n), 6)
+
+
+def test_anderson_darling_matches_python_unique(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        anderson_darling,
+    )
+
+    import random
+
+    rng = random.Random(278)
+    ref = [round(rng.gauss(0, 1), 4) for _ in range(300)]
+    cur = [round(rng.gauss(0.6, 1.4), 4) for _ in range(200)]
+    rows = [(v, False) for v in ref] + [(v, True) for v in cur]
+    df = spark.createDataFrame(rows, "v double, is_cur boolean")
+    out = df.transform(
+        anderson_darling("v", F.col("is_cur"))
+    ).collect()[0]
+    assert out["n_ref"] == 300 and out["n_cur"] == 200
+    assert out["ad"] == pytest.approx(_ad_py(ref, cur), abs=2e-6)
+    # a shifted sample must score clearly above an identical one
+    assert out["ad"] > 1.0
+
+
+def test_anderson_darling_ties_and_identical(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        anderson_darling,
+    )
+
+    ref = [1.0, 1.0, 2.0, 3.0, 3.0, 4.0] * 10
+    cur = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0] * 10
+    rows = [("s", v, False) for v in ref] + [("s", v, True) for v in cur]
+    rows += [("t", float(v), False) for v in range(20)] + [
+        ("t", float(v), True) for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, "seg string, v double, is_cur boolean")
+    out = {
+        r["seg"]: r
+        for r in df.transform(
+            anderson_darling("v", F.col("is_cur"), group_by="seg")
+        ).collect()
+    }
+    assert out["s"]["ad"] == pytest.approx(_ad_py(ref, cur), abs=2e-6)
+    # identical samples: every block gap is 0 -> statistic exactly 0
+    assert out["t"]["ad"] == 0.0
+
+
+def test_anderson_darling_empty_side_null(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        anderson_darling,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False)], "v double, is_cur boolean"
+    )
+    out = df.transform(anderson_darling("v", F.col("is_cur"))).collect()
+    assert len(out) == 1 and out[0]["ad"] is None

@@ -1,0 +1,207 @@
+"""Python-reference tests for the round-11 stats batch: Jarque-Bera,
+Bartlett+Levene panel, Cliff's delta, Wilson proportions, Hill tail
+index."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_jarque_bera_matches_python_and_discriminates(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import jarque_bera
+
+    rng = random.Random(279)
+    norm = [rng.gauss(5, 2) for _ in range(4000)]
+    logn = [math.exp(rng.gauss(0, 1)) for _ in range(4000)]
+    rows = [("n", v) for v in norm] + [("l", v) for v in logn]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in df.transform(
+            jarque_bera("v", partition_by="g")
+        ).collect()
+    }
+
+    def jb_py(xs):
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        s = m3 / m2**1.5
+        k = m4 / m2**2 - 3
+        return s, k, n / 6 * (s * s + k * k / 4)
+
+    for g, xs in (("n", norm), ("l", logn)):
+        s, k, jb = jb_py(xs)
+        assert out[g]["skewness"] == pytest.approx(s, rel=1e-4, abs=1e-4)
+        assert out[g]["kurtosis_excess"] == pytest.approx(
+            k, rel=1e-4, abs=1e-4
+        )
+        assert out[g]["jb"] == pytest.approx(jb, rel=1e-3)
+    assert out["n"]["jb"] < 10  # gaussian: JB ~ chi2(2)
+    assert out["l"]["jb"] > 1000  # lognormal: fires hard
+
+
+def test_bartlett_levene_matches_python(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bartlett_levene,
+    )
+
+    rng = random.Random(280)
+    groups = {
+        "a": [rng.gauss(0, 1.0) for _ in range(150)],
+        "b": [rng.gauss(0, 1.1) for _ in range(120)],
+        "c": [rng.gauss(0, 3.0) for _ in range(130)],
+    }
+    rows = [(g, v) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = df.transform(bartlett_levene("v", "g")).collect()[0]
+
+    ns = {g: len(xs) for g, xs in groups.items()}
+    vis = {
+        g: (
+            sum(x * x for x in xs)
+            - sum(xs) ** 2 / len(xs)
+        )
+        / (len(xs) - 1)
+        for g, xs in groups.items()
+    }
+    n, k = sum(ns.values()), len(groups)
+    sp2 = sum((ns[g] - 1) * vis[g] for g in groups) / (n - k)
+    c = 1 + (
+        sum(1 / (ns[g] - 1) for g in groups) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    chi2 = (
+        (n - k) * math.log(sp2)
+        - sum((ns[g] - 1) * math.log(vis[g]) for g in groups)
+    ) / c
+    means = {g: round(sum(xs) / len(xs), 6) for g, xs in groups.items()}
+    zs = {g: [abs(x - means[g]) for x in xs] for g, xs in groups.items()}
+    tz = sum(sum(z) for z in zs.values())
+    sb = sum(sum(z) ** 2 / len(z) for z in zs.values())
+    tzz = sum(sum(x * x for x in z) for z in zs.values())
+    ssb = sb - tz * tz / n
+    ssw = tzz - sb
+    lev = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n"] == n and out["k"] == k
+    assert out["bartlett_chi2"] == pytest.approx(chi2, rel=1e-3)
+    assert out["levene_f"] == pytest.approx(lev, rel=1e-3)
+    assert out["bartlett_chi2"] > 50  # 3x variance ratio must fire
+    assert out["bartlett_dof"] == 2 and out["dof1"] == 2
+
+
+def test_bartlett_singleton_group_nulls_bartlett_only(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        bartlett_levene,
+    )
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v * 2)) for v in range(10)
+    ] + [("solo", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = df.transform(bartlett_levene("v", "g")).collect()[0]
+    assert out["bartlett_chi2"] is None
+    assert out["levene_f"] is not None
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import cliffs_delta
+
+    rng = random.Random(281)
+    a = [rng.randint(0, 20) * 1.0 for _ in range(80)]
+    b = [rng.randint(0, 15) * 1.0 for _ in range(110)]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = df.transform(cliffs_delta("v", "g", "A")).collect()[0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    tie = sum(1 for x in a for y in b if x == y)
+    assert out["n_a"] == 80 and out["n_b"] == 110
+    assert out["pairs_gt"] == gt
+    assert out["pairs_lt"] == lt
+    assert out["pairs_tied"] == tie
+    assert out["delta"] == pytest.approx(
+        (gt - lt) / (80 * 110), abs=1e-6
+    )
+
+
+def test_wilson_proportions_hand_checked(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        wilson_proportions,
+    )
+
+    rows = [("ctl", i < 40) for i in range(200)] + [
+        ("trt", i < 60) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    out = {
+        r["variant"]: r
+        for r in df.transform(
+            wilson_proportions(F.col("ok"), "variant", "ctl")
+        ).collect()
+    }
+
+    def wilson(c, n, z=1.96):
+        p = c / n
+        den = 1 + z * z / n
+        ctr = (p + z * z / (2 * n)) / den
+        hf = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+        return ctr - hf, ctr + hf
+
+    lo, hi = wilson(40, 200)
+    assert out["ctl"]["rate"] == pytest.approx(0.2, abs=1e-9)
+    assert out["ctl"]["wilson_lo"] == pytest.approx(lo, abs=1e-5)
+    assert out["ctl"]["wilson_hi"] == pytest.approx(hi, abs=1e-5)
+    assert out["ctl"]["z_vs_control"] is None
+    pool = (40 + 60) / 400
+    z = (0.3 - 0.2) / math.sqrt(pool * (1 - pool) * (2 / 200))
+    assert out["trt"]["z_vs_control"] == pytest.approx(z, abs=1e-5)
+
+
+def test_hill_tail_index_recovers_pareto_alpha(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        hill_tail_index,
+    )
+
+    rng = random.Random(283)
+    alpha_true = 2.5
+    xs = [(1.0 - rng.random()) ** (-1.0 / alpha_true) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in xs], "v double")
+    out = df.transform(hill_tail_index("v", k=200)).collect()[0]
+    assert out["n_top"] == 201
+    top = sorted(xs, reverse=True)
+    denom = sum(
+        round(math.log(x), 6) for x in top[:200]
+    ) - 200 * math.log(top[200])
+    assert out["alpha"] == pytest.approx(200 / denom, abs=1e-4)
+    assert out["alpha"] == pytest.approx(alpha_true, rel=0.25)
+    # prefilter with a true lower bound is exact
+    pre = df.transform(
+        hill_tail_index("v", k=200, prefilter_threshold=top[200])
+    ).collect()[0]
+    assert pre["alpha"] == out["alpha"]
+    # too-few-rows partition -> NULL
+    small = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    assert (
+        small.transform(hill_tail_index("v", k=5)).collect()[0]["alpha"]
+        is None
+    )
+
+
+def test_wilson_missing_control_keeps_rows(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        wilson_proportions,
+    )
+
+    rows = [("a", True), ("a", False), ("b", True)]
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    out = df.transform(
+        wilson_proportions(F.col("ok"), "variant", "nope")
+    ).collect()
+    assert len(out) == 2
+    assert all(r["z_vs_control"] is None for r in out)
