@@ -16389,6 +16389,247 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q284_stochastic_oscillator",
+    """
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ARG_MAX(value, ts) AS close,
+             MAX(value) AS high, MIN(value) AS low
+      FROM events GROUP BY user_id, day),
+    k AS (
+      SELECT user_id, day, close,
+             CASE WHEN MAX(high) OVER w14 > MIN(low) OVER w14
+                  THEN round(CAST(100.0 AS DOUBLE)
+                             * (close - MIN(low) OVER w14)
+                             / (MAX(high) OVER w14
+                                - MIN(low) OVER w14), 6) END
+               AS pct_k
+      FROM bars
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day, close, pct_k,
+           CASE WHEN COUNT(pct_k) OVER w3 > 0
+                THEN CAST(SUM(CAST(pct_k AS DECIMAL(38,6)))
+                          OVER w3 AS DOUBLE)
+                     / COUNT(pct_k) OVER w3 END AS pct_d
+    FROM k
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D per user — where is today's close
+    inside the 14-day high-low channel (100 = at the high), %D its
+    3-bar smoothing: the W2/W4 family's channel-position indicator
+    next to RSI (q122), Donchian (q102), ATR (q71).  Same
+    shrink-first scale shape: events collapse to per-user daily OHLC
+    bars BEFORE any window, so a zipf-hot user contributes
+    ≤ calendar-days rows; %K pinned at 6 dp feeds the %D decimal
+    rolling mean (both engines replay the rounded intermediate)."""
+    e = _t(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("day")
+    w14 = wb.rowsBetween(-13, 0)
+    hh = F.max("high").over(w14)
+    ll = F.min("low").over(w14)
+    k = F.when(
+        hh > ll,
+        F.round(
+            F.lit(100.0) * (F.col("close") - ll) / (hh - ll), 6
+        ),
+    )
+    staged = bars.select(
+        "user_id", "day", "close", k.alias("pct_k")
+    )
+    w3 = wb.rowsBetween(-2, 0)
+    cnt3 = F.count("pct_k").over(w3)
+    # quotient left UNROUNDED (the exact_avg idiom): both engines
+    # divide identical decimal sums by identical counts, so the raw
+    # double is bit-identical, while round() tie modes diverge on
+    # shortest-repr midpoints (one row in 4k at sf0.01)
+    d = F.when(
+        cnt3 > 0,
+        F.sum(F.col("pct_k").cast("decimal(38,6)"))
+        .over(w3)
+        .cast("double")
+        / cnt3,
+    )
+    return staged.select(
+        "user_id", "day", "close", "pct_k", d.alias("pct_d")
+    )
+
+
+@_q(
+    "q285_msprt",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP)
+                        AS day,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS isa,
+                      CASE WHEN CAST(value AS DOUBLE)
+                                > CAST(20.0 AS DOUBLE)
+                           THEN 1 ELSE 0 END AS ok
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL AND user_id IS NOT NULL),
+    s AS (SELECT seg, day, SUM(isa)::BIGINT AS nai,
+                 SUM(isa * ok)::BIGINT AS cai,
+                 SUM(1 - isa)::BIGINT AS nbi,
+                 SUM((1 - isa) * ok)::BIGINT AS cbi
+          FROM d GROUP BY seg, day),
+    c AS (SELECT seg, day,
+                 CAST(SUM(nai) OVER w AS BIGINT) AS n_a,
+                 CAST(SUM(cai) OVER w AS BIGINT) AS conv_a,
+                 CAST(SUM(nbi) OVER w AS BIGINT) AS n_b,
+                 CAST(SUM(cbi) OVER w AS BIGINT) AS conv_b
+          FROM s
+          WINDOW w AS (PARTITION BY seg ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+    t AS (SELECT seg, day, n_a, n_b, conv_a, conv_b,
+                 CASE WHEN n_a > 0 AND n_b > 0
+                      THEN round(CAST(conv_a AS DOUBLE)
+                                   / CAST(n_a AS DOUBLE)
+                                 - CAST(conv_b AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE), 6) END
+                   AS theta,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND
+                      (CAST(conv_a AS DOUBLE)
+                         + CAST(conv_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE)
+                           + CAST(n_b AS DOUBLE))
+                      * (CAST(1.0 AS DOUBLE)
+                         - (CAST(conv_a AS DOUBLE)
+                              + CAST(conv_b AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE)))
+                      * (CAST(1.0 AS DOUBLE)
+                           / CAST(n_a AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE)
+                           / CAST(n_b AS DOUBLE)) > 0
+                      THEN CAST(0.5 AS DOUBLE)
+                           * ln(((CAST(conv_a AS DOUBLE)
+                                    + CAST(conv_b AS DOUBLE))
+                                 / (CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE))
+                                 * (CAST(1.0 AS DOUBLE)
+                                    - (CAST(conv_a AS DOUBLE)
+                                         + CAST(conv_b AS DOUBLE))
+                                      / (CAST(n_a AS DOUBLE)
+                                         + CAST(n_b AS DOUBLE)))
+                                 * (CAST(1.0 AS DOUBLE)
+                                      / CAST(n_a AS DOUBLE)
+                                    + CAST(1.0 AS DOUBLE)
+                                      / CAST(n_b AS DOUBLE)))
+                                / ((CAST(conv_a AS DOUBLE)
+                                      + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE))
+                                   * (CAST(1.0 AS DOUBLE)
+                                      - (CAST(conv_a AS DOUBLE)
+                                           + CAST(conv_b AS DOUBLE))
+                                        / (CAST(n_a AS DOUBLE)
+                                           + CAST(n_b AS DOUBLE)))
+                                   * (CAST(1.0 AS DOUBLE)
+                                        / CAST(n_a AS DOUBLE)
+                                      + CAST(1.0 AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE))
+                                   + CAST(0.1 AS DOUBLE)))
+                           + (CAST(conv_a AS DOUBLE)
+                                / CAST(n_a AS DOUBLE)
+                              - CAST(conv_b AS DOUBLE)
+                                / CAST(n_b AS DOUBLE))
+                             * (CAST(conv_a AS DOUBLE)
+                                  / CAST(n_a AS DOUBLE)
+                                - CAST(conv_b AS DOUBLE)
+                                  / CAST(n_b AS DOUBLE))
+                             * CAST(0.1 AS DOUBLE)
+                             / (CAST(2.0 AS DOUBLE)
+                                * ((CAST(conv_a AS DOUBLE)
+                                      + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE))
+                                   * (CAST(1.0 AS DOUBLE)
+                                      - (CAST(conv_a AS DOUBLE)
+                                           + CAST(conv_b
+                                                  AS DOUBLE))
+                                        / (CAST(n_a AS DOUBLE)
+                                           + CAST(n_b AS DOUBLE)))
+                                   * (CAST(1.0 AS DOUBLE)
+                                        / CAST(n_a AS DOUBLE)
+                                      + CAST(1.0 AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE)))
+                                * ((CAST(conv_a AS DOUBLE)
+                                      + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE))
+                                   * (CAST(1.0 AS DOUBLE)
+                                      - (CAST(conv_a AS DOUBLE)
+                                           + CAST(conv_b
+                                                  AS DOUBLE))
+                                        / (CAST(n_a AS DOUBLE)
+                                           + CAST(n_b AS DOUBLE)))
+                                   * (CAST(1.0 AS DOUBLE)
+                                        / CAST(n_a AS DOUBLE)
+                                      + CAST(1.0 AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE))
+                                   + CAST(0.1 AS DOUBLE))) END
+                   AS lnl
+          FROM c)
+    SELECT seg, day, n_a, n_b, conv_a, conv_b, theta,
+           round(lnl, 6) AS log_lambda,
+           CASE WHEN MAX(lnl) OVER wm IS NOT NULL
+                THEN round(least(CAST(1.0 AS DOUBLE),
+                                 exp(-MAX(lnl) OVER wm)), 6) END
+             AS p_always_valid
+    FROM t
+    WINDOW wm AS (PARTITION BY seg ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT) per event type —
+    the daily p-value curve a dashboard may legally PEEK at (Johari
+    et al. KDD'17), completing the experiment pack around the
+    fixed-horizon z (q282), CUPED (q235), and SRM (q237).  Variant =
+    user parity, success = value > 20, τ = 0.1.  One conditional-
+    count agg touches raw rows once; cumulative/running-max windows
+    run on the calendar-scale per-day table; ln-domain likelihood
+    avoids exp overflow (operators/stats.py:msprt_two_proportion)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        msprt_two_proportion,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        (F.col("value").cast("double") > F.lit(20.0)).alias("ok"),
+    )
+    return rows.transform(
+        msprt_two_proportion(
+            F.col("ok"), "variant", "A", "day",
+            partition_by="seg", tau=0.1,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -242,6 +242,8 @@ HEADLINE = [
     "q281_cliffs_delta",
     "q282_wilson_proportions",
     "q283_hill_tail",
+    "q284_stochastic_oscillator",
+    "q285_msprt",
 ]
 
 

@@ -4062,3 +4062,123 @@ def hill_tail_index(
         )
 
     return _t
+
+
+def msprt_two_proportion(
+    success: Column,
+    variant_col: str,
+    variant_a,
+    time_col: str,
+    partition_by: str | None = None,
+    tau: float = 0.1,
+) -> Callable[[DataFrame], DataFrame]:
+    """Mixture-SPRT always-valid p-value for a two-proportion
+    experiment, evaluated at every time step — the sequential test
+    that makes PEEKING legal (Johari et al., "Peeking at A/B Tests",
+    KDD'17): unlike the fixed-horizon z-test (q282), the always-valid
+    p can be read continuously and still controls type-I error.
+
+        θ̂_n  = p̂_A − p̂_B           (cumulative through step n)
+        V_n  = p̂_pool(1−p̂_pool)(1/n_A + 1/n_B)
+        ln Λ_n = ½·ln(V_n/(V_n+τ)) + θ̂_n²·τ / (2·V_n·(V_n+τ))
+        p_n  = min(1, exp(−max_{m≤n} ln Λ_m))
+
+    (normal-mixture likelihood ratio with prior scale ``tau``; the
+    running max makes p monotone non-increasing — the always-valid
+    property).  Working in ln Λ avoids the exp overflow a confident
+    experiment would hit; ``exp(−large)`` underflows to a clean 0.
+
+    Plan: one (partition, time) conditional-count aggregation
+    (map-side combined — raw rows are touched ONCE), then cumulative
+    windows over the per-step table, which is calendar-scale, not
+    event-scale.  Counts are exact integers; everything after is the
+    identical scalar IEEE tree both engines replay; ln Λ and p pinned
+    at 6 dp.  Steps where either side is empty or V_n = 0 emit NULL
+    ln Λ and inherit the running max through the null-skipping window
+    max.  Returns ``partition…, time, n_a, n_b, conv_a, conv_b,
+    theta, log_lambda, p_always_valid``.
+    """
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(variant_col).isNotNull())
+        is_a = (F.col(variant_col) == F.lit(variant_a)).cast("int")
+        ok = success.cast("int")
+        step = d.groupBy(*gcols, time_col).agg(
+            F.sum(is_a).alias("_na_i"),
+            F.sum(is_a * ok).alias("_ca_i"),
+            F.sum(F.lit(1) - is_a).alias("_nb_i"),
+            F.sum((F.lit(1) - is_a) * ok).alias("_cb_i"),
+        )
+        wo = (
+            Window.partitionBy(*gcols)
+            if gcols
+            else Window.partitionBy()
+        ).orderBy(time_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = step.select(
+            *gcols,
+            time_col,
+            F.sum("_na_i").over(wo).alias("n_a"),
+            F.sum("_ca_i").over(wo).alias("conv_a"),
+            F.sum("_nb_i").over(wo).alias("n_b"),
+            F.sum("_cb_i").over(wo).alias("conv_b"),
+        )
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        ca = F.col("conv_a").cast("double")
+        cb = F.col("conv_b").cast("double")
+        pool = (ca + cb) / (na + nb)
+        v = (
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        )
+        theta = ca / na - cb / nb
+        t = F.lit(float(tau))
+        lnlam = F.lit(0.5) * F.log(v / (v + t)) + theta * theta * t / (
+            F.lit(2.0) * v * (v + t)
+        )
+        staged = cum.select(
+            *gcols,
+            time_col,
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(theta, 6),
+            ).alias("theta"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0) & (v > 0),
+                lnlam,
+            ).alias("_lnl"),
+        )
+        wm = (
+            Window.partitionBy(*gcols)
+            if gcols
+            else Window.partitionBy()
+        ).orderBy(time_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        runmax = F.max("_lnl").over(wm)
+        return staged.select(
+            *gcols,
+            time_col,
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            "theta",
+            F.round(F.col("_lnl"), 6).alias("log_lambda"),
+            F.when(
+                runmax.isNotNull(),
+                F.round(
+                    F.least(F.lit(1.0), F.exp(-runmax)), 6
+                ),
+            ).alias("p_always_valid"),
+        )
+
+    return _t

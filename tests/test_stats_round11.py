@@ -205,3 +205,97 @@ def test_wilson_missing_control_keeps_rows(spark):
     ).collect()
     assert len(out) == 2
     assert all(r["z_vs_control"] is None for r in out)
+
+
+def test_msprt_matches_python_and_is_monotone(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        msprt_two_proportion,
+    )
+
+    rng = random.Random(285)
+    rows = []
+    for day in range(20):
+        for _ in range(50):
+            rows.append((day, "A", rng.random() < 0.35))
+            rows.append((day, "B", rng.random() < 0.20))
+    df = spark.createDataFrame(rows, "day int, variant string, ok boolean")
+    out = sorted(
+        df.transform(
+            msprt_two_proportion(
+                F.col("ok"), "variant", "A", "day", tau=0.1
+            )
+        ).collect(),
+        key=lambda r: r["day"],
+    )
+
+    # python reference
+    na = ca = nb = cb = 0
+    per_day = {}
+    for day, v, ok in rows:
+        per_day.setdefault(day, []).append((v, ok))
+    best = None
+    for day in range(20):
+        for v, ok in per_day[day]:
+            if v == "A":
+                na += 1
+                ca += ok
+            else:
+                nb += 1
+                cb += ok
+        pool = (ca + cb) / (na + nb)
+        var = pool * (1 - pool) * (1 / na + 1 / nb)
+        th = ca / na - cb / nb
+        lnl = 0.5 * math.log(var / (var + 0.1)) + th * th * 0.1 / (
+            2 * var * (var + 0.1)
+        )
+        best = lnl if best is None else max(best, lnl)
+        r = out[day]
+        assert r["n_a"] == na and r["conv_b"] == cb
+        assert r["log_lambda"] == pytest.approx(lnl, abs=2e-6)
+        assert r["p_always_valid"] == pytest.approx(
+            min(1.0, math.exp(-best)), abs=2e-6
+        )
+    # always-valid property: p is monotone non-increasing
+    ps = [r["p_always_valid"] for r in out]
+    assert all(a >= b - 1e-12 for a, b in zip(ps, ps[1:]))
+    # a real 15-point lift must eventually reject at alpha=0.05
+    assert ps[-1] < 0.05
+
+
+def test_stochastic_oscillator_hand_checked(spark):
+    # %K bounds + channel position, via the registered query shape
+    from pyspark.sql import Window
+
+    rows = [
+        (1, f"2024-01-{d:02d} 12:00:00", float(v))
+        for d, v in enumerate([10, 20, 30, 25, 5, 30], start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    bars = df.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("day")
+    w14 = wb.rowsBetween(-13, 0)
+    hh, ll = F.max("high").over(w14), F.min("low").over(w14)
+    k = F.when(
+        hh > ll,
+        F.round(F.lit(100.0) * (F.col("close") - ll) / (hh - ll), 6),
+    )
+    out = [
+        r["pct_k"]
+        for r in bars.select("day", k.alias("pct_k"))
+        .orderBy("day")
+        .collect()
+    ]
+    # day1: hh==ll -> NULL; day3: close 30 at channel top -> 100;
+    # day5: close 5 at channel bottom -> 0
+    assert out[0] is None
+    assert out[2] == pytest.approx(100.0)
+    assert out[4] == pytest.approx(0.0)
+    assert all(v is None or 0.0 <= v <= 100.0 for v in out)
