@@ -22,9 +22,13 @@ Catalyst's size estimate without changing any oracle hash.
 ``fill_forward``'s unbounded carry uses the bucket-level carry-in
 decomposition instead (same technique as the unkeyed as-of join in
 ``operators/asof.py``).  ``cumulative_product`` has NO bit-identical
-parallel form (re-associating the log-sum changes IEEE rounding), so it
-keeps the honest single-series window; see SCALE.md §8 for the measured
-single-task ceiling and the keyed escape hatch.
+parallel form (re-associating the log-sum changes IEEE rounding), so its
+DEFAULT keeps the honest single-series window; the opt-in
+``strategy="chunked"`` two-pass (value-range chunks + exclusive
+chunk-offset prefix) trades bit-identity for parallelism under a stated
+≤ n_chunks·ε re-association tolerance — see its docstring and SCALE.md
+§8 for the measured ceiling, the keyed escape hatch, and the chunked
+A/B.
 """
 
 from __future__ import annotations
@@ -557,18 +561,91 @@ def cumulative_product(
     order_col: str,
     partition_by: Sequence[str] | None = None,
     out: str = "cumprod",
+    strategy: str = "exact",
+    n_chunks: int = 64,
 ) -> Callable[[DataFrame], DataFrame]:
     """Running product of ``1 + col`` — equity curve (notebook cell 16 W5).
 
     Spark has no ``product`` window aggregate; use the standard
     exp-sum-log identity (valid for returns > -1).
+
+    ``strategy="exact"`` (default) keeps the single window — for an
+    UNKEYED series that is one sort task (the honest W5 ceiling: a
+    bit-identical parallel form of a float running sum does not
+    exist, because float addition is not associative).
+
+    ``strategy="chunked"`` is the opt-in parallel path for a giant
+    single series, with a stated re-association tolerance instead of
+    bit-identity: the order domain is split into ``n_chunks``
+    VALUE-RANGE chunks (deterministic — boundaries come from one
+    min/max aggregate, never from sampling, and order ties share a
+    value so they can never straddle a boundary), each chunk runs its
+    cumulative log1p sum in parallel, and a metadata-scale exclusive
+    prefix over the per-chunk totals (n_chunks rows) is broadcast
+    back and added before the final ``exp``.  The ONLY difference vs
+    exact is the re-association of the log1p sum at chunk boundaries:
+    error per row is ≤ (number of crossed boundaries) ulps of the
+    running log-sum — ≤ n_chunks·ε ≈ 64·2⁻⁵² relative, in practice
+    ≤ 1e-12 relative on the product (pytest-pinned).  Chunked output
+    is therefore NOT oracle-hash-comparable; callers that need
+    bit-identity keep the default.  With ``partition_by`` set the
+    window is already parallel across keys, so ``chunked`` silently
+    defers to ``exact`` (the keyed escape hatch).
     """
+    if strategy not in ("exact", "chunked"):
+        raise ValueError("strategy must be 'exact' or 'chunked'")
+    if n_chunks < 2:
+        raise ValueError("n_chunks must be >= 2")
 
     def _t(df: DataFrame) -> DataFrame:
-        w = _window(partition_by, order_col).rowsBetween(
-            Window.unboundedPreceding, 0
+        if strategy == "exact" or partition_by:
+            w = _window(partition_by, order_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            return df.withColumn(
+                out, F.exp(F.sum(F.log1p(F.col(col))).over(w))
+            )
+        o = F.col(order_col).cast("double")
+        bounds = df.agg(
+            F.min(o).alias("_lo"), F.max(o).alias("_hi")
         )
-        return df.withColumn(out, F.exp(F.sum(F.log1p(F.col(col))).over(w)))
+        from btc_usdt_etl_pipeline_spark.functions import attach_scalar
+
+        b = attach_scalar(df, bounds, F.col(order_col), F.col("_lo"))
+        span = F.col("_hi") - F.col("_lo")
+        chunk = F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_chunks - 1),
+                F.floor((o - F.col("_lo")) / span * n_chunks).cast(
+                    "int"
+                ),
+            )
+        )
+        staged = b.withColumn("_chunk", chunk).drop("_lo", "_hi")
+        win = Window.partitionBy("_chunk").orderBy(
+            order_col
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        within = staged.withColumn(
+            "_cumlog", F.sum(F.log1p(F.col(col))).over(win)
+        )
+        totals = (
+            staged.groupBy("_chunk")
+            .agg(F.sum(F.log1p(F.col(col))).alias("_tot"))
+        )
+        woff = Window.orderBy("_chunk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_chunk",
+            F.coalesce(F.sum("_tot").over(woff), F.lit(0.0)).alias(
+                "_off"
+            ),
+        )
+        return (
+            within.join(F.broadcast(offsets), "_chunk")
+            .withColumn(out, F.exp(F.col("_off") + F.col("_cumlog")))
+            .drop("_chunk", "_cumlog", "_off")
+        )
 
     return _t
 

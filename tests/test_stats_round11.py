@@ -299,3 +299,56 @@ def test_stochastic_oscillator_hand_checked(spark):
     assert out[2] == pytest.approx(100.0)
     assert out[4] == pytest.approx(0.0)
     assert all(v is None or 0.0 <= v <= 100.0 for v in out)
+
+
+def test_cumprod_chunked_within_tolerance(spark):
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        cumulative_product,
+    )
+
+    rng = random.Random(287)
+    rows = [(float(i), rng.uniform(-0.01, 0.011)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "t double, ret double").repartition(
+        16
+    )
+    exact = {
+        r["t"]: r["cumprod"]
+        for r in df.transform(cumulative_product("ret", "t")).collect()
+    }
+    chunked = {
+        r["t"]: r["cumprod"]
+        for r in df.transform(
+            cumulative_product("ret", "t", strategy="chunked", n_chunks=32)
+        ).collect()
+    }
+    assert set(exact) == set(chunked)
+    for t, v in exact.items():
+        assert chunked[t] == pytest.approx(v, rel=1e-12)
+    # keyed caller: chunked defers to the exact keyed window (bit-identical)
+    kdf = spark.createDataFrame(
+        [(i % 3, float(i), 0.01) for i in range(300)],
+        "k int, t double, ret double",
+    )
+    a = kdf.transform(
+        cumulative_product("ret", "t", partition_by=["k"])
+    ).collect()
+    b = kdf.transform(
+        cumulative_product(
+            "ret", "t", partition_by=["k"], strategy="chunked"
+        )
+    ).collect()
+    assert sorted((r["k"], r["t"], r["cumprod"]) for r in a) == sorted(
+        (r["k"], r["t"], r["cumprod"]) for r in b
+    )
+    # constant order column (span 0) degenerates to one chunk, no crash
+    cdf = spark.createDataFrame(
+        [(1.0, 0.01), (1.0, 0.02)], "t double, ret double"
+    )
+    assert (
+        cdf.transform(
+            cumulative_product("ret", "t", strategy="chunked")
+        ).count()
+        == 2
+    )
+    with pytest.raises(ValueError):
+        cumulative_product("ret", "t", strategy="bogus")
