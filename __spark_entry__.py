@@ -16630,6 +16630,101 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q286_energy_distance",
+    """
+    WITH d AS (SELECT event_type AS seg,
+                      value + CASE WHEN event_id % 3 = 0
+                                   THEN CAST(0.5 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END AS v,
+                      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS cur
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND event_id IS NOT NULL),
+    c AS (SELECT seg, v, SUM(1 - cur)::BIGINT AS a,
+                 SUM(cur)::BIGINT AS b
+          FROM d GROUP BY seg, v),
+    w AS (SELECT seg, v, a, b,
+                 CAST(SUM(a) OVER (PARTITION BY seg) AS BIGINT)
+                   AS ta,
+                 CAST(SUM(b) OVER (PARTITION BY seg) AS BIGINT)
+                   AS tb,
+                 CAST(SUM(a) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS ca,
+                 CAST(SUM(b) OVER (PARTITION BY seg ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cb,
+                 CAST(lead(v) OVER (PARTITION BY seg ORDER BY v)
+                      AS DOUBLE) - CAST(v AS DOUBLE) AS dv
+          FROM c),
+    f AS (SELECT seg, ta, tb, dv,
+                 CAST(ca AS DOUBLE) / NULLIF(CAST(ta AS DOUBLE), 0)
+                   AS fa,
+                 CAST(cb AS DOUBLE) / NULLIF(CAST(tb AS DOUBLE), 0)
+                   AS fb
+          FROM w),
+    t AS (SELECT seg, ta, tb,
+                 CAST(dv * (fa * (CAST(1.0 AS DOUBLE) - fb)
+                            + fb * (CAST(1.0 AS DOUBLE) - fa))
+                      AS DECIMAL(38,12)) AS xy,
+                 CAST(dv * (CAST(2.0 AS DOUBLE) * fa
+                            * (CAST(1.0 AS DOUBLE) - fa))
+                      AS DECIMAL(38,12)) AS xx,
+                 CAST(dv * (CAST(2.0 AS DOUBLE) * fb
+                            * (CAST(1.0 AS DOUBLE) - fb))
+                      AS DECIMAL(38,12)) AS yy
+          FROM f)
+    SELECT seg, MAX(ta) AS n_ref, MAX(tb) AS n_cur,
+           CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+                THEN round(CAST(2.0 AS DOUBLE)
+                           * CAST(SUM(xy) AS DOUBLE)
+                           - CAST(SUM(xx) AS DOUBLE)
+                           - CAST(SUM(yy) AS DOUBLE), 6) END AS e2,
+           CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+                THEN round(sqrt(greatest(
+                           CAST(2.0 AS DOUBLE)
+                           * CAST(SUM(xy) AS DOUBLE)
+                           - CAST(SUM(xx) AS DOUBLE)
+                           - CAST(SUM(yy) AS DOUBLE),
+                           CAST(0.0 AS DOUBLE))), 6) END AS energy
+    FROM t GROUP BY seg
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample energy distance per event type — the seventh drift
+    statistic (PSI/KS/JSD/W₁/CvM/AD), the one with the Székely–Rizzo
+    characterization guarantee (0 iff equal distributions) that
+    binned statistics forfeit.  In 1-D every E|·| term is an ECDF
+    integral, so the whole statistic is W₁'s exact plan — one
+    (seg, value) count agg + ordered windows + one lead — with the
+    three integrand terms sharing the SAME window pass
+    (operators/drift.py:energy_distance)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        energy_distance,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    rows = e.select(
+        F.col("event_type").alias("seg"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+        (F.col("event_id") % 3 == 0).alias("is_cur"),
+    )
+    return rows.transform(
+        energy_distance("v", F.col("is_cur"), group_by="seg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

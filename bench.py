@@ -244,6 +244,7 @@ HEADLINE = [
     "q283_hill_tail",
     "q284_stochastic_oscillator",
     "q285_msprt",
+    "q286_energy_distance",
 ]
 
 

@@ -508,3 +508,41 @@ def test_anderson_darling_empty_side_null(spark):
     )
     out = df.transform(anderson_darling("v", F.col("is_cur"))).collect()
     assert len(out) == 1 and out[0]["ad"] is None
+
+
+def test_energy_distance_matches_pairwise_python(spark):
+    """The ECDF-integral form must equal the O(n^2) pairwise
+    definition 2E|X-Y| - E|X-X'| - E|Y-Y'| computed directly."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import (
+        energy_distance,
+    )
+
+    rng = random.Random(286)
+    ref = [round(rng.gauss(0, 1), 3) for _ in range(120)]
+    cur = [round(rng.gauss(0.8, 1.5), 3) for _ in range(90)]
+    rows = [(v, False) for v in ref] + [(v, True) for v in cur]
+    df = spark.createDataFrame(rows, "v double, is_cur boolean")
+    out = df.transform(energy_distance("v", F.col("is_cur"))).collect()[0]
+    exy = sum(abs(x - y) for x in ref for y in cur) / (
+        len(ref) * len(cur)
+    )
+    exx = sum(abs(a - b) for a in ref for b in ref) / (len(ref) ** 2)
+    eyy = sum(abs(a - b) for a in cur for b in cur) / (len(cur) ** 2)
+    e2 = 2 * exy - exx - eyy
+    assert out["e2"] == pytest.approx(e2, abs=1e-4)
+    assert out["energy"] == pytest.approx(math.sqrt(e2), abs=1e-4)
+    # identical samples -> 0
+    same = [(v, False) for v in ref] + [(v, True) for v in ref]
+    sdf = spark.createDataFrame(same, "v double, is_cur boolean")
+    sout = sdf.transform(energy_distance("v", F.col("is_cur"))).collect()[0]
+    assert sout["e2"] == pytest.approx(0.0, abs=1e-9)
+    # empty side -> NULL
+    edf = spark.createDataFrame(
+        [(1.0, False)], "v double, is_cur boolean"
+    )
+    assert (
+        edf.transform(energy_distance("v", F.col("is_cur"))).collect()[0][
+            "energy"
+        ]
+        is None
+    )
