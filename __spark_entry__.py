@@ -16725,6 +16725,133 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q287_yuen_t",
+    """
+    WITH d AS (SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+                      CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END AS isa,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+                     AND ts IS NOT NULL),
+    r AS (SELECT dow, isa, x,
+                 ROW_NUMBER() OVER (PARTITION BY dow, isa
+                                    ORDER BY x) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY dow, isa)
+                      AS BIGINT) AS n
+          FROM d),
+    r2 AS (SELECT dow, isa, x, rn, n,
+                  CAST(floor(CAST(0.2 AS DOUBLE) * n) AS BIGINT)
+                    AS k
+           FROM r),
+    ps AS (SELECT dow, isa, MAX(n) AS ns, MAX(k) AS ks,
+                  CAST(SUM(CASE WHEN rn > k AND rn <= n - k
+                       THEN CAST(x AS DECIMAL(38,6)) END)
+                       AS DOUBLE) AS st,
+                  CAST(SUM(CASE WHEN rn > k AND rn <= n - k
+                       THEN CAST(x * x AS DECIMAL(38,6)) END)
+                       AS DOUBLE) AS st2,
+                  MAX(CASE WHEN rn <= k + 1 THEN x END) AS lo,
+                  MIN(CASE WHEN rn >= n - k THEN x END) AS hi
+           FROM r2 GROUP BY dow, isa),
+    fl AS (SELECT dow,
+                  MAX(CASE WHEN isa = 1 THEN ns END) AS nsa,
+                  MAX(CASE WHEN isa = 1 THEN ks END) AS ksa,
+                  MAX(CASE WHEN isa = 1 THEN st END) AS sta,
+                  MAX(CASE WHEN isa = 1 THEN st2 END) AS st2a,
+                  MAX(CASE WHEN isa = 1 THEN lo END) AS loa,
+                  MAX(CASE WHEN isa = 1 THEN hi END) AS hia,
+                  MAX(CASE WHEN isa = 0 THEN ns END) AS nsb,
+                  MAX(CASE WHEN isa = 0 THEN ks END) AS ksb,
+                  MAX(CASE WHEN isa = 0 THEN st END) AS stb,
+                  MAX(CASE WHEN isa = 0 THEN st2 END) AS st2b,
+                  MAX(CASE WHEN isa = 0 THEN lo END) AS lob,
+                  MAX(CASE WHEN isa = 0 THEN hi END) AS hib
+           FROM ps GROUP BY dow),
+    f2 AS (SELECT dow, nsa, nsb,
+                  CAST(nsa AS DOUBLE) AS na,
+                  CAST(ksa AS DOUBLE) AS ka,
+                  CAST(nsa AS DOUBLE)
+                    - CAST(2.0 AS DOUBLE) * CAST(ksa AS DOUBLE)
+                    AS ha,
+                  sta, st2a, loa, hia,
+                  CAST(nsb AS DOUBLE) AS nb,
+                  CAST(ksb AS DOUBLE) AS kb,
+                  CAST(nsb AS DOUBLE)
+                    - CAST(2.0 AS DOUBLE) * CAST(ksb AS DOUBLE)
+                    AS hb,
+                  stb, st2b, lob, hib
+           FROM fl),
+    f3 AS (SELECT dow, nsa, nsb, na, ka, ha, nb, kb, hb,
+                  sta / ha AS tma, stb / hb AS tmb,
+                  sta + ka * loa + ka * hia AS swa,
+                  st2a + ka * (loa * loa) + ka * (hia * hia)
+                    AS swa2,
+                  stb + kb * lob + kb * hib AS swb,
+                  st2b + kb * (lob * lob) + kb * (hib * hib)
+                    AS swb2
+           FROM f2),
+    f4 AS (SELECT dow, nsa, nsb, na, ha, nb, hb, tma, tmb,
+                  CASE WHEN na >= 2
+                       THEN (swa2 - swa * swa / na)
+                            / (na - CAST(1.0 AS DOUBLE)) END
+                    AS s2wa,
+                  CASE WHEN nb >= 2
+                       THEN (swb2 - swb * swb / nb)
+                            / (nb - CAST(1.0 AS DOUBLE)) END
+                    AS s2wb
+           FROM f3),
+    f5 AS (SELECT dow, nsa, nsb, ha, hb, tma, tmb,
+                  CASE WHEN ha >= 2
+                       THEN s2wa * (na - CAST(1.0 AS DOUBLE))
+                            / (ha * (ha - CAST(1.0 AS DOUBLE)))
+                    END AS da,
+                  CASE WHEN hb >= 2
+                       THEN s2wb * (nb - CAST(1.0 AS DOUBLE))
+                            / (hb * (hb - CAST(1.0 AS DOUBLE)))
+                    END AS db
+           FROM f4)
+    SELECT dow, nsa AS n_a, nsb AS n_b,
+           CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+           CASE WHEN nsa > 0 THEN round(tma, 6) END AS tmean_a,
+           CASE WHEN nsb > 0 THEN round(tmb, 6) END AS tmean_b,
+           CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0
+                THEN round((tma - tmb) / sqrt(da + db), 6) END AS t,
+           CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0
+                THEN round((da + db) * (da + db)
+                           / (da * da / (ha - CAST(1.0 AS DOUBLE))
+                              + db * db
+                                / (hb - CAST(1.0 AS DOUBLE))), 6)
+             END AS dof
+    FROM f5
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean t-test per weekday: purchase values vs all
+    other event types (trim = 0.2) — the robust parametric member of
+    the two-sample battery between Welch (q232) and Mann–Whitney
+    (q229), the right test for the lognormal value column whose tails
+    make plain means lie.  One rank window per (dow, side) + ONE
+    aggregation: winsorized moments need no second pass because
+    Σw = Σ_interior + k·x_(k+1) + k·x_(n−k)
+    (operators/stats.py:yuen_t)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import yuen_t
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    rows = e.select(
+        F.dayofweek("ts").alias("dow"), "event_type", "value"
+    )
+    return rows.transform(
+        yuen_t("value", "event_type", "purchase", trim=0.2,
+               partition_by="dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -245,6 +245,7 @@ HEADLINE = [
     "q284_stochastic_oscillator",
     "q285_msprt",
     "q286_energy_distance",
+    "q287_yuen_t",
 ]
 
 

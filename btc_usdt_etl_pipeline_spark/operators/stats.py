@@ -4182,3 +4182,148 @@ def msprt_two_proportion(
         )
 
     return _t
+
+
+def yuen_t(
+    value_col: str,
+    group_col: str,
+    group_a,
+    trim: float = 0.2,
+    partition_by: str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Yuen's trimmed-mean t-test per partition — the ROBUST
+    parametric two-sample location test completing the battery:
+    Welch (q232) when means are trustworthy, Mann–Whitney (q229) when
+    only order is, Yuen in between — heavy tails/outliers are trimmed
+    but the statistic still speaks in metric units:
+
+        t  = (x̄_tA − x̄_tB) / sqrt(d_A + d_B)
+        d_i = s²_wi·(n_i−1) / (h_i·(h_i−1)),   h_i = n_i − 2k_i
+        ν  = (d_A+d_B)² / (d_A²/(h_A−1) + d_B²/(h_B−1))
+
+    with x̄_t the ``trim``-trimmed mean, s²_w the WINSORIZED sample
+    variance, k_i = ⌊trim·n_i⌋ (Yuen 1974; Wilcox's default
+    trim=0.2).
+
+    ONE rank window per (partition, side) and then ONE aggregation —
+    the winsorized moments need no second pass: clipping replaces the
+    k smallest values by x_(k+1) and the k largest by x_(n−k), so
+    Σw = Σ_interior x + k·x_(k+1) + k·x_(n−k) (same for squares),
+    and both boundary order statistics are conditional aggregates
+    over the ranked rows.  Tie blocks straddling a trim boundary cut
+    arbitrarily under row_number, but every cut keeps the same VALUE
+    multiset, so all sums are deterministic (the hill_tail_index
+    argument).  Interior/boundary sums ride the exact-decimal idiom;
+    t, dof, and the trimmed means are pinned at 6 dp.  Degenerate
+    partitions (either side h < 2, or d_A + d_B ≤ 0) emit NULL t/dof.
+    Returns ``partition…, n_a, n_b, h_a, h_b, tmean_a, tmean_b, t,
+    dof``.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        is_a = F.col(group_col) == F.lit(group_a)
+        base = d.select(
+            *gcols,
+            is_a.alias("_isa"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        wp = Window.partitionBy(*gcols, "_isa")
+        wo = wp.orderBy("_x")
+        r = base.select(
+            *gcols,
+            "_isa",
+            "_x",
+            F.row_number().over(wo).alias("_rn"),
+            F.count(F.lit(1)).over(
+                wp.rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing,
+                )
+            ).alias("_n"),
+        ).withColumn(
+            "_k", F.floor(F.lit(float(trim)) * F.col("_n")).cast("long")
+        )
+        inner = (F.col("_rn") > F.col("_k")) & (
+            F.col("_rn") <= F.col("_n") - F.col("_k")
+        )
+        per_side = r.groupBy(*gcols, "_isa").agg(
+            F.first("_n").alias("_ns"),
+            F.first("_k").alias("_ks"),
+            F.sum(F.when(inner, F.col("_x")).cast(DEC))
+            .cast("double")
+            .alias("_st"),
+            F.sum(
+                F.when(inner, F.col("_x") * F.col("_x")).cast(DEC)
+            )
+            .cast("double")
+            .alias("_st2"),
+            F.max(
+                F.when(F.col("_rn") <= F.col("_k") + 1, F.col("_x"))
+            ).alias("_lo"),
+            F.min(
+                F.when(
+                    F.col("_rn") >= F.col("_n") - F.col("_k"),
+                    F.col("_x"),
+                )
+            ).alias("_hi"),
+        )
+
+        def side(c, suf):
+            cond = F.col("_isa") == F.lit(c)
+            return [
+                F.max(F.when(cond, F.col(n))).alias(f"{n}{suf}")
+                for n in ("_ns", "_ks", "_st", "_st2", "_lo", "_hi")
+            ]
+
+        flat = per_side.groupBy(*gcols).agg(
+            *side(True, "a"), *side(False, "b")
+        )
+
+        def stats(suf):
+            n = F.col(f"_ns{suf}").cast("double")
+            k = F.col(f"_ks{suf}").cast("double")
+            h = n - F.lit(2.0) * k
+            lo, hi = F.col(f"_lo{suf}"), F.col(f"_hi{suf}")
+            tmean = F.col(f"_st{suf}") / h
+            sw = F.col(f"_st{suf}") + k * lo + k * hi
+            sw2 = (
+                F.col(f"_st2{suf}") + k * (lo * lo) + k * (hi * hi)
+            )
+            # h < 2 (or a 1-row side, n = 1) would put a 0 in the d_i
+            # or s²_w denominator — an ANSI double/0 abort; NULL rides
+            # the ok-guard to a NULL t/dof instead
+            s2w = F.when(
+                n >= 2, (sw2 - sw * sw / n) / (n - F.lit(1.0))
+            )
+            dd = F.when(
+                h >= 2,
+                s2w * (n - F.lit(1.0)) / (h * (h - F.lit(1.0))),
+            )
+            return n, h, tmean, dd
+
+        na, ha, tma, da = stats("a")
+        nb, hb, tmb, db = stats("b")
+        ok = (ha >= 2) & (hb >= 2) & (da + db > 0)
+        t = (tma - tmb) / F.sqrt(da + db)
+        dof = (da + db) * (da + db) / (
+            da * da / (ha - F.lit(1.0)) + db * db / (hb - F.lit(1.0))
+        )
+        return flat.select(
+            *gcols,
+            F.col("_nsa").alias("n_a"),
+            F.col("_nsb").alias("n_b"),
+            ha.cast("long").alias("h_a"),
+            hb.cast("long").alias("h_b"),
+            F.when(F.col("_nsa") > 0, F.round(tma, 6)).alias("tmean_a"),
+            F.when(F.col("_nsb") > 0, F.round(tmb, 6)).alias("tmean_b"),
+            F.when(ok, F.round(t, 6)).alias("t"),
+            F.when(ok, F.round(dof, 6)).alias("dof"),
+        )
+
+    return _t

@@ -352,3 +352,50 @@ def test_cumprod_chunked_within_tolerance(spark):
     )
     with pytest.raises(ValueError):
         cumulative_product("ret", "t", strategy="bogus")
+
+
+def test_yuen_t_matches_python(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import yuen_t
+
+    rng = random.Random(287)
+    a = [rng.gauss(10, 2) for _ in range(180)] + [500.0, -400.0]
+    b = [rng.gauss(9, 2) for _ in range(150)] + [800.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = df.transform(yuen_t("v", "g", "A", trim=0.2)).collect()[0]
+
+    def side(xs, trim=0.2):
+        xs = sorted(xs)
+        n = len(xs)
+        k = int(trim * n)
+        h = n - 2 * k
+        interior = xs[k: n - k]
+        tm = sum(interior) / h
+        w = [xs[k]] * k + interior + [xs[n - k - 1]] * k
+        mw = sum(w) / n
+        s2w = sum((x - mw) ** 2 for x in w) / (n - 1)
+        d = s2w * (n - 1) / (h * (h - 1))
+        return n, h, tm, d
+
+    na, ha, tma, da = side(a)
+    nb, hb, tmb, db = side(b)
+    t = (tma - tmb) / math.sqrt(da + db)
+    dof = (da + db) ** 2 / (da * da / (ha - 1) + db * db / (hb - 1))
+    assert out["n_a"] == na and out["h_a"] == ha
+    assert out["tmean_a"] == pytest.approx(tma, abs=1e-5)
+    assert out["tmean_b"] == pytest.approx(tmb, abs=1e-5)
+    assert out["t"] == pytest.approx(t, rel=1e-4)
+    assert out["dof"] == pytest.approx(dof, rel=1e-4)
+    # robustness: the planted +/-500 outliers must not swamp the test
+    # (Welch on the same data would see a huge variance); |t| still
+    # detects the 1-unit shift
+    assert out["t"] > 3
+    # one-row side -> NULL t, no crash
+    tiny = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double",
+    )
+    r = tiny.transform(yuen_t("v", "g", "A")).collect()[0]
+    assert r["t"] is None
+    with pytest.raises(ValueError):
+        yuen_t("v", "g", "A", trim=0.5)
