@@ -16852,6 +16852,63 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q288_knn_outlier",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    sc AS (SELECT e.vec_id, e.v, cent.cid,
+                  round(list_cosine_similarity(e.v, cent.cv), 4)
+                    AS csim
+           FROM e, cent),
+    ca AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk
+           FROM sc),
+    corp AS (SELECT vec_id, v, cid FROM ca WHERE crnk = 1),
+    prs AS (SELECT a.vec_id AS ia, a.cid, b.vec_id AS ib,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS s
+            FROM corp a JOIN corp b
+              ON a.cid = b.cid AND a.vec_id != b.vec_id),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                      ORDER BY s DESC, ib) AS rk
+           FROM prs),
+    top AS (SELECT ia, COUNT(*)::BIGINT AS n_neighbors,
+                   CAST(SUM(CAST(CAST(1.0 AS DOUBLE) - s
+                        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                     AS knn_dist
+            FROM rk WHERE rk <= 5 GROUP BY ia)
+    SELECT corp.vec_id, corp.cid AS centroid_id,
+           COALESCE(top.n_neighbors, 0)::BIGINT AS n_neighbors,
+           top.knn_dist
+    FROM corp LEFT JOIN top ON corp.vec_id = top.ia
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN cosine-distance outlier scores (k = 5) over the embedding
+    table — the embedding-space noise filter a training-data pipeline
+    runs before SemDeDup (q132): large mean distance to the 5 nearest
+    cell-mates = isolated vector (off-domain / mislabeled / garbled
+    decode), tiny = near-duplicate mass.  Exactly q132's
+    deterministic cell machinery (vec_id < 16 centroids, rounded-
+    cosine argmax assignment, within-cell pairs only), then a per-
+    vector top-k rank and the exact_avg unrounded quotient.  The
+    fixture runs the GEMM ``method="blas"`` — engineered bit-identical
+    to the expr path (HALF_UP 4 dp rounding + integer-ten-thousandths
+    mean), so the SQL oracle replays it exactly while the smoke gets
+    the real scale path (377 s expr → seconds GEMM at 30×)
+    (operators/similarity.py:knn_outlier_scores)."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        knn_outlier_scores,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return knn_outlier_scores(e, cent, k=5, method="blas")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -246,6 +246,7 @@ HEADLINE = [
     "q285_msprt",
     "q286_energy_distance",
     "q287_yuen_t",
+    "q288_knn_outlier",
 ]
 
 

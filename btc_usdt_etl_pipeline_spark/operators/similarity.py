@@ -789,3 +789,205 @@ def rrf_fuse(
     return fused.select(
         F.row_number().over(w).alias("rank"), id_col, out
     )
+
+
+def knn_outlier_scores(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_dp: int = 4,
+    method: str = "expr",
+) -> DataFrame:
+    """k-NN cosine-distance outlier scores over an embedding corpus —
+    the embedding-space noise/outlier filter a training-data pipeline
+    runs before (or instead of) SemDeDup: a vector whose mean distance
+    to its k nearest neighbors is large sits alone in embedding space
+    (mislabeled, off-domain, garbled decode) and is a candidate for
+    removal; a tiny score means near-duplicate mass
+    (:func:`semdedup`'s prey).  Score = mean(1 − cos) over the k
+    nearest CELL-MATES.
+
+    Same cell-blocking economics and the exact assignment as
+    :func:`semdedup` / ``ivf_top_k``'s index build (broadcast
+    deterministic centroids, rounded-cosine argmax, id tie-break —
+    SQL-replayable), so "k nearest" means within the vector's own
+    cell: the standard IVF approximation, exact whenever the true
+    neighbors share the cell and converging to exact as centroid
+    count shrinks.  Within-cell pair volume is Σ|cell|², controlled
+    by the centroid count at scale (the blas note on
+    ``cosine_pairs_within`` applies when cells are dense-math-sized).
+
+    Singleton-cell vectors have no neighbors: ``n_neighbors = 0`` and
+    NULL score (they are their own outlier review queue).  The mean
+    is the exact_avg idiom — 4 dp-rounded similarities, decimal sum,
+    UNROUNDED final quotient (bit-identical across engines).  Returns
+    one row per corpus vector: ``(id, centroid_id, n_neighbors,
+    knn_dist)``.
+
+    ``method="expr"`` is the oracle-replayed JVM HOF default;
+    ``method="blas"`` runs one numpy GEMM per cell via grouped
+    ``applyInPandas`` — the measured scale path once cells are
+    dense-math-sized (the :func:`semdedup` lesson: interpreted HOF
+    pair scans go quadratic-interpreted; measured 377 s expr at the
+    30× smoke on 60k×64 vectors in 16 cells vs seconds for GEMM).
+    BIT-IDENTICAL output by construction: similarities are HALF_UP
+    rounded at ``round_dp`` in both paths, and the blas mean is
+    computed on integer ten-thousandths (Σ(10^dp − s·10^dp) exact in
+    int64, two correctly-rounded IEEE divisions) — exactly the
+    decimal-sum/unrounded-quotient the expr path emits.  Cell memory
+    is |cell|²·8 B; size cells via the centroid count (same contract
+    as ``cosine_pairs_within(method="blas")``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if method not in ("expr", "blas"):
+        raise ValueError(f"unknown method {method!r}")
+    if round_dp > 6:
+        raise ValueError("round_dp must be <= 6 (decimal(38,6) mean)")
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cid"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("_cvec")), round_dp
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("_cid")
+    )
+    assigned = (
+        scored.withColumn("_crnk", F.row_number().over(w))
+        .filter(F.col("_crnk") == 1)
+        .select(id_col, vec_col, "_cid")
+    )
+    if method == "blas":
+        import pandas as pd
+
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        cid_type = centroids.schema[
+            centroid_id_col
+        ].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, {centroid_id_col} {cid_type}, "
+            "n_neighbors bigint, knn_dist double"
+        )
+        scale = 10 ** round_dp
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            ids, s = _rounded_cosine_gram(pdf, id_col, vec_col, round_dp)
+            n = len(ids)
+            cid = pdf["_cid"].iloc[0]
+            if n == 1:
+                return pd.DataFrame(
+                    {
+                        id_col: ids,
+                        centroid_id_col: [cid],
+                        "n_neighbors": np.zeros(1, dtype="int64"),
+                        "knn_dist": [None],
+                    }
+                )
+            s4 = np.rint(s * scale).astype("int64")
+            # self-exclusion sentinel: cosines are >= -scale, so
+            # -2*scale sorts strictly last and (unlike int64.min)
+            # negates without wrapping in the key below
+            np.fill_diagonal(s4, -2 * scale)
+            kk = min(k, n - 1)
+            # exact top-k with the expr path's (s DESC, id ASC) tie
+            # order, WITHOUT a full row argsort: pack both sort keys
+            # into one int64 — s4 ≤ 10^round_dp ≤ 10^6 and the matrix
+            # position j < 2^40 (ids ascend in matrix order, so
+            # position order IS id order) — then argpartition picks
+            # the k largest keys exactly, O(n) per row vs O(n log n)
+            key = s4 * (1 << 40) - np.arange(n, dtype="int64")
+            if kk < n - 1:
+                part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                top = np.take_along_axis(s4, part, axis=1)
+            else:
+                # every cellmate participates: sum the whole row and
+                # remove the self sentinel term (scale - (-2*scale))
+                dist_int = (scale - s4).sum(axis=1) - 3 * scale
+                knn = (dist_int / float(scale)) / float(kk)
+                return pd.DataFrame(
+                    {
+                        id_col: ids,
+                        centroid_id_col: cid,
+                        "n_neighbors": np.full(n, kk, dtype="int64"),
+                        "knn_dist": knn,
+                    }
+                )
+            dist_int = (scale - top).sum(axis=1)
+            knn = (dist_int / float(scale)) / float(kk)
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    centroid_id_col: cid,
+                    "n_neighbors": np.full(n, kk, dtype="int64"),
+                    "knn_dist": knn,
+                }
+            )
+
+        return assigned.groupBy("_cid").applyInPandas(
+            kernel, out_schema
+        )
+    a = assigned.select(
+        F.col(id_col).alias("_ia"),
+        F.col(vec_col).alias("_va"),
+        "_cid",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_ib"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_cid").alias("_cid2"),
+    )
+    pairs = a.join(
+        b,
+        (a["_cid"] == b["_cid2"]) & (F.col("_ia") != F.col("_ib")),
+    ).select(
+        "_ia",
+        "_cid",
+        "_ib",
+        F.round(
+            cosine_similarity(F.col("_va"), F.col("_vb")), round_dp
+        ).alias("_s"),
+    )
+    wk = Window.partitionBy("_ia").orderBy(
+        F.col("_s").desc(), F.col("_ib")
+    )
+    top = (
+        pairs.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_ia", "_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            (
+                F.sum(
+                    (F.lit(1.0) - F.col("_s")).cast("decimal(38,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("knn_dist"),
+        )
+    )
+    top = top.select("_ia", "n_neighbors", "knn_dist")
+    return assigned.join(
+        top,
+        (assigned[id_col] == top["_ia"]),
+        "left",
+    ).select(
+        F.col(id_col),
+        F.col("_cid").alias(centroid_id_col),
+        F.coalesce("n_neighbors", F.lit(0).cast("long")).alias(
+            "n_neighbors"
+        ),
+        "knn_dist",
+    )

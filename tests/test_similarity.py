@@ -347,3 +347,121 @@ def test_portable_hash_changes_buckets_not_pair_semantics(spark):
     # the production family must stay in the same quality band
     for d in (e, exact, prod, replay):
         d.unpersist()
+
+
+def test_knn_outlier_scores_matches_python(spark):
+    """Cell-blocked kNN mean-distance vs a python reference, plus the
+    planted-outlier property: the isolated vector scores highest."""
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        knn_outlier_scores,
+    )
+
+    rng = random.Random(288)
+    dim = 8
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    vecs = []
+    for i in range(60):
+        c = base[i % 3]
+        vecs.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    vecs.append((60, [100.0] + [0.0] * (dim - 1)))  # planted outlier
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    cent = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in knn_outlier_scores(df, cent, k=4).collect()
+    }
+
+    # python reference (float32-exact inputs, 4dp-rounded cosines)
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r4(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    import struct
+
+    def f32(v):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    pv = {i: f32(v) for i, v in vecs}
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    cells = {}
+    for i, v in pv.items():
+        best = max(
+            range(3), key=lambda c: (r4(cos(v, pv[c])), -c)
+        )
+        cells[i] = best
+    for i, v in pv.items():
+        mates = [
+            (r4(cos(v, pv[j])), j)
+            for j in pv
+            if j != i and cells[j] == cells[i]
+        ]
+        mates.sort(key=lambda t: (-t[0], t[1]))
+        topk = mates[:4]
+        r = out[i]
+        assert r["centroid_id"] == cells[i]
+        assert r["n_neighbors"] == len(topk)
+        if topk:
+            want = sum(round(1.0 - s, 6) for s, _ in topk) / len(topk)
+            assert r["knn_dist"] == pytest.approx(want, abs=1e-6)
+    # the planted outlier has the largest score in its cell
+    cell_of_out = out[60]["centroid_id"]
+    peers = [
+        r["knn_dist"]
+        for r in out.values()
+        if r["centroid_id"] == cell_of_out and r["knn_dist"] is not None
+    ]
+    assert out[60]["knn_dist"] == max(peers)
+    assert out[60]["knn_dist"] > 0.3
+    inliers = sorted(peers)[: len(peers) // 2]
+    assert all(out[60]["knn_dist"] > 10 * d for d in inliers if d > 0)
+
+
+def test_knn_outlier_blas_bit_identical_to_expr(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        knn_outlier_scores,
+    )
+
+    rng = random.Random(2882)
+    df = spark.createDataFrame(
+        [
+            (i, [float(rng.gauss(0, 1)) for _ in range(16)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cent = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ex = sorted(
+        map(tuple, knn_outlier_scores(df, cent, k=3).collect())
+    )
+    bl = sorted(
+        map(
+            tuple,
+            knn_outlier_scores(df, cent, k=3, method="blas").collect(),
+        )
+    )
+    assert ex == bl  # bit-identical, not approx

@@ -647,7 +647,10 @@ def main() -> int:
     # output is vocab-scale × a handful of groups, never corpus-scale.
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
                   "q47_simsearch_lsh", "q132_semdedup",
-                  "q145_vocab_drift"}
+                  "q145_vocab_drift",
+                  # q288: corpus × 16-centroid broadcast — the same
+                  # sanctioned ANN index-build shape as q40/q132
+                  "q288_knn_outlier"}
     for name, fn in sorted(qs.items()):
         if name.startswith("q36") or name.startswith("q46") or \
                 name.startswith("q49") or name.startswith("q50") or \
