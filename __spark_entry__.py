@@ -16909,6 +16909,99 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_outlier_scores(e, cent, k=5, method="blas")
 
 
+@_q(
+    "q289_km_greenwood",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t0,
+                      MIN(CASE WHEN event_type = 'purchase'
+                          THEN ts END) AS p,
+                      MAX(ts) AS last
+               FROM events GROUP BY user_id),
+    subj AS (SELECT CAST(date_trunc('month', t0) AS TIMESTAMP)
+                      AS cohort,
+                    (epoch_us(COALESCE(p, last)) - epoch_us(t0))
+                      // 86400000000 AS dur,
+                    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM s),
+    per_t AS (SELECT cohort, dur AS t,
+                     CAST(SUM(ev) AS BIGINT) AS d,
+                     CAST(SUM(1 - ev) AS BIGINT) AS c
+              FROM subj GROUP BY cohort, dur),
+    w AS (SELECT cohort, t, d, c,
+                 CAST(SUM(d + c) OVER wg AS BIGINT)
+                   - CAST(SUM(d + c) OVER wo AS BIGINT) + d + c AS n
+          FROM per_t
+          WINDOW wg AS (PARTITION BY cohort),
+                 wo AS (PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    f AS (SELECT cohort, t, d, c, n,
+                 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS frac,
+                 CASE WHEN n > d
+                      THEN CAST(CAST(d AS DOUBLE)
+                           / (CAST(n AS DOUBLE)
+                              * CAST(n - d AS DOUBLE))
+                           AS DECIMAL(38,12)) END AS gterm
+          FROM w),
+    g AS (SELECT cohort, t, n, d, c,
+                 MIN(frac) OVER wo AS minf,
+                 SUM(ln(CASE WHEN frac > 0 THEN frac ELSE 1.0 END))
+                   OVER wo AS lsum,
+                 CAST(SUM(gterm) OVER wo AS DOUBLE) AS gw
+          FROM f WINDOW wo AS (PARTITION BY cohort ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+    SELECT cohort, t, n AS n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN minf <= 0 THEN 0.0
+                ELSE round(exp(lsum), 6) END AS survival,
+           CASE WHEN minf <= 0 THEN 0.0
+                ELSE round(exp(lsum) * sqrt(gw), 6) END AS se,
+           CASE WHEN minf <= 0 THEN 0.0
+                ELSE round(greatest(CAST(0.0 AS DOUBLE),
+                           exp(lsum) - CAST(1.96 AS DOUBLE)
+                           * (exp(lsum) * sqrt(gw))), 6) END AS ci_lo,
+           CASE WHEN minf <= 0 THEN 0.0
+                ELSE round(least(CAST(1.0 AS DOUBLE),
+                           exp(lsum) + CAST(1.96 AS DOUBLE)
+                           * (exp(lsum) * sqrt(gw))), 6) END AS ci_hi
+    FROM g WHERE d > 0
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier with Greenwood standard errors and a clamped 95%
+    band — q206's curve made publishable: a survival estimate without
+    its uncertainty is how churn dashboards over-read month-to-month
+    wiggle.  Same one-agg + ordered-window plan; the Greenwood
+    variance terms d/(n(n−d)) are 12 dp-decimal-rounded before the
+    cumulative sum (they are ~1/n², a 6 dp cast would zero them), and
+    an all-deaths time reports se/ci 0 via the explicit flag
+    (operators/stats.py:kaplan_meier greenwood=True)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import kaplan_meier
+
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_p"),
+        F.max("ts").alias("_last"),
+    )
+    subj = s.select(
+        F.date_trunc("month", F.col("_t0")).alias("cohort"),
+        F.expr(
+            "(unix_micros(coalesce(_p, _last)) - unix_micros(_t0))"
+            " DIV 86400000000"
+        ).alias("_dur"),
+        F.col("_p").isNotNull().alias("_ev"),
+    )
+    return subj.transform(
+        kaplan_meier(
+            "_dur", event_col=F.col("_ev"), group_by="cohort",
+            greenwood=True,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

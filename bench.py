@@ -247,6 +247,7 @@ HEADLINE = [
     "q286_energy_distance",
     "q287_yuen_t",
     "q288_knn_outlier",
+    "q289_km_greenwood",
 ]
 
 

@@ -361,6 +361,7 @@ def kaplan_meier(
     duration_col: str,
     event_col: Column,
     group_by: str | None = None,
+    greenwood: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Kaplan–Meier survival estimator with right censoring — the
     churn/retention curve done correctly: censored subjects (still
@@ -380,6 +381,18 @@ def kaplan_meier(
 
     Emits one row per EVENT time (d_i > 0): ``group_by…, t, n_risk,
     n_events, n_censored, survival``.
+
+    ``greenwood=True`` appends the Greenwood standard error and the
+    clamped 95% linear confidence band:
+
+        Var(S) = S² · Σ_{t_i ≤ t} d_i / (n_i·(n_i − d_i))
+
+    The per-time variance terms are 12 dp-decimal-rounded before their
+    ordered cumulative sum (they are ~1/n² — the 6 dp cast would crush
+    them to zero); an all-deaths time (n = d) has undefined variance —
+    its term is NULL (skipped) and survival is 0 there anyway, so
+    se/ci report 0.  Adds ``se, ci_lo, ci_hi`` (ci clamped to [0, 1],
+    6 dp).
     """
     gcols = [group_by] if group_by else []
 
@@ -412,20 +425,57 @@ def kaplan_meier(
             )
         )
         dead = F.min("_frac").over(wo) <= 0
+        s_raw = F.exp(F.sum(ln_safe).over(wo))
         survival = F.when(dead, F.lit(0.0)).otherwise(
-            F.round(F.exp(F.sum(ln_safe).over(wo)), 6)
+            F.round(s_raw, 6)
         )
+        cols = [
+            *gcols,
+            "t",
+            F.col("_n").alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.col("_c").alias("n_censored"),
+            "survival",
+        ]
+        if greenwood:
+            gterm = F.when(
+                F.col("_n") > F.col("_d"),
+                (
+                    F.col("_d").cast("double")
+                    / (
+                        F.col("_n").cast("double")
+                        * (F.col("_n") - F.col("_d")).cast("double")
+                    )
+                ).cast("decimal(38,12)"),
+            )
+            gsum = F.sum(gterm).over(wo).cast("double")
+            se_raw = s_raw * F.sqrt(gsum)
+            se = F.when(dead, F.lit(0.0)).otherwise(
+                F.round(se_raw, 6)
+            )
+            lo = F.when(dead, F.lit(0.0)).otherwise(
+                F.round(
+                    F.greatest(
+                        F.lit(0.0),
+                        s_raw - F.lit(1.96) * se_raw,
+                    ),
+                    6,
+                )
+            )
+            hi = F.when(dead, F.lit(0.0)).otherwise(
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        s_raw + F.lit(1.96) * se_raw,
+                    ),
+                    6,
+                )
+            )
+            cols += [se.alias("se"), lo.alias("ci_lo"), hi.alias("ci_hi")]
         return (
             staged.withColumn("survival", survival)
             .where(F.col("_d") > 0)
-            .select(
-                *gcols,
-                "t",
-                F.col("_n").alias("n_risk"),
-                F.col("_d").alias("n_events"),
-                F.col("_c").alias("n_censored"),
-                "survival",
-            )
+            .select(*cols)
         )
 
     return _t

@@ -399,3 +399,56 @@ def test_yuen_t_matches_python(spark):
     assert r["t"] is None
     with pytest.raises(ValueError):
         yuen_t("v", "g", "A", trim=0.5)
+
+
+def test_km_greenwood_matches_python(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import kaplan_meier
+
+    # classic textbook fixture: durations with events and censorings
+    rows = [
+        (6, True), (6, True), (6, True), (6, False),
+        (7, True), (9, False), (10, True), (10, False),
+        (11, False), (13, True), (16, True), (17, False),
+        (19, False), (20, False), (22, True), (23, True),
+        (25, False), (32, False), (32, False), (34, False), (35, False),
+    ]
+    df = spark.createDataFrame(rows, "dur int, ev boolean")
+    out = {
+        r["t"]: r
+        for r in df.transform(
+            kaplan_meier("dur", F.col("ev"), greenwood=True)
+        ).collect()
+    }
+
+    # python reference
+    from collections import Counter
+
+    d = Counter(t for t, e in rows if e)
+    c = Counter(t for t, e in rows if not e)
+    times = sorted(set(d) | set(c))
+    n = len(rows)
+    s = 1.0
+    gsum = 0.0
+    for t in times:
+        dt, ct = d.get(t, 0), c.get(t, 0)
+        if dt:
+            s *= 1 - dt / n
+            gsum += round(dt / (n * (n - dt)), 12)
+            se = s * math.sqrt(gsum)
+            r = out[t]
+            assert r["n_risk"] == n
+            assert r["survival"] == pytest.approx(s, abs=2e-6)
+            assert r["se"] == pytest.approx(se, abs=2e-6)
+            assert r["ci_lo"] == pytest.approx(
+                max(0.0, s - 1.96 * se), abs=5e-6
+            )
+            assert r["ci_hi"] == pytest.approx(
+                min(1.0, s + 1.96 * se), abs=5e-6
+            )
+        n -= dt + ct
+    # bands must widen as the risk set shrinks (monotone gsum)
+    ses = [out[t]["se"] for t in sorted(out)]
+    assert ses[0] < ses[-1] or len(ses) < 2
+    # default path (greenwood=False) keeps the original schema
+    base = df.transform(kaplan_meier("dur", F.col("ev"))).columns
+    assert "se" not in base
