@@ -16911,6 +16911,7 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q289_km_greenwood",
+    "q290_page_hinkley",
     """
     WITH s AS (SELECT user_id, MIN(ts) AS t0,
                       MIN(CASE WHEN event_type = 'purchase'
@@ -16999,6 +17000,95 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_dur", event_col=F.col("_ev"), group_by="cohort",
             greenwood=True,
         )
+    )
+
+
+@_q(
+    "q290_page_hinkley",
+    """
+    WITH daily AS (SELECT event_type AS seg,
+                          CAST(date_trunc('day', ts) AS TIMESTAMP)
+                            AS day,
+                          CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                               AS DOUBLE) / COUNT(value) AS v0
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL
+                   GROUP BY event_type, day),
+    d AS (SELECT seg, day,
+                 v0 + CASE WHEN EXTRACT(day FROM day) >= 16
+                           THEN CAST(20.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS x
+          FROM daily),
+    c AS (SELECT seg, day, x,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER wo
+                      AS DOUBLE)
+                   / CAST(COUNT(*) OVER wo AS DOUBLE) AS cavg
+          FROM d
+          WINDOW wo AS (PARTITION BY seg ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    t AS (SELECT seg, day, x,
+                 CAST(x - cavg - CAST(0.1 AS DOUBLE)
+                      AS DECIMAL(38,12)) AS term
+          FROM c),
+    m AS (SELECT seg, day, x,
+                 CAST(SUM(term) OVER wo AS DOUBLE) AS mt
+          FROM t
+          WINDOW wo AS (PARTITION BY seg ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+    p AS (SELECT seg, day, x, mt,
+                 mt - MIN(mt) OVER wo AS phv
+          FROM m
+          WINDOW wo AS (PARTITION BY seg ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+    SELECT seg, day, x, round(mt, 6) AS m_t,
+           round(phv, 6) AS ph,
+           phv > CAST(50.0 AS DOUBLE) AS alarm
+    FROM p
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift alarm on per-type daily means —
+    the ONLINE drift detector next to the frozen-sample family
+    (q183–q286): at which DAY did the metric's running mean drift up
+    by more than δ = 0.1 with cumulative evidence λ = 50?  Fixture
+    plants a +20 step on days ≥ 16, so every series alarms mid-month
+    and the pre-step days stay quiet.  Daily means are exact_avg
+    quotients; both cumulative sums run over DECIMAL(38,12) terms
+    (ordered SUM(double) associates differently across engines — the
+    q53 segment-tree lesson)
+    (operators/drift.py:page_hinkley)."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import page_hinkley
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("seg"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("v0")
+    )
+    rows = daily.select(
+        "seg",
+        "day",
+        (
+            F.col("v0")
+            + F.when(
+                F.dayofmonth("day") >= 16, F.lit(20.0)
+            ).otherwise(F.lit(0.0))
+        ).alias("x"),
+    )
+    return rows.transform(
+        page_hinkley("x", "day", delta=0.1, lam=50.0, group_by="seg")
     )
 
 
@@ -17241,6 +17331,8 @@ _PRIORITY_WINDOW = [
     "q286_energy_distance",
     "q287_yuen_t",
     "q288_knn_outlier",
+    "q289_km_greenwood",
+    "q290_page_hinkley",
     # --- ask #2: fenced-operator's sparse fixture stays windowed ---
     "q272_link_prediction",
     # --- never-driver-checked backlog, oldest families first ---
@@ -17277,8 +17369,6 @@ _PRIORITY_WINDOW = [
     "q169_zone_pruning",
     "q170_compaction_plan",
     "q172_temperature_mix",
-    "q173_hll_intersection",
-    "q175_attribution",
 ]
 
 

@@ -248,6 +248,7 @@ HEADLINE = [
     "q287_yuen_t",
     "q288_knn_outlier",
     "q289_km_greenwood",
+    "q290_page_hinkley",
 ]
 
 

@@ -634,6 +634,80 @@ def energy_distance(
     return _t
 
 
+def page_hinkley(
+    value_col: str,
+    time_col: str,
+    delta: float = 0.005,
+    lam: float = 50.0,
+    group_by: Sequence[str] | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Page–Hinkley sequential change detector per series — the
+    ONLINE member of the drift family: PSI/KS/…/energy (q183–q286)
+    compare two frozen samples, PH watches a SERIES and raises an
+    alarm at the first step the running mean has drifted upward by
+    more than ``delta`` with cumulative evidence ``lam``:
+
+        m_t  = Σ_{i≤t} (x_i − x̄_i − δ),   x̄_i = mean(x_1..x_i)
+        PH_t = m_t − min_{i≤t} m_i,        alarm when PH_t > λ
+
+    (the classic CUSUM-family formulation; monitor −x for downward
+    drift).  Everything is two chained ordered windows — cumulative
+    mean, then cumulative sum of the deviation terms and a running
+    min — NO iteration, NO state store, so it runs as a plain batch
+    plan over history and replays in SQL.
+
+    Cross-engine determinism: an ordered ``SUM(double) OVER`` is NOT
+    safe (DuckDB's segment-tree association differs from Spark's
+    running accumulation — the q53 lesson), so both cumulative sums
+    run over DECIMAL(38,12)-cast terms (exact, association-free) and
+    cast to double after.  The per-row mean division is one IEEE op
+    on exact decimal/count inputs.  m_t and PH_t pinned at 6 dp.
+    Returns ``group_by…, time, x, m_t, ph, alarm``.
+    """
+    gcols = _group_cols(group_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(time_col).alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        wo = wg.orderBy("_t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        dec12 = "decimal(38,12)"
+        cavg = (
+            F.sum(F.col("_x").cast(dec12)).over(wo).cast("double")
+            / F.count(F.lit(1)).over(wo).cast("double")
+        )
+        term = (F.col("_x") - cavg - F.lit(float(delta))).cast(dec12)
+        staged = d.select(*gcols, "_t", "_x", term.alias("_term"))
+        wo2 = wg.orderBy("_t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        mt = F.sum("_term").over(wo2).cast("double")
+        staged2 = staged.select(
+            *gcols, "_t", "_x", mt.alias("_mt")
+        )
+        wo3 = wg.orderBy("_t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ph = F.col("_mt") - F.min("_mt").over(wo3)
+        return staged2.select(
+            *gcols,
+            F.col("_t").alias(time_col),
+            F.col("_x").alias("x"),
+            F.round(F.col("_mt"), 6).alias("m_t"),
+            F.round(ph, 6).alias("ph"),
+            (ph > F.lit(float(lam))).alias("alarm"),
+        )
+
+    return _t
+
+
 def drift_report(
     value_col: str,
     is_current: Column,

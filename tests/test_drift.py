@@ -546,3 +546,37 @@ def test_energy_distance_matches_pairwise_python(spark):
         ]
         is None
     )
+
+
+def test_page_hinkley_matches_python_and_alarms(spark):
+    from btc_usdt_etl_pipeline_spark.operators.drift import page_hinkley
+
+    rng = random.Random(290)
+    xs = [rng.gauss(10, 0.5) for _ in range(40)] + [
+        rng.gauss(14, 0.5) for _ in range(20)
+    ]
+    rows = [(float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "t double, v double")
+    out = sorted(
+        df.transform(
+            page_hinkley("v", "t", delta=0.1, lam=20.0)
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+
+    # python reference (12dp term rounding mirrors the decimal casts)
+    m = 0.0
+    run_min = float("inf")
+    cs = 0.0
+    for i, x in enumerate(xs):
+        cs += round(x, 12)
+        cavg = cs / (i + 1)
+        m += round(x - cavg - 0.1, 12)
+        run_min = min(run_min, m)
+        r = out[i]
+        assert r["m_t"] == pytest.approx(m, abs=1e-5)
+        assert r["ph"] == pytest.approx(m - run_min, abs=1e-5)
+        assert r["alarm"] == (m - run_min > 20.0)
+    # no alarm before the step, alarm after
+    assert not any(r["alarm"] for r in out[:40])
+    assert out[-1]["alarm"]
