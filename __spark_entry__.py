@@ -16911,7 +16911,6 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q289_km_greenwood",
-    "q290_page_hinkley",
     """
     WITH s AS (SELECT user_id, MIN(ts) AS t0,
                       MIN(CASE WHEN event_type = 'purchase'
