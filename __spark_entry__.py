@@ -17091,6 +17091,167 @@ def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q291_seasonal_strength",
+    """
+    WITH m AS (SELECT event_id, user_id, value, ts,
+                      CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                           OVER wt AS DOUBLE)
+                        / COUNT(value) OVER wt AS trend,
+                      CAST((ROW_NUMBER() OVER wo - 1) % 24 AS INT)
+                        AS phase
+               FROM events
+               WINDOW wo AS (PARTITION BY user_id
+                             ORDER BY ts, event_id),
+                      wt AS (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 12 PRECEDING
+                             AND 12 FOLLOWING)),
+    d AS (SELECT *, value - trend AS detr FROM m),
+    p AS (SELECT *,
+                 CAST(SUM(CAST(detr AS DECIMAL(38,6)))
+                      OVER wp AS DOUBLE)
+                   / COUNT(detr) OVER wp AS pm,
+                 ROW_NUMBER() OVER wpo AS rip
+          FROM d
+          WINDOW wp AS (PARTITION BY user_id, phase),
+                 wpo AS (PARTITION BY user_id, phase
+                         ORDER BY ts, event_id)),
+    g AS (SELECT *,
+                 CAST(SUM(CAST(CASE WHEN rip = 1 THEN pm
+                               ELSE 0.0 END AS DECIMAL(38,12)))
+                      OVER wgu AS DOUBLE)
+                   / SUM(CASE WHEN rip = 1 THEN 1 ELSE 0 END)
+                       OVER wgu AS grand
+          FROM p WINDOW wgu AS (PARTITION BY user_id)),
+    comp AS (SELECT user_id,
+                    value - trend - (pm - grand) AS r,
+                    (pm - grand)
+                      + (value - trend - (pm - grand)) AS sr,
+                    trend
+                      + (value - trend - (pm - grand)) AS tr
+             FROM g),
+    v AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+                 CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                   AS s_r,
+                 CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE)
+                   AS q_r,
+                 CAST(SUM(CAST(sr AS DECIMAL(38,12))) AS DOUBLE)
+                   AS s_sr,
+                 CAST(SUM(CAST(sr * sr AS DECIMAL(38,12)))
+                      AS DOUBLE) AS q_sr,
+                 CAST(SUM(CAST(tr AS DECIMAL(38,12))) AS DOUBLE)
+                   AS s_tr,
+                 CAST(SUM(CAST(tr * tr AS DECIMAL(38,12)))
+                      AS DOUBLE) AS q_tr
+          FROM comp GROUP BY user_id),
+    w2 AS (SELECT user_id, n,
+                  CASE WHEN n >= 2
+                       THEN (q_r - s_r * s_r / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) END AS vr,
+                  CASE WHEN n >= 2
+                       THEN (q_sr - s_sr * s_sr
+                                    / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) END AS vsr,
+                  CASE WHEN n >= 2
+                       THEN (q_tr - s_tr * s_tr
+                                    / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               - CAST(1.0 AS DOUBLE)) END AS vtr
+           FROM v)
+    SELECT user_id, n,
+           CASE WHEN vtr > 0
+                THEN round(greatest(CAST(0.0 AS DOUBLE),
+                           CAST(1.0 AS DOUBLE) - vr / vtr), 6) END
+             AS strength_trend,
+           CASE WHEN vsr > 0
+                THEN round(greatest(CAST(0.0 AS DOUBLE),
+                           CAST(1.0 AS DOUBLE) - vr / vsr), 6) END
+             AS strength_seasonal
+    FROM w2
+    """,
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal STRENGTH features per user series (Hyndman's
+    tsfeatures): F_trend = max(0, 1 − Var(R)/Var(T+R)), F_seasonal =
+    max(0, 1 − Var(R)/Var(S+R)) over the q186 STL-lite components —
+    the two numbers that turn a decomposition into a rankable
+    series-triage signal (which users' metrics are trending vs
+    seasonal vs noise).  One extra per-user decimal-moment agg on top
+    of q186's window plan; S+R / T+R are built by the SAME unsimplified
+    additions in both engines ((pm−grand) + resid, not value−trend —
+    IEEE addition is not simplifiable), variance terms at (38,12)
+    (operators/windows.py:seasonal_decompose + moment rollup)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    comp = (
+        _t(spark, sf_dir, "events")
+        .transform(
+            seasonal_decompose(
+                "value",
+                period=24,
+                trend_halfwidth=12,
+                partition_by="user_id",
+                order_by=("ts", "event_id"),
+            )
+        )
+        .select(
+            "user_id",
+            F.col("resid").alias("_r"),
+            (F.col("seasonal") + F.col("resid")).alias("_sr"),
+            (F.col("trend") + F.col("resid")).alias("_tr"),
+        )
+    )
+    dec12 = "decimal(38,12)"
+
+    def moments(c, suf):
+        x = F.col(c)
+        return [
+            F.sum(x.cast(dec12)).cast("double").alias(f"_s{suf}"),
+            F.sum((x * x).cast(dec12)).cast("double").alias(f"_q{suf}"),
+        ]
+
+    agg = comp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *moments("_r", "r"),
+        *moments("_sr", "sr"),
+        *moments("_tr", "tr"),
+    )
+    n = F.col("n").cast("double")
+
+    def var(suf):
+        return F.when(
+            F.col("n") >= 2,
+            (
+                F.col(f"_q{suf}")
+                - F.col(f"_s{suf}") * F.col(f"_s{suf}") / n
+            )
+            / (n - F.lit(1.0)),
+        )
+
+    vr, vsr, vtr = var("r"), var("sr"), var("tr")
+    return agg.select(
+        "user_id",
+        "n",
+        F.when(
+            vtr > 0,
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - vr / vtr), 6
+            ),
+        ).alias("strength_trend"),
+        F.when(
+            vsr > 0,
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - vr / vsr), 6
+            ),
+        ).alias("strength_seasonal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -17332,6 +17493,7 @@ _PRIORITY_WINDOW = [
     "q288_knn_outlier",
     "q289_km_greenwood",
     "q290_page_hinkley",
+    "q291_seasonal_strength",
     # --- ask #2: fenced-operator's sparse fixture stays windowed ---
     "q272_link_prediction",
     # --- never-driver-checked backlog, oldest families first ---
@@ -17367,7 +17529,6 @@ _PRIORITY_WINDOW = [
     "q166_streaming_rollup",
     "q169_zone_pruning",
     "q170_compaction_plan",
-    "q172_temperature_mix",
 ]
 
 

@@ -249,6 +249,7 @@ HEADLINE = [
     "q288_knn_outlier",
     "q289_km_greenwood",
     "q290_page_hinkley",
+    "q291_seasonal_strength",
 ]
 
 

@@ -452,3 +452,53 @@ def test_km_greenwood_matches_python(spark):
     # default path (greenwood=False) keeps the original schema
     base = df.transform(kaplan_meier("dur", F.col("ev"))).columns
     assert "se" not in base
+
+
+def test_seasonal_strength_discriminates(spark):
+    """A pure-seasonal series scores strength_seasonal ~1 /
+    strength_trend ~0; a pure-trend series the reverse; white noise
+    scores low on both."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(291)
+    rows = []
+    for i in range(240):
+        rows.append(("seas", i, 10.0 + 5.0 * math.sin(2 * math.pi * i / 24)))
+        rows.append(("trend", i, 10.0 + 0.5 * i + rng.gauss(0, 0.1)))
+        rows.append(("noise", i, rng.gauss(10, 2)))
+    df = spark.createDataFrame(rows, "user_id string, event_id int, v double")
+    df = df.withColumn("ts", F2.col("event_id").cast("timestamp"))
+    comp = df.transform(
+        seasonal_decompose(
+            "v", period=24, trend_halfwidth=12,
+            partition_by="user_id", order_by=("ts", "event_id"),
+        )
+    ).select(
+        "user_id",
+        F2.col("resid").alias("r"),
+        (F2.col("seasonal") + F2.col("resid")).alias("sr"),
+        (F2.col("trend") + F2.col("resid")).alias("tr"),
+    )
+    pdf = comp.toPandas()
+
+    def strength(g, num, den):
+        import statistics
+
+        vr = statistics.variance(g["r"])
+        vd = statistics.variance(g[den])
+        return max(0.0, 1 - vr / vd)
+
+    out = {}
+    for uid, g in pdf.groupby("user_id"):
+        out[uid] = (
+            strength(g, "r", "tr"),
+            strength(g, "r", "sr"),
+        )
+    assert out["seas"][1] > 0.95   # strong seasonality
+    assert out["seas"][0] < 0.6
+    assert out["trend"][0] > 0.95  # strong trend
+    assert out["trend"][1] < 0.6
+    assert out["noise"][0] < 0.5 and out["noise"][1] < 0.6
