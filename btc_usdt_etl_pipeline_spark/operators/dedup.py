@@ -120,6 +120,177 @@ def minhash_signature(sh: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def minhash_shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    flag_cols: Sequence[Column] = (),
+) -> DataFrame:
+    """``(_id, *flags, _sh)`` rows with non-empty distinct shingle sets
+    — the shared front half of :func:`minhash_near_dedup` and the
+    streaming index sink (``streaming/neardup.py``): one tokenizer, one
+    shingler, so batch and streaming signatures are definitionally
+    identical."""
+    return (
+        ensure_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            *flag_cols,
+            F.array_distinct(
+                shingles(tokens(text_col), shingle_n)
+            ).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+
+
+def minhash_band_keys(
+    base: DataFrame,
+    meta: Sequence[str],
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """LSH band-bucket keys ``(*meta, _key)`` from shingle-set rows.
+
+    Signatures via explode + codegen'd aggregates, NOT the nested
+    higher-order-function form: HOF lambdas are interpreted per
+    element × per hash function (catastrophic constant factor), while
+    ``min(xxhash64(h, seed))`` over exploded shingle hashes is
+    whole-stage codegen with map-side partial aggregation — the
+    shuffle carries at most one ``num_hashes``-wide row per doc.
+    """
+    rows_per_band = num_hashes // bands
+    meta = list(meta)
+    ex = base.select(*meta, F.explode("_sh").alias("_s")).select(
+        *meta, F.xxhash64("_s").alias("_h")
+    )
+    sig = ex.groupBy(*meta).agg(
+        *[
+            F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        *meta,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"_m{j}")
+                            for j in range(
+                                b * rows_per_band,
+                                (b + 1) * rows_per_band,
+                            )
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_key"),
+    )
+
+
+def lsh_bucket_pairs(
+    banded: DataFrame,
+    max_bucket: int | None,
+    flagged: bool = False,
+) -> DataFrame:
+    """Distinct same-bucket candidate pairs ``(id_a, id_b)`` with
+    ``id_a < id_b`` from ``(_id[, _new], _key)`` band rows.
+
+    Same-bucket pairs come from ONE pass (groupBy + in-bucket pair
+    expansion) instead of a banded⋈banded self-join — halves the
+    signature computation and drops a whole shuffle.  Bucket sizes
+    are small by LSH construction; ``max_bucket`` fences the
+    degenerate ones (mass-duplicated boilerplate).  The cap runs
+    as a keyed window (row_number per bucket) — the sort shares
+    the groupBy's hash-partitioning on ``_key``, so it adds no
+    extra shuffle, and it bounds the collect_list array width.
+    With ``flagged=True`` rows carry ``_new`` and old↔old pairs are
+    pruned inside the bucket, BEFORE any pair leaves it (the
+    incremental new-vs-index contract); the cap then keeps new
+    members preferentially (``_new DESC, _id``).
+    """
+    if max_bucket is not None:
+        if flagged:
+            wcap = Window.partitionBy("_key").orderBy(
+                F.col("_new").desc(), "_id"
+            )
+        else:
+            wcap = Window.partitionBy("_key").orderBy("_id")
+        banded = (
+            banded.withColumn("_r", F.row_number().over(wcap))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    if flagged:
+        buckets = (
+            banded.groupBy("_key")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_id", "_new"))
+                ).alias("_ids")
+            )
+            .filter(F.size("_ids") > 1)
+        )
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.filter(
+                                F.slice(
+                                    F.col("_ids"),
+                                    i + F.lit(2),
+                                    F.size("_ids") - i - 1,
+                                ),
+                                # prune old↔old HERE, before any
+                                # pair leaves the bucket
+                                lambda y: x["_new"] | y["_new"],
+                            ),
+                            lambda y: F.struct(
+                                x["_id"].alias("id_a"),
+                                y["_id"].alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+    else:
+        buckets = (
+            banded.groupBy("_key")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") > 1)
+        )
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ids"),
+                                i + F.lit(2),
+                                F.size("_ids") - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+    return pairs.select("_p.id_a", "_p.id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 def minhash_near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -164,7 +335,6 @@ def minhash_near_dedup(
     ``collect_list``, so no executor ever materializes an unbounded
     id array.  ``None`` disables.
     """
-    rows_per_band = num_hashes // bands
     if max_bucket is not None and max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (or None)")
 
@@ -188,135 +358,13 @@ def minhash_near_dedup(
             if new_col is not None
             else []
         )
-        base = (
-            ensure_parallelism(df, id_col)
-            .select(
-                F.col(id_col).alias("_id"),
-                *flag_cols,
-                F.array_distinct(
-                    shingles(tokens(text_col), shingle_n)
-                ).alias("_sh"),
-            )
-            .filter(F.size("_sh") > 0)
+        base = minhash_shingle_rows(
+            df, text_col, id_col, shingle_n, flag_cols
         )
         meta = ["_id"] + (["_new"] if new_col is not None else [])
-        # Signatures via explode + codegen'd aggregates, NOT the nested
-        # higher-order-function form: HOF lambdas are interpreted per
-        # element × per hash function (catastrophic constant factor),
-        # while min(xxhash64(h, seed)) over exploded shingle hashes is
-        # whole-stage codegen with map-side partial aggregation — the
-        # shuffle carries at most one num_hashes-wide row per doc.
-        ex = base.select(
-            *meta, F.explode("_sh").alias("_s")
-        ).select(*meta, F.xxhash64("_s").alias("_h"))
-        sig = ex.groupBy(*meta).agg(
-            *[
-                F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        banded = sig.select(
-            *meta,
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col(f"_m{j}")
-                                for j in range(
-                                    b * rows_per_band,
-                                    (b + 1) * rows_per_band,
-                                )
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_key"),
-        )
-        # Same-bucket pairs from ONE pass (groupBy + in-bucket pair
-        # expansion) instead of a banded⋈banded self-join — halves the
-        # signature computation and drops a whole shuffle.  Bucket sizes
-        # are small by LSH construction; ``max_bucket`` fences the
-        # degenerate ones (mass-duplicated boilerplate).  The cap runs
-        # as a keyed window (row_number per bucket) — the sort shares
-        # the groupBy's hash-partitioning on ``_key``, so it adds no
-        # extra shuffle, and it bounds the collect_list array width.
-        if max_bucket is not None:
-            if new_col is not None:
-                wcap = Window.partitionBy("_key").orderBy(
-                    F.col("_new").desc(), "_id"
-                )
-            else:
-                wcap = Window.partitionBy("_key").orderBy("_id")
-            banded = (
-                banded.withColumn("_r", F.row_number().over(wcap))
-                .filter(F.col("_r") <= max_bucket)
-                .drop("_r")
-            )
-        if new_col is not None:
-            buckets = (
-                banded.groupBy("_key")
-                .agg(
-                    F.sort_array(
-                        F.collect_list(F.struct("_id", "_new"))
-                    ).alias("_ids")
-                )
-                .filter(F.size("_ids") > 1)
-            )
-            pairs = buckets.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.col("_ids"),
-                            lambda x, i: F.transform(
-                                F.filter(
-                                    F.slice(
-                                        F.col("_ids"),
-                                        i + F.lit(2),
-                                        F.size("_ids") - i - 1,
-                                    ),
-                                    # prune old↔old HERE, before any
-                                    # pair leaves the bucket
-                                    lambda y: x["_new"] | y["_new"],
-                                ),
-                                lambda y: F.struct(
-                                    x["_id"].alias("id_a"),
-                                    y["_id"].alias("id_b"),
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("_p")
-            )
-        else:
-            buckets = (
-                banded.groupBy("_key")
-                .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-                .filter(F.size("_ids") > 1)
-            )
-            pairs = buckets.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.col("_ids"),
-                            lambda x, i: F.transform(
-                                F.slice(
-                                    F.col("_ids"),
-                                    i + F.lit(2),
-                                    F.size("_ids") - i - 1,
-                                ),
-                                lambda y: F.struct(
-                                    x.alias("id_a"), y.alias("id_b")
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("_p")
-            )
-        cand = pairs.select("_p.id_a", "_p.id_b").dropDuplicates(
-            ["id_a", "id_b"]
+        banded = minhash_band_keys(base, meta, num_hashes, bands)
+        cand = lsh_bucket_pairs(
+            banded, max_bucket, flagged=new_col is not None
         )
         sha = base.select(
             F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")

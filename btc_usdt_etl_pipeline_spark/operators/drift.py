@@ -636,7 +636,7 @@ def energy_distance(
 
 def page_hinkley(
     value_col: str,
-    time_col: str,
+    time_col: str | Sequence[str],
     delta: float = 0.005,
     lam: float = 50.0,
     group_by: Sequence[str] | str | None = None,
@@ -662,20 +662,30 @@ def page_hinkley(
     run over DECIMAL(38,12)-cast terms (exact, association-free) and
     cast to double after.  The per-row mean division is one IEEE op
     on exact decimal/count inputs.  m_t and PH_t pinned at 6 dp.
+
+    Tie determinism: a ``rowsBetween`` frame over a tied ``ORDER BY``
+    is per-row nondeterministic, so ``time_col`` accepts a column
+    TUPLE — the first column is the reported time, the rest break
+    ties (e.g. ``("ts", "event_id")``).  A bare string requires the
+    caller to guarantee unique times within each group (q290
+    pre-aggregates to unique days).
     Returns ``group_by…, time, x, m_t, ph, alarm``.
     """
     gcols = _group_cols(group_by)
+    tcols = [time_col] if isinstance(time_col, str) else list(time_col)
 
     def _t(df: DataFrame) -> DataFrame:
         d = df.where(
-            F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+            F.col(value_col).isNotNull() & F.col(tcols[0]).isNotNull()
         ).select(
             *gcols,
-            F.col(time_col).alias("_t"),
+            F.col(tcols[0]).alias("_t"),
+            *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tcols[1:])],
             F.col(value_col).cast("double").alias("_x"),
         )
+        obt = ["_t"] + [f"_t{i}" for i in range(len(tcols) - 1)]
         wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-        wo = wg.orderBy("_t").rowsBetween(
+        wo = wg.orderBy(*obt).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         dec12 = "decimal(38,12)"
@@ -684,21 +694,21 @@ def page_hinkley(
             / F.count(F.lit(1)).over(wo).cast("double")
         )
         term = (F.col("_x") - cavg - F.lit(float(delta))).cast(dec12)
-        staged = d.select(*gcols, "_t", "_x", term.alias("_term"))
-        wo2 = wg.orderBy("_t").rowsBetween(
+        staged = d.select(*gcols, *obt, "_x", term.alias("_term"))
+        wo2 = wg.orderBy(*obt).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         mt = F.sum("_term").over(wo2).cast("double")
         staged2 = staged.select(
-            *gcols, "_t", "_x", mt.alias("_mt")
+            *gcols, *obt, "_x", mt.alias("_mt")
         )
-        wo3 = wg.orderBy("_t").rowsBetween(
+        wo3 = wg.orderBy(*obt).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         ph = F.col("_mt") - F.min("_mt").over(wo3)
         return staged2.select(
             *gcols,
-            F.col("_t").alias(time_col),
+            F.col("_t").alias(tcols[0]),
             F.col("_x").alias("x"),
             F.round(F.col("_mt"), 6).alias("m_t"),
             F.round(ph, 6).alias("ph"),

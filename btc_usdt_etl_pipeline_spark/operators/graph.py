@@ -28,7 +28,7 @@ J^rounds-deep tree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -732,9 +732,16 @@ def link_prediction(
     carries ``centers_dropped`` (fenced hub count) and
     ``wedges_dropped`` (Σ d·(d−1)/2 over fenced centers — the exact
     unordered-pair mass the fence refused to materialize), attached
-    as a broadcast one-row scalar.  ``max_center_degree=None``
-    (default) keeps the exact unfenced semantics for sparse graphs
-    (q272's subsampled co-supplier fixture).
+    as a broadcast one-row scalar; with no fence set both audit
+    columns are emitted as 0 (the ask is honored, nothing was
+    dropped).  ``max_center_degree=None`` (default) keeps the exact
+    unfenced semantics for sparse graphs (q272's subsampled
+    co-supplier fixture).
+
+    The final top-k is limit-then-rank: an ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject (per-partition heaps + a k-row
+    driver merge), so the edge-scale candidate set NEVER funnels
+    through an ``Exchange SinglePartition`` window sort.
 
     Per-wedge AA terms are rounded to 6 dp via the exact-decimal cast
     before the order-free sum; CN and degrees are exact integers; the
@@ -759,22 +766,30 @@ def link_prediction(
         F.col("_deg").alias("_degw"),
     )
     drops = None
+    if max_center_degree is not None and max_center_degree < 2:
+        raise ValueError("max_center_degree must be >= 2 (or None)")
+    if report_drops:
+        # Audit columns are honored even with no fence (zeros) so a
+        # caller asking for drop accounting never silently gets none.
+        # Conditional agg (no filter) => always exactly one row.
+        # d*(d-1) is always even -> DIV 2 is exact; integer DIV
+        # (not /) so a deg-10^6 hub's 5*10^11 pairs never round
+        # through a double.
+        fenced = (
+            F.col("_deg") > F.lit(max_center_degree)
+            if max_center_degree is not None
+            else F.lit(False)
+        )
+        drops = deg.agg(
+            F.coalesce(
+                F.sum(F.when(fenced, F.lit(1))), F.lit(0)
+            ).cast("long").alias("centers_dropped"),
+            F.coalesce(
+                F.sum(F.when(fenced, F.expr("_deg * (_deg - 1) DIV 2"))),
+                F.lit(0).cast("long"),
+            ).alias("wedges_dropped"),
+        )
     if max_center_degree is not None:
-        if max_center_degree < 2:
-            raise ValueError("max_center_degree must be >= 2 (or None)")
-        if report_drops:
-            # d*(d-1) is always even -> DIV 2 is exact; integer DIV
-            # (not /) so a deg-10^6 hub's 5*10^11 pairs never round
-            # through a double.
-            drops = deg.filter(
-                F.col("_deg") > max_center_degree
-            ).agg(
-                F.count(F.lit(1)).alias("centers_dropped"),
-                F.coalesce(
-                    F.sum(F.expr("_deg * (_deg - 1) DIV 2")),
-                    F.lit(0).cast("long"),
-                ).alias("wedges_dropped"),
-            )
         adj = adj.filter(F.col("_degw") <= max_center_degree)
     a = adj.select("_w", F.col("_u").alias("u"), "_degw")
     b = adj.select(
@@ -803,23 +818,25 @@ def link_prediction(
     jac = F.col("cn").cast("double") / (
         F.col("_du") + F.col("_dv") - F.col("cn")
     ).cast("double")
-    ranked = full.select(
-        "u",
-        "v",
-        "cn",
-        F.round(jac, 6).alias("jaccard"),
-        F.round("_aa", 6).alias("adamic_adar"),
-        F.col("_aa").alias("_o"),
-    ).withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("_o").desc(), F.col("u"), F.col("v")
-            )
-        ),
-    )
-    out = ranked.where(F.col("_rn") <= top_k).select(
-        "u", "v", "cn", "jaccard", "adamic_adar"
+    # Limit-then-rank: TakeOrderedAndProject shrinks the edge-scale
+    # candidate set to top_k DISTRIBUTEDLY (per-partition heaps, no
+    # Exchange SinglePartition) before any window touches it — the
+    # same idiom as rrf_fuse (similarity.py) and global_top_k
+    # (relational.py).  (AA desc, u, v) is a deterministic total
+    # order, so rows and oracle hashes are identical to ranking the
+    # full set.
+    out = (
+        full.select(
+            "u",
+            "v",
+            "cn",
+            F.round(jac, 6).alias("jaccard"),
+            F.round("_aa", 6).alias("adamic_adar"),
+            F.col("_aa").alias("_o"),
+        )
+        .orderBy(F.col("_o").desc(), F.col("u"), F.col("v"))
+        .limit(top_k)
+        .select("u", "v", "cn", "jaccard", "adamic_adar")
     )
     if drops is not None:
         # one-row scalar attach as a BroadcastHashJoin (attach_scalar

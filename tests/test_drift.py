@@ -580,3 +580,37 @@ def test_page_hinkley_matches_python_and_alarms(spark):
     # no alarm before the step, alarm after
     assert not any(r["alarm"] for r in out[:40])
     assert out[-1]["alarm"]
+
+
+def test_page_hinkley_tie_break_tuple(spark):
+    """Duplicate timestamps: a bare time_col is per-row
+    nondeterministic under ties, the (time, id) tuple pins the order
+    — the result must equal the python reference replaying the same
+    (t, i) order, independent of partitioning."""
+    from btc_usdt_etl_pipeline_spark.operators.drift import page_hinkley
+
+    rng = random.Random(12)
+    # every timestamp appears twice -> heavy tie mass
+    rows = [
+        (float(i // 2), j, rng.gauss(5 + (3 if i > 50 else 0), 1.0))
+        for j, i in enumerate(range(60))
+    ]
+    df = spark.createDataFrame(rows, "t double, i long, v double")
+    out = df.repartition(8).transform(
+        page_hinkley("v", ("t", "i"), delta=0.1, lam=10.0)
+    ).collect()
+    got = sorted(
+        (r["t"], round(r["m_t"], 5), round(r["ph"], 5)) for r in out
+    )
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    want = []
+    m = 0.0
+    run_min = float("inf")
+    cs = 0.0
+    for i, (t, _, x) in enumerate(ordered):
+        cs += round(x, 12)
+        cavg = cs / (i + 1)
+        m += round(x - cavg - 0.1, 12)
+        run_min = min(run_min, m)
+        want.append((t, round(m, 5), round(m - run_min, 5)))
+    assert got == sorted(want)

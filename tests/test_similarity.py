@@ -465,3 +465,119 @@ def test_knn_outlier_blas_bit_identical_to_expr(spark):
         )
     )
     assert ex == bl  # bit-identical, not approx
+
+
+def test_knn_outlier_max_cell_rows_fence(spark):
+    """The cell-size contract IN CODE (r11 ask #4): oversize cells
+    shard into ceil(|cell|/max_cell_rows) deterministic hash
+    sub-cells; neighbors come from the sub-cell; the audit columns
+    carry the exact resharded mass; expr == blas bit-for-bit; and the
+    pair mass is provably linear (every sub-cell is enumerable from
+    the same portable hash the operator used)."""
+    import hashlib
+    import math
+    import random
+    import struct
+
+    import pytest
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        knn_outlier_scores,
+    )
+
+    rng = random.Random(292)
+    df = spark.createDataFrame(
+        [
+            (i, [float(rng.gauss(0, 1)) for _ in range(8)])
+            for i in range(90)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cent = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kw = dict(
+        k=3, max_cell_rows=10, portable_split=True, report_splits=True
+    )
+    rows = knn_outlier_scores(df, cent, **kw).collect()
+    out = {r["vec_id"]: r for r in rows}
+    assert len(out) == 90
+
+    # ---- python replay of the whole fenced pipeline ----
+    def r4(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    def f32(v):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    pv = {
+        r["vec_id"]: f32(r["embedding"])
+        for r in df.collect()
+    }
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    cells = {
+        i: max(range(2), key=lambda c: (r4(cos(v, pv[c])), -c))
+        for i, v in pv.items()
+    }
+    csz = {c: sum(1 for x in cells.values() if x == c) for c in (0, 1)}
+    nsub = {c: (csz[c] + 9) // 10 for c in csz}
+
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    sub = {i: h60(i) % nsub[cells[i]] for i in pv}
+    want_split = sum(1 for c in nsub if nsub[c] > 1)
+    want_mass = sum(csz[c] for c in nsub if nsub[c] > 1)
+    pair_mass = 0
+    for i, v in pv.items():
+        mates = [
+            (r4(cos(v, pv[j])), j)
+            for j in pv
+            if j != i and cells[j] == cells[i] and sub[j] == sub[i]
+        ]
+        pair_mass += len(mates)
+        mates.sort(key=lambda t: (-t[0], t[1]))
+        topk = mates[:3]
+        r = out[i]
+        assert r["centroid_id"] == cells[i]
+        assert r["n_neighbors"] == len(topk)
+        assert r["cells_split"] == want_split
+        assert r["rows_resharded"] == want_mass
+        if topk:
+            want = sum(round(1.0 - s, 6) for s, _ in topk) / len(topk)
+            assert r["knn_dist"] == pytest.approx(want, abs=1e-6)
+        else:
+            assert r["knn_dist"] is None
+    # both 45-row cells shard (ceil(45/10)=5 sub-cells each) and the
+    # total pair mass is linear: <= n * max_cell_rows
+    assert want_split == 2 and want_mass == 90
+    assert pair_mass <= 90 * 10
+
+    # blas path: same fence, bit-identical output
+    bl = sorted(
+        map(
+            tuple,
+            knn_outlier_scores(
+                df, cent, method="blas", **kw
+            ).collect(),
+        )
+    )
+    assert bl == sorted(map(tuple, rows))
+
+    # no fence + report_splits -> zero audit columns, never silence
+    z = knn_outlier_scores(df, cent, k=3, report_splits=True).collect()
+    assert all(
+        r["cells_split"] == 0 and r["rows_resharded"] == 0 for r in z
+    )
+    with pytest.raises(ValueError):
+        knn_outlier_scores(df, cent, k=3, max_cell_rows=1)

@@ -1,0 +1,158 @@
+"""Streaming MinHash index upsert (streaming/neardup.py): union of
+per-micro-batch pair emissions == the batch minhash_near_dedup pair set
+over the whole corpus, with the retry-idempotence and retain-GC
+discipline of the other versioned sinks."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu".split()
+)
+
+
+def _corpus(seed: int, n_base: int = 40):
+    """Docs with planted near-dups: each base doc gets a copy with one
+    word changed (trigram Jaccard well above 0.8) and the rest are
+    random-enough to stay below threshold."""
+    rng = random.Random(seed)
+    rows = []
+    did = 0
+    for _ in range(n_base):
+        # 40 tokens -> 38 trigrams; a 1-word mutation touches <= 3, so
+        # the planted pair's Jaccard is >= ~35/41 = 0.85, safely over
+        # the 0.8 threshold even with repeated-trigram slack
+        toks = [rng.choice(WORDS) for _ in range(40)]
+        rows.append((did, " ".join(toks)))
+        did += 1
+        if rng.random() < 0.5:  # planted near-dup
+            mut = list(toks)
+            mut[rng.randrange(2, 38)] = rng.choice(WORDS)
+            rows.append((did, " ".join(mut)))
+            did += 1
+    return rows
+
+
+PARAMS = dict(
+    text_col="text",
+    id_col="doc_id",
+    shingle_n=3,
+    num_hashes=128,
+    bands=32,
+    jaccard_threshold=0.8,
+    max_bucket=None,
+)
+
+
+def _batch_pairs(spark, df):
+    from btc_usdt_etl_pipeline_spark.operators.dedup import (
+        minhash_near_dedup,
+    )
+
+    return sorted(
+        map(tuple, df.transform(minhash_near_dedup(**PARAMS)).collect())
+    )
+
+
+def test_streaming_neardup_equals_batch(spark, tmp_path):
+    """Multi-micro-batch drain (maxFilesPerTrigger=1) accumulates
+    EXACTLY the batch pair set, including cross-batch pairs; old state
+    versions are GC'd to retain."""
+    from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        incremental_minhash_upsert,
+        read_neardup_pairs,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        _state_versions,
+    )
+
+    rows = _corpus(293)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    # range-partition so planted (2k, 2k+1) near-dup pairs often split
+    # across files -> cross-batch new-vs-index pairs are exercised
+    df.repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            incremental_minhash_upsert(spark, state, **PARAMS)
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_neardup_pairs(spark, state).collect()))
+    want = _batch_pairs(spark, df)
+    assert got == want
+    assert len(want) >= 5  # the fixture actually planted near-dups
+    assert len(_state_versions(spark, state)) <= 2  # retain GC
+
+
+def test_streaming_neardup_retry_and_cross_batch(spark, tmp_path):
+    """Manual batches: a pair whose sides arrive in different batches
+    is emitted by the later batch (new-vs-index); replaying the last
+    batch (the Structured Streaming retry contract) lands the
+    identical pair state."""
+    from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        incremental_minhash_upsert,
+        read_neardup_pairs,
+    )
+
+    rows = _corpus(177)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _batch_pairs(spark, df)
+    # split so every planted (even, odd-sibling) pair straddles batches
+    b0 = df.filter(F.col("doc_id") % 2 == 0)
+    b1 = df.filter(F.col("doc_id") % 2 == 1)
+    cross = [p for p in want if p[0] % 2 != p[1] % 2]
+    assert cross  # fixture sanity: cross-batch pairs exist
+
+    state = str(tmp_path / "state")
+    up = incremental_minhash_upsert(spark, state, **PARAMS)
+    up(b0, 0)
+    first = sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    )
+    assert first == _batch_pairs(spark, b0)  # within-batch only so far
+    up(b1, 1)
+    after = sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    )
+    assert after == want  # cross-batch pairs arrived with batch 1
+    up(b1, 1)  # retried batch recomputes from v0 -> identical state
+    assert sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    ) == want
+
+
+def test_streaming_neardup_validates(spark, tmp_path):
+    from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        incremental_minhash_upsert,
+        read_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="retain"):
+        incremental_minhash_upsert(
+            spark, str(tmp_path / "a"), retain=1
+        )
+    with pytest.raises(ValueError, match="max_bucket"):
+        incremental_minhash_upsert(
+            spark, str(tmp_path / "b"), max_bucket=1
+        )
+    with pytest.raises(FileNotFoundError):
+        read_neardup_pairs(spark, str(tmp_path / "nope"))

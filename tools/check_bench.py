@@ -97,11 +97,31 @@ def main() -> int:
         base_path = sys.argv[2]
     else:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-        if not cands:
+
+        def _rnum(p: str) -> int:
+            import re
+
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        # Prefer the committed FULL per-query map (bench_out.json
+        # snapshot) over the driver's BENCH_r{N}.json wrapper — the
+        # wrapper's stdout capture keeps only the tail, so r11's
+        # round-over-round comparison covered just 63 of 199 shared
+        # queries (r11 judge ask #3).
+        fulls = sorted(
+            glob.glob(os.path.join(root, "BENCH_FULL_r*.json")), key=_rnum
+        )
+        cands = sorted(
+            glob.glob(os.path.join(root, "BENCH_r*.json")), key=_rnum
+        )
+        if fulls and (not cands or _rnum(fulls[-1]) >= _rnum(cands[-1])):
+            base_path = fulls[-1]
+        elif cands:
+            base_path = cands[-1]
+        else:
             print("no BENCH_r*.json baseline found; nothing to compare")
             return 0
-        base_path = cands[-1]
     base = _load(base_path)
     if cur.get("sf") != base.get("sf"):
         print(
@@ -110,9 +130,12 @@ def main() -> int:
         )
         return 2
 
-    base_round = os.path.basename(base_path).replace("BENCH_", "").split(
-        "."
-    )[0]
+    base_round = (
+        os.path.basename(base_path)
+        .replace("BENCH_FULL_", "")
+        .replace("BENCH_", "")
+        .split(".")[0]
+    )
     resets = SEMANTICS_RESET.get(base_round, set())
 
     bq, cq = base.get("queries", {}), cur.get("queries", {})

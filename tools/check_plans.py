@@ -600,6 +600,24 @@ def main() -> int:
         print("note mann_whitney_auto/kruskal_wallis_auto: .scale100x "
               "corpus absent (local-only); auto-gate check skipped")
 
+    # q272/q275: link_prediction's top-k must be limit-then-rank —
+    # a TakeOrderedAndProject (distributed per-partition heaps), with
+    # NO window and NO Exchange SinglePartition over the edge-scale
+    # candidate set (r11 judge finding #1; mirrors q134/q143/q177).
+    for name in ("q272_link_prediction", "q275_link_prediction_fenced"):
+        p = plan_string(qs[name](spark, SF_DIR), mode="simple")
+        check(
+            name,
+            "TakeOrderedAndProject" in p,
+            "top-k via TakeOrderedAndProject (limit-then-rank)",
+        )
+        check(
+            name,
+            "Exchange SinglePartition" not in p,
+            "no single-partition exchange",
+        )
+        check(name, "Window" not in p, "no window over the candidate set")
+
     # q181-q215 batch: no DATA-SCALE single-partition exchange.  A
     # SinglePartition exchange is benign exactly when its child is a
     # partial aggregate (map-side combine already collapsed the data to
