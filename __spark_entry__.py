@@ -17413,6 +17413,78 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
 
 
+@_q(
+    "q294_streaming_ddsketch",
+    f"""
+    WITH c AS (SELECT event_type,
+                      CAST(CEIL(round(ln(value)
+                        / {math.log(1.02)!r}::DOUBLE, 9)) AS BIGINT)
+                        AS b,
+                      COUNT(*)::BIGINT AS c
+               FROM events WHERE value > 0
+               GROUP BY event_type, b),
+    cu AS (SELECT event_type, b, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM c),
+    a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 MIN(CASE WHEN cum >= CEIL(0.5::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b0,
+                 MIN(CASE WHEN cum >= CEIL(0.95::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b1,
+                 MIN(CASE WHEN cum >= CEIL(0.99::DOUBLE
+                       * CAST(n AS DOUBLE)) THEN b END) AS b2
+          FROM cu GROUP BY event_type)
+    SELECT event_type, q, n,
+           round(2.0::DOUBLE * POWER(1.02::DOUBLE, CAST(b AS DOUBLE))
+                 / 2.02::DOUBLE, 6) AS est
+    FROM (SELECT event_type, 0.5::DOUBLE AS q, n, b0 AS b FROM a
+          UNION ALL SELECT event_type, 0.95::DOUBLE, n, b1 FROM a
+          UNION ALL SELECT event_type, 0.99::DOUBLE, n, b2 FROM a)
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch quantiles (r11 judge ask #8): the events
+    stream drains through a versioned ``foreachBatch`` bucket-count
+    sink — each micro-batch folds its own geometric-bucket counts
+    onto the persisted state by plain ADDITION (the DDSketch merge
+    law; fixed-width state, settled values never re-read, same
+    idempotent-retry versioning as q166/q179) — then p50/p95/p99 per
+    event type are read off the FINAL persisted buckets alone.  The
+    oracle is q197's batch sketch over all events: hash-equality
+    proves bucket state after ANY micro-batch split == the full
+    recompute (counts are a commutative monoid)
+    (streaming/ohlcv.py:incremental_ddsketch_upsert,
+    operators/sketch.py:dd_sketch_buckets/merge_dd_buckets/
+    dd_sketch_readout)."""
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        dd_sketch_readout,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_ddsketch_upsert,
+        read_rollup_state,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "state")
+        upsert = incremental_ddsketch_upsert(
+            spark, state, "value", "event_type", 1.02
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .foreachBatch(upsert)
+            .start()
+        )
+        q.awaitTermination()
+        return dd_sketch_readout(
+            "event_type", 1.02, (0.5, 0.95, 0.99)
+        )(read_rollup_state(spark, state)).localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -17622,74 +17694,82 @@ def entry(spark: SparkSession) -> DataFrame:
 #: family judge-covered), q168 (3) and q171 (3) (interval/skyline
 #: stay under the full gate; both rest one round after three straight
 #: greens).
-#: ROUND 11 ROTATION (VERDICT r10 ask #1 — retire the driver-window
-#: evidence debt): 35 of the 50 slots go to queries that have NEVER
-#: had a driver-green CORRECTNESS row, drawn from the oldest families
-#: the verdict names (q101-q130 Spearman/Donchian/OBV/null-battery/
-#: salted-join/winsorize/RSI/fuzzy-families, q148 weighted PageRank,
-#: q154-q175 HLL/winnowing/binning/snapshot-diff/unicode/shards/
-#: incremental+streaming rollup/zone-pruning/compaction/mix/
-#: attribution).  The rest: the seventeen r11-new operators
-#: (q275-q291, every one oracle-green this session) and q272, which
-#: ask #2 pins in-window after the hub-fence work.  EVERY demoted row
-#: (q45/q49 streaming, q142-q145, q153, the r10 eval/stats batch...)
-#: is driver-green within the last two rounds AND stays under the
-#: judge's full 291-query oracle gate; streaming keeps an in-window
-#: rep via q166_streaming_rollup (never driver-checked until now).
+#: ROUND 12 ROTATION (VERDICT r11 ask #2 — keep retiring the
+#: driver-window evidence debt, 85 never-checked at r11 close): 47 of
+#: the 50 slots go to never-driver-checked queries, oldest first —
+#: the FULL q59-q99 round-4/5 financial/relational block (32 queries:
+#: pivot, centroids, stratified/quota/weighted sampling, rolling
+#: median, unpivot, gap fill, VWAP/TWAP/drawdown/ATR/EWMA/DCA,
+#: sessionize, histograms, beta, funnel, cohort, correlated subquery,
+#: string-agg, interval union, mode, equi-depth, MAD, recency,
+#: repetition, z-score, calendar densify, profile, distribution
+#: ranks, rolling actives) plus the oldest q172-q194 leftovers
+#: (temperature mix, HLL intersection, attribution, target encoding,
+#: session paths, streaming HLL, Theil-Sen, KS drift, seasonal
+#: decompose, RFM, keyness, k-core, feature hash, robust scale, RRF
+#: fusion — 15 of the 16; q194 MAD outliers waits one round for the
+#: third r12-new slot).  The other 3: the r12-new operators q292
+#: (enforced knn cell fence), q293 (streaming near-dup index) and
+#: q294 (streaming DDSketch quantiles).
+#: EVERY demoted row (the 17 r11-new q275-q291, q272, and the 31
+#: r11-window backlog rows) is driver-green in CORRECTNESS_r11.json
+#: AND stays under the judge's full oracle gate.  Backlog after this
+#: window: 85 - 47 = 38 never-checked remain (q194 + q196-q274
+#: leftovers).
 _PRIORITY_WINDOW = [
-    # --- r11-new operators (driver evidence for this round's work) ---
-    "q275_link_prediction_fenced",
-    "q276_ngram_diversity_hll",
-    "q277_bfs_distances",
-    "q278_anderson_darling",
-    "q279_jarque_bera",
-    "q280_bartlett_levene",
-    "q281_cliffs_delta",
-    "q282_wilson_proportions",
-    "q283_hill_tail",
-    "q284_stochastic_oscillator",
-    "q285_msprt",
-    "q286_energy_distance",
-    "q287_yuen_t",
-    "q288_knn_outlier",
-    "q289_km_greenwood",
-    "q290_page_hinkley",
-    "q291_seasonal_strength",
-    # --- ask #2: fenced-operator's sparse fixture stays windowed ---
-    "q272_link_prediction",
-    # --- never-driver-checked backlog, oldest families first ---
-    "q101_spearman",
-    "q102_donchian",
-    "q103_obv",
-    "q104_autocorrelation",
-    "q105_null_semantics",
-    "q108_lang_entropy",
-    "q112_latest_snapshot",
-    "q113_salted_join",
-    "q115_positional_split",
-    "q116_approx_percentile",
-    "q117_user_growth",
-    "q118_winsorize",
-    "q120_time_to_convert",
-    "q121_hierarchical_rollup",
-    "q122_rsi",
-    "q123_contamination_report",
-    "q125_ngram_jaccard_capped",
-    "q126_cosine_pairs_blas",
-    "q130_pattern_match",
-    "q148_pagerank_weighted",
-    "q154_hll_grouped",
-    "q155_winnow_fingerprints",
-    "q156_winnow_match_pairs",
-    "q157_quantile_binning",
-    "q158_snapshot_diff",
-    "q159_unicode_normalize",
-    "q160_length_bucketed_shards",
-    "q162_bpe_token_counts",
-    "q164_incremental_rollup",
-    "q166_streaming_rollup",
-    "q169_zone_pruning",
-    "q170_compaction_plan",
+    # --- r12-new operators (driver evidence for this round's work) ---
+    "q292_knn_outlier_fenced",
+    "q293_streaming_neardup",
+    "q294_streaming_ddsketch",
+    # --- never-driver-checked backlog: the q59-q99 block ---
+    "q59_pivot",
+    "q61_embedding_centroids",
+    "q63_stratified_sample",
+    "q64_rolling_median",
+    "q67_unpivot",
+    "q68_gap_fill",
+    "q69_vwap",
+    "q70_drawdown",
+    "q71_atr",
+    "q72_ewma",
+    "q73_batch_sessionize",
+    "q74_length_histogram",
+    "q75_quota_sample",
+    "q77_calendar_densify",
+    "q78_anomaly_zscore",
+    "q79_rolling_beta",
+    "q80_repetition_ratio",
+    "q81_twap",
+    "q82_profile",
+    "q85_distribution_ranks",
+    "q86_rolling_actives",
+    "q87_funnel",
+    "q88_cohort_retention",
+    "q89_weighted_sample",
+    "q90_correlated_subquery",
+    "q93_string_agg",
+    "q94_interval_union",
+    "q95_mode",
+    "q96_equidepth_histogram",
+    "q97_mad",
+    "q98_recency_features",
+    "q99_dca_backtest",
+    # --- never-driver-checked backlog: q172-q194 leftovers ---
+    "q172_temperature_mix",
+    "q173_hll_intersection",
+    "q175_attribution",
+    "q176_target_encoding",
+    "q177_session_paths",
+    "q179_streaming_hll",
+    "q182_theil_sen",
+    "q184_ks_drift",
+    "q186_seasonal_decompose",
+    "q187_rfm",
+    "q189_keyness",
+    "q190_kcore",
+    "q191_feature_hash",
+    "q192_robust_scale",
+    "q193_rrf_fusion",
 ]
 
 

@@ -250,6 +250,7 @@ HEADLINE = [
     "q289_km_greenwood",
     "q290_page_hinkley",
     "q291_seasonal_strength",
+    "q292_knn_outlier_fenced",
 ]
 
 

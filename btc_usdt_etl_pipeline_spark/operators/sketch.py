@@ -702,7 +702,32 @@ def dd_sketch(
     Returns one row per (group, quantile): ``group_by…, q, n, est``.
     Non-positive values are excluded (DDSketch's domain; keep a
     negative-store variant upstream if needed).
+
+    Composition: this is ``dd_sketch_buckets`` (the mergeable state)
+    piped into ``dd_sketch_readout`` (the windowed quantile walk) —
+    exposed separately so a streaming sink can persist/merge the
+    bucket counts incrementally
+    (``streaming/ohlcv.py:incremental_ddsketch_upsert``) and read the
+    estimate off the final state.
     """
+
+    def _t(df: DataFrame) -> DataFrame:
+        return dd_sketch_readout(group_by, gamma, quantiles)(
+            dd_sketch_buckets(value_col, group_by, gamma)(df)
+        )
+
+    return _t
+
+
+def dd_sketch_buckets(
+    value_col: str,
+    group_by: str | None = None,
+    gamma: float = 1.02,
+) -> Callable[[DataFrame], DataFrame]:
+    """DDSketch STATE: ``(group…, _b, _c)`` geometric-bucket counts —
+    fixed-width (log_γ(max/min) buckets per group) and mergeable by
+    plain addition (:func:`merge_dd_buckets`), so it persists,
+    shuffles and upserts like the HLL register tables."""
     import math
 
     gcols = [group_by] if group_by else []
@@ -712,11 +737,40 @@ def dd_sketch(
         bucket = F.ceil(
             F.round(F.log(F.col(value_col).cast("double")) / F.lit(lng), 9)
         )
-        counts = (
+        return (
             df.where(F.col(value_col) > 0)
             .groupBy(*gcols, bucket.alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+
+    return _t
+
+
+def merge_dd_buckets(*bucket_frames: DataFrame) -> DataFrame:
+    """The DDSketch merge law: bucket counts ADD.  Union the state
+    frames and re-sum per (group…, bucket) — exact, order-free,
+    idempotent under re-aggregation."""
+    out = bucket_frames[0]
+    for f in bucket_frames[1:]:
+        out = out.unionByName(f)
+    keys = [c for c in out.columns if c != "_c"]
+    return out.groupBy(*keys).agg(F.sum("_c").alias("_c"))
+
+
+def dd_sketch_readout(
+    group_by: str | None = None,
+    gamma: float = 1.02,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> Callable[[DataFrame], DataFrame]:
+    """Quantile readout over a DDSketch bucket-count state frame
+    (``(group…, _b, _c)`` from :func:`dd_sketch_buckets`, possibly
+    merged): per-group cumulative walk to the first bucket with
+    cum ≥ ⌈q·n⌉, midpoint estimate 2γ^b/(γ+1) rounded at 6 dp.  The
+    input is bucket-scale (hundreds of rows per group), never
+    data-scale."""
+    gcols = [group_by] if group_by else []
+
+    def _t(counts: DataFrame) -> DataFrame:
         wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
         wo = wg.orderBy("_b").rowsBetween(
             Window.unboundedPreceding, Window.currentRow

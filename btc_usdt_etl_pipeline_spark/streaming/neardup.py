@@ -5,41 +5,45 @@
 The reference ingests a fresh monthly drop and reprocesses it as a
 batch (``airflow/dags/new6.py:33-39`` — scheduled re-crawl cadence);
 an LLM-data pipeline running a continuous crawl needs the same
-near-dup answer per MICRO-BATCH without ever re-reading settled
-documents.  This sink keeps a persistent LSH signature index and folds
-each micro-batch into it:
+near-dup answer per MICRO-BATCH without ever re-reading — or, just as
+fatal at 100 TB, re-WRITING — settled documents.  The sink keeps three
+batch-addressed, append-style stores under ``state_dir``:
 
-* ``index``  — ``(_id, _key)`` band-bucket rows for every settled doc
-  (``bands`` longs per doc, the compact persistent form — shingle sets
-  are the widest intermediate and are never persisted);
-* ``corpus`` — ``(_id, text)`` of settled docs, read back ONLY for the
-  docs that land in a candidate pair (the exact-Jaccard verify);
-* ``pairs``  — the accumulated verified near-dup pairs, the sink's
-  queryable output.
+* ``index/b{batch_id}``  — the batch's own ``(_id, _key)`` band-bucket
+  rows (``bands`` longs per doc, the compact persistent form — shingle
+  sets are the widest intermediate and are never persisted);
+* ``corpus/b{batch_id}`` — the batch's own ``(_id, _text)`` docs, read
+  back ONLY for docs that land in a candidate pair (the exact-Jaccard
+  verify);
+* ``pairs/b{batch_id}``  — the near-dup pairs EMITTED by this batch.
 
-Per batch the work is: shingle+sign the NEW docs only (the index side's
-signatures are already materialized as band keys), one bucket
-equi-grouping of ``new ∪ index`` band rows with old↔old pairs pruned
-inside the bucket (``operators/dedup.py:lsh_bucket_pairs`` — the exact
-machinery q174 uses), then an exact-Jaccard verify joined to the texts
-of candidate ids only.  Candidate/verify mass is ∝ |new| · bucket
-occupancy — settled data contributes index ROWS but never recomputation.
+Each contribution directory is immutable once its batch commits, so
+per-batch WRITE volume is ∝ |new| — a versioned full-state snapshot
+(the q166/q179 pattern) would rewrite the whole corpus-scale index
+every micro-batch, turning n batches into O(n²) I/O.  Per-batch READ
+and compute: shingle+sign the NEW docs only (settled signatures are
+already materialized as band keys), one bucket equi-grouping of
+``new ∪ index`` band rows with old↔old pairs pruned inside the bucket
+(``operators/dedup.py:lsh_bucket_pairs`` — the exact machinery q174
+uses), then an exact-Jaccard verify joined to candidate ids' texts
+only — candidate/verify mass ∝ |new| · bucket occupancy.
 
 **Batch-equivalence contract**: with ``max_bucket=None`` the union of
-pairs over any micro-batch split of a corpus equals the batch
+``pairs/b*`` over any micro-batch split of a corpus equals the batch
 ``minhash_near_dedup`` pair set over the whole corpus — every pair has
 a unique later member, and the batch that delivers it emits the pair
 (new-vs-index if the sides arrived apart, new-vs-new if together);
 old↔old pruning removes only pairs already emitted.  With a bucket cap
-the two can differ on cap-evicted members (arrival order decides who is
-"new"), the same documented approximation as q174.
+the two can differ on cap-evicted members (arrival order decides who
+is "new"), the same documented approximation as q174.
 
-Versioning/idempotence discipline is identical to
-``streaming/ohlcv.py:incremental_rollup_upsert``: state lives under
-``state_dir/v{batch_id}``, each batch reads the latest version STRICTLY
-older than its own batch_id and overwrites its own, so a retried batch
-lands identical bytes (effective exactly-once on replayed offsets);
-versions beyond ``retain`` are deleted after the new version commits.
+**Retry idempotence** (the Structured Streaming replay contract — same
+batch_id, same data): a batch reads only contributions with id
+STRICTLY below its own and overwrites its own three directories, so a
+replayed batch recomputes from the same inputs and lands identical
+bytes; a torn first attempt's partial directories are never read by
+the recompute.  Effective exactly-once on replayed offsets, no version
+GC needed — nothing is ever superseded.
 """
 
 from __future__ import annotations
@@ -47,7 +51,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _state_versions
+
+def _batch_dirs(spark, root: str) -> list[int]:
+    """Committed batch-contribution ids under ``root`` (``b{N}``)."""
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
+
+    fs, p, _ = _fs_for(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("b") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
 
 
 def incremental_minhash_upsert(
@@ -60,26 +77,18 @@ def incremental_minhash_upsert(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = None,
-    retain: int = 2,
 ):
     """``foreachBatch`` sink maintaining the streaming near-dup index —
-    see the module docstring for the design and the batch-equivalence
-    contract.  Read the accumulated pair set back with
-    :func:`read_neardup_pairs`.
+    see the module docstring for the layout, the batch-equivalence
+    contract and the retry discipline.  Read the accumulated pair set
+    back with :func:`read_neardup_pairs`.
     """
     from btc_usdt_etl_pipeline_spark.operators.dedup import (
         lsh_bucket_pairs,
         minhash_band_keys,
         minhash_shingle_rows,
     )
-    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
 
-    if retain < 2:
-        raise ValueError(
-            "retain must be >= 2: the newest version's predecessor is "
-            "what a replayed batch recomputes from (exactly-once "
-            f"discipline); got retain={retain}"
-        )
     if max_bucket is not None and max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (or None)")
 
@@ -88,34 +97,55 @@ def incremental_minhash_upsert(
         new = batch_df.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
         ).dropDuplicates(["_id"])
+        # localCheckpoint: the band keys feed BOTH the bucket union and
+        # the index semi-join filter below — without pinning, Catalyst
+        # recomputes the whole shingle+signature subtree per consumer.
+        # Batch-scale (|new| x bands rows of two longs), safe to pin.
         new_banded = minhash_band_keys(
             minhash_shingle_rows(new, "_text", "_id", shingle_n),
             ["_id"],
             num_hashes,
             bands,
-        )
-        prev = [v for v in _state_versions(sp, state_dir) if v < batch_id]
+        ).localCheckpoint()
+        # strictly-older contributions only: a torn write of THIS
+        # batch_id from a failed attempt is invisible to its replay
+        prev = [
+            b
+            for b in _batch_dirs(sp, f"{state_dir}/index")
+            if b < batch_id
+        ]
         if prev:
-            base = f"{state_dir}/v{prev[-1]}"
-            idx = sp.read.parquet(f"{base}/index")
-            corpus = sp.read.parquet(f"{base}/corpus")
-            pairs_prev = sp.read.parquet(f"{base}/pairs")
+            # Only buckets containing >= 1 NEW member can emit pairs
+            # (old<->old is pruned in-bucket anyway), so semi-join the
+            # index down to the new batch's band keys BEFORE the bucket
+            # shuffle: result-identical (touched buckets keep their
+            # FULL membership, so even max_bucket eviction order is
+            # unchanged; untouched buckets could only yield pruned
+            # pairs) and the shuffle mass drops from O(|index|) per
+            # batch to |new| x bands x occupancy.  With a micro-batch
+            # sized |new| the key set broadcasts and the settled index
+            # never shuffles at all — the scan stays a 2-long-column
+            # pruned parquet read.
+            new_keys = new_banded.select("_key").distinct()
+            idx = sp.read.parquet(
+                *[f"{state_dir}/index/b{b}" for b in prev]
+            ).join(new_keys, "_key", "leftsemi")
+            corpus = sp.read.parquet(
+                *[f"{state_dir}/corpus/b{b}" for b in prev]
+            )
             all_banded = idx.withColumn("_new", F.lit(False)).unionByName(
                 new_banded.withColumn("_new", F.lit(True))
             )
         else:
             corpus = None
-            pairs_prev = None
             all_banded = new_banded.withColumn("_new", F.lit(True))
         cand = lsh_bucket_pairs(all_banded, max_bucket, flagged=True)
-        # verify on candidate ids only: new docs' shingles are already
-        # in hand; settled docs' texts come from the corpus store via
-        # an id equi-join (candidate-scale, not corpus-scale re-read —
-        # parquet bucketing/Z-order on _id makes this a pruned fetch
-        # at scale)
+        # verify on candidate ids only: settled docs' texts come from
+        # the corpus store via an id equi-join (candidate-scale, not
+        # corpus-scale re-read — id-bucketed layout makes this a
+        # pruned fetch at scale)
         texts = (
-            new if corpus is None
-            else corpus.unionByName(new)
+            new if corpus is None else corpus.unionByName(new)
         )
         cand_ids = (
             cand.select(F.col("id_a").alias("_id"))
@@ -140,34 +170,27 @@ def incremental_minhash_upsert(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        out = f"{state_dir}/v{batch_id}"
-        all_pairs = (
-            new_pairs if pairs_prev is None
-            else pairs_prev.unionByName(new_pairs)
+        # per-batch write volume: |new| docs + |new|·bands index rows
+        # + this batch's pairs.  Settled contributions are never
+        # rewritten.
+        new_pairs.write.mode("overwrite").parquet(
+            f"{state_dir}/pairs/b{batch_id}"
         )
-        # a torn multi-table write is handled by the retry discipline:
-        # the replayed batch overwrites the same v{batch_id} from the
-        # same strictly-older predecessor, landing identical bytes
-        all_pairs.write.mode("overwrite").parquet(f"{out}/pairs")
-        texts.write.mode("overwrite").parquet(f"{out}/corpus")
-        all_banded.drop("_new").write.mode("overwrite").parquet(
-            f"{out}/index"
+        new.write.mode("overwrite").parquet(
+            f"{state_dir}/corpus/b{batch_id}"
         )
-        fs, _, jvm = _fs_for(sp, state_dir)
-        all_v = _state_versions(sp, state_dir)
-        for old in all_v[: max(len(all_v) - retain, 0)]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{old}"),
-                True,
-            )
+        new_banded.write.mode("overwrite").parquet(
+            f"{state_dir}/index/b{batch_id}"
+        )
 
     return upsert
 
 
 def read_neardup_pairs(spark, state_dir: str) -> DataFrame:
-    """Accumulated verified near-dup pairs from the latest committed
-    state version."""
-    versions = _state_versions(spark, state_dir)
-    if not versions:
+    """Union of all committed per-batch pair emissions."""
+    batches = _batch_dirs(spark, f"{state_dir}/pairs")
+    if not batches:
         raise FileNotFoundError(f"no near-dup state under {state_dir}")
-    return spark.read.parquet(f"{state_dir}/v{versions[-1]}/pairs")
+    return spark.read.parquet(
+        *[f"{state_dir}/pairs/b{b}" for b in batches]
+    )

@@ -700,3 +700,88 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_streaming_ddsketch_equals_batch(spark, tmp_path):
+    """DDSketch bucket state after draining multiple micro-batches ==
+    the batch sketch (counts are a commutative monoid, so any split
+    merges to the identical state); quantile readout off the final
+    state matches batch dd_sketch exactly; retried batch idempotent;
+    retain<2 refused."""
+    import datetime as dt
+
+    import pytest
+
+    from btc_usdt_etl_pipeline_spark.operators.sketch import (
+        dd_sketch,
+        dd_sketch_readout,
+    )
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
+        incremental_ddsketch_upsert,
+        read_rollup_state,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i % 600),
+         "g" + str(i % 3),
+         # include zero/negative values: the domain filter must act
+         # identically batch and streaming
+         float(((i * 37) % 1000) - 5) / 3.0)
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, g string, value double"
+    )
+    src = str(tmp_path / "srcD")
+    df.repartition(4).write.parquet(src)
+    state = str(tmp_path / "stateD")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckptD"))
+        .foreachBatch(
+            incremental_ddsketch_upsert(spark, state, "value", "g")
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(
+            tuple,
+            dd_sketch_readout("g")(
+                read_rollup_state(spark, state)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, df.transform(dd_sketch("value", group_by="g")).collect())
+    )
+    assert got == want
+    assert len(want) == 9  # 3 groups x 3 quantiles
+
+    # retry idempotence on manual batches
+    state2 = str(tmp_path / "stateD2")
+    up2 = incremental_ddsketch_upsert(spark, state2, "value", "g")
+    up2(df.filter(F.col("event_id") % 2 == 0), 0)
+    up2(df.filter(F.col("event_id") % 2 == 1), 1)
+    up2(df.filter(F.col("event_id") % 2 == 1), 1)  # retry
+    got2 = sorted(
+        map(
+            tuple,
+            dd_sketch_readout("g")(
+                read_rollup_state(spark, state2)
+            ).collect(),
+        )
+    )
+    assert got2 == want
+
+    with pytest.raises(ValueError, match="retain"):
+        incremental_ddsketch_upsert(
+            spark, str(tmp_path / "x"), retain=1
+        )

@@ -63,14 +63,13 @@ def _batch_pairs(spark, df):
 
 def test_streaming_neardup_equals_batch(spark, tmp_path):
     """Multi-micro-batch drain (maxFilesPerTrigger=1) accumulates
-    EXACTLY the batch pair set, including cross-batch pairs; old state
-    versions are GC'd to retain."""
+    EXACTLY the batch pair set, including cross-batch pairs; each
+    batch writes ONLY its own contribution directories (settled
+    contributions are immutable — the |new|-scale write contract)."""
     from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        _batch_dirs,
         incremental_minhash_upsert,
         read_neardup_pairs,
-    )
-    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import (
-        _state_versions,
     )
 
     rows = _corpus(293)
@@ -100,7 +99,14 @@ def test_streaming_neardup_equals_batch(spark, tmp_path):
     want = _batch_pairs(spark, df)
     assert got == want
     assert len(want) >= 5  # the fixture actually planted near-dups
-    assert len(_state_versions(spark, state)) <= 2  # retain GC
+    # one immutable contribution dir per micro-batch, per store
+    n_batches = len(_batch_dirs(spark, f"{state}/index"))
+    assert n_batches == 4  # maxFilesPerTrigger=1 over 4 files
+    assert len(_batch_dirs(spark, f"{state}/pairs")) == n_batches
+    assert len(_batch_dirs(spark, f"{state}/corpus")) == n_batches
+    # index rows across contributions == one band-set per doc
+    idx = spark.read.parquet(f"{state}/index/b*")
+    assert idx.count() == df.count() * PARAMS["bands"]
 
 
 def test_streaming_neardup_retry_and_cross_batch(spark, tmp_path):
@@ -146,10 +152,6 @@ def test_streaming_neardup_validates(spark, tmp_path):
         read_neardup_pairs,
     )
 
-    with pytest.raises(ValueError, match="retain"):
-        incremental_minhash_upsert(
-            spark, str(tmp_path / "a"), retain=1
-        )
     with pytest.raises(ValueError, match="max_bucket"):
         incremental_minhash_upsert(
             spark, str(tmp_path / "b"), max_bucket=1

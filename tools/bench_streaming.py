@@ -1,8 +1,8 @@
 """Streaming-drain benchmark: time each availableNow streaming query at
 a chosen SF (default sf0.1) and write a check_bench-comparable JSON.
 
-The 8 streaming queries (q36/q46/q49/q50/q65/q135/q166/q179) are
-excluded from bench.py's headline BY DESIGN — they drain availableNow
+The 10 streaming queries (q36/q46/q49/q50/q65/q135/q166/q179/q293/
+q294) are excluded from bench.py's headline BY DESIGN — they drain availableNow
 streams through stateful operators, not batch plans, so interleaved
 batch rounds would mis-attribute their fixed drain latency.  That
 exclusion also made a streaming-drain regression invisible
@@ -45,6 +45,8 @@ STREAMING = [
     "q135_stream_enrich",
     "q166_streaming_rollup",
     "q179_streaming_hll",
+    "q293_streaming_neardup",
+    "q294_streaming_ddsketch",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))

@@ -604,6 +604,9 @@ def main() -> int:
     # a TakeOrderedAndProject (distributed per-partition heaps), with
     # NO window and NO Exchange SinglePartition over the edge-scale
     # candidate set (r11 judge finding #1; mirrors q134/q143/q177).
+    # (q275's one remaining SinglePartition exchange is the one-row
+    # drops aggregate above a partial agg — the benign metadata shape
+    # the open-ended >=q181 sweep below already allows.)
     for name in ("q272_link_prediction", "q275_link_prediction_fenced"):
         p = plan_string(qs[name](spark, SF_DIR), mode="simple")
         check(
@@ -611,12 +614,14 @@ def main() -> int:
             "TakeOrderedAndProject" in p,
             "top-k via TakeOrderedAndProject (limit-then-rank)",
         )
-        check(
-            name,
-            "Exchange SinglePartition" not in p,
-            "no single-partition exchange",
-        )
         check(name, "Window" not in p, "no window over the candidate set")
+    check(
+        "q272",
+        "Exchange SinglePartition"
+        not in plan_string(qs["q272_link_prediction"](spark, SF_DIR),
+                           mode="simple"),
+        "no single-partition exchange (unfenced path)",
+    )
 
     # q181-q215 batch: no DATA-SCALE single-partition exchange.  A
     # SinglePartition exchange is benign exactly when its child is a
@@ -666,9 +671,9 @@ def main() -> int:
     allow_bnlj = {"q31_simsearch_bruteforce", "q40_simsearch_ivf",
                   "q47_simsearch_lsh", "q132_semdedup",
                   "q145_vocab_drift",
-                  # q288: corpus × 16-centroid broadcast — the same
+                  # q288/q292: corpus × centroid broadcast — the same
                   # sanctioned ANN index-build shape as q40/q132
-                  "q288_knn_outlier"}
+                  "q288_knn_outlier", "q292_knn_outlier_fenced"}
     for name, fn in sorted(qs.items()):
         if name.startswith("q36") or name.startswith("q46") or \
                 name.startswith("q49") or name.startswith("q50") or \
