@@ -679,13 +679,16 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_resample_count",
     """
     WITH idx AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY ts) - 1 AS i FROM events),
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS i
+      FROM events),
     g AS (SELECT *, CAST(FLOOR(i / 500) AS BIGINT) AS gid FROM idx)
     SELECT MIN(ts) AS open_time,
-           ARG_MIN(value, ts) AS open,
+           struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           ARG_MAX(value, ts) AS close,
+           struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
            COUNT(*) AS n_rows
     FROM g GROUP BY gid
     """,
@@ -706,6 +709,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "close": "value",
                 "count": "value",
             },
+            tie_break=("event_id",),
         )
     )
 
@@ -715,10 +719,12 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            MIN(ts) AS open_time,
-           ARG_MIN(value, ts) AS open,
+           struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           ARG_MAX(value, ts) AS close,
+           struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
            COUNT(*) AS n_rows
     FROM events GROUP BY 1
     """,
@@ -737,6 +743,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "close": "value",
                 "count": "value",
             },
+            tie_break=("event_id",),
         )
     )
 
@@ -1122,10 +1129,12 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            MIN(ts) AS open_time,
-           ARG_MIN(value, ts) AS open,
+           struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           ARG_MAX(value, ts) AS close,
+           struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
            COUNT(*) AS n_rows
     FROM events GROUP BY 1
     """,
@@ -1141,7 +1150,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = streaming_ohlcv(
         stream, interval="1 day", time_col="ts", value_col="close",
-        watermark="100 days",
+        watermark="100 days", tie_break=("event_id",),
     )
     name = "q36_streaming_ohlcv_result"
     with tempfile.TemporaryDirectory() as ckpt:
@@ -2602,7 +2611,8 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              MAX(value) AS high, MIN(value) AS low,
-             ARG_MAX(value, ts) AS close
+             struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close
       FROM events GROUP BY user_id, day),
     tr AS (
       SELECT user_id, day, high, low,
@@ -2631,7 +2641,7 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
     )
     wb = Window.partitionBy("user_id").orderBy("day")
     prev_close = F.lag("close").over(wb)
@@ -2877,7 +2887,8 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ARG_MAX(value, ts) AS close
+             struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close
       FROM events GROUP BY user_id, day),
     span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
              FROM bars GROUP BY user_id),
@@ -2908,7 +2919,7 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     bars = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     span = bars.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -2998,7 +3009,8 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ARG_MAX(value, ts) AS close
+             struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close
       FROM events WHERE value > 0 GROUP BY user_id, day),
     mkt AS (
       SELECT day,
@@ -3043,7 +3055,7 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     bars = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     mkt = bars.groupBy("day").agg(
         (
             F.sum(F.col("close").cast("decimal(38,6)")).cast("double")
@@ -3956,7 +3968,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q99_dca_backtest",
     f"""
     WITH p AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CAST(round(value * 100) AS BIGINT) AS cents,
              CAST(FLOOR(1000000000000.0
                         / CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -3967,20 +3979,23 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
         AND CAST(round(value * 100) AS BIGINT) >= 1),
     c AS (
-      SELECT user_id, ts, cents,
+      SELECT user_id, ts, event_id, cents,
              SUM(units_micro) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS held_micro,
-             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS n_buys
       FROM p)
     SELECT user_id,
            MAX(n_buys) AS n_buys,
-           CAST(MAX_BY(held_micro, ts) AS BIGINT) AS final_units_micro,
-           CAST(MAX_BY(held_micro, ts) AS DOUBLE)
-             * MAX_BY(cents, ts) / 100000000.0 AS final_value,
+           CAST(struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                h := held_micro)), 'h') AS BIGINT) AS final_units_micro,
+           CAST(struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                h := held_micro)), 'h') AS DOUBLE)
+             * struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                c := cents)), 'c') / 100000000.0 AS final_value,
            CAST(10000.0 * MAX(n_buys) AS DOUBLE) AS invested
     FROM c GROUP BY user_id
     """,
@@ -4010,29 +4025,34 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "ts",
+        "event_id",
         cents.alias("cents"),
         F.floor(F.lit(1_000_000_000_000.0) / cents).cast("long").alias(
             "units_micro"
         ),
     )
+    # (ts, event_id) ordering: tied purchase timestamps otherwise make
+    # the running position and the final max_by row nondeterministic
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = p.select(
         "user_id",
         "ts",
+        "event_id",
         "cents",
         F.sum("units_micro").over(w).alias("held_micro"),
         F.count(F.lit(1)).over(w).alias("n_buys"),
     )
+    last = F.struct("ts", "event_id")
     return c.groupBy("user_id").agg(
         F.max("n_buys").alias("n_buys"),
-        F.max_by("held_micro", "ts").alias("final_units_micro"),
+        F.max_by("held_micro", last).alias("final_units_micro"),
         (
-            F.max_by("held_micro", "ts").cast("double")
-            * F.max_by("cents", "ts")
+            F.max_by("held_micro", last).cast("double")
+            * F.max_by("cents", last)
             / F.lit(100_000_000.0)
         ).alias("final_value"),
         (F.lit(10000.0) * F.max("n_buys")).alias("invested"),
@@ -4044,8 +4064,10 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ARG_MIN(value, ts) AS open, MAX(value) AS high,
-             MIN(value) AS low, ARG_MAX(value, ts) AS close,
+             struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open, MAX(value) AS high,
+             MIN(value) AS low, struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
              COUNT(*) AS n_trades,
              {oracle_sum_sql('value')} AS turnover
       FROM events WHERE value > 0 GROUP BY user_id, day)
@@ -4069,10 +4091,10 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
         F.count(F.lit(1)).alias("n_trades"),
         exact_sum("value").alias("turnover"),
     )
@@ -4172,7 +4194,8 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              MAX(value) AS high, MIN(value) AS low,
-             ARG_MAX(value, ts) AS close
+             struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close
       FROM events GROUP BY user_id, day)
     SELECT user_id, day, close,
            MAX(high) OVER w20 AS channel_high,
@@ -4199,7 +4222,7 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
     )
     w20 = (
         Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
@@ -4690,14 +4713,16 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q114_keyed_resample",
     """
-    WITH r AS (SELECT user_id, ts, value,
+    WITH r AS (SELECT user_id, ts, event_id, value,
                       ROW_NUMBER() OVER (PARTITION BY user_id
-                                         ORDER BY ts) - 1 AS rn
+                                         ORDER BY ts, event_id) - 1 AS rn
                FROM events)
     SELECT user_id, MIN(ts) AS open_time,
-           arg_min(value, ts) AS open,
+           struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open,
            MAX(value) AS high, MIN(value) AS low,
-           arg_max(value, ts) AS close,
+           struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
            COUNT(*) AS n_rows
     FROM r GROUP BY user_id, rn // 100
     """,
@@ -4706,9 +4731,12 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed (per-user) row-count resample: each key's series resamples
     independently — the dense index is a per-key row_number, parallel
     across keys (the 100 TB shape: one OHLCV stream per symbol).
-    (user_id, ts) is unique in the data, so min_by/max_by on ts are
-    deterministic."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    (ts, event_id) tie-break keeps the per-key index and the
+    open/close picks deterministic even when zipf-hot users collide on
+    the same second (the 30x/100x generator hazard)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
     vc = {
         "open": "value",
         "high": "value",
@@ -4720,6 +4748,7 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_by_count(
             n=100, time_col="ts", value_cols=vc,
             partition_by=["user_id"], sort_output=False,
+            tie_break=("event_id",),
         )
     )
 
@@ -4958,9 +4987,11 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q121_hierarchical_rollup",
     """
     SELECT CAST(ts AS DATE) AS day,
-           arg_min(value, ts) AS open,
+           struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS open,
            MAX(value) AS high, MIN(value) AS low,
-           arg_max(value, ts) AS close,
+           struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close,
            COUNT(*) AS n_events
     FROM events GROUP BY 1
     """,
@@ -4981,10 +5012,10 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return (
@@ -5004,7 +5035,8 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ARG_MAX(value, ts) AS close
+             struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                               v := value)), 'v') AS close
       FROM events GROUP BY user_id, day),
     diffs AS (
       SELECT user_id, day, close,
@@ -5041,7 +5073,7 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     bars = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     wb = Window.partitionBy("user_id").orderBy("day")
     d = F.col("close") - F.lag("close").over(wb)
     gl = bars.select(

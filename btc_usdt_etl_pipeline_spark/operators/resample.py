@@ -33,19 +33,30 @@ from pyspark.sql import functions as F
 # non-deterministic first/last (process_data.py:51-55).
 
 
-def _ohlcv_aggs(time_col: str, value_cols: dict[str, str]) -> list:
+def _ohlcv_aggs(
+    time_col: str,
+    value_cols: dict[str, str],
+    tie_break: "Sequence[str]" = (),
+) -> list:
     o, h, lo, c = (
         value_cols["open"],
         value_cols["high"],
         value_cols["low"],
         value_cols["close"],
     )
+    # min_by/max_by on a tied ordering key are engine/run
+    # NONDETERMINISTIC; ``tie_break`` columns (typically a unique row
+    # id) extend the ordering to a total order via struct comparison —
+    # lexicographic in both Spark and the SQL oracles' MIN/MAX(ROW)
+    ordering = (
+        F.struct(time_col, *tie_break) if tie_break else F.col(time_col)
+    )
     aggs = [
         F.min(time_col).alias("open_time"),
-        F.min_by(o, time_col).alias("open"),
+        F.min_by(o, ordering).alias("open"),
         F.max(h).alias("high"),
         F.min(lo).alias("low"),
-        F.max_by(c, time_col).alias("close"),
+        F.max_by(c, ordering).alias("close"),
     ]
     if "trades" in value_cols:
         aggs.append(F.sum(value_cols["trades"]).alias("number_of_trades"))
@@ -148,10 +159,11 @@ def with_global_index(
     bucket: F.Column | None = None,
     num_buckets: int = 512,
     index_col: str = "_idx",
+    tie_break: Sequence[str] = (),
 ) -> DataFrame:
     return global_index_with_total(
         df, order_col, bucket=bucket, num_buckets=num_buckets,
-        index_col=index_col,
+        index_col=index_col, tie_break=tie_break,
     )[0]
 
 
@@ -161,6 +173,7 @@ def global_index_with_total(
     bucket: F.Column | None = None,
     num_buckets: int = 512,
     index_col: str = "_idx",
+    tie_break: Sequence[str] = (),
 ) -> tuple[DataFrame, int]:
     """Dense 0-based global index by ``order_col`` — no global sort —
     plus the total row count (free: it is the sum of the per-bucket
@@ -219,7 +232,10 @@ def global_index_with_total(
         [(int(b), int(o)) for b, o in offsets.items()], "_bucket long, _offset long"
     )
 
-    w = Window.partitionBy("_bucket").orderBy(order_col)
+    # tie_break extends a tied order column to a total order (unique
+    # row ids) - bucket assignment stays on order_col alone, so the
+    # bucket key is unchanged and only the within-bucket rank is pinned
+    w = Window.partitionBy("_bucket").orderBy(order_col, *tie_break)
     indexed = (
         dfb.join(F.broadcast(offsets_df), "_bucket")
         .withColumn(
@@ -238,6 +254,7 @@ def resample_by_count(
     partition_by: Sequence[str] = (),
     strategy: str = "auto",
     sort_threshold_bytes: int = 1_500_000_000,
+    tie_break: Sequence[str] = (),
 ) -> Callable[[DataFrame], DataFrame]:
     """Reference-faithful row-count resample: every ``n`` consecutive rows
     (by ``time_col``) → one OHLCV bar.
@@ -274,7 +291,7 @@ def resample_by_count(
     def _transform(df: DataFrame) -> DataFrame:
         keys = list(partition_by)
         if keys:
-            w = Window.partitionBy(*keys).orderBy(time_col)
+            w = Window.partitionBy(*keys).orderBy(time_col, *tie_break)
             indexed = df.withColumn(
                 "_idx", F.row_number().over(w) - F.lit(1)
             )
@@ -295,16 +312,18 @@ def resample_by_count(
                 )
                 use_bucket = int(size) > sort_threshold_bytes
             if use_bucket:
-                indexed = with_global_index(df, time_col)
+                indexed = with_global_index(
+                    df, time_col, tie_break=tie_break
+                )
             else:
-                w = Window.orderBy(time_col)
+                w = Window.orderBy(time_col, *tie_break)
                 indexed = df.withColumn(
                     "_idx", F.row_number().over(w) - F.lit(1)
                 )
         out = (
             indexed.withColumn("group_id", F.floor(F.col("_idx") / F.lit(n)))
             .groupBy(*keys, "group_id")
-            .agg(*_ohlcv_aggs(time_col, vc))
+            .agg(*_ohlcv_aggs(time_col, vc, tie_break))
             .drop("group_id")
         )
         if not sort_output:
@@ -319,6 +338,7 @@ def resample_by_time(
     time_col: str = "event_time",
     value_cols: dict[str, str] | None = None,
     sort_output: bool = True,
+    tie_break: Sequence[str] = (),
 ) -> Callable[[DataFrame], DataFrame]:
     """Wall-clock resample: tumbling ``interval`` windows over a timestamp.
 
@@ -337,7 +357,7 @@ def resample_by_time(
     def _transform(df: DataFrame) -> DataFrame:
         out = (
             df.groupBy(F.window(time_col, interval).alias("w"))
-            .agg(*_ohlcv_aggs(time_col, vc))
+            .agg(*_ohlcv_aggs(time_col, vc, tie_break))
             .withColumn("window_start", F.col("w.start"))
             .drop("w")
         )

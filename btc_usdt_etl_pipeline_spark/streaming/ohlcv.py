@@ -29,21 +29,29 @@ def streaming_ohlcv(
     time_col: str = "event_time",
     value_col: str = "close",
     watermark: str = "2 hours",
+    tie_break: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Watermarked tumbling-window OHLCV over a streaming DataFrame.
 
     State per open window is O(1) (min/max/min_by/max_by/sum are
     incremental) — no collect_list; watermark bounds total state.
+    ``tie_break`` columns (a unique row id) extend the open/close
+    ordering to a total order — min_by/max_by on a tied timestamp are
+    arrival-order nondeterministic, the batch/stream equivalence
+    killer (same contract as ``operators/resample.py:_ohlcv_aggs``).
     """
+    ordering = (
+        F.struct(time_col, *tie_break) if tie_break else F.col(time_col)
+    )
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(F.window(time_col, interval).alias("w"))
         .agg(
             F.min(time_col).alias("open_time"),
-            F.min_by(value_col, time_col).alias("open"),
+            F.min_by(value_col, ordering).alias("open"),
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
-            F.max_by(value_col, time_col).alias("close"),
+            F.max_by(value_col, ordering).alias("close"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(F.col("w.start").alias("window_start"), "open_time",

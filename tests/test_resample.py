@@ -247,3 +247,85 @@ def test_bar_state_merge_equals_full_recompute(spark):
         ).collect())
     )
     assert again == full
+
+
+def test_resample_tie_break_deterministic(spark):
+    """Duplicate timestamps: with tie_break the open/close picks and
+    the row-count grouping are pinned to the (t, id) total order —
+    identical across partitionings and equal to a python reference.
+    Exercises both resamplers and all three count strategies."""
+    import datetime as dt
+
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        resample_by_count,
+        resample_by_time,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    # every timestamp duplicated 3x with distinct ids and values
+    rows = [
+        (i, base + dt.timedelta(hours=(i // 3) % 40), float(i * 7 % 101))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "rid long, t timestamp, v double")
+    vc = {"open": "v", "high": "v", "low": "v", "close": "v",
+          "count": "v"}
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+
+    def py_bars(n):
+        out = []
+        for g in range(0, len(ordered), n):
+            grp = ordered[g:g + n]
+            out.append((
+                min(r[1] for r in grp),
+                grp[0][2],                      # open: first in (t,id)
+                max(r[2] for r in grp),
+                min(r[2] for r in grp),
+                grp[-1][2],                     # close: last in (t,id)
+                len(grp),
+            ))
+        return sorted(out)
+
+    want = py_bars(9)
+    for strategy in ("sort", "bucket"):
+        got = sorted(
+            map(
+                tuple,
+                df.repartition(7)
+                .transform(
+                    resample_by_count(
+                        9, time_col="t", value_cols=vc,
+                        strategy=strategy, sort_output=False,
+                        tie_break=("rid",),
+                    )
+                )
+                .collect(),
+            )
+        )
+        assert got == want, strategy
+
+    # time resampler: per-hour bars, open/close pinned by (t, rid)
+    bytime = {}
+    for rid, t, v in ordered:
+        b = bytime.setdefault(t, [])
+        b.append((rid, v))
+    want_t = sorted(
+        (t, t, vs[0][1], max(v for _, v in vs), min(v for _, v in vs),
+         vs[-1][1], len(vs))
+        for t, vs in bytime.items()
+    )
+    got_t = sorted(
+        map(
+            tuple,
+            df.repartition(5)
+            .transform(
+                resample_by_time(
+                    "1 hour", time_col="t", value_cols=vc,
+                    sort_output=False, tie_break=("rid",),
+                )
+            )
+            .collect(),
+        )
+    )
+    assert got_t == want_t
