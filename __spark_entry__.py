@@ -17517,6 +17517,152 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         )(read_rollup_state(spark, state)).localCheckpoint()
 
 
+@_q(
+    "q295_durbin_watson",
+    """
+    WITH d AS (SELECT event_type, ts, event_id,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+                      CAST(value AS DOUBLE) AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM d GROUP BY event_type),
+    b AS (SELECT event_type, n,
+            CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                 THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS b1,
+            (sy - (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx) END) * sx)
+              / CAST(n AS DOUBLE) AS a0
+          FROM a),
+    e AS (SELECT d.event_type, d.ts, d.event_id,
+                 d.y - b.a0 - b.b1 * d.x AS e, b.n
+          FROM d JOIN b ON d.event_type = b.event_type),
+    l AS (SELECT event_type, n, e,
+                 LAG(e) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS el
+          FROM e),
+    s AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN el IS NOT NULL
+                 THEN CAST((e - el) * (e - el) AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS num,
+            CAST(SUM(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS den
+          FROM l GROUP BY event_type)
+    SELECT s.event_type, s.n,
+           round(b.b1, 6) AS slope, round(b.a0, 6) AS intercept,
+           CASE WHEN s.n >= 3 AND s.den > 0
+                THEN round(s.num / s.den, 6) END AS dw
+    FROM s JOIN b ON s.event_type = b.event_type
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation diagnostic on simple-OLS
+    residuals (value ~ hour-of-day per event type, the q223 regressor)
+    — the "can you trust that trend line" gate next to q182/q223/q227:
+    DW ≈ 2 means independent errors, → 0 the positive autocorrelation
+    that silently shrinks every OLS standard error.  One decimal-
+    moment agg broadcast back + per-row residual doubles + a halo-1
+    keyed_lags pass ((ts, event_id) tie-safe order; chunked plan past
+    the hot-key gate) + one (38,12)-decimal pair-sum agg
+    (operators/stats.py:durbin_watson)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        durbin_watson,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return d.transform(
+        durbin_watson(
+            "y", "x", order_by=("ts", "event_id"),
+            group_by="event_type",
+        )
+    )
+
+
+@_q(
+    "q296_cooks_distance",
+    """
+    WITH d AS (SELECT event_type, event_id,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+                      CAST(value AS DOUBLE) AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM d GROUP BY event_type),
+    b AS (SELECT event_type, n, sx, sy, sxy, syy, sxx,
+            CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                 THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS b1
+          FROM a),
+    c AS (SELECT event_type, n, b1,
+            (sy - b1 * sx) / CAST(n AS DOUBLE) AS a0,
+            sx / CAST(n AS DOUBLE) AS xbar,
+            sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc,
+            CASE WHEN n > 2 THEN
+              (syy - ((sy - b1 * sx) / CAST(n AS DOUBLE)) * sy
+                   - b1 * sxy) / (CAST(n AS DOUBLE) - 2.0) END AS s2
+          FROM b
+          WHERE b1 IS NOT NULL),
+    f AS (SELECT * FROM c WHERE s2 > 0 AND sxxc > 0),
+    r AS (SELECT d.event_type, d.event_id AS id, d.x, d.y, f.n,
+                 d.y - f.a0 - f.b1 * d.x AS e,
+                 1.0 / CAST(f.n AS DOUBLE)
+                   + (d.x - f.xbar) * (d.x - f.xbar) / f.sxxc AS h,
+                 f.s2
+          FROM d JOIN f ON d.event_type = f.event_type),
+    g AS (SELECT event_type, id, x, y, e, h, n,
+                 e * e / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h)) AS dd
+          FROM r WHERE h < 1)
+    SELECT event_type, id, x, y,
+           round(e, 6) AS resid, round(h, 6) AS leverage,
+           round(dd, 6) AS cooks_d
+    FROM g WHERE dd > 4.0 / CAST(n AS DOUBLE)
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence flags for the q295 regression —
+    WHICH rows are driving the fitted line (leverage × residual, the
+    other half of the diagnostics pair): flagged at the standard
+    D > 4/n cut.  ONE decimal-moment agg broadcast back + a pure
+    projection — no window, no second data pass (SSE closed-form
+    Σy² − a·Σy − b·Σxy); per-row doubles identical across engines
+    (operators/stats.py:cooks_distance)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        cooks_distance,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        "event_id",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return d.transform(
+        cooks_distance("y", "x", "event_id", group_by="event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -17727,7 +17873,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: stay under the full gate; both rest one round after three straight
 #: greens).
 #: ROUND 12 ROTATION (VERDICT r11 ask #2 — keep retiring the
-#: driver-window evidence debt, 85 never-checked at r11 close): 47 of
+#: driver-window evidence debt, 85 never-checked at r11 close): 46 of
 #: the 50 slots go to never-driver-checked queries, oldest first —
 #: the FULL q59-q99 round-4/5 financial/relational block (32 queries:
 #: pivot, centroids, stratified/quota/weighted sampling, rolling
@@ -17739,20 +17885,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (temperature mix, HLL intersection, attribution, target encoding,
 #: session paths, streaming HLL, Theil-Sen, KS drift, seasonal
 #: decompose, RFM, keyness, k-core, feature hash, robust scale, RRF
-#: fusion — 15 of the 16; q194 MAD outliers waits one round for the
-#: third r12-new slot).  The other 3: the r12-new operators q292
-#: (enforced knn cell fence), q293 (streaming near-dup index) and
-#: q294 (streaming DDSketch quantiles).
+#: fusion — 14 of the 16; q193 RRF and q194 MAD outliers wait one
+#: round for the r12-new slots).  The other 4: the r12-new operators
+#: q292 (enforced knn cell fence), q293 (streaming near-dup index),
+#: q294 (streaming DDSketch quantiles) and q295 (Durbin–Watson; its
+#: q296 Cook's-distance twin stays judge-gate covered this round).
 #: EVERY demoted row (the 17 r11-new q275-q291, q272, and the 31
 #: r11-window backlog rows) is driver-green in CORRECTNESS_r11.json
 #: AND stays under the judge's full oracle gate.  Backlog after this
-#: window: 85 - 47 = 38 never-checked remain (q194 + q196-q274
-#: leftovers).
+#: window: 85 - 46 = 39 of the old never-checked remain
+#: (q193/q194 + q196-q274 leftovers).
 _PRIORITY_WINDOW = [
     # --- r12-new operators (driver evidence for this round's work) ---
     "q292_knn_outlier_fenced",
     "q293_streaming_neardup",
     "q294_streaming_ddsketch",
+    "q295_durbin_watson",
     # --- never-driver-checked backlog: the q59-q99 block ---
     "q59_pivot",
     "q61_embedding_centroids",
@@ -17801,7 +17949,6 @@ _PRIORITY_WINDOW = [
     "q190_kcore",
     "q191_feature_hash",
     "q192_robust_scale",
-    "q193_rrf_fusion",
 ]
 
 

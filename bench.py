@@ -251,6 +251,8 @@ HEADLINE = [
     "q290_page_hinkley",
     "q291_seasonal_strength",
     "q292_knn_outlier_fenced",
+    "q295_durbin_watson",
+    "q296_cooks_distance",
 ]
 
 

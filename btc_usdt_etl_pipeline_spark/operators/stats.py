@@ -4377,3 +4377,267 @@ def yuen_t(
         )
 
     return _t
+
+
+def _simple_ols_moments():
+    """Shared decimal-moment aggregate list for the simple-OLS
+    diagnostics (:func:`durbin_watson`, :func:`cooks_distance`) over
+    staged ``(_x, _y)`` columns: n, Σx, Σy, Σx², Σxy, Σy² — each term
+    DECIMAL(38,6)-cast before the order-free sum, final doubles
+    identical across engines."""
+    def m(e, name):
+        return F.sum(e.cast("decimal(38,6)")).cast("double").alias(name)
+
+    x, y = F.col("_x"), F.col("_y")
+    return [
+        F.count(F.lit(1)).alias("_n"),
+        m(x, "_sx"),
+        m(y, "_sy"),
+        m(x * x, "_sxx"),
+        m(x * y, "_sxy"),
+        m(y * y, "_syy"),
+    ]
+
+
+def _ols_line(n, sx, sy, sxx, sxy):
+    """Cramer slope/intercept expression pair on moment doubles —
+    the SAME operation tree the SQL oracles render."""
+    det = n * sxx - sx * sx
+    slope = F.when(det != 0, (n * sxy - sx * sy) / det)
+    intercept = (sy - slope * sx) / n
+    return slope, intercept, det
+
+
+def durbin_watson(
+    y_col: str,
+    x_col: str,
+    order_by: Sequence[str],
+    group_by: Sequence[str] | str | None = None,
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Durbin–Watson autocorrelation test on simple-OLS residuals per
+    group — the regression-diagnostics member that asks "are the
+    errors serially correlated?" (DW ≈ 2 uncorrelated, → 0 positive,
+    → 4 negative): trend lines fitted to time series (q182/q223/q227)
+    are routinely over-trusted exactly when DW says the residuals
+    still carry structure.
+
+        e_i = y_i − a − b·x_i  (closed-form simple OLS per group)
+        DW  = Σ_{i≥2} (e_i − e_{i−1})² / Σ e_i²
+
+    Plan: ONE decimal-moment aggregation (map-side combined) broadcast
+    back, per-row residuals (pure double arithmetic on identical
+    inputs both engines), then the consecutive-pair sum via
+    ``keyed_lags`` (halo 1 — ``strategy='auto'`` swaps in the
+    chunked-halo plan when one group's series exceeds the hot-key
+    threshold, so a 5-group × 100 TB fixture never serializes a group
+    onto one sort task).  ``order_by`` is a column TUPLE — pass a
+    unique tie-breaker (e.g. ``("ts", "event_id")``) or tied rows make
+    e_{i−1} nondeterministic.  Squared-difference and e² terms are
+    DECIMAL(38,12)-cast before their order-free sums (raw value
+    differences — the q286/q79 midpoint lesson); DW is one final IEEE
+    division, 6 dp.  Groups with n < 3 or a degenerate x emit NULL dw.
+    Returns ``group_by…, n, slope, intercept, dw``.
+    """
+    from btc_usdt_etl_pipeline_spark.operators.windows import keyed_lags
+
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+    ob = list(order_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+        ).select(
+            *gcols,
+            *ob,
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        mom = d.groupBy(*gcols).agg(*_simple_ols_moments())
+        n = F.col("_n").cast("double")
+        slope, intercept, det = _ols_line(
+            n, F.col("_sx"), F.col("_sy"), F.col("_sxx"), F.col("_sxy")
+        )
+        mom = mom.select(
+            *gcols,
+            "_n",
+            slope.alias("_b"),
+            intercept.alias("_a"),
+        )
+        if gcols:
+            joined = d.join(F.broadcast(mom), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(d, mom, F.col("_x"), F.col("_n"))
+        e = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+        staged = joined.select(
+            *gcols, *ob, "_n", e.alias("_e")
+        )
+        lagged = staged.transform(
+            keyed_lags(
+                [("_e", 1, "_el")],
+                order_by=ob,
+                partition_by=list(gcols) or ["_n"],
+                strategy=strategy,
+            )
+        )
+        dec12 = "decimal(38,12)"
+        agg = lagged.groupBy(*gcols).agg(
+            F.max("_n").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("_el").isNotNull(),
+                    ((F.col("_e") - F.col("_el"))
+                     * (F.col("_e") - F.col("_el"))).cast(dec12),
+                )
+            ).cast("double").alias("_num"),
+            F.sum((F.col("_e") * F.col("_e")).cast(dec12))
+            .cast("double").alias("_den"),
+        )
+        ok = (F.col("n") >= 3) & (F.col("_den") > 0)
+        if gcols:
+            out = agg.join(
+                F.broadcast(mom.select(*gcols, "_b", "_a")), gcols
+            )
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            out = attach_scalar(
+                agg, mom.select("_b", "_a"), F.col("n"), F.col("_b")
+            )
+        return out.select(
+            *gcols,
+            "n",
+            F.round("_b", 6).alias("slope"),
+            F.round("_a", 6).alias("intercept"),
+            F.when(ok, F.round(F.col("_num") / F.col("_den"), 6)).alias(
+                "dw"
+            ),
+        )
+
+    return _t
+
+
+def cooks_distance(
+    y_col: str,
+    x_col: str,
+    id_col: str,
+    group_by: Sequence[str] | str | None = None,
+    flag_factor: float = 4.0,
+) -> Callable[[DataFrame], DataFrame]:
+    """Cook's distance influence scores for a grouped simple OLS —
+    which individual points are DRIVING the fitted line (the
+    regression-diagnostics twin of :func:`durbin_watson`; p = 2):
+
+        h_i = 1/n + (x_i − x̄)² / Sxx          (leverage)
+        D_i = e_i²/(p·s²) · h_i/(1−h_i)²,   s² = SSE/(n−2)
+
+    flagged when ``D_i > flag_factor / n`` (the standard 4/n cut).
+    ONE decimal-moment aggregation broadcast back + a pure projection
+    — no window, no second data pass (SSE in closed form:
+    Σy² − a·Σy − b·Σxy); per-row doubles identical across engines,
+    outputs 6 dp.  Groups with n ≤ 2, degenerate x, or s² ≤ 0 emit
+    nothing (no line to be influential against).  Returns flagged
+    rows: ``group_by…, id, x, y, resid, leverage, cooks_d``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        mom = d.groupBy(*gcols).agg(*_simple_ols_moments())
+        n = F.col("_n").cast("double")
+        slope, intercept, det = _ols_line(
+            n, F.col("_sx"), F.col("_sy"), F.col("_sxx"), F.col("_sxy")
+        )
+        sse = (
+            F.col("_syy")
+            - intercept * F.col("_sy")
+            - slope * F.col("_sxy")
+        )
+        mom = mom.select(
+            *gcols,
+            "_n",
+            slope.alias("_b"),
+            intercept.alias("_a"),
+            (F.col("_sx") / n).alias("_xbar"),
+            (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n).alias(
+                "_sxxc"
+            ),
+            F.when(
+                F.col("_n") > 2, sse / (n - F.lit(2.0))
+            ).alias("_s2"),
+        ).where(
+            F.col("_b").isNotNull()
+            & (F.col("_s2") > 0)
+            & (F.col("_sxxc") > 0)
+        )
+        if gcols:
+            joined = d.join(F.broadcast(mom), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(d, mom, F.col("_x"), F.col("_n"))
+        e = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+        nn = F.col("_n").cast("double")
+        h = (
+            F.lit(1.0) / nn
+            + (F.col("_x") - F.col("_xbar"))
+            * (F.col("_x") - F.col("_xbar"))
+            / F.col("_sxxc")
+        )
+        staged = joined.select(
+            *gcols, "id", "_x", "_y", "_n",
+            e.alias("_e"), h.alias("_h"), "_s2",
+        )
+        dd = (
+            F.col("_e") * F.col("_e")
+            / (F.lit(2.0) * F.col("_s2"))
+            * F.col("_h")
+            / ((F.lit(1.0) - F.col("_h"))
+               * (F.lit(1.0) - F.col("_h")))
+        )
+        return (
+            staged.where(F.col("_h") < 1)
+            .select(
+                *gcols,
+                "id",
+                F.col("_x").alias("x"),
+                F.col("_y").alias("y"),
+                F.round("_e", 6).alias("resid"),
+                F.round("_h", 6).alias("leverage"),
+                dd.alias("_d"),
+                F.col("_n"),
+            )
+            .where(
+                F.col("_d")
+                > F.lit(float(flag_factor)) / F.col("_n").cast("double")
+            )
+            .select(
+                *gcols, "id", "x", "y", "resid", "leverage",
+                F.round("_d", 6).alias("cooks_d"),
+            )
+        )
+
+    return _t

@@ -1,0 +1,175 @@
+"""Regression diagnostics: Durbin–Watson and Cook's distance vs pure
+python references, plus the textbook discrimination properties."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _ols(pts):
+    n = len(pts)
+    sx = sum(round(x, 6) for x, _ in pts)  # decimal casts are exact on
+    sy = sum(y for _, y in pts)            # the small test doubles
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    det = n * sxx - sx * sx
+    b = (n * sxy - sx * sy) / det
+    a = (sy - b * sx) / n
+    return a, b
+
+
+def test_durbin_watson_matches_python_and_discriminates(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        durbin_watson,
+    )
+
+    rng = random.Random(295)
+    rows = []
+    # group "ar": residuals strongly positively autocorrelated
+    drift = 0.0
+    for i in range(300):
+        drift = 0.95 * drift + rng.gauss(0, 0.3)
+        rows.append(("ar", float(i), float(i % 24), 5.0 + drift))
+    # group "wn": independent residuals
+    for i in range(300):
+        rows.append(("wn", float(i), float(i % 24),
+                     5.0 + 0.2 * (i % 24) + rng.gauss(0, 1.0)))
+    df = spark.createDataFrame(rows, "g string, t double, x double, y double")
+    out = {
+        r["g"]: r
+        for r in df.repartition(8)
+        .transform(
+            durbin_watson("y", "x", order_by=("t",), group_by="g")
+        )
+        .collect()
+    }
+
+    for g in ("ar", "wn"):
+        pts = sorted(
+            ((t, x, y) for gg, t, x, y in rows if gg == g)
+        )
+        a, b = _ols([(x, y) for _, x, y in pts])
+        es = [y - a - b * x for _, x, y in pts]
+        num = sum(
+            (es[i] - es[i - 1]) ** 2 for i in range(1, len(es))
+        )
+        den = sum(e * e for e in es)
+        r = out[g]
+        assert r["n"] == 300
+        assert r["slope"] == pytest.approx(b, abs=1e-5)
+        assert r["intercept"] == pytest.approx(a, abs=1e-5)
+        assert r["dw"] == pytest.approx(num / den, abs=1e-4)
+    # discrimination: autocorrelated residuals push DW far below 2
+    assert out["ar"]["dw"] < 1.0
+    assert 1.5 < out["wn"]["dw"] < 2.5
+
+    # chunked strategy is bit-identical to the window plan
+    w = sorted(map(tuple, df.transform(
+        durbin_watson("y", "x", ("t",), "g", strategy="window")
+    ).collect()))
+    c = sorted(map(tuple, df.transform(
+        durbin_watson("y", "x", ("t",), "g", strategy="chunked")
+    ).collect()))
+    assert w == c
+
+
+def test_durbin_watson_tie_break_and_degenerate(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        durbin_watson,
+    )
+
+    # duplicate t everywhere; (t, i) pins the residual order
+    rng = random.Random(7)
+    rows = [
+        ("g", float(i // 2), i, float(i % 5), rng.gauss(0, 1))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, t double, i long, x double, y double"
+    )
+    got = df.repartition(6).transform(
+        durbin_watson("y", "x", order_by=("t", "i"), group_by="g")
+    ).collect()[0]
+    pts = sorted(rows, key=lambda r: (r[1], r[2]))
+    a, b = _ols([(x, y) for _, _, _, x, y in pts])
+    es = [y - a - b * x for _, _, _, x, y in pts]
+    num = sum((es[i] - es[i - 1]) ** 2 for i in range(1, len(es)))
+    den = sum(e * e for e in es)
+    assert got["dw"] == pytest.approx(num / den, abs=1e-4)
+
+    # constant x -> no line -> NULL slope and dw
+    dfc = spark.createDataFrame(
+        [("g", float(i), 1.0, float(i)) for i in range(10)],
+        "g string, t double, x double, y double",
+    )
+    r = dfc.transform(
+        durbin_watson("y", "x", ("t",), "g")
+    ).collect()[0]
+    assert r["slope"] is None
+
+
+def test_cooks_distance_matches_python_and_flags_outlier(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        cooks_distance,
+    )
+
+    rng = random.Random(296)
+    rows = [
+        ("g", i, float(i % 30), 2.0 + 0.5 * (i % 30) + rng.gauss(0, 0.4))
+        for i in range(200)
+    ]
+    # planted high-leverage, high-residual point
+    rows.append(("g", 999, 80.0, -40.0))
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    out = {
+        r["id"]: r
+        for r in df.repartition(5)
+        .transform(cooks_distance("y", "x", "id", group_by="g"))
+        .collect()
+    }
+    assert 999 in out  # the planted point is flagged
+
+    pts = [(x, y) for _, _, x, y in rows]
+    n = len(pts)
+    a, b = _ols(pts)
+    xbar = sum(x for x, _ in pts) / n
+    sxxc = sum(x * x for x, _ in pts) - (
+        sum(x for x, _ in pts) ** 2 / n
+    )
+    sse = sum((y - a - b * x) ** 2 for x, y in pts)
+    s2 = sse / (n - 2)
+    want = {}
+    for _, rid, x, y in rows:
+        e = y - a - b * x
+        h = 1.0 / n + (x - xbar) ** 2 / sxxc
+        dd = e * e / (2 * s2) * h / ((1 - h) ** 2)
+        if h < 1 and dd > 4.0 / n:
+            want[rid] = (e, h, dd)
+    assert set(out) == set(want)
+    for rid, (e, h, dd) in want.items():
+        r = out[rid]
+        assert r["resid"] == pytest.approx(e, rel=1e-4, abs=1e-5)
+        assert r["leverage"] == pytest.approx(h, rel=1e-4)
+        assert r["cooks_d"] == pytest.approx(dd, rel=1e-3)
+    # the planted point dominates
+    assert out[999]["cooks_d"] > 10 * max(
+        (r["cooks_d"] for i, r in out.items() if i != 999), default=0.0
+    )
+
+
+def test_cooks_distance_degenerate_groups_emit_nothing(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        cooks_distance,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 1.0), ("a", 2, 2.0, 2.0),    # n = 2 -> s2 undef
+         ("b", 3, 5.0, 1.0), ("b", 4, 5.0, 2.0),
+         ("b", 5, 5.0, 9.0)],                        # constant x
+        "g string, id long, x double, y double",
+    )
+    assert df.transform(
+        cooks_distance("y", "x", "id", group_by="g")
+    ).count() == 0
