@@ -17663,6 +17663,152 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q297_ljung_box",
+    """
+    WITH m AS (SELECT user_id, value, ts, event_id,
+                      value - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                   OVER wg AS DOUBLE)
+                              / COUNT(value) OVER wg AS dev
+               FROM events WINDOW wg AS (PARTITION BY user_id)),
+    s AS (SELECT user_id,
+                 CAST(dev * dev AS DECIMAL(38,6)) AS d2,
+                 CAST(dev * lag(dev, 1) OVER wo AS DECIMAL(38,6)) AS p1,
+                 CAST(dev * lag(dev, 2) OVER wo AS DECIMAL(38,6)) AS p2,
+                 CAST(dev * lag(dev, 3) OVER wo AS DECIMAL(38,6)) AS p3,
+                 CAST(dev * lag(dev, 4) OVER wo AS DECIMAL(38,6)) AS p4,
+                 CAST(dev * lag(dev, 5) OVER wo AS DECIMAL(38,6)) AS p5
+          FROM m WINDOW wo AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    a AS (SELECT user_id, CAST(SUM(d2) AS DOUBLE) AS den,
+                 CAST(SUM(p1) AS DOUBLE) AS n1,
+                 CAST(SUM(p2) AS DOUBLE) AS n2,
+                 CAST(SUM(p3) AS DOUBLE) AS n3,
+                 CAST(SUM(p4) AS DOUBLE) AS n4,
+                 CAST(SUM(p5) AS DOUBLE) AS n5
+          FROM s GROUP BY user_id),
+    r AS (SELECT user_id, lag,
+                 CASE WHEN den != 0 THEN num / den END AS acf
+          FROM (
+            SELECT user_id, 1 AS lag, n1 AS num, den FROM a
+            UNION ALL SELECT user_id, 2, n2, den FROM a
+            UNION ALL SELECT user_id, 3, n3, den FROM a
+            UNION ALL SELECT user_id, 4, n4, den FROM a
+            UNION ALL SELECT user_id, 5, n5, den FROM a)),
+    c AS (SELECT user_id, COUNT(value)::BIGINT AS n
+          FROM events GROUP BY user_id),
+    t AS (SELECT r.user_id, c.n,
+                 CAST(SUM(CAST(r.acf * r.acf
+                      / (CAST(c.n AS DOUBLE) - CAST(r.lag AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS s2
+          FROM r JOIN c ON r.user_id = c.user_id
+          GROUP BY r.user_id, c.n)
+    SELECT user_id, n, 5 AS df,
+           CASE WHEN n > 5
+                THEN round(CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 2.0) * s2, 6) END AS q
+    FROM t
+    """,
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q through lag 5 per user series — the
+    one-number "is it white noise" gate over q185's ACF (and the
+    all-lags companion to q295's lag-1 Durbin–Watson): Q = n(n+2)
+    Σ r_k²/(n−k), df = 5.  Composes the acf operator (same keyed
+    chunked-halo scale path) with one per-series count and a K-row
+    rollup; r_k²/(n−k) terms (38,12)-decimal-cast before the order-
+    free sum (operators/windows.py:ljung_box)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import ljung_box
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        ljung_box(
+            "value",
+            5,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q298_breusch_pagan",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+                      CAST(value AS DOUBLE) AS y
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM d GROUP BY event_type),
+    b AS (SELECT event_type,
+            CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                 THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS b1,
+            (sy - (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx) END) * sx)
+              / CAST(n AS DOUBLE) AS a0
+          FROM a
+          WHERE CAST(n AS DOUBLE) * sxx - sx * sx <> 0),
+    r AS (SELECT d.event_type, d.x,
+                 (d.y - b.a0 - b.b1 * d.x)
+                   * (d.y - b.a0 - b.b1 * d.x) AS g
+          FROM d JOIN b ON d.event_type = b.event_type),
+    m AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x * g AS DECIMAL(38,6))) AS DOUBLE) AS sxg,
+            CAST(SUM(CAST(g * g AS DECIMAL(38,6))) AS DOUBLE) AS sgg
+          FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n AS DOUBLE) * sgg - sg * sg > 0
+                 THEN (CAST(n AS DOUBLE) * sxg - sx * sg)
+                      * (CAST(n AS DOUBLE) * sxg - sx * sg)
+                      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * sgg - sg * sg)) END, 6)
+             AS r2_aux,
+           CASE WHEN n > 2
+                THEN round(CAST(n AS DOUBLE)
+                     * (CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                              AND CAST(n AS DOUBLE) * sgg - sg * sg > 0
+                        THEN (CAST(n AS DOUBLE) * sxg - sx * sg)
+                             * (CAST(n AS DOUBLE) * sxg - sx * sg)
+                             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * sgg - sg * sg))
+                        END), 6) END AS lm
+    FROM m
+    """,
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity LM (Koenker form, n·R²_aux of
+    e² ~ x) on the q295 regression — the constant-variance gate that
+    decides whether q223/q227's OLS standard errors mean anything:
+    DW (q295) checks error independence, Cook's D (q296) point
+    influence, BP the variance assumption.  Two map-side-combined
+    moment aggs + broadcast joins, no window, no sort
+    (operators/stats.py:breusch_pagan)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        breusch_pagan,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return d.transform(breusch_pagan("y", "x", group_by="event_type"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -253,6 +253,8 @@ HEADLINE = [
     "q292_knn_outlier_fenced",
     "q295_durbin_watson",
     "q296_cooks_distance",
+    "q297_ljung_box",
+    "q298_breusch_pagan",
 ]
 
 

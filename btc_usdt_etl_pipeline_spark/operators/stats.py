@@ -4641,3 +4641,99 @@ def cooks_distance(
         )
 
     return _t
+
+
+def breusch_pagan(
+    y_col: str,
+    x_col: str,
+    group_by: Sequence[str] | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Breusch–Pagan heteroscedasticity test per group (Koenker
+    studentized form) — does the residual VARIANCE of the simple OLS
+    move with the regressor?  The third member of the diagnostics
+    family: :func:`durbin_watson` checks error independence,
+    :func:`cooks_distance` point influence, this checks the constant-
+    variance assumption OLS standard errors live on:
+
+        fit y ~ x,  g_i = e_i²,  aux-fit g ~ x,
+        LM = n · R²_aux,   df = 1
+
+    Two aggregation passes (both map-side-combined decimal-moment
+    aggs, group-broadcast joins back, no window, no sort): pass 1 the
+    (x, y) moments for the line, pass 2 the (x, g) moments for the
+    auxiliary R² via the closed form
+
+        R² = (n·Σxg − Σx·Σg)² / ((n·Σx² − (Σx)²)(n·Σg² − (Σg)²)).
+
+    Per-row g doubles are identical across engines (same IEEE tree on
+    identical moment doubles); all sums DECIMAL(38,6)-term-cast;
+    outputs 6 dp.  Degenerate groups (n ≤ 2, constant x, constant g)
+    emit NULL lm.  Returns ``group_by…, n, r2_aux, lm``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+        ).select(
+            *gcols,
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        mom = d.groupBy(*gcols).agg(*_simple_ols_moments())
+        n = F.col("_n").cast("double")
+        slope, intercept, det = _ols_line(
+            n, F.col("_sx"), F.col("_sy"), F.col("_sxx"), F.col("_sxy")
+        )
+        mom = mom.select(
+            *gcols, "_n", slope.alias("_b"), intercept.alias("_a")
+        ).where(F.col("_b").isNotNull())
+        if gcols:
+            joined = d.join(F.broadcast(mom), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(d, mom, F.col("_x"), F.col("_n"))
+        e = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+        g = (e * e).alias("_g")
+        staged = joined.select(*gcols, "_x", g)
+
+        def m(expr, name):
+            return (
+                F.sum(expr.cast("decimal(38,6)"))
+                .cast("double")
+                .alias(name)
+            )
+
+        x, gg = F.col("_x"), F.col("_g")
+        aux = staged.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            m(x, "_sx"),
+            m(gg, "_sg"),
+            m(x * x, "_sxx"),
+            m(x * gg, "_sxg"),
+            m(gg * gg, "_sgg"),
+        )
+        nn = F.col("n").cast("double")
+        num = (
+            nn * F.col("_sxg") - F.col("_sx") * F.col("_sg")
+        )
+        dx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        dg = nn * F.col("_sgg") - F.col("_sg") * F.col("_sg")
+        r2 = F.when((dx > 0) & (dg > 0), num * num / (dx * dg))
+        return aux.select(
+            *gcols,
+            "n",
+            F.round(r2, 6).alias("r2_aux"),
+            F.when(
+                F.col("n") > 2, F.round(nn * r2, 6)
+            ).alias("lm"),
+        )
+
+    return _t

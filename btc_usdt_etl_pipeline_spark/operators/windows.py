@@ -1868,3 +1868,75 @@ def theil_sen(
         )
 
     return _t
+
+
+def ljung_box(
+    value_col: str,
+    max_lag: int,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Ljung–Box portmanteau test per series — "is this series white
+    noise through lag K?", the one-number companion to the :func:`acf`
+    plot (and the serial-correlation gate fitted-model residuals are
+    judged by, next to Durbin–Watson's lag-1 view):
+
+        Q = n·(n+2) · Σ_{k=1..K} r_k² / (n − k),   df = K
+
+    Composes :func:`acf` (same estimator, same scale paths — the
+    keyed chunked-halo route past the hot-key gate) with a per-series
+    non-null count, then ONE K-row-per-series rollup: the r_k²/(n−k)
+    terms are DECIMAL(38,12)-cast before the order-free sum and the
+    n(n+2) product is applied after — one final IEEE multiply, 6 dp.
+    Series with n ≤ max_lag emit NULL q (the statistic's domain).
+    Returns ``partition_by…, n, df, q``.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        r = df.transform(
+            acf(
+                value_col,
+                max_lag,
+                partition_by=partition_by,
+                order_by=order_by,
+                strategy=strategy,
+            )
+        )
+        cnt = (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*gcols)
+            .agg(F.count(value_col).alias("_lbn"))
+        )
+        if gcols:
+            joined = r.join(F.broadcast(cnt), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(r, cnt, F.col("lag"), F.col("_lbn"))
+        nn = F.col("_lbn").cast("double")
+        term = (
+            F.col("acf") * F.col("acf")
+            / (nn - F.col("lag").cast("double"))
+        ).cast("decimal(38,12)")
+        agg = joined.groupBy(*gcols).agg(
+            F.max("_lbn").alias("n"),
+            F.sum(term).cast("double").alias("_s"),
+        )
+        n2 = F.col("n").cast("double")
+        return agg.select(
+            *gcols,
+            "n",
+            F.lit(int(max_lag)).alias("df"),
+            F.when(
+                F.col("n") > max_lag,
+                F.round(n2 * (n2 + F.lit(2.0)) * F.col("_s"), 6),
+            ).alias("q"),
+        )
+
+    return _t

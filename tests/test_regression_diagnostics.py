@@ -173,3 +173,110 @@ def test_cooks_distance_degenerate_groups_emit_nothing(spark):
     assert df.transform(
         cooks_distance("y", "x", "id", group_by="g")
     ).count() == 0
+
+
+def test_ljung_box_matches_python_and_discriminates(spark):
+    from btc_usdt_etl_pipeline_spark.operators.windows import ljung_box
+
+    rng = random.Random(297)
+    rows = []
+    # "ar": strongly autocorrelated -> huge Q; "wn": white noise
+    v = 0.0
+    for i in range(240):
+        v = 0.9 * v + rng.gauss(0, 1)
+        rows.append(("ar", float(i), i, 10.0 + v))
+    for i in range(240):
+        rows.append(("wn", float(i), i, 10.0 + rng.gauss(0, 1)))
+    df = spark.createDataFrame(
+        rows, "g string, ts double, event_id long, value double"
+    )
+    out = {
+        r["g"]: r
+        for r in df.repartition(6)
+        .transform(
+            ljung_box(
+                "value", 5, partition_by="g",
+                order_by=("ts", "event_id"),
+            )
+        )
+        .collect()
+    }
+
+    for g in ("ar", "wn"):
+        xs = [x for gg, _, _, x in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (r[1], r[2])
+        )]
+        n = len(xs)
+        mean = sum(round(x, 6) for x in xs) / n
+        dev = [x - mean for x in xs]
+        den = sum(round(d * d, 6) for d in dev)
+        q = 0.0
+        for k in range(1, 6):
+            num = sum(
+                round(dev[i] * dev[i - k], 6) for i in range(k, n)
+            )
+            r_k = num / den
+            q += r_k * r_k / (n - k)
+        q *= n * (n + 2)
+        r = out[g]
+        assert r["n"] == n and r["df"] == 5
+        assert r["q"] == pytest.approx(q, rel=1e-4)
+    assert out["ar"]["q"] > 100.0
+    assert out["wn"]["q"] < 30.0
+
+    # n <= max_lag -> NULL q
+    tiny = spark.createDataFrame(
+        [("t", float(i), i, float(i)) for i in range(4)],
+        "g string, ts double, event_id long, value double",
+    )
+    assert tiny.transform(
+        ljung_box("value", 5, partition_by="g", order_by=("ts", "event_id"))
+    ).collect()[0]["q"] is None
+
+
+def test_breusch_pagan_matches_python_and_discriminates(spark):
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        breusch_pagan,
+    )
+
+    rng = random.Random(298)
+    rows = []
+    # "het": residual sd grows with x -> LM large; "hom": constant sd
+    for i in range(400):
+        x = float(i % 25)
+        rows.append(("het", x, 1.0 + 0.3 * x + rng.gauss(0, 0.2 + 0.3 * x)))
+        rows.append(("hom", x, 1.0 + 0.3 * x + rng.gauss(0, 1.0)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in df.repartition(7)
+        .transform(breusch_pagan("y", "x", group_by="g"))
+        .collect()
+    }
+
+    for g in ("het", "hom"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        a, b = _ols(pts)
+        gs = [(x, (y - a - b * x) ** 2) for x, y in pts]
+        n = len(gs)
+        sx = sum(round(x, 6) for x, _ in gs)
+        sg = sum(round(v, 6) for _, v in gs)
+        sxx = sum(round(x * x, 6) for x, _ in gs)
+        sxg = sum(round(x * v, 6) for x, v in gs)
+        sgg = sum(round(v * v, 6) for _, v in gs)
+        r2 = (n * sxg - sx * sg) ** 2 / (
+            (n * sxx - sx * sx) * (n * sgg - sg * sg)
+        )
+        r = out[g]
+        assert r["n"] == n
+        assert r["r2_aux"] == pytest.approx(r2, rel=1e-3, abs=1e-5)
+        assert r["lm"] == pytest.approx(n * r2, rel=1e-3, abs=1e-4)
+    assert out["het"]["lm"] > 30.0
+    assert out["hom"]["lm"] < 15.0
+
+    # constant x -> no line -> the group is dropped (no output row)
+    dfc = spark.createDataFrame(
+        [("c", 1.0, float(i)) for i in range(10)],
+        "g string, x double, y double",
+    )
+    assert dfc.transform(breusch_pagan("y", "x", group_by="g")).count() == 0
