@@ -17809,6 +17809,88 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.transform(breusch_pagan("y", "x", group_by="event_type"))
 
 
+def _pacf_oracle_sql() -> str:
+    """Render the q299 oracle from the SAME Durbin–Levinson schedule
+    the operator executes (the q242/q257 one-generator-two-renderers
+    idiom) on top of q185's ACF CTEs — structural bit-identity."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        durbin_levinson_schedule,
+    )
+
+    ctes = []
+    prev = "w"
+    for i, stage in enumerate(durbin_levinson_schedule(5)):
+        ctes.append(
+            f"pl{i} AS MATERIALIZED (SELECT *, "
+            + ", ".join(f"{e} AS {c}" for c, e in stage)
+            + f" FROM {prev})"
+        )
+        prev = f"pl{i}"
+    ctes_sql = ",\n    ".join(ctes)
+    finals = "\n      UNION ALL ".join(
+        f"SELECT user_id, {k} AS lag, round(p_{k}_{k}, 6) AS pacf "
+        f"FROM {prev}"
+        for k in range(1, 6)
+    )
+    return f"""
+    WITH m AS (SELECT user_id, value, ts, event_id,
+                      value - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                   OVER wg AS DOUBLE)
+                              / COUNT(value) OVER wg AS dev
+               FROM events WINDOW wg AS (PARTITION BY user_id)),
+    s AS (SELECT user_id,
+                 CAST(dev * dev AS DECIMAL(38,6)) AS d2,
+                 CAST(dev * lag(dev, 1) OVER wo AS DECIMAL(38,6)) AS p1,
+                 CAST(dev * lag(dev, 2) OVER wo AS DECIMAL(38,6)) AS p2,
+                 CAST(dev * lag(dev, 3) OVER wo AS DECIMAL(38,6)) AS p3,
+                 CAST(dev * lag(dev, 4) OVER wo AS DECIMAL(38,6)) AS p4,
+                 CAST(dev * lag(dev, 5) OVER wo AS DECIMAL(38,6)) AS p5
+          FROM m WINDOW wo AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    a AS (SELECT user_id, CAST(SUM(d2) AS DOUBLE) AS den,
+                 CAST(SUM(p1) AS DOUBLE) AS n1,
+                 CAST(SUM(p2) AS DOUBLE) AS n2,
+                 CAST(SUM(p3) AS DOUBLE) AS n3,
+                 CAST(SUM(p4) AS DOUBLE) AS n4,
+                 CAST(SUM(p5) AS DOUBLE) AS n5
+          FROM s GROUP BY user_id),
+    w AS (SELECT user_id,
+                 CASE WHEN den != 0 THEN n1 / den END AS r_1,
+                 CASE WHEN den != 0 THEN n2 / den END AS r_2,
+                 CASE WHEN den != 0 THEN n3 / den END AS r_3,
+                 CASE WHEN den != 0 THEN n4 / den END AS r_4,
+                 CASE WHEN den != 0 THEN n5 / den END AS r_5
+          FROM a),
+    {ctes_sql}
+    SELECT user_id, lag, pacf FROM (
+      {finals})
+    """
+
+
+@_q("q299_pacf", _pacf_oracle_sql())
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation φ_{k,k}, k = 1..5, per user series —
+    the Box–Jenkins AR-order picker pairing q185's ACF (tails off) and
+    q297's Ljung–Box gate: PACF cutting off at p identifies AR(p).
+    Data-scale work is exactly q185's one ordered pass + one agg; the
+    Durbin–Levinson recursion runs on the 5-value-per-series metadata
+    table as generated chained selects whose expression text ALSO
+    renders the oracle's MATERIALIZED CTEs — bit-identity by
+    construction (operators/windows.py:pacf +
+    durbin_levinson_schedule)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import pacf
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        pacf(
+            "value",
+            5,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -255,6 +255,7 @@ HEADLINE = [
     "q296_cooks_distance",
     "q297_ljung_box",
     "q298_breusch_pagan",
+    "q299_pacf",
 ]
 
 

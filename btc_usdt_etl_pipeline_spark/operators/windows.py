@@ -1940,3 +1940,116 @@ def ljung_box(
         )
 
     return _t
+
+
+def durbin_levinson_schedule(
+    max_lag: int,
+) -> list[list[tuple[str, str]]]:
+    """Durbin–Levinson recursion over wide ACF columns ``r_1..r_K`` as
+    staged (column, SQL-expr) steps — ONE generator rendered into BOTH
+    engines (the markov_schedule / bt_schedule idiom), so the partial
+    autocorrelations are structurally bit-identical:
+
+        φ_{1,1} = r_1
+        φ_{k,k} = (r_k − Σ_j φ_{k−1,j}·r_{k−j})
+                  / (1 − Σ_j φ_{k−1,j}·r_j)
+        φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    Division guarded with a neutral CASE (NULL on a singular step —
+    constant series); term order is generation order, fixed both
+    sides.  Stage k only references stage k−1 columns, so each stage
+    is one chained select / one MATERIALIZED CTE.
+    """
+    zero = "CAST(0 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    stages: list[list[tuple[str, str]]] = [[("p_1_1", "r_1")]]
+    for k in range(2, max_lag + 1):
+        num = " + ".join(
+            f"p_{k-1}_{j} * r_{k-j}" for j in range(1, k)
+        )
+        den = " + ".join(f"p_{k-1}_{j} * r_{j}" for j in range(1, k))
+        stage = [
+            (f"pn_{k}", f"(r_{k} - ({num}))"),
+            (f"pd_{k}", f"({one} - ({den}))"),
+        ]
+        stages.append(stage)
+        stage2 = [
+            (
+                f"p_{k}_{k}",
+                f"(CASE WHEN pd_{k} <> {zero} "
+                f"THEN pn_{k} / pd_{k} END)",
+            )
+        ]
+        stages.append(stage2)
+        stages.append(
+            [
+                (f"p_{k}_{j}", f"(p_{k-1}_{j} - p_{k}_{k} * p_{k-1}_{k-j})")
+                for j in range(1, k)
+            ]
+        )
+    return [s for s in stages if s]
+
+
+def pacf(
+    value_col: str,
+    max_lag: int,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
+) -> Callable[[DataFrame], DataFrame]:
+    """Partial autocorrelation function φ_{k,k}, k = 1..max_lag, per
+    series — the AR-order picker next to :func:`acf` (ACF tails off /
+    PACF cuts at p ⇒ AR(p); the other half of the Box–Jenkins
+    identification pair) and the natural companion to
+    :func:`ljung_box`'s white-noise gate.
+
+    Data-scale work is exactly :func:`acf`'s (one ordered window pass,
+    one aggregation — same keyed chunked-halo scale path); the
+    Durbin–Levinson recursion then runs on the K-value-per-series
+    METADATA table as generated chained selects
+    (:func:`durbin_levinson_schedule` — the q242/q257 idiom, identical
+    expression trees in the SQL oracle's MATERIALIZED CTEs).  Returns
+    ``partition_by…, lag, pacf`` (6 dp; NULL through singular steps or
+    short series, matching the SQL).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    gcols = [partition_by] if partition_by else []
+
+    def _t(df: DataFrame) -> DataFrame:
+        long = df.transform(
+            acf(
+                value_col,
+                max_lag,
+                partition_by=partition_by,
+                order_by=order_by,
+                strategy=strategy,
+            )
+        )
+        wide = long.groupBy(*gcols).agg(
+            *[
+                F.max(
+                    F.when(F.col("lag") == k, F.col("acf"))
+                ).alias(f"r_{k}")
+                for k in range(1, max_lag + 1)
+            ]
+        )
+        for stage in durbin_levinson_schedule(max_lag):
+            wide = wide.select(
+                "*", *[F.expr(e).alias(c) for c, e in stage]
+            )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.round(F.col(f"p_{k}_{k}"), 6).alias("pacf"),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+        return wide.select(*gcols, F.explode(pairs).alias("_e")).select(
+            *gcols, F.col("_e.lag").alias("lag"),
+            F.col("_e.pacf").alias("pacf"),
+        )
+
+    return _t

@@ -280,3 +280,52 @@ def test_breusch_pagan_matches_python_and_discriminates(spark):
         "g string, x double, y double",
     )
     assert dfc.transform(breusch_pagan("y", "x", group_by="g")).count() == 0
+
+
+def test_pacf_matches_python_and_cuts_off(spark):
+    """PACF vs a python Durbin-Levinson reference on an AR(2) series:
+    phi_11/phi_22 large, phi_33..phi_55 near zero (the Box-Jenkins
+    cut-off property that identifies AR order)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import pacf
+
+    rng = random.Random(299)
+    xs = [0.0, 0.0]
+    for _ in range(500):
+        xs.append(0.6 * xs[-1] - 0.3 * xs[-2] + rng.gauss(0, 1))
+    rows = [("s", float(i), i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "g string, ts double, event_id long, value double"
+    )
+    out = {
+        r["lag"]: r["pacf"]
+        for r in df.repartition(6)
+        .transform(
+            pacf("value", 5, partition_by="g",
+                 order_by=("ts", "event_id"))
+        )
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    # python reference: biased ACF with the operator's 6dp-term
+    # rounding, then Durbin-Levinson
+    n = len(xs)
+    mean = sum(round(x, 6) for x in xs) / n
+    dev = [x - mean for x in xs]
+    den = sum(round(d * d, 6) for d in dev)
+    r = [None] + [
+        sum(round(dev[i] * dev[i - k], 6) for i in range(k, n)) / den
+        for k in range(1, 6)
+    ]
+    phi = {(1, 1): r[1]}
+    for k in range(2, 6):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        d2 = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / d2
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 6):
+        assert out[k] == pytest.approx(phi[(k, k)], abs=1e-4), k
+    # AR(2) cut-off: the first two partials dominate the tail
+    assert abs(out[1]) > 0.3 and abs(out[2]) > 0.15
+    assert all(abs(out[k]) < 0.12 for k in (3, 4, 5))
