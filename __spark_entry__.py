@@ -17867,6 +17867,82 @@ def _pacf_oracle_sql() -> str:
     """
 
 
+def _kpss_oracle_sql() -> str:
+    """q300 oracle: mirror kpss_level's exact scalar tree — the ω²
+    Bartlett chain is rendered by the same l-loop the operator runs,
+    left-associated identically."""
+    dbl = "CAST({} AS DOUBLE)"
+    n = dbl.format("n")
+    omega = f"g0 / {n}"
+    for l in range(1, 6):
+        omega += (
+            f" + {dbl.format('2.0')} * ({dbl.format('1.0')} - "
+            f"{dbl.format(f'{float(l)!r}')} / {dbl.format('6.0')}) * "
+            f"(COALESCE(g{l}, {dbl.format('0.0')}) / {n})"
+        )
+    ps = ",\n                 ".join(
+        f"CAST(e * lag(e, {l}) OVER wl AS DECIMAL(38,12)) AS p{l}"
+        for l in range(1, 6)
+    )
+    gs = ",\n            ".join(
+        f"CAST(SUM(p{l}) AS DOUBLE) AS g{l}" for l in range(1, 6)
+    )
+    return f"""
+    WITH d AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT user_id, ts, event_id,
+                 x - CAST(SUM(CAST(x AS DECIMAL(38,6)))
+                          OVER wg AS DOUBLE)
+                     / COUNT(x) OVER wg AS e
+          FROM d WINDOW wg AS (PARTITION BY user_id)),
+    s AS (SELECT user_id, e,
+                 CAST(SUM(CAST(e AS DECIMAL(38,12))) OVER wo AS DOUBLE)
+                   AS st,
+                 {ps}
+          FROM m WINDOW wo AS (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                      wl AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+    a AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+            CAST(SUM(CAST(st * st AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+            CAST(SUM(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+            {gs}
+          FROM s GROUP BY user_id)
+    SELECT user_id, n,
+           round(ss / ({n} * {n}), 6) AS eta,
+           CASE WHEN n > 5 AND {omega} > {dbl.format('0.0')}
+                THEN round({omega}, 6) END AS omega2,
+           CASE WHEN n > 5 AND {omega} > {dbl.format('0.0')}
+                THEN round((ss / ({n} * {n})) / ({omega}), 6) END
+             AS kpss
+    FROM a
+    """
+
+
+@_q("q300_kpss", _kpss_oracle_sql())
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test per user series (Bartlett L=5) —
+    the null-is-stationary pre-flight before trusting any mean/trend
+    statistic, mirroring q268's Mann–Kendall (null-is-no-trend) from
+    the other side.  One ordered window pass carries the cumulative
+    partial sums AND the five lag products (the q185 shape), one agg
+    reduces each series to 8 moments, then a mirrored scalar tree
+    (operators/windows.py:kpss_level)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import kpss_level
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        kpss_level(
+            "value",
+            bartlett_lags=5,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
 @_q("q299_pacf", _pacf_oracle_sql())
 def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial autocorrelation φ_{k,k}, k = 1..5, per user series —

@@ -256,6 +256,7 @@ HEADLINE = [
     "q297_ljung_box",
     "q298_breusch_pagan",
     "q299_pacf",
+    "q300_kpss",
 ]
 
 

@@ -2053,3 +2053,109 @@ def pacf(
         )
 
     return _t
+
+
+def kpss_level(
+    value_col: str,
+    bartlett_lags: int = 5,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+) -> Callable[[DataFrame], DataFrame]:
+    """KPSS level-stationarity test per series (Kwiatkowski et al.
+    1992) — the null here is STATIONARY, the mirror image of unit-root
+    tests, which is what makes it the standard pre-flight before
+    trusting any mean/trend statistic on a metric series:
+
+        e_t = x_t − x̄,   S_t = Σ_{i≤t} e_i
+        η   = n⁻² Σ_t S_t²
+        ω²  = γ₀ + 2 Σ_{l=1..L} (1 − l/(L+1)) γ_l   (Bartlett)
+        KPSS = η / ω²,     γ_l = n⁻¹ Σ_{t>l} e_t e_{t−l}
+
+    Large KPSS (≳ 0.463 at 5%) rejects stationarity.  ONE ordered
+    window pass carries the cumulative S_t AND the L lag products
+    (the acf shape), one aggregation reduces each series to L+3
+    moments, then a scalar tree — no joins, no iteration.
+
+    Determinism: x̄ is the exact-decimal mean; EVERY e-involving term
+    (cumsum terms, e², lag products, S_t²) is DECIMAL(38,12)-cast —
+    e is a raw value difference, and (38,6) casts of raw differences
+    land on rounding midpoints that diverge engines (the q286/q79
+    lesson, re-measured here: 1.4e-7 relative on η at (38,6)); the
+    ordered cumsum itself must be decimal anyway (ordered SUM(double)
+    associates differently — the q53 lesson).  ``order_by``
+    must include a unique tie-breaker.  Returns
+    ``partition_by…, n, eta, omega2, kpss`` (6 dp; NULL when ω² ≤ 0
+    or n ≤ L).
+    """
+    if bartlett_lags < 0:
+        raise ValueError("bartlett_lags must be >= 0")
+    gcols = [partition_by] if partition_by else []
+    L = int(bartlett_lags)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(F.col(value_col).isNotNull()).select(
+            *gcols,
+            *order_by,
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        wg = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        )
+        mean = (
+            F.sum(F.col("_x").cast("decimal(38,6)")).over(wg).cast(
+                "double"
+            )
+            / F.count("_x").over(wg)
+        )
+        dm = d.select(
+            *gcols, *order_by, (F.col("_x") - mean).alias("_e")
+        )
+        wo = wg.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wl = wg.orderBy(*order_by)
+        st = F.sum(F.col("_e").cast("decimal(38,12)")).over(wo).cast(
+            "double"
+        )
+        staged = dm.select(
+            *gcols,
+            "_e",
+            st.alias("_s"),
+            *[
+                (F.col("_e") * F.lag("_e", l).over(wl)).alias(f"_p{l}")
+                for l in range(1, L + 1)
+            ],
+        )
+        dec12 = "decimal(38,12)"
+        agg = staged.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_s") * F.col("_s")).cast(dec12))
+            .cast("double")
+            .alias("_ss"),
+            F.sum((F.col("_e") * F.col("_e")).cast(dec12))
+            .cast("double")
+            .alias("_g0"),
+            *[
+                F.sum(F.col(f"_p{l}").cast(dec12))
+                .cast("double")
+                .alias(f"_g{l}")
+                for l in range(1, L + 1)
+            ],
+        )
+        nn = F.col("n").cast("double")
+        omega2 = F.col("_g0") / nn
+        for l in range(1, L + 1):
+            omega2 = omega2 + F.lit(2.0) * (
+                F.lit(1.0) - F.lit(float(l)) / F.lit(float(L + 1))
+            ) * (F.coalesce(F.col(f"_g{l}"), F.lit(0.0)) / nn)
+        eta = F.col("_ss") / (nn * nn)
+        ok = (F.col("n") > L) & (omega2 > 0)
+        return agg.select(
+            *gcols,
+            "n",
+            F.round(eta, 6).alias("eta"),
+            F.when(ok, F.round(omega2, 6)).alias("omega2"),
+            F.when(ok, F.round(eta / omega2, 6)).alias("kpss"),
+        )
+
+    return _t

@@ -329,3 +329,68 @@ def test_pacf_matches_python_and_cuts_off(spark):
     # AR(2) cut-off: the first two partials dominate the tail
     assert abs(out[1]) > 0.3 and abs(out[2]) > 0.15
     assert all(abs(out[k]) < 0.12 for k in (3, 4, 5))
+
+
+def test_kpss_matches_python_and_discriminates(spark):
+    """KPSS vs a python reference; stationary noise stays far below
+    the 5% critical value 0.463, a random walk far above."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import kpss_level
+
+    rng = random.Random(300)
+    rows = []
+    walk = 0.0
+    for i in range(400):
+        rows.append(("stat", float(i), i, 10.0 + rng.gauss(0, 1)))
+        walk += rng.gauss(0, 1)
+        rows.append(("walk", float(i), i, walk))
+    df = spark.createDataFrame(
+        rows, "g string, ts double, event_id long, value double"
+    )
+    out = {
+        r["g"]: r
+        for r in df.repartition(6)
+        .transform(
+            kpss_level(
+                "value", 5, partition_by="g",
+                order_by=("ts", "event_id"),
+            )
+        )
+        .collect()
+    }
+
+    for g in ("stat", "walk"):
+        xs = [x for gg, _, _, x in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (r[1], r[2])
+        )]
+        n = len(xs)
+        mean = sum(round(x, 6) for x in xs) / n
+        e = [x - mean for x in xs]
+        st, s = [], 0.0
+        for v in e:
+            s += round(v, 12)
+            st.append(s)
+        eta = sum(round(x * x, 12) for x in st) / (n * n)
+        g0 = sum(round(v * v, 12) for v in e) / n
+        om = g0
+        for l in range(1, 6):
+            gl = sum(
+                round(e[i] * e[i - l], 12) for i in range(l, n)
+            ) / n
+            om += 2.0 * (1.0 - l / 6.0) * gl
+        r = out[g]
+        assert r["n"] == n
+        assert r["eta"] == pytest.approx(eta, rel=1e-4)
+        assert r["omega2"] == pytest.approx(om, rel=1e-4)
+        assert r["kpss"] == pytest.approx(eta / om, rel=1e-3)
+    assert out["stat"]["kpss"] < 0.463
+    assert out["walk"]["kpss"] > 1.0
+
+    # short series (n <= L) -> NULL kpss
+    tiny = spark.createDataFrame(
+        [("t", float(i), i, float(i % 2)) for i in range(4)],
+        "g string, ts double, event_id long, value double",
+    )
+    assert tiny.transform(
+        kpss_level("value", 5, partition_by="g",
+                   order_by=("ts", "event_id"))
+    ).collect()[0]["kpss"] is None
