@@ -18188,9 +18188,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ranks, rolling actives) plus the oldest q172-q194 leftovers
 #: (temperature mix, HLL intersection, attribution, target encoding,
 #: session paths, streaming HLL, Theil-Sen, KS drift, seasonal
-#: decompose, RFM, keyness, k-core, feature hash, robust scale, RRF
-#: fusion — 14 of the 16; q193 RRF and q194 MAD outliers wait one
-#: round for the r12-new slots).  The other 4: the r12-new operators
+#: decompose, RFM, keyness, k-core, feature hash, robust scale —
+#: 14 of the 16; q193 RRF and q194 MAD outliers wait one round for
+#: the r12-new slots).  The other 4: the r12-new operators
 #: q292 (enforced knn cell fence), q293 (streaming near-dup index),
 #: q294 (streaming DDSketch quantiles) and q295 (Durbin–Watson; its
 #: q296 Cook's-distance twin stays judge-gate covered this round).
