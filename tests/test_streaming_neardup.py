@@ -67,7 +67,7 @@ def test_streaming_neardup_equals_batch(spark, tmp_path):
     batch writes ONLY its own contribution directories (settled
     contributions are immutable — the |new|-scale write contract)."""
     from btc_usdt_etl_pipeline_spark.streaming.neardup import (
-        _batch_dirs,
+        _contrib_state,
         incremental_minhash_upsert,
         read_neardup_pairs,
     )
@@ -100,13 +100,27 @@ def test_streaming_neardup_equals_batch(spark, tmp_path):
     assert got == want
     assert len(want) >= 5  # the fixture actually planted near-dups
     # one immutable contribution dir per micro-batch, per store
-    n_batches = len(_batch_dirs(spark, f"{state}/index"))
+    n_batches = len(_contrib_state(spark, f"{state}/index")[1])
     assert n_batches == 4  # maxFilesPerTrigger=1 over 4 files
-    assert len(_batch_dirs(spark, f"{state}/pairs")) == n_batches
-    assert len(_batch_dirs(spark, f"{state}/corpus")) == n_batches
+    assert len(_contrib_state(spark, f"{state}/pairs")[1]) == n_batches
+    assert len(_contrib_state(spark, f"{state}/corpus")[1]) == n_batches
     # index rows across contributions == one band-set per doc
-    idx = spark.read.parquet(f"{state}/index/b*")
-    assert idx.count() == df.count() * PARAMS["bands"]
+    # (one read per dir: partitioned roots can't share a single scan)
+    idx_frames = [
+        spark.read.parquet(f"{state}/index/b{b}")
+        for b in range(n_batches)
+    ]
+    assert sum(fr.count() for fr in idx_frames) == (
+        df.count() * PARAMS["bands"]
+    )
+    # the partitioned layout landed: _kb partition dirs + the column
+    assert all("_kb" in fr.columns for fr in idx_frames)
+    import os
+
+    assert any(
+        name.startswith("_kb=")
+        for name in os.listdir(f"{state}/index/b0")
+    )
 
 
 def test_streaming_neardup_retry_and_cross_batch(spark, tmp_path):
@@ -144,6 +158,79 @@ def test_streaming_neardup_retry_and_cross_batch(spark, tmp_path):
     assert sorted(
         map(tuple, read_neardup_pairs(spark, state).collect())
     ) == want
+
+
+def test_streaming_neardup_compaction_equivalence(spark, tmp_path):
+    """Mid-stream compaction (c{K} protocol): pair state before/after
+    compacting is identical, later batches build on the compacted
+    state, the index keeps its _kb partition layout, and a second
+    compaction folds the post-compaction batch in."""
+    import os
+
+    from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        _contrib_state,
+        compact_neardup_state,
+        incremental_minhash_upsert,
+        read_neardup_pairs,
+    )
+
+    rows = _corpus(431)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _batch_pairs(spark, df)
+    parts = [df.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    state = str(tmp_path / "state")
+    up = incremental_minhash_upsert(spark, state, **PARAMS)
+    up(parts[0], 0)
+    up(parts[1], 1)
+    before = sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    )
+    compact_neardup_state(spark, state)
+    after = sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    )
+    assert after == before  # row-preserving merge
+    for store in ("index", "corpus", "pairs"):
+        k, live = _contrib_state(spark, f"{state}/{store}")
+        assert k == 1 and live == []  # b0/b1 swept into c1
+    assert any(
+        n.startswith("_kb=") for n in os.listdir(f"{state}/index/c1")
+    )
+    up(parts[2], 2)  # continues on the compacted state
+    assert sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    ) == want
+    compact_neardup_state(spark, state)  # folds b2 into c2
+    k, live = _contrib_state(spark, f"{state}/pairs")
+    assert k == 2 and live == []
+    assert sorted(
+        map(tuple, read_neardup_pairs(spark, state).collect())
+    ) == want
+    # a batch id at or below the compaction id must refuse to run
+    with pytest.raises(ValueError, match="compaction"):
+        up(parts[0], 2)
+
+
+def test_streaming_neardup_index_prune_plan(spark, tmp_path):
+    """The settled-index read carries the batch's _kb bucket set as a
+    PARTITION filter — the scan prunes files, not just rows."""
+    from btc_usdt_etl_pipeline_spark.streaming.neardup import (
+        _contrib_paths,
+        incremental_minhash_upsert,
+    )
+
+    rows = _corpus(89, n_base=12)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    up = incremental_minhash_upsert(spark, state, **PARAMS)
+    up(df, 0)
+    idx = spark.read.parquet(
+        *_contrib_paths(spark, f"{state}/index")
+    ).filter(F.col("_kb").isin([0, 1, 2]))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_kb" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_streaming_neardup_validates(spark, tmp_path):
