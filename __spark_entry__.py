@@ -17967,6 +17967,73 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q301_semdedup_fenced",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+    sc AS (SELECT e.vec_id, e.v, cent.cid,
+                  round(list_cosine_similarity(e.v, cent.cv), 4) AS csim
+           FROM e, cent),
+    ca AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crnk
+           FROM sc),
+    corp0 AS (SELECT vec_id, v, cid FROM ca WHERE crnk = 1),
+    sz AS (SELECT cid, COUNT(*)::BIGINT AS csz,
+                  CAST((COUNT(*) + 39) // 40 AS BIGINT) AS nsub
+           FROM corp0 GROUP BY cid),
+    st AS (SELECT CAST(COALESCE(SUM(CASE WHEN nsub > 1 THEN 1 END),
+                                0) AS BIGINT) AS cells_split,
+                  CAST(COALESCE(SUM(CASE WHEN nsub > 1 THEN csz END),
+                                0) AS BIGINT) AS rows_resharded
+           FROM sz),
+    corp AS (SELECT c.vec_id, c.v, c.cid,
+                    ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)),
+                                    1, 15))::BIGINT % s.nsub AS sub
+             FROM corp0 c JOIN sz s ON c.cid = s.cid),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM corp a JOIN corp b
+                  ON a.cid = b.cid AND a.sub = b.sub
+                     AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 4)
+                      >= 0.35)
+    SELECT corp.vec_id, corp.cid AS centroid_id,
+           dropped.vec_id IS NULL AS kept,
+           st.cells_split, st.rows_resharded
+    FROM corp LEFT JOIN dropped ON corp.vec_id = dropped.vec_id
+    CROSS JOIN st
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q132's SemDeDup with the cell-size fence ENFORCED (r12 judge
+    ask #4 — the q292 contract shared via
+    operators/similarity.py:_cell_fence): a deliberately
+    under-provisioned clustering (4 centroids over the whole corpus)
+    is hash-sharded at ``max_cell_rows=40``, bounding the within-cell
+    pair mass by n·40 — LINEAR in the corpus regardless of the
+    caller's centroid count, at the cost of duplicates split across
+    sub-cells (the documented fenced-k-NN approximation).
+    ``portable_split=True`` lets the oracle replay the 60-bit md5
+    sharding bit-for-bit; ``report_splits=True`` carries the
+    no-silent-caps audit columns on every row
+    (operators/similarity.py:semdedup)."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semdedup(
+        e,
+        cent,
+        threshold=0.35,
+        max_cell_rows=40,
+        portable_split=True,
+        report_splits=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

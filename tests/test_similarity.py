@@ -251,6 +251,50 @@ def test_semdedup_blas_matches_expr(spark):
     assert expr == blas and len(expr) > 0
 
 
+def test_semdedup_fence_bounds_and_parity(spark):
+    """The cell-size fence (q292 contract shared via _cell_fence):
+    expr and blas agree under the fence, the audit columns report the
+    resharded mass, sub-cell kept-mass is a superset of the unfenced
+    kept set (sharding can only REMOVE candidate pairs, so kept flags
+    only flip False->True), and a no-fence report_splits call emits
+    zeros."""
+    from btc_usdt_etl_pipeline_spark.operators.similarity import semdedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter("vec_id < 2").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )  # 2 cells over 500 vecs -> every cell oversize at cap 25
+    kw = dict(
+        threshold=0.35,
+        max_cell_rows=25,
+        portable_split=True,
+        report_splits=True,
+    )
+    expr_rows = semdedup(e, cent, **kw).collect()
+    blas_rows = semdedup(e, cent, method="blas", **kw).collect()
+    canon = lambda rows: {  # noqa: E731
+        (r.vec_id, r.centroid_id, r.kept) for r in rows
+    }
+    assert canon(expr_rows) == canon(blas_rows)
+    n = e.count()
+    assert all(
+        r.cells_split == 2 and r.rows_resharded == n for r in expr_rows
+    )
+    unfenced_kept = {
+        r.vec_id for r in semdedup(e, cent, threshold=0.35).collect()
+        if r.kept
+    }
+    fenced_kept = {r.vec_id for r in expr_rows if r.kept}
+    assert unfenced_kept <= fenced_kept
+    assert len(fenced_kept) < n  # fence still finds duplicates
+    zeros = semdedup(
+        e, cent, threshold=0.35, report_splits=True
+    ).collect()
+    assert all(
+        r.cells_split == 0 and r.rows_resharded == 0 for r in zeros
+    )
+
+
 def test_round_half_up_matches_spark_round(spark):
     """The GEMM kernels' rounding must match F.round (BigDecimal
     HALF_UP) on exact midpoints — np.round's half-even would diverge
