@@ -18175,6 +18175,245 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_neardup_pairs(spark, state).localCheckpoint()
 
 
+@_q(
+    "q304_arch_lm",
+    """
+    WITH d AS (SELECT user_id, ts, event_id,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    mu AS (SELECT user_id,
+                  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS mu
+           FROM d GROUP BY user_id),
+    g AS (SELECT d.user_id, (x - mu) * (x - mu) AS g,
+                 LAG((x - mu) * (x - mu)) OVER
+                   (PARTITION BY d.user_id
+                    ORDER BY ts, event_id) AS gl
+          FROM d JOIN mu ON d.user_id = mu.user_id),
+    p AS (SELECT * FROM g WHERE gl IS NOT NULL),
+    a AS (SELECT user_id, COUNT(*)::BIGINT AS n_pairs,
+            CAST(SUM(CAST(gl AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+            CAST(SUM(CAST(gl * gl AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(gl * g AS DECIMAL(38,6))) AS DOUBLE) AS sxg,
+            CAST(SUM(CAST(g * g AS DECIMAL(38,6))) AS DOUBLE) AS sgg
+          FROM p GROUP BY user_id),
+    r AS (SELECT user_id, n_pairs,
+                 CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        > 0
+                       AND (CAST(n_pairs AS DOUBLE) * sgg - sg * sg)
+                        > 0
+                      THEN (CAST(n_pairs AS DOUBLE) * sxg - sx * sg)
+                           * (CAST(n_pairs AS DOUBLE) * sxg - sx * sg)
+                           / ((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_pairs AS DOUBLE) * sgg
+                                 - sg * sg)) END AS r2
+          FROM a)
+    SELECT user_id, n_pairs, round(r2, 6) AS r2_aux,
+           CASE WHEN n_pairs > 2
+                THEN round(CAST(n_pairs AS DOUBLE) * r2, 6) END AS lm
+    FROM r
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (lag 1) per user series — the volatility-
+    clustering gate completing the r12 regression-diagnostics family
+    (q297 Ljung–Box asks "serially correlated?", this asks "is the
+    VARIANCE serially correlated?").  One group-mean agg + one keyed
+    lag window + one decimal-moment agg; LM = n'·R²_aux via the same
+    closed form as q298's Breusch–Pagan, with the auxiliary regressor
+    the series' own lagged squared deviation
+    (operators/windows.py:arch_lm)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import arch_lm
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        arch_lm(
+            "value",
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q305_granger",
+    """
+    WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS y,
+        CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1),
+    l AS (SELECT y, LAG(y) OVER (ORDER BY d) AS yl,
+                 LAG(x) OVER (ORDER BY d) AS xl
+          FROM day),
+    p AS (SELECT * FROM l WHERE yl IS NOT NULL AND xl IS NOT NULL),
+    a AS (SELECT COUNT(*)::BIGINT AS n,
+      CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(yl AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+      CAST(SUM(CAST(xl AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+      CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      CAST(SUM(CAST(yl * yl AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+      CAST(SUM(CAST(xl * xl AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+      CAST(SUM(CAST(y * yl AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+      CAST(SUM(CAST(y * xl AS DECIMAL(38,12))) AS DOUBLE) AS s2y,
+      CAST(SUM(CAST(yl * xl AS DECIMAL(38,12))) AS DOUBLE) AS s12
+      FROM p),
+    c AS (SELECT n,
+                 syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+                 s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+                 s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+                 s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+                 s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+                 s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y
+          FROM a),
+    s AS (SELECT n, cyy, c11,
+                 c11 * c22 - c12 * c12 AS det,
+                 (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)
+                   AS b,
+                 (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)
+                   AS c2c,
+                 c1y, c2y
+          FROM c),
+    f AS (SELECT n,
+                 cyy - b * c1y - c2c * c2y AS sse_u,
+                 cyy - c1y * c1y / c11 AS sse_r,
+                 n > 3 AND det > 0 AND c11 > 0 AS ok
+          FROM s)
+    SELECT n,
+           CASE WHEN ok THEN round(sse_r, 6) END AS sse_r,
+           CASE WHEN ok THEN round(sse_u, 6) END AS sse_u,
+           CASE WHEN ok AND sse_u > 0
+                THEN round((sse_r - sse_u)
+                           * (CAST(n AS DOUBLE) - 3.0) / sse_u,
+                           6) END AS f_stat
+    FROM f
+    """,
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality F-test: does daily click value help
+    forecast daily purchase value beyond purchase's own history?  The
+    lead/lag screen between two aligned series — built here as ONE
+    day-grain conditional rollup (map-side-combined decimal sums),
+    then a single lag window over the |days|-row metadata frame and
+    one ten-moment agg solved in closed form (restricted vs
+    unrestricted SSE, Cramer's rule on centered normal equations) —
+    no iteration, no second data pass
+    (operators/stats.py:granger_f)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import granger_f
+
+    e = _t(spark, sf_dir, "events")
+    dec6 = "decimal(38,6)"
+    day = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(dec6)
+        )
+        .cast("double")
+        .alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(dec6)
+        )
+        .cast("double")
+        .alias("x"),
+    )
+    return day.transform(granger_f("y", "x", "d"))
+
+
+@_q(
+    "q306_hurst",
+    f"""
+    WITH d AS (SELECT user_id, CAST(value AS DOUBLE) AS x,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - 1 AS rn
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    l1 AS (SELECT user_id, rn // 2 AS b,
+                  SUM(CAST(x AS DECIMAL(38,6))) AS s,
+                  COUNT(*) AS c
+           FROM d GROUP BY 1, 2),
+    f1 AS (SELECT * FROM l1 WHERE c = 2),
+    l2 AS (SELECT user_id, b // 2 AS b, SUM(s) AS s, COUNT(*) AS c
+           FROM f1 GROUP BY 1, 2),
+    f2 AS (SELECT * FROM l2 WHERE c = 2),
+    l3 AS (SELECT user_id, b // 2 AS b, SUM(s) AS s, COUNT(*) AS c
+           FROM f2 GROUP BY 1, 2),
+    f3 AS (SELECT * FROM l3 WHERE c = 2),
+    m0 AS (SELECT user_id, COUNT(*)::BIGINT AS k0,
+             CAST(SUM(CAST(CAST(s AS DOUBLE) / 2.0
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sm0,
+             CAST(SUM(CAST((CAST(s AS DOUBLE) / 2.0)
+                  * (CAST(s AS DOUBLE) / 2.0)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sq0
+           FROM f1 GROUP BY 1),
+    m1 AS (SELECT user_id, COUNT(*)::BIGINT AS k1,
+             CAST(SUM(CAST(CAST(s AS DOUBLE) / 4.0
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sm1,
+             CAST(SUM(CAST((CAST(s AS DOUBLE) / 4.0)
+                  * (CAST(s AS DOUBLE) / 4.0)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sq1
+           FROM f2 GROUP BY 1),
+    m2 AS (SELECT user_id, COUNT(*)::BIGINT AS k2,
+             CAST(SUM(CAST(CAST(s AS DOUBLE) / 8.0
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sm2,
+             CAST(SUM(CAST((CAST(s AS DOUBLE) / 8.0)
+                  * (CAST(s AS DOUBLE) / 8.0)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sq2
+           FROM f3 GROUP BY 1),
+    nr AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
+    j AS (SELECT nr.user_id, nr.n,
+            CASE WHEN k0 >= 2 THEN
+              (sq0 - sm0 * sm0 / CAST(k0 AS DOUBLE))
+                / (CAST(k0 AS DOUBLE) - 1.0) END AS v0,
+            CASE WHEN k1 >= 2 THEN
+              (sq1 - sm1 * sm1 / CAST(k1 AS DOUBLE))
+                / (CAST(k1 AS DOUBLE) - 1.0) END AS v1,
+            CASE WHEN k2 >= 2 THEN
+              (sq2 - sm2 * sm2 / CAST(k2 AS DOUBLE))
+                / (CAST(k2 AS DOUBLE) - 1.0) END AS v2
+          FROM nr JOIN m0 ON nr.user_id = m0.user_id
+                  JOIN m1 ON nr.user_id = m1.user_id
+                  JOIN m2 ON nr.user_id = m2.user_id)
+    SELECT user_id, n, round(v0, 6) AS v_m2, round(v1, 6) AS v_m4,
+           round(v2, 6) AS v_m8,
+           CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL
+                     AND v0 > 0 AND v2 > 0
+                THEN round(1.0 + ln(v2 / v0)
+                           / {2.0 * math.log(4.0)!r}, 6) END AS hurst
+    FROM j
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per user series via the aggregated-variance
+    method (block sizes 2/4/8) — the long-range-dependence triage
+    pairing q185's short-lag ACF and q300's KPSS: Var(block mean)
+    ∝ m^(2H−2), H from the endpoint log-slope.  ONE row_number window
+    + ONE data-scale agg to the smallest blocks, then a hierarchical
+    decimal-sum rollup (each size's block sums are exact adds of its
+    children — no per-size rescan); the oracle materializes the same
+    ladder (operators/windows.py:hurst_aggvar)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        hurst_aggvar,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        hurst_aggvar(
+            "value",
+            block_sizes=(2, 4, 8),
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -4737,3 +4737,100 @@ def breusch_pagan(
         )
 
     return _t
+
+
+def granger_f(
+    y_col: str,
+    x_col: str,
+    time_col: str | Sequence[str],
+    group_by: Sequence[str] | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Lag-1 Granger-causality F-test per group — "does x's history
+    improve the forecast of y beyond y's own history?", the standard
+    lead/lag screen between two ALIGNED series (one row per time
+    point; build the alignment upstream, e.g. a per-day conditional
+    rollup):
+
+        restricted:    y_t = a + b·y_{t−1}            (SSE_r)
+        unrestricted:  y_t = a + b·y_{t−1} + c·x_{t−1} (SSE_u)
+        F = (SSE_r − SSE_u) · (n − 3) / SSE_u,   df = (1, n−3)
+
+    One lag window ordered by ``time_col`` (accepts a tie-break tuple
+    like its diagnostics siblings; an aligned series normally has
+    unique times), ONE ten-moment decimal agg, then the closed-form
+    two-regressor normal equations on centered sums — no iteration,
+    no second data pass, the same moments-plus-scalar-tree shape as
+    :func:`breusch_pagan` / q227's OLS.  All sums
+    DECIMAL(38,12)-term-cast; centered terms and the Cramer solve are
+    one IEEE tree on identical doubles; outputs 6 dp.  Degenerate
+    groups (n ≤ 3, singular design, zero unrestricted SSE) emit NULL
+    f_stat.  Returns ``group_by…, n, sse_r, sse_u, f_stat``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+    tcols = [time_col] if isinstance(time_col, str) else list(time_col)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(tcols[0]).isNotNull()
+        ).select(
+            *gcols,
+            *tcols,
+            F.col(y_col).cast("double").alias("_y"),
+            F.col(x_col).cast("double").alias("_x"),
+        )
+        w = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).orderBy(*[F.col(c) for c in tcols])
+        lagged = d.select(
+            *gcols,
+            "_y",
+            F.lag("_y").over(w).alias("_yl"),
+            F.lag("_x").over(w).alias("_xl"),
+        ).where(F.col("_yl").isNotNull() & F.col("_xl").isNotNull())
+
+        def m(expr, name):
+            return (
+                F.sum(expr.cast("decimal(38,12)"))
+                .cast("double")
+                .alias(name)
+            )
+
+        y, z1, z2 = F.col("_y"), F.col("_yl"), F.col("_xl")
+        mom = lagged.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            m(y, "_sy"), m(z1, "_s1"), m(z2, "_s2"),
+            m(y * y, "_syy"), m(z1 * z1, "_s11"), m(z2 * z2, "_s22"),
+            m(y * z1, "_s1y"), m(y * z2, "_s2y"), m(z1 * z2, "_s12"),
+        )
+        nn = F.col("n").cast("double")
+        syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nn
+        s11 = F.col("_s11") - F.col("_s1") * F.col("_s1") / nn
+        s22 = F.col("_s22") - F.col("_s2") * F.col("_s2") / nn
+        s12 = F.col("_s12") - F.col("_s1") * F.col("_s2") / nn
+        s1y = F.col("_s1y") - F.col("_s1") * F.col("_sy") / nn
+        s2y = F.col("_s2y") - F.col("_s2") * F.col("_sy") / nn
+        det = s11 * s22 - s12 * s12
+        b = (s1y * s22 - s2y * s12) / det
+        c = (s2y * s11 - s1y * s12) / det
+        sse_u = syy - b * s1y - c * s2y
+        sse_r = syy - s1y * s1y / s11
+        ok_u = (F.col("n") > 3) & (det > 0) & (s11 > 0)
+        fstat = F.when(
+            ok_u & (sse_u > 0),
+            (sse_r - sse_u) * (nn - F.lit(3.0)) / sse_u,
+        )
+        return mom.select(
+            *gcols,
+            "n",
+            F.when(ok_u, F.round(sse_r, 6)).alias("sse_r"),
+            F.when(ok_u, F.round(sse_u, 6)).alias("sse_u"),
+            F.round(fstat, 6).alias("f_stat"),
+        )
+
+    return _t

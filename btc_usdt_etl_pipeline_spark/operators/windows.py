@@ -2159,3 +2159,226 @@ def kpss_level(
         )
 
     return _t
+
+
+def arch_lm(
+    value_col: str,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+) -> Callable[[DataFrame], DataFrame]:
+    """Engle's ARCH LM test (lag 1) per series — "does this series
+    show conditional heteroscedasticity?", the volatility-clustering
+    gate a returns/measurement series passes before constant-variance
+    models are trusted.  The time-domain sibling of
+    :func:`~btc_usdt_etl_pipeline_spark.operators.stats.breusch_pagan`
+    (same LM = n·R² construction), but the auxiliary regressor is the
+    series' OWN lagged squared deviation:
+
+        e_t = x_t − x̄,   g_t = e_t²,
+        aux-fit g_t ~ g_{t-1},   LM = n'·R²_aux,   df = 1
+
+    One group-mean agg (decimal sum / count, broadcast-joined back),
+    one keyed lag window ordered by ``order_by`` (pass a tie-breaking
+    tuple, e.g. ``("ts", "event_id")`` — the ca35287 discipline), one
+    decimal-moment agg; R² via the same closed form as Breusch–Pagan.
+    Per-row g doubles are identical across engines (one IEEE subtract
+    + multiply on an exact-decimal mean); all moment sums
+    DECIMAL(38,6)-term-cast; outputs 6 dp.  Degenerate series
+    (n' ≤ 2, constant g, constant lagged g) emit NULL lm.
+    Returns ``partition_by…, n_pairs, r2_aux, lm``.
+    """
+    gcols = [partition_by] if partition_by else []
+    ocols = list(order_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull()
+            & F.col(ocols[0]).isNotNull()
+        ).select(
+            *gcols,
+            *ocols,
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        mean = d.groupBy(*gcols).agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_mu")
+        )
+        if gcols:
+            joined = d.join(F.broadcast(mean), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(d, mean, F.col("_x"), F.col("_mu"))
+        e = F.col("_x") - F.col("_mu")
+        w = _window_multi(gcols, ocols)
+        staged = joined.select(
+            *gcols, *ocols, (e * e).alias("_g")
+        ).withColumn("_gl", F.lag("_g").over(w))
+        pairs = staged.where(F.col("_gl").isNotNull())
+
+        def m(expr, name):
+            return (
+                F.sum(expr.cast("decimal(38,6)"))
+                .cast("double")
+                .alias(name)
+            )
+
+        g, gl = F.col("_g"), F.col("_gl")
+        aux = pairs.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            m(gl, "_sx"),
+            m(g, "_sg"),
+            m(gl * gl, "_sxx"),
+            m(gl * g, "_sxg"),
+            m(g * g, "_sgg"),
+        )
+        nn = F.col("n_pairs").cast("double")
+        num = nn * F.col("_sxg") - F.col("_sx") * F.col("_sg")
+        dx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        dg = nn * F.col("_sgg") - F.col("_sg") * F.col("_sg")
+        r2 = F.when((dx > 0) & (dg > 0), num * num / (dx * dg))
+        return aux.select(
+            *gcols,
+            "n_pairs",
+            F.round(r2, 6).alias("r2_aux"),
+            F.when(
+                F.col("n_pairs") > 2, F.round(nn * r2, 6)
+            ).alias("lm"),
+        )
+
+    return _t
+
+
+def hurst_aggvar(
+    value_col: str,
+    block_sizes: Sequence[int] = (2, 4, 8),
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+) -> Callable[[DataFrame], DataFrame]:
+    """Hurst exponent per series via the aggregated-variance method
+    (Beran 1994; the long-range-dependence triage a series gets next
+    to :func:`acf`'s short-lag view): for block sizes m ∈ block_sizes,
+    variance of the means of consecutive non-overlapping full blocks
+    scales as Var(X̄_m) ∝ m^(2H−2); the log-log OLS slope over
+    geometrically spaced sizes reduces to the endpoint ratio (equally
+    spaced x drops interior points from the slope — the middle
+    variances are still computed and emitted), so
+
+        H = 1 + ln(v_m3 / v_m1) / (2 · ln(m3 / m1)).
+
+    One row_number window per series (``order_by`` must include a
+    unique tie-breaker), ONE data-scale agg to m1-blocks, then a
+    HIERARCHICAL reduction: m2/m3 block sums are exact decimal adds of
+    their m1-children (m2 % m1 == m3 % m2 == 0 enforced), so the whole
+    ladder is a single pass plus metadata-scale rollups — no triple
+    scan, no per-size shuffle of raw rows.  Ragged tails drop: a block
+    contributes only with ALL m rows (children propagate the rule).
+    Block means are one IEEE divide on exact decimal sums; variance
+    moments DECIMAL(38,12); H's single ln() runs on an identical IEEE
+    ratio in both engines, 6 dp output.  Series without ≥ 2 full
+    blocks at every size emit NULL hurst.
+    Returns ``partition_by…, n, v_m1, v_m2, v_m3, hurst``.
+    """
+    ms = [int(m) for m in block_sizes]
+    if len(ms) != 3 or sorted(ms) != ms or ms[0] < 2:
+        raise ValueError("block_sizes must be 3 ascending ints >= 2")
+    if ms[1] % ms[0] or ms[2] % ms[1]:
+        raise ValueError("each block size must divide the next")
+    if ms[1] * ms[1] != ms[0] * ms[2]:
+        raise ValueError(
+            "block sizes must be geometrically spaced "
+            "(m2/m1 == m3/m2) for the endpoint-slope reduction"
+        )
+    gcols = [partition_by] if partition_by else []
+    ocols = list(order_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = _window_multi(gcols, ocols)
+        d = (
+            df.where(
+                F.col(value_col).isNotNull()
+                & F.col(ocols[0]).isNotNull()
+            )
+            .select(
+                *gcols,
+                *ocols,
+                F.col(value_col).cast("double").alias("_x"),
+            )
+            .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        )
+        # level 1: the only data-scale agg — exact decimal block sums
+        lvl = d.groupBy(
+            *gcols, (F.col("_rn") / ms[0]).cast("long").alias("_b")
+        ).agg(
+            F.sum(F.col("_x").cast("decimal(38,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        ).where(F.col("_c") == ms[0])
+        stats = []
+        for i, m in enumerate(ms):
+            if i > 0:  # fold children into the next block size
+                k = ms[i] // ms[i - 1]
+                lvl = lvl.groupBy(
+                    *gcols,
+                    (F.col("_b") / k).cast("long").alias("_b"),
+                ).agg(
+                    F.sum("_s").alias("_s"),
+                    F.count(F.lit(1)).alias("_c"),
+                ).where(F.col("_c") == k)
+            mean = F.col("_s").cast("double") / F.lit(float(m))
+            st = lvl.select(*gcols, mean.alias("_mu")).groupBy(
+                *gcols
+            ).agg(
+                F.count(F.lit(1)).alias(f"_k{i}"),
+                F.sum(F.col("_mu").cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"_sm{i}"),
+                F.sum(
+                    (F.col("_mu") * F.col("_mu")).cast("decimal(38,12)")
+                )
+                .cast("double")
+                .alias(f"_sq{i}"),
+            )
+            stats.append(st)
+        n_rows = d.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+        out = n_rows
+        for st in stats:
+            out = (
+                out.join(F.broadcast(st), gcols)
+                if gcols
+                else out.crossJoin(F.broadcast(st))
+            )
+        vs = []
+        for i in range(3):
+            kk = F.col(f"_k{i}").cast("double")
+            var = F.when(
+                F.col(f"_k{i}") >= 2,
+                (
+                    F.col(f"_sq{i}")
+                    - F.col(f"_sm{i}") * F.col(f"_sm{i}") / kk
+                )
+                / (kk - F.lit(1.0)),
+            )
+            vs.append(var)
+        import math as _math
+
+        h = F.lit(1.0) + F.log(vs[2] / vs[0]) / F.lit(
+            2.0 * _math.log(ms[2] / ms[0])
+        )
+        ok = vs[0].isNotNull() & vs[2].isNotNull() & (vs[0] > 0) & (
+            vs[2] > 0
+        )
+        return out.select(
+            *gcols,
+            "n",
+            *[
+                F.round(vs[i], 6).alias(f"v_m{ms[i]}")
+                for i in range(3)
+            ],
+            F.when(ok, F.round(h, 6)).alias("hurst"),
+        )
+
+    return _t
