@@ -673,7 +673,9 @@ def main() -> int:
                   "q145_vocab_drift",
                   # q288/q292: corpus × centroid broadcast — the same
                   # sanctioned ANN index-build shape as q40/q132
-                  "q288_knn_outlier", "q292_knn_outlier_fenced"}
+                  "q288_knn_outlier", "q292_knn_outlier_fenced",
+                  # q301: q132's assignment pass under the cell fence
+                  "q301_semdedup_fenced"}
     for name, fn in sorted(qs.items()):
         if name.startswith("q36") or name.startswith("q46") or \
                 name.startswith("q49") or name.startswith("q50") or \
