@@ -257,6 +257,10 @@ HEADLINE = [
     "q298_breusch_pagan",
     "q299_pacf",
     "q300_kpss",
+    "q301_semdedup_fenced",
+    "q304_arch_lm",
+    "q305_granger",
+    "q306_hurst",
 ]
 
 

@@ -1,8 +1,8 @@
 """Streaming-drain benchmark: time each availableNow streaming query at
 a chosen SF (default sf0.1) and write a check_bench-comparable JSON.
 
-The 10 streaming queries (q36/q46/q49/q50/q65/q135/q166/q179/q293/
-q294) are excluded from bench.py's headline BY DESIGN — they drain availableNow
+The 12 streaming queries (q36/q46/q49/q50/q65/q135/q166/q179/q293/
+q294/q302/q303) are excluded from bench.py's headline BY DESIGN — they drain availableNow
 streams through stateful operators, not batch plans, so interleaved
 batch rounds would mis-attribute their fixed drain latency.  That
 exclusion also made a streaming-drain regression invisible
@@ -52,6 +52,8 @@ STREAMING = [
     "q179_streaming_hll",
     "q293_streaming_neardup",
     "q294_streaming_ddsketch",
+    "q302_streaming_asof",
+    "q303_neardup_compacted",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
