@@ -25,6 +25,10 @@ sys.path.insert(0, "/root/repo")
 
 CORPUS = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale30x"
 OUT = sys.argv[2] if len(sys.argv) > 2 else ".probe_prune.json"
+BUCKETS = [
+    None if b.lower() == "none" else int(b)
+    for b in (sys.argv[3] if len(sys.argv) > 3 else "64,256,None").split(",")
+]
 DRIP = 5  # docs in the drip batch
 
 
@@ -57,7 +61,7 @@ def main() -> None:
     settled = docs.filter(F.col("doc_id") < n - DRIP)
     drip = docs.filter(F.col("doc_id") >= n - DRIP)
     results = []
-    for buckets in (64, 256, None):
+    for buckets in BUCKETS:
         tmp = tempfile.mkdtemp(prefix="prune_probe_")
         try:
             state = os.path.join(tmp, "state")
