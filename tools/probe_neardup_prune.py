@@ -76,9 +76,8 @@ def main() -> None:
                 jaccard_threshold=0.8,
                 index_buckets=buckets,
             )
-            half = settled.filter(F.col("doc_id") % 2 == 0)
-            up(half, 0)
-            up(settled.subtract(half), 1)
+            up(settled.filter(F.col("doc_id") % 2 == 0), 0)
+            up(settled.filter(F.col("doc_id") % 2 == 1), 1)
             t0 = time.time()
             up(drip, 2)
             took = time.time() - t0
