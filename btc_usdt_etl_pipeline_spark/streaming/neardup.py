@@ -69,7 +69,9 @@ directory per micro-batch; after ~10⁴ batches ``listStatus`` and
 small-file overhead dominate.  ``compact_neardup_state`` merges every
 committed contribution ``≤ K`` into one consolidated ``c{K}``
 directory (same rows, same layout — the index store keeps its ``_kb``
-partitioning), commit-marked by the job's ``_SUCCESS`` file, THEN
+partitioning), commit-marked by an explicit ``_COMMITTED`` file
+(committer-independent — the job ``_SUCCESS`` marker disappears under
+session-wide dynamic partition overwrite), THEN
 deletes the originals — a crash at any point leaves either the
 uncommitted ``c{K}`` (ignored by readers) or a committed ``c{K}``
 shadowing not-yet-deleted ``b{≤K}`` dirs (readers prefer the highest
@@ -101,8 +103,13 @@ def _contrib_state(spark, root: str) -> tuple[int | None, list[int]]:
         if name.startswith("b") and name[1:].isdigit():
             bs.append(int(name[1:]))
         elif name.startswith("c") and name[1:].isdigit():
+            # our OWN marker, not the committer's _SUCCESS: dynamic
+            # partition-overwrite mode (flipped session-wide by e.g.
+            # warehouse.save_as_table) commits partitioned writes by
+            # moving partition dirs and never writes a root _SUCCESS —
+            # a compaction would look torn forever
             marker = jvm.org.apache.hadoop.fs.Path(
-                f"{root}/{name}/_SUCCESS"
+                f"{root}/{name}/_COMMITTED"
             )
             if fs.exists(marker):
                 cs.append(int(name[1:]))
@@ -162,14 +169,23 @@ def compact_contributions(
     if partition_cols:
         # one file per partition dir (the upsert's write discipline)
         df = df.repartition(*[F.col(c) for c in partition_cols])
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode("overwrite").option(
+        # full-dir replace even when the session runs dynamic
+        # partition overwrite (warehouse.save_as_table flips it):
+        # a torn earlier c{new_k} attempt must be replaced WHOLE
+        "partitionOverwriteMode", "static"
+    )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(f"{root}/c{new_k}")
-    # commit marker (_SUCCESS) is on disk — now sweep the originals
-    # (and any older compaction); a crash mid-sweep leaves shadowed
-    # dirs that readers already skip.
     fs, _, jvm = _fs_for(spark, root)
+    # explicit commit marker (committer-independent — see
+    # _contrib_state); everything before this point is invisible to
+    # readers, everything after is sweep-only
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/c{new_k}/_COMMITTED"),
+        True,
+    ).close()
     for b in live:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/b{b}"), True)
     if k is not None:

@@ -174,7 +174,21 @@ def test_streaming_neardup_compaction_equivalence(spark, tmp_path):
     before = sorted(
         map(tuple, read_neardup_pairs(spark, state).collect())
     )
-    compact_neardup_state(spark, state)
+    # regression: warehouse.save_as_table flips the session to dynamic
+    # partition overwrite, under which partitioned writes emit no root
+    # _SUCCESS — the compaction marker must not depend on it
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        compact_neardup_state(spark, state)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
     after = sorted(
         map(tuple, read_neardup_pairs(spark, state).collect())
     )
