@@ -18414,6 +18414,254 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q307_variance_ratio",
+    """
+    WITH d0 AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL),
+    l AS (SELECT user_id, x,
+                 LAG(x, 1) OVER w AS x1,
+                 LAG(x, 4) OVER w AS xq
+          FROM d0
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    a AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+            COUNT(x1)::BIGINT AS n1,
+            CAST(SUM(CAST(CASE WHEN x1 IS NOT NULL THEN x - x1 END
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+            CAST(SUM(CAST(CASE WHEN x1 IS NOT NULL
+                 THEN (x - x1) * (x - x1) END
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+            COUNT(xq)::BIGINT AS nq,
+            CAST(SUM(CAST(CASE WHEN xq IS NOT NULL THEN x - xq END
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+            CAST(SUM(CAST(CASE WHEN xq IS NOT NULL
+                 THEN (x - xq) * (x - xq) END
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sqq
+          FROM l GROUP BY user_id),
+    s AS (SELECT user_id, n, n1, nq,
+                 sd / CAST(n1 AS DOUBLE) AS mu,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(nq AS DOUBLE) AS nqd,
+                 sdd, sd, sqq, sq
+          FROM a),
+    v AS (SELECT user_id, n, n1, nq, n1d, nqd,
+                 (sdd - 2.0 * mu * sd + n1d * mu * mu)
+                   / (n1d - 1.0) AS var1,
+                 (sqq - 2.0 * 4.0 * mu * sq
+                      + nqd * 4.0 * 4.0 * mu * mu)
+                   / (4.0 * nqd) AS varq
+          FROM s),
+    f AS (SELECT user_id, n,
+                 n1 > 1 AND nq > 1 AND var1 > 0
+                   AND 4.0 * nqd > 0 AS ok,
+                 varq / var1 AS vr, n1d
+          FROM v)
+    SELECT user_id, n,
+           CASE WHEN ok THEN round(vr, 6) END AS vr,
+           CASE WHEN ok THEN round((vr - 1.0)
+                / sqrt((42.0 / 12.0) / n1d), 6) END AS z
+    FROM f
+    """,
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test VR(4) per user series — the
+    random-walk screen joining q306's Hurst (long-range) and q300's
+    KPSS (level-stationarity): VR < 1 mean reversion, VR > 1
+    momentum.  ONE keyed ordered window carries both lag taps, one
+    decimal-moment agg, scalar tree; plain overlapping estimator with
+    the homoscedastic z (operators/windows.py:variance_ratio)."""
+    from btc_usdt_etl_pipeline_spark.operators.windows import (
+        variance_ratio,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        variance_ratio(
+            "value",
+            q=4,
+            partition_by="user_id",
+            order_by=("ts", "event_id"),
+        )
+    )
+
+
+@_q(
+    "q308_bar_volatility",
+    f"""
+    WITH d AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+               FROM events
+               WHERE value IS NOT NULL AND value > 0
+                 AND ts IS NOT NULL),
+    b AS (SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar,
+                 COUNT(*)::BIGINT AS n_rows,
+                 struct_extract(MIN(struct_pack(t := ts, e := event_id,
+                                    p := v)), 'p') AS open,
+                 MAX(v) AS high, MIN(v) AS low,
+                 struct_extract(MAX(struct_pack(t := ts, e := event_id,
+                                    p := v)), 'p') AS close
+          FROM d GROUP BY 1, 2)
+    SELECT user_id, bar, n_rows, open, high, low, close,
+           round(ln(high / low) * ln(high / low)
+                 / {4.0 * math.log(2.0)!r}, 6) AS pk,
+           round(0.5 * ln(high / low) * ln(high / low)
+                 - {2.0 * math.log(2.0) - 1.0!r}
+                   * ln(close / open) * ln(close / open), 6) AS gk,
+           round(ln(high / close) * ln(high / open)
+                 + ln(low / close) * ln(low / open), 6) AS rs
+    FROM b
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson / Garman–Klass / Rogers–Satchell range-based daily
+    volatility per user — the efficient OHLC estimators next to the
+    q22/q23 bar family: one tie-safe grouped bar agg (min_by/max_by
+    struct ordering, the ca35287 discipline) + a pure projection, no
+    window (operators/resample.py:bar_volatility)."""
+    from btc_usdt_etl_pipeline_spark.operators.resample import (
+        bar_volatility,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        bar_volatility(
+            "value",
+            time_col="ts",
+            group_by="user_id",
+            interval="day",
+            tie_cols=("event_id",),
+        )
+    )
+
+
+@_q(
+    "q309_amihud",
+    """
+    WITH d AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    dd AS (SELECT user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                  struct_extract(MAX(struct_pack(t := ts,
+                        e := event_id,
+                        p := CAST(value AS DOUBLE))), 'p') AS c,
+                  CAST(SUM(CAST(ABS(value) AS DECIMAL(38,6)))
+                       AS DOUBLE) AS v
+           FROM d GROUP BY 1, 2),
+    l AS (SELECT user_id, c, v,
+                 LAG(c) OVER (PARTITION BY user_id ORDER BY d) AS cl
+          FROM dd),
+    f AS (SELECT user_id, ABS(c / cl - 1.0) / v AS term
+          FROM l WHERE cl IS NOT NULL AND cl != 0 AND v > 0)
+    SELECT user_id, COUNT(*)::BIGINT AS n_days,
+           round(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS amihud
+    FROM f GROUP BY user_id
+    """,
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per user: mean over days of
+    |daily return| per unit of daily dollar volume — the standard
+    price-impact proxy.  One data-scale (user, day) agg with the
+    tie-safe close pick, then a lag + decimal mean over the
+    calendar-scale day table (operators/stats.py:amihud_illiquidity)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        amihud_illiquidity,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.transform(
+        amihud_illiquidity(
+            "value",
+            time_col="ts",
+            group_by="user_id",
+            tie_cols=("event_id",),
+        )
+    )
+
+
+@_q(
+    "q310_engle_granger",
+    """
+    WITH day AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS y,
+        CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value
+                      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1),
+    a5 AS (SELECT COUNT(*)::BIGINT AS n,
+      CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM day),
+    line AS (SELECT n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b, sx, sy
+      FROM a5
+      WHERE n > 3 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0),
+    line2 AS (SELECT n, b,
+        (sy - b * sx) / CAST(n AS DOUBLE) AS a FROM line),
+    e AS (SELECT day.d, line2.n, line2.b,
+                 y - a - b * x AS e
+          FROM day CROSS JOIN line2),
+    l AS (SELECT n, b, e, LAG(e) OVER (ORDER BY d) AS el FROM e),
+    p AS (SELECT * FROM l WHERE el IS NOT NULL),
+    ag AS (SELECT MAX(n) AS n, MAX(b) AS beta,
+             COUNT(*)::BIGINT AS m,
+             CAST(SUM(CAST(el * (e - el) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sld,
+             CAST(SUM(CAST(el * el AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sll,
+             CAST(SUM(CAST((e - el) * (e - el) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sdd
+           FROM p),
+    s AS (SELECT n, beta, m, sld, sll, sdd,
+                 sld / sll AS phi,
+                 sll > 0 AND m > 2 AS ok
+          FROM ag),
+    f AS (SELECT n, beta, m, phi, ok,
+                 (sdd - phi * sld) / (CAST(m AS DOUBLE) - 1.0) / sll
+                   AS se2
+          FROM s)
+    SELECT n, round(beta, 6) AS beta,
+           CASE WHEN ok THEN round(phi, 6) END AS phi,
+           CASE WHEN ok AND se2 > 0
+                THEN round(phi / sqrt(se2), 6) END AS adf_t
+    FROM f
+    """,
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger two-step cointegration screen on the q305 daily
+    pair (purchase value vs click value): OLS hedge ratio, residual
+    AR(1) coefficient, ADF-style t — the pairs-trading precondition
+    test completing q305's lead/lag view.  One five-moment agg +
+    per-row residuals + one lag window on the calendar-scale day
+    table + one three-moment agg (operators/stats.py:engle_granger)."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import engle_granger
+
+    e = _t(spark, sf_dir, "events")
+    dec6 = "decimal(38,6)"
+    day = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(dec6)
+        )
+        .cast("double")
+        .alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(dec6)
+        )
+        .cast("double")
+        .alias("x"),
+    )
+    return day.transform(engle_granger("y", "x", "d"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -18664,7 +18912,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: near-dup, q304 ARCH LM, q305 Granger F, q306 Hurst) = 50 exactly.
 #: EVERY demoted row is driver-green in CORRECTNESS_r12.json and
 #: stays under the judge's full oracle gate.  Backlog after this
-#: window: ZERO never-driver-checked queries remain.
+#: window: ZERO never-driver-checked queries remain EXCEPT the four
+#: r13-late finance diagnostics (q307 variance ratio, q308 bar
+#: volatility, q309 Amihud, q310 Engle–Granger) that landed after
+#: this window was frozen at 50 — the q296-q300 precedent; they are
+#: judge-gate covered this round and take the first four r14 slots.
 _PRIORITY_WINDOW = [
     # --- never-driver-checked backlog: q193-q215 block ---
     "q193_rrf_fusion",

@@ -261,6 +261,10 @@ HEADLINE = [
     "q304_arch_lm",
     "q305_granger",
     "q306_hurst",
+    "q307_variance_ratio",
+    "q308_bar_volatility",
+    "q309_amihud",
+    "q310_engle_granger",
 ]
 
 

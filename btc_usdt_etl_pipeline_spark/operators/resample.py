@@ -655,3 +655,86 @@ def sax_symbolize(
         )
 
     return _t
+
+
+def bar_volatility(
+    value_col: str,
+    time_col: str = "ts",
+    group_by: Sequence[str] | str | None = None,
+    interval: str = "day",
+    tie_cols: Sequence[str] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Range-based volatility estimators per (group, bar): Parkinson
+    (1980), Garman–Klass (1980) and Rogers–Satchell (1991) daily
+    variances from the bar's OHLC — the standard efficient
+    alternatives to close-to-close realized variance (5–7× lower
+    estimator variance from the same data, and RS is drift-robust):
+
+        pk = ln(h/l)² / (4·ln 2)
+        gk = 0.5·ln(h/l)² − (2·ln 2 − 1)·ln(c/o)²
+        rs = ln(h/c)·ln(h/o) + ln(l/c)·ln(l/o)
+
+    ONE grouped agg builds the bars (``min_by``/``max_by`` on
+    ``struct(time, *tie_cols)`` for open/close — the ca35287 tie-safe
+    bar discipline, q22/q23's exact shape), then a pure projection;
+    no window, no second pass.  Only positive values enter (logs);
+    bars degenerate to zero range when a (group, bar) has one row.
+    The ln() calls run on identical IEEE ratio doubles in both
+    engines; 6 dp outputs.
+    Returns ``group_by…, bar, n_rows, open, high, low, close, pk,
+    gk, rs``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull()
+            & (F.col(value_col) > 0)
+            & F.col(time_col).isNotNull()
+        )
+        ordk = F.struct(
+            F.col(time_col), *[F.col(c) for c in tie_cols]
+        )
+        v = F.col(value_col).cast("double")
+        bars = d.groupBy(
+            *gcols,
+            F.date_trunc(interval, F.col(time_col)).alias("bar"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+        )
+        hl = F.log(F.col("high") / F.col("low"))
+        co = F.log(F.col("close") / F.col("open"))
+        hc = F.log(F.col("high") / F.col("close"))
+        ho = F.log(F.col("high") / F.col("open"))
+        lc = F.log(F.col("low") / F.col("close"))
+        lo = F.log(F.col("low") / F.col("open"))
+        import math as _math
+
+        return bars.select(
+            *gcols,
+            "bar",
+            "n_rows",
+            "open",
+            "high",
+            "low",
+            "close",
+            F.round(hl * hl / F.lit(4.0 * _math.log(2.0)), 6).alias(
+                "pk"
+            ),
+            F.round(
+                F.lit(0.5) * hl * hl
+                - F.lit(2.0 * _math.log(2.0) - 1.0) * co * co,
+                6,
+            ).alias("gk"),
+            F.round(hc * ho + lc * lo, 6).alias("rs"),
+        )
+
+    return _t

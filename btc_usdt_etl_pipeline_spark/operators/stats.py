@@ -4834,3 +4834,185 @@ def granger_f(
         )
 
     return _t
+
+
+def engle_granger(
+    y_col: str,
+    x_col: str,
+    time_col: str | Sequence[str],
+    group_by: Sequence[str] | str | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Engle–Granger two-step cointegration screen per group over an
+    aligned two-series frame (one row per time point — the
+    :func:`granger_f` alignment contract): are y and x tied by a
+    stationary long-run relation (the pairs-trading precondition),
+    even though each drifts on its own?
+
+        step 1:  y_t = a + b·x_t + e_t           (OLS hedge ratio)
+        step 2:  Δe_t = φ·e_{t−1} + u_t          (no-intercept AR)
+        adf_t = φ̂ / se(φ̂)   — strongly negative ⇒ e mean-reverts
+
+    One five-moment agg for the line (broadcast back), per-row
+    residual doubles, ONE lag window ordered by ``time_col`` (tie
+    tuple accepted), one three-moment agg and a scalar tree — the
+    :func:`breusch_pagan` two-pass shape with a lag in the middle, no
+    iteration.  All sums DECIMAL(38,12)-term-cast; outputs 6 dp.
+    Degenerate groups (n ≤ 3, constant x, zero Σe²_{t−1}, zero
+    residual variance) emit NULL adf_t.
+    Returns ``group_by…, n, beta, phi, adf_t``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+    tcols = [time_col] if isinstance(time_col, str) else list(time_col)
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(y_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(tcols[0]).isNotNull()
+        ).select(
+            *gcols,
+            *tcols,
+            F.col(y_col).cast("double").alias("_y"),
+            F.col(x_col).cast("double").alias("_x"),
+        )
+
+        def m(expr, name):
+            return (
+                F.sum(expr.cast("decimal(38,12)"))
+                .cast("double")
+                .alias(name)
+            )
+
+        x, y = F.col("_x"), F.col("_y")
+        mom = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            m(x, "_sx"), m(y, "_sy"),
+            m(x * x, "_sxx"), m(x * y, "_sxy"),
+        )
+        nn = F.col("_n").cast("double")
+        det = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        b = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / det
+        a = (F.col("_sy") - b * F.col("_sx")) / nn
+        line = mom.where((F.col("_n") > 3) & (det > 0)).select(
+            *gcols, "_n", b.alias("_b"), a.alias("_a")
+        )
+        if gcols:
+            joined = d.join(F.broadcast(line), gcols)
+        else:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                attach_scalar,
+            )
+
+            joined = attach_scalar(d, line, F.col("_x"), F.col("_n"))
+        e = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+        w = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).orderBy(*[F.col(c) for c in tcols])
+        staged = joined.select(
+            *gcols, *tcols, "_n", "_b", e.alias("_e")
+        ).withColumn("_el", F.lag("_e").over(w))
+        pairs = staged.where(F.col("_el").isNotNull())
+        de = F.col("_e") - F.col("_el")
+        agg = pairs.groupBy(*gcols).agg(
+            F.max("_n").alias("n"),
+            F.max("_b").alias("_beta"),
+            F.count(F.lit(1)).alias("_m"),
+            m(F.col("_el") * de, "_sld"),
+            m(F.col("_el") * F.col("_el"), "_sll"),
+            m(de * de, "_sdd"),
+        )
+        mm = F.col("_m").cast("double")
+        phi = F.col("_sld") / F.col("_sll")
+        sse = F.col("_sdd") - phi * F.col("_sld")
+        se2 = sse / (mm - F.lit(1.0)) / F.col("_sll")
+        ok = (
+            (F.col("_sll") > 0) & (F.col("_m") > 2)
+        )
+        adf = F.when(ok & (se2 > 0), phi / F.sqrt(se2))
+        return agg.select(
+            *gcols,
+            "n",
+            F.round(F.col("_beta"), 6).alias("beta"),
+            F.when(ok, F.round(phi, 6)).alias("phi"),
+            F.round(adf, 6).alias("adf_t"),
+        )
+
+    return _t
+
+
+def amihud_illiquidity(
+    value_col: str,
+    time_col: str,
+    group_by: Sequence[str] | str | None = None,
+    tie_cols: Sequence[str] = (),
+) -> Callable[[DataFrame], DataFrame]:
+    """Amihud (2002) illiquidity per group: the mean over days of
+    |daily return| per unit of daily dollar volume — how much the
+    price moves per traded unit, the standard price-impact proxy:
+
+        ILLIQ = mean_d( |c_d / c_{d−1} − 1| / v_d )
+
+    with c_d the day's tie-safe closing value (``max_by`` on
+    ``struct(time, *tie_cols)`` — the ca35287 bar discipline) and
+    v_d = Σ|value| that day.  ONE data-scale (group, day) agg, then a
+    lag + mean over the calendar-scale day table.  Exact-decimal
+    volume sums; the ratio terms are (38,12)-cast before the
+    order-free mean; 6 dp.  Days with v_d = 0 or no prior day drop
+    out; groups with no usable days drop entirely (no NULL row).
+    Returns ``group_by…, n_days, amihud``.
+    """
+    gcols = (
+        [group_by]
+        if isinstance(group_by, str)
+        else list(group_by or [])
+    )
+
+    def _t(df: DataFrame) -> DataFrame:
+        d = df.where(
+            F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+        )
+        ordk = F.struct(
+            F.col(time_col), *[F.col(c) for c in tie_cols]
+        )
+        daily = d.groupBy(
+            *gcols, F.date_trunc("day", F.col(time_col)).alias("_d")
+        ).agg(
+            F.max_by(F.col(value_col).cast("double"), ordk).alias(
+                "_c"
+            ),
+            F.sum(
+                F.abs(F.col(value_col)).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("_v"),
+        )
+        w = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).orderBy("_d")
+        lagged = daily.withColumn("_cl", F.lag("_c").over(w)).where(
+            F.col("_cl").isNotNull()
+            & (F.col("_cl") != 0)
+            & (F.col("_v") > 0)
+        )
+        term = F.abs(
+            F.col("_c") / F.col("_cl") - F.lit(1.0)
+        ) / F.col("_v")
+        agg = lagged.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(term.cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_s"),
+        )
+        return agg.select(
+            *gcols,
+            "n_days",
+            F.round(
+                F.col("_s") / F.col("n_days").cast("double"), 6
+            ).alias("amihud"),
+        )
+
+    return _t

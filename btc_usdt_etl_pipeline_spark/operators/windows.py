@@ -2382,3 +2382,116 @@ def hurst_aggvar(
         )
 
     return _t
+
+
+def variance_ratio(
+    value_col: str,
+    q: int = 4,
+    partition_by: str | None = None,
+    order_by: Sequence[str] = ("ts",),
+) -> Callable[[DataFrame], DataFrame]:
+    """Lo–MacKinlay variance-ratio test per series — "is this a
+    random walk?", the q-period companion to :func:`hurst_aggvar`'s
+    long-range view and q300's KPSS: under the random-walk null the
+    variance of q-period differences is q× the one-period variance,
+
+        VR(q) = σ²(q) / σ²(1)          (plain overlapping estimator,
+                                        no small-sample bias term)
+        σ²(1) = Σ(d_t − μ̂)² / (n₁−1),      d_t = x_t − x_{t−1},
+                                            n₁ = #one-period diffs
+        σ²(q) = Σ(d_t(q) − qμ̂)² / (q·n_q), d_t(q) = x_t − x_{t−q},
+                                            n_q = #q-period diffs
+        z = (VR−1) / sqrt(2(2q−1)(q−1)/(3q·n₁))   (homoscedastic)
+
+    VR < 1 ⇒ mean reversion, VR > 1 ⇒ momentum.  ONE keyed ordered
+    window carries BOTH lag taps (lag 1 and lag q — the q185
+    one-pass idiom), one decimal-moment agg, then a scalar tree.
+    μ̂ enters both numerators as the same exact-decimal-sum/count
+    double; deviation terms are (38,12)-cast before the order-free
+    sums.  Pass a tie-breaking ``order_by`` tuple.  Series with
+    n ≤ q (or zero σ²(1)) emit NULL vr/z.
+    Returns ``partition_by…, n, vr, z``.
+    """
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    gcols = [partition_by] if partition_by else []
+    ocols = list(order_by)
+
+    def _t(df: DataFrame) -> DataFrame:
+        w = _window_multi(gcols, ocols)
+        d = df.where(
+            F.col(value_col).isNotNull()
+            & F.col(ocols[0]).isNotNull()
+        ).select(
+            *gcols,
+            *ocols,
+            F.col(value_col).cast("double").alias("_x"),
+        ).select(
+            *gcols,
+            "_x",
+            F.lag("_x", 1).over(w).alias("_x1"),
+            F.lag("_x", int(q)).over(w).alias("_xq"),
+        )
+        dec12 = "decimal(38,12)"
+        # n and mu over the ONE-period diffs (n = count of rows with a
+        # lag-1 predecessor + 1 = series length; mu = (x_n - x_0)/(n-1)
+        # algebraically, but computed as the literal diff mean so both
+        # engines share the tree)
+        d1 = F.col("_x") - F.col("_x1")
+        dq = F.col("_x") - F.col("_xq")
+        agg = d.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_x1").alias("_n1"),
+            F.sum(F.when(F.col("_x1").isNotNull(), d1).cast(dec12))
+            .cast("double")
+            .alias("_sd"),
+            F.sum(
+                F.when(F.col("_x1").isNotNull(), d1 * d1).cast(dec12)
+            )
+            .cast("double")
+            .alias("_sdd"),
+            F.count("_xq").alias("_nq"),
+            F.sum(F.when(F.col("_xq").isNotNull(), dq).cast(dec12))
+            .cast("double")
+            .alias("_sq"),
+            F.sum(
+                F.when(F.col("_xq").isNotNull(), dq * dq).cast(dec12)
+            )
+            .cast("double")
+            .alias("_sqq"),
+        )
+        n1 = F.col("_n1").cast("double")
+        nq = F.col("_nq").cast("double")
+        mu = F.col("_sd") / n1
+        var1 = (
+            F.col("_sdd")
+            - F.lit(2.0) * mu * F.col("_sd")
+            + n1 * mu * mu
+        ) / (n1 - F.lit(1.0))
+        qd = F.lit(float(q))
+        mden = qd * nq
+        varq = (
+            F.col("_sqq")
+            - F.lit(2.0) * qd * mu * F.col("_sq")
+            + nq * qd * qd * mu * mu
+        ) / mden
+        vr = varq / var1
+        zden = (
+            F.lit(2.0 * (2 * q - 1) * (q - 1)) / F.lit(3.0 * q)
+        ) / n1
+        ok = (
+            (F.col("_nq") > 1)
+            & (F.col("_n1") > 1)
+            & (var1 > 0)
+            & (mden > 0)
+        )
+        return agg.select(
+            *gcols,
+            "n",
+            F.when(ok, F.round(vr, 6)).alias("vr"),
+            F.when(
+                ok, F.round((vr - F.lit(1.0)) / F.sqrt(zden), 6)
+            ).alias("z"),
+        )
+
+    return _t
