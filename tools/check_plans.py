@@ -631,18 +631,28 @@ def main() -> int:
     import re as _re
 
     def _sp_nonpartial(frame) -> list[str]:
-        # benign: an aggregate within a few lines below the exchange —
-        # the data was already collapsed to partials/groups before
-        # crossing SinglePartition (bins, deciles, digits...).  The
-        # hazard caught here is raw scan/join/window output funneling
-        # through one task (an unkeyed Sort/Window/row_number shape).
+        # benign: the subtree below the exchange is already
+        # aggregate-reduced — an Aggregate/partial appears before any
+        # raw relation (Scan) or re-shuffle (hashpartitioning) does,
+        # walking through pure wrappers (Project/Filter/BroadcastJoin
+        # attaches — the q310 residual-attach shape: Project over
+        # BroadcastHashJoin over the day-grain Aggregate).  The hazard
+        # caught here is raw scan/join/window output funneling through
+        # one task (an unkeyed Sort/Window/row_number over data).
         lines = plan_string(frame, mode="simple").splitlines()
         bad = []
         for i, ln in enumerate(lines):
-            if "Exchange SinglePartition" in ln:
-                below = " ".join(lines[i + 1 : i + 4])
-                if "partial_" not in below and "Aggregate" not in below:
-                    bad.append(lines[i + 1].strip()[:70])
+            if "Exchange SinglePartition" not in ln:
+                continue
+            ok = False
+            for below in lines[i + 1 : i + 12]:
+                if "partial_" in below or "Aggregate" in below:
+                    ok = True
+                    break
+                if "Scan " in below or "hashpartitioning" in below:
+                    break
+            if not ok:
+                bad.append(lines[i + 1].strip()[:70])
         return bad
 
     for name, fn in sorted(qs.items()):
