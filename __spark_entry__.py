@@ -101,8 +101,8 @@ def _q(name: str, sql: str | None = None):
 
 #: Runtime-settable confs the engine depends on; applied per table load
 #: because the DRIVER runs these queries in its own plain SparkSession
-#: (see .claude/skills/verify) where none of build_session's tuning
-#: exists.  UTC keeps timestamp collection oracle-comparable; maxFields
+#: where none of build_session's tuning exists.  UTC keeps timestamp
+#: collection oracle-comparable; maxFields
 #: keeps whole-stage codegen alive on the 128-column sketch plans.
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
@@ -18126,7 +18126,7 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r12 judge ask #8): half the corpus drains and its contribution
     dirs are merged into one committed ``c{K}`` consolidation
     (streaming/neardup.py:compact_neardup_state — crash-safe
-    _SUCCESS-marked protocol, index keeps its _kb partition layout),
+    _COMMITTED-marked protocol, index keeps its _kb partition layout),
     then the second half drains ON TOP of the compacted state through
     the same checkpoint.  The oracle is the identical whole-corpus
     all-pairs exact Jaccard as q293 — hash-equality proves compaction

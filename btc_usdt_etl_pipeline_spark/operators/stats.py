@@ -4857,8 +4857,11 @@ def engle_granger(
     tuple accepted), one three-moment agg and a scalar tree — the
     :func:`breusch_pagan` two-pass shape with a lag in the middle, no
     iteration.  All sums DECIMAL(38,12)-term-cast; outputs 6 dp.
-    Degenerate groups (n ≤ 3, constant x, zero Σe²_{t−1}, zero
-    residual variance) emit NULL adf_t.
+    Degenerate groups: n ≤ 3 or constant-x groups are DROPPED from the
+    output entirely (they never form a regression line — the
+    ``amihud_illiquidity`` convention); groups that survive the line
+    fit but have zero Σe²_{t−1} or zero residual variance emit a row
+    with NULL adf_t.
     Returns ``group_by…, n, beta, phi, adf_t``.
     """
     gcols = (

@@ -152,6 +152,28 @@ def _explode_halo(
 #: where per-row frame cost is high without penalizing cheap windows.
 _KEYED_HOT_KEY_ROWS = 1 << 19
 
+#: Higher switchover for ops whose per-row window work is CHEAP (a
+#: row_number index, a last-non-null anchor carry): the single-task
+#: ordered window stays competitive far longer than for the many-lag
+#: stacks, so the index/chunk machinery must not engage until the hot
+#: key is big enough to pay for it.  Measured (r14, local[32], zipf
+#: events, warm session): hurst_aggvar — 2.5M-row hot key: window
+#: 18.4 s vs chunked 29.6 s (window wins); 7.6M: window 158.4 s vs
+#: chunked 20.9 s (chunked 7.6×).  interpolate_linear — 2.5M: 28.4 vs
+#: 31.5 s; 7.6M: 94.9 vs 44.7 s.  Both crossovers sit between 2.5M and
+#: 7.6M hot rows; 4M splits the measured points and errs toward the
+#: plan whose cost grows LINEARLY-at-worst past the gate (the chunked
+#: one), not the super-linear single-task sort (158 s at 7.6M was
+#: 8.6× the 2.5M time on 3× the rows — spill inflection).
+_KEYED_HOT_KEY_ROWS_CHEAP = 1 << 22
+
+#: Intermediate switchover for the single-decimal-cumsum shape
+#: (cusum): dearer per row than an index/anchor carry, cheaper than a
+#: lag stack.  Measured (r14, zipf events): 762k-row hot key — window
+#: 8.2 s vs chunked 19.1 s (window); 2.5M — window 82.4 s vs chunked
+#: 28.1 s (chunked 2.9×).  Crossover ≈ 1M rows.
+_KEYED_HOT_KEY_ROWS_MID = 1 << 20
+
 
 def _keyed_index(
     df: DataFrame,
@@ -362,14 +384,17 @@ def _keyed_plan(
     order_col: str,
     strategy: str,
     halo: int,
+    hot_rows: int | None = None,
 ) -> tuple[bool, int | None]:
     """Decide the KEYED plan → ``(chunked?, chunk_rows)``.  Explicit
     strategy wins.  ``auto`` first gates on the same Catalyst size
     estimate as the unkeyed path (free, no job — small inputs never pay
     a pre-pass), then runs the per-key count estimate (a metadata-scale
     partial-aggregated job over the key columns only) and goes chunked
-    iff some single key's series exceeds ``_KEYED_HOT_KEY_ROWS`` — the
-    zipf-hot-key shape where one ordered window task dominates.
+    iff some single key's series exceeds ``hot_rows`` (default
+    ``_KEYED_HOT_KEY_ROWS``; cheap-per-row ops pass
+    ``_KEYED_HOT_KEY_ROWS_CHEAP`` — see its measured crossover note) —
+    the zipf-hot-key shape where one ordered window task dominates.
 
     When the count estimate ran, ``chunk_rows`` is sized so the HOT key
     splits into ~2× the cluster's core count of chunks (floored at
@@ -398,7 +423,7 @@ def _keyed_plan(
         .first()
     )
     mx = (hot["_mx"] or 0) if hot is not None else 0
-    if mx <= _KEYED_HOT_KEY_ROWS:
+    if mx <= (hot_rows or _KEYED_HOT_KEY_ROWS):
         return False, None
     cores = df.sparkSession.sparkContext.defaultParallelism or 32
     chunk_rows = max(4 * halo, min(_CHUNK_ROWS, -(-mx // (2 * cores))))
@@ -656,15 +681,44 @@ def crossover_signal(
     order_col: str,
     partition_by: Sequence[str] | None = None,
     out: str = "signal",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """``(fast > slow)::int`` moving-average crossover, applied with a
-    1-step shift (trade on yesterday's signal — notebook cell 16 F3+W4)."""
+    1-step shift (trade on yesterday's signal — notebook cell 16 F3+W4).
+
+    Scale path (r14): the shift is one lag-1 tap, so past the size /
+    hot-key gates ``strategy='auto'`` routes it through the shared
+    chunked-halo machinery (:func:`_chunked_trailing` unkeyed /
+    :func:`keyed_lags` keyed — halo = 1, BIT-IDENTICAL), closing the
+    last W4-family single-sort-task ceiling.
+    """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
 
     def _t(df: DataFrame) -> DataFrame:
-        w = _window(partition_by, order_col)
         sig = F.when(F.col(fast_col) > F.col(slow_col), 1).otherwise(0)
-        return df.withColumn(out, sig).withColumn(
-            f"{out}_shifted", F.lag(out, 1).over(w)
+        d = df.withColumn(out, sig)
+        shifted = f"{out}_shifted"
+        if not partition_by and _auto_chunked(d, order_col, strategy):
+            return _chunked_trailing(
+                d,
+                order_col,
+                halo=1,
+                compute=lambda u, w: u.withColumn(
+                    shifted, F.lag(out, 1).over(w)
+                ),
+            )
+        if partition_by:
+            return d.transform(
+                keyed_lags(
+                    [(out, 1, shifted)],
+                    order_by=(order_col,),
+                    partition_by=list(partition_by),
+                    strategy=strategy,
+                )
+            )
+        return d.withColumn(
+            shifted, F.lag(out, 1).over(_window(None, order_col))
         )
 
     return _t
@@ -821,6 +875,7 @@ def interpolate_linear(
     partition_by: Sequence[str] | None = None,
     order_by: Sequence[str] | None = None,
     out: str | None = None,
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Linear interpolation of interior nulls per series — the
     gap-fill that respects the TIME AXIS where :func:`fill_forward`
@@ -850,12 +905,111 @@ def interpolate_linear(
     Determinism: identical expression → identical IEEE doubles on any
     engine; no rounding contract needed (the oracle replays the same
     arithmetic; pins at 6 dp only at the comparison layer).
+
+    Scale path (r14): past the hot-key gate ``strategy='auto'`` swaps
+    in the chunked ANCHOR-CARRY plan — per-key dense index
+    (:func:`_keyed_index`), fixed chunks, within-chunk
+    ``last ignorenulls`` passes, and the cross-chunk carry as a
+    metadata-scale join: per-(key, chunk) first/last anchor structs →
+    per-key exclusive running ``last ignorenulls`` over the tiny chunk
+    table (both directions) → ``coalesce(within-chunk anchor,
+    chunk-prefix anchor)``.  Anchors are exact row values, so the plan
+    is BIT-IDENTICAL to the two-pass window.  Unkeyed input partitions
+    on a constant column; ``order_by`` must be unique per key for the
+    chunked plan (the (ts, event_id) tie-break contract).
     """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     ocols = list(order_by) if order_by else [time_col]
     dst = out or value_col
 
     def _t(df: DataFrame) -> DataFrame:
         keys = list(partition_by or [])
+        t = F.col(time_col).cast("double")
+        anchor = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(value_col).alias("v"), t.alias("t")),
+        )
+
+        def _interp(prev: Column, nxt: Column) -> Column:
+            gap = nxt["t"] - prev["t"]
+            return F.when(
+                F.col(value_col).isNotNull(), F.col(value_col)
+            ).otherwise(
+                F.when(
+                    prev.isNotNull() & nxt.isNotNull(),
+                    F.when(
+                        gap != 0,
+                        prev["v"]
+                        + (nxt["v"] - prev["v"]) * (t - prev["t"]) / gap,
+                    ).otherwise(prev["v"]),
+                )
+            )
+
+        d0 = df
+        pkeys = keys
+        if not pkeys:
+            d0 = df.withColumn("_ip_pk", F.lit(1))
+            pkeys = ["_ip_pk"]
+        chunked, cr = _keyed_plan(
+            d0, pkeys, ocols[0], strategy, halo=1,
+            hot_rows=_KEYED_HOT_KEY_ROWS_CHEAP,
+        )
+        if chunked:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
+            cr = max(cr or _CHUNK_ROWS, 4)
+            staged = _keyed_index(
+                d0, pkeys, ocols, index_col="_ip_idx"
+            ).withColumn(
+                "_ip_chunk", F.floor(F.col("_ip_idx") / F.lit(cr))
+            )
+            parts = staged.groupBy(*pkeys, "_ip_chunk").agg(
+                F.max_by(
+                    anchor, F.when(anchor.isNotNull(), F.col("_ip_idx"))
+                ).alias("_ip_la"),
+                F.min_by(
+                    anchor, F.when(anchor.isNotNull(), F.col("_ip_idx"))
+                ).alias("_ip_fa"),
+            )
+            wkf = Window.partitionBy(*pkeys).orderBy(
+                "_ip_chunk"
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            wkb = Window.partitionBy(*pkeys).orderBy(
+                F.col("_ip_chunk").desc()
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            offs = parts.select(
+                *pkeys,
+                "_ip_chunk",
+                F.last("_ip_la", ignorenulls=True).over(wkf).alias(
+                    "_ip_poff"
+                ),
+                F.last("_ip_fa", ignorenulls=True).over(wkb).alias(
+                    "_ip_noff"
+                ),
+            )
+            j = null_safe_join(staged, offs, [*pkeys, "_ip_chunk"])
+            wf = Window.partitionBy(*pkeys, "_ip_chunk").orderBy(
+                "_ip_idx"
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wb = Window.partitionBy(*pkeys, "_ip_chunk").orderBy(
+                F.col("_ip_idx").desc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            prev = F.coalesce(
+                F.last(anchor, ignorenulls=True).over(wf),
+                F.col("_ip_poff"),
+            )
+            nxt = F.coalesce(
+                F.last(anchor, ignorenulls=True).over(wb),
+                F.col("_ip_noff"),
+            )
+            out_df = j.withColumn(dst, _interp(prev, nxt)).drop(
+                "_ip_idx", "_ip_chunk", "_ip_poff", "_ip_noff"
+            )
+            return out_df.drop("_ip_pk") if not keys else out_df
+
         wbase = (
             Window.partitionBy(*keys) if keys else Window.partitionBy()
         )
@@ -865,26 +1019,9 @@ def interpolate_linear(
         wbwd = wbase.orderBy(
             *[F.col(c).desc() for c in ocols]
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t = F.col(time_col).cast("double")
-        anchor = F.when(
-            F.col(value_col).isNotNull(),
-            F.struct(F.col(value_col).alias("v"), t.alias("t")),
-        )
         prev = F.last(anchor, ignorenulls=True).over(wfwd)
         nxt = F.last(anchor, ignorenulls=True).over(wbwd)
-        gap = nxt["t"] - prev["t"]
-        interp = F.when(
-            F.col(value_col).isNotNull(), F.col(value_col)
-        ).otherwise(
-            F.when(
-                prev.isNotNull() & nxt.isNotNull(),
-                F.when(gap != 0,
-                       prev["v"]
-                       + (nxt["v"] - prev["v"]) * (t - prev["t"]) / gap)
-                .otherwise(prev["v"]),
-            )
-        )
-        return df.withColumn(dst, interp)
+        return df.withColumn(dst, _interp(prev, nxt))
 
     return _t
 
@@ -897,6 +1034,7 @@ def cusum(
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
     out: str = "cusum",
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """One-sided CUSUM changepoint statistic (Page 1954):
 
@@ -911,13 +1049,112 @@ def cusum(
     decimal idiom, making S_t order-insensitive and replayable
     bit-for-bit by a SQL oracle.
 
+    Scale path (r14): past the hot-key gate ``strategy='auto'`` swaps
+    in the chunked PREFIX-SCAN plan — per-key dense index
+    (:func:`_keyed_index`, no per-key sort task), fixed chunks, and the
+    cross-chunk carry handled by the SYNTHETIC-OFFSET-ROW idiom: each
+    chunk c > 0 receives one flagged extra row whose deviation term is
+    the exact decimal sum of every earlier chunk, sorted before all
+    real rows, so the running decimal sum INSIDE one window aggregate
+    equals the full-prefix sum exactly (a decimal(38,6)+decimal(38,6)
+    binary ADD would round to scale 5 under Spark's precision-loss
+    rule — accumulating through the agg buffer instead stays exact,
+    which is what keeps the chunked plan BIT-IDENTICAL).  The running
+    min composes associatively (``least`` of the within-chunk running
+    min and the exclusive prefix over per-chunk minima — doubles, no
+    precision hazard).  Unkeyed input partitions on a constant column
+    (the ``variance_ratio`` trick).  ``order_by`` must be unique per
+    key (the (ts, event_id) tie-break contract) for the chunked plan.
+
     ``threshold`` adds an ``alarm`` boolean (S_t > h) — the standard
     drift detector; reset-after-alarm variants re-run from the alarm
     point (operationally a filter + recompute, still no recursion).
     """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
 
     def _t(df: DataFrame) -> DataFrame:
-        from btc_usdt_etl_pipeline_spark.functions import DEC
+        from btc_usdt_etl_pipeline_spark.functions import (
+            DEC,
+            null_safe_join,
+        )
+
+        dev = (
+            F.col(value_col).cast("double")
+            - F.lit(float(target))
+            - F.lit(float(slack))
+        ).cast(DEC)
+
+        d0 = df
+        pkeys = [partition_by] if partition_by else []
+        if not pkeys:
+            d0 = df.withColumn("_cs_pk", F.lit(1))
+            pkeys = ["_cs_pk"]
+        chunked, cr = _keyed_plan(
+            d0, pkeys, order_by[0], strategy, halo=1,
+            hot_rows=_KEYED_HOT_KEY_ROWS_MID,
+        )
+        if chunked:
+            cr = max(cr or _CHUNK_ROWS, 4)
+            staged = _keyed_index(
+                d0, pkeys, list(order_by), index_col="_cs_idx"
+            ).withColumn(
+                "_cs_chunk", F.floor(F.col("_cs_idx") / F.lit(cr))
+            ).withColumn("_cs_dev", dev)
+            parts = staged.groupBy(*pkeys, "_cs_chunk").agg(
+                F.sum("_cs_dev").alias("_cs_sum")
+            )
+            wk = Window.partitionBy(*pkeys).orderBy(
+                "_cs_chunk"
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            offs = parts.select(
+                *pkeys,
+                "_cs_chunk",
+                F.sum("_cs_sum").over(wk).alias("_cs_off"),
+            )
+            syn = offs.where(F.col("_cs_off").isNotNull()).select(
+                *pkeys,
+                "_cs_chunk",
+                (F.col("_cs_chunk") * F.lit(cr) - F.lit(1)).alias(
+                    "_cs_idx"
+                ),
+                F.col("_cs_off").alias("_cs_dev"),
+                F.lit(True).alias("_cs_syn"),
+            )
+            u = staged.withColumn(
+                "_cs_syn", F.lit(False)
+            ).unionByName(syn, allowMissingColumns=True)
+            w = Window.partitionBy(*pkeys, "_cs_chunk").orderBy(
+                "_cs_idx"
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            u = u.withColumn(
+                "_rs", F.sum("_cs_dev").over(w).cast("double")
+            )
+            cmins = u.groupBy(*pkeys, "_cs_chunk").agg(
+                F.min("_rs").alias("_cs_cmin")
+            )
+            moffs = cmins.select(
+                *pkeys,
+                "_cs_chunk",
+                F.min("_cs_cmin").over(wk).alias("_cs_moff"),
+            )
+            u = null_safe_join(u, moffs, [*pkeys, "_cs_chunk"])
+            full_min = F.least(
+                F.min("_rs").over(w), F.col("_cs_moff")
+            )
+            out_df = u.withColumn(
+                out, F.col("_rs") - F.least(F.lit(0.0), full_min)
+            ).where(~F.col("_cs_syn")).drop(
+                "_cs_idx", "_cs_chunk", "_cs_dev", "_cs_syn",
+                "_cs_moff", "_rs",
+            )
+            if not partition_by:
+                out_df = out_df.drop("_cs_pk")
+            if threshold is not None:
+                out_df = out_df.withColumn(
+                    "alarm", F.col(out) > F.lit(float(threshold))
+                )
+            return out_df
 
         order = [F.col(c) for c in order_by]
         wb = (
@@ -928,11 +1165,6 @@ def cusum(
         w = wb.orderBy(*order).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        dev = (
-            F.col(value_col).cast("double")
-            - F.lit(float(target))
-            - F.lit(float(slack))
-        ).cast(DEC)
         rs = F.sum(dev).over(w).cast("double")
         out_df = df.withColumn("_rs", rs).withColumn(
             out,
@@ -2060,6 +2292,7 @@ def kpss_level(
     bartlett_lags: int = 5,
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """KPSS level-stationarity test per series (Kwiatkowski et al.
     1992) — the null here is STATIONARY, the mirror image of unit-root
@@ -2086,9 +2319,24 @@ def kpss_level(
     must include a unique tie-breaker.  Returns
     ``partition_by…, n, eta, omega2, kpss`` (6 dp; NULL when ω² ≤ 0
     or n ≤ L).
+
+    Scale path (r14): past the hot-key gate ``strategy='auto'`` swaps
+    in the chunked plan — the group mean moves from the full-frame
+    keyed window (which buffers a hot key's whole series on one task)
+    to a partial-aggregated groupBy + null-safe join-back (the exact
+    same decimal-sum/count quotient), the cumulative S_t runs through
+    the SYNTHETIC-OFFSET-ROW prefix-scan idiom (see :func:`cusum` —
+    cross-chunk carries accumulate inside one decimal sum aggregate,
+    never a lossy decimal binary add), and the L lag products ride the
+    chunked-halo context rows (``_explode_halo``, halo = L; the
+    synthetic offset row sorts before the halo band, so the deepest
+    real-row lag lands exactly on the first halo copy).  BIT-IDENTICAL
+    by construction; unkeyed input partitions on a constant column.
     """
     if bartlett_lags < 0:
         raise ValueError("bartlett_lags must be >= 0")
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     gcols = [partition_by] if partition_by else []
     L = int(bartlett_lags)
 
@@ -2098,35 +2346,116 @@ def kpss_level(
             *order_by,
             F.col(value_col).cast("double").alias("_x"),
         )
-        wg = (
-            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-        )
-        mean = (
-            F.sum(F.col("_x").cast("decimal(38,6)")).over(wg).cast(
-                "double"
-            )
-            / F.count("_x").over(wg)
-        )
-        dm = d.select(
-            *gcols, *order_by, (F.col("_x") - mean).alias("_e")
-        )
-        wo = wg.orderBy(*order_by).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        wl = wg.orderBy(*order_by)
-        st = F.sum(F.col("_e").cast("decimal(38,12)")).over(wo).cast(
-            "double"
-        )
-        staged = dm.select(
-            *gcols,
-            "_e",
-            st.alias("_s"),
-            *[
-                (F.col("_e") * F.lag("_e", l).over(wl)).alias(f"_p{l}")
-                for l in range(1, L + 1)
-            ],
+        d0 = d
+        pkeys = gcols
+        if not pkeys:
+            d0 = d.withColumn("_kp_pk", F.lit(1))
+            pkeys = ["_kp_pk"]
+        chunked, cr = _keyed_plan(
+            d0, pkeys, order_by[0], strategy, halo=max(L, 1)
         )
         dec12 = "decimal(38,12)"
+        if chunked:
+            from btc_usdt_etl_pipeline_spark.functions import (
+                null_safe_join,
+            )
+
+            cr = max(cr or _CHUNK_ROWS, 4 * max(L, 1))
+            means = d0.groupBy(*pkeys).agg(
+                F.sum(F.col("_x").cast("decimal(38,6)")).alias(
+                    "_kp_s"
+                ),
+                F.count("_x").alias("_kp_c"),
+            )
+            dm = null_safe_join(d0, means, pkeys).withColumn(
+                "_e",
+                F.col("_x")
+                - F.col("_kp_s").cast("double") / F.col("_kp_c"),
+            ).drop("_kp_s", "_kp_c")
+            indexed = _keyed_index(
+                dm, pkeys, list(order_by), index_col="_g_idx"
+            )
+            u = _explode_halo(indexed, L, cr).withColumn(
+                "_kp_t",
+                F.when(
+                    ~F.col("_halo"), F.col("_e").cast(dec12)
+                ),
+            )
+            parts = indexed.withColumn(
+                "_chunk", F.floor(F.col("_g_idx") / F.lit(cr))
+            ).groupBy(*pkeys, "_chunk").agg(
+                F.sum(F.col("_e").cast(dec12)).alias("_kp_sum")
+            )
+            wk = Window.partitionBy(*pkeys).orderBy(
+                "_chunk"
+            ).rowsBetween(Window.unboundedPreceding, -1)
+            offs = parts.select(
+                *pkeys,
+                "_chunk",
+                F.sum("_kp_sum").over(wk).alias("_kp_off"),
+            )
+            syn = offs.where(F.col("_kp_off").isNotNull()).select(
+                *pkeys,
+                "_chunk",
+                (
+                    F.col("_chunk") * F.lit(cr) - F.lit(L + 1)
+                ).alias("_g_idx"),
+                F.lit(True).alias("_halo"),
+                F.col("_kp_off").alias("_kp_t"),
+            )
+            u = u.unionByName(syn, allowMissingColumns=True)
+            wl = Window.partitionBy(*pkeys, "_chunk").orderBy(
+                "_g_idx"
+            )
+            wo = wl.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            st = F.sum("_kp_t").over(wo).cast("double")
+            staged = u.select(
+                *gcols,
+                "_e",
+                "_halo",
+                st.alias("_s"),
+                *[
+                    (F.col("_e") * F.lag("_e", l).over(wl)).alias(
+                        f"_p{l}"
+                    )
+                    for l in range(1, L + 1)
+                ],
+            ).where(~F.col("_halo")).drop("_halo")
+        else:
+            wg = (
+                Window.partitionBy(*gcols)
+                if gcols
+                else Window.partitionBy()
+            )
+            mean = (
+                F.sum(F.col("_x").cast("decimal(38,6)")).over(wg).cast(
+                    "double"
+                )
+                / F.count("_x").over(wg)
+            )
+            dm = d.select(
+                *gcols, *order_by, (F.col("_x") - mean).alias("_e")
+            )
+            wo = wg.orderBy(*order_by).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wl = wg.orderBy(*order_by)
+            st = F.sum(F.col("_e").cast("decimal(38,12)")).over(
+                wo
+            ).cast("double")
+            staged = dm.select(
+                *gcols,
+                "_e",
+                st.alias("_s"),
+                *[
+                    (F.col("_e") * F.lag("_e", l).over(wl)).alias(
+                        f"_p{l}"
+                    )
+                    for l in range(1, L + 1)
+                ],
+            )
         agg = staged.groupBy(*gcols).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("_s") * F.col("_s")).cast(dec12))
@@ -2165,6 +2494,7 @@ def arch_lm(
     value_col: str,
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Engle's ARCH LM test (lag 1) per series — "does this series
     show conditional heteroscedasticity?", the volatility-clustering
@@ -2178,15 +2508,24 @@ def arch_lm(
         aux-fit g_t ~ g_{t-1},   LM = n'·R²_aux,   df = 1
 
     One group-mean agg (decimal sum / count, broadcast-joined back),
-    one keyed lag window ordered by ``order_by`` (pass a tie-breaking
+    one keyed lag tap ordered by ``order_by`` (pass a tie-breaking
     tuple, e.g. ``("ts", "event_id")`` — the ca35287 discipline), one
     decimal-moment agg; R² via the same closed form as Breusch–Pagan.
+    The lag tap routes through :func:`keyed_lags` (halo = 1), so
+    ``strategy='auto'`` swaps in the chunked-halo plan when one key's
+    series exceeds the hot-key threshold — a zipf-hot key no longer
+    serializes its whole series onto one sort task (the r13 SCALE.md
+    27.2 s/100× floor), and the chunked plan is BIT-IDENTICAL (the
+    ``durbin_watson`` routing; ungrouped input partitions on the
+    constant ``_mu`` column, the same single-logical-group trick).
     Per-row g doubles are identical across engines (one IEEE subtract
     + multiply on an exact-decimal mean); all moment sums
     DECIMAL(38,6)-term-cast; outputs 6 dp.  Degenerate series
     (n' ≤ 2, constant g, constant lagged g) emit NULL lm.
     Returns ``partition_by…, n_pairs, r2_aux, lm``.
     """
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     gcols = [partition_by] if partition_by else []
     ocols = list(order_by)
 
@@ -2214,10 +2553,16 @@ def arch_lm(
 
             joined = attach_scalar(d, mean, F.col("_x"), F.col("_mu"))
         e = F.col("_x") - F.col("_mu")
-        w = _window_multi(gcols, ocols)
         staged = joined.select(
-            *gcols, *ocols, (e * e).alias("_g")
-        ).withColumn("_gl", F.lag("_g").over(w))
+            *gcols, *ocols, "_mu", (e * e).alias("_g")
+        ).transform(
+            keyed_lags(
+                [("_g", 1, "_gl")],
+                order_by=ocols,
+                partition_by=list(gcols) or ["_mu"],
+                strategy=strategy,
+            )
+        )
         pairs = staged.where(F.col("_gl").isNotNull())
 
         def m(expr, name):
@@ -2258,6 +2603,7 @@ def hurst_aggvar(
     block_sizes: Sequence[int] = (2, 4, 8),
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Hurst exponent per series via the aggregated-variance method
     (Beran 1994; the long-range-dependence triage a series gets next
@@ -2270,8 +2616,14 @@ def hurst_aggvar(
 
         H = 1 + ln(v_m3 / v_m1) / (2 · ln(m3 / m1)).
 
-    One row_number window per series (``order_by`` must include a
-    unique tie-breaker), ONE data-scale agg to m1-blocks, then a
+    One dense per-series index (``order_by`` must include a unique
+    tie-breaker) — ``strategy='auto'`` computes it as a plain
+    ``row_number`` window below the hot-key threshold and switches to
+    the two-pass bucket-offset index (:func:`_keyed_index` keyed /
+    ``with_global_index`` unkeyed — the resample §4.3 idiom, integer
+    positions, BIT-IDENTICAL) past it, so a zipf-hot key's series
+    never rides one sort task (the r13 SCALE.md 41.2 s/100× floor) —
+    then ONE data-scale agg to m1-blocks, then a
     HIERARCHICAL reduction: m2/m3 block sums are exact decimal adds of
     their m1-children (m2 % m1 == m3 % m2 == 0 enforced), so the whole
     ladder is a single pass plus metadata-scale rollups — no triple
@@ -2279,11 +2631,17 @@ def hurst_aggvar(
     contributes only with ALL m rows (children propagate the rule).
     Block means are one IEEE divide on exact decimal sums; variance
     moments DECIMAL(38,12); H's single ln() runs on an identical IEEE
-    ratio in both engines, 6 dp output.  Series without ≥ 2 full
-    blocks at every size emit NULL hurst.
+    ratio in both engines, 6 dp output.  Degenerate series: one with
+    ZERO full blocks at any size is DROPPED from the output entirely
+    (the per-level stats inner-join has no row for it; ungrouped, an
+    empty stats frame empties the whole output); a series with at
+    least one full block at every size but fewer than 2 at some size
+    emits its row with NULL hurst.
     Returns ``partition_by…, n, v_m1, v_m2, v_m3, hurst``.
     """
     ms = [int(m) for m in block_sizes]
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     if len(ms) != 3 or sorted(ms) != ms or ms[0] < 2:
         raise ValueError("block_sizes must be 3 ascending ints >= 2")
     if ms[1] % ms[0] or ms[2] % ms[1]:
@@ -2297,18 +2655,42 @@ def hurst_aggvar(
     ocols = list(order_by)
 
     def _t(df: DataFrame) -> DataFrame:
-        w = _window_multi(gcols, ocols)
+        d0 = df.where(
+            F.col(value_col).isNotNull()
+            & F.col(ocols[0]).isNotNull()
+        ).select(
+            *gcols,
+            *ocols,
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        if gcols:
+            chunked, _cr = _keyed_plan(
+                d0, gcols, ocols[0], strategy, halo=1,
+                hot_rows=_KEYED_HOT_KEY_ROWS_CHEAP,
+            )
+            indexed = (
+                _keyed_index(d0, gcols, ocols, index_col="_rn")
+                if chunked
+                else None
+            )
+        elif _auto_chunked(d0, ocols[0], strategy):
+            from btc_usdt_etl_pipeline_spark.operators.resample import (
+                with_global_index,
+            )
+
+            indexed = with_global_index(
+                d0, ocols[0], tie_break=ocols[1:], index_col="_rn"
+            )
+        else:
+            indexed = None
         d = (
-            df.where(
-                F.col(value_col).isNotNull()
-                & F.col(ocols[0]).isNotNull()
+            indexed
+            if indexed is not None
+            else d0.withColumn(
+                "_rn",
+                F.row_number().over(_window_multi(gcols, ocols))
+                - F.lit(1),
             )
-            .select(
-                *gcols,
-                *ocols,
-                F.col(value_col).cast("double").alias("_x"),
-            )
-            .withColumn("_rn", F.row_number().over(w) - F.lit(1))
         )
         # level 1: the only data-scale agg — exact decimal block sums
         lvl = d.groupBy(
@@ -2389,6 +2771,7 @@ def variance_ratio(
     q: int = 4,
     partition_by: str | None = None,
     order_by: Sequence[str] = ("ts",),
+    strategy: str = "auto",
 ) -> Callable[[DataFrame], DataFrame]:
     """Lo–MacKinlay variance-ratio test per series — "is this a
     random walk?", the q-period companion to :func:`hurst_aggvar`'s
@@ -2404,8 +2787,13 @@ def variance_ratio(
         z = (VR−1) / sqrt(2(2q−1)(q−1)/(3q·n₁))   (homoscedastic)
 
     VR < 1 ⇒ mean reversion, VR > 1 ⇒ momentum.  ONE keyed ordered
-    window carries BOTH lag taps (lag 1 and lag q — the q185
-    one-pass idiom), one decimal-moment agg, then a scalar tree.
+    pass carries BOTH lag taps (lag 1 and lag q — the q185 one-pass
+    idiom) via :func:`keyed_lags` (halo = q), so ``strategy='auto'``
+    swaps in the chunked-halo plan when one key's series exceeds the
+    hot-key threshold — BIT-IDENTICAL, clearing the r13 zipf-hot-key
+    single-sort-task floor (SCALE.md 39.4 s/100×); ungrouped input
+    partitions on a constant column (the ``durbin_watson`` trick) —
+    then one decimal-moment agg and a scalar tree.
     μ̂ enters both numerators as the same exact-decimal-sum/count
     double; deviation terms are (38,12)-cast before the order-free
     sums.  Pass a tie-breaking ``order_by`` tuple.  Series with
@@ -2414,24 +2802,30 @@ def variance_ratio(
     """
     if q < 2:
         raise ValueError("q must be >= 2")
+    if strategy not in ("auto", "window", "chunked"):
+        raise ValueError("strategy must be auto | window | chunked")
     gcols = [partition_by] if partition_by else []
     ocols = list(order_by)
 
     def _t(df: DataFrame) -> DataFrame:
-        w = _window_multi(gcols, ocols)
-        d = df.where(
+        d0 = df.where(
             F.col(value_col).isNotNull()
             & F.col(ocols[0]).isNotNull()
         ).select(
             *gcols,
             *ocols,
             F.col(value_col).cast("double").alias("_x"),
-        ).select(
-            *gcols,
-            "_x",
-            F.lag("_x", 1).over(w).alias("_x1"),
-            F.lag("_x", int(q)).over(w).alias("_xq"),
         )
+        if not gcols:
+            d0 = d0.withColumn("_pk", F.lit(1))
+        d = d0.transform(
+            keyed_lags(
+                [("_x", 1, "_x1"), ("_x", int(q), "_xq")],
+                order_by=ocols,
+                partition_by=list(gcols) or ["_pk"],
+                strategy=strategy,
+            )
+        ).select(*gcols, "_x", "_x1", "_xq")
         dec12 = "decimal(38,12)"
         # n and mu over the ONE-period diffs (n = count of rows with a
         # lag-1 predecessor + 1 = series length; mu = (x_n - x_0)/(n-1)

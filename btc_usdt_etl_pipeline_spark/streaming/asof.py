@@ -30,6 +30,17 @@ forward as-of needs dimension rows that have not arrived), and keeps
 ``tolerance`` exact: if the latest settled row per key is outside a
 fact's tolerance window, every older one is further out.
 
+The contract is per micro-BATCH, which is STRICTER than per drain:
+q302's harness guarantees it only because each availableNow drain's
+files land in a single batch (``maxFilesPerTrigger`` unset — the
+default).  Setting ``maxFilesPerTrigger`` (as q293's near-dup harness
+does for its own sink) splits a drain into several batches in FILE
+LISTING order; unless the files themselves are named/added in
+event-time order, batches then violate the contract and the
+latest-per-key dimension compaction silently stops being lossless.
+Leave ``maxFilesPerTrigger`` unset for this sink, or guarantee each
+file's time range is disjoint and listed in order.
+
 **Retry idempotence** (same rule as the near-dup sink): a batch reads
 only contributions STRICTLY below its own id and overwrites its own
 two directories, so a replayed batch recomputes from the same settled

@@ -90,8 +90,9 @@ from pyspark.sql import functions as F
 
 def _contrib_state(spark, root: str) -> tuple[int | None, list[int]]:
     """(highest COMMITTED compaction id under ``root``, live b-ids
-    above it).  A ``c{K}`` dir counts only with its ``_SUCCESS``
-    commit marker — a torn compaction write is invisible."""
+    above it).  A ``c{K}`` dir counts only with its ``_COMMITTED``
+    commit marker (NOT the committer's ``_SUCCESS`` — see the inline
+    comment below) — a torn compaction write is invisible."""
     from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
 
     fs, p, jvm = _fs_for(spark, root)
@@ -140,15 +141,56 @@ def _contrib_paths(
     return paths
 
 
+def _kb_marker_of(spark, path: str) -> int | None:
+    """The ``index_buckets`` modulus a contribution dir's ``_kb``
+    column was computed with (its ``_KB{B}`` marker file), or None for
+    legacy/unmarked dirs.  The marker is what makes the partition
+    filter SAFE: ``_kb = pmod(xxhash64(_key), B)`` values computed
+    under a different B (operator resized ``index_buckets``
+    mid-stream — the documented sizing rule grows B with the index)
+    would silently fail an ``isin`` filter built from the current B
+    and drop matching band keys (r13 ADVICE, medium)."""
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
+
+    fs, p, _ = _fs_for(spark, path)
+    if not fs.exists(p):
+        return None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("_KB") and name[3:].isdigit():
+            return int(name[3:])
+    return None
+
+
+def _write_kb_marker(spark, path: str, buckets: int) -> None:
+    from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
+
+    fs, _, jvm = _fs_for(spark, path)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_KB{int(buckets)}"),
+        True,
+    ).close()
+
+
 def compact_contributions(
-    spark, root: str, partition_cols: tuple[str, ...] = ()
+    spark,
+    root: str,
+    partition_cols: tuple[str, ...] = (),
+    drop_cols: tuple[str, ...] = (),
+    kb_marker: int | None = None,
 ) -> int | None:
     """Merge every committed contribution under ``root`` into one
     consolidated ``c{K}`` (K = highest live batch id), then delete the
     originals.  Row-preserving — stores whose readers union
     contributions (pairs, corpus, band-key index, as-of output) are
     byte-equivalent before/after; crash-safety per the module
-    docstring.  Returns the new compaction id (None = nothing to do).
+    docstring.  ``drop_cols`` removes columns before the write (the
+    mixed-layout index fallback drops ``_kb`` so legacy rows can never
+    surface as NULL-``_kb`` rows that an ``isin`` partition filter
+    would silently drop); ``kb_marker`` re-stamps the consolidated
+    dir's ``_KB{B}`` marker (written BEFORE ``_COMMITTED`` so a
+    committed compaction is never marker-less).  Returns the new
+    compaction id (None = nothing to do).
     """
     from btc_usdt_etl_pipeline_spark.streaming.ohlcv import _fs_for
 
@@ -166,6 +208,8 @@ def compact_contributions(
         df = df.unionByName(
             spark.read.parquet(p), allowMissingColumns=True
         )
+    for c in drop_cols:
+        df = df.drop(c)
     if partition_cols:
         # one file per partition dir (the upsert's write discipline)
         df = df.repartition(*[F.col(c) for c in partition_cols])
@@ -179,6 +223,8 @@ def compact_contributions(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(f"{root}/c{new_k}")
     fs, _, jvm = _fs_for(spark, root)
+    if kb_marker is not None:
+        _write_kb_marker(spark, f"{root}/c{new_k}", kb_marker)
     # explicit commit marker (committer-independent — see
     # _contrib_state); everything before this point is invisible to
     # readers, everything after is sweep-only
@@ -200,15 +246,28 @@ def compact_neardup_state(spark, state_dir: str) -> None:
     idx_root = f"{state_dir}/index"
     paths = _contrib_paths(spark, idx_root)
     part: tuple[str, ...] = ()
-    # keep the _kb layout only when EVERY contribution carries it — a
-    # mixed-layout store (index_buckets changed mid-stream) must fall
-    # back to unpartitioned, else legacy rows would land in the
-    # null-partition dir and be invisible to future bucket filters
-    if paths and all(
-        "_kb" in spark.read.parquet(p).columns for p in paths
-    ):
-        part = ("_kb",)
-    compact_contributions(spark, idx_root, part)
+    drop: tuple[str, ...] = ()
+    marker: int | None = None
+    # keep the _kb layout only when EVERY contribution carries the
+    # column AND the SAME _KB{B} modulus marker — a mixed-layout or
+    # mixed-modulus store (index_buckets changed mid-stream) must fall
+    # back to unpartitioned AND drop the column: legacy/NULL-_kb rows
+    # or stale-modulus values in the consolidated dir would silently
+    # fail future batches' ``isin`` bucket filters and lose near-dup
+    # pairs (r13 ADVICE, medium)
+    if paths:
+        markers = {_kb_marker_of(spark, p) for p in paths}
+        cols_ok = all(
+            "_kb" in spark.read.parquet(p).columns for p in paths
+        )
+        if cols_ok and len(markers) == 1 and None not in markers:
+            part = ("_kb",)
+            marker = markers.pop()
+        else:
+            drop = ("_kb",)
+    compact_contributions(
+        spark, idx_root, part, drop_cols=drop, kb_marker=marker
+    )
     compact_contributions(spark, f"{state_dir}/corpus")
     compact_contributions(spark, f"{state_dir}/pairs")
 
@@ -296,7 +355,18 @@ def incremental_minhash_upsert(
             frames = []
             for path in prev:
                 fr = sp.read.parquet(path)
-                if "_kb" in fr.columns and index_buckets is not None:
+                # the bucket filter is only sound when the dir's _kb
+                # values were computed with the CURRENT modulus — the
+                # _KB{B} marker records it; unmarked/legacy dirs and
+                # dirs written under a different index_buckets pass
+                # through unfiltered (the semi-join still prunes them
+                # row-wise, so resizing B mid-stream is safe, just
+                # unpruned until the next compaction re-stamps)
+                if (
+                    "_kb" in fr.columns
+                    and index_buckets is not None
+                    and _kb_marker_of(sp, path) == int(index_buckets)
+                ):
                     if kbs is None:
                         kbs = [
                             r[0]
@@ -377,6 +447,14 @@ def incremental_minhash_upsert(
                 int(index_buckets), "_kb"
             ).write.mode("overwrite").partitionBy("_kb").parquet(
                 f"{state_dir}/index/b{batch_id}"
+            )
+            # stamp the modulus the _kb values were computed with so
+            # future batches only partition-filter dirs whose layout
+            # matches their own bucket ids (see the read-path comment)
+            _write_kb_marker(
+                sp,
+                f"{state_dir}/index/b{batch_id}",
+                int(index_buckets),
             )
         else:
             new_banded.write.mode("overwrite").parquet(
