@@ -18917,61 +18917,73 @@ def entry(spark: SparkSession) -> DataFrame:
 #: volatility, q309 Amihud, q310 Engle–Granger) that landed after
 #: this window was frozen at 50 — the q296-q300 precedent; they are
 #: judge-gate covered this round and take the first four r14 slots.
+#: ROUND 14 ROTATION (optimization round; VERDICT r13 ask #3 — retire
+#: the last 4 never-driver-checked queries and put this round's
+#: rerouted operators in front of the driver): slots 1-4 are the
+#: r13-late finance diagnostics (q307-q310, the only remaining
+#: never-checked backlog — backlog reaches ZERO with this window);
+#: slots 5-16 are the queries whose operators' scale paths changed
+#: this round (arch_lm, hurst, durbin_watson shared keyed_lags plumbing,
+#: cusum, kpss, interpolate, page_hinkley tie-break plumbing, the
+#: streaming near-dup _kb marker protocol via q293/q303, crossover
+#: backtest, acf, macd — fresh driver evidence that the reroutes hold
+#: under the driver's own oracle); the other 34 slots rotate in the
+#: STALEST driver evidence, oldest `CORRECTNESS_r*` appearance first
+#: (the r3 block q03-q31, then the r4 block q05-q55, q91, q106, q23,
+#: q37 — none checked since r3-r5).  EVERY demoted row is
+#: driver-green in CORRECTNESS_r13.json and stays under the judge's
+#: full 310-query oracle gate.
 _PRIORITY_WINDOW = [
-    # --- never-driver-checked backlog: q193-q215 block ---
-    "q193_rrf_fusion",
-    "q194_mad_outliers",
-    "q196_woe_iv",
-    "q198_cramers_v",
-    "q202_trimmed_mean",
-    "q203_benford",
-    "q204_decayed_topk",
-    "q205_assortativity",
-    "q206_kaplan_meier",
-    "q208_abc_analysis",
-    "q209_diff_in_diff",
-    "q210_mase",
-    "q211_negative_sampling",
-    "q212_kanon_rollup",
-    "q214_gains_curve",
-    "q215_quantile_normalize",
-    # --- never-driver-checked backlog: q225-q274 leftovers ---
-    "q225_geo_equirectangular",
-    "q231_brown_forsythe",
-    "q232_welch_t",
-    "q236_audio_fingerprint_neardup",
-    "q237_srm_check",
-    "q239_image_dedup_clusters",
-    "q241_cohens_kappa",
-    "q243_fleiss_kappa",
-    "q246_js_divergence",
-    "q247_chi_square",
-    "q253_kendall_tau",
-    "q255_wasserstein",
-    "q256_zipf_fit",
-    "q261_poisson_rate_ratio",
-    "q262_mcnemar",
-    "q263_ngram_diversity",
-    "q264_cochran_q",
-    "q265_good_turing",
-    "q267_friedman",
-    "q268_mann_kendall",
-    "q269_changepoint",
-    "q273_cvm",
-    "q274_drift_report",
-    # --- r12-late regression/series diagnostics ---
-    "q296_cooks_distance",
-    "q297_ljung_box",
-    "q298_breusch_pagan",
-    "q299_pacf",
-    "q300_kpss",
-    # --- r13-new operators (driver evidence for this round's work) ---
-    "q301_semdedup_fenced",
-    "q302_streaming_asof",
-    "q303_neardup_compacted",
+    "q307_variance_ratio",
+    "q308_bar_volatility",
+    "q309_amihud",
+    "q310_engle_granger",
     "q304_arch_lm",
-    "q305_granger",
     "q306_hurst",
+    "q295_durbin_watson",
+    "q180_cusum",
+    "q300_kpss",
+    "q220_interpolate_gaps",
+    "q290_page_hinkley",
+    "q293_streaming_neardup",
+    "q303_neardup_compacted",
+    "q51_crossover_backtest",
+    "q185_acf",
+    "q181_macd",
+    "q03_customer_revenue",
+    "q04_region_stats",
+    "q06_anti_join",
+    "q08_global_topk",
+    "q09_rollup",
+    "q10_cube",
+    "q12_approx_distinct",
+    "q15_date_agg",
+    "q16_json_extract",
+    "q21_ntile",
+    "q28_quality_features",
+    "q31_simsearch_bruteforce",
+    "q32_embedding_stats",
+    "q41_token_counts",
+    "q42_fingerprint",
+    "q43_tfidf_top_terms",
+    "q52_frame_sample",
+    "q47_simsearch_lsh",
+    "q05_semi_join",
+    "q11_distinct_agg",
+    "q13_setops",
+    "q14_string_funcs",
+    "q17_window_rank",
+    "q18_lag_returns",
+    "q20_cumulative_sum",
+    "q29_language_id",
+    "q35_regression_metrics",
+    "q46_streaming_dedup",
+    "q55_percentiles",
+    "q56_json_struct",
+    "q91_native_session_window",
+    "q106_herfindahl",
+    "q23_resample_time",
+    "q37_simhash",
 ]
 
 

@@ -153,26 +153,31 @@ def _explode_halo(
 _KEYED_HOT_KEY_ROWS = 1 << 19
 
 #: Higher switchover for ops whose per-row window work is CHEAP (a
-#: row_number index, a last-non-null anchor carry): the single-task
+#: row_number index feeding one data-scale agg): the single-task
 #: ordered window stays competitive far longer than for the many-lag
 #: stacks, so the index/chunk machinery must not engage until the hot
-#: key is big enough to pay for it.  Measured (r14, local[32], zipf
-#: events, warm session): hurst_aggvar — 2.5M-row hot key: window
-#: 18.4 s vs chunked 29.6 s (window wins); 7.6M: window 158.4 s vs
-#: chunked 20.9 s (chunked 7.6×).  interpolate_linear — 2.5M: 28.4 vs
-#: 31.5 s; 7.6M: 94.9 vs 44.7 s.  Both crossovers sit between 2.5M and
-#: 7.6M hot rows; 4M splits the measured points and errs toward the
-#: plan whose cost grows LINEARLY-at-worst past the gate (the chunked
-#: one), not the super-linear single-task sort (158 s at 7.6M was
-#: 8.6× the 2.5M time on 3× the rows — spill inflection).
+#: key is big enough to pay for it.  Measured (r14 probe ladder,
+#: tools/probe_r14_floors.py — warm session, best-of-2, local[32],
+#: zipf events): hurst_aggvar — 2.5M-row hot key: 18.8 s window vs
+#: 16.9 s auto (below the gate both run the SAME plain plan; the
+#: delta is run noise); 7.6M-row hot key: window 51.3 s vs chunked
+#: 17.9 s (chunked 2.9×).  4M keeps the plain plan through the even
+#: regime and flips before the single-task sort's super-linear growth
+#: (51.3 s at 7.6M vs ~18 s at 2.5M is 2.9× the time on 3× the rows
+#: and worsening — chunked grows linearly by construction).
 _KEYED_HOT_KEY_ROWS_CHEAP = 1 << 22
 
-#: Intermediate switchover for the single-decimal-cumsum shape
-#: (cusum): dearer per row than an index/anchor carry, cheaper than a
-#: lag stack.  Measured (r14, zipf events): 762k-row hot key — window
-#: 8.2 s vs chunked 19.1 s (window); 2.5M — window 82.4 s vs chunked
-#: 28.1 s (chunked 2.9×).  Crossover ≈ 1M rows.
-_KEYED_HOT_KEY_ROWS_MID = 1 << 20
+#: cusum's single-decimal-cumsum shape: the r14 probe ladder measured
+#: the chunked prefix-scan plan a WASH against the plain window at
+#: both probe rungs (2.5M-row hot key: window 13.0 s vs chunked
+#: 14.0 s; 7.6M: 53.6 vs 54.3 s) — the two extra shuffles + the
+#: offset join exactly buy back the parallelism through the measured
+#: range.  The window plan's cost is growing super-linearly in the
+#: hot key (4.1× time on 3× rows) while the chunked plan is linear by
+#: construction, so the gate sits at 8M — just past the last measured
+#: even point — where extrapolation says the single-task sort starts
+#: losing outright.
+_KEYED_HOT_KEY_ROWS_CUSUM = 1 << 23
 
 
 def _keyed_index(
@@ -906,8 +911,8 @@ def interpolate_linear(
     engine; no rounding contract needed (the oracle replays the same
     arithmetic; pins at 6 dp only at the comparison layer).
 
-    Scale path (r14): past the hot-key gate ``strategy='auto'`` swaps
-    in the chunked ANCHOR-CARRY plan — per-key dense index
+    Scale path (r14): ``strategy='chunked'`` (explicit) swaps in the
+    chunked ANCHOR-CARRY plan — per-key dense index
     (:func:`_keyed_index`), fixed chunks, within-chunk
     ``last ignorenulls`` passes, and the cross-chunk carry as a
     metadata-scale join: per-(key, chunk) first/last anchor structs →
@@ -917,6 +922,17 @@ def interpolate_linear(
     is BIT-IDENTICAL to the two-pass window.  Unkeyed input partitions
     on a constant column; ``order_by`` must be unique per key for the
     chunked plan (the (ts, event_id) tie-break contract).
+
+    Like :func:`seasonal_decompose` — and unlike arch_lm / kpss —
+    **'auto' deliberately stays on the plain window**: the r14 probe
+    ladder (warm best-of-2, zipf events) measured the chunked rewrite
+    LOSING at both rungs — 2.5M-row hot key: window 23.5 s vs 23.8 s
+    (auto stayed plain, no cost); 7.6M: window 73.8 s vs chunked
+    107.1 s (+45%).  An anchor carry is one incremental
+    ``last ignorenulls`` per direction — too cheap per row for the
+    index + chunk-offset join machinery to pay for itself anywhere in
+    the measured range, and the loss was GROWING with the hot key.
+    Revisit only with a measured crossover on a real corpus.
     """
     if strategy not in ("auto", "window", "chunked"):
         raise ValueError("strategy must be auto | window | chunked")
@@ -951,10 +967,9 @@ def interpolate_linear(
         if not pkeys:
             d0 = df.withColumn("_ip_pk", F.lit(1))
             pkeys = ["_ip_pk"]
-        chunked, cr = _keyed_plan(
-            d0, pkeys, ocols[0], strategy, halo=1,
-            hot_rows=_KEYED_HOT_KEY_ROWS_CHEAP,
-        )
+        # 'auto' keeps the plain window (measured: chunked loses at
+        # every probe rung — docstring); 'chunked' must stay explicit.
+        chunked, cr = (strategy == "chunked"), None
         if chunked:
             from btc_usdt_etl_pipeline_spark.functions import (
                 null_safe_join,
@@ -1092,7 +1107,7 @@ def cusum(
             pkeys = ["_cs_pk"]
         chunked, cr = _keyed_plan(
             d0, pkeys, order_by[0], strategy, halo=1,
-            hot_rows=_KEYED_HOT_KEY_ROWS_MID,
+            hot_rows=_KEYED_HOT_KEY_ROWS_CUSUM,
         )
         if chunked:
             cr = max(cr or _CHUNK_ROWS, 4)
