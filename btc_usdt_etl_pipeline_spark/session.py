@@ -56,6 +56,23 @@ def build_session(
         # Broadcast anything under 32 MB — every dim table in the star
         # schema (region/nation/customer/supplier/part) qualifies.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (build side < broadcastThreshold ×
+        # shuffle.partitions AND ≥3× smaller than the probe side): skips
+        # both sort passes.  Measured r14 A/B (tools/probe_shj_ab.py,
+        # sf0.1, interleaved rounds, median): faster on 8/10 SMJ-heavy
+        # headline queries (−6 to −27%), within noise on the other 2.
+        # The AQE threshold additionally converts SMJ→SHJ at runtime
+        # when every MEASURED post-shuffle partition is ≤64 MB — the
+        # size-bounded path that stays safe when static estimates are
+        # wrong at scale (spill-less build ≤64 MB/partition by
+        # construction); AQE skew-join splitting above remains on and
+        # applies to SHJ too.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     builder = builder.master(master or f"local[{cpus}]")
