@@ -117,6 +117,13 @@ _RUNTIME_CONF = {
     # put q65's availableNow drain at ~30 s on 10k rows.  32 matches
     # local[32]; on a real cluster set ≈ 2-3× total cores.
     "spark.sql.shuffle.partitions": "32",
+    # r14 §E join preference (see session.py for the measured A/B and
+    # the size bounds): applied here too so the driver's plain session
+    # plans match build_session's.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
 }
 
 

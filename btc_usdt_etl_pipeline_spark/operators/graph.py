@@ -743,6 +743,24 @@ def link_prediction(
     driver merge), so the edge-scale candidate set NEVER funnels
     through an ``Exchange SinglePartition`` window sort.
 
+    Rank-then-attach (r14, guide §2.3/§3.1): the top-k ORDER is
+    ``(_aa DESC, u, v)`` — none of it depends on the endpoint
+    degrees, which feed only the OUTPUT columns (the Jaccard
+    denominator).  So the degree attach runs AFTER the
+    TakeOrderedAndProject, on ≤ ``top_k`` rows broadcast into two
+    hash joins against the node-sized degree table, instead of
+    re-shuffling the wedge-PAIR-scale candidate set by ``u`` and
+    again by ``v`` — the two largest Exchanges of the old plan,
+    removed at every scale with no size gate (a k-row broadcast can
+    never OOM).  A final k-row sort restores the deterministic output
+    order after the joins.  The wedge join's ``v``-side similarly
+    needs no degree column, so it reads the symmetrized edge list
+    DIRECTLY — joining it through ``deg`` (an inner join every edge
+    survives by construction) only re-shuffled the edge list a second
+    time for a filter that drops nothing; the fence stays sound
+    one-sided because an inner wedge join emits no pair for a center
+    the (fenced) ``u``-side dropped.
+
     Per-wedge AA terms are rounded to 6 dp via the exact-decimal cast
     before the order-free sum; CN and degrees are exact integers; the
     Jaccard division is one exact IEEE op, pinned at 6 dp.  Returns
@@ -792,8 +810,12 @@ def link_prediction(
     if max_center_degree is not None:
         adj = adj.filter(F.col("_degw") <= max_center_degree)
     a = adj.select("_w", F.col("_u").alias("u"), "_degw")
-    b = adj.select(
-        F.col("_w").alias("_w2"), F.col("_u").alias("v"),
+    # v-side of the wedge join: straight from the symmetrized edge
+    # list — no degree column is consumed here, and the inner join on
+    # the center key already confines wedges to centers the (fenced)
+    # u-side kept.
+    b = sym.select(
+        F.col("_s").alias("_w2"), F.col("_d").alias("v"),
     )
     wedges = a.join(b, a["_w"] == b["_w2"]).where(
         F.col("u") < F.col("v")
@@ -812,21 +834,31 @@ def link_prediction(
         F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
     ).distinct()
     cand = scored.join(ek, ["u", "v"], "left_anti")
-    du = deg.select(F.col("_n").alias("u"), F.col("_deg").alias("_du"))
-    dv = deg.select(F.col("_n").alias("v"), F.col("_deg").alias("_dv"))
-    full = cand.join(du, "u").join(dv, "v")
-    jac = F.col("cn").cast("double") / (
-        F.col("_du") + F.col("_dv") - F.col("cn")
-    ).cast("double")
     # Limit-then-rank: TakeOrderedAndProject shrinks the edge-scale
     # candidate set to top_k DISTRIBUTEDLY (per-partition heaps, no
     # Exchange SinglePartition) before any window touches it — the
     # same idiom as rrf_fuse (similarity.py) and global_top_k
     # (relational.py).  (AA desc, u, v) is a deterministic total
     # order, so rows and oracle hashes are identical to ranking the
-    # full set.
+    # full set.  The heap runs on (u, v, cn, _aa) BEFORE the degree
+    # attach — the order key needs no degrees — so the two joins
+    # below see ≤ top_k rows, broadcast, instead of the full pair set
+    # shuffled twice.
+    topk = (
+        cand.orderBy(F.col("_aa").desc(), F.col("u"), F.col("v"))
+        .limit(top_k)
+    )
+    du = deg.select(F.col("_n").alias("u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("_n").alias("v"), F.col("_deg").alias("_dv"))
+    jac = F.col("cn").cast("double") / (
+        F.col("_du") + F.col("_dv") - F.col("cn")
+    ).cast("double")
+    # The k-row side is the broadcast build; a k-row sort at the end
+    # restores the deterministic output order the joins do not keep.
     out = (
-        full.select(
+        F.broadcast(F.broadcast(topk).join(du, "u"))
+        .join(dv, "v")
+        .select(
             "u",
             "v",
             "cn",
@@ -835,7 +867,6 @@ def link_prediction(
             F.col("_aa").alias("_o"),
         )
         .orderBy(F.col("_o").desc(), F.col("u"), F.col("v"))
-        .limit(top_k)
         .select("u", "v", "cn", "jaccard", "adamic_adar")
     )
     if drops is not None:

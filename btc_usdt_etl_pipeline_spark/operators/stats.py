@@ -1443,12 +1443,15 @@ def bradley_terry(
         P(i beats j) = π_i / (π_i + π_j)
         π_i ← W_i / Σ_{j≠i} n_ij / (π_i + π_j),  normalized per round
 
-    Plan: the DISTRIBUTED work is one conditional-count aggregation
-    collapsing billions of comparisons to the k(k−1) pair-count row
-    (map-side combined, one shuffle of partials); the MM iterations
-    run as generated column expressions over that ONE metadata row
-    (:func:`bt_schedule` — no driver loop on the data path, no
-    Python), so the oracle replays the identical expression text.
+    Plan: the DISTRIBUTED work is one ``groupBy(winner, loser)``
+    count (hash agg keyed on the two strings, map-side combined — one
+    cheap key hash per comparison row instead of 2·k(k−1) string
+    equality tests); the k(k−1) conditional sums that build the
+    pair-count ROW then run over that tiny pair-count table, and the
+    MM iterations run as generated column expressions over the ONE
+    metadata row (:func:`bt_schedule` — no driver loop on the data
+    path, no Python), so the oracle replays the identical expression
+    text.
     ``items`` is the declared catalog (comparisons outside it are
     ignored); fenced at ≤ 32 items — at catalog scale use a
     broadcast-iteration loop (the PageRank shape) instead of a
@@ -1467,6 +1470,21 @@ def bradley_terry(
 
     def _t(df: DataFrame) -> DataFrame:
         w, l = F.col(winner_col), F.col(loser_col)
+        # Pre-aggregate to pair counts FIRST (r14, guide §2.3
+        # "aggregate before you shuffle" applied to per-row expression
+        # cost): one hash agg keyed on the two strings replaces
+        # 2·k(k−1) string equality tests per comparison row; the
+        # k(k−1) conditional sums then run over the tiny pair-count
+        # table (≤ distinct observed pairs).  Bit-identical: integer
+        # counts either way, and empty input still yields NULL sums
+        # because the second aggregate sees zero rows exactly when the
+        # first saw zero rows (out-of-catalog / NULL pairs survive the
+        # groupBy as rows contributing 0 to every cell, matching the
+        # old when-chains' otherwise(0)).
+        pc = df.groupBy(
+            w.alias("_bt_w"), l.alias("_bt_l")
+        ).agg(F.count(F.lit(1)).alias("_bt_n"))
+        wp, lp = F.col("_bt_w"), F.col("_bt_l")
         aggs = []
         for i in range(k):
             for j in range(k):
@@ -1475,32 +1493,107 @@ def bradley_terry(
                 aggs.append(
                     F.sum(
                         F.when(
-                            (w == items[i]) & (l == items[j]), 1
-                        ).otherwise(0)
+                            (wp == items[i]) & (lp == items[j]),
+                            F.col("_bt_n"),
+                        ).otherwise(F.lit(0))
                     )
                     .cast("double")
                     .alias(f"w_{i}_{j}")
                 )
-        row = df.agg(*aggs)
-        base, rounds = bt_schedule(items, iterations)
-        row = row.select(
-            "*", *[F.expr(e).alias(c) for c, e in base]
+        # The MM iterations are METADATA work: 2·iterations chained
+        # SELECTs over ONE row of k(k−1) counts.  Left on the data
+        # path (the r13 shape) they cost seconds of Catalyst analysis
+        # and a generated method so large janino fails to compile it
+        # (whole-stage codegen falls back to interpreted mode — the
+        # dominant cost of q242).  So: collect the one metadata row
+        # (k(k−1) ≤ 992 doubles — the same sanctioned class as the
+        # k-means centroid / BPE arg-max collects) and replay the
+        # EXACT bt_schedule arithmetic in driver Python — same
+        # left-fold term order, same IEEE double ops, same zero
+        # fences, so every q{r}_i is bit-identical (differential
+        # pytest: test_bradley_terry_driver_matches_sql_schedule).
+        # Only the final round(q, 6) / CAST stay in Spark, preserving
+        # the engine's HALF_UP rounding on identical double bits.
+        counts = pc.agg(*aggs).first()
+        wm = {
+            (i, j): counts[f"w_{i}_{j}"]
+            for i in range(k)
+            for j in range(k)
+            if i != j
+        }
+        degenerate = any(v is None for v in wm.values())
+        if degenerate:
+            # Empty input (NULL sums): the SQL schedule's first round
+            # gets NULL denominators, whose `CASE WHEN d > 0` is NOT
+            # TRUE → every p (and hence every q) collapses to 0.0,
+            # while bt_w/bt_l stay NULL through CAST(NULL AS BIGINT).
+            bt_w: list[float | None] = [None] * k
+            bt_l: list[float | None] = [None] * k
+            q: list[float | None] = [0.0] * k
+        else:
+            bt_w = []
+            bt_l = []
+            for i in range(k):
+                tw = 0.0
+                tl = 0.0
+                first = True
+                for j in range(k):
+                    if j == i:
+                        continue
+                    if first:
+                        tw, tl = wm[(i, j)], wm[(j, i)]
+                        first = False
+                    else:
+                        tw = tw + wm[(i, j)]
+                        tl = tl + wm[(j, i)]
+                bt_w.append(tw)
+                bt_l.append(tl)
+            q = [1.0] * k
+            for _r in range(1, iterations + 1):
+                p = []
+                for i in range(k):
+                    d = None
+                    for j in range(k):
+                        if j == i:
+                            continue
+                        pij = q[i] + q[j]
+                        t = (
+                            (wm[(i, j)] + wm[(j, i)]) / pij
+                            if pij > 0.0
+                            else 0.0
+                        )
+                        d = t if d is None else d + t
+                    p.append(bt_w[i] / d if d > 0.0 else 0.0)
+                s = p[0]
+                for i in range(1, k):
+                    s = s + p[i]
+                q = [(p[i] / s if s > 0.0 else 0.0) for i in range(k)]
+        spark = df.sparkSession
+        one = spark.range(1).select(
+            *[
+                F.lit(q[i]).cast("double").alias(f"q_{i}")
+                for i in range(k)
+            ],
+            *[
+                F.lit(bt_w[i]).cast("double").alias(f"bt_w_{i}")
+                for i in range(k)
+            ],
+            *[
+                F.lit(bt_l[i]).cast("double").alias(f"bt_l_{i}")
+                for i in range(k)
+            ],
         )
-        for step in rounds:
-            row = row.select(
-                "*", *[F.expr(e).alias(c) for c, e in step]
-            )
         cells = []
         for i, name in enumerate(items):
             cells.extend(
                 [
                     f"'{name}'",
-                    f"round(q{iterations}_{i}, 6)",
+                    f"round(q_{i}, 6)",
                     f"CAST(bt_w_{i} AS BIGINT)",
                     f"CAST(bt_l_{i} AS BIGINT)",
                 ]
             )
-        return row.select(
+        return one.select(
             F.expr(
                 f"stack({k}, {', '.join(cells)}) AS "
                 "(item, strength, wins, losses)"
@@ -2419,17 +2512,21 @@ def markov_stationary(
     the user-journey summary (where does the session process spend its
     time?) and the independence baseline for funnel analysis.
 
-    Plan: the DISTRIBUTED work is one conditional-count aggregation
-    collapsing billions of (prev → next) transitions to the k²
-    pair-count row (map-side combined, one shuffle of partials); the
-    power iteration runs as generated column expressions over that ONE
-    metadata row (:func:`markov_schedule` — no driver loop, no
-    Python), renormalizing per round so zero-out-degree states don't
-    leak mass.  Fenced at ≤ 32 states — at catalog scale use a
+    Plan: the DISTRIBUTED work is one ``groupBy(prev, next)`` count
+    (hash agg keyed on the two strings, map-side combined) collapsing
+    billions of transitions to ≤ distinct observed pairs, pivoted to
+    the k² pair-count row by conditional sums over that tiny table;
+    the power iteration replays :func:`markov_schedule`'s EXACT
+    arithmetic (same left-fold term order, same IEEE ops, same zero
+    fences) in driver Python over that one collected metadata row —
+    k² ≤ 1024 doubles, the sanctioned metadata-collect class —
+    renormalizing per round so zero-out-degree states don't leak
+    mass.  Fenced at ≤ 32 states — at catalog scale use a
     broadcast-iteration loop (the PageRank shape) instead.
 
-    The expression text is rendered identically into the DuckDB
-    oracle, so every double matches bit-for-bit; only the final 6 dp
+    The schedule text is rendered identically into the DuckDB oracle,
+    and the driver replay is bit-identical to it (differential
+    pytest), so every double matches bit-for-bit; only the final 6 dp
     pin is stated.  Returns one row per state:
     ``(state, n_out, n_in, stationary)``.
     """
@@ -2444,37 +2541,104 @@ def markov_stationary(
 
     def _t(df: DataFrame) -> DataFrame:
         p, n = F.col(prev_col), F.col(next_col)
+        # Pre-aggregate to transition-pair counts first (r14, guide
+        # §2.3 — same move as bradley_terry): one hash-agg key per
+        # row instead of 2·k² string equality tests per row.
+        pc = df.groupBy(
+            p.alias("_mk_p"), n.alias("_mk_n")
+        ).agg(F.count(F.lit(1)).alias("_mk_c"))
+        pp, np_ = F.col("_mk_p"), F.col("_mk_n")
         aggs = []
         for i in range(k):
             for j in range(k):
                 aggs.append(
                     F.sum(
                         F.when(
-                            (p == states[i]) & (n == states[j]), 1
-                        ).otherwise(0)
+                            (pp == states[i]) & (np_ == states[j]),
+                            F.col("_mk_c"),
+                        ).otherwise(F.lit(0))
                     )
                     .cast("double")
                     .alias(f"c_{i}_{j}")
                 )
-        row = df.agg(*aggs)
-        base, rounds = markov_schedule(states, iterations)
-        row = row.select("*", *[F.expr(e).alias(c) for c, e in base])
-        for step in rounds:
-            row = row.select(
-                "*", *[F.expr(e).alias(c) for c, e in step]
-            )
+        # The power iteration is METADATA work over ONE row of k²
+        # counts: collected and replayed in driver Python with the
+        # EXACT markov_schedule arithmetic (same left-fold term order,
+        # same IEEE ops, same zero fences — bit-identity pytest:
+        # test_markov_stationary_driver_matches_sql_schedule), the
+        # same r14 rewrite as bradley_terry and for the same reason —
+        # 2·iterations chained SELECTs cost seconds of Catalyst
+        # analysis and a janino-overflowing codegen method.  Only the
+        # final round(v, 6) / CASTs stay in Spark.
+        counts = pc.agg(*aggs).first()
+        cm = {
+            (i, j): counts[f"c_{i}_{j}"]
+            for i in range(k)
+            for j in range(k)
+        }
+        if any(v is None for v in cm.values()):
+            # empty input: NULL counts → NULL row totals → the t CASE
+            # fences zero every transition prob, so one propagation
+            # round zeroes the vector; n_out/n_in stay NULL.
+            mk_r: list[float | None] = [None] * k
+            n_in: list[float | None] = [None] * k
+            v: list[float | None] = [0.0] * k
+        else:
+            mk_r = []
+            n_in = []
+            for i in range(k):
+                r_tot = cm[(i, 0)]
+                c_tot = cm[(0, i)]
+                for j in range(1, k):
+                    r_tot = r_tot + cm[(i, j)]
+                    c_tot = c_tot + cm[(j, i)]
+                mk_r.append(r_tot)
+                n_in.append(c_tot)
+            t = {
+                (i, j): (
+                    cm[(i, j)] / mk_r[i] if mk_r[i] > 0.0 else 0.0
+                )
+                for i in range(k)
+                for j in range(k)
+            }
+            v = [1.0 / float(k)] * k
+            for _r in range(1, iterations + 1):
+                u = []
+                for j in range(k):
+                    acc = v[0] * t[(0, j)]
+                    for i in range(1, k):
+                        acc = acc + v[i] * t[(i, j)]
+                    u.append(acc)
+                s = u[0]
+                for j in range(1, k):
+                    s = s + u[j]
+                v = [(u[j] / s if s > 0.0 else 0.0) for j in range(k)]
+        spark = df.sparkSession
+        one = spark.range(1).select(
+            *[
+                F.lit(v[i]).cast("double").alias(f"v_{i}")
+                for i in range(k)
+            ],
+            *[
+                F.lit(mk_r[i]).cast("double").alias(f"mk_r_{i}")
+                for i in range(k)
+            ],
+            *[
+                F.lit(n_in[i]).cast("double").alias(f"mk_in_{i}")
+                for i in range(k)
+            ],
+        )
         cells = []
         for i, name in enumerate(states):
-            col_in = " + ".join(f"c_{j}_{i}" for j in range(k))
             cells.extend(
                 [
                     f"'{name}'",
                     f"CAST(mk_r_{i} AS BIGINT)",
-                    f"CAST(({col_in}) AS BIGINT)",
-                    f"round(v{iterations}_{i}, 6)",
+                    f"CAST(mk_in_{i} AS BIGINT)",
+                    f"round(v_{i}, 6)",
                 ]
             )
-        return row.select(
+        return one.select(
             F.expr(
                 f"stack({k}, {', '.join(cells)}) AS "
                 "(state, n_out, n_in, stationary)"

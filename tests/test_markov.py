@@ -107,3 +107,82 @@ def test_markov_fences(spark):
         markov_stationary("p", "n", [f"s{i}" for i in range(33)])
     with pytest.raises(ValueError):
         markov_stationary("p", "n", ["a", "a"])
+
+
+def test_markov_stationary_driver_matches_sql_schedule(spark):
+    """r14: the driver-Python power-iteration replay (pair-count
+    collect + exact left-fold arithmetic) must be BIT-identical to the
+    r13 SQL schedule — compared exactly, not approximately — on a
+    random fixture including out-of-catalog and NULL rows, and on
+    empty input (stationary 0.0, NULL n_out/n_in)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        markov_schedule,
+        markov_stationary,
+    )
+
+    def sql_arm(df, states, iterations):
+        k = len(states)
+        p, n = F.col("prv"), F.col("nxt")
+        aggs = []
+        for i in range(k):
+            for j in range(k):
+                aggs.append(
+                    F.sum(
+                        F.when((p == states[i]) & (n == states[j]), 1)
+                        .otherwise(0)
+                    )
+                    .cast("double")
+                    .alias(f"c_{i}_{j}")
+                )
+        row = df.agg(*aggs)
+        base, rounds = markov_schedule(states, iterations)
+        row = row.select("*", *[F.expr(e).alias(c) for c, e in base])
+        for step in rounds:
+            row = row.select("*", *[F.expr(e).alias(c) for c, e in step])
+        cells = []
+        for i, name in enumerate(states):
+            col_in = " + ".join(f"c_{j}_{i}" for j in range(k))
+            cells.extend(
+                [
+                    f"'{name}'",
+                    f"CAST(mk_r_{i} AS BIGINT)",
+                    f"CAST(({col_in}) AS BIGINT)",
+                    f"round(v{iterations}_{i}, 6)",
+                ]
+            )
+        return row.select(
+            F.expr(
+                f"stack({k}, {', '.join(cells)}) AS "
+                "(state, n_out, n_in, stationary)"
+            )
+        )
+
+    states = ["s0", "s1", "s2", "s3", "s4"]
+    rng = _r.Random(23)
+    rows = [
+        (rng.choice(states), rng.choice(states)) for _ in range(2500)
+    ]
+    rows += [("zzz", "s0"), ("s1", "zzz"), (None, "s2"), ("s3", None)]
+    df = spark.createDataFrame(rows, "prv string, nxt string")
+    for iters in (1, 15):
+        got = sorted(
+            df.transform(
+                markov_stationary("prv", "nxt", states, iterations=iters)
+            ).collect()
+        )
+        want = sorted(sql_arm(df, states, iters).collect())
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    empty = spark.createDataFrame([], "prv string, nxt string")
+    got_e = sorted(
+        empty.transform(markov_stationary("prv", "nxt", states)).collect()
+    )
+    want_e = sorted(sql_arm(empty, states, 15).collect())
+    assert [tuple(r) for r in got_e] == [tuple(r) for r in want_e]
+    assert all(
+        r["stationary"] == 0.0 and r["n_out"] is None for r in got_e
+    )

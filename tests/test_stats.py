@@ -1098,3 +1098,94 @@ def test_fleiss_kappa_matches_reference(spark):
     assert r["n_ratings"] is None and r["kappa"] is None
     a = got["allsame"]
     assert a["p_e"] == 1.0 and a["kappa"] is None
+
+
+def _bt_sql_schedule(df, winner_col, loser_col, items, iterations):
+    """The r13 bradley_terry tail — the full SQL-schedule plan
+    (conditional-count row agg + bt_schedule SELECT chain), kept here
+    as the differential arm for the r14 driver-replay rewrite."""
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import bt_schedule
+
+    k = len(items)
+    w, l = F.col(winner_col), F.col(loser_col)
+    aggs = []
+    for i in range(k):
+        for j in range(k):
+            if i == j:
+                continue
+            aggs.append(
+                F.sum(
+                    F.when((w == items[i]) & (l == items[j]), 1)
+                    .otherwise(0)
+                )
+                .cast("double")
+                .alias(f"w_{i}_{j}")
+            )
+    row = df.agg(*aggs)
+    base, rounds = bt_schedule(items, iterations)
+    row = row.select("*", *[F.expr(e).alias(c) for c, e in base])
+    for step in rounds:
+        row = row.select("*", *[F.expr(e).alias(c) for c, e in step])
+    cells = []
+    for i, name in enumerate(items):
+        cells.extend(
+            [
+                f"'{name}'",
+                f"round(q{iterations}_{i}, 6)",
+                f"CAST(bt_w_{i} AS BIGINT)",
+                f"CAST(bt_l_{i} AS BIGINT)",
+            ]
+        )
+    return row.select(
+        F.expr(
+            f"stack({k}, {', '.join(cells)}) AS "
+            "(item, strength, wins, losses)"
+        )
+    )
+
+
+def test_bradley_terry_driver_matches_sql_schedule(spark):
+    """r14: the driver-Python MM replay (pair-count collect + exact
+    left-fold arithmetic) must be BIT-identical to the r13 SQL
+    schedule — same strengths (post 6-dp pin compared exactly, not
+    approximately), same wins/losses — on a random fixture including
+    out-of-catalog and NULL rows, and on empty input (where the SQL
+    CASE fences collapse strengths to 0.0 with NULL win counts)."""
+    import random as _r
+
+    from btc_usdt_etl_pipeline_spark.operators.stats import bradley_terry
+
+    items = ["i0", "i1", "i2", "i3", "i4", "i5"]
+    rng = _r.Random(41)
+    rows = []
+    for _ in range(3000):
+        i, j = rng.sample(items, 2)
+        rows.append((i, j) if rng.random() < 0.5 else (j, i))
+    rows += [("zzz_out", "i0"), ("i1", "zzz_out"), (None, "i2"),
+             ("i3", None)]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+
+    for iters in (1, 20):
+        got = sorted(
+            df.transform(
+                bradley_terry("winner", "loser", items, iterations=iters)
+            ).collect()
+        )
+        want = sorted(
+            _bt_sql_schedule(df, "winner", "loser", items, iters).collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    empty = spark.createDataFrame([], "winner string, loser string")
+    got_e = sorted(
+        empty.transform(
+            bradley_terry("winner", "loser", items)
+        ).collect()
+    )
+    want_e = sorted(
+        _bt_sql_schedule(empty, "winner", "loser", items, 20).collect()
+    )
+    assert [tuple(r) for r in got_e] == [tuple(r) for r in want_e]
+    assert all(r["strength"] == 0.0 and r["wins"] is None for r in got_e)
