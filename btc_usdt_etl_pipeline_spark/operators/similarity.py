@@ -596,62 +596,76 @@ def recall_at_k(
     )
 
 
+def _srp_component(table: int, p: F.Column, j: F.Column, portable: bool) -> F.Column:
+    """Hyperplane component (t, p, j): a deterministic pseudo-random
+    value derived from a hash — reproducible across runs/executors with
+    zero RNG state shipping.  ``portable=True`` derives it from md5
+    (:func:`portable_hash60` semantics) so a SQL oracle can replay the
+    exact buckets; default is xxhash64 (cheaper).  ONE definition shared
+    by every fold site, so bucket packing and probe scoring cannot
+    drift."""
+    if portable:
+        from btc_usdt_etl_pipeline_spark.operators.dedup import (
+            portable_hash60,
+        )
+
+        key = F.concat_ws(
+            ":", F.lit(table), p.cast("string"), j.cast("string")
+        )
+        h = portable_hash60(key)
+        return (h % 2_000_003).cast("double") / F.lit(
+            1_000_001.5
+        ) - F.lit(1.0)
+    h = F.xxhash64(F.lit(table), p.cast("int"), j.cast("int"))
+    return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
+
+
+def _srp_fold(vec: F.Column, table: int, p: int, portable: bool) -> F.Column:
+    """The raw hyperplane-``p`` dot product: strict left-to-right
+    accumulation over j (Spark's ``aggregate`` fold), matching an
+    ordered ``list_sum`` on the oracle side — a different summation
+    order could flip a sign at the boundary."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, j: x.cast("double")
+            * _srp_component(table, F.lit(p), j, portable),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _srp_pack(dots: list[F.Column]) -> F.Column:
+    """Pack per-plane sign bits into the bucket id — order-independent
+    (Σ bit_p·2^p with literal shifts) so a SQL oracle can reproduce
+    bucket ids with a plain SUM."""
+    packed = (
+        F.when(dots[0] >= 0, F.lit(1 << 0)).otherwise(F.lit(0)).cast("long")
+    )
+    for p in range(1, len(dots)):
+        packed = packed + (
+            F.when(dots[p] >= 0, F.lit(1 << p))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return packed
+
+
 def _srp_bucket(
     vec: F.Column,
     table: int,
     planes: int,
     portable: bool = False,
 ) -> F.Column:
-    """Sign-random-projection bucket id for one hash table.
-
-    Hyperplane component (t, p, j) is a deterministic pseudo-random value
-    derived from a hash — reproducible across runs/executors with zero
-    RNG state shipping, and generated for ``j`` up to ``size(vec)`` at
-    RUNTIME, so no dimensionality probe (an eager job) is ever needed at
-    plan-build time.  ``portable=True`` derives it from md5
-    (:func:`portable_hash60` semantics) so a SQL oracle can replay the
-    exact buckets; default is xxhash64 (cheaper).
-
-    The dot product accumulates strictly left-to-right over j (Spark's
-    ``aggregate`` fold), matching an ordered ``list_sum`` on the oracle
-    side — a different summation order could flip a sign at the
-    boundary.
-    """
-
-    def component(p: F.Column, j: F.Column) -> F.Column:
-        if portable:
-            from btc_usdt_etl_pipeline_spark.operators.dedup import (
-                portable_hash60,
-            )
-
-            key = F.concat_ws(
-                ":", F.lit(table), p.cast("string"), j.cast("string")
-            )
-            h = portable_hash60(key)
-            return (h % 2_000_003).cast("double") / F.lit(
-                1_000_001.5
-            ) - F.lit(1.0)
-        h = F.xxhash64(F.lit(table), p, j)
-        return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
-
-    def sign_bit(p: int) -> F.Column:
-        dot_p = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, j: x.cast("double") * component(F.lit(p), j),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-
-    # Order-independent packing (Σ bit_p·2^p with literal shifts) so a
-    # SQL oracle can reproduce bucket ids with a plain SUM.
-    packed = sign_bit(0).cast("long")
-    for p in range(1, planes):
-        packed = packed + sign_bit(p).cast("long")
-    return packed
+    """Sign-random-projection bucket id for one hash table, components
+    generated for ``j`` up to ``size(vec)`` at RUNTIME, so no
+    dimensionality probe (an eager job) is ever needed at plan-build
+    time (see :func:`_srp_component` / :func:`_srp_fold`)."""
+    return _srp_pack(
+        [_srp_fold(vec, table, p, portable) for p in range(planes)]
+    )
 
 
 def _srp_dot(
@@ -660,40 +674,14 @@ def _srp_dot(
     """The raw hyperplane-``p`` dot product behind :func:`_srp_bucket`'s
     sign bit — exposed so multi-probe can rank planes by boundary
     distance (``|dot|`` small ⇒ the sign is least certain ⇒ the first
-    bucket to probe).  Must stay bit-identical to the fold inside
-    ``_srp_bucket``: same component derivation, same strict
-    left-to-right accumulation."""
-
-    def component(j: F.Column) -> F.Column:
-        if portable:
-            from btc_usdt_etl_pipeline_spark.operators.dedup import (
-                portable_hash60,
-            )
-
-            key = F.concat_ws(":", F.lit(table), F.lit(p), j.cast("string"))
-            h = portable_hash60(key)
-            return (h % 2_000_003).cast("double") / F.lit(
-                1_000_001.5
-            ) - F.lit(1.0)
-        h = F.xxhash64(F.lit(table), F.lit(p), j)
-        return (h % 2_000_003).cast("double") / F.lit(1_000_001.5)
-
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, j: x.cast("double") * component(j),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    bucket to probe).  Bit-identical to the fold inside
+    ``_srp_bucket`` by construction: both are :func:`_srp_fold`."""
+    return _srp_fold(vec, table, p, portable)
 
 
 def _srp_table_keys(
-    vec: F.Column,
-    table: int,
-    planes: int,
-    portable: bool,
+    base: F.Column,
+    adots: list[F.Column],
     n_probes: int = 0,
 ) -> F.Column:
     """Array of bucket keys for one hash table: the base bucket plus
@@ -707,10 +695,16 @@ def _srp_table_keys(
     flip mask — fully deterministic, so a SQL oracle can replay the
     exact probe set).  This recovers misses without more tables: the
     index (corpus side) stays single-bucket, only the query emits
-    ``n_probes + 1`` join keys per table.  The scoring folds run on
-    the QUERY side only, so their cost is per-query, not per-corpus-row.
+    ``n_probes + 1`` join keys per table.
+
+    ``base`` is the packed bucket id and ``adots`` the per-plane
+    ``|dot|`` boundary distances — passed as STAGED COLUMN REFERENCES
+    (r14): inlining the dot folds here duplicated each per-plane fold
+    into every mask struct that referenced it (expression trees share
+    nothing), which cost whole seconds of analysis/codegen per query
+    even on a 5-row query side.
     """
-    base = _srp_bucket(vec, table, planes, portable)
+    planes = len(adots)
     if n_probes <= 0:
         return F.array(base)
     masks: list[tuple[tuple[int, ...], int]] = [
@@ -720,14 +714,11 @@ def _srp_table_keys(
         for p in range(planes)
         for r in range(p + 1, planes)
     ]
-    dots = {
-        p: F.abs(_srp_dot(vec, table, p, portable)) for p in range(planes)
-    }
 
     def score(ps: tuple[int, ...]) -> F.Column:
-        s = dots[ps[0]]
+        s = adots[ps[0]]
         for p in ps[1:]:
-            s = s + dots[p]
+            s = s + adots[p]
         return s
 
     chosen = F.slice(
@@ -789,7 +780,11 @@ def lsh_top_k(
     ``dim`` is accepted for API compatibility but unused: hyperplane
     components are generated up to each row's ``size(vec)`` at runtime,
     so plan construction fires no job and an empty corpus flows through
-    as a naturally-empty (correctly-typed) result.
+    as a naturally-empty (correctly-typed) result.  (An r14 experiment
+    precomputing the components as literal arrays via a metadata job
+    measured a WASH on the corpus side and a small regression overall:
+    the per-row cost is the interpreted higher-order-function fold
+    itself, not the hash derivation — so the runtime derivation stays.)
     """
     del dim  # hyperplanes are sized per-row; no eager probe
 
@@ -800,20 +795,57 @@ def lsh_top_k(
         return lambda b: F.struct(F.lit(t).alias("t"), b.alias("b"))
 
     def with_buckets(df: DataFrame, idc: str, n_probes: int) -> DataFrame:
-        buckets = F.flatten(
-            F.array(
-                *[
-                    F.transform(
-                        _srp_table_keys(
-                            F.col(vec_col), t, planes, portable, n_probes
-                        ),
-                        tag(t),
-                    )
-                    for t in range(tables)
-                ]
+        if n_probes <= 0:
+            # Single-probe: each fold feeds exactly one sign bit, so
+            # there is no duplication to remove — the one-projection
+            # shape is optimal (the staged variant below measured a
+            # wash-to-slight-loss here: pure projection overhead).
+            buckets = F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            F.array(
+                                _srp_bucket(
+                                    F.col(vec_col), t, planes, portable
+                                )
+                            ),
+                            tag(t),
+                        )
+                        for t in range(tables)
+                    ]
+                )
             )
-        )
-        return df.select(
+            return df.select(
+                F.col(idc), F.col(vec_col), F.explode(buckets).alias("_bk")
+            )
+        # Multi-probe: stage every (table, plane) dot product as ONE
+        # column first; bucket packing AND probe scoring then reference
+        # the staged column instead of re-inlining the fold into every
+        # probe-mask struct (r14 — see _srp_table_keys's note).
+        sel = [F.col(idc), F.col(vec_col)]
+        for t in range(tables):
+            for p in range(planes):
+                sel.append(
+                    _srp_fold(F.col(vec_col), t, p, portable).alias(
+                        f"_srp_d_{t}_{p}"
+                    )
+                )
+        staged = df.select(*sel)
+        keys = []
+        for t in range(tables):
+            dots = [F.col(f"_srp_d_{t}_{p}") for p in range(planes)]
+            keys.append(
+                F.transform(
+                    _srp_table_keys(
+                        _srp_pack(dots),
+                        [F.abs(c) for c in dots],
+                        n_probes,
+                    ),
+                    tag(t),
+                )
+            )
+        buckets = F.flatten(F.array(*keys))
+        return staged.select(
             F.col(idc), F.col(vec_col), F.explode(buckets).alias("_bk")
         )
 

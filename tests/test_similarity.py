@@ -625,3 +625,105 @@ def test_knn_outlier_max_cell_rows_fence(spark):
     )
     with pytest.raises(ValueError):
         knn_outlier_scores(df, cent, k=3, max_cell_rows=1)
+
+
+def test_lsh_staged_dots_match_inlined_folds(spark):
+    """r14: lsh_top_k stages each (table, plane) dot product as ONE
+    projected column that bucket packing and probe scoring both
+    reference (the r13 shape re-inlined the fold into every consumer —
+    21 probe-mask structs × planes, seconds of analysis/codegen even on
+    a 5-row query side).  The staged bucket keys must be BIT-identical
+    to the r13 inlined expression shape — same base buckets, same probe
+    sequences — in portable and xxhash modes, incl. ragged vectors."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from btc_usdt_etl_pipeline_spark.operators.similarity import (
+        _srp_bucket,
+        _srp_dot,
+        _srp_fold,
+        _srp_pack,
+        _srp_table_keys,
+    )
+
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    rows += [(900, [0.5] * 8), (901, [0.25] * 24)]  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes, tables, probes = 5, 3, 4
+
+    def inlined_keys(vec, table):
+        # the r13 _srp_table_keys, reconstructed verbatim
+        base = _srp_bucket(vec, table, planes, portable)
+        masks = [((p,), 1 << p) for p in range(planes)] + [
+            ((p, r), (1 << p) | (1 << r))
+            for p in range(planes)
+            for r in range(p + 1, planes)
+        ]
+        dots = {
+            p: F.abs(_srp_dot(vec, table, p, portable))
+            for p in range(planes)
+        }
+
+        def score(ps):
+            s = dots[ps[0]]
+            for p in ps[1:]:
+                s = s + dots[p]
+            return s
+
+        chosen = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(score(ps).alias("a"), F.lit(m).alias("m"))
+                        for ps, m in masks
+                    ]
+                )
+            ),
+            1,
+            min(probes, len(masks)),
+        )
+        return F.concat(
+            F.array(base),
+            F.transform(chosen, lambda s: base.bitwiseXOR(s["m"])),
+        )
+
+    for portable in (True, False):
+        old = df.select(
+            "vec_id",
+            F.array(
+                *[inlined_keys(F.col("embedding"), t) for t in range(tables)]
+            ).alias("keys"),
+        )
+        sel = [F.col("vec_id")]
+        for t in range(tables):
+            for p in range(planes):
+                sel.append(
+                    _srp_fold(F.col("embedding"), t, p, portable).alias(
+                        f"_d_{t}_{p}"
+                    )
+                )
+        new = df.select(*sel).select(
+            "vec_id",
+            F.array(
+                *[
+                    _srp_table_keys(
+                        _srp_pack(
+                            [F.col(f"_d_{t}_{p}") for p in range(planes)]
+                        ),
+                        [
+                            F.abs(F.col(f"_d_{t}_{p}"))
+                            for p in range(planes)
+                        ],
+                        probes,
+                    )
+                    for t in range(tables)
+                ]
+            ).alias("keys"),
+        )
+        got = {r["vec_id"]: r["keys"] for r in new.collect()}
+        want = {r["vec_id"]: r["keys"] for r in old.collect()}
+        assert got == want
