@@ -18941,56 +18941,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver-green in CORRECTNESS_r13.json and stays under the judge's
 #: full 310-query oracle gate.
 _PRIORITY_WINDOW = [
-    "q307_variance_ratio",
-    "q308_bar_volatility",
-    "q309_amihud",
-    "q310_engle_granger",
-    "q304_arch_lm",
-    "q306_hurst",
-    "q295_durbin_watson",
-    "q180_cusum",
-    "q300_kpss",
-    "q220_interpolate_gaps",
-    "q290_page_hinkley",
-    "q293_streaming_neardup",
-    "q303_neardup_compacted",
-    "q51_crossover_backtest",
-    "q185_acf",
-    "q181_macd",
-    "q03_customer_revenue",
-    "q04_region_stats",
-    "q06_anti_join",
-    "q08_global_topk",
-    "q09_rollup",
-    "q10_cube",
-    "q12_approx_distinct",
-    "q15_date_agg",
-    "q16_json_extract",
-    "q21_ntile",
-    "q28_quality_features",
-    "q31_simsearch_bruteforce",
-    "q32_embedding_stats",
-    "q41_token_counts",
-    "q42_fingerprint",
-    "q43_tfidf_top_terms",
-    "q52_frame_sample",
+    # r15 rotation (VERDICT r14 ask #1): slots 1-11 are the r14 rewrites
+    # that landed after the r14 window froze and therefore have no
+    # driver-oracle evidence yet (q242/q257/q272/q275/q142), their LSH
+    # siblings sharing the staged-dot plumbing (q47/q31/q40), and the
+    # three queries whose plans the SHJ conf pair converts
+    # (q119/q83/q178); slots 12-19 are the operators this round touches
+    # (iteration families: pagerank, CC-based dedup pipelines, BFS;
+    # streaming drains via q46); the rest rotate in the STALEST driver
+    # evidence, oldest CORRECTNESS_r* appearance first (r5-r8 blocks).
+    # EVERY demoted row is driver-green in CORRECTNESS_r14.json and
+    # stays under the judge's full 310-query oracle gate.
+    "q242_bradley_terry",
+    "q257_markov_stationary",
+    "q272_link_prediction",
+    "q275_link_prediction_fenced",
+    "q142_simsearch_multiprobe",
     "q47_simsearch_lsh",
-    "q05_semi_join",
-    "q11_distinct_agg",
-    "q13_setops",
-    "q14_string_funcs",
-    "q17_window_rank",
-    "q18_lag_returns",
-    "q20_cumulative_sum",
-    "q29_language_id",
-    "q35_regression_metrics",
+    "q31_simsearch_bruteforce",
+    "q40_simsearch_ivf",
+    "q119_dedup_clusters_star",
+    "q83_star_join",
+    "q178_grid_clusters",
+    "q146_pagerank",
+    "q148_pagerank_weighted",
+    "q62_dedup_clusters",
+    "q277_bfs_distances",
+    "q66_corpus_pipeline",
+    "q165_leakage_safe_split",
     "q46_streaming_dedup",
-    "q55_percentiles",
-    "q56_json_struct",
-    "q91_native_session_window",
-    "q106_herfindahl",
-    "q23_resample_time",
-    "q37_simhash",
+    "q50_streaming_sessions",
+    "q65_stream_interval_join",
+    "q111_decontaminate",
+    "q39_embedding_neardup",
+    "q107_gini",
+    "q109_segment_dedup",
+    "q114_keyed_resample",
+    "q128_shard_export",
+    "q132_semdedup",
+    "q133_lm_quality",
+    "q134_cms_heavy_hitters",
+    "q138_random_projection",
+    "q140_cohort_retention",
+    "q38_ngram_jaccard",
+    "q124_fuzzy_join",
+    "q135_stream_enrich",
+    "q147_scd2",
+    "q19_rolling_avg",
+    "q22_resample_count",
+    "q26_dedup_exact",
+    "q27_text_stats",
+    "q33_sliding_sequences",
+    "q53_batch_inference",
+    "q110_embedding_quantize",
+    "q127_mix_plan",
+    "q141_funnel",
+    "q149_m4_downsample",
+    "q163_bloom_prejoin",
+    "q188_sax",
+    "q201_bootstrap_ci",
+    "q207_readability",
+    "q25_correlation",
 ]
 
 

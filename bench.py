@@ -6,6 +6,11 @@ both end on it):
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
 and also writes the full result (plus per-query spreads) to
 bench_out.json so a truncated stdout capture can never lose the numbers.
+The same per-query map is additionally re-emitted as short
+``headline_queries_chunk`` lines (50 queries each) before the final
+headline line so a bounded tail capture still recovers per-query numbers
+whole-line by whole-line (r15; measurement-output fix, not a timing
+change).
 
 Queries execute fully (noop sink — no driver collect) after one warm-up
 job that absorbs JVM/executor startup.
@@ -331,6 +336,33 @@ def main() -> None:
     ) as f:
         json.dump({**payload, "spread": spread}, f, indent=1)
     print(json.dumps(payload), flush=True)
+    # r15 (VERDICT r14 ask #6): the single payload line above outgrew the
+    # driver's tail capture (~231 queries ≈ 6 KB), so PERF_r14 parsed no
+    # per-query map (per_query: {}, geomean null).  Measurement-output fix
+    # only — no timing methodology change: re-emit the same per-query map
+    # as SHORT self-contained chunk lines (50 queries each, 2-decimal
+    # values, each line ~1.4 KB so a bounded tail keeps whole lines), then
+    # a compact per_query_total marker, keeping the tiny headline line
+    # LAST (the contract line any tail capture ends on).
+    chunk_size = 50
+    for ci in range(0, len(names), chunk_size):
+        chunk = {n: round(timings[n], 2) for n in names[ci : ci + chunk_size]}
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_chunk",
+                    "chunk": ci // chunk_size,
+                    "n_chunks": (len(names) + chunk_size - 1) // chunk_size,
+                    "queries": chunk,
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps({"metric": "per_query_total", "n": len(names)}),
+        flush=True,
+    )
     print(
         json.dumps(
             {"metric": "headline_total", "value": total, "unit": "sec", "sf": sf}

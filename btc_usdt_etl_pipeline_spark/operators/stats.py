@@ -1447,14 +1447,23 @@ def bradley_terry(
     count (hash agg keyed on the two strings, map-side combined — one
     cheap key hash per comparison row instead of 2·k(k−1) string
     equality tests); the k(k−1) conditional sums that build the
-    pair-count ROW then run over that tiny pair-count table, and the
-    MM iterations run as generated column expressions over the ONE
-    metadata row (:func:`bt_schedule` — no driver loop on the data
-    path, no Python), so the oracle replays the identical expression
-    text.
-    ``items`` is the declared catalog (comparisons outside it are
-    ignored); fenced at ≤ 32 items — at catalog scale use a
-    broadcast-iteration loop (the PageRank shape) instead of a
+    pair-count ROW then run over that tiny pair-count table.  The MM
+    iterations are METADATA work: the one k(k−1)-count row is
+    collected and :func:`bt_schedule`'s EXACT arithmetic is replayed
+    in driver Python (same left-fold term order, same IEEE double
+    ops, same zero fences — bit-identity differential pytest:
+    ``test_bradley_terry_driver_matches_sql_schedule``); only the
+    final ``round``/``CAST`` stay in Spark.  The schedule text is
+    still what the oracle replays.
+
+    CONTRACT (r14 laziness change): applying this transform is
+    EAGER — the pair-count aggregation runs as a Spark job at apply
+    time and the MM result is frozen into literals (re-applying the
+    transform, not re-executing the returned frame, re-reads the
+    input).  Batch DataFrames only; a streaming input raises
+    immediately.  ``items`` is the declared catalog (comparisons
+    outside it are ignored); fenced at ≤ 32 items — at catalog scale
+    use a broadcast-iteration loop (the PageRank shape) instead of a
     generated schedule.  Converged strengths sum to 1; ties in input
     produce equal strengths; zero-win items converge to 0.  Returns
     ``(item, strength, wins, losses)`` with strength pinned at 6 dp.
@@ -1469,6 +1478,11 @@ def bradley_terry(
     k = len(items)
 
     def _t(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "bradley_terry is batch-only: the MM replay collects "
+                "the pair-count row eagerly at apply time"
+            )
         w, l = F.col(winner_col), F.col(loser_col)
         # Pre-aggregate to pair counts FIRST (r14, guide §2.3
         # "aggregate before you shuffle" applied to per-row expression
@@ -2529,6 +2543,13 @@ def markov_stationary(
     pytest), so every double matches bit-for-bit; only the final 6 dp
     pin is stated.  Returns one row per state:
     ``(state, n_out, n_in, stationary)``.
+
+    CONTRACT (r14 laziness change): applying this transform is
+    EAGER — the transition-count aggregation runs as a Spark job at
+    apply time and the power-iteration result is frozen into
+    literals (re-applying the transform, not re-executing the
+    returned frame, re-reads the input).  Batch DataFrames only; a
+    streaming input raises immediately.
     """
     states = list(states)
     if not 2 <= len(states) <= 32:
@@ -2540,6 +2561,12 @@ def markov_stationary(
     k = len(states)
 
     def _t(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "markov_stationary is batch-only: the power-iteration "
+                "replay collects the transition-count row eagerly at "
+                "apply time"
+            )
         p, n = F.col(prev_col), F.col(next_col)
         # Pre-aggregate to transition-pair counts first (r14, guide
         # §2.3 — same move as bradley_terry): one hash-agg key per

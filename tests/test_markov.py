@@ -186,3 +186,19 @@ def test_markov_stationary_driver_matches_sql_schedule(spark):
     assert all(
         r["stationary"] == 0.0 and r["n_out"] is None for r in got_e
     )
+
+
+def test_markov_stationary_rejects_streaming_input(spark):
+    """r15 contract pin: the power-iteration replay collects the
+    transition-count row eagerly at apply time, so a streaming input
+    must raise a clear ValueError instead of an opaque
+    AnalysisException from .first()."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import (
+        markov_stationary,
+    )
+
+    sdf = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS p", "CAST(value + 1 AS STRING) AS n"
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        markov_stationary("p", "n", ["a", "b"])(sdf)

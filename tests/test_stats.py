@@ -1189,3 +1189,16 @@ def test_bradley_terry_driver_matches_sql_schedule(spark):
     )
     assert [tuple(r) for r in got_e] == [tuple(r) for r in want_e]
     assert all(r["strength"] == 0.0 and r["wins"] is None for r in got_e)
+
+
+def test_bradley_terry_rejects_streaming_input(spark):
+    """r15 contract pin: the MM replay collects the pair-count row
+    eagerly at apply time, so a streaming input must raise a clear
+    ValueError instead of an opaque AnalysisException from .first()."""
+    from btc_usdt_etl_pipeline_spark.operators.stats import bradley_terry
+
+    sdf = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS w", "CAST(value + 1 AS STRING) AS l"
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        bradley_terry("w", "l", ["a", "b"])(sdf)
